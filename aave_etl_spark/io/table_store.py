@@ -1,0 +1,99 @@
+"""Partitioned table store reproducing the reference's BigQuery IO-manager
+semantics on Parquet (reference: aave_data/resources/bigquery_io_manager.py).
+
+Mapping (SURVEY.md §2.1 sinks):
+
+- K1 partition overwrite: the reference deletes the partition slice
+  (``DELETE ... WHERE _dagster_partition_key='...'``, bigquery_io_manager.py:231-249)
+  then appends. Spark's *dynamic partition overwrite* is exactly
+  delete-then-write, executed scalably per partition directory — no
+  table-wide rewrite, no driver-side row movement.
+- K2 append-only: ``mode("append")`` (bigquery_io_manager.py:116-119).
+- K3 partition-pruned read: predicate on the partition column reaches the
+  file listing (Catalyst partition pruning), reproducing
+  ``WHERE _dagster_partition_key = '...'`` (bigquery_io_manager.py:297-316);
+  a missing table returns an empty DataFrame (``:277-294``).
+- Metadata columns ``_load_timestamp/_partition_type/_partition_key`` mirror
+  the ``_dagster_*`` columns (bigquery_io_manager.py:152-160); reads strip
+  them like the reference's ``SELECT * EXCEPT`` (``:310-316``).
+
+At 100 TB: partition layout is ``(date, market)``-style low-cardinality
+directories; writes touch only the partitions present in the output
+DataFrame, so daily incremental loads scale with the day's data, not the
+table's history.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+META_COLS = ("_load_timestamp", "_partition_type", "_partition_key")
+
+
+class TableStore:
+    """A directory-of-parquet-tables warehouse with idempotent partition
+    overwrite."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_cols: list[str] | None = None,
+        append_only: bool = False,
+    ) -> None:
+        """Write ``df``; idempotent per-partition overwrite unless
+        ``append_only`` (K2). Empty outputs are skipped like the reference
+        (bigquery_io_manager.py:115, 168-169)."""
+        if df.isEmpty():
+            return
+        stamped = df.withColumn(
+            "_load_timestamp",
+            F.lit(datetime.now(timezone.utc).isoformat()),
+        )
+        if partition_cols:
+            stamped = stamped.withColumn(
+                "_partition_key",
+                F.concat_ws("|", *[F.col(c).cast("string") for c in partition_cols]),
+            ).withColumn("_partition_type", F.lit("multi" if len(partition_cols) > 1 else "single"))
+            writer = stamped.write.partitionBy(*partition_cols)
+        else:
+            stamped = stamped.withColumn("_partition_key", F.lit(None).cast("string")).withColumn(
+                "_partition_type", F.lit(None).cast("string")
+            )
+            writer = stamped.write
+        mode = "append" if append_only else "overwrite"
+        writer.mode(mode).parquet(self._path(name))
+
+    def read(
+        self,
+        name: str,
+        schema: StructType | None = None,
+        where: str | None = None,
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """Read a table; missing table → empty DataFrame with ``schema``
+        (K3 404 handling, bigquery_io_manager.py:277-294). ``where`` is a SQL
+        predicate; on partition columns it prunes at file-listing time."""
+        if not self.exists(name):
+            return self.spark.createDataFrame([], schema or StructType([]))
+        df = self.spark.read.parquet(self._path(name))
+        if where:
+            df = df.filter(where)
+        if not keep_meta:
+            df = df.drop(*[c for c in META_COLS if c in df.columns])
+        return df

@@ -1,0 +1,186 @@
+"""Deduplication operators for large-scale text corpora.
+
+All operators are pure DataFrame compositions — no Python UDFs — so every
+stage stays in whole-stage codegen and scales by shuffle on bounded keys:
+
+- exact:    hash-groupBy on a content digest. One shuffle on the digest.
+- minhash:  shingle → per-(doc, hash-index) min digest → band keys →
+            bucket join. Shuffles are on shingle-hash and band-key, both
+            well-distributed; no O(n²) pair comparison ever materializes.
+- simhash:  token → per-bit signed counts → 16/32-bit signature;
+            near-dups = identical signature (or banded signature pieces).
+- n-gram Jaccard: shingle-equality blocking join; exact but quadratic in
+            the worst case — verification stage for minhash candidates, or
+            small corpora only. At 100 TB use minhash_lsh first and feed
+            candidate pairs into `jaccard_verify`.
+
+Determinism: all hashing is md5 (content-derived) — reproducible across
+engines and runs, unlike Spark's seed-dependent `hash()`. Min over md5 hex
+strings is a lexicographic min on a fixed charset: a valid uniform min-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text for hashing: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via content digest.
+
+    Returns one row per distinct content: (digest, keeper_id = min id,
+    dup_count). Spark plan: project + single hash aggregate — one shuffle on
+    the 128-bit digest, no skew (digests are uniform)."""
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Built with transform-over-sequence (JVM-side), then explode; distinct
+    per doc so Jaccard is over shingle *sets*."""
+    toks = F.split(normalize_text(text_col), " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return (
+        df.filter(k >= 1)
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """Long-form minhash signature: (id, h, minhash) for h in [0, num_hashes).
+
+    h_i(s) = md5(i || ':' || s); the signature element is the min digest.
+    One shuffle: groupBy (id, h) with map-side partial min."""
+    hashed = shingles.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
+        F.col("shingle"),
+    ).select(
+        id_col,
+        "h",
+        F.md5(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle"))).alias("hv"),
+    )
+    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band key become a candidate pair.
+
+    Band key = md5 of the concatenated signature rows in the band. The
+    pair-generation join is per (band, band_key) bucket — bounded fan-out as
+    long as bands are selective. Returns distinct (id_a < id_b) pairs."""
+    banded = (
+        signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", F.col("h").cast("string"), F.col("minhash")))))).alias("band_key"))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle.
+
+    Blocking join on the shingle value: only docs with a common shingle are
+    compared (never a full cross join). Output: (id_a < id_b, jaccard).
+    Worst case is quadratic within a shingle bucket — use after LSH at scale."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Frequency-weighted SimHash signature per doc: (id, simhash long).
+
+    Token hash = first 16 hex chars of md5 → 64-bit space; bit b of the
+    signature is the sign of Σ_tokens (±1). Pure explode + conditional-sum —
+    two shuffles ((id, token-row) explode is narrow; groupBy id)."""
+    toks = F.split(normalize_text(text_col), " ")
+    tok = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .withColumn("th", F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long"))
+    )
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def keep_first_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """Generic keep-one dedup: row_number over a pinned total order
+    (reference keep-last pattern, data_warehouse.py:706 — SURVEY §7.4.3)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Baseline: brute-force cosine top-k — exact, one shuffle-free broadcast of
+the (small) query set against the (huge) candidate table, ranked with a
+per-query window. The candidate scan is embarrassingly parallel; at 100 TB
+the cost is one pass over the corpus per query batch.
+
+Scale path: sign-random-projection LSH (`srp_buckets`) — candidates are
+compared only within matching hash buckets, turning the all-pairs problem
+into a bucket-local one. Hyperplanes are derived deterministically from md5
+so results are reproducible with no stored model.
+
+All arithmetic is JVM-side (`zip_with`/`aggregate` higher-order functions,
+accumulating in double, index order) — no Python/pandas round trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i in double, left-to-right index order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (query_id, candidate_id, cos_sim, rank). Self-matches excluded.
+    The query side is broadcast — the big candidate table is scanned once
+    with no shuffle until the final per-query top-k (a window over
+    query_id, tiny cardinality). Ties broken by candidate id for
+    determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
+    )
+    cos = cosine(F.col("_qv"), F.col("_cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select("query_id", "candidate_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _srp_plane(plane: int, dim: int) -> Column:
+    """Deterministic ±1 hyperplane component from md5(plane:dim) parity."""
+    h = F.conv(F.substring(F.md5(F.lit(f"{plane}:") + F.lit(dim).cast("string")), 1, 15), 16, 10).cast("long")
+    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def srp_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Sign-random-projection bucket id per vector: (id, bucket long).
+
+    bucket bit p = [Σ_i sign_p(i) * v_i > 0] with sign_p(i) = ±1 from
+    md5(p:i) parity. Vectors in the same bucket are near-duplicates /
+    close neighbors with high probability; candidate generation is then a
+    self-join on `bucket` (bounded buckets, no cross join)."""
+    v = F.col(vec_col)
+    sig = None
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, i: x.cast("double")
+                * F.when(
+                    F.conv(
+                        F.substring(F.md5(F.concat_ws(":", F.lit(str(p)), i.cast("string"))), 1, 15),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return df.select(F.col(id_col), sig.cast("long").alias("bucket"))
+
+
+def bucketed_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    min_cos: float = 0.0,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: SRP-bucket join then exact cosine
+    within buckets. Output (id_a < id_b, cos_sim)."""
+    buckets = srp_buckets(df, id_col, vec_col, n_planes)
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    withb = vecs.join(buckets, id_col)
+    a = withb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
+    )
+    b = withb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cos)
+    )

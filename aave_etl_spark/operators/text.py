@@ -1,0 +1,126 @@
+"""Text-analysis operators: token stats, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All pure Column expressions over `split()` arrays — higher-order functions
+keep the work inside whole-stage codegen; nothing leaves the JVM. Each
+operator is a narrow map (no shuffle) except the explicitly-aggregating
+ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+
+# A BPE-ish word/number/punct splitter: alpha runs, digit runs, single
+# non-space symbols — the token-counting convention for quality gates.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text_col: Column | str) -> Column:
+    """Whitespace tokens of normalized text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(F.regexp_replace(c, r"\s+", " ")), " ")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token statistics: n_tokens, n_distinct_tokens, avg_token_len,
+    n_bpe_tokens (regex token count — the BPE-ish proxy)."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        (
+            F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
+            / F.size(toks).cast("double")
+        ).alias("avg_token_len"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def quality_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Per-doc quality features: length, word count, stopword ratio,
+    punctuation ratio, distinct-token ratio — the standard heuristic
+    quality gate for pretraining corpora."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*stopwords))).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,!?;:'\"-]", ""))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_words"),
+        (sw / n_tok).alias("stopword_ratio"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("distinct_ratio"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scalar quality score in [0,1]: weighted mix of the features, with
+    hard gates for degenerate docs (too short, no stopwords, all-repeat)."""
+    feats = quality_features(df, id_col, text_col)
+    score = (
+        F.least(F.col("n_words").cast("double") / 100.0, F.lit(1.0)) * 0.3
+        + F.least(F.col("stopword_ratio") * 10.0, F.lit(1.0)) * 0.3
+        + F.col("distinct_ratio") * 0.3
+        + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.1
+    )
+    gated = F.when(F.col("n_words") < 5, F.lit(0.0)).otherwise(score)
+    return feats.select(F.col(id_col), F.round(gated, 6).alias("quality"))
+
+
+def language_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    markers: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Marker-token language heuristic: the language whose marker set has
+    the highest hit ratio wins; below-threshold → 'und'. (A real system
+    swaps in fastText/CLD3 via a pandas UDF — the *shape* is identical:
+    narrow map, no shuffle.)"""
+    markers = markers or {
+        "en": ("the", "a", "and", "of"),
+        "fr": ("le", "la", "et", "les"),
+        "de": ("der", "die", "und", "das"),
+        "es": ("el", "la", "y", "los"),
+    }
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    scores = [
+        (F.size(F.filter(toks, lambda x: x.isin(*ms))).cast("double") / n_tok).alias(f"score_{lang}")
+        for lang, ms in markers.items()
+    ]
+    scored = df.select(F.col(id_col), F.col(text_col), *scores)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in markers])
+    # ties resolved by dict order via reversed fold: first lang wins
+    guess = F.lit("und")
+    for lang in reversed(list(markers)):
+        guess = F.when((best > 0.0) & (F.col(f"score_{lang}") == best), F.lit(lang)).otherwise(guess)
+    return scored.select(F.col(id_col), guess.alias("lang_guess"), best.alias("lang_score"))
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-invariant bag-of-words fingerprint: md5 of the sorted distinct
+    token list. Docs with equal fingerprints are permutation duplicates."""
+    toks = tokens(text_col)
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

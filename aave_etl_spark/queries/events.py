@@ -1,0 +1,297 @@
+"""Window / time-series / JSON queries over the `events` table.
+
+These re-home the reference's window-function and event-log patterns
+(SURVEY.md §2.5, §2.9 date+JSON, §2.10 sessionized micro-batch) onto the
+driver's synthetic decoded-log-shaped `events(event_id, ts, user_id,
+event_type, value, props)` table — the same move SURVEY §3 entry-point-3
+prescribes for the Flipside SQL pushdown: the table comes in, the SQL runs
+here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aave_etl_spark.queries.registry import register, t
+
+from aave_etl_spark.functions.scalars import vested_amount
+
+
+# ---------------------------------------------------------------------------
+# §2.4 dedup keep-last by sort (sort_values + drop_duplicates keep='last',
+# data_warehouse.py:706, 751) → row_number desc = 1.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_keep_last",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id, event_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY date_trunc('day', ts), user_id
+        ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    doc="§2.4 keep-last dedup via row_number desc (data_warehouse.py:706); total order pinned (SURVEY §7.4.3)",
+)
+def dedup_keep_last(spark, sf_dir):
+    e = t(spark, sf_dir, "events").withColumn("day", F.date_trunc("DAY", F.col("ts")))
+    w = Window.partitionBy("day", "user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("day", "user_id", "event_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 LEAD start/end-of-day pairing (all_financials.sql:124-143) including
+# the end-balance-not-null filter that silently drops each series' last day
+# (:191-193; SURVEY §7.4.4).
+# ---------------------------------------------------------------------------
+@register(
+    "lead_day_pairing",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, sum(value) AS day_value
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    paired AS (
+      SELECT user_id, day,
+             day_value AS start_balance,
+             lead(day_value) OVER (PARTITION BY user_id ORDER BY day) AS end_balance
+      FROM daily
+    )
+    SELECT user_id, day, start_balance, end_balance,
+           end_balance - start_balance AS day_change
+    FROM paired
+    WHERE end_balance IS NOT NULL
+    """,
+    doc="§2.5 lead() start/end pairing + last-day drop filter (all_financials.sql:124-143,191-193)",
+)
+def lead_day_pairing(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.date_trunc("DAY", F.col("ts")).alias("day"))
+        .agg(F.sum("value").alias("start_balance"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    paired = daily.withColumn("end_balance", F.lead("start_balance").over(w))
+    return paired.filter(F.col("end_balance").isNotNull()).select(
+        "user_id",
+        "day",
+        "start_balance",
+        "end_balance",
+        (F.col("end_balance") - F.col("start_balance")).alias("day_change"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 lag with coalesce-to-self — daily APR from consecutive-day ratio
+# (balancer_bpt_by_day.sql:15).
+# ---------------------------------------------------------------------------
+@register(
+    "lag_daily_ratio",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, sum(value) AS day_value
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT user_id, day, day_value,
+           day_value / COALESCE(lag(day_value) OVER (PARTITION BY user_id ORDER BY day), day_value) - 1
+             AS day_over_day
+    FROM daily
+    """,
+    doc="§2.5 lag() + coalesce-to-self daily ratio (balancer_bpt_by_day.sql:15)",
+)
+def lag_daily_ratio(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.date_trunc("DAY", F.col("ts")).alias("day"))
+        .agg(F.sum("value").alias("day_value"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return daily.select(
+        "user_id",
+        "day",
+        "day_value",
+        (F.col("day_value") / F.coalesce(F.lag("day_value").over(w), F.col("day_value")) - 1).alias("day_over_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 last_value(... IGNORE NULLS) forward-fill (market_config_by_hour.sql:28-31;
+# fillna(method='ffill') protocol_data_warehouse.py:406-407).
+# ---------------------------------------------------------------------------
+@register(
+    "forward_fill_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM events
+    """,
+    doc="§2.5 last_value ignore-nulls forward fill (market_config_by_hour.sql:28-31)",
+)
+def forward_fill_ignore_nulls(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(masked, ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 JSON field extraction (Flipside decoded_log:field::int,
+# data_lake.py:1323, 1622-1628) → get_json_object.
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_agg",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS total_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+    """,
+    doc="§2.9 JSON path extraction decoded_log:field::int (data_lake.py:1323) → get_json_object",
+)
+def json_extract_agg(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k_bucket", k % 10)
+        .filter(k.isNotNull())
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 date functions: date_trunc, date_add, dayofweek
+# (treasury_totals.sql:7; market_config_by_hour.sql:27; helpers.py:237).
+# ---------------------------------------------------------------------------
+@register(
+    "date_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS next_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+    doc="§2.9 date_trunc day + date_add interval (treasury_totals.sql:7; helpers.py:237)",
+)
+def date_rollup(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("DAY", F.col("ts"))
+    return (
+        e.groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "day",
+            (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("next_day"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 stream-vesting clamp math max(min(now,stop)-start, 0) * rate
+# (data_lake.py:1701-1712) — greatest/least arithmetic on epochs.
+# ---------------------------------------------------------------------------
+@register(
+    "vesting_clamp",
+    oracle="""
+    WITH streams AS (
+      SELECT event_id, event_type, value,
+             epoch(ts) AS start_s,
+             epoch(ts) + (CAST(json_extract_string(props, '$.k') AS BIGINT) + 1) * 86400 AS stop_s,
+             value / ((CAST(json_extract_string(props, '$.k') AS BIGINT) + 1) * 86400) AS rate_per_s
+      FROM events
+    )
+    SELECT event_type,
+           sum(greatest(least(epoch(TIMESTAMP '2024-01-15 00:00:00'), stop_s) - start_s, 0) * rate_per_s)
+             AS vested_total,
+           sum(value) AS deposit_total
+    FROM streams
+    GROUP BY event_type
+    """,
+    doc="§2.9 vesting clamp greatest/least (data_lake.py:1709-1712); epoch math",
+)
+def vesting_clamp(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    dur_s = (k + 1) * 86400
+    # ts.cast(double) = epoch seconds incl. fractional micros (== DuckDB epoch())
+    start_s = F.col("ts").cast("double")
+    streams = e.select(
+        "event_id",
+        "event_type",
+        start_s.alias("start_s"),
+        (start_s + dur_s.cast("double")).alias("stop_s"),
+        (F.col("value") / dur_s.cast("double")).alias("rate_per_s"),
+        "value",
+    )
+    now_s = F.lit("2024-01-15 00:00:00").cast("timestamp").cast("double")
+    return streams.groupBy("event_type").agg(
+        F.sum(vested_amount(now_s, F.col("start_s"), F.col("stop_s"), F.col("rate_per_s"))).alias("vested_total"),
+        F.sum("value").alias("deposit_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session (lag + conditional
+# cumulative sum). The reference's hourly micro-batch tables (§2.10) have no
+# stateful op; this is the batch-form session window a 100 TB event pipeline
+# needs, expressible declaratively (no applyInPandasWithState required for
+# batch).
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM g
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS session_value
+    FROM s
+    GROUP BY user_id, session_no
+    """,
+    doc="§2.10-adjacent sessionization: lag gap + cumsum session ids (batch session windows)",
+)
+def sessionize_events(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    g = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = g.withColumn("session_no", F.sum("is_new").over(wcum))
+    return s.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value")
+    )

@@ -1,0 +1,305 @@
+"""Training-data pipeline queries over `documents` / `embeddings`.
+
+These are the beyond-reference operators (BASELINE.json north star):
+dedup (exact / minhash-LSH / simhash / n-gram Jaccard), similarity search,
+text analysis, and multimodal binary plumbing. Every SQL-expressible one
+carries a DuckDB oracle implementing the *same deterministic algorithm*
+(md5-based hashing — engine-portable, seed-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aave_etl_spark.operators import dedup, similarity, text
+from aave_etl_spark.queries.registry import register, t
+
+# DuckDB needs the 'g' flag to replace-all; Spark's regexp_replace already
+# does. Shared normalizer snippets:
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+@register(
+    "llm_dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM}) AS digest,
+           min(doc_id) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY md5({_NORM})
+    """,
+    doc="LLM dedup: exact content-digest groupBy (hash-groupBy dedup)",
+)
+def llm_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size
+    FROM fp
+    """,
+    doc="LLM text analysis: order-invariant bag-of-words fingerprint + dup-group size",
+)
+def llm_fingerprint(spark, sf_dir):
+    fp = text.fingerprint(t(spark, sf_dir, "documents"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select("doc_id", "fingerprint", F.count(F.lit(1)).over(w).alias("group_size"))
+
+
+@register(
+    "llm_token_stats",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(toks, x -> CAST(len(x) AS DOUBLE))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM base
+    """,
+    doc="LLM text analysis: whitespace + BPE-ish regex token counting",
+)
+def llm_token_stats(spark, sf_dir):
+    return text.token_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_quality_features",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','and','in','is','it','for'))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+           (CAST(length(text) AS DOUBLE)
+              - CAST(length(regexp_replace(text, '[.,!?;:''"-]', '', 'g')) AS DOUBLE))
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+    FROM base
+    """,
+    doc="LLM text analysis: quality features (length/punct/stopword/distinct ratios)",
+)
+def llm_quality_features(spark, sf_dir):
+    return text.quality_features(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_language_id",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS DOUBLE) / len(toks) AS score_en,
+        CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) / len(toks) AS score_fr,
+        CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) / len(toks) AS score_de,
+        CAST(len(list_filter(toks, x -> x IN ('el','la','y','los'))) AS DOUBLE) / len(toks) AS score_es
+      FROM base
+    ),
+    guessed AS (
+      SELECT doc_id, lang,
+        CASE
+          WHEN greatest(score_en, score_fr, score_de, score_es) <= 0.0 THEN 'und'
+          WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+          WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+          WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+          ELSE 'es'
+        END AS lang_guess
+      FROM scored
+    )
+    SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+    FROM guessed GROUP BY lang, lang_guess
+    """,
+    doc="LLM text analysis: marker-token language-ID heuristic, confusion counts",
+)
+def llm_language_id(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    guessed = text.language_id(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return guessed.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "llm_minhash_lsh",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       for i in range(1, len(toks) - 1)]) AS shingle
+        FROM norm WHERE len(toks) >= 3
+      )
+    ),
+    mh AS (
+      SELECT doc_id, h,
+             min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM shingles CROSS JOIN (SELECT unnest(range(0, 8)) AS h) hs
+      GROUP BY doc_id, h
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(h / 2) AS INT) AS band,
+             md5(string_agg(CAST(h AS VARCHAR) || ':' || minhash, '|'
+                            ORDER BY CAST(h AS VARCHAR) || ':' || minhash)) AS band_key
+      FROM mh GROUP BY doc_id, CAST(floor(h / 2) AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+    """,
+    doc="LLM dedup: MinHash(md5)+LSH banding candidate pairs (shingle→minhash→band→bucket join)",
+)
+def llm_minhash_lsh(spark, sf_dir):
+    sh = dedup.word_shingles(t(spark, sf_dir, "documents"), n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    return dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
+
+
+@register(
+    "llm_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       for i in range(1, len(toks) - 1)]) AS shingle
+        FROM norm WHERE len(toks) >= 3
+      )
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.doc_id
+    JOIN sizes sb ON i.id_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.2
+    """,
+    doc="LLM dedup: exact n-gram Jaccard with shingle-equality blocking join",
+)
+def llm_ngram_jaccard(spark, sf_dir):
+    sh = dedup.word_shingles(t(spark, sf_dir, "documents"), n=3)
+    return dedup.jaccard_pairs(sh, threshold=0.2)
+
+
+@register(
+    "llm_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    th AS (
+      SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS th FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (th >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="LLM dedup: frequency-weighted 16-bit SimHash signature",
+)
+def llm_simhash(spark, sf_dir):
+    return dedup.simhash(t(spark, sf_dir, "documents"), bits=16)
+
+
+@register(
+    "llm_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS candidate_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.candidate_id,
+             round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))),
+                   6) AS cos_sim
+      FROM c CROSS JOIN q
+      WHERE c.candidate_id <> q.query_id
+    )
+    SELECT query_id, candidate_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, candidate_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id) <= 3
+    """,
+    doc="LLM similarity: brute-force cosine top-k ANN baseline (broadcast query set)",
+)
+def llm_cosine_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(emb, queries, k=3)
+
+
+@register(
+    "llm_srp_bucket_pairs",
+    oracle=None,  # deterministic but deliberately rows-only: the SRP plane
+    # derivation (md5 parity per (plane, dim)) is validated in unit tests;
+    # an SQL mirror adds no confidence beyond the jaccard/minhash oracles.
+    doc="LLM similarity: SRP-LSH bucketed near-neighbor pairs (scale path for ANN)",
+)
+def llm_srp_bucket_pairs(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.bucketed_cosine_pairs(emb, n_planes=8, min_cos=0.0)
+
+
+@register(
+    "llm_binary_payload",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="Multimodal plumbing: opaque binary column + typed metadata (byte_len, digest)",
+)
+def llm_binary_payload(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    withmeta = docs.withColumn("byte_len", F.length("payload").cast("long")).withColumn(
+        "content_md5", F.md5("payload")
+    )
+    return withmeta.select("doc_id", "byte_len", "content_md5")
+
+
+@register(
+    "llm_media_features",
+    oracle=None,  # mapInPandas decode stub — not SQL-expressible; driver
+    # records the rows-only check (documented in SURVEY §2 coverage).
+    doc="Multimodal: Arrow-batched mapInPandas feature extraction over binary payloads (decode stubbed)",
+)
+def llm_media_features(spark, sf_dir):
+    from aave_etl_spark.operators import multimodal
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return multimodal.decode_image_features(docs)
