@@ -56,17 +56,23 @@ def word_shingles(
     """Distinct word n-gram shingles per doc: (id, shingle).
 
     Built with transform-over-sequence (JVM-side), then explode; distinct
-    per doc so Jaccard is over shingle *sets*."""
-    toks = F.split(normalize_text(text_col), " ")
-    k = F.size(toks) - (n - 1)
+    per doc so Jaccard is over shingle *sets*.
+
+    The token array is materialized in its own projection first: HOF
+    lambdas are interpreted (not codegen'd), so if `split(text)` were
+    inlined into the lambda each element_at would re-run the split —
+    O(tokens²) per doc, minutes on one long document. Binding it to a
+    column makes the lambda O(1) per element (CollapseProject keeps
+    multi-referenced non-cheap aliases materialized)."""
+    toked = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    toks = F.col("_toks")
     grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
+        F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
-    return (
-        df.filter(k >= 1)
-        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
-    )
+    return toked.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def minhash_signatures(

@@ -1,0 +1,426 @@
+"""Concrete source connectors S1–S20 (SURVEY.md §2.1).
+
+Each function: (spark, transport, request args) → typed DataFrame, with the
+reference's response-flattening and unit conventions applied (decimal
+shifts, renames, address lowercasing). The transport is injected — a fake
+in tests, a real HTTP/RPC client in production — so the connector logic
+(parsing, typing, unit math, retry, fan-out shape) is what's under test.
+
+Driver-side vs executor-side:
+- scans returning O(markets×reserves) rows per partition use
+  ``base.driver_fetch`` (tiny frames, usually broadcast downstream);
+- per-(wallet,token) / per-reserve sweeps use ``base.fanout_fetch``
+  (mapInPandas over a request-key DataFrame) so HTTP parallelism scales
+  with executors, concurrency bounded at 20 in-flight per partition
+  (Semaphore(20) parity, protocol_data_lake.py:855).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aave_etl_spark.functions.scalars import bps_to_frac, from_ray, from_units
+from aave_etl_spark.functions.standardise import standardise_types
+from aave_etl_spark.sources import schemas
+from aave_etl_spark.sources.base import (
+    DEFAULT_RETRY,
+    RetryPolicy,
+    Transport,
+    driver_fetch,
+    fanout_fetch,
+)
+
+WETH = "0xc02aaa39b223fe8d0a0e5c4f27ead9083c756cc2"
+ETH_PSEUDO = "0xeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeee"
+
+
+def _utc(ts: float | int) -> datetime:
+    # reference: datetime.utcfromtimestamp (helpers.py:795, 810) — naive UTC;
+    # we keep tz-aware UTC (session tz is UTC so values agree)
+    return datetime.fromtimestamp(float(ts), tz=timezone.utc).replace(tzinfo=None)
+
+
+# ---------------------------------------------------------------------------
+# S1 — closest block to 00:00 UTC per (chain, day); start + end block.
+# Reference: block_numbers_by_day, data_lake.py:73-140 (DeFiLlama REST).
+# ---------------------------------------------------------------------------
+def block_numbers_by_day(
+    spark: SparkSession,
+    transport: Transport,
+    block_day: str,
+    chain: str,
+    market: str,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """Two lookups (day start, next-day start); end_block = next_start - 1
+    (data_lake.py:113-123 invariant, FIXTURES §1)."""
+
+    def rows(payload: Any) -> list[dict[str, Any]]:
+        # payload: {"start": {"height": h, "timestamp": s}, "next": {...}}
+        start, nxt = payload["start"], payload["next"]
+        return [
+            {
+                "block_day": datetime.fromisoformat(block_day),
+                "block_time": _utc(start["timestamp"]),
+                "block_height": int(start["height"]),
+                "end_block": int(nxt["height"]) - 1,
+                "chain": chain,
+                "market": market,
+            }
+        ]
+
+    req = {"kind": "closest_block", "chain": chain, "day": block_day}
+    return driver_fetch(spark, transport, req, rows, schemas.BLOCK_NUMBERS_BY_DAY, policy)
+
+
+# ---------------------------------------------------------------------------
+# S2 — subgraph (GraphQL) market token list at block height.
+# Reference: get_market_tokens_at_block_aave, helpers.py:90-165; renames
+# helpers.py:68-77; ETH→WETH patch data_lake.py:189.
+# ---------------------------------------------------------------------------
+def market_tokens_at_block(
+    spark: SparkSession,
+    transport: Transport,
+    market: str,
+    block_height: int,
+    block_day: str,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    def rows(payload: Any) -> list[dict[str, Any]]:
+        out = []
+        for r in payload["reserves"]:
+            out.append(
+                {
+                    "reserve": r["underlyingAsset"].lower(),
+                    "name": r["name"],
+                    "symbol": r["symbol"],
+                    "decimals": int(r["decimals"]),
+                    "atoken": r["aToken"]["id"].lower(),
+                    "atoken_symbol": f"a{r['symbol']}",
+                    "pool": r["pool"]["id"].lower(),
+                    "market": market,
+                    "atoken_decimals": int(r["decimals"]),
+                    "block_height": block_height,
+                    "block_day": datetime.fromisoformat(block_day),
+                }
+            )
+        return out
+
+    req = {"kind": "subgraph_tokens", "market": market, "block": block_height}
+    df = driver_fetch(spark, transport, req, rows, schemas.MARKET_TOKENS_BY_DAY, policy)
+    # ETH pseudo-address → WETH (data_lake.py:189)
+    df = df.withColumn(
+        "reserve",
+        F.when(F.col("reserve") == ETH_PSEUDO, F.lit(WETH)).otherwise(F.col("reserve")),
+    )
+    return standardise_types(df)
+
+
+# ---------------------------------------------------------------------------
+# S4 — oracle price scan: getAssetsPrices(address[]) at block, multiplier to
+# USD. Reference: aave_oracle_prices_by_day, data_lake.py:212-354.
+# ---------------------------------------------------------------------------
+def oracle_prices_by_day(
+    tokens: DataFrame,
+    transport: Transport,
+    price_multiplier: float = 1.0,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """Fan-out over the (market, block_height) token rows; raw oracle answer
+    × multiplier → usd_price (data_lake.py:337-338)."""
+    keys = tokens.select("reserve", "symbol", "market", "block_height", "block_day")
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        return [
+            {
+                "reserve": req["reserve"],
+                "symbol": req["symbol"],
+                "market": req["market"],
+                "block_height": req["block_height"],
+                "block_day": req["block_day"],
+                "usd_price": float(payload["price"]) * price_multiplier,
+            }
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.ORACLE_PRICES_BY_DAY, policy)
+
+
+# ---------------------------------------------------------------------------
+# S5/S6 — token transfers (Covalent CSV / Alchemy paginated JSON), grouped
+# to day. Reference: helpers.py:168-261, 264-472; group-sum helpers.py:235-249.
+# ---------------------------------------------------------------------------
+def token_transfers_by_day(
+    requests: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """requests: one row per (collector wallet, token, block range, market,
+    block_day). The per-transfer response is flattened then grouped to one
+    row per (day, direction, counterparty) with summed amount — the
+    reference does this inside the helper (helpers.py:239-248); we do it
+    post-fan-out in Spark so the aggregation is distributed."""
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        out = []
+        for tr in payload["transfers"]:
+            amt = float(tr["raw_amount"]) / 10 ** int(tr["decimals"])
+            out.append(
+                {
+                    "transfers_transfer_type": tr["type"],
+                    "transfers_from_address": tr["from"].lower(),
+                    "transfers_to_address": tr["to"].lower(),
+                    "transfers_contract_address": req["token"].lower(),
+                    "transfers_contract_name": tr.get("name"),
+                    "transfers_contract_decimals": int(tr["decimals"]),
+                    "transfers_contract_symbol": tr.get("symbol"),
+                    "block_day": req["block_day"],
+                    "amount_transferred": amt,
+                    "start_block": req["start_block"],
+                    "end_block": req["end_block"],
+                    "market": req["market"],
+                    "collector": req["collector"].lower(),
+                }
+            )
+        return out
+
+    flat = fanout_fetch(requests, transport, rows, schemas.TOKEN_TRANSFERS_BY_DAY, policy)
+    group_cols = [c for c in flat.columns if c != "amount_transferred"]
+    return flat.groupBy(*group_cols).agg(
+        F.sum("amount_transferred").alias("amount_transferred")
+    ).select(*flat.columns)
+
+
+# ---------------------------------------------------------------------------
+# S7 — ERC20 balanceOf / scaledBalanceOf fan-out.
+# Reference: get_erc20_balance_of / get_scaled_balance_of, helpers.py:475-600.
+# ---------------------------------------------------------------------------
+def collector_atoken_balances_by_day(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """keys: (collector, market, token, symbol, block_height, block_day).
+    One RPC per row (balance + scaled balance), decimal-adjusted in the
+    parser (helpers.py:535, 598)."""
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        dec = int(payload["decimals"])
+        return [
+            {
+                "collector": req["collector"].lower(),
+                "market": req["market"],
+                "token": req["token"].lower(),
+                "symbol": req["symbol"],
+                "block_height": req["block_height"],
+                "block_day": req["block_day"],
+                "balance": float(payload["balance"]) / 10**dec,
+                "scaled_balance": float(payload["scaled_balance"]) / 10**dec,
+            }
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.COLLECTOR_ATOKEN_BALANCES_BY_DAY, policy)
+
+
+# ---------------------------------------------------------------------------
+# S9 — reserve config+state multicall, version-dispatched, with ray/bps
+# decimal shifts and v2→v3 schema fill.
+# Reference: get_raw_reserve_data / raw_reserve_to_dataframe,
+# helpers.py:695-965.
+# ---------------------------------------------------------------------------
+def protocol_data_by_day(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """keys: (market, reserve, symbol, decimals, block_height, block_day).
+    The parser applies the reference's handler-lambda unit shifts: bps/1e4
+    for config fractions (helpers.py:758-761), ray/1e27 for rates/indices
+    (:789-795), raw/10**decimals for amounts; missing v3 fields default to
+    0/False for v2 markets (:929-931)."""
+    v3_defaults = {
+        "is_paused": False, "siloed_borrowing": False,
+        "reserve_emode_category": 0, "borrow_cap": 0, "supply_cap": 0,
+        "unbacked_mint_cap": 0, "debt_ceiling": 0,
+        "liquidation_protocol_fee": 0.0, "unbacked_atokens": 0.0,
+        "scaled_accrued_to_treasury": 0.0,
+    }
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        dec = int(req["decimals"])
+        unit = 10**dec
+        r: dict[str, Any] = {
+            "block_day": req["block_day"],
+            "block_height": req["block_height"],
+            "market": req["market"],
+            "reserve": req["reserve"].lower(),
+            "symbol": req["symbol"],
+            "decimals": dec,
+            "ltv": float(payload["ltv"]) / 1e4,
+            "liquidation_threshold": float(payload["liquidation_threshold"]) / 1e4,
+            "liquidation_bonus": float(payload["liquidation_bonus"]) / 1e4,
+            "reserve_factor": float(payload["reserve_factor"]) / 1e4,
+            "usage_as_collateral_enabled": bool(payload["usage_as_collateral_enabled"]),
+            "borrowing_enabled": bool(payload["borrowing_enabled"]),
+            "stable_borrow_rate_enabled": bool(payload["stable_borrow_rate_enabled"]),
+            "is_active": bool(payload["is_active"]),
+            "is_frozen": bool(payload["is_frozen"]),
+            "atoken_supply": float(payload["atoken_supply"]) / unit,
+            "stable_debt": float(payload["stable_debt"]) / unit,
+            "variable_debt": float(payload["variable_debt"]) / unit,
+            "liquidity_rate": float(payload["liquidity_rate"]) / 1e27,
+            "variable_borrow_rate": float(payload["variable_borrow_rate"]) / 1e27,
+            "stable_borrow_rate": float(payload["stable_borrow_rate"]) / 1e27,
+            "average_stable_rate": float(payload.get("average_stable_rate", 0)) / 1e27,
+            "liquidity_index": float(payload["liquidity_index"]) / 1e27,
+            "variable_borrow_index": float(payload["variable_borrow_index"]) / 1e27,
+            "last_update_timestamp": _utc(payload["last_update_timestamp"]),
+        }
+        for k, default in v3_defaults.items():
+            v = payload.get(k, default)
+            if isinstance(default, float):
+                v = float(v) / (1e4 if k == "liquidation_protocol_fee" else 1.0)
+                if k in ("unbacked_atokens", "scaled_accrued_to_treasury"):
+                    v = float(payload.get(k, 0)) / unit
+            r[k] = type(default)(v) if not isinstance(default, bool) else bool(v)
+        # invariant helpers.py:796, 811
+        r["available_liquidity"] = r["atoken_supply"] - r["stable_debt"] - r["variable_debt"]
+        return [r]
+
+    return fanout_fetch(keys, transport, rows, schemas.PROTOCOL_DATA_BY_DAY, policy)
+
+
+# ---------------------------------------------------------------------------
+# S13 — CSV seed tables over HTTPS (data_lake.py:1409-1579).
+# ---------------------------------------------------------------------------
+def read_seed_csv(spark: SparkSession, path_or_url: str, schema) -> DataFrame:
+    """Seed/classification dims. The reference fetches CSV over HTTPS with
+    quoting=3 (data_lake.py:1422); local/remote CSV both read the same way.
+    Tiny tables — broadcast into every downstream join."""
+    return (
+        spark.read.option("header", "true")
+        .option("quote", "")
+        .schema(schema)
+        .csv(path_or_url)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S14 — CoinGecko daily price history (protocol_data_lake.py:1255-1319).
+# ---------------------------------------------------------------------------
+def coingecko_data_by_day(
+    spark: SparkSession,
+    transport: Transport,
+    token_cfg: list[dict[str, Any]],
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    def rows(payload: Any) -> list[dict[str, Any]]:
+        out = []
+        for tok, series in payload.items():
+            cfg = next(c for c in token_cfg if c["cg_id"] == tok)
+            for ms, price in series:  # ms-epoch → timestamp (:1301)
+                out.append(
+                    {
+                        "block_day": _utc(ms / 1000.0),
+                        "price_usd": float(price),
+                        "symbol": cfg["symbol"],
+                        "cg_id": tok,
+                        "address": cfg["address"].lower(),
+                        "chain": cfg["chain"],
+                        "decimals": int(cfg["decimals"]),
+                    }
+                )
+        return out
+
+    req = {"kind": "coingecko_history", "ids": [c["cg_id"] for c in token_cfg]}
+    return driver_fetch(spark, transport, req, rows, schemas.COINGECKO_DATA_BY_DAY, policy)
+
+
+# ---------------------------------------------------------------------------
+# S16 — Compound v2/v3 rate scan with the inline APY formula
+# (protocol_data_lake.py:1462-1467, 1583-1587).
+# ---------------------------------------------------------------------------
+BLOCKS_PER_DAY = 7200
+DAYS_PER_YEAR = 365
+
+
+def compound_rate_to_apy(rate_per_block: float) -> float:
+    """((rate/1e18 * blocks_per_day + 1) ** days_per_year - 1)
+    (protocol_data_lake.py:1462-1467)."""
+    return (rate_per_block / 1e18 * BLOCKS_PER_DAY + 1) ** DAYS_PER_YEAR - 1
+
+
+def compound_by_day(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """keys: (block_day, block_height, chain, compound_version, symbol,
+    address, underlying_symbol, underlying_address, underlying_decimals)."""
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        dec = int(req["underlying_decimals"])
+        return [
+            {
+                "block_day": req["block_day"],
+                "block_height": req["block_height"],
+                "chain": req["chain"],
+                "compound_version": req["compound_version"],
+                "symbol": req["symbol"],
+                "address": req["address"].lower(),
+                "underlying_symbol": req["underlying_symbol"],
+                "underlying_address": req["underlying_address"].lower(),
+                "supply_apy": compound_rate_to_apy(float(payload["supply_rate_per_block"])),
+                "borrow_apy": compound_rate_to_apy(float(payload["borrow_rate_per_block"])),
+                "deposits": float(payload["total_supply_underlying"]) / 10**dec,
+                "borrows": float(payload["total_borrows"]) / 10**dec,
+            }
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.COMPOUND_BY_DAY, policy)
+
+
+# ---------------------------------------------------------------------------
+# S17 — liquidity-depth sweep: per (pair), quote an amount grid; the grid is
+# generated JVM-side (sequence+transform linspace) and the quotes fan out.
+# Reference: liquidity_depth_raw, protocol_data_lake.py:837-1065.
+# ---------------------------------------------------------------------------
+def liquidity_depth_sweep(
+    pairs: DataFrame,
+    transport: Transport,
+    fetch_time: datetime,
+    n_points: int = 20,
+    low_usd: float = 1e4,
+    high_usd: float = 1e8,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """pairs: (market_key, market, chain, loop_market, from/to asset cols,
+    prices, chain_id). Sweep amounts = linspace(low, high, n) per pair
+    (protocol_data_lake.py:995-996) exploded JVM-side; each (pair, amount)
+    is one quote request on the executors."""
+    step = F.explode(F.sequence(F.lit(0), F.lit(n_points - 1))).alias("_step")
+    grid = pairs.select("*", step).withColumn(
+        "from_amount_usd",
+        F.lit(low_usd)
+        + F.col("_step").cast("double") * (high_usd - low_usd) / (n_points - 1),
+    ).drop("_step")
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        from_native = req["from_amount_usd"] / req["from_asset_price"]
+        to_native = float(payload["to_amount_native"])
+        to_usd = to_native * req["to_asset_price"]
+        return [
+            {
+                **{k: req[k] for k in schemas.LIQUIDITY_DEPTH_RAW.fieldNames()
+                   if k in req},
+                "from_amount_native": from_native,
+                "to_amount_native": to_native,
+                "to_amount_usd": to_usd,
+                "price_impact": 1.0 - to_usd / req["from_amount_usd"],
+                "fetch_time": fetch_time,
+            }
+        ]
+
+    return fanout_fetch(grid, transport, rows, schemas.LIQUIDITY_DEPTH_RAW, policy)

@@ -1,0 +1,211 @@
+"""Connector-layer tests (SURVEY §2.1) with injected fake transports —
+the same strategy as the reference's golden tests, which pin API responses
+at fixed block heights (aave_data_tests/financials/test_data_lake.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from aave_etl_spark.sources import base, connectors, schemas
+
+FAST = base.RetryPolicy(initial_s=0.0, max_retries=3, jitter_s=0.0)
+
+
+def test_retrying_succeeds_after_failures():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("boom")
+        return "ok"
+
+    assert base.retrying(flaky, FAST) == "ok"
+    assert calls["n"] == 3
+
+
+def test_retrying_exhausts_and_raises():
+    def always_fails():
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        base.retrying(always_fails, FAST)
+
+
+def test_block_numbers_by_day(spark):
+    def transport(req):
+        assert req["kind"] == "closest_block"
+        return {
+            "start": {"height": 13916166, "timestamp": 1640995205},
+            "next": {"height": 13922672, "timestamp": 1641081602},
+        }
+
+    df = connectors.block_numbers_by_day(
+        spark, transport, "2022-01-01", "ethereum", "ethereum_v2", FAST
+    )
+    assert df.schema == schemas.BLOCK_NUMBERS_BY_DAY
+    row = df.first()
+    # end_block = next day's first block - 1 (data_lake.py:169-171)
+    assert row.block_height == 13916166
+    assert row.end_block == 13922671
+    assert row.block_height <= row.end_block
+
+
+def test_market_tokens_eth_to_weth_and_lowercase(spark):
+    def transport(req):
+        return {
+            "reserves": [
+                {
+                    "underlyingAsset": "0xEEEEeEeeeEeEeeEeEeEeeEEEeeeeEeeeeeeeEEeE",
+                    "name": "Ether",
+                    "symbol": "ETH",
+                    "decimals": 18,
+                    "aToken": {"id": "0xAAAA000000000000000000000000000000000001"},
+                    "pool": {"id": "0xPOOL00000000000000000000000000000000000A"},
+                }
+            ]
+        }
+
+    df = connectors.market_tokens_at_block(
+        spark, transport, "ethereum_v2", 13916166, "2022-01-01", FAST
+    )
+    row = df.first()
+    assert row.reserve == connectors.WETH  # data_lake.py:189 patch
+    assert row.atoken == "0xaaaa000000000000000000000000000000000001"
+    assert row.block_height == 13916166
+
+
+def test_fanout_balances_decimal_adjust(spark):
+    keys = spark.createDataFrame(
+        [
+            ("0xC0l", "polygon_v3", "0xT0K", "aPolWBTC", 38249632, datetime(2023, 1, 19)),
+        ],
+        ["collector", "market", "token", "symbol", "block_height", "block_day"],
+    )
+
+    def transport(req):
+        return {"decimals": 8, "balance": 43899600, "scaled_balance": 40000000}
+
+    df = connectors.collector_atoken_balances_by_day(keys, transport, FAST)
+    row = df.first()
+    assert row.balance == pytest.approx(0.438996)  # raw/10**8 (helpers.py:535)
+    assert row.scaled_balance == pytest.approx(0.4)
+    assert row.collector == "0xc0l"
+
+
+def test_token_transfers_grouped_to_day(spark):
+    reqs = spark.createDataFrame(
+        [
+            ("0xCollector", "0xToken", 100, 200, "polygon_v3", datetime(2023, 1, 19)),
+        ],
+        ["collector", "token", "start_block", "end_block", "market", "block_day"],
+    )
+
+    def transport(req):
+        # two transfers, same (type, from, to) — must sum to one row
+        tr = {
+            "type": "IN",
+            "from": "0xAAA",
+            "to": "0xCollector",
+            "decimals": 8,
+            "name": "Aave Polygon WBTC",
+            "symbol": "aPolWBTC",
+        }
+        return {"transfers": [{**tr, "raw_amount": 5_000_000}, {**tr, "raw_amount": 5_000_000}]}
+
+    df = connectors.token_transfers_by_day(reqs, transport, FAST)
+    rows = df.collect()
+    assert len(rows) == 1  # grouped (helpers.py:239-248)
+    assert rows[0].amount_transferred == pytest.approx(0.1)
+    assert df.schema == schemas.TOKEN_TRANSFERS_BY_DAY
+
+
+def test_protocol_data_unit_shifts_and_v2_fill(spark):
+    keys = spark.createDataFrame(
+        [("ethereum_v2", "0xRES", "WETH", 18, 13916166, datetime(2022, 1, 1))],
+        ["market", "reserve", "symbol", "decimals", "block_height", "block_day"],
+    )
+
+    def transport(req):
+        return {  # v2 payload: no v3-only fields (helpers.py:929-931)
+            "ltv": 8000, "liquidation_threshold": 8250, "liquidation_bonus": 10500,
+            "reserve_factor": 1000,
+            "usage_as_collateral_enabled": True, "borrowing_enabled": True,
+            "stable_borrow_rate_enabled": False, "is_active": True, "is_frozen": False,
+            "atoken_supply": 2 * 10**18, "stable_debt": 0, "variable_debt": 10**18,
+            "liquidity_rate": 2 * 10**25, "variable_borrow_rate": 3 * 10**25,
+            "stable_borrow_rate": 4 * 10**25, "liquidity_index": 1.01 * 10**27,
+            "variable_borrow_index": 1.02 * 10**27,
+            "last_update_timestamp": 1640995200,
+        }
+
+    df = connectors.protocol_data_by_day(keys, transport, FAST)
+    row = df.first()
+    assert row.ltv == pytest.approx(0.80)  # bps/1e4 (helpers.py:758-761)
+    assert row.liquidity_rate == pytest.approx(0.02)  # ray/1e27 (:789-795)
+    assert row.atoken_supply == pytest.approx(2.0)
+    # invariant helpers.py:796: available = supply - stable - variable
+    assert row.available_liquidity == pytest.approx(1.0)
+    # v2→v3 fill (:929-931)
+    assert row.is_paused is False
+    assert row.reserve_emode_category == 0
+
+
+def test_compound_apy_formula():
+    # rate=0 → APY 0; sanity monotonicity
+    assert connectors.compound_rate_to_apy(0.0) == pytest.approx(0.0)
+    low = connectors.compound_rate_to_apy(1e9)
+    high = connectors.compound_rate_to_apy(1e10)
+    assert 0 < low < high
+
+
+def test_liquidity_depth_sweep_grid(spark):
+    pairs = spark.createDataFrame(
+        [
+            (
+                "eth_weth_usdc", "ethereum_v2", "ethereum", "ethereum_v2",
+                "USDC", "0xusdc", 6, "WETH", "0xweth", 18,
+                2000.0, 1.0, 1,
+            )
+        ],
+        [
+            "market_key", "market", "chain", "loop_market",
+            "to_asset", "to_asset_address", "to_asset_decimals",
+            "from_asset", "from_asset_address", "from_asset_decimals",
+            "from_asset_price", "to_asset_price", "chain_id",
+        ],
+    )
+
+    def transport(req):
+        # constant 1% slippage quote
+        return {"to_amount_native": req["from_amount_usd"] * 0.99}
+
+    df = connectors.liquidity_depth_sweep(
+        pairs, transport, datetime(2024, 1, 1), n_points=5,
+        low_usd=1e4, high_usd=1e5, policy=FAST,
+    )
+    rows = df.orderBy("from_amount_usd").collect()
+    assert len(rows) == 5  # linspace grid (protocol_data_lake.py:995-996)
+    assert rows[0].from_amount_usd == pytest.approx(1e4)
+    assert rows[-1].from_amount_usd == pytest.approx(1e5)
+    assert rows[0].price_impact == pytest.approx(0.01)
+
+
+def test_seed_csv_roundtrip(spark, tmp_path):
+    p = tmp_path / "tx_classification.csv"
+    p.write_text("measure,measure_type,currency\nrevenue,income,usd\n")
+    df = connectors.read_seed_csv(spark, str(p), schemas.TX_CLASSIFICATION)
+    row = df.first()
+    assert row.measure == "revenue"
+    assert row.measure_type == "income"
+
+
+def test_driver_fetch_empty_short_circuit(spark):
+    def transport(req):
+        return {"reserves": []}
+
+    df = connectors.market_tokens_at_block(spark, transport, "m", 1, "2022-01-01", FAST)
+    assert df.count() == 0
+    assert df.schema == schemas.MARKET_TOKENS_BY_DAY
