@@ -1,0 +1,188 @@
+"""Driver-checked queries for the warehouse/datamart operator patterns:
+inline struct-array dims (sm_token_holder_distro.sql:53-66), ordered
+collect-to-list (protocol_data_warehouse.py:368-374), and the np.interp
+grouped interpolation (:379) — each with a DuckDB oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from aave_etl_spark.queries.registry import register, t
+
+
+# ---------------------------------------------------------------------------
+# §2.9/§2.12 inline(array(struct...)) literal dim + CASE bucketing + ratio
+# aggregation — the sm_token_holder_distro shape on the customer table.
+# ---------------------------------------------------------------------------
+@register(
+    "holder_distro_buckets",
+    oracle="""
+    WITH holders AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE
+               WHEN c_acctbal > 9000 THEN 'bal >9k'
+               WHEN c_acctbal > 5000 THEN 'bal 5k-9k'
+               WHEN c_acctbal > 0 THEN 'bal 0-5k'
+               ELSE 'bal <=0'
+             END AS bucket
+      FROM customer
+    ),
+    sort_orders AS (
+      SELECT * FROM (VALUES ('bal >9k', 4), ('bal 5k-9k', 3), ('bal 0-5k', 2), ('bal <=0', 1))
+        AS s(bucket, sort_order)
+    ),
+    agg AS (
+      SELECT c_mktsegment, bucket, CAST(count(*) AS BIGINT) AS n_customers
+      FROM holders GROUP BY c_mktsegment, bucket
+    ),
+    totals AS (
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS total FROM holders GROUP BY c_mktsegment
+    )
+    SELECT a.c_mktsegment, a.bucket, CAST(s.sort_order AS INT) AS sort_order,
+           a.n_customers,
+           CAST(a.n_customers AS DOUBLE) / t.total AS customer_share
+    FROM agg a
+    LEFT JOIN sort_orders s ON a.bucket = s.bucket
+    LEFT JOIN totals t ON a.c_mktsegment = t.c_mktsegment
+    """,
+    doc="§2.12 sm_token_holder_distro shape: CASE bucketing + inline(array(struct)) sort dim + share ratios",
+)
+def holder_distro_buckets(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH holders AS (
+          SELECT c_custkey, c_mktsegment,
+                 CASE
+                   WHEN c_acctbal > 9000 THEN 'bal >9k'
+                   WHEN c_acctbal > 5000 THEN 'bal 5k-9k'
+                   WHEN c_acctbal > 0 THEN 'bal 0-5k'
+                   ELSE 'bal <=0'
+                 END AS bucket
+          FROM customer
+        ),
+        sort_orders AS (
+          SELECT inline(array(
+            struct('bal >9k' AS bucket, 4 AS sort_order),
+            struct('bal 5k-9k' AS bucket, 3 AS sort_order),
+            struct('bal 0-5k' AS bucket, 2 AS sort_order),
+            struct('bal <=0' AS bucket, 1 AS sort_order)))
+        ),
+        agg AS (
+          SELECT c_mktsegment, bucket, count(*) AS n_customers
+          FROM holders GROUP BY c_mktsegment, bucket
+        ),
+        totals AS (
+          SELECT c_mktsegment, count(*) AS total FROM holders GROUP BY c_mktsegment
+        )
+        SELECT a.c_mktsegment, a.bucket, s.sort_order, a.n_customers,
+               CAST(a.n_customers AS DOUBLE) / t.total AS customer_share
+        FROM agg a
+        LEFT JOIN sort_orders s ON a.bucket = s.bucket
+        LEFT JOIN totals t ON a.c_mktsegment = t.c_mktsegment
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 group-by collect-to-list with pinned order (lambda x: x.to_list(),
+# protocol_data_warehouse.py:368-374) — fingerprinted so the hash compare is
+# representation-independent.
+# ---------------------------------------------------------------------------
+@register(
+    "ordered_collect_fingerprint",
+    oracle="""
+    SELECT user_id,
+           md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS events_md5,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="§2.4 collect-to-list ordered via sort_array(collect_list) (protocol_data_warehouse.py:368-374)",
+)
+def ordered_collect_fingerprint(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                # sort numerically BEFORE stringifying — a string sort would
+                # order '10' before '9' and diverge from the oracle's
+                # ORDER BY event_id
+                F.transform(
+                    F.sort_array(F.collect_list("event_id")), lambda x: x.cast("string")
+                ),
+            )
+        ).alias("events_md5"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 grouped-map np.interp (liquidity_depth, protocol_data_warehouse.py:
+# 362-395) — applyInPandas with a pure-SQL piecewise-linear oracle.
+# ---------------------------------------------------------------------------
+_TARGETS = [2.5, 5.0, 10.0, 50.0, 120.0]
+
+_INTERP_ORACLE = f"""
+WITH pts AS (
+  SELECT l_returnflag AS grp,
+         CAST(l_quantity AS DOUBLE) AS x,
+         avg(l_extendedprice) AS y
+  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS DOUBLE)
+),
+tg AS (SELECT unnest([{", ".join(str(x) for x in _TARGETS)}]) AS tx),
+lo AS (
+  SELECT p.grp, t.tx, max(p.x) AS x0
+  FROM pts p JOIN tg t ON p.x <= t.tx GROUP BY p.grp, t.tx
+),
+hi AS (
+  SELECT p.grp, t.tx, min(p.x) AS x1
+  FROM pts p JOIN tg t ON p.x >= t.tx GROUP BY p.grp, t.tx
+),
+grid AS (SELECT g.grp, t.tx FROM (SELECT DISTINCT grp FROM pts) g CROSS JOIN tg t)
+SELECT gr.grp AS grp, gr.tx AS target_x,
+       round(CASE
+         WHEN lo.x0 IS NULL THEN y1.y           -- clamp below range (np.interp)
+         WHEN hi.x1 IS NULL THEN y0.y           -- clamp above range
+         WHEN lo.x0 = hi.x1 THEN y0.y
+         ELSE y0.y + (gr.tx - lo.x0) * (y1.y - y0.y) / (hi.x1 - lo.x0)
+       END, 6) AS interp_y
+FROM grid gr
+LEFT JOIN lo ON gr.grp = lo.grp AND gr.tx = lo.tx
+LEFT JOIN hi ON gr.grp = hi.grp AND gr.tx = hi.tx
+LEFT JOIN pts y0 ON gr.grp = y0.grp AND lo.x0 = y0.x
+LEFT JOIN pts y1 ON gr.grp = y1.grp AND hi.x1 = y1.x
+"""
+
+
+@register(
+    "grouped_linear_interp",
+    oracle=_INTERP_ORACLE,
+    doc="§2.11 applyInPandas np.interp per group (protocol_data_warehouse.py:368-384) vs SQL piecewise-linear oracle",
+)
+def grouped_linear_interp(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    pts = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("double").alias("x"),
+    ).agg(F.avg("l_extendedprice").alias("y"))
+
+    def interp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x")
+        out = pd.DataFrame(
+            {
+                "grp": pdf["grp"].iloc[0],
+                "target_x": _TARGETS,
+                "interp_y": np.round(
+                    np.interp(np.array(_TARGETS), pdf["x"], pdf["y"]), 6
+                ),
+            }
+        )
+        return out
+
+    return pts.groupBy("grp").applyInPandas(
+        interp, schema="grp string, target_x double, interp_y double"
+    )

@@ -1,0 +1,72 @@
+"""Physical-plan assertions: the Catalyst plan each operator *should* get
+at 100 TB — filters reaching the parquet scan, small dims broadcast, no
+cartesian products, whole-stage codegen in the hot path. These pin the
+scale properties, not just the answers."""
+
+from __future__ import annotations
+
+import pytest
+
+from aave_etl_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str, execute: bool = False) -> str:
+    df = all_queries()[name].builder(spark, SF)
+    if execute:
+        # AQE finalizes (and codegens) stages only at execution time
+        df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan(spark, "forecast_revenue")
+    # all three predicates push to the parquet reader
+    assert "PushedFilters:" in p
+    assert "l_shipdate" in p.split("PushedFilters:")[1][:400]
+
+
+def test_column_pruning(spark):
+    p = plan(spark, "forecast_revenue")
+    read_schema = p.split("ReadSchema:")[1][:300]
+    # 4-column projection from a 16-col table — scan must not read the rest
+    assert "l_extendedprice" in read_schema and "l_discount" in read_schema
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    p = plan(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in plan(spark, "order_priority_semi")
+    assert "LeftAnti" in plan(spark, "customers_without_orders")
+
+
+def test_no_cartesian_in_lsh_pair_join(spark):
+    # LSH candidate pairing must join on (band, band_key) buckets, never
+    # cross-join the corpus
+    p = plan(spark, "llm_minhash_lsh")
+    assert "CartesianProduct" not in p
+
+
+def test_whole_stage_codegen_in_agg_path(spark):
+    df = all_queries()["pricing_summary"].builder(spark, SF)
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in codegen
+    p = plan(spark, "pricing_summary")
+    # no Python evaluation in the hot aggregation path; partial agg present
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_sum" in p
+
+
+def test_flagship_broadcasts_dims_and_single_shuffle_agg(spark):
+    p = plan(spark, "all_financials_shape")
+    assert "BroadcastHashJoin" in p
+    # partial aggregation before the shuffle (map-side combine)
+    assert "partial_sum" in p or "HashAggregate" in p
