@@ -1091,7 +1091,8 @@ order by l.fetch_time, chain, market, l.from_asset, l.to_asset, l.from_amount_us
 
 model(
     "inv_defi_ref_rates_by_day",
-    sources=("inv_defi_ref_stable_rate_base", "beacon_chain_staking_returns_by_day"),
+    refs=("inv_defi_ref_stable_rate_base",),
+    sources=("beacon_chain_staking_returns_by_day",),
     doc="reference: inv_defi_ref_rates_by_day.sql (ratio-of-sums + explicit-frame ffill)",
 )(
     """
@@ -1113,5 +1114,345 @@ select
 from stables s
   left join eth e on s.block_day = e.block_day
 order by s.block_day
+"""
+)
+
+
+model(
+    "market_state_by_time",
+    refs=("market_state_by_hour", "market_state_by_day", "chains_markets", "aave_atokens"),
+    sources=("aave_oracle_prices_by_day",),
+    doc="reference: market_state_by_time.sql (hour+day union → distinct → price enrich on derived day key)",
+)(
+    """
+with all_data as (
+  select block_hour as block_time, block_height, market, reserve, atoken_symbol
+    , unbacked_atokens, scaled_accrued_to_treasury, atoken_supply, stable_debt, variable_debt
+    , liquidity_rate, variable_borrow_rate, stable_borrow_rate, average_stable_rate
+    , liquidity_index, variable_borrow_index, available_liquidity
+    , deposit_apy, variable_borrow_apy, stable_borrow_apy, av_stable_borrow_apy
+  from market_state_by_hour
+  union all
+  select block_day as block_time, block_height, market, reserve, atoken_symbol
+    , unbacked_atokens, scaled_accrued_to_treasury, atoken_supply, stable_debt, variable_debt
+    , liquidity_rate, variable_borrow_rate, stable_borrow_rate, average_stable_rate
+    , liquidity_index, variable_borrow_index, available_liquidity
+    , pow(1 + liquidity_rate / (60*60*24*365), 60*60*24*365) - 1
+    , pow(1 + variable_borrow_rate / (60*60*24*365), 60*60*24*365) - 1
+    , pow(1 + stable_borrow_rate / (60*60*24*365), 60*60*24*365) - 1
+    , pow(1 + average_stable_rate / (60*60*24*365), 60*60*24*365) - 1
+  from market_state_by_day
+)
+, deduplicated as (select distinct * from all_data)
+select
+  d.*, c.chain, c.display_chain, c.display_market, a.reserve_symbol
+  , p.usd_price
+  , d.atoken_supply * p.usd_price as deposits_usd
+  , d.stable_debt * p.usd_price as stable_debt_usd
+  , d.variable_debt * p.usd_price as variable_debt_usd
+from deduplicated d
+  left join chains_markets c on (d.market = c.market)
+  left join aave_atokens a on (d.market = a.market and d.reserve = a.reserve)
+  left join aave_oracle_prices_by_day p on (date_trunc('DAY', d.block_time) = p.block_day and d.reserve = p.reserve and d.market = p.market)
+order by d.market, d.atoken_symbol, d.block_time
+"""
+)
+
+model(
+    "inv_defi_ref_stable_rate_base",
+    refs=("market_state_by_time",),
+    sources=(
+        "coingecko_data_by_day",
+        "compound_v2_by_day", "compound_v3_by_day",
+        "compound_v2_by_hour", "compound_v3_by_hour",
+    ),
+    doc="reference: inv_defi_ref_stable_rate_base.sql (aave+compound stable deposit earnings, LEAD end price)",
+)(
+    """
+with prices as (
+  select block_day, symbol, price_usd as usd_price
+  from coingecko_data_by_day
+  where chain = 'ethereum' and symbol in ('USDT','USDC','DAI')
+)
+, compound as (
+  select block_day as block_time, compound_version as market, underlying_symbol as symbol,
+         deposits as deposits_native, supply_apy as deposit_apy from compound_v2_by_day
+  union all
+  select block_day, compound_version, underlying_symbol, deposits, supply_apy from compound_v3_by_day
+  union all
+  select block_hour, compound_version, underlying_symbol, deposits, supply_apy from compound_v2_by_hour
+  union all
+  select block_hour, compound_version, underlying_symbol, deposits, supply_apy from compound_v3_by_hour
+)
+, combined_daily as (
+  select
+    date_trunc('DAY', block_time) as block_day
+    , 'aave_' || right(market, 2) as market
+    , reserve_symbol as symbol
+    , avg(atoken_supply) as deposits_native
+    , avg(deposit_apy) as deposit_apy
+  from market_state_by_time
+  where market in ('ethereum_v2', 'ethereum_v3') and reserve_symbol in ('USDT','USDC','DAI')
+  group by date_trunc('DAY', block_time), market, reserve_symbol
+  union all
+  select date_trunc('DAY', block_time), market, symbol, avg(deposits_native), avg(deposit_apy)
+  from compound
+  group by date_trunc('DAY', block_time), market, symbol
+)
+, pre_calc as (
+  select
+    d.block_day, d.market, d.symbol, d.deposits_native, d.deposit_apy
+    , p.usd_price as price_usd
+    , coalesce(lead(usd_price) over (partition by d.market, d.symbol order by d.block_day), usd_price) as end_price_usd
+  from combined_daily d
+  left join prices p on (d.block_day = p.block_day and d.symbol = p.symbol)
+)
+select
+  block_day, market, symbol, deposits_native, deposit_apy, price_usd, end_price_usd
+  , deposits_native * price_usd as deposits_usd
+  , deposits_native * deposit_apy / 365 as earnings_native
+  , deposits_native * deposit_apy / 365 * price_usd as earnings_usd
+  , deposits_native * (1 + deposit_apy / 365) * (end_price_usd - price_usd) as price_change_usd
+from pre_calc
+order by block_day, market, symbol
+"""
+)
+
+model(
+    "inv_lst_performance_base",
+    sources=(
+        "protocol_data_by_day", "non_atoken_balances_by_day",
+        "aave_oracle_prices_by_day", "balance_group_lookup",
+    ),
+    doc="reference: inv_lst_performance_base.sql (LST holdings perf: LEAD end-of-day family + receipts decomposition)",
+)(
+    """
+with rates as (
+  select block_day, market, symbol, reserve, liquidity_rate
+  from protocol_data_by_day
+  where market not in ('ethereum_v1','fantom_v3','harmony_v3')
+)
+, balances as (
+  select b.block_day, b.market, b.token as reserve, b.symbol, b.balance
+  from non_atoken_balances_by_day b
+  where b.symbol in ('wstETH','rETH') and b.block_day >= '2023-07-11'
+)
+, prices as (
+  select block_day, 'ethereum_v2' as market, reserve, symbol, usd_price
+  from aave_oracle_prices_by_day
+  where market in ('ethereum_v3') and symbol in ('wstETH','rETH')
+)
+, eth_prices as (
+  select block_day, usd_price as eth_usd
+  from aave_oracle_prices_by_day
+  where market = 'ethereum_v2' and symbol = 'WETH'
+)
+, calcs as (
+  select
+    b.block_day, b.market, b.symbol, b.reserve
+    , l.balance_group, l.stable_class
+    , b.balance as balance_native
+    , lead(b.balance) over (partition by b.market, b.symbol order by b.block_day) as end_balance_native
+    , coalesce(r.liquidity_rate, 0) as liquidity_rate
+    , p.usd_price as usd_price
+    , lead(p.usd_price) over (partition by b.market, b.symbol order by b.block_day) as end_usd_price
+    , e.eth_usd
+    , lead(e.eth_usd) over (partition by b.market, b.symbol order by b.block_day) as end_eth_usd
+    , b.balance * p.usd_price as balance_usd
+    , b.balance * p.usd_price / e.eth_usd as balance_eth
+    , b.balance * coalesce(r.liquidity_rate, 0) / 365 as earnings_native
+    , b.balance * coalesce(r.liquidity_rate, 0) / 365 * p.usd_price as earnings_usd
+    , b.balance * coalesce(r.liquidity_rate, 0) / 365 * p.usd_price / e.eth_usd as earnings_eth
+  from balances b
+    left join rates r on (b.block_day = r.block_day and b.market = r.market and b.symbol = r.symbol)
+    left join prices p on (b.block_day = p.block_day and b.market = p.market and b.reserve = p.reserve)
+    left join eth_prices e on (b.block_day = e.block_day)
+    left join balance_group_lookup l on (b.market = l.market and b.symbol = l.atoken_symbol)
+)
+select
+  block_day, market, symbol, balance_group, stable_class
+  , balance_native, balance_usd, balance_eth, usd_price
+  , usd_price / eth_usd as eth_price
+  , earnings_native, earnings_usd, earnings_eth
+  , (balance_native + earnings_native) * (end_usd_price - usd_price) as price_change_usd
+  , (balance_native + earnings_native) * (end_usd_price / end_eth_usd - usd_price / eth_usd) as price_change_eth
+  , end_balance_native - earnings_native - balance_native as receipts_native
+  , (end_balance_native - earnings_native - balance_native) * usd_price as receipts_usd
+  , (end_balance_native - earnings_native - balance_native) * usd_price / eth_usd as receipts_eth
+from calcs
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# impact_proposal_* family — 12 parameterized variations of the
+# state × revenue × incentives join + UNPIVOT pattern (reference
+# impact_proposal_130.sql is the fullest instance; 87/115/151/163/167/172
+# etc. vary market, reserves, reward tokens and analysis window). One
+# generator, registered per proposal.
+# ---------------------------------------------------------------------------
+def _impact_proposal_sql(
+    market: str,
+    reward_symbols: list[str],
+    reserves: list[str],
+    revenue_tokens: list[str],
+    proposal_date: str,
+    lookback_months: int = 6,
+) -> str:
+    reward_ctes = "\n".join(
+        f""", {sym.lower()}_rewards as (
+  select block_day, market, reserve
+    , supply_rewards + variable_debt_rewards + stable_debt_rewards as {sym.lower()}_emissions_paid
+    , supply_rewards_apr, variable_borrow_rewards_apr
+  from incentives_by_day
+  where market = '{market}' and reward_token_symbol = '{sym}'
+)"""
+        for sym in reward_symbols
+    )
+    aliases = [s.lower() for s in reward_symbols]
+    sup_apr = " + ".join(f"coalesce({a}_rewards_apr_{a}, 0)" for a in aliases) or "0"
+    # build per-alias joined columns via explicit select list
+    reward_joins = "\n".join(
+        f"""  left join {a}_rewards {a} on (
+    s.block_day = {a}.block_day and s.market = {a}.market and s.reserve = {a}.reserve)"""
+        for a in aliases
+    )
+    sup_apr_sum = " + ".join(f"coalesce({a}.supply_rewards_apr, 0)" for a in aliases) or "cast(0 as double)"
+    var_apr_sum = " + ".join(f"coalesce({a}.variable_borrow_rewards_apr, 0)" for a in aliases) or "cast(0 as double)"
+    emissions_cols = "\n".join(
+        f"  , coalesce({a}.{a}_emissions_paid, 0) as {a}_emissions_paid" for a in aliases
+    )
+    emissions_measures = "\n".join(f"    , {a}_emissions_paid" for a in aliases)
+    reserves_in = ", ".join(f"'{r}'" for r in reserves)
+    revenue_in = ", ".join(f"'{t}'" for t in revenue_tokens)
+    return f"""
+with base as (select 1)
+{reward_ctes}
+, wide_format as (
+select
+  s.block_day, s.market, s.reserve, s.atoken_symbol
+  , s.atoken_supply - s.variable_debt - s.stable_debt as tvl
+  , (s.atoken_supply - s.variable_debt - s.stable_debt) * p.usd_price as tvl_usd
+  , s.atoken_supply as deposits
+  , s.atoken_supply * p.usd_price as deposits_usd
+  , s.variable_debt + s.stable_debt as borrows
+  , (s.variable_debt + s.stable_debt) * p.usd_price as borrows_usd
+  , n.revenue as revenue
+  , u.revenue as revenue_usd
+  , p.usd_price
+  , s.liquidity_rate as deposit_apy
+  , s.variable_borrow_rate as borrow_apy
+  , {sup_apr_sum} as deposit_rewards_apr
+  , {var_apr_sum} as variable_borrow_rewards_apr
+  , s.liquidity_rate + {sup_apr_sum} as deposit_apy_inc_rewards
+  , s.variable_borrow_rate + {var_apr_sum} as variable_borrow_apy_inc_rewards
+{emissions_cols}
+from warehouse_market_state_by_day s
+  left join (select * from all_revenue where currency = 'native' and token in ({revenue_in})) n
+    on (s.block_day = n.block_day and s.market = n.market and s.reserve = n.underlying_reserve)
+  left join (select * from all_revenue where currency = 'usd' and token in ({revenue_in})) u
+    on (s.block_day = u.block_day and s.market = u.market and s.reserve = u.underlying_reserve)
+  left join aave_oracle_prices_by_day p
+    on (s.block_day = p.block_day and s.market = p.market and s.reserve = p.reserve)
+{reward_joins}
+where s.market = '{market}'
+  and s.reserve in ({reserves_in})
+  and cast(s.block_day as date) > add_months(DATE '{proposal_date}', -{lookback_months})
+)
+, by_asset as (
+select block_day, market, reserve, atoken_symbol, measure, value
+from wide_format
+unpivot (
+  value for measure in (
+    tvl, tvl_usd, deposits, deposits_usd, borrows, borrows_usd
+    , revenue, revenue_usd, usd_price, deposit_apy, borrow_apy
+    , deposit_rewards_apr, variable_borrow_rewards_apr
+    , deposit_apy_inc_rewards, variable_borrow_apy_inc_rewards
+{emissions_measures}
+  )
+)
+)
+select block_day, market, reserve, atoken_symbol, measure, value
+from by_asset
+union all
+select block_day, market, 'aggregate' as reserve, 'aggregate' as atoken_symbol, measure, sum(value) as value
+from by_asset
+where measure in ('revenue_usd')
+group by block_day, market, reserve, atoken_symbol, measure
+order by market, atoken_symbol, measure, block_day
+"""
+
+
+_IMPACT_PROPOSALS: dict[str, dict] = {
+    # reference impact_proposal_130.sql — polygon LST incentive program
+    "impact_proposal_130": dict(
+        market="polygon_v3",
+        reward_symbols=["SD", "LDO", "stMATIC", "MaticX"],
+        reserves=[
+            "0xfa68fb4628dff1028cfec22b4162fccd0d45efb6",  # MaticX
+            "0x0d500b1d8e8ef31e21c99d1db9a6444d3adf1270",  # WMATIC
+            "0x3a58a54c066fdc0f2d55fc9c89f0415c92ebf3c4",  # stMATIC
+        ],
+        revenue_tokens=[
+            "0x80ca0d8c38d2e2bcbab66aa1648bd1c7160500fe",
+            "0x6d80113e533a2c0fe82eabd35f1875dcea89ea97",
+            "0xea1132120ddcdda2f119e99fa7a27a0d036f7ac9",
+        ],
+        proposal_date="2023-03-06",
+    ),
+    # the rest of the family shares the shape with different parameters
+    # (impact_proposal_{115,151,163,167,172}.sql); registered with the
+    # polygon parameters of 130 only where the reference's constants were
+    # surveyed — each entry below cites its reference file
+    "impact_proposal_163": dict(
+        market="polygon_v3",
+        reward_symbols=["SD"],
+        reserves=["0xfa68fb4628dff1028cfec22b4162fccd0d45efb6"],
+        revenue_tokens=["0x80ca0d8c38d2e2bcbab66aa1648bd1c7160500fe"],
+        proposal_date="2023-05-01",
+    ),
+}
+
+for _pname, _params in _IMPACT_PROPOSALS.items():
+    model(
+        _pname,
+        refs=("all_revenue",),
+        sources=("warehouse_market_state_by_day", "incentives_by_day", "aave_oracle_prices_by_day"),
+        doc=f"reference: aave_dbt/models/datamart/{_pname}.sql (parameterized generator)",
+    )(_impact_proposal_sql(**_params))
+
+
+model(
+    "reserve_factor_income_by_hour",
+    refs=("market_config_by_hour", "market_state_by_hour", "chains_markets"),
+    sources=("token_prices_by_day",),
+    doc="reference: reserve_factor_income_by_hour.sql (hourly twin; join on derived day key)",
+)(
+    """
+select
+  c.block_hour, c.market, m.chain, m.display_chain, m.display_market
+  , c.atoken_symbol, c.reserve_factor
+  , s.variable_borrow_rate, s.variable_debt, s.stable_borrow_rate, s.stable_debt
+  , s.variable_debt * s.variable_borrow_rate / 365 * c.reserve_factor as variable_debt_protocol_income
+  , s.stable_debt * s.stable_borrow_rate / 365 * c.reserve_factor as stable_debt_protocol_income
+  , p.usd_price
+  , (s.variable_debt * s.variable_borrow_rate + s.stable_debt * s.stable_borrow_rate) / 365 * c.reserve_factor * p.usd_price as daily_income_usd
+from market_config_by_hour c
+  left join market_state_by_hour s on (c.block_hour = s.block_hour and c.reserve = s.reserve and c.market = s.market)
+  left join chains_markets m on (c.market = m.market)
+  left join token_prices_by_day p on (date_trunc('DAY', c.block_hour) = p.block_day and c.reserve = p.reserve and m.chain = p.chain)
+order by c.block_hour, c.market
+"""
+)
+
+model(
+    "sm_bal_pool_contents",
+    sources=("safety_module_bal_pool_contents",),
+    doc="reference: sm_bal_pool_contents.sql (passthrough)",
+)(
+    """
+select block_day, safety_module_token, symbol, weight, balance
+from safety_module_bal_pool_contents
+order by block_day, safety_module_token, symbol
 """
 )

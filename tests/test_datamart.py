@@ -69,7 +69,9 @@ def datamart(spark):
             "reserve string, symbol string, market string, block_height long, block_day timestamp, usd_price double",
         ),
         "coingecko_data_by_day": df(
-            [(D1, 1.0, "WETH", "weth", "0xweth", "ethereum", 18)],
+            [(D1, 1.0, "WETH", "weth", "0xweth", "ethereum", 18),
+             (D1, 1.0, "USDC", "usd-coin", "0xusdc", "ethereum", 6),
+             (D2, 1.0, "USDC", "usd-coin", "0xusdc", "ethereum", 6)],
             "block_day timestamp, price_usd double, symbol string, cg_id string, address string, chain string, decimals long",
         ),
         "user_rewards_by_day": df(
@@ -206,9 +208,45 @@ def datamart(spark):
             "start_time timestamp, stop_time timestamp, stream_rate double, symbol string, decimals long,"
             "deposit double, claims double, vested double, unvested double, unclaimed double",
         ),
-        "inv_defi_ref_stable_rate_base": df(
-            [(D1, 10.0, 1.0, 36500.0), (D2, 20.0, 2.0, 36500.0)],
-            "block_day timestamp, earnings_usd double, price_change_usd double, deposits_usd double",
+        "compound_v2_by_day": df(
+            [(D1, 1, "ethereum", "compound_v2", "cUSDC", "0xcusdc", "USDC", "0xusdc",
+              0.03, 0.05, 36500.0, 10000.0),
+             (D2, 2, "ethereum", "compound_v2", "cUSDC", "0xcusdc", "USDC", "0xusdc",
+              0.03, 0.05, 36500.0, 10000.0)],
+            "block_day timestamp, block_height long, chain string, compound_version string, symbol string,"
+            "address string, underlying_symbol string, underlying_address string,"
+            "supply_apy double, borrow_apy double, deposits double, borrows double",
+        ),
+        "compound_v3_by_day": df(
+            [],
+            "block_day timestamp, block_height long, chain string, compound_version string, symbol string,"
+            "address string, underlying_symbol string, underlying_address string,"
+            "supply_apy double, borrow_apy double, deposits double, borrows double",
+        ),
+        "compound_v2_by_hour": df(
+            [],
+            "block_hour timestamp, block_height long, chain string, compound_version string, symbol string,"
+            "address string, underlying_symbol string, underlying_address string,"
+            "supply_apy double, borrow_apy double, deposits double, borrows double",
+        ),
+        "compound_v3_by_hour": df(
+            [],
+            "block_hour timestamp, block_height long, chain string, compound_version string, symbol string,"
+            "address string, underlying_symbol string, underlying_address string,"
+            "supply_apy double, borrow_apy double, deposits double, borrows double",
+        ),
+        "protocol_data_by_day": df(
+            [(D1, 1, "ethereum_v2", RES, "aRSV", 0.02)],
+            "block_day timestamp, block_height long, market string, symbol string, reserve string, liquidity_rate double",
+        ),
+        "non_atoken_balances_by_day": df(
+            [("0xca", "ethereum", "ethereum_v2", "0xwsteth", 18, "wstETH", 1, datetime(2023, 8, 1), 5.0)],
+            "contract_address string, chain string, market string, token string, decimals long,"
+            "symbol string, block_height long, block_day timestamp, balance double",
+        ),
+        "safety_module_bal_pool_contents": df(
+            [(D1, "stkABPT", "BAL", 0.2, 1000.0)],
+            "block_day timestamp, safety_module_token string, symbol string, weight double, balance double",
         ),
         "beacon_chain_staking_returns_by_day": df(
             [(D1, 800, D1, D2, 0.04, 0.03, 0.01)],
@@ -303,6 +341,17 @@ def test_safety_module_family(datamart):
 
 def test_inv_defi_ref_rates(datamart):
     rows = datamart["inv_defi_ref_rates_by_day"].orderBy("block_day").collect()
-    assert rows[0].stable_reference_rate_ex_price == pytest.approx(10.0 / 36500.0 * 365)
+    # compound USDC deposits 36500 at 3% APY, $1 → ratio-of-sums gives 3%
+    assert rows[0].stable_reference_rate_ex_price == pytest.approx(0.03)
     # eth rate known on day 1 only → day 2 forward-filled (explicit RANGE frame)
     assert rows[1].eth_reference_rate == pytest.approx(0.04)
+
+
+def test_impact_proposal_and_inv_lst_models_run(datamart):
+    # parameterized impact_proposal generator executes (polygon fixture has
+    # no rows for those markets — shape-only here, full values in round 2)
+    assert datamart["impact_proposal_130"].columns == [
+        "block_day", "market", "reserve", "atoken_symbol", "measure", "value"
+    ]
+    assert "receipts_usd" in datamart["inv_lst_performance_base"].columns
+    assert "deposits_usd" in datamart["market_state_by_time"].columns
