@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the LLM-pipeline operators —
+invariants that must hold on any corpus, not just fixtures. The reference
+has no property testing (SURVEY §5); these go beyond it deliberately."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from aave_etl_spark.operators import dedup, similarity
+
+WORDS = st.sampled_from(
+    ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog", "aave", "spark"]
+)
+DOC = st.lists(WORDS, min_size=0, max_size=12).map(" ".join)
+CORPUS = st.lists(DOC, min_size=1, max_size=8)
+
+# each example is several Spark jobs; keep the example budget small so the
+# suite stays fast — hypothesis still varies corpora across runs
+SETTINGS = dict(max_examples=4, deadline=None)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@given(CORPUS)
+@settings(**SETTINGS)
+def test_exact_dedup_partitions_the_corpus(spark, texts):
+    df = _docs_df(spark, texts)
+    out = dedup.exact_duplicates(df).collect()
+    # dup groups partition the corpus exactly
+    assert sum(r.dup_count for r in out) == len(texts)
+    # keeper is the min doc_id of its group
+    assert all(r.keeper_id >= 0 for r in out)
+    # digest is whitespace/case-insensitive: mangling inputs preserves groups
+    mangled = _docs_df(spark, [f"  {t.upper()}  " for t in texts])
+    out2 = dedup.exact_duplicates(mangled).collect()
+    assert sorted(r.dup_count for r in out2) == sorted(r.dup_count for r in out)
+
+
+@given(CORPUS)
+@settings(**SETTINGS)
+def test_shingles_count_and_width(spark, texts):
+    df = _docs_df(spark, texts)
+    n = 3
+    sh = dedup.word_shingles(df, n=n)
+    rows = sh.collect()
+    # every shingle is exactly n tokens wide
+    assert all(len(r.shingle.split(" ")) == n for r in rows)
+    # per-doc shingle count ≤ tokens-n+1 (distinct can only shrink)
+    counts = {r.doc_id: c for r, c in ((r, 1) for r in rows)}
+    from collections import Counter
+
+    per_doc = Counter(r.doc_id for r in rows)
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        expected_max = max(0, len(toks) - n + 1)
+        assert per_doc.get(i, 0) <= expected_max
+
+
+@given(DOC.filter(lambda t: len(t.split()) >= 3))
+@settings(**SETTINGS)
+def test_identical_docs_collide_everywhere(spark, text):
+    # two identical docs must agree on minhash signature, simhash, and
+    # be an LSH candidate pair
+    df = _docs_df(spark, [text, text])
+    sh = dedup.word_shingles(df, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=4).collect()
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r.doc_id, {})[r.h] = r.minhash
+    assert by_doc[0] == by_doc[1]
+
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh, num_hashes=4)).collect()
+    assert (0, 1) in {(r.id_a, r.id_b) for r in pairs}
+
+    jac = dedup.jaccard_pairs(sh, threshold=0.0).collect()
+    assert any(r.id_a == 0 and r.id_b == 1 and abs(r.jaccard - 1.0) < 1e-12 for r in jac)
+
+    sim = dedup.simhash(df, bits=16).collect()
+    vals = {r.doc_id: r.simhash for r in sim}
+    assert vals[0] == vals[1]
+    assert 0 <= vals[0] < 2**16
+
+
+@given(st.lists(st.floats(min_value=-5, max_value=5, allow_nan=False), min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_cosine_self_similarity(spark, vec):
+    if all(abs(x) < 1e-9 for x in vec):
+        return  # zero vector: cosine undefined
+    df = spark.createDataFrame([(0, vec), (1, vec)], "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=1).collect()
+    assert len(out) == 1
+    assert abs(out[0].cos_sim - 1.0) < 1e-6
