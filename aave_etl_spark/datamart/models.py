@@ -751,7 +751,7 @@ from safety_module_rpc s
   left join token_prices_by_day ps on (s.block_day = ps.block_day and s.stk_token_address = ps.reserve)
   left join token_prices_by_day pu on (s.block_day = pu.block_day and s.unstaked_token_address = pu.reserve)
   left join coingecko_data_by_day cg on (s.block_day = cg.block_day and s.stk_token_address = cg.address)
-order by block_day
+order by s.block_day
 """
 )
 

@@ -13,6 +13,7 @@ from aave_etl_spark.queries import tpch as _tpch  # noqa: F401,E402
 from aave_etl_spark.queries import events as _events  # noqa: F401,E402
 from aave_etl_spark.queries import llm as _llm  # noqa: F401,E402
 from aave_etl_spark.queries import warehouse_ops as _warehouse_ops  # noqa: F401,E402
+from aave_etl_spark.queries import datamart_real as _datamart_real  # noqa: F401,E402
 from aave_etl_spark.queries import flagship as _flagship  # noqa: F401,E402
 
 __all__ = ["Query", "all_queries", "register"]

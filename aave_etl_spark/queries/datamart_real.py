@@ -1,0 +1,103 @@
+"""Driver-gated check of REAL datamart model SQL (not a re-shaped twin).
+
+Reference-shaped inputs are derived deterministically from the synthetic
+`nation` table with engine-portable SQL (identical text runs in Spark and
+DuckDB), then:
+
+- Spark side: inputs registered as views → `plans.run_datamart` executes
+  the actual `safety_module_totals_by_day` → `sm_cost_of_cover_by_token_by_day`
+  model chain (datamart/models.py, ports of the reference dbt SQL);
+- oracle side: the SAME derivation CTEs + the SAME model SQL strings are
+  composed into one DuckDB query.
+
+So the driver's hash compare certifies the model SQL itself — dialect
+portability included — not a hand-written equivalent. Output is row-wise
+arithmetic (no cross-row float sums), so the compare is exact.
+"""
+
+from __future__ import annotations
+
+from aave_etl_spark.datamart.models import MODELS
+from aave_etl_spark.queries.registry import register, t
+
+_DAYS = "(VALUES (TIMESTAMP '2024-01-01'), (TIMESTAMP '2024-01-02'), (TIMESTAMP '2024-01-03')) AS d(block_day)"
+
+_DERIVE_SM_RPC = f"""
+SELECT
+  CAST(n.n_nationkey AS DOUBLE) * 0.001 AS emission_per_second,
+  CAST(n.n_nationkey AS DOUBLE) * 100 + 50 AS emission_per_day,
+  CAST(0 AS BIGINT) AS last_update_timestamp,
+  1000 + CAST(n.n_nationkey AS DOUBLE) * 10 AS stk_token_supply,
+  CAST(10000 AS DOUBLE) AS unstaked_token_supply,
+  d.block_day,
+  CAST(1 AS BIGINT) AS block_height,
+  concat('0xstk_', lower(n.n_name)) AS stk_token_address,
+  concat('stk', n.n_name) AS stk_token_symbol,
+  concat('0xun_', lower(n.n_name)) AS unstaked_token_address,
+  n.n_name AS unstaked_token_symbol,
+  '0xaave' AS reward_token_address,
+  'AAVE' AS reward_token_symbol
+FROM nation n CROSS JOIN {_DAYS}
+"""
+
+# three price-source populations exercise the reference's 3-way coalesce
+# (stk oracle price → unstaked oracle price → coingecko)
+_DERIVE_PRICES = f"""
+SELECT d.block_day, 'ethereum' AS chain, '0xaave' AS reserve, 'AAVE' AS symbol,
+       CAST(90 AS DOUBLE) AS usd_price, 'aave_oracle' AS pricing_source
+FROM {_DAYS}
+UNION ALL
+SELECT d.block_day, 'ethereum', concat('0xstk_', lower(n.n_name)), concat('stk', n.n_name),
+       CAST(100 + n.n_nationkey AS DOUBLE), 'aave_oracle'
+FROM nation n CROSS JOIN {_DAYS} WHERE n.n_nationkey % 3 = 0
+UNION ALL
+SELECT d.block_day, 'ethereum', concat('0xun_', lower(n.n_name)), n.n_name,
+       CAST(50 + n.n_nationkey AS DOUBLE), 'aave_oracle'
+FROM nation n CROSS JOIN {_DAYS} WHERE n.n_nationkey % 3 = 1
+"""
+
+_DERIVE_CG = f"""
+SELECT d.block_day, CAST(25 + n.n_nationkey AS DOUBLE) AS price_usd,
+       concat('stk', n.n_name) AS symbol, 'cg' AS cg_id,
+       concat('0xstk_', lower(n.n_name)) AS address, 'ethereum' AS chain,
+       CAST(18 AS BIGINT) AS decimals
+FROM nation n CROSS JOIN {_DAYS} WHERE n.n_nationkey % 3 = 2
+"""
+
+
+def _oracle() -> str:
+    totals_sql = MODELS["safety_module_totals_by_day"].sql
+    final_sql = MODELS["sm_cost_of_cover_by_token_by_day"].sql
+    return f"""
+WITH safety_module_rpc AS ({_DERIVE_SM_RPC}),
+token_prices_by_day AS ({_DERIVE_PRICES}),
+coingecko_data_by_day AS ({_DERIVE_CG}),
+safety_module_totals_by_day AS ({totals_sql})
+{final_sql}
+"""
+
+
+@register(
+    "datamart_sm_cost_of_cover_real",
+    oracle=_oracle(),
+    doc=(
+        "REAL datamart SQL under the driver gate: safety_module_totals_by_day →"
+        " sm_cost_of_cover_by_token_by_day executed by plans.run_datamart on one"
+        " side and verbatim by DuckDB on the other (3-way price-fallback"
+        " coalesce exercised across three input populations)"
+    ),
+)
+def datamart_sm_cost_of_cover_real(spark, sf_dir):
+    from aave_etl_spark.plans import run_datamart
+
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    inputs = {
+        "safety_module_rpc": spark.sql(_DERIVE_SM_RPC),
+        "token_prices_by_day": spark.sql(_DERIVE_PRICES),
+        "coingecko_data_by_day": spark.sql(_DERIVE_CG),
+    }
+    subset = {
+        k: MODELS[k]
+        for k in ("safety_module_totals_by_day", "sm_cost_of_cover_by_token_by_day")
+    }
+    return run_datamart(spark, inputs, models=subset)["sm_cost_of_cover_by_token_by_day"]
