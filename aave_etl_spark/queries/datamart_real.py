@@ -101,3 +101,99 @@ def datamart_sm_cost_of_cover_real(spark, sf_dir):
         for k in ("safety_module_totals_by_day", "sm_cost_of_cover_by_token_by_day")
     }
     return run_datamart(spark, inputs, models=subset)["sm_cost_of_cover_by_token_by_day"]
+
+
+# ---------------------------------------------------------------------------
+# Second real-model chain: chains_markets + market_{state,config}_by_day
+# passthroughs → reserve_factor_income_by_day (4 models, join-enrichment
+# family). Derivations from `supplier`; all arithmetic row-wise.
+# ---------------------------------------------------------------------------
+_DAYS2 = "(VALUES (TIMESTAMP '2024-02-01'), (TIMESTAMP '2024-02-02')) AS d(block_day)"
+
+_DERIVE_STATE = f"""
+SELECT
+  d.block_day, CAST(1 AS BIGINT) AS block_height, 'ethereum_v2' AS market,
+  concat('0xr_', CAST(s.s_suppkey AS STRING)) AS reserve,
+  concat('a', s.s_name) AS atoken_symbol,
+  CAST(0 AS DOUBLE) AS unbacked_atokens, CAST(0 AS DOUBLE) AS scaled_accrued_to_treasury,
+  1000 + CAST(s.s_suppkey AS DOUBLE) AS atoken_supply,
+  CAST(s.s_suppkey % 11 AS DOUBLE) * 10 AS stable_debt,
+  CAST(s.s_suppkey % 13 AS DOUBLE) * 20 AS variable_debt,
+  CAST(s.s_suppkey % 5 AS DOUBLE) / 100 AS liquidity_rate,
+  CAST(s.s_suppkey % 7 AS DOUBLE) / 100 AS variable_borrow_rate,
+  CAST(s.s_suppkey % 9 AS DOUBLE) / 100 AS stable_borrow_rate,
+  CAST(0 AS DOUBLE) AS average_stable_rate,
+  CAST(1.01 AS DOUBLE) AS liquidity_index, CAST(1.02 AS DOUBLE) AS variable_borrow_index,
+  1000 + CAST(s.s_suppkey AS DOUBLE) AS available_liquidity
+FROM supplier s CROSS JOIN {_DAYS2}
+"""
+
+_DERIVE_CONFIG = f"""
+SELECT
+  d.block_day, CAST(1 AS BIGINT) AS block_height, 'ethereum_v2' AS market,
+  concat('0xr_', CAST(s.s_suppkey AS STRING)) AS reserve,
+  concat('a', s.s_name) AS atoken_symbol,
+  CAST(18 AS BIGINT) AS decimals,
+  CAST(0.8 AS DOUBLE) AS ltv, CAST(0.85 AS DOUBLE) AS liquidation_threshold,
+  CAST(1.05 AS DOUBLE) AS liquidation_bonus,
+  CAST(10 + s.s_suppkey % 20 AS DOUBLE) / 100 AS reserve_factor
+FROM supplier s CROSS JOIN {_DAYS2}
+"""
+
+_DERIVE_NAMES = """
+SELECT * FROM (VALUES ('0xc', 'ethereum', 'ethereum_v2', 'Ethereum', 'Ethereum V2'))
+  AS v(collector, chain, market, display_chain, display_name)
+"""
+
+_DERIVE_PRICES2 = f"""
+SELECT d.block_day, 'ethereum' AS chain,
+       concat('0xr_', CAST(s.s_suppkey AS STRING)) AS reserve,
+       concat('a', s.s_name) AS symbol,
+       1 + CAST(s.s_suppkey % 50 AS DOUBLE) AS usd_price,
+       'aave_oracle' AS pricing_source
+FROM supplier s CROSS JOIN {_DAYS2}
+"""
+
+
+def _oracle_rf() -> str:
+    return f"""
+WITH warehouse_market_state_by_day AS ({_DERIVE_STATE}),
+warehouse_market_config_by_day AS ({_DERIVE_CONFIG}),
+display_names AS ({_DERIVE_NAMES}),
+token_prices_by_day AS ({_DERIVE_PRICES2}),
+chains_markets AS ({MODELS["chains_markets"].sql}),
+market_state_by_day AS ({MODELS["market_state_by_day"].sql}),
+market_config_by_day AS ({MODELS["market_config_by_day"].sql})
+{MODELS["reserve_factor_income_by_day"].sql}
+"""
+
+
+@register(
+    "datamart_reserve_factor_income_real",
+    oracle=_oracle_rf(),
+    doc=(
+        "REAL datamart SQL under the driver gate (2nd chain): chains_markets +"
+        " market_{state,config}_by_day passthroughs → reserve_factor_income_by_day,"
+        " executed by plans.run_datamart vs the verbatim SQL in DuckDB"
+    ),
+)
+def datamart_reserve_factor_income_real(spark, sf_dir):
+    from aave_etl_spark.plans import run_datamart
+
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    inputs = {
+        "warehouse_market_state_by_day": spark.sql(_DERIVE_STATE),
+        "warehouse_market_config_by_day": spark.sql(_DERIVE_CONFIG),
+        "display_names": spark.sql(_DERIVE_NAMES),
+        "token_prices_by_day": spark.sql(_DERIVE_PRICES2),
+    }
+    subset = {
+        k: MODELS[k]
+        for k in (
+            "chains_markets",
+            "market_state_by_day",
+            "market_config_by_day",
+            "reserve_factor_income_by_day",
+        )
+    }
+    return run_datamart(spark, inputs, models=subset)["reserve_factor_income_by_day"]
