@@ -295,3 +295,33 @@ def sessionize_events(spark, sf_dir):
     return s.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
         F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9/§1.3 schema-full JSON parsing: from_json with a declared struct
+# (SURVEY §1.3 prescribes from_json for the reference's pd.json_normalize
+# ingest flattening, helpers.py:326, 387) — distinct from the path-extract
+# operator (get_json_object) exercised by json_extract_agg.
+# ---------------------------------------------------------------------------
+@register(
+    "json_struct_parse",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(count(CAST(json_extract_string(props, '$.missing_field') AS BIGINT)) AS BIGINT) AS n_missing_present
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="§1.3 from_json struct parse (pd.json_normalize twin, helpers.py:326); absent fields → typed nulls",
+)
+def json_struct_parse(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "p", F.from_json("props", "k BIGINT, missing_field BIGINT")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("p.k")).alias("k_total"),
+        F.count(F.col("p.missing_field")).alias("n_missing_present"),
+    )

@@ -303,3 +303,26 @@ def llm_media_features(spark, sf_dir):
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     return multimodal.decode_image_features(docs)
+
+
+@register(
+    "llm_cosine_near_dup",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                   6) AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
+    """,
+    doc=(
+        "LLM dedup: embedding-cosine near-duplicate pairs (exact threshold join;"
+        " the SRP-bucketed variant llm_srp_bucket_pairs is the 100 TB scale path"
+        " — this is its verification-grade exact twin)"
+    ),
+)
+def llm_cosine_near_dup(spark, sf_dir):
+    return similarity.cosine_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
