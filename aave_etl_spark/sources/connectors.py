@@ -424,3 +424,303 @@ def liquidity_depth_sweep(
         ]
 
     return fanout_fetch(grid, transport, rows, schemas.LIQUIDITY_DEPTH_RAW, policy)
+
+
+# ---------------------------------------------------------------------------
+# S3 — RPC token list via getAllReservesTokens multicall + metadata joins.
+# Reference: get_market_tokens_at_block_rpc, helpers.py:1381-1516.
+# ---------------------------------------------------------------------------
+def market_tokens_at_block_rpc(
+    spark: SparkSession,
+    transport: Transport,
+    market: str,
+    block_height: int,
+    block_day: str,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """Reserve/atoken tuple arrays flattened and joined on position
+    (helpers.py:1446-1448), decimals/name fixups applied (MKR patch
+    helpers.py:1506 analog is the caller's concern)."""
+
+    def rows(payload: Any) -> list[dict[str, Any]]:
+        out = []
+        for r, a in zip(payload["reserves"], payload["atokens"]):
+            out.append(
+                {
+                    "reserve": r["address"].lower(),
+                    "name": r.get("name"),
+                    "symbol": r["symbol"],
+                    "decimals": int(r["decimals"]),
+                    "atoken": a["address"].lower(),
+                    "atoken_symbol": a["symbol"],
+                    "pool": payload["pool"].lower(),
+                    "market": market,
+                    "atoken_decimals": int(r["decimals"]),
+                    "block_height": block_height,
+                    "block_day": datetime.fromisoformat(block_day),
+                }
+            )
+        return out
+
+    req = {"kind": "rpc_tokens", "market": market, "block": block_height}
+    return standardise_types(
+        driver_fetch(spark, transport, req, rows, schemas.MARKET_TOKENS_BY_DAY, policy)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8 — event logs by topic hash in a block range, optional sender filter.
+# Reference: get_events_by_topic_hash_from_covalent, helpers.py:603-661.
+# ---------------------------------------------------------------------------
+def events_by_topic_hash(
+    spark: SparkSession,
+    transport: Transport,
+    start_block: int,
+    end_block: int,
+    chain_id: int,
+    topic_hash: str,
+    sender_address: str | None = None,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    def rows(payload: Any) -> list[dict[str, Any]]:
+        return [
+            {
+                "block_signed_at": _utc(e["block_signed_at"]),
+                "block_height": int(e["block_height"]),
+                "tx_hash": e["tx_hash"].lower(),
+                "raw_log_topics_0": e["topics"][0].lower(),
+                "sender_address": e["sender_address"].lower(),
+                "raw_log_data": e.get("raw_log_data"),
+            }
+            for e in payload["items"]
+        ]
+
+    req = {
+        "kind": "events_by_topic", "chain_id": chain_id, "topic": topic_hash,
+        "start_block": start_block, "end_block": end_block,
+    }
+    df = driver_fetch(spark, transport, req, rows, schemas.EVENTS_BY_TOPIC, policy)
+    if sender_address:  # post-filter like helpers.py:655-657
+        df = df.filter(F.col("sender_address") == sender_address.lower())
+    return df
+
+
+# ---------------------------------------------------------------------------
+# S10 — UiIncentiveDataProvider scan: nested a/v/s reward tuples flattened.
+# Reference: raw_incentives_by_day, protocol_data_lake.py:190-584 (flatten
+# :526-555). The connector flattens executor-side; the 3-level nesting
+# becomes one long row per (reserve, token_type, reward).
+# ---------------------------------------------------------------------------
+def raw_incentives_by_day(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """keys: (market, block_height, block_day). Response shape per reserve:
+    {underlying_asset, a/v/s: {token_address, controller, rewards: [...]}}"""
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        out = []
+        for reserve in payload["reserves"]:
+            for token_type in ("atoken", "vtoken", "stoken"):
+                side = reserve.get(token_type)
+                if not side:
+                    continue
+                for rw in side["rewards"]:
+                    out.append(
+                        {
+                            "block_day": req["block_day"],
+                            "block_height": req["block_height"],
+                            "market": req["market"],
+                            "underlying_asset": reserve["underlying_asset"].lower(),
+                            "token_address": side["token_address"].lower(),
+                            "incentive_controller_address": side["controller"].lower(),
+                            "reward_token_symbol": rw["symbol"],
+                            "reward_token_address": rw["address"].lower(),
+                            "reward_oracle_address": rw["oracle"].lower(),
+                            "emission_per_second": float(rw["emission_per_second"]),
+                            "incentives_last_update_timestamp": int(rw["last_update"]),
+                            "token_incentives_index": float(rw["index"]),
+                            "emission_end_timestamp": int(rw["emission_end"]),
+                            "reward_price_feed": float(rw["price_feed"]),
+                            "reward_token_decimals": int(rw["decimals"]),
+                            "precision": int(rw["precision"]),
+                            "price_feed_decimals": int(rw["price_feed_decimals"]),
+                            "token_type": token_type,
+                        }
+                    )
+        return out
+
+    return fanout_fetch(keys, transport, rows, schemas.RAW_INCENTIVES_BY_DAY, policy)
+
+
+# ---------------------------------------------------------------------------
+# S11 — eMode category scan for the distinct categories present in protocol
+# data. Reference: emode_config_by_day, protocol_data_lake.py:596-708 —
+# the distinct-categories filter (:649) runs ON the DataFrame; only the
+# tiny category list fans out.
+# ---------------------------------------------------------------------------
+def emode_config_by_day(
+    protocol_data: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    keys = (
+        protocol_data.filter(F.col("reserve_emode_category") > 0)
+        .select("block_day", "block_height", "market", "reserve_emode_category")
+        .distinct()
+    )
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        return [
+            {
+                "block_day": req["block_day"],
+                "block_height": req["block_height"],
+                "market": req["market"],
+                "reserve_emode_category": req["reserve_emode_category"],
+                "emode_ltv": float(payload["ltv"]) / 1e4,
+                "emode_liquidation_threshold": float(payload["liquidation_threshold"]) / 1e4,
+                "emode_liquidation_bonus": float(payload["liquidation_bonus"]) / 1e4,
+                "emode_price_source": payload["price_source"].lower(),
+                "emode_category_name": payload["label"],
+            }
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.EMODE_CONFIG_BY_DAY, policy)
+
+
+# ---------------------------------------------------------------------------
+# S15 — beaconcha.in ETH staking returns (protocol_data_lake.py:1328-1411).
+# ---------------------------------------------------------------------------
+def beacon_staking_returns_by_day(
+    spark: SparkSession,
+    transport: Transport,
+    partition_date: str,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    def rows(payload: Any) -> list[dict[str, Any]]:
+        d = payload["data"]
+        return [
+            {
+                "partition_date": partition_date,
+                "beaconchain_day": int(d["day"]),
+                "day_start": _utc(d["day_start"]),
+                "day_end": _utc(d["day_end"]),
+                "apr": float(d["apr"]),
+                "cl_apr": float(d["cl_apr"]),
+                "el_apr": float(d["el_apr"]),
+            }
+        ]
+
+    req = {"kind": "beacon_day", "date": partition_date}
+    return driver_fetch(spark, transport, req, rows, schemas.BEACON_STAKING_RETURNS_BY_DAY, policy)
+
+
+# ---------------------------------------------------------------------------
+# S18 — paginated token-holder list at block height, balance > 0.
+# Reference: get_token_holders_from_covalent, helpers.py:1196-1250;
+# asset protocol_data_lake.py:1767-1827 (filter :1805).
+# ---------------------------------------------------------------------------
+def token_holders_by_day(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """keys: (block_day, chain, safety_module_token, stk_token_address,
+    block_height). Transport handles pagination internally (returns the
+    full holder list); zero balances dropped like the reference."""
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        dec = int(payload["decimals"])
+        total = float(payload["total_supply"]) / 10**dec
+        return [
+            {
+                "block_day": req["block_day"],
+                "chain": req["chain"],
+                "safety_module_token": req["safety_module_token"],
+                "stk_token_address": req["stk_token_address"].lower(),
+                "holder_address": h["address"].lower(),
+                "balance": float(h["balance"]) / 10**dec,
+                "total_supply": total,
+                "block_height": req["block_height"],
+            }
+            for h in payload["holders"]
+            if float(h["balance"]) > 0
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.SM_TOKEN_HOLDERS_BY_DAY, policy)
+
+
+# ---------------------------------------------------------------------------
+# S19 — Balancer BPT getRate/getActualSupply with contract-existence check.
+# Reference: get_balancer_bpt_data, helpers.py:1132-1194; asset
+# protocol_data_lake.py:1076-1127.
+# ---------------------------------------------------------------------------
+def balancer_bpt_by_day(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """keys: (pool, symbol, name, decimals, denom, price_token,
+    price_symbol, block_day, block_height, chain). A pre-deployment pool
+    (no bytecode) yields NULL rate/supply like the reference's existence
+    check (helpers.py:1150-1160)."""
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        exists = bool(payload.get("deployed", True))
+        unit = 10 ** int(req["decimals"])
+        return [
+            {
+                **{k: req[k] for k in ("pool", "symbol", "name", "decimals", "denom",
+                                        "price_token", "price_symbol", "block_day",
+                                        "block_height", "chain")},
+                "rate": float(payload["rate"]) / 1e18 if exists else None,
+                "actual_supply": float(payload["actual_supply"]) / unit if exists else None,
+            }
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.BALANCER_BPT_BY_DAY, policy)
+
+
+# ---------------------------------------------------------------------------
+# S20 — misc balance scans: native gas balances and generic ERC20 wallet
+# balances. Reference: data_lake.py:1917-1982; protocol_data_lake.py:1838-1896.
+# ---------------------------------------------------------------------------
+def eth_balances_by_day(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """keys: (block_height, block_day, chain, market, collector,
+    wrapped_gas_token, gas_token); wei → ether (data_lake.py:1950)."""
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        return [
+            {
+                **{k: req[k] for k in ("block_height", "block_day", "chain", "market",
+                                        "collector", "wrapped_gas_token", "gas_token")},
+                "balance": float(payload["wei"]) / 1e18,
+            }
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.ETH_BALANCES_BY_DAY, policy)
+
+
+def erc20_balances_by_day(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """keys: (block_day, block_height, chain, wallet_address, token,
+    token_address); decimal-adjusted (protocol_data_lake.py:1881-1882)."""
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        return [
+            {
+                **{k: req[k] for k in ("block_day", "block_height", "chain",
+                                        "wallet_address", "token", "token_address")},
+                "balance": float(payload["raw"]) / 10 ** int(payload["decimals"]),
+            }
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.ERC20_BALANCES_BY_DAY, policy)

@@ -244,6 +244,12 @@ def datamart(spark):
             "contract_address string, chain string, market string, token string, decimals long,"
             "symbol string, block_height long, block_day timestamp, balance double",
         ),
+        "collector_atoken_balances_by_day": df(
+            [("0xcol", "ethereum_v2", ATOK, "aRSV", 1, D1, 10.0, 9.5),
+             ("0xcol", "ethereum_v2", ATOK, "aRSV", 2, D2, 11.0, 9.6)],
+            "collector string, market string, token string, symbol string,"
+            "block_height long, block_day timestamp, balance double, scaled_balance double",
+        ),
         "safety_module_bal_pool_contents": df(
             [(D1, "stkABPT", "BAL", 0.2, 1000.0)],
             "block_day timestamp, safety_module_token string, symbol string, weight double, balance double",

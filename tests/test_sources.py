@@ -209,3 +209,125 @@ def test_driver_fetch_empty_short_circuit(spark):
     df = connectors.market_tokens_at_block(spark, transport, "m", 1, "2022-01-01", FAST)
     assert df.count() == 0
     assert df.schema == schemas.MARKET_TOKENS_BY_DAY
+
+
+def test_incentives_nested_flatten(spark):
+    keys = spark.createDataFrame(
+        [("polygon_v3", 100, datetime(2023, 3, 27))],
+        ["market", "block_height", "block_day"],
+    )
+    reward = {
+        "symbol": "SD", "address": "0xRW", "oracle": "0xOR",
+        "emission_per_second": 3.9e15, "last_update": 1, "index": 0.5,
+        "emission_end": 2, "price_feed": 1135753.0, "decimals": 18,
+        "precision": 18, "price_feed_decimals": 6,
+    }
+
+    def transport(req):
+        return {
+            "reserves": [
+                {
+                    "underlying_asset": "0xRES",
+                    "atoken": {"token_address": "0xA", "controller": "0xC", "rewards": [reward, reward]},
+                    "vtoken": {"token_address": "0xV", "controller": "0xC", "rewards": [reward]},
+                    # stoken side absent → skipped
+                }
+            ]
+        }
+
+    df = connectors.raw_incentives_by_day(keys, transport, FAST)
+    rows = df.collect()
+    # 2 atoken rewards + 1 vtoken reward (protocol_data_lake.py:526-555 flatten)
+    assert len(rows) == 3
+    assert {r.token_type for r in rows} == {"atoken", "vtoken"}
+    assert rows[0].underlying_asset == "0xres"
+    assert df.schema == schemas.RAW_INCENTIVES_BY_DAY
+
+
+def test_emode_distinct_categories_only(spark):
+    protocol = spark.createDataFrame(
+        [
+            (datetime(2023, 1, 1), 1, "polygon_v3", 1),
+            (datetime(2023, 1, 1), 1, "polygon_v3", 1),  # dup category → one request
+            (datetime(2023, 1, 1), 1, "polygon_v3", 0),  # category 0 → excluded (:649)
+        ],
+        ["block_day", "block_height", "market", "reserve_emode_category"],
+    )
+    calls = []
+
+    def transport(req):
+        return {
+            "ltv": 9300, "liquidation_threshold": 9500, "liquidation_bonus": 10100,
+            "price_source": "0xFEED", "label": "Stablecoins",
+        }
+
+    out = connectors.emode_config_by_day(protocol, transport, FAST).collect()
+    assert len(out) == 1  # distinct (day, market, category), zero excluded
+    assert out[0].emode_ltv == pytest.approx(0.93)
+    assert out[0].emode_category_name == "Stablecoins"
+
+
+def test_token_holders_drops_zero_balances(spark):
+    keys = spark.createDataFrame(
+        [(datetime(2023, 1, 1), "ethereum", "stkAAVE", "0xSTK", 100)],
+        ["block_day", "chain", "safety_module_token", "stk_token_address", "block_height"],
+    )
+
+    def transport(req):
+        return {
+            "decimals": 18,
+            "total_supply": 3 * 10**18,
+            "holders": [
+                {"address": "0xH1", "balance": 2 * 10**18},
+                {"address": "0xH2", "balance": 0},  # dropped (:1805)
+                {"address": "0xH3", "balance": 10**18},
+            ],
+        }
+
+    rows = connectors.token_holders_by_day(keys, transport, FAST).collect()
+    assert len(rows) == 2
+    assert sum(r.balance for r in rows) == pytest.approx(3.0)
+    assert all(r.total_supply == pytest.approx(3.0) for r in rows)
+
+
+def test_balancer_bpt_predeploy_nulls(spark):
+    keys = spark.createDataFrame(
+        [
+            ("0xPOOL", "B-80AAVE-20WETH", "Balancer 80/20", 18, "usd", "0xP", "AAVE",
+             datetime(2023, 1, 1), 100, "ethereum"),
+        ],
+        ["pool", "symbol", "name", "decimals", "denom", "price_token", "price_symbol",
+         "block_day", "block_height", "chain"],
+    )
+
+    def deployed(req):
+        return {"deployed": True, "rate": 1.05e18, "actual_supply": 2 * 10**18}
+
+    def not_deployed(req):
+        return {"deployed": False, "rate": 0, "actual_supply": 0}
+
+    r1 = connectors.balancer_bpt_by_day(keys, deployed, FAST).first()
+    assert r1.rate == pytest.approx(1.05)
+    assert r1.actual_supply == pytest.approx(2.0)
+    r2 = connectors.balancer_bpt_by_day(keys, not_deployed, FAST).first()
+    # contract-existence check → NULLs (helpers.py:1150-1160)
+    assert r2.rate is None and r2.actual_supply is None
+
+
+def test_eth_and_erc20_balance_units(spark):
+    eth_keys = spark.createDataFrame(
+        [(1, datetime(2023, 1, 1), "ethereum", "ethereum_v2", "0xC", "0xW", "ETH")],
+        ["block_height", "block_day", "chain", "market", "collector",
+         "wrapped_gas_token", "gas_token"],
+    )
+    r = connectors.eth_balances_by_day(eth_keys, lambda q: {"wei": 15 * 10**17}, FAST).first()
+    assert r.balance == pytest.approx(1.5)  # wei/1e18 (data_lake.py:1950)
+
+    erc_keys = spark.createDataFrame(
+        [(datetime(2023, 1, 1), 1, "ethereum", "0xW", "USDC", "0xU")],
+        ["block_day", "block_height", "chain", "wallet_address", "token", "token_address"],
+    )
+    r2 = connectors.erc20_balances_by_day(
+        erc_keys, lambda q: {"raw": 2_500_000, "decimals": 6}, FAST
+    ).first()
+    assert r2.balance == pytest.approx(2.5)
