@@ -1598,3 +1598,218 @@ from calcs
 order by block_day, market, symbol
 """
 )
+
+
+def _impact_proposal_simple_sql(
+    reserves: list[str],
+    revenue_tokens: list[str],
+    proposal_date: str,
+    market: str | None = None,
+    aggregate_revenue: bool = False,
+    lookback_months: int = 6,
+) -> str:
+    """The no-rewards impact_proposal shape (impact_proposal_131.sql etc.):
+    state × revenue × prices → 9-measure UNPIVOT, optionally with the
+    aggregate revenue_usd union (impact_proposal_167.sql tail)."""
+    reserves_in = ", ".join(f"'{r}'" for r in reserves)
+    revenue_in = ", ".join(f"'{t}'" for t in revenue_tokens)
+    market_pred = f"and s.market = '{market}'" if market else ""
+    tail = (
+        """
+select block_day, market, reserve, atoken_symbol, measure, value
+from by_asset
+union all
+select block_day, market, 'aggregate' as reserve, 'aggregate' as atoken_symbol, measure, sum(value) as value
+from by_asset
+where measure in ('revenue_usd')
+group by block_day, market, reserve, atoken_symbol, measure
+order by market, atoken_symbol, measure, block_day
+"""
+        if aggregate_revenue
+        else """
+select block_day, market, reserve, atoken_symbol, measure, value
+from by_asset
+order by block_day, measure
+"""
+    )
+    return f"""
+with wide_format as (
+select
+  s.block_day, s.market, s.reserve, s.atoken_symbol
+  , s.atoken_supply - s.variable_debt - s.stable_debt as tvl
+  , (s.atoken_supply - s.variable_debt - s.stable_debt) * p.usd_price as tvl_usd
+  , s.atoken_supply as deposits
+  , s.atoken_supply * p.usd_price as deposits_usd
+  , s.variable_debt + s.stable_debt as borrows
+  , (s.variable_debt + s.stable_debt) * p.usd_price as borrows_usd
+  , n.revenue as revenue
+  , u.revenue as revenue_usd
+  , p.usd_price
+from warehouse_market_state_by_day s
+  left join (select * from all_revenue where currency = 'native' and token in ({revenue_in})) n
+    on (s.block_day = n.block_day and s.market = n.market and s.reserve = n.underlying_reserve)
+  left join (select * from all_revenue where currency = 'usd' and token in ({revenue_in})) u
+    on (s.block_day = u.block_day and s.market = u.market and s.reserve = u.underlying_reserve)
+  left join aave_oracle_prices_by_day p
+    on (s.block_day = p.block_day and s.market = p.market and s.reserve = p.reserve)
+where 1=1
+  {market_pred}
+  and s.reserve in ({reserves_in})
+  and cast(s.block_day as date) > add_months(DATE '{proposal_date}', -{lookback_months})
+)
+, by_asset as (
+select block_day, market, reserve, atoken_symbol, measure, value
+from wide_format
+unpivot (
+  value for measure in (
+    tvl, tvl_usd, deposits, deposits_usd, borrows, borrows_usd
+    , revenue, revenue_usd, usd_price
+  )
+)
+)
+{tail}
+"""
+
+
+WETH_ETH = "0xc02aaa39b223fe8d0a0e5c4f27ead9083c756cc2"
+WMATIC = "0x0d500b1d8e8ef31e21c99d1db9a6444d3adf1270"
+
+_SIMPLE_IMPACT_PROPOSALS: dict[str, dict] = {
+    # reference file constants, impact_proposal_{n}.sql
+    "impact_proposal_131": dict(
+        market="ethereum_v2", reserves=[WETH_ETH],
+        revenue_tokens=["0x030ba81f1c18d280636f32af80b9aad02cf0854e"],
+        proposal_date="2022-12-19",
+    ),
+    "impact_proposal_150": dict(
+        market="polygon_v3", reserves=[WMATIC],
+        revenue_tokens=["0x6d80113e533a2c0fe82eabd35f1875dcea89ea97"],
+        proposal_date="2023-02-07",
+    ),
+    "impact_proposal_151": dict(
+        market=None,
+        reserves=["0xba100000625a3754423978a60c9317c58a424e3d",
+                  "0x9a71012b13ca4d3d0cdc72a177df3ef03b0e76a3"],
+        revenue_tokens=["0x272f97b7a56a387ae942350bbc7df5700f8a4576",
+                        "0xc4195d4060daeac44058ed668aa5efec50d77ff6",
+                        "0x8ffdf2de812095b1d19cb146e4c004587c0a0692"],
+        proposal_date="2023-02-07",
+    ),
+    "impact_proposal_158": dict(
+        market="ethereum_v2", reserves=[WETH_ETH],
+        revenue_tokens=["0x030ba81f1c18d280636f32af80b9aad02cf0854e"],
+        proposal_date="2023-02-21",
+    ),
+    "impact_proposal_167": dict(
+        market="polygon_v3",
+        reserves=["0xfa68fb4628dff1028cfec22b4162fccd0d45efb6", WMATIC],
+        revenue_tokens=["0x80ca0d8c38d2e2bcbab66aa1648bd1c7160500fe",
+                        "0x6d80113e533a2c0fe82eabd35f1875dcea89ea97"],
+        proposal_date="2023-03-06", aggregate_revenue=True,
+    ),
+    "impact_proposal_168": dict(
+        market="ethereum_v3",
+        reserves=["0xd533a949740bb3306d119cc777fa900ba034cd52"],
+        revenue_tokens=["0x7b95ec873268a6bfc6427e7a28e396db9d0ebc65"],
+        proposal_date="2023-03-08",
+    ),
+    "impact_proposal_172": dict(
+        market="polygon_v3",
+        reserves=["0x3a58a54c066fdc0f2d55fc9c89f0415c92ebf3c4", WMATIC],
+        revenue_tokens=["0xea1132120ddcdda2f119e99fa7a27a0d036f7ac9",
+                        "0x6d80113e533a2c0fe82eabd35f1875dcea89ea97"],
+        proposal_date="2023-03-12", aggregate_revenue=True,
+    ),
+    "impact_proposal_175": dict(
+        market=None,
+        reserves=["0xd533a949740bb3306d119cc777fa900ba034cd52",
+                  "0x172370d5cd63279efa6d502dab29171933a610af"],
+        revenue_tokens=["0x8dae6cb04688c62d939ed9b68d32bc62e49970b1",
+                        "0x513c7e3a9c69ca3e22550ef58ac1c0088e918fff",
+                        "0x3df8f92b7e798820ddcca2ebea7babda2c90c4ad"],
+        proposal_date="2023-03-13",
+    ),
+}
+
+for _pname, _params in _SIMPLE_IMPACT_PROPOSALS.items():
+    model(
+        _pname,
+        refs=("all_revenue",),
+        sources=("warehouse_market_state_by_day", "aave_oracle_prices_by_day"),
+        doc=f"reference: aave_dbt/models/datamart/{_pname}.sql (simple impact-proposal shape)",
+    )(_impact_proposal_simple_sql(**_params))
+
+
+def _impact_purchase_sql(
+    contract_address: str,
+    token: str,
+    chain: str,
+    start_day: str,
+    end_day: str,
+) -> str:
+    """Purchase-tracking impact-proposal shape (impact_proposal_87.sql:
+    window of external inflows → avg purchase price vs current price)."""
+    return f"""
+with purchase_days as (
+  select
+    t.block_day
+    , t.token as token_address
+    , t.symbol
+    , t.tokens_in_external as purchase_amount
+    , t.tokens_in_external * p.usd_price as purchase_amount_usd
+    , p.usd_price
+  from non_atoken_measures_by_day t
+  left join token_prices_by_day p on (t.block_day = p.block_day and t.token = p.reserve)
+  where t.contract_address = '{contract_address}'
+    and t.token = '{token}'
+    and p.chain = '{chain}'
+    and t.tokens_in_external > 0
+    and t.block_day between '{start_day}' and '{end_day}'
+)
+, current_price as (
+  select block_day, reserve, usd_price
+  from token_prices_by_day
+  where reserve = '{token}'
+    and block_day = (select max(block_day) from token_prices_by_day)
+)
+, purchase_price as (
+  select
+    token_address, symbol
+    , sum(purchase_amount) as purchase_amount
+    , sum(purchase_amount_usd) as purchase_amount_usd
+    , sum(purchase_amount_usd) / sum(purchase_amount) as av_purchase_price
+  from purchase_days
+  group by token_address, symbol
+)
+select
+  c.block_day
+  , p.token_address
+  , p.symbol
+  , round(p.purchase_amount, 5) as purchase_amount
+  , p.purchase_amount_usd
+  , p.av_purchase_price
+  , c.usd_price as current_price
+  , p.purchase_amount * c.usd_price as current_value
+  , p.purchase_amount * c.usd_price - p.purchase_amount_usd as net_value_change
+from purchase_price p
+  left join current_price c on p.token_address = c.reserve
+"""
+
+
+for _pname, _params in {
+    "impact_proposal_87": dict(
+        contract_address="0x464c71f6c2f760dda6093dcb91c24c39e5d6e18c",
+        token="0xba100000625a3754423978a60c9317c58a424e3d",
+        chain="ethereum", start_day="2022-07-18", end_day="2022-07-20",
+    ),
+    "impact_proposal_115": dict(
+        contract_address="0x464c71f6c2f760dda6093dcb91c24c39e5d6e18c",
+        token="0xba100000625a3754423978a60c9317c58a424e3d",
+        chain="ethereum", start_day="2022-11-14", end_day="2022-12-14",
+    ),
+}.items():
+    model(
+        _pname,
+        sources=("non_atoken_measures_by_day", "token_prices_by_day"),
+        doc=f"reference: aave_dbt/models/datamart/{_pname}.sql (purchase-price shape)",
+    )(_impact_purchase_sql(**_params))
