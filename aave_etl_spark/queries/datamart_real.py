@@ -197,3 +197,106 @@ def datamart_reserve_factor_income_real(spark, sf_dir):
         )
     }
     return run_datamart(spark, inputs, models=subset)["reserve_factor_income_by_day"]
+
+
+# ---------------------------------------------------------------------------
+# Third real-model chain: chains_markets + all_treasury_balances +
+# treasury_totals, fed by a derived all_financials-shaped long table (the
+# flagship model's UNPIVOT output). Exercises the usd/native self-join,
+# the legacy-fee stack, the replace() measure rename, display-day shift
+# and the 3-way rollup UNION — all with the verbatim model SQL on both
+# engines.
+# ---------------------------------------------------------------------------
+_DAYS3 = "(VALUES (TIMESTAMP '2024-03-01'), (TIMESTAMP '2024-03-02')) AS d(block_day)"
+
+_DERIVE_AF = f"""
+SELECT
+  d.block_day, 'ethereum' AS chain, 'Ethereum' AS display_chain,
+  'ethereum_v2' AS market, 'Ethereum V2' AS display_name,
+  '0xcol' AS collector, 'Treasury' AS collector_label,
+  concat('0xt_', lower(n.n_name)) AS token,
+  concat('a', n.n_name) AS symbol,
+  concat('0xr_', lower(n.n_name)) AS underlying_reserve,
+  CASE WHEN n.n_nationkey % 5 = 0 THEN 'AAVE' ELSE n.n_name END AS underlying_reserve_symbol,
+  m.measure, 'balance' AS measure_type,
+  CASE WHEN n.n_nationkey % 4 = 0 THEN 'USDC' ELSE 'Other Token' END AS balance_group,
+  CASE WHEN n.n_nationkey % 4 = 0 THEN 'stablecoin' ELSE 'unstablecoin' END AS stable_class,
+  CAST(100 + n.n_nationkey AS DOUBLE) * (CASE WHEN m.currency = 'usd' THEN 2.0 ELSE 1.0 END) AS value,
+  m.currency
+FROM nation n
+CROSS JOIN {_DAYS3}
+CROSS JOIN (VALUES ('end_balance_usd', 'usd'), ('end_accrued_fees_usd', 'usd'),
+                   ('end_balance', 'native'), ('end_accrued_fees', 'native'))
+  AS m(measure, currency)
+"""
+
+_DERIVE_NAMES3 = """
+SELECT * FROM (VALUES ('0xcol', 'ethereum', 'ethereum_v2', 'Ethereum', 'Ethereum V2'))
+  AS v(collector, chain, market, display_chain, display_name)
+"""
+
+_DERIVE_LEGACY = f"""
+SELECT d.block_day, 'ethereum' AS chain, 'ethereum_v2' AS market,
+       '0xclaimer' AS paraswap_fee_claimer, '0xlegacy' AS paraswap_legacy_claimer,
+       '0xr_legacy' AS reserve, 'LGC' AS symbol, CAST(4 AS DOUBLE) AS claimable
+FROM {_DAYS3}
+"""
+
+_DERIVE_BGL = """
+SELECT * FROM (VALUES ('ethereum_v2', '0xr_legacy', 'LGC', '0xr_legacy', 'LGC',
+                       'ethereum', 'Other Token', 'unstablecoin'))
+  AS v(market, atoken, atoken_symbol, reserve, symbol, chain, balance_group, stable_class)
+"""
+
+_DERIVE_TP3 = f"""
+SELECT d.block_day, 'ethereum' AS chain, '0xr_legacy' AS reserve, 'LGC' AS symbol,
+       CAST(3 AS DOUBLE) AS usd_price, 'aave_oracle' AS pricing_source
+FROM {_DAYS3}
+"""
+
+
+def _oracle_tt() -> str:
+    return f"""
+WITH all_financials AS ({_DERIVE_AF}),
+display_names AS ({_DERIVE_NAMES3}),
+paraswap_legacy_claimable_fees AS ({_DERIVE_LEGACY}),
+balance_group_lookup AS ({_DERIVE_BGL}),
+token_prices_by_day AS ({_DERIVE_TP3}),
+chains_markets AS ({MODELS["chains_markets"].sql}),
+all_treasury_balances AS ({MODELS["all_treasury_balances"].sql})
+{MODELS["treasury_totals"].sql}
+"""
+
+
+@register(
+    "datamart_treasury_totals_real",
+    oracle=_oracle_tt(),
+    doc=(
+        "REAL datamart SQL under the driver gate (3rd chain): all_treasury_balances"
+        " (usd/native self-join + legacy-fee stack) → treasury_totals 3-way rollup,"
+        " verbatim model SQL on both engines"
+    ),
+)
+def datamart_treasury_totals_real(spark, sf_dir):
+    from dataclasses import replace as dc_replace
+
+    from aave_etl_spark.plans import run_datamart
+
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    spark.sql(_DERIVE_AF).createOrReplaceTempView("all_financials")
+    inputs = {
+        "display_names": spark.sql(_DERIVE_NAMES3),
+        "paraswap_legacy_claimable_fees": spark.sql(_DERIVE_LEGACY),
+        "balance_group_lookup": spark.sql(_DERIVE_BGL),
+        "token_prices_by_day": spark.sql(_DERIVE_TP3),
+    }
+    # all_financials is pre-registered as a view, so strip it from the
+    # ref list (the runner would otherwise demand it as a model)
+    subset = {
+        "chains_markets": MODELS["chains_markets"],
+        "all_treasury_balances": dc_replace(
+            MODELS["all_treasury_balances"], refs=("chains_markets",)
+        ),
+        "treasury_totals": MODELS["treasury_totals"],
+    }
+    return run_datamart(spark, inputs, models=subset)["treasury_totals"]
