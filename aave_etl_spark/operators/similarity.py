@@ -194,3 +194,83 @@ def cosine_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse quantizer + multi-probe search.
+
+    The coarse quantizer here is deterministic — the first `n_cells`
+    vectors by id act as centroids (a real deployment plugs k-means-trained
+    centroids into the same plan; the dataflow is identical). Every vector
+    is assigned to its nearest centroid (max rounded cosine, centroid-id
+    tie-break); each query probes its `n_probe` nearest cells and ranks
+    only the vectors inside them.
+
+    Scale design (100 TB): the centroid table is tiny and broadcast twice —
+    corpus assignment is ONE full scan with no shuffle, probe selection is
+    per-query-batch. The only shuffle is the cell_id equi-join of probe
+    cells against cell assignments (Spark broadcasts the small probe side),
+    then the per-query top-k window. Candidate work drops from
+    |corpus| x |queries| to the probed fraction (~n_probe/n_cells).
+    """
+    cent = candidates.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_ce")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
+    )
+    assign_w = Window.partitionBy("candidate_id").orderBy(
+        F.col("_cell_sim").desc(), F.col("cell_id")
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "candidate_id",
+            "cell_id",
+            "_cv",
+            F.round(cosine(F.col("_cv"), F.col("_ce")), round_digits).alias("_cell_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(assign_w))
+        .filter(F.col("_rn") == 1)
+        .select("candidate_id", "cell_id", "_cv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_cell_sim").desc(), F.col("cell_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cell_id",
+            "_qv",
+            F.round(cosine(F.col("_qv"), F.col("_ce")), round_digits).alias("_cell_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cell_id", "_qv")
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("candidate_id")
+    )
+    return (
+        assign.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -300,3 +300,522 @@ def datamart_treasury_totals_real(spark, sf_dir):
         "treasury_totals": MODELS["treasury_totals"],
     }
     return run_datamart(spark, inputs, models=subset)["treasury_totals"]
+
+
+# ---------------------------------------------------------------------------
+# Fourth real-model chain — THE FLAGSHIP. aave_atokens (latest-day scalar
+# subquery) → all_financials (reference all_financials.sql, 449 lines):
+# 3-way measure UNION, reserve mapping, LEAD start/end pairing, the
+# 4-branch liq-adjust UNION straddling the 2023-05-06 cutoff, 37-column
+# UNPIVOT (null rows dropped on both engines), 4-way dim join and the
+# silent measure_type-not-null drop (SURVEY §7.4.6). All 12 inputs are
+# derived from `nation` with engine-portable SQL; binary-exact literal
+# steps (0.125/0.25/…) keep every float op identical on both engines.
+# ---------------------------------------------------------------------------
+_AF_DAYS = (
+    "(VALUES (TIMESTAMP '2023-05-05'), (TIMESTAMP '2023-05-06'),"
+    " (TIMESTAMP '2023-05-07'), (TIMESTAMP '2023-05-08')) AS d(block_day)"
+)
+# day index as double (5..8): varies balances/prices so LEAD pairs differ
+_AF_DD = "CAST(extract(day FROM d.block_day) AS DOUBLE)"
+
+# base: nation → (market, chain, collector); ethereum_v2 gets the literal
+# ecosystem-reserve collector so both treasury_spend CASE branches fire
+_AF_BASE = """
+SELECT b.*,
+  CASE WHEN b.market = 'ethereum_v2'
+       THEN '0x25f2226b597e8f9514b3f68f00f494cf4f286491'
+       ELSE concat('0xcol_', b.market) END AS collector
+FROM (
+  SELECT n.n_nationkey AS k, lower(n.n_name) AS nm,
+    CASE n.n_nationkey % 3 WHEN 0 THEN 'polygon_v3' WHEN 1 THEN 'ethereum_v2' ELSE 'fantom_v3' END AS market,
+    CASE n.n_nationkey % 3 WHEN 0 THEN 'polygon' WHEN 1 THEN 'ethereum' ELSE 'fantom' END AS chain
+  FROM nation n
+) b
+"""
+
+_AF_ATM = f"""
+SELECT b.collector, b.chain, b.market,
+  concat('0xt_', b.nm) AS token, concat('a', b.nm) AS symbol, d.block_day,
+  CAST(1000 + b.k * 10 AS DOUBLE) + {_AF_DD} * 5 AS balance,
+  CASE WHEN b.k % 5 = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(900 + b.k AS DOUBLE) END AS scaled_balance,
+  CAST(10 + b.k AS DOUBLE) + {_AF_DD} AS accrued_fees,
+  CAST(50 + b.k AS DOUBLE) AS tokens_in_external,
+  CAST(5 AS DOUBLE) AS tokens_in_internal,
+  CAST(7 + b.k AS DOUBLE) AS tokens_out_external,
+  CAST(3 AS DOUBLE) AS tokens_out_internal,
+  CAST(2 AS DOUBLE) AS minted_to_treasury_amount,
+  CAST(1 AS DOUBLE) AS minted_amount
+FROM ({_AF_BASE}) b CROSS JOIN {_AF_DAYS}
+"""
+
+_AF_NAM = f"""
+SELECT b.collector AS contract_address, b.chain, b.market,
+  concat('0xnt_', b.nm) AS token, b.nm AS symbol, d.block_day,
+  CAST(500 + b.k AS DOUBLE) + {_AF_DD} * 2 AS balance,
+  CAST(20 AS DOUBLE) AS tokens_in_external,
+  CAST(2 AS DOUBLE) AS tokens_in_internal,
+  CAST(4 AS DOUBLE) AS tokens_out_external,
+  CAST(1 AS DOUBLE) AS tokens_out_internal,
+  CAST(b.k AS DOUBLE) * 0.5 + {_AF_DD} AS paraswap_fees_claimable
+FROM ({_AF_BASE}) b CROSS JOIN {_AF_DAYS}
+WHERE b.k % 4 = 0
+"""
+
+_AF_ETH = f"""
+SELECT m.collector, m.chain, m.market,
+  concat('0xgas_', m.chain) AS wrapped_gas_token,
+  concat('GAS_', m.chain) AS gas_token,
+  d.block_day,
+  CAST(100 AS DOUBLE) + {_AF_DD} AS balance
+FROM (SELECT DISTINCT market, chain, collector FROM ({_AF_BASE}) bb) m
+CROSS JOIN {_AF_DAYS}
+"""
+
+# oracle prices cover k%7<5; coingecko covers non-atokens, gas tokens and
+# k%7=5 reserves; k%7=6 reserves stay unpriced → NULL usd rows dropped by
+# UNPIVOT on both engines (null-exclusion parity)
+_AF_ORC = f"""
+SELECT concat('0xr_', b.nm) AS reserve, d.block_day, b.market,
+  CAST(1 AS DOUBLE) + CAST(b.k AS DOUBLE) * 0.125 + {_AF_DD} * 0.25 AS usd_price
+FROM ({_AF_BASE}) b CROSS JOIN {_AF_DAYS}
+WHERE b.k % 7 < 5
+"""
+
+_AF_CG = f"""
+SELECT concat('0xnt_', b.nm) AS address, b.chain, d.block_day,
+  CAST(2 AS DOUBLE) + CAST(b.k AS DOUBLE) * 0.0625 + {_AF_DD} * 0.125 AS price_usd
+FROM ({_AF_BASE}) b CROSS JOIN {_AF_DAYS} WHERE b.k % 4 = 0
+UNION ALL
+SELECT concat('0xgas_', c.chain), c.chain, d.block_day,
+  CAST(3 AS DOUBLE) + {_AF_DD} * 0.5
+FROM (SELECT DISTINCT chain FROM ({_AF_BASE}) bb) c CROSS JOIN {_AF_DAYS}
+UNION ALL
+SELECT concat('0xr_', b.nm), b.chain, d.block_day,
+  CAST(4 AS DOUBLE) + CAST(b.k AS DOUBLE) * 0.25 + {_AF_DD} * 0.0625
+FROM ({_AF_BASE}) b CROSS JOIN {_AF_DAYS} WHERE b.k % 7 = 5
+"""
+
+_AF_UR = f"""
+SELECT b.market, d.block_day, b.collector AS vault_address,
+  concat('0xt_', b.nm) AS token_address,
+  CAST(1 AS DOUBLE) + CAST(b.k AS DOUBLE) * 0.5 AS sm_stkAAVE_claims,
+  CAST(2 AS DOUBLE) AS sm_stkABPT_claims,
+  CAST(b.k AS DOUBLE) * 0.25 AS lm_aave_v2_claims
+FROM ({_AF_BASE}) b CROSS JOIN {_AF_DAYS}
+WHERE b.k % 3 = 1 AND b.k % 2 = 1
+"""
+
+# 37 unpivot measures; 'price_change_usd' and 'tokens_out_internal' are
+# deliberately left unclassified to exercise the silent inner-join drop
+_AF_USD_MEASURES = [
+    "start_balance_usd", "end_balance_usd", "start_accrued_fees_usd",
+    "end_accrued_fees_usd", "tokens_in_internal_usd",
+    "tokens_in_external_adjust_usd", "tokens_out_external_usd",
+    "tokens_out_internal_usd", "protocol_fees_received_usd",
+    "protocol_fees_accrued_usd", "atoken_interest_usd",
+    "sm_stkAAVE_claims_usd", "sm_stkABPT_claims_usd", "lm_aave_v2_claims_usd",
+    "start_paraswap_fees_claimable_usd", "end_paraswap_fees_claimable_usd",
+    "ecosystem_reserve_spend_usd", "treasury_spend_usd", "price_change_usd",
+]
+_AF_UNCLASSIFIED = {"price_change_usd", "tokens_out_internal"}
+
+
+def _af_txc() -> str:
+    rows = []
+    for m in _AF_USD_MEASURES:
+        native = m[: -len("_usd")]
+        for measure, currency in ((m, "usd"), (native, "native")):
+            if measure in _AF_UNCLASSIFIED or (measure, currency) in {
+                ("price_change", "native")
+            }:
+                continue
+            mtype = (
+                "balance"
+                if ("balance" in measure or "accrued_fees" in measure
+                    or "claimable" in measure)
+                else "revenue"
+                if ("fees" in measure or "interest" in measure or "price_change" in measure)
+                else "expense"
+            )
+            rows.append(f"('{measure}', '{mtype}', '{currency}')")
+    # price_change has no native twin in the unpivot list
+    rows = [r for r in rows if r != "('price_change', 'revenue', 'native')"]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS v(measure, measure_type, currency)"
+    )
+
+
+_AF_DN = """
+SELECT * FROM (VALUES
+  ('0x25f2226b597e8f9514b3f68f00f494cf4f286491', 'ethereum', 'ethereum_v2', 'Ethereum', 'Ethereum V2'),
+  ('0xcol_polygon_v3', 'polygon', 'polygon_v3', 'Polygon', 'Polygon V3'),
+  ('0xcol_fantom_v3', 'fantom', 'fantom_v3', 'Fantom', 'Fantom V3'))
+  AS v(collector, chain, market, display_chain, display_name)
+"""
+
+_AF_IA = """
+SELECT * FROM (VALUES
+  ('0x25f2226b597e8f9514b3f68f00f494cf4f286491', 'ethereum', 'Ecosystem Reserve'),
+  ('0xcol_polygon_v3', 'polygon', 'Polygon Treasury'),
+  ('0xcol_fantom_v3', 'fantom', 'Fantom Treasury'))
+  AS v(contract_address, chain, label)
+"""
+
+_AF_BGL = f"""
+SELECT b.market, concat('0xt_', b.nm) AS atoken, concat('0xr_', b.nm) AS reserve,
+  concat('a', b.nm) AS atoken_symbol,
+  CASE WHEN b.k % 4 = 0 THEN 'USDC' ELSE 'Other Token' END AS balance_group,
+  CASE WHEN b.k % 4 = 0 THEN 'stablecoin' ELSE 'unstablecoin' END AS stable_class
+FROM ({_AF_BASE}) b WHERE b.k % 2 = 0
+"""
+
+_AF_BND = f"SELECT DISTINCT market, chain FROM ({_AF_BASE}) b"
+
+# two block_days so the latest-day scalar subquery in aave_atokens prunes
+_AF_MTB = f"""
+SELECT concat('0xt_', b.nm) AS atoken, concat('a', b.nm) AS atoken_symbol,
+  CAST(18 AS BIGINT) AS atoken_decimals,
+  concat('0xr_', b.nm) AS reserve, b.nm AS symbol, CAST(18 AS BIGINT) AS decimals,
+  concat('tok_', b.nm) AS name, b.market, '0xpool' AS pool, d.block_day
+FROM ({_AF_BASE}) b
+CROSS JOIN (VALUES (TIMESTAMP '2023-05-05'), (TIMESTAMP '2023-05-06')) AS d(block_day)
+"""
+
+_AF_INPUTS = {
+    "eth_balances_by_day": _AF_ETH,
+    "atoken_measures_by_day": _AF_ATM,
+    "non_atoken_measures_by_day": _AF_NAM,
+    "aave_oracle_prices_by_day": _AF_ORC,
+    "coingecko_data_by_day": _AF_CG,
+    "user_rewards_by_day": _AF_UR,
+    "tx_classification": _af_txc(),
+    "display_names": _AF_DN,
+    "aave_internal_addresses": _AF_IA,
+    "balance_group_lookup": _AF_BGL,
+    "block_numbers_by_day": _AF_BND,
+    "market_tokens_by_day": _AF_MTB,
+}
+
+
+def _oracle_af() -> str:
+    ctes = ",\n".join(f"{name} AS ({sql})" for name, sql in _AF_INPUTS.items())
+    return f"""
+WITH {ctes},
+aave_atokens AS ({MODELS["aave_atokens"].sql}),
+af AS ({MODELS["all_financials"].sql})
+SELECT * FROM af
+"""
+
+
+@register(
+    "datamart_all_financials_real",
+    oracle=_oracle_af(),
+    doc=(
+        "REAL datamart SQL under the driver gate (flagship): aave_atokens →"
+        " all_financials (449-line reference model: LEAD pairing, 4-branch"
+        " liq-adjust UNION across the 2023-05-06 cutoff, 37-col UNPIVOT,"
+        " 4-way dim join + silent measure_type drop) executed by"
+        " plans.run_datamart vs the verbatim SQL in DuckDB"
+    ),
+)
+def datamart_all_financials_real(spark, sf_dir):
+    from aave_etl_spark.plans import run_datamart
+
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    inputs = {name: spark.sql(sql) for name, sql in _AF_INPUTS.items()}
+    subset = {k: MODELS[k] for k in ("aave_atokens", "all_financials")}
+    return run_datamart(spark, inputs, models=subset)["all_financials"]
+
+
+# ---------------------------------------------------------------------------
+# Fifth chain — END-TO-END verbatim: aave_atokens → all_financials →
+# chains_markets → all_treasury_balances (usd/native self-join + legacy-fee
+# stack with display-day shift) → treasury_totals / treasury_value_by_asset.
+# The real flagship output feeds the real rollups on BOTH engines — six
+# models of verbatim SQL under one hash compare.
+# ---------------------------------------------------------------------------
+_AF2_LEGACY = f"""
+SELECT d.block_day, b.chain, b.market,
+  '0xclaimer' AS paraswap_fee_claimer, '0xlegacy' AS paraswap_legacy_claimer,
+  concat('0xlg_', b.nm) AS reserve, concat('LG', b.nm) AS symbol,
+  CAST(4 AS DOUBLE) + CAST(b.k AS DOUBLE) * 0.5 AS claimable
+FROM ({_AF_BASE}) b CROSS JOIN {_AF_DAYS}
+WHERE b.k % 6 = 2
+"""
+
+# legacy reserves priced on days 5-7 only → day-8 rows keep NULL value_usd
+# (null-propagation parity through the legacy-fee stack)
+_AF2_TP = f"""
+SELECT d.block_day, b.chain, concat('0xlg_', b.nm) AS reserve,
+  concat('LG', b.nm) AS symbol,
+  CAST(2 AS DOUBLE) + CAST(b.k AS DOUBLE) * 0.125 AS usd_price,
+  'aave_oracle' AS pricing_source
+FROM ({_AF_BASE}) b CROSS JOIN {_AF_DAYS}
+WHERE b.k % 6 = 2 AND extract(day FROM d.block_day) < 8
+"""
+
+# balance groups: the all_financials rows plus legacy reserves for half the
+# legacy claimers (k%12=2) — exercises both the matched branch and the
+# coalesce('Other Token','unstablecoin') fallback
+_AF2_BGL = f"""
+{_AF_BGL}
+UNION ALL
+SELECT b.market, concat('0xlg_', b.nm) AS atoken, concat('0xlg_', b.nm) AS reserve,
+  concat('LG', b.nm) AS atoken_symbol, 'USDC' AS balance_group, 'stablecoin' AS stable_class
+FROM ({_AF_BASE}) b WHERE b.k % 12 = 2
+"""
+
+_AF2_INPUTS = {
+    **{k: v for k, v in _AF_INPUTS.items()},
+    "balance_group_lookup": _AF2_BGL,
+    "paraswap_legacy_claimable_fees": _AF2_LEGACY,
+    "token_prices_by_day": _AF2_TP,
+}
+
+_AF2_MODELS = (
+    "aave_atokens",
+    "all_financials",
+    "chains_markets",
+    "all_treasury_balances",
+    "treasury_totals",
+    "treasury_value_by_asset",
+)
+
+
+def _oracle_e2e(final: str) -> str:
+    ctes = ",\n".join(f"{name} AS ({sql})" for name, sql in _AF2_INPUTS.items())
+    return f"""
+WITH {ctes},
+aave_atokens AS ({MODELS["aave_atokens"].sql}),
+all_financials AS ({MODELS["all_financials"].sql}),
+chains_markets AS ({MODELS["chains_markets"].sql}),
+all_treasury_balances AS ({MODELS["all_treasury_balances"].sql})
+{MODELS[final].sql}
+"""
+
+
+def _run_e2e(spark, sf_dir, final: str):
+    from aave_etl_spark.plans import run_datamart
+
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    inputs = {name: spark.sql(sql) for name, sql in _AF2_INPUTS.items()}
+    subset = {k: MODELS[k] for k in _AF2_MODELS}
+    return run_datamart(spark, inputs, models=subset)[final]
+
+
+@register(
+    "datamart_treasury_e2e_real",
+    oracle=_oracle_e2e("treasury_totals"),
+    doc=(
+        "END-TO-END verbatim chain: real all_financials output feeds"
+        " all_treasury_balances (self-join + legacy-fee stack) and the"
+        " treasury_totals 3-way rollup — six models of verbatim SQL on both"
+        " engines under one hash compare"
+    ),
+)
+def datamart_treasury_e2e_real(spark, sf_dir):
+    return _run_e2e(spark, sf_dir, "treasury_totals")
+
+
+@register(
+    "datamart_treasury_by_asset_e2e_real",
+    oracle=_oracle_e2e("treasury_value_by_asset"),
+    doc=(
+        "END-TO-END verbatim chain, second head: treasury_value_by_asset"
+        " (8-key grouped rollup with display-day shift) over the real"
+        " all_treasury_balances"
+    ),
+)
+def datamart_treasury_by_asset_e2e_real(spark, sf_dir):
+    return _run_e2e(spark, sf_dir, "treasury_value_by_asset")
+
+
+# ---------------------------------------------------------------------------
+# Sixth chain — the PIVOT family verbatim: aave_atokens →
+# streaming_payments_detail (scalar-subquery latest prices, 3-way price
+# fallback, epoch-coalesce dates) → streaming_payments_summary (5-agg PIVOT
+# over symbol with '<value> <alias>' naming — identical column-name
+# derivation on Spark and DuckDB).
+# ---------------------------------------------------------------------------
+_SP_TOKEN = (
+    "CASE WHEN b.k % 2 = 0 THEN concat('0xt_', b.nm) ELSE concat('0xr_', b.nm) END"
+)
+
+_SP_META = f"""
+SELECT concat('Vendor ', CAST(b.k % 5 AS STRING)) AS vendor_label,
+  concat('Stream ', CAST(b.k AS STRING)) AS stream_label,
+  CAST(100 + b.k AS BIGINT) AS proposal_id,
+  '0xstreamer' AS stream_contract,
+  {_SP_TOKEN} AS token,
+  CAST(b.k AS BIGINT) AS stream_id,
+  CASE b.k % 4 WHEN 0 THEN 'AAVE' WHEN 1 THEN 'aDAI' WHEN 2 THEN 'aUSDC' ELSE 'aUSDT' END AS symbol,
+  CASE WHEN b.k % 2 = 0 THEN '12mo' ELSE '6mo' END AS term,
+  CAST(b.k AS DOUBLE) * 0.5 AS upfront_native,
+  CAST(10 AS DOUBLE) + CAST(b.k AS DOUBLE) AS bonus_usd
+FROM ({_AF_BASE}) b
+"""
+
+# k%3=2 streams have no on-chain state → the epoch-timestamp coalesce fires
+_SP_STATE = f"""
+SELECT '0xstreamer' AS contract_address, {_SP_TOKEN} AS token_address,
+  CAST(b.k AS BIGINT) AS stream_id,
+  TIMESTAMP '2023-04-01' AS deposit_day, TIMESTAMP '2023-04-02' AS start_time,
+  TIMESTAMP '2024-04-02' AS stop_time,
+  CAST(1000 + b.k AS DOUBLE) AS deposit, CAST(400 + b.k AS DOUBLE) AS vested,
+  CAST(600 AS DOUBLE) AS unvested, CAST(300 AS DOUBLE) + CAST(b.k AS DOUBLE) * 0.5 AS claims,
+  CAST(100 AS DOUBLE) AS unclaimed
+FROM ({_AF_BASE}) b WHERE b.k % 3 != 2
+"""
+
+# two days so the latest-day scalar subqueries prune; a polygon row tests
+# the chain filter
+_SP_TP = f"""
+SELECT d.block_day, 'ethereum' AS chain, concat('0xr_', b.nm) AS reserve,
+  b.nm AS symbol, CAST(1 AS DOUBLE) + CAST(b.k AS DOUBLE) * 0.25 AS usd_price,
+  'aave_oracle' AS pricing_source
+FROM ({_AF_BASE}) b
+CROSS JOIN (VALUES (TIMESTAMP '2023-05-05'), (TIMESTAMP '2023-05-06')) AS d(block_day)
+UNION ALL
+SELECT TIMESTAMP '2023-05-06', 'polygon', '0xr_poly', 'poly', CAST(9 AS DOUBLE), 'aave_oracle'
+"""
+
+_SP_INPUTS = {
+    "streams_metadata": _SP_META,
+    "streaming_payments_state": _SP_STATE,
+    "token_prices_by_day": _SP_TP,
+    "block_numbers_by_day": _AF_BND,
+    "market_tokens_by_day": _AF_MTB,
+}
+
+
+def _oracle_sp() -> str:
+    ctes = ",\n".join(f"{name} AS ({sql})" for name, sql in _SP_INPUTS.items())
+    return f"""
+WITH {ctes},
+aave_atokens AS ({MODELS["aave_atokens"].sql}),
+streaming_payments_detail AS ({MODELS["streaming_payments_detail"].sql}),
+sp_summary AS ({MODELS["streaming_payments_summary"].sql})
+SELECT * FROM sp_summary
+"""
+
+
+@register(
+    "datamart_streaming_summary_real",
+    oracle=_oracle_sp(),
+    doc=(
+        "REAL datamart SQL under the driver gate (PIVOT family): aave_atokens →"
+        " streaming_payments_detail → streaming_payments_summary, the 5-agg"
+        " PIVOT over symbol executed verbatim on both engines"
+    ),
+)
+def datamart_streaming_summary_real(spark, sf_dir):
+    from aave_etl_spark.plans import run_datamart
+
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    inputs = {name: spark.sql(sql) for name, sql in _SP_INPUTS.items()}
+    subset = {
+        k: MODELS[k]
+        for k in (
+            "aave_atokens",
+            "streaming_payments_detail",
+            "streaming_payments_summary",
+        )
+    }
+    return run_datamart(spark, inputs, models=subset)["streaming_payments_summary"]
+
+
+# ---------------------------------------------------------------------------
+# Seventh chain — the inv_* LEAD family verbatim: inv_lst_performance_base
+# (LST holdings performance: date/market/symbol prefilters, LEAD end-of-day
+# pairing on three measures, receipts decomposition, eth-denominated
+# ratios). Series are built from a fixed VALUES grid so every LEAD
+# partition has exactly one row per day (deterministic pairing).
+# ---------------------------------------------------------------------------
+_LST_DD = "CAST(extract(day FROM d.block_day) AS DOUBLE)"
+_LST_DAYS = (
+    "(VALUES (TIMESTAMP '2023-07-10'), (TIMESTAMP '2023-07-11'),"
+    " (TIMESTAMP '2023-07-12'), (TIMESTAMP '2023-07-13'),"
+    " (TIMESTAMP '2023-07-14')) AS d(block_day)"
+)
+# day-10 rows exist but fall before the >= '2023-07-11' cutoff; the stETH
+# series is dropped by the symbol IN filter; fantom reserves are unpriced
+_LST_SERIES = (
+    "(VALUES ('ethereum_v2', 'wstETH', '0xr_wsteth', 100.0),"
+    " ('ethereum_v2', 'rETH', '0xr_reth', 200.0),"
+    " ('fantom_v3', 'wstETH', '0xr_wsteth_f', 300.0),"
+    " ('fantom_v3', 'rETH', '0xr_reth_f', 400.0),"
+    " ('ethereum_v2', 'stETH', '0xr_steth', 500.0))"
+    " AS s(market, symbol, reserve, base)"
+)
+
+_LST_NAB = f"""
+SELECT d.block_day, s.market, s.reserve AS token, s.symbol,
+  CAST(s.base AS DOUBLE) + {_LST_DD} AS balance
+FROM {_LST_SERIES} CROSS JOIN {_LST_DAYS}
+"""
+
+# liquidity rates: ethereum_v2 wstETH only (rETH hits the coalesce-0 arm);
+# harmony_v3 rows are excluded by the NOT IN market filter
+_LST_PDD = f"""
+SELECT d.block_day, 'ethereum_v2' AS market, 'wstETH' AS symbol,
+  '0xr_wsteth' AS reserve, CAST(0.03125 AS DOUBLE) + {_LST_DD} * 0.0078125 AS liquidity_rate
+FROM {_LST_DAYS}
+UNION ALL
+SELECT d.block_day, 'harmony_v3', 'wstETH', '0xr_wsteth_h', CAST(0.5 AS DOUBLE)
+FROM {_LST_DAYS}
+"""
+
+_LST_ORC = f"""
+SELECT d.block_day, 'ethereum_v3' AS market, '0xr_wsteth' AS reserve,
+  'wstETH' AS symbol, CAST(2000 AS DOUBLE) + {_LST_DD} * 16 AS usd_price
+FROM {_LST_DAYS}
+UNION ALL
+SELECT d.block_day, 'ethereum_v3', '0xr_reth', 'rETH', CAST(1900 AS DOUBLE) + {_LST_DD} * 8
+FROM {_LST_DAYS}
+UNION ALL
+SELECT d.block_day, 'ethereum_v2', '0xweth', 'WETH', CAST(1600 AS DOUBLE) + {_LST_DD} * 4
+FROM {_LST_DAYS}
+"""
+
+_LST_BGL = """
+SELECT * FROM (VALUES
+  ('ethereum_v2', '0xr_wsteth', '0xr_wsteth', 'wstETH', 'Liquid Staking', 'unstablecoin'))
+  AS v(market, atoken, reserve, atoken_symbol, balance_group, stable_class)
+"""
+
+_LST_INPUTS = {
+    "non_atoken_balances_by_day": _LST_NAB,
+    "protocol_data_by_day": _LST_PDD,
+    "aave_oracle_prices_by_day": _LST_ORC,
+    "balance_group_lookup": _LST_BGL,
+}
+
+
+def _oracle_lst() -> str:
+    ctes = ",\n".join(f"{name} AS ({sql})" for name, sql in _LST_INPUTS.items())
+    return f"""
+WITH {ctes},
+inv_lst AS ({MODELS["inv_lst_performance_base"].sql})
+SELECT * FROM inv_lst
+"""
+
+
+@register(
+    "datamart_inv_lst_real",
+    oracle=_oracle_lst(),
+    doc=(
+        "REAL datamart SQL under the driver gate (inv_* LEAD family):"
+        " inv_lst_performance_base executed by plans.run_datamart vs the"
+        " verbatim SQL in DuckDB — LEAD end-of-day pairing on balance/price/"
+        "eth-price, receipts decomposition, coalesce-0 rate fallback"
+    ),
+)
+def datamart_inv_lst_real(spark, sf_dir):
+    from aave_etl_spark.plans import run_datamart
+
+    inputs = {name: spark.sql(sql) for name, sql in _LST_INPUTS.items()}
+    subset = {"inv_lst_performance_base": MODELS["inv_lst_performance_base"]}
+    return run_datamart(spark, inputs, models=subset)["inv_lst_performance_base"]

@@ -326,3 +326,59 @@ def llm_media_features(spark, sf_dir):
 )
 def llm_cosine_near_dup(spark, sf_dir):
     return similarity.cosine_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+_IVF_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "llm_ivf_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 16),
+    assigned AS (
+      SELECT candidate_id, cell_id, cv FROM (
+        SELECT v.vec_id AS candidate_id, v.e AS cv, cent.cell_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_IVF_COS.format(a="v.e", b="cent.ce")} DESC, cent.cell_id) AS rn
+        FROM v CROSS JOIN cent)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cell_id, qv FROM (
+        SELECT v.vec_id AS query_id, v.e AS qv, cent.cell_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_IVF_COS.format(a="v.e", b="cent.ce")} DESC, cent.cell_id) AS rn
+        FROM v CROSS JOIN cent WHERE v.vec_id < 8)
+      WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.candidate_id,
+             {_IVF_COS.format(a="p.qv", b="a.cv")} AS cos_sim
+      FROM probes p JOIN assigned a USING (cell_id)
+      WHERE a.candidate_id <> p.query_id
+    )
+    SELECT query_id, candidate_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, candidate_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, candidate_id) <= 3
+    """,
+    doc=(
+        "LLM similarity: IVF-flat approximate top-k — deterministic coarse"
+        " quantizer (first-16 centroids; k-means slots into the same plan),"
+        " broadcast centroid assignment (no shuffle over the corpus),"
+        " 4-probe cell join, per-query top-3. The hash-gated scale path"
+        " complementing the exact llm_cosine_topk baseline"
+    ),
+)
+def llm_ivf_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=4)
