@@ -431,7 +431,7 @@ select
 from totals t
   left join stables s on (t.block_day = s.block_day and t.display_chain = s.display_chain)
   left join ex_aave a on (t.block_day = a.block_day and t.display_chain = a.display_chain)
-order by block_day, display_chain
+order by t.block_day, t.display_chain
 """
 )
 
@@ -461,7 +461,7 @@ select
 from totals t
   left join stables s on (t.block_day = s.block_day and t.display_chain = s.display_chain and t.display_market = s.display_market)
   left join ex_aave a on (t.block_day = a.block_day and t.display_chain = a.display_chain and t.display_market = a.display_market)
-order by block_day, display_chain, display_market
+order by t.block_day, t.display_chain, t.display_market
 """
 )
 

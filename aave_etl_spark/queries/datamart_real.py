@@ -218,7 +218,8 @@ SELECT
   concat('a', n.n_name) AS symbol,
   concat('0xr_', lower(n.n_name)) AS underlying_reserve,
   CASE WHEN n.n_nationkey % 5 = 0 THEN 'AAVE' ELSE n.n_name END AS underlying_reserve_symbol,
-  m.measure, 'balance' AS measure_type,
+  m.measure,
+  CASE WHEN m.measure LIKE 'protocol_fees%' THEN 'income' ELSE 'balance' END AS measure_type,
   CASE WHEN n.n_nationkey % 4 = 0 THEN 'USDC' ELSE 'Other Token' END AS balance_group,
   CASE WHEN n.n_nationkey % 4 = 0 THEN 'stablecoin' ELSE 'unstablecoin' END AS stable_class,
   CAST(100 + n.n_nationkey AS DOUBLE) * (CASE WHEN m.currency = 'usd' THEN 2.0 ELSE 1.0 END) AS value,
@@ -226,7 +227,8 @@ SELECT
 FROM nation n
 CROSS JOIN {_DAYS3}
 CROSS JOIN (VALUES ('end_balance_usd', 'usd'), ('end_accrued_fees_usd', 'usd'),
-                   ('end_balance', 'native'), ('end_accrued_fees', 'native'))
+                   ('end_balance', 'native'), ('end_accrued_fees', 'native'),
+                   ('protocol_fees_received_usd', 'usd'), ('protocol_fees_received', 'native'))
   AS m(measure, currency)
 """
 
@@ -434,13 +436,13 @@ def _af_txc() -> str:
                 "balance"
                 if ("balance" in measure or "accrued_fees" in measure
                     or "claimable" in measure)
-                else "revenue"
+                else "income"
                 if ("fees" in measure or "interest" in measure or "price_change" in measure)
                 else "expense"
             )
             rows.append(f"('{measure}', '{mtype}', '{currency}')")
     # price_change has no native twin in the unpivot list
-    rows = [r for r in rows if r != "('price_change', 'revenue', 'native')"]
+    rows = [r for r in rows if r != "('price_change', 'income', 'native')"]
     return (
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
@@ -592,8 +594,10 @@ WITH {ctes},
 aave_atokens AS ({MODELS["aave_atokens"].sql}),
 all_financials AS ({MODELS["all_financials"].sql}),
 chains_markets AS ({MODELS["chains_markets"].sql}),
-all_treasury_balances AS ({MODELS["all_treasury_balances"].sql})
-{MODELS[final].sql}
+all_treasury_balances AS ({MODELS["all_treasury_balances"].sql}),
+treasury_totals AS ({MODELS["treasury_totals"].sql}),
+fin AS ({MODELS[final].sql})
+SELECT * FROM fin
 """
 
 
@@ -819,3 +823,100 @@ def datamart_inv_lst_real(spark, sf_dir):
     inputs = {name: spark.sql(sql) for name, sql in _LST_INPUTS.items()}
     subset = {"inv_lst_performance_base": MODELS["inv_lst_performance_base"]}
     return run_datamart(spark, inputs, models=subset)["inv_lst_performance_base"]
+
+# ---------------------------------------------------------------------------
+# Rollup heads over the chain-3 derived all_financials: the remaining
+# treasury_value_by_* / stablecoin_totals / treasury_totals_latest /
+# all_revenue models, still VERBATIM SQL on both engines but fed by the
+# cheap derived input — the deep 6-model execution is certified once by
+# the e2e pair above, so these heads don't re-pay the flagship chain.
+# ---------------------------------------------------------------------------
+_TT_HEADS = {
+    "datamart_treasury_latest_real": (
+        "treasury_totals_latest",
+        "scalar-subquery latest-day filter over real treasury_totals",
+    ),
+    "datamart_treasury_by_chain_real": (
+        "treasury_value_by_chain",
+        "3-CTE stables/totals/ex-aave join rollup by display_chain",
+    ),
+    "datamart_treasury_by_market_real": (
+        "treasury_value_by_market",
+        "per-market rollup with display-day shift",
+    ),
+    "datamart_treasury_ex_reserve_real": (
+        "treasury_value_by_chain_ex_reserve",
+        "chain rollup excluding the ecosystem-reserve collector",
+    ),
+    "datamart_treasury_by_bg_real": (
+        "treasury_value_by_balance_group",
+        "balance-group rollup (usd+native sums)",
+    ),
+    "datamart_stablecoin_totals_real": (
+        "stablecoin_totals",
+        "stable-class filtered per-group totals",
+    ),
+    "datamart_all_revenue_real": (
+        "all_revenue",
+        "measure_type='income' 10-key revenue rollup over all_financials",
+    ),
+}
+
+
+def _oracle_tt_head(final: str) -> str:
+    return f"""
+WITH all_financials AS ({_DERIVE_AF}),
+display_names AS ({_DERIVE_NAMES3}),
+paraswap_legacy_claimable_fees AS ({_DERIVE_LEGACY}),
+balance_group_lookup AS ({_DERIVE_BGL}),
+token_prices_by_day AS ({_DERIVE_TP3}),
+chains_markets AS ({MODELS["chains_markets"].sql}),
+all_treasury_balances AS ({MODELS["all_treasury_balances"].sql}),
+treasury_totals AS ({MODELS["treasury_totals"].sql}),
+fin AS ({MODELS[final].sql})
+SELECT * FROM fin
+"""
+
+
+def _run_tt_head(spark, sf_dir, final: str):
+    from dataclasses import replace as dc_replace
+
+    from aave_etl_spark.plans import run_datamart
+
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    spark.sql(_DERIVE_AF).createOrReplaceTempView("all_financials")
+    if final == "all_revenue":
+        subset = {"all_revenue": dc_replace(MODELS["all_revenue"], refs=())}
+        return run_datamart(spark, {}, models=subset)["all_revenue"]
+    inputs = {
+        "display_names": spark.sql(_DERIVE_NAMES3),
+        "paraswap_legacy_claimable_fees": spark.sql(_DERIVE_LEGACY),
+        "balance_group_lookup": spark.sql(_DERIVE_BGL),
+        "token_prices_by_day": spark.sql(_DERIVE_TP3),
+    }
+    subset = {
+        "chains_markets": MODELS["chains_markets"],
+        "all_treasury_balances": dc_replace(
+            MODELS["all_treasury_balances"], refs=("chains_markets",)
+        ),
+    }
+    if final == "treasury_totals_latest":
+        subset["treasury_totals"] = MODELS["treasury_totals"]
+        subset["treasury_totals_latest"] = MODELS["treasury_totals_latest"]
+    else:
+        subset[final] = MODELS[final]
+    return run_datamart(spark, inputs, models=subset)[final]
+
+
+def _make_tt_head(qname: str, final: str, blurb: str) -> None:
+    @register(
+        qname,
+        oracle=_oracle_tt_head(final),
+        doc=f"REAL datamart SQL under the driver gate (rollup head): {final} — {blurb}",
+    )
+    def _q(spark, sf_dir, _final=final):
+        return _run_tt_head(spark, sf_dir, _final)
+
+
+for _qname, (_final, _blurb) in _TT_HEADS.items():
+    _make_tt_head(_qname, _final, _blurb)
