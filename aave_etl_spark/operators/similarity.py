@@ -274,3 +274,70 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "candidate_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via block-matrix products.
+
+    Same output as `cosine_pairs`, different dataflow: vectors are hashed
+    into `n_blocks` blocks; each row is shipped once per partner block
+    (N x n_blocks rows) instead of once per partner row (N² rows), and
+    each block pair computes one numpy matrix product inside
+    `applyInPandas`. Arrow traffic drops from O(N²·d) to O(N·n_blocks·d)
+    — the standard scalable layout for exact all-pairs similarity (block
+    size is tuned so a block pair fits executor memory; shuffle is one
+    exchange keyed by block pair)."""
+    unit = normalized(df, id_col, vec_col)
+    blk = unit.withColumn("_blk", F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)))
+
+    # tag each row with every block pair (bi <= bj) it participates in
+    partner = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_other")
+    tagged = (
+        blk.select(id_col, vec_col, "_blk", partner)
+        .withColumn("_bi", F.least("_blk", "_other"))
+        .withColumn("_bj", F.greatest("_blk", "_other"))
+        .drop("_other")
+    )
+
+    out_schema = f"id_a long, id_b long, cos_sim double"
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi = int(pdf["_bi"].iloc[0])
+        bj = int(pdf["_bj"].iloc[0])
+        left = pdf[pdf["_blk"] == bi]
+        if bi == bj:
+            # self pair: rows appear once each (dedup the double tagging)
+            left = left.drop_duplicates(subset=[id_col])
+            ids = left[id_col].to_numpy()
+            M = np.stack(left[vec_col].to_numpy())
+            S = M @ M.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            id_a, id_b = ids[ia], ids[ib]
+            sims = S[ia, ib]
+        else:
+            right = pdf[pdf["_blk"] == bj]
+            if left.empty or right.empty:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+            ids_l = left[id_col].to_numpy()
+            ids_r = right[id_col].to_numpy()
+            S = np.stack(left[vec_col].to_numpy()) @ np.stack(right[vec_col].to_numpy()).T
+            ia, ib = np.meshgrid(np.arange(len(ids_l)), np.arange(len(ids_r)), indexing="ij")
+            id_a, id_b = ids_l[ia.ravel()], ids_r[ib.ravel()]
+            sims = S.ravel()
+            # canonicalize id_a < id_b
+            flip = id_a > id_b
+            id_a[flip], id_b[flip] = id_b[flip], id_a[flip].copy()
+        sims = np.round(sims, round_digits)
+        keep = sims >= threshold
+        return pd.DataFrame(
+            {"id_a": id_a[keep], "id_b": id_b[keep], "cos_sim": sims[keep]}
+        )
+
+    return tagged.groupBy("_bi", "_bj").applyInPandas(_block, out_schema)

@@ -601,13 +601,23 @@ SELECT * FROM fin
 """
 
 
+# the two e2e heads share one chain execution per (session, sf_dir): the
+# result DataFrames are bound to resolved plans at analysis time, so later
+# temp-view replacement by other queries cannot affect them
+_E2E_CACHE: dict = {}
+
+
 def _run_e2e(spark, sf_dir, final: str):
     from aave_etl_spark.plans import run_datamart
 
-    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    inputs = {name: spark.sql(sql) for name, sql in _AF2_INPUTS.items()}
-    subset = {k: MODELS[k] for k in _AF2_MODELS}
-    return run_datamart(spark, inputs, models=subset)[final]
+    key = (id(spark._jsparkSession), sf_dir)
+    out = _E2E_CACHE.get(key)
+    if out is None:
+        t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+        inputs = {name: spark.sql(sql) for name, sql in _AF2_INPUTS.items()}
+        subset = {k: MODELS[k] for k in _AF2_MODELS}
+        out = _E2E_CACHE[key] = run_datamart(spark, inputs, models=subset)
+    return out[final]
 
 
 @register(

@@ -319,13 +319,13 @@ def llm_media_features(spark, sf_dir):
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
     """,
     doc=(
-        "LLM dedup: embedding-cosine near-duplicate pairs (exact threshold join;"
-        " the SRP-bucketed variant llm_srp_bucket_pairs is the 100 TB scale path"
-        " — this is its verification-grade exact twin)"
+        "LLM dedup: embedding-cosine near-duplicate pairs, exact, via block-matrix"
+        " products (each row ships once per partner block, not once per pair;"
+        " the SRP-bucketed llm_srp_bucket_pairs remains the sub-quadratic path)"
     ),
 )
 def llm_cosine_near_dup(spark, sf_dir):
-    return similarity.cosine_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return similarity.blocked_cosine_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
 _IVF_COS = (

@@ -70,3 +70,17 @@ def test_flagship_broadcasts_dims_and_single_shuffle_agg(spark):
     assert "BroadcastHashJoin" in p
     # partial aggregation before the shuffle (map-side combine)
     assert "partial_sum" in p or "HashAggregate" in p
+
+
+def test_ivf_topk_broadcasts_centroids(spark):
+    """IVF-flat ANN: the coarse quantizer must broadcast (both to assign
+    the corpus and to pick probe cells) — the corpus scan itself must not
+    shuffle for assignment; the only exchange is the cell-id join +
+    per-query window."""
+    p = plan(spark, "llm_ivf_topk")
+    # corpus x centroids and queries x centroids are broadcast cross joins
+    assert p.count("BroadcastNestedLoopJoin") >= 2
+    # the cell-id join broadcasts the (tiny) probe side
+    assert "BroadcastHashJoin" in p
+    # no cartesian product ever materializes corpus x corpus
+    assert "CartesianProduct" not in p

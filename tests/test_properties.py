@@ -95,3 +95,16 @@ def test_cosine_self_similarity(spark, vec):
     out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=1).collect()
     assert len(out) == 1
     assert abs(out[0].cos_sim - 1.0) < 1e-6
+
+
+def test_blocked_equals_pairwise_cosine(spark):
+    """blocked_cosine_pairs (block-matrix applyInPandas) must produce the
+    exact same pair set and rounded sims as the pairwise-UDF cosine_pairs."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.cosine_pairs(emb, threshold=0.35).collect()
+    b = similarity.blocked_cosine_pairs(emb, threshold=0.35, n_blocks=5).collect()
+    key = lambda r: (r.id_a, r.id_b)
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    sa = {key(r): r.cos_sim for r in a}
+    sb = {key(r): r.cos_sim for r in b}
+    assert all(abs(sa[k] - sb[k]) < 1e-9 for k in sa)
