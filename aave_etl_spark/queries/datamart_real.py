@@ -930,3 +930,59 @@ def _make_tt_head(qname: str, final: str, blurb: str) -> None:
 
 for _qname, (_final, _blurb) in _TT_HEADS.items():
     _make_tt_head(_qname, _final, _blurb)
+
+
+# ---------------------------------------------------------------------------
+# Safety-module rollup heads over the chain-1 inputs: the seven remaining
+# sm_* models that hang off safety_module_totals_by_day, each a cheap
+# 2-model sub-DAG with the verbatim model SQL on both engines.
+# ---------------------------------------------------------------------------
+_SM_HEADS = {
+    "datamart_sm_staked_tokens_real": "sm_staked_tokens_by_day",
+    "datamart_sm_staked_value_real": "sm_staked_value_by_day",
+    "datamart_sm_token_emissions_real": "sm_token_emissions_by_day",
+    "datamart_sm_staking_apr_real": "sm_staking_apr_by_day",
+    "datamart_sm_emissions_usd_real": "sm_emissions_usd_by_day",
+    "datamart_sm_protocol_cover_real": "sm_protocol_cover_by_day",
+    "datamart_sm_cost_of_cover_day_real": "sm_cost_of_cover_by_day",
+}
+
+
+def _oracle_sm_head(final: str) -> str:
+    return f"""
+WITH safety_module_rpc AS ({_DERIVE_SM_RPC}),
+token_prices_by_day AS ({_DERIVE_PRICES}),
+coingecko_data_by_day AS ({_DERIVE_CG}),
+safety_module_totals_by_day AS ({MODELS["safety_module_totals_by_day"].sql}),
+fin AS ({MODELS[final].sql})
+SELECT * FROM fin
+"""
+
+
+def _make_sm_head(qname: str, final: str) -> None:
+    @register(
+        qname,
+        oracle=_oracle_sm_head(final),
+        doc=(
+            f"REAL datamart SQL under the driver gate (safety-module head):"
+            f" safety_module_totals_by_day → {final}, verbatim on both engines"
+        ),
+    )
+    def _q(spark, sf_dir, _final=final):
+        from aave_etl_spark.plans import run_datamart
+
+        t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+        inputs = {
+            "safety_module_rpc": spark.sql(_DERIVE_SM_RPC),
+            "token_prices_by_day": spark.sql(_DERIVE_PRICES),
+            "coingecko_data_by_day": spark.sql(_DERIVE_CG),
+        }
+        subset = {
+            "safety_module_totals_by_day": MODELS["safety_module_totals_by_day"],
+            _final: MODELS[_final],
+        }
+        return run_datamart(spark, inputs, models=subset)[_final]
+
+
+for _qname, _final in _SM_HEADS.items():
+    _make_sm_head(_qname, _final)
