@@ -986,3 +986,103 @@ def _make_sm_head(qname: str, final: str) -> None:
 
 for _qname, _final in _SM_HEADS.items():
     _make_sm_head(_qname, _final)
+
+
+# ---------------------------------------------------------------------------
+# Market-state time chain verbatim: market_state_by_hour (pow-APY
+# compounding) + market_state_by_day UNION → DISTINCT dedup (the midnight
+# hour row collapses against the day row — exercised on both engines) →
+# chains_markets/aave_atokens/prices dim join with a date_trunc-derived
+# key. Five models verbatim over the chain-2 supplier derivations.
+# ---------------------------------------------------------------------------
+_MST_HOURS = (
+    "(VALUES (TIMESTAMP '2024-02-01 00:00:00'), (TIMESTAMP '2024-02-01 01:00:00'))"
+    " AS h(block_hour)"
+)
+
+# midnight rows carry exactly the day-table state → true duplicates for the
+# DISTINCT; the 01:00 rows shift supply so they survive
+_MST_PDH = f"""
+SELECT
+  h.block_hour, CAST(1 AS BIGINT) AS block_height, 'ethereum_v2' AS market,
+  concat('0xr_', CAST(s.s_suppkey AS STRING)) AS reserve,
+  concat('a', s.s_name) AS symbol,
+  CAST(0 AS DOUBLE) AS unbacked_atokens, CAST(0 AS DOUBLE) AS scaled_accrued_to_treasury,
+  1000 + CAST(s.s_suppkey AS DOUBLE)
+    + (CASE WHEN extract(hour FROM h.block_hour) = 1 THEN 7.0 ELSE 0.0 END) AS atoken_supply,
+  CAST(s.s_suppkey % 11 AS DOUBLE) * 10 AS stable_debt,
+  CAST(s.s_suppkey % 13 AS DOUBLE) * 20 AS variable_debt,
+  CAST(s.s_suppkey % 5 AS DOUBLE) / 100 AS liquidity_rate,
+  CAST(s.s_suppkey % 7 AS DOUBLE) / 100 AS variable_borrow_rate,
+  CAST(s.s_suppkey % 9 AS DOUBLE) / 100 AS stable_borrow_rate,
+  CAST(0 AS DOUBLE) AS average_stable_rate,
+  CAST(1.01 AS DOUBLE) AS liquidity_index, CAST(1.02 AS DOUBLE) AS variable_borrow_index,
+  1000 + CAST(s.s_suppkey AS DOUBLE) AS available_liquidity
+FROM supplier s CROSS JOIN {_MST_HOURS}
+"""
+
+_MST_BND = "SELECT 'ethereum_v2' AS market, 'ethereum' AS chain"
+
+_MST_MTB = """
+SELECT concat('0xa_', CAST(s.s_suppkey AS STRING)) AS atoken,
+  concat('a', s.s_name) AS atoken_symbol, CAST(18 AS BIGINT) AS atoken_decimals,
+  concat('0xr_', CAST(s.s_suppkey AS STRING)) AS reserve, s.s_name AS symbol,
+  CAST(18 AS BIGINT) AS decimals, concat('tok_', s.s_name) AS name,
+  'ethereum_v2' AS market, '0xpool' AS pool, TIMESTAMP '2024-02-01' AS block_day
+FROM supplier s
+"""
+
+_MST_ORC = f"""
+SELECT d.block_day, concat('0xr_', CAST(s.s_suppkey AS STRING)) AS reserve,
+  'ethereum_v2' AS market, 1 + CAST(s.s_suppkey % 50 AS DOUBLE) AS usd_price
+FROM supplier s CROSS JOIN {_DAYS2}
+"""
+
+_MST_INPUTS = {
+    "protocol_data_by_hour": _MST_PDH,
+    "warehouse_market_state_by_day": _DERIVE_STATE,
+    "display_names": _DERIVE_NAMES,
+    "aave_oracle_prices_by_day": _MST_ORC,
+    "block_numbers_by_day": _MST_BND,
+    "market_tokens_by_day": _MST_MTB,
+}
+
+_MST_MODELS = (
+    "chains_markets",
+    "aave_atokens",
+    "market_state_by_hour",
+    "market_state_by_day",
+    "market_state_by_time",
+)
+
+
+def _oracle_mst() -> str:
+    ctes = ",\n".join(f"{name} AS ({sql})" for name, sql in _MST_INPUTS.items())
+    model_ctes = ",\n".join(
+        f"{name} AS ({MODELS[name].sql})" for name in _MST_MODELS[:-1]
+    )
+    return f"""
+WITH {ctes},
+{model_ctes},
+fin AS ({MODELS["market_state_by_time"].sql})
+SELECT * FROM fin
+"""
+
+
+@register(
+    "datamart_market_state_by_time_real",
+    oracle=_oracle_mst(),
+    doc=(
+        "REAL datamart SQL under the driver gate (state-time chain): five"
+        " models verbatim — pow-APY hourly state + daily state UNION,"
+        " DISTINCT dedup of the midnight overlap, date_trunc join key,"
+        " 3-dim enrichment"
+    ),
+)
+def datamart_market_state_by_time_real(spark, sf_dir):
+    from aave_etl_spark.plans import run_datamart
+
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    inputs = {name: spark.sql(sql) for name, sql in _MST_INPUTS.items()}
+    subset = {k: MODELS[k] for k in _MST_MODELS}
+    return run_datamart(spark, inputs, models=subset)["market_state_by_time"]
