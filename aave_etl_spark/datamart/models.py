@@ -1813,3 +1813,70 @@ for _pname, _params in {
         sources=("non_atoken_measures_by_day", "token_prices_by_day"),
         doc=f"reference: aave_dbt/models/datamart/{_pname}.sql (purchase-price shape)",
     )(_impact_purchase_sql(**_params))
+
+
+# ---------------------------------------------------------------------------
+# Model #61: balancer_bpt_by_day — the named SURVEY §2.5 LAG citation.
+# ---------------------------------------------------------------------------
+model(
+    "balancer_bpt_by_day",
+    sources=("warehouse_balancer_bpt_by_day",),
+    doc=(
+        "reference: aave_dbt/models/datamart/balancer_bpt_by_day.sql:15 — "
+        "LAG(rate) coalesce-to-self daily APR over (chain, pool) series"
+    ),
+)(
+    """
+select
+  block_day
+  , chain
+  , symbol
+  , name
+  , pool
+  , denom as bpt_underlying_asset
+  , underlying_asset_price
+  , rate
+  , actual_supply
+  , bpt_usd_price as bpt_price_usd
+  , pool_tvl_usd
+  , ((rate / coalesce(lag(rate) over (partition by chain, pool order by block_day), rate)) - 1) * 365 as daily_apr
+from warehouse_balancer_bpt_by_day
+order by chain, pool, block_day
+"""
+)
+
+# ---------------------------------------------------------------------------
+# Model #62: grants_dao_token_balances_by_day — join enrichment over the
+# grants-DAO wallet's lake balances (atoken → reserve price fallback).
+# ---------------------------------------------------------------------------
+model(
+    "grants_dao_token_balances_by_day",
+    refs=("aave_atokens",),
+    sources=("erc20_balances_by_day", "token_prices_by_day"),
+    doc=(
+        "reference: aave_dbt/models/datamart/grants_dao_token_balances_by_day.sql — "
+        "wallet-filtered balances left-joined to aave_atokens then priced via "
+        "coalesce(reserve, token_address)"
+    ),
+)(
+    """
+select
+  e.block_day
+  , e.token as token_symbol
+  , p.usd_price as price_usd
+  , e.balance as balance_native
+  , p.usd_price * e.balance as balance_usd
+from erc20_balances_by_day e
+  left join aave_atokens a on (
+    e.chain = a.chain and
+    e.token_address = a.atoken
+  )
+  left join token_prices_by_day p on (
+    e.chain = p.chain and
+    coalesce(a.reserve, e.token_address) = p.reserve and
+    e.block_day = p.block_day
+  )
+where e.wallet_address = '0x89c51828427f70d77875c6747759fb17ba10ceb0'
+order by e.block_day
+"""
+)

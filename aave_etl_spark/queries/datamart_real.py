@@ -1086,3 +1086,132 @@ def datamart_market_state_by_time_real(spark, sf_dir):
     inputs = {name: spark.sql(sql) for name, sql in _MST_INPUTS.items()}
     subset = {k: MODELS[k] for k in _MST_MODELS}
     return run_datamart(spark, inputs, models=subset)["market_state_by_time"]
+
+
+# ---------------------------------------------------------------------------
+# BPT + grants chain verbatim: balancer_bpt_by_day (LAG coalesce-to-self
+# daily APR — the named SURVEY §2.5 citation) and
+# grants_dao_token_balances_by_day (wallet-filtered lake balances with the
+# atoken→reserve coalesce price fallback). Two unrelated single-model
+# heads share one registry slot via a union-aligned projection whose SQL
+# text is IDENTICAL on both engines (row-level compare, not a fingerprint).
+# ---------------------------------------------------------------------------
+_BGQ_DAYS = (
+    "(VALUES (TIMESTAMP '2024-05-01'), (TIMESTAMP '2024-05-02'),"
+    " (TIMESTAMP '2024-05-03')) AS d(block_day)"
+)
+
+# k%5=0 pools hold a constant rate (daily_apr = 0); all pools' first day
+# exercises the coalesce-to-self arm (lag NULL -> apr 0)
+_BGQ_BPT = f"""
+SELECT d.block_day,
+  CASE WHEN n.n_nationkey % 2 = 0 THEN 'ethereum' ELSE 'polygon' END AS chain,
+  concat('B-80AAVE-20WETH-', lower(n.n_name)) AS symbol,
+  concat('Balancer 80/20 ', n.n_name) AS name,
+  concat('0xpool_', lower(n.n_name)) AS pool,
+  'AAVE' AS denom,
+  CAST(80 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) AS underlying_asset_price,
+  CAST(1 AS DOUBLE) + CAST(n.n_nationkey % 7 AS DOUBLE) * 0.03125
+    + CAST(extract(day FROM d.block_day) AS DOUBLE)
+      * CAST(n.n_nationkey % 5 AS DOUBLE) * 0.015625 AS rate,
+  CAST(10000 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 100 AS actual_supply,
+  CAST(15 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 0.25 AS bpt_usd_price,
+  CAST(150000 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 1000 AS pool_tvl_usd
+FROM nation n CROSS JOIN {_BGQ_DAYS}
+"""
+
+_BGQ_WALLET = "0x89c51828427f70d77875c6747759fb17ba10ceb0"
+
+# k%5=4 rows belong to another wallet (filter exercise); even k rows carry
+# an atoken address (reserve remap), odd k a raw address (coalesce
+# fallback); k%3=1 atoken rows have no aave_atokens match -> unpriced
+_BGQ_ERC20 = f"""
+SELECT d.block_day, 'ethereum' AS chain,
+  n.n_name AS token,
+  CASE WHEN n.n_nationkey % 2 = 0 THEN concat('0xatk_', lower(n.n_name))
+       ELSE concat('0xraw_', lower(n.n_name)) END AS token_address,
+  CAST(100 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 3
+    + CAST(extract(day FROM d.block_day) AS DOUBLE) AS balance,
+  CASE WHEN n.n_nationkey % 5 = 4 THEN '0xother' ELSE '{_BGQ_WALLET}' END AS wallet_address
+FROM nation n CROSS JOIN {_BGQ_DAYS}
+"""
+
+_BGQ_ATOKENS = """
+SELECT concat('0xatk_', lower(n.n_name)) AS atoken, concat('a', n.n_name) AS atoken_symbol,
+  CAST(18 AS BIGINT) AS atoken_decimals,
+  concat('0xres_', lower(n.n_name)) AS reserve, n.n_name AS reserve_symbol,
+  CAST(18 AS BIGINT) AS reserve_decimals, concat('tok_', n.n_name) AS reserve_name,
+  'ethereum_v2' AS market, 'ethereum' AS chain, '0xpool' AS lending_pool
+FROM nation n WHERE n.n_nationkey % 3 != 1
+"""
+
+# reserves priced except k%4=3; raw addresses priced for k%4 in (1,2)
+_BGQ_TP = f"""
+SELECT d.block_day, 'ethereum' AS chain, concat('0xres_', lower(n.n_name)) AS reserve,
+  n.n_name AS symbol, CAST(2 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 0.125 AS usd_price,
+  'aave_oracle' AS pricing_source
+FROM nation n CROSS JOIN {_BGQ_DAYS} WHERE n.n_nationkey % 4 != 3
+UNION ALL
+SELECT d.block_day, 'ethereum', concat('0xraw_', lower(n.n_name)), n.n_name,
+  CAST(1 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 0.0625, 'coingecko'
+FROM nation n CROSS JOIN {_BGQ_DAYS} WHERE n.n_nationkey % 4 IN (1, 2)
+"""
+
+# identical projection text runs on both engines over the two model views
+_BGQ_ALIGN = """
+SELECT 'balancer_bpt' AS head, block_day, chain AS s1, symbol AS s2, name AS s3,
+       pool AS s4, bpt_underlying_asset AS s5,
+       underlying_asset_price AS v1, rate AS v2, actual_supply AS v3,
+       bpt_price_usd AS v4, pool_tvl_usd AS v5, daily_apr AS v6
+FROM balancer_bpt_by_day
+UNION ALL
+SELECT 'grants_dao' AS head, block_day, CAST(NULL AS STRING) AS s1, token_symbol AS s2,
+       CAST(NULL AS STRING) AS s3, CAST(NULL AS STRING) AS s4, CAST(NULL AS STRING) AS s5,
+       price_usd AS v1, balance_native AS v2, balance_usd AS v3,
+       CAST(NULL AS DOUBLE) AS v4, CAST(NULL AS DOUBLE) AS v5, CAST(NULL AS DOUBLE) AS v6
+FROM grants_dao_token_balances_by_day
+"""
+
+
+def _oracle_bpt_grants() -> str:
+    return f"""
+WITH warehouse_balancer_bpt_by_day AS ({_BGQ_BPT}),
+erc20_balances_by_day AS ({_BGQ_ERC20}),
+aave_atokens AS ({_BGQ_ATOKENS}),
+token_prices_by_day AS ({_BGQ_TP}),
+balancer_bpt_by_day AS ({MODELS["balancer_bpt_by_day"].sql}),
+grants_dao_token_balances_by_day AS ({MODELS["grants_dao_token_balances_by_day"].sql})
+{_BGQ_ALIGN}
+"""
+
+
+@register(
+    "datamart_bpt_grants_real",
+    oracle=_oracle_bpt_grants(),
+    doc=(
+        "REAL datamart SQL under the driver gate (models #61/#62):"
+        " balancer_bpt_by_day LAG(rate) coalesce-to-self daily APR and"
+        " grants_dao_token_balances_by_day wallet-filtered price enrichment,"
+        " verbatim model SQL on both engines via a union-aligned head"
+    ),
+)
+def datamart_bpt_grants_real(spark, sf_dir):
+    from dataclasses import replace as dc_replace
+
+    from aave_etl_spark.plans import run_datamart
+
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    inputs = {
+        "warehouse_balancer_bpt_by_day": spark.sql(_BGQ_BPT),
+        "erc20_balances_by_day": spark.sql(_BGQ_ERC20),
+        "token_prices_by_day": spark.sql(_BGQ_TP),
+        "aave_atokens": spark.sql(_BGQ_ATOKENS),
+    }
+    subset = {
+        "balancer_bpt_by_day": MODELS["balancer_bpt_by_day"],
+        "grants_dao_token_balances_by_day": dc_replace(
+            MODELS["grants_dao_token_balances_by_day"], refs=()
+        ),
+    }
+    run_datamart(spark, inputs, models=subset)
+    return spark.sql(_BGQ_ALIGN)
