@@ -17,8 +17,59 @@ arithmetic (no cross-row float sums), so the compare is exact.
 
 from __future__ import annotations
 
+import re
+
 from aave_etl_spark.datamart.models import MODELS
 from aave_etl_spark.queries.registry import register, t
+
+
+def _head_select(
+    head: str,
+    table: str,
+    t0: str = "block_day",
+    s: tuple[str, ...] = (),
+    v: tuple[str, ...] = (),
+    ns: int = 0,
+    nv: int = 0,
+) -> str:
+    """One branch of a union-aligned multi-head projection.
+
+    Several verbatim model outputs share a registry slot by projecting onto
+    a common (head, t0, s1..sN, v1..vM) superset schema — pure renames and
+    typed-NULL pads, so the driver compare stays ROW-LEVEL exact per model.
+    The same text runs on Spark (over run_datamart temp views) and DuckDB
+    (over model CTEs)."""
+    cols = [f"'{head}' AS head", f"{t0} AS t0"]
+    for i in range(ns):
+        cols.append(f"{s[i] if i < len(s) else 'CAST(NULL AS STRING)'} AS s{i + 1}")
+    for i in range(nv):
+        cols.append(f"{v[i] if i < len(v) else 'CAST(NULL AS DOUBLE)'} AS v{i + 1}")
+    return "SELECT " + ", ".join(cols) + f" FROM {table}"
+
+
+def _duck_dialect(sql: str) -> str:
+    """Mechanical Spark→DuckDB rewrites for the two constructs the engines
+    place differently (everything else runs verbatim, SURVEY §4):
+
+    - ``last_value(x) ignore nulls over``  → ``last_value(x ignore nulls) over``
+      (Spark puts IGNORE NULLS outside the call parens, DuckDB inside;
+      mutually exclusive syntaxes)
+    - ``add_months(d, -n)``               → ``(d - INTERVAL n MONTH)``
+      (no plain-SQL add_months in DuckDB)
+    """
+    out = re.sub(
+        r"last_value\(((?:[^()]|\([^()]*\))*)\)\s+ignore\s+nulls\s+over",
+        r"last_value(\1 ignore nulls) over",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(
+        r"add_months\(\s*(DATE\s+'[^']+')\s*,\s*-(\d+)\s*\)",
+        r"(\1 - INTERVAL \2 MONTH)",
+        out,
+        flags=re.IGNORECASE,
+    )
+    return out
 
 _DAYS = "(VALUES (TIMESTAMP '2024-01-01'), (TIMESTAMP '2024-01-02'), (TIMESTAMP '2024-01-03')) AS d(block_day)"
 
@@ -257,51 +308,8 @@ FROM {_DAYS3}
 """
 
 
-def _oracle_tt() -> str:
-    return f"""
-WITH all_financials AS ({_DERIVE_AF}),
-display_names AS ({_DERIVE_NAMES3}),
-paraswap_legacy_claimable_fees AS ({_DERIVE_LEGACY}),
-balance_group_lookup AS ({_DERIVE_BGL}),
-token_prices_by_day AS ({_DERIVE_TP3}),
-chains_markets AS ({MODELS["chains_markets"].sql}),
-all_treasury_balances AS ({MODELS["all_treasury_balances"].sql})
-{MODELS["treasury_totals"].sql}
-"""
-
-
-@register(
-    "datamart_treasury_totals_real",
-    oracle=_oracle_tt(),
-    doc=(
-        "REAL datamart SQL under the driver gate (3rd chain): all_treasury_balances"
-        " (usd/native self-join + legacy-fee stack) → treasury_totals 3-way rollup,"
-        " verbatim model SQL on both engines"
-    ),
-)
-def datamart_treasury_totals_real(spark, sf_dir):
-    from dataclasses import replace as dc_replace
-
-    from aave_etl_spark.plans import run_datamart
-
-    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    spark.sql(_DERIVE_AF).createOrReplaceTempView("all_financials")
-    inputs = {
-        "display_names": spark.sql(_DERIVE_NAMES3),
-        "paraswap_legacy_claimable_fees": spark.sql(_DERIVE_LEGACY),
-        "balance_group_lookup": spark.sql(_DERIVE_BGL),
-        "token_prices_by_day": spark.sql(_DERIVE_TP3),
-    }
-    # all_financials is pre-registered as a view, so strip it from the
-    # ref list (the runner would otherwise demand it as a model)
-    subset = {
-        "chains_markets": MODELS["chains_markets"],
-        "all_treasury_balances": dc_replace(
-            MODELS["all_treasury_balances"], refs=("chains_markets",)
-        ),
-        "treasury_totals": MODELS["treasury_totals"],
-    }
-    return run_datamart(spark, inputs, models=subset)["treasury_totals"]
+# (treasury_totals itself is certified as the first head of the
+# consolidated datamart_treasury_rollups_real query further below.)
 
 
 # ---------------------------------------------------------------------------
@@ -587,7 +595,23 @@ _AF2_MODELS = (
 )
 
 
-def _oracle_e2e(final: str) -> str:
+# both e2e heads (the treasury_totals 3-way rollup and the 8-key
+# treasury_value_by_asset rollup) ride the one six-model chain execution,
+# union-aligned into a single registry slot — row-level exact per head
+_E2E_ALIGN = "\nUNION ALL\n".join(
+    [
+        _head_select("treasury_totals", "treasury_totals",
+                     s=("measure",), v=("value_usd",), ns=7, nv=2),
+        _head_select("treasury_value_by_asset", "treasury_value_by_asset",
+                     s=("display_chain", "display_market", "collector_label",
+                        "token_held_address", "token_held_symbol",
+                        "underlying_reserve", "underlying_reserve_symbol"),
+                     v=("value_usd", "value_native"), ns=7, nv=2),
+    ]
+)
+
+
+def _oracle_e2e() -> str:
     ctes = ",\n".join(f"{name} AS ({sql})" for name, sql in _AF2_INPUTS.items())
     return f"""
 WITH {ctes},
@@ -596,55 +620,30 @@ all_financials AS ({MODELS["all_financials"].sql}),
 chains_markets AS ({MODELS["chains_markets"].sql}),
 all_treasury_balances AS ({MODELS["all_treasury_balances"].sql}),
 treasury_totals AS ({MODELS["treasury_totals"].sql}),
-fin AS ({MODELS[final].sql})
-SELECT * FROM fin
+treasury_value_by_asset AS ({MODELS["treasury_value_by_asset"].sql})
+{_E2E_ALIGN}
 """
-
-
-# the two e2e heads share one chain execution per (session, sf_dir): the
-# result DataFrames are bound to resolved plans at analysis time, so later
-# temp-view replacement by other queries cannot affect them
-_E2E_CACHE: dict = {}
-
-
-def _run_e2e(spark, sf_dir, final: str):
-    from aave_etl_spark.plans import run_datamart
-
-    key = (id(spark._jsparkSession), sf_dir)
-    out = _E2E_CACHE.get(key)
-    if out is None:
-        t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-        inputs = {name: spark.sql(sql) for name, sql in _AF2_INPUTS.items()}
-        subset = {k: MODELS[k] for k in _AF2_MODELS}
-        out = _E2E_CACHE[key] = run_datamart(spark, inputs, models=subset)
-    return out[final]
 
 
 @register(
     "datamart_treasury_e2e_real",
-    oracle=_oracle_e2e("treasury_totals"),
+    oracle=_oracle_e2e(),
     doc=(
         "END-TO-END verbatim chain: real all_financials output feeds"
-        " all_treasury_balances (self-join + legacy-fee stack) and the"
-        " treasury_totals 3-way rollup — six models of verbatim SQL on both"
-        " engines under one hash compare"
+        " all_treasury_balances (self-join + legacy-fee stack), the"
+        " treasury_totals 3-way rollup AND the 8-key treasury_value_by_asset"
+        " rollup — six models of verbatim SQL on both engines under one"
+        " hash compare (two aligned heads)"
     ),
 )
 def datamart_treasury_e2e_real(spark, sf_dir):
-    return _run_e2e(spark, sf_dir, "treasury_totals")
+    from aave_etl_spark.plans import run_datamart
 
-
-@register(
-    "datamart_treasury_by_asset_e2e_real",
-    oracle=_oracle_e2e("treasury_value_by_asset"),
-    doc=(
-        "END-TO-END verbatim chain, second head: treasury_value_by_asset"
-        " (8-key grouped rollup with display-day shift) over the real"
-        " all_treasury_balances"
-    ),
-)
-def datamart_treasury_by_asset_e2e_real(spark, sf_dir):
-    return _run_e2e(spark, sf_dir, "treasury_value_by_asset")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    inputs = {name: spark.sql(sql) for name, sql in _AF2_INPUTS.items()}
+    subset = {k: MODELS[k] for k in _AF2_MODELS}
+    run_datamart(spark, inputs, models=subset)
+    return spark.sql(_E2E_ALIGN)
 
 
 # ---------------------------------------------------------------------------
@@ -835,45 +834,58 @@ def datamart_inv_lst_real(spark, sf_dir):
     return run_datamart(spark, inputs, models=subset)["inv_lst_performance_base"]
 
 # ---------------------------------------------------------------------------
-# Rollup heads over the chain-3 derived all_financials: the remaining
-# treasury_value_by_* / stablecoin_totals / treasury_totals_latest /
-# all_revenue models, still VERBATIM SQL on both engines but fed by the
-# cheap derived input — the deep 6-model execution is certified once by
-# the e2e pair above, so these heads don't re-pay the flagship chain.
+# Consolidated treasury rollup family: treasury_totals + the seven rollup
+# heads that hang off all_treasury_balances / all_financials, every model's
+# SQL VERBATIM on both engines, sharing ONE registry slot via the
+# union-aligned projection (_head_select — pure renames + typed-NULL pads,
+# so the driver compare stays row-level exact per model).
 # ---------------------------------------------------------------------------
-_TT_HEADS = {
-    "datamart_treasury_latest_real": (
-        "treasury_totals_latest",
-        "scalar-subquery latest-day filter over real treasury_totals",
-    ),
-    "datamart_treasury_by_chain_real": (
-        "treasury_value_by_chain",
-        "3-CTE stables/totals/ex-aave join rollup by display_chain",
-    ),
-    "datamart_treasury_by_market_real": (
-        "treasury_value_by_market",
-        "per-market rollup with display-day shift",
-    ),
-    "datamart_treasury_ex_reserve_real": (
-        "treasury_value_by_chain_ex_reserve",
-        "chain rollup excluding the ecosystem-reserve collector",
-    ),
-    "datamart_treasury_by_bg_real": (
-        "treasury_value_by_balance_group",
-        "balance-group rollup (usd+native sums)",
-    ),
-    "datamart_stablecoin_totals_real": (
-        "stablecoin_totals",
-        "stable-class filtered per-group totals",
-    ),
-    "datamart_all_revenue_real": (
-        "all_revenue",
-        "measure_type='income' 10-key revenue rollup over all_financials",
-    ),
-}
+_TTR_MODELS = (
+    "treasury_totals",
+    "treasury_totals_latest",
+    "treasury_value_by_chain",
+    "treasury_value_by_market",
+    "treasury_value_by_chain_ex_reserve",
+    "treasury_value_by_balance_group",
+    "stablecoin_totals",
+    "all_revenue",
+)
+
+_TTR_ALIGN = "\nUNION ALL\n".join(
+    [
+        _head_select("treasury_totals", "treasury_totals",
+                     s=("measure",), v=("value_usd",), ns=9, nv=3),
+        _head_select("treasury_totals_latest", "treasury_totals_latest",
+                     s=("measure",), v=("value_usd",), ns=9, nv=3),
+        _head_select("treasury_value_by_chain", "treasury_value_by_chain",
+                     s=("display_chain",),
+                     v=("value_usd", "stablecoin_value_usd", "ex_aave_value_usd"),
+                     ns=9, nv=3),
+        _head_select("treasury_value_by_market", "treasury_value_by_market",
+                     s=("display_chain", "display_market"),
+                     v=("value_usd", "stablecoin_value_usd", "ex_aave_value_usd"),
+                     ns=9, nv=3),
+        _head_select("treasury_value_by_chain_ex_reserve",
+                     "treasury_value_by_chain_ex_reserve",
+                     s=("display_chain",), v=("ex_reserve_usd",), ns=9, nv=3),
+        _head_select("treasury_value_by_balance_group",
+                     "treasury_value_by_balance_group",
+                     s=("display_chain", "display_market", "collector_label",
+                        "balance_group"),
+                     v=("value_usd", "value_native"), ns=9, nv=3),
+        _head_select("stablecoin_totals", "stablecoin_totals",
+                     s=("stablecoin_group",), v=("value_usd",), ns=9, nv=3),
+        _head_select("all_revenue", "all_revenue",
+                     s=("market", "chain", "display_name", "display_chain",
+                        "token", "symbol", "underlying_reserve",
+                        "underlying_reserve_symbol", "currency"),
+                     v=("revenue",), ns=9, nv=3),
+    ]
+)
 
 
-def _oracle_tt_head(final: str) -> str:
+def _oracle_ttr() -> str:
+    model_ctes = ",\n".join(f"{m} AS ({MODELS[m].sql})" for m in _TTR_MODELS)
     return f"""
 WITH all_financials AS ({_DERIVE_AF}),
 display_names AS ({_DERIVE_NAMES3}),
@@ -882,22 +894,29 @@ balance_group_lookup AS ({_DERIVE_BGL}),
 token_prices_by_day AS ({_DERIVE_TP3}),
 chains_markets AS ({MODELS["chains_markets"].sql}),
 all_treasury_balances AS ({MODELS["all_treasury_balances"].sql}),
-treasury_totals AS ({MODELS["treasury_totals"].sql}),
-fin AS ({MODELS[final].sql})
-SELECT * FROM fin
+{model_ctes}
+{_TTR_ALIGN}
 """
 
 
-def _run_tt_head(spark, sf_dir, final: str):
+@register(
+    "datamart_treasury_rollups_real",
+    oracle=_oracle_ttr(),
+    doc=(
+        "REAL datamart SQL under the driver gate (treasury rollup family,"
+        " 8 models in one aligned head): treasury_totals 3-way rollup,"
+        " treasury_totals_latest scalar subquery, treasury_value_by_"
+        "{chain,market,chain_ex_reserve,balance_group}, stablecoin_totals,"
+        " all_revenue income rollup — verbatim model SQL on both engines"
+    ),
+)
+def datamart_treasury_rollups_real(spark, sf_dir):
     from dataclasses import replace as dc_replace
 
     from aave_etl_spark.plans import run_datamart
 
     t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     spark.sql(_DERIVE_AF).createOrReplaceTempView("all_financials")
-    if final == "all_revenue":
-        subset = {"all_revenue": dc_replace(MODELS["all_revenue"], refs=())}
-        return run_datamart(spark, {}, models=subset)["all_revenue"]
     inputs = {
         "display_names": spark.sql(_DERIVE_NAMES3),
         "paraswap_legacy_claimable_fees": spark.sql(_DERIVE_LEGACY),
@@ -910,82 +929,164 @@ def _run_tt_head(spark, sf_dir, final: str):
             MODELS["all_treasury_balances"], refs=("chains_markets",)
         ),
     }
-    if final == "treasury_totals_latest":
-        subset["treasury_totals"] = MODELS["treasury_totals"]
-        subset["treasury_totals_latest"] = MODELS["treasury_totals_latest"]
-    else:
-        subset[final] = MODELS[final]
-    return run_datamart(spark, inputs, models=subset)[final]
-
-
-def _make_tt_head(qname: str, final: str, blurb: str) -> None:
-    @register(
-        qname,
-        oracle=_oracle_tt_head(final),
-        doc=f"REAL datamart SQL under the driver gate (rollup head): {final} — {blurb}",
-    )
-    def _q(spark, sf_dir, _final=final):
-        return _run_tt_head(spark, sf_dir, _final)
-
-
-for _qname, (_final, _blurb) in _TT_HEADS.items():
-    _make_tt_head(_qname, _final, _blurb)
+    for m in _TTR_MODELS:
+        subset[m] = MODELS[m] if m != "all_revenue" else dc_replace(MODELS[m], refs=())
+    run_datamart(spark, inputs, models=subset)
+    return spark.sql(_TTR_ALIGN)
 
 
 # ---------------------------------------------------------------------------
-# Safety-module rollup heads over the chain-1 inputs: the seven remaining
-# sm_* models that hang off safety_module_totals_by_day, each a cheap
-# 2-model sub-DAG with the verbatim model SQL on both engines.
+# Consolidated safety-module family: the seven sm_* rollups off
+# safety_module_totals_by_day PLUS the TVL coverage trio
+# (asset_tvl_by_day → sm_covered_markets_tvl_by_day →
+# sm_percentage_tvl_coverage_by_day), ten models verbatim in one aligned
+# head. TVL inputs derive from `supplier` with days straddling all four
+# epoch windows of the covered-markets CASE; 2024-01 days overlap the
+# chain-1 sm days so the percentage join produces rows.
 # ---------------------------------------------------------------------------
-_SM_HEADS = {
-    "datamart_sm_staked_tokens_real": "sm_staked_tokens_by_day",
-    "datamart_sm_staked_value_real": "sm_staked_value_by_day",
-    "datamart_sm_token_emissions_real": "sm_token_emissions_by_day",
-    "datamart_sm_staking_apr_real": "sm_staking_apr_by_day",
-    "datamart_sm_emissions_usd_real": "sm_emissions_usd_by_day",
-    "datamart_sm_protocol_cover_real": "sm_protocol_cover_by_day",
-    "datamart_sm_cost_of_cover_day_real": "sm_cost_of_cover_by_day",
-}
+_TVL_DAYS = (
+    "(VALUES (TIMESTAMP '2022-07-30'), (TIMESTAMP '2022-08-02'),"
+    " (TIMESTAMP '2023-03-01'), (TIMESTAMP '2024-01-01'),"
+    " (TIMESTAMP '2024-01-02'), (TIMESTAMP '2024-01-03')) AS d(block_day)"
+)
+
+# markets cover all four epoch-window branch lists; harmony_v3 is never
+# covered (drops from sm_covered_markets only)
+_TVL_STATE = f"""
+SELECT
+  d.block_day, CAST(1 AS BIGINT) AS block_height,
+  CASE s.s_suppkey % 4 WHEN 0 THEN 'ethereum_v2' WHEN 1 THEN 'polygon_v2'
+       WHEN 2 THEN 'polygon_v3' ELSE 'harmony_v3' END AS market,
+  concat('0xr_', CAST(s.s_suppkey AS STRING)) AS reserve,
+  concat('a', s.s_name) AS atoken_symbol,
+  CAST(0 AS DOUBLE) AS unbacked_atokens, CAST(0 AS DOUBLE) AS scaled_accrued_to_treasury,
+  1000 + CAST(s.s_suppkey AS DOUBLE)
+    + CAST(extract(day FROM d.block_day) AS DOUBLE) AS atoken_supply,
+  CAST(s.s_suppkey % 11 AS DOUBLE) * 10 AS stable_debt,
+  CAST(s.s_suppkey % 13 AS DOUBLE) * 20 AS variable_debt,
+  CAST(s.s_suppkey % 5 AS DOUBLE) / 100 AS liquidity_rate,
+  CAST(s.s_suppkey % 7 AS DOUBLE) / 100 AS variable_borrow_rate,
+  CAST(s.s_suppkey % 9 AS DOUBLE) / 100 AS stable_borrow_rate,
+  CAST(0 AS DOUBLE) AS average_stable_rate,
+  CAST(1.01 AS DOUBLE) AS liquidity_index, CAST(1.02 AS DOUBLE) AS variable_borrow_index,
+  500 + CAST(s.s_suppkey AS DOUBLE) AS available_liquidity
+FROM supplier s CROSS JOIN {_TVL_DAYS}
+"""
+
+# one names row per market + an excluded Ecosystem Reserve label
+_TVL_NAMES = """
+SELECT * FROM (VALUES
+  ('0xc1', 'ethereum', 'ethereum_v2', 'Ethereum', 'Ethereum V2'),
+  ('0xc2', 'polygon', 'polygon_v2', 'Polygon', 'Polygon V2'),
+  ('0xc3', 'polygon', 'polygon_v3', 'Polygon', 'Polygon V3'),
+  ('0xc4', 'harmony', 'harmony_v3', 'Harmony', 'Harmony V3'),
+  ('0xc5', 'ethereum', 'ethereum_v2', 'Ethereum', 'Ecosystem Reserve'))
+  AS v(collector, chain, market, display_chain, display_name)
+"""
+
+# TVL reserve prices: k%5=4 reserves stay unpriced (NULL usd rows); k%7=0
+# adds an 'ETH'-symbol decoy that the asset_tvl prefilter must exclude
+_TVL_TP = f"""
+SELECT d.block_day,
+  CASE s.s_suppkey % 4 WHEN 0 THEN 'ethereum' WHEN 1 THEN 'polygon'
+       WHEN 2 THEN 'polygon' ELSE 'harmony' END AS chain,
+  concat('0xr_', CAST(s.s_suppkey AS STRING)) AS reserve,
+  concat('a', s.s_name) AS symbol,
+  1 + CAST(s.s_suppkey % 50 AS DOUBLE) AS usd_price,
+  'aave_oracle' AS pricing_source
+FROM supplier s CROSS JOIN {_TVL_DAYS} WHERE s.s_suppkey % 5 != 4
+UNION ALL
+SELECT d.block_day,
+  CASE s.s_suppkey % 4 WHEN 0 THEN 'ethereum' WHEN 1 THEN 'polygon'
+       WHEN 2 THEN 'polygon' ELSE 'harmony' END,
+  concat('0xr_', CAST(s.s_suppkey AS STRING)), 'ETH', CAST(9999 AS DOUBLE), 'aave_oracle'
+FROM supplier s CROSS JOIN {_TVL_DAYS} WHERE s.s_suppkey % 7 = 0
+"""
+
+_SMR_SM_HEADS = (
+    ("sm_staked_tokens_by_day", ("stk_token_symbol",), ("stk_tokens",)),
+    ("sm_staked_value_by_day", ("stk_token_symbol",), ("staked_value_usd",)),
+    ("sm_token_emissions_by_day", ("stk_token_symbol",), ("emission_per_day",)),
+    ("sm_staking_apr_by_day", ("stk_token_symbol",), ("staking_apr",)),
+    ("sm_emissions_usd_by_day", (), ("emission_usd",)),
+    ("sm_protocol_cover_by_day", (), ("protocol_cover",)),
+    ("sm_cost_of_cover_by_day", (), ("annual_cost_of_cover_percent",)),
+    (
+        "asset_tvl_by_day",
+        ("reserve", "reserve_symbol", "atoken_symbol", "market", "chain",
+         "display_name", "display_chain"),
+        ("deposits", "stable_loans", "variable_loans", "loans", "usd_price",
+         "tvl", "deposits_usd", "stable_loans_usd", "variable_loans_usd",
+         "loans_usd", "tvl_usd"),
+    ),
+    ("sm_covered_markets_tvl_by_day", ("aave_market",), ("tvl",)),
+    ("sm_percentage_tvl_coverage_by_day", (), ("percentage_covered",)),
+)
+
+_SMR_ALIGN = "\nUNION ALL\n".join(
+    _head_select(m, m, s=s, v=v, ns=7, nv=11) for m, s, v in _SMR_SM_HEADS
+)
+
+# CTE order = topo order (percentage needs covered + protocol_cover)
+_SMR_MODELS = (
+    "safety_module_totals_by_day",
+    "sm_staked_tokens_by_day",
+    "sm_staked_value_by_day",
+    "sm_token_emissions_by_day",
+    "sm_staking_apr_by_day",
+    "sm_emissions_usd_by_day",
+    "sm_protocol_cover_by_day",
+    "sm_cost_of_cover_by_day",
+    "market_state_by_day",
+    "asset_tvl_by_day",
+    "sm_covered_markets_tvl_by_day",
+    "sm_percentage_tvl_coverage_by_day",
+)
 
 
-def _oracle_sm_head(final: str) -> str:
+def _oracle_smr() -> str:
+    model_ctes = ",\n".join(f"{m} AS ({MODELS[m].sql})" for m in _SMR_MODELS)
     return f"""
 WITH safety_module_rpc AS ({_DERIVE_SM_RPC}),
-token_prices_by_day AS ({_DERIVE_PRICES}),
+token_prices_by_day AS ({_DERIVE_PRICES}
+UNION ALL
+{_TVL_TP}),
 coingecko_data_by_day AS ({_DERIVE_CG}),
-safety_module_totals_by_day AS ({MODELS["safety_module_totals_by_day"].sql}),
-fin AS ({MODELS[final].sql})
-SELECT * FROM fin
+warehouse_market_state_by_day AS ({_TVL_STATE}),
+display_names AS ({_TVL_NAMES}),
+{model_ctes}
+{_SMR_ALIGN}
 """
 
 
-def _make_sm_head(qname: str, final: str) -> None:
-    @register(
-        qname,
-        oracle=_oracle_sm_head(final),
-        doc=(
-            f"REAL datamart SQL under the driver gate (safety-module head):"
-            f" safety_module_totals_by_day → {final}, verbatim on both engines"
+@register(
+    "datamart_sm_rollups_real",
+    oracle=_oracle_smr(),
+    doc=(
+        "REAL datamart SQL under the driver gate (safety-module family, 10"
+        " models in one aligned head): the seven sm_* rollups off"
+        " safety_module_totals_by_day plus asset_tvl_by_day →"
+        " sm_covered_markets_tvl_by_day (4-epoch market windows) →"
+        " sm_percentage_tvl_coverage_by_day, verbatim on both engines"
+    ),
+)
+def datamart_sm_rollups_real(spark, sf_dir):
+    from aave_etl_spark.plans import run_datamart
+
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    inputs = {
+        "safety_module_rpc": spark.sql(_DERIVE_SM_RPC),
+        "token_prices_by_day": spark.sql(
+            f"{_DERIVE_PRICES}\nUNION ALL\n{_TVL_TP}"
         ),
-    )
-    def _q(spark, sf_dir, _final=final):
-        from aave_etl_spark.plans import run_datamart
-
-        t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-        inputs = {
-            "safety_module_rpc": spark.sql(_DERIVE_SM_RPC),
-            "token_prices_by_day": spark.sql(_DERIVE_PRICES),
-            "coingecko_data_by_day": spark.sql(_DERIVE_CG),
-        }
-        subset = {
-            "safety_module_totals_by_day": MODELS["safety_module_totals_by_day"],
-            _final: MODELS[_final],
-        }
-        return run_datamart(spark, inputs, models=subset)[_final]
-
-
-for _qname, _final in _SM_HEADS.items():
-    _make_sm_head(_qname, _final)
+        "coingecko_data_by_day": spark.sql(_DERIVE_CG),
+        "warehouse_market_state_by_day": spark.sql(_TVL_STATE),
+        "display_names": spark.sql(_TVL_NAMES),
+    }
+    subset = {m: MODELS[m] for m in _SMR_MODELS}
+    run_datamart(spark, inputs, models=subset)
+    return spark.sql(_SMR_ALIGN)
 
 
 # ---------------------------------------------------------------------------
