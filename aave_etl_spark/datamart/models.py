@@ -575,7 +575,7 @@ from protocol_data_by_hour p
     date_trunc('DAY', p.block_hour) = e.block_day and
     p.market = e.market and
     p.reserve_emode_category = e.reserve_emode_category)
-order by market, atoken_symbol, block_hour
+order by p.market, atoken_symbol, p.block_hour
 """
 )
 
@@ -888,7 +888,7 @@ select
 from agg a
   left join sort_orders s on (a.holder_bucket = s.holder_bucket)
   left join holder_totals h on (a.safety_module_token = h.safety_module_token)
-order by safety_module_token, sort_order desc
+order by a.safety_module_token, s.sort_order desc
 """
 )
 

@@ -69,6 +69,31 @@ def _duck_dialect(sql: str) -> str:
         out,
         flags=re.IGNORECASE,
     )
+
+    # ``inline(array(struct('x' as a, 1 as b), ...))`` → ``VALUES`` table
+    # (Spark's generator has no DuckDB twin; only the literal-struct form
+    # the models use is handled)
+    def _inline_to_values(m: re.Match) -> str:
+        body = m.group(1)
+        rows, fields = [], None
+        for sm in re.finditer(r"struct\(([^)]*)\)", body):
+            pairs = re.findall(r"('[^']*'|-?\d+(?:\.\d+)?)\s+as\s+(\w+)", sm.group(1))
+            fields = [f for _, f in pairs]
+            rows.append("(" + ", ".join(v for v, _ in pairs) + ")")
+        return (
+            "SELECT * FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS _v("
+            + ", ".join(fields)
+            + ")"
+        )
+
+    out = re.sub(
+        r"select\s+inline\(array\((.*?\))\s*\)\s*\)",
+        _inline_to_values,
+        out,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
     return out
 
 _DAYS = "(VALUES (TIMESTAMP '2024-01-01'), (TIMESTAMP '2024-01-02'), (TIMESTAMP '2024-01-03')) AS d(block_day)"
@@ -187,7 +212,24 @@ SELECT
   CAST(18 AS BIGINT) AS decimals,
   CAST(0.8 AS DOUBLE) AS ltv, CAST(0.85 AS DOUBLE) AS liquidation_threshold,
   CAST(1.05 AS DOUBLE) AS liquidation_bonus,
-  CAST(10 + s.s_suppkey % 20 AS DOUBLE) / 100 AS reserve_factor
+  CAST(10 + s.s_suppkey % 20 AS DOUBLE) / 100 AS reserve_factor,
+  s.s_suppkey % 2 = 0 AS usage_as_collateral_enabled,
+  s.s_suppkey % 3 != 1 AS borrowing_enabled,
+  s.s_suppkey % 5 = 0 AS stable_borrow_rate_enabled,
+  TRUE AS is_active,
+  s.s_suppkey % 7 = 0 AS is_frozen,
+  CAST(s.s_suppkey % 3 AS BIGINT) AS reserve_emode_category,
+  CAST(1000 + s.s_suppkey % 50 AS DOUBLE) AS borrow_cap,
+  CAST(2000 + s.s_suppkey % 50 AS DOUBLE) AS supply_cap,
+  FALSE AS is_paused,
+  s.s_suppkey % 11 = 0 AS siloed_borrowing,
+  CAST(0.1 AS DOUBLE) AS liquidation_protocol_fee,
+  CAST(0 AS DOUBLE) AS unbacked_mint_cap,
+  CAST(s.s_suppkey AS DOUBLE) * 100 AS debt_ceiling,
+  CASE s.s_suppkey % 3 WHEN 0 THEN 'stable-e' WHEN 1 THEN 'eth-e' ELSE NULL END AS emode_category_name,
+  CASE WHEN s.s_suppkey % 3 < 2 THEN CAST(0.91 AS DOUBLE) ELSE NULL END AS emode_ltv,
+  CASE WHEN s.s_suppkey % 3 < 2 THEN CAST(1.03 AS DOUBLE) ELSE NULL END AS emode_liquidation_bonus,
+  CASE WHEN s.s_suppkey % 3 < 2 THEN CAST(0.94 AS DOUBLE) ELSE NULL END AS emode_liquidation_threshold
 FROM supplier s CROSS JOIN {_DAYS2}
 """
 
@@ -1118,8 +1160,49 @@ SELECT
   CAST(s.s_suppkey % 9 AS DOUBLE) / 100 AS stable_borrow_rate,
   CAST(0 AS DOUBLE) AS average_stable_rate,
   CAST(1.01 AS DOUBLE) AS liquidity_index, CAST(1.02 AS DOUBLE) AS variable_borrow_index,
-  1000 + CAST(s.s_suppkey AS DOUBLE) AS available_liquidity
+  1000 + CAST(s.s_suppkey AS DOUBLE) AS available_liquidity,
+  CAST(18 AS BIGINT) AS decimals,
+  CAST(0.8 AS DOUBLE) AS ltv, CAST(0.85 AS DOUBLE) AS liquidation_threshold,
+  CAST(1.05 AS DOUBLE) AS liquidation_bonus,
+  CAST(10 + s.s_suppkey % 20 AS DOUBLE) / 100 AS reserve_factor,
+  s.s_suppkey % 2 = 0 AS usage_as_collateral_enabled,
+  s.s_suppkey % 3 != 1 AS borrowing_enabled,
+  s.s_suppkey % 5 = 0 AS stable_borrow_rate_enabled,
+  TRUE AS is_active,
+  s.s_suppkey % 7 = 0 AS is_frozen,
+  CAST(CASE WHEN extract(hour FROM h.block_hour) = 0
+       THEN s.s_suppkey % 3 ELSE s.s_suppkey % 5 END AS BIGINT) AS reserve_emode_category,
+  CAST(1000 + s.s_suppkey % 50 AS DOUBLE) AS borrow_cap,
+  CAST(2000 + s.s_suppkey % 50 AS DOUBLE) AS supply_cap,
+  FALSE AS is_paused,
+  s.s_suppkey % 11 = 0 AS siloed_borrowing,
+  CAST(0.1 AS DOUBLE) AS liquidation_protocol_fee,
+  CAST(0 AS DOUBLE) AS unbacked_mint_cap,
+  CAST(s.s_suppkey AS DOUBLE) * 100 AS debt_ceiling
 FROM supplier s CROSS JOIN {_MST_HOURS}
+"""
+
+# emode rows exist for categories 0/1 only: hour rows whose category has no
+# match carry NULL emode fields and the last_value IGNORE NULLS forward
+# fill (market_config_by_hour) is exercised in both directions
+_MST_EMODE = """
+SELECT * FROM (VALUES
+  (TIMESTAMP '2024-02-01', 'ethereum_v2', CAST(0 AS BIGINT), 'stable-e',
+   CAST(0.93 AS DOUBLE), CAST(1.01 AS DOUBLE), CAST(0.95 AS DOUBLE)),
+  (TIMESTAMP '2024-02-01', 'ethereum_v2', CAST(1 AS BIGINT), 'eth-e',
+   CAST(0.9 AS DOUBLE), CAST(1.02 AS DOUBLE), CAST(0.93 AS DOUBLE)))
+  AS v(block_day, market, reserve_emode_category, emode_category_name,
+       emode_ltv, emode_liquidation_bonus, emode_liquidation_threshold)
+"""
+
+# reserve prices for the rf-income-by-hour head; k%4=2 reserves unpriced
+_MST_TP = f"""
+SELECT d.block_day, 'ethereum' AS chain,
+  concat('0xr_', CAST(s.s_suppkey AS STRING)) AS reserve,
+  concat('a', s.s_name) AS symbol,
+  2 + CAST(s.s_suppkey % 40 AS DOUBLE) AS usd_price,
+  'aave_oracle' AS pricing_source
+FROM supplier s CROSS JOIN {_DAYS2} WHERE s.s_suppkey % 4 != 2
 """
 
 _MST_BND = "SELECT 'ethereum_v2' AS market, 'ethereum' AS chain"
@@ -1142,6 +1225,9 @@ FROM supplier s CROSS JOIN {_DAYS2}
 _MST_INPUTS = {
     "protocol_data_by_hour": _MST_PDH,
     "warehouse_market_state_by_day": _DERIVE_STATE,
+    "warehouse_market_config_by_day": _DERIVE_CONFIG,
+    "emode_config_by_day": _MST_EMODE,
+    "token_prices_by_day": _MST_TP,
     "display_names": _DERIVE_NAMES,
     "aave_oracle_prices_by_day": _MST_ORC,
     "block_numbers_by_day": _MST_BND,
@@ -1154,19 +1240,74 @@ _MST_MODELS = (
     "market_state_by_hour",
     "market_state_by_day",
     "market_state_by_time",
+    "market_config_by_hour",
+    "market_config_by_day",
+    "market_config_by_time",
+    "reserve_factor_income_by_hour",
+)
+
+# the seven non-null config booleans ride one packed string slot
+_MST_BOOLPACK = (
+    "CAST(usage_as_collateral_enabled AS STRING) || '|' ||"
+    " CAST(borrowing_enabled AS STRING) || '|' ||"
+    " CAST(stable_borrow_rate_enabled AS STRING) || '|' ||"
+    " CAST(is_active AS STRING) || '|' || CAST(is_frozen AS STRING) || '|' ||"
+    " CAST(is_paused AS STRING) || '|' || CAST(siloed_borrowing AS STRING)"
+)
+
+_MST_ALIGN = "\nUNION ALL\n".join(
+    [
+        _head_select(
+            "market_state_by_time", "market_state_by_time", t0="block_time",
+            s=("market", "reserve", "atoken_symbol", "chain", "display_chain",
+               "display_market", "reserve_symbol"),
+            v=("CAST(block_height AS DOUBLE)", "unbacked_atokens",
+               "scaled_accrued_to_treasury", "atoken_supply", "stable_debt",
+               "variable_debt", "liquidity_rate", "variable_borrow_rate",
+               "stable_borrow_rate", "average_stable_rate", "liquidity_index",
+               "variable_borrow_index", "available_liquidity", "deposit_apy",
+               "variable_borrow_apy", "stable_borrow_apy",
+               "av_stable_borrow_apy", "usd_price", "deposits_usd",
+               "stable_debt_usd", "variable_debt_usd"),
+            ns=9, nv=21,
+        ),
+        _head_select(
+            "market_config_by_time", "market_config_by_time", t0="block_time",
+            s=("market", "reserve", "atoken_symbol", "emode_category_name",
+               "chain", "display_chain", "display_market", "reserve_symbol",
+               _MST_BOOLPACK),
+            v=("CAST(block_height AS DOUBLE)", "CAST(decimals AS DOUBLE)",
+               "ltv", "liquidation_threshold", "liquidation_bonus",
+               "reserve_factor", "CAST(reserve_emode_category AS DOUBLE)",
+               "borrow_cap", "supply_cap", "liquidation_protocol_fee",
+               "unbacked_mint_cap", "debt_ceiling", "emode_ltv",
+               "emode_liquidation_bonus", "emode_liquidation_threshold"),
+            ns=9, nv=21,
+        ),
+        _head_select(
+            "reserve_factor_income_by_hour", "reserve_factor_income_by_hour",
+            t0="block_hour",
+            s=("market", "chain", "display_chain", "display_market",
+               "atoken_symbol"),
+            v=("reserve_factor", "variable_borrow_rate", "variable_debt",
+               "stable_borrow_rate", "stable_debt",
+               "variable_debt_protocol_income", "stable_debt_protocol_income",
+               "usd_price", "daily_income_usd"),
+            ns=9, nv=21,
+        ),
+    ]
 )
 
 
 def _oracle_mst() -> str:
     ctes = ",\n".join(f"{name} AS ({sql})" for name, sql in _MST_INPUTS.items())
     model_ctes = ",\n".join(
-        f"{name} AS ({MODELS[name].sql})" for name in _MST_MODELS[:-1]
+        f"{name} AS ({_duck_dialect(MODELS[name].sql)})" for name in _MST_MODELS
     )
     return f"""
 WITH {ctes},
-{model_ctes},
-fin AS ({MODELS["market_state_by_time"].sql})
-SELECT * FROM fin
+{model_ctes}
+{_MST_ALIGN}
 """
 
 
@@ -1174,10 +1315,13 @@ SELECT * FROM fin
     "datamart_market_state_by_time_real",
     oracle=_oracle_mst(),
     doc=(
-        "REAL datamart SQL under the driver gate (state-time chain): five"
-        " models verbatim — pow-APY hourly state + daily state UNION,"
-        " DISTINCT dedup of the midnight overlap, date_trunc join key,"
-        " 3-dim enrichment"
+        "REAL datamart SQL under the driver gate (state/config time chain,"
+        " 9 models in three aligned heads): pow-APY hourly state + daily"
+        " state UNION with DISTINCT midnight dedup, market_config_by_hour"
+        " (last_value IGNORE NULLS emode forward fill — DuckDB syntax"
+        " rewritten by _duck_dialect), market_config_by_time 26-col UNION"
+        " dedup + 3-dim join, reserve_factor_income_by_hour income"
+        " arithmetic over the hour join"
     ),
 )
 def datamart_market_state_by_time_real(spark, sf_dir):
@@ -1186,7 +1330,8 @@ def datamart_market_state_by_time_real(spark, sf_dir):
     t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     inputs = {name: spark.sql(sql) for name, sql in _MST_INPUTS.items()}
     subset = {k: MODELS[k] for k in _MST_MODELS}
-    return run_datamart(spark, inputs, models=subset)["market_state_by_time"]
+    run_datamart(spark, inputs, models=subset)
+    return spark.sql(_MST_ALIGN)
 
 
 # ---------------------------------------------------------------------------
@@ -1316,3 +1461,388 @@ def datamart_bpt_grants_real(spark, sf_dir):
     }
     run_datamart(spark, inputs, models=subset)
     return spark.sql(_BGQ_ALIGN)
+
+
+# ---------------------------------------------------------------------------
+# Impact-proposal family: all 12 impact_proposal_* models (three generator
+# shapes — purchase-price, state×revenue, rewards-joined) verbatim in one
+# aligned head. Inputs are a shared derived universe: a (market, reserve)
+# state grid covering every proposal's hardcoded reserve list, an
+# all_revenue view with one token per (proposal, market, reserve) so the
+# revenue joins stay 1:1, partial incentives coverage (MaticX absent →
+# coalesce-0 arm), one unpriced reserve (NULL usd rows dropped by UNPIVOT
+# on both engines), and purchase windows with in/out-of-window and
+# zero-amount rows. add_months() is rewritten for DuckDB by _duck_dialect.
+# ---------------------------------------------------------------------------
+_IMP_DAYS = (
+    "(VALUES (TIMESTAMP '2023-04-20'), (TIMESTAMP '2023-04-25'),"
+    " (TIMESTAMP '2023-04-30')) AS d(block_day)"
+)
+_IMP_DD = "CAST(extract(day FROM d.block_day) AS DOUBLE)"
+
+_IMP_STATE_PAIRS = (
+    "(VALUES"
+    " ('polygon_v3', '0xfa68fb4628dff1028cfec22b4162fccd0d45efb6', 'aSTMATIC', 1),"
+    " ('polygon_v3', '0x0d500b1d8e8ef31e21c99d1db9a6444d3adf1270', 'aWMATIC', 2),"
+    " ('polygon_v3', '0x3a58a54c066fdc0f2d55fc9c89f0415c92ebf3c4', 'aMATICX', 3),"
+    " ('ethereum_v2', '0xc02aaa39b223fe8d0a0e5c4f27ead9083c756cc2', 'aWETH', 4),"
+    " ('ethereum_v2', '0xba100000625a3754423978a60c9317c58a424e3d', 'aBAL', 5),"
+    " ('ethereum_v2', '0x9a71012b13ca4d3d0cdc72a177df3ef03b0e76a3', 'aAGEUR', 6),"
+    " ('polygon_v3', '0x9a71012b13ca4d3d0cdc72a177df3ef03b0e76a3', 'aAGEURP', 7),"
+    " ('ethereum_v3', '0xd533a949740bb3306d119cc777fa900ba034cd52', 'aCRV', 8),"
+    " ('polygon_v3', '0x172370d5cd63279efa6d502dab29171933a610af', 'aCRVP', 9),"
+    " ('ethereum_v2', '0xd533a949740bb3306d119cc777fa900ba034cd52', 'aCRVE', 10))"
+    " AS sp(market, reserve, atoken_symbol, rk)"
+)
+
+_IMP_REV_TRIPLES = (
+    "(VALUES"
+    " ('polygon_v3', '0xfa68fb4628dff1028cfec22b4162fccd0d45efb6', '0x80ca0d8c38d2e2bcbab66aa1648bd1c7160500fe', 1),"
+    " ('polygon_v3', '0x0d500b1d8e8ef31e21c99d1db9a6444d3adf1270', '0x6d80113e533a2c0fe82eabd35f1875dcea89ea97', 2),"
+    " ('polygon_v3', '0x3a58a54c066fdc0f2d55fc9c89f0415c92ebf3c4', '0xea1132120ddcdda2f119e99fa7a27a0d036f7ac9', 3),"
+    " ('ethereum_v2', '0xc02aaa39b223fe8d0a0e5c4f27ead9083c756cc2', '0x030ba81f1c18d280636f32af80b9aad02cf0854e', 4),"
+    " ('ethereum_v2', '0xba100000625a3754423978a60c9317c58a424e3d', '0x272f97b7a56a387ae942350bbc7df5700f8a4576', 5),"
+    " ('ethereum_v2', '0x9a71012b13ca4d3d0cdc72a177df3ef03b0e76a3', '0xc4195d4060daeac44058ed668aa5efec50d77ff6', 6),"
+    " ('polygon_v3', '0x9a71012b13ca4d3d0cdc72a177df3ef03b0e76a3', '0x8ffdf2de812095b1d19cb146e4c004587c0a0692', 7),"
+    " ('ethereum_v3', '0xd533a949740bb3306d119cc777fa900ba034cd52', '0x7b95ec873268a6bfc6427e7a28e396db9d0ebc65', 8),"
+    " ('ethereum_v3', '0xd533a949740bb3306d119cc777fa900ba034cd52', '0x8dae6cb04688c62d939ed9b68d32bc62e49970b1', 9),"
+    " ('polygon_v3', '0x172370d5cd63279efa6d502dab29171933a610af', '0x513c7e3a9c69ca3e22550ef58ac1c0088e918fff', 10),"
+    " ('ethereum_v2', '0xd533a949740bb3306d119cc777fa900ba034cd52', '0x3df8f92b7e798820ddcca2ebea7babda2c90c4ad', 11))"
+    " AS rt(market, reserve, token, rk)"
+)
+
+_IMP_STATE = f"""
+SELECT d.block_day, sp.market, sp.reserve, sp.atoken_symbol,
+  1000 + CAST(sp.rk AS DOUBLE) * 7 + {_IMP_DD} AS atoken_supply,
+  CAST(sp.rk AS DOUBLE) * 3 AS stable_debt,
+  CAST(sp.rk AS DOUBLE) * 11 AS variable_debt,
+  CAST(sp.rk AS DOUBLE) / 100 AS liquidity_rate,
+  CAST(sp.rk AS DOUBLE) / 200 AS variable_borrow_rate
+FROM {_IMP_STATE_PAIRS} CROSS JOIN {_IMP_DAYS}
+"""
+
+_IMP_REV = f"""
+SELECT d.block_day, rt.market, rt.reserve AS underlying_reserve, rt.token,
+  c.currency, (CAST(5 + rt.rk AS DOUBLE) + {_IMP_DD}) * c.mult AS revenue
+FROM {_IMP_REV_TRIPLES}
+CROSS JOIN {_IMP_DAYS}
+CROSS JOIN (VALUES ('native', CAST(1 AS DOUBLE)), ('usd', CAST(2 AS DOUBLE))) AS c(currency, mult)
+"""
+
+# SD/LDO/stMATIC cover one polygon reserve each; MaticX absent everywhere
+# (every head's maticx coalesce falls back to 0)
+_IMP_INC = f"""
+SELECT d.block_day, 'polygon_v3' AS market, rw.reserve, rw.reward_token_symbol,
+  CAST(rw.rk AS DOUBLE) + {_IMP_DD} AS supply_rewards,
+  CAST(rw.rk AS DOUBLE) * 0.5 AS variable_debt_rewards,
+  CAST(rw.rk AS DOUBLE) * 0.25 AS stable_debt_rewards,
+  CAST(rw.rk AS DOUBLE) / 1000 AS supply_rewards_apr,
+  CAST(rw.rk AS DOUBLE) / 2000 AS variable_borrow_rewards_apr
+FROM (VALUES
+  ('0xfa68fb4628dff1028cfec22b4162fccd0d45efb6', 'SD', 1),
+  ('0x0d500b1d8e8ef31e21c99d1db9a6444d3adf1270', 'LDO', 2),
+  ('0x3a58a54c066fdc0f2d55fc9c89f0415c92ebf3c4', 'stMATIC', 3)) AS rw(reserve, reward_token_symbol, rk)
+CROSS JOIN {_IMP_DAYS}
+"""
+
+# rk=6 reserve stays unpriced → its *_usd measures unpivot-drop
+_IMP_ORC = f"""
+SELECT d.block_day, sp.market, sp.reserve,
+  1 + CAST(sp.rk AS DOUBLE) * 0.25 + {_IMP_DD} * 0.0625 AS usd_price
+FROM {_IMP_STATE_PAIRS} CROSS JOIN {_IMP_DAYS}
+WHERE sp.rk != 6
+"""
+
+# purchase windows: 7-18/7-19 in-window for #87, 11-20/12-01 for #115,
+# 7-20 has amount 0 (filtered), plus a wrong-contract decoy row; the
+# 2023-05-01 price row is the global-max current_price day
+_IMP_NAM = """
+SELECT * FROM (VALUES
+  (TIMESTAMP '2022-07-18', '0xba100000625a3754423978a60c9317c58a424e3d', 'BAL', CAST(40 AS DOUBLE), '0x464c71f6c2f760dda6093dcb91c24c39e5d6e18c'),
+  (TIMESTAMP '2022-07-19', '0xba100000625a3754423978a60c9317c58a424e3d', 'BAL', CAST(25 AS DOUBLE), '0x464c71f6c2f760dda6093dcb91c24c39e5d6e18c'),
+  (TIMESTAMP '2022-07-20', '0xba100000625a3754423978a60c9317c58a424e3d', 'BAL', CAST(0 AS DOUBLE), '0x464c71f6c2f760dda6093dcb91c24c39e5d6e18c'),
+  (TIMESTAMP '2022-11-20', '0xba100000625a3754423978a60c9317c58a424e3d', 'BAL', CAST(30 AS DOUBLE), '0x464c71f6c2f760dda6093dcb91c24c39e5d6e18c'),
+  (TIMESTAMP '2022-12-01', '0xba100000625a3754423978a60c9317c58a424e3d', 'BAL', CAST(15 AS DOUBLE), '0x464c71f6c2f760dda6093dcb91c24c39e5d6e18c'),
+  (TIMESTAMP '2022-07-18', '0xba100000625a3754423978a60c9317c58a424e3d', 'BAL', CAST(99 AS DOUBLE), '0xother'))
+  AS v(block_day, token, symbol, tokens_in_external, contract_address)
+"""
+
+_IMP_TP = """
+SELECT * FROM (VALUES
+  (TIMESTAMP '2022-07-18', 'ethereum', '0xba100000625a3754423978a60c9317c58a424e3d', 'BAL', CAST(5.5 AS DOUBLE)),
+  (TIMESTAMP '2022-07-19', 'ethereum', '0xba100000625a3754423978a60c9317c58a424e3d', 'BAL', CAST(5.25 AS DOUBLE)),
+  (TIMESTAMP '2022-07-20', 'ethereum', '0xba100000625a3754423978a60c9317c58a424e3d', 'BAL', CAST(5.75 AS DOUBLE)),
+  (TIMESTAMP '2022-11-20', 'ethereum', '0xba100000625a3754423978a60c9317c58a424e3d', 'BAL', CAST(6.25 AS DOUBLE)),
+  (TIMESTAMP '2022-12-01', 'ethereum', '0xba100000625a3754423978a60c9317c58a424e3d', 'BAL', CAST(6.5 AS DOUBLE)),
+  (TIMESTAMP '2023-05-01', 'ethereum', '0xba100000625a3754423978a60c9317c58a424e3d', 'BAL', CAST(7.5 AS DOUBLE)),
+  (TIMESTAMP '2022-07-18', 'polygon', '0xba100000625a3754423978a60c9317c58a424e3d', 'BAL', CAST(99 AS DOUBLE)))
+  AS v(block_day, chain, reserve, symbol, usd_price)
+"""
+
+_IMP_INPUTS = {
+    "warehouse_market_state_by_day": _IMP_STATE,
+    "all_revenue": _IMP_REV,
+    "incentives_by_day": _IMP_INC,
+    "aave_oracle_prices_by_day": _IMP_ORC,
+    "non_atoken_measures_by_day": _IMP_NAM,
+    "token_prices_by_day": _IMP_TP,
+}
+
+_IMP_MODELS = (
+    "impact_proposal_87", "impact_proposal_115", "impact_proposal_130",
+    "impact_proposal_131", "impact_proposal_150", "impact_proposal_151",
+    "impact_proposal_158", "impact_proposal_163", "impact_proposal_167",
+    "impact_proposal_168", "impact_proposal_172", "impact_proposal_175",
+)
+
+_IMP_PURCHASE = {"impact_proposal_87", "impact_proposal_115"}
+
+
+def _imp_head(m: str) -> str:
+    if m in _IMP_PURCHASE:
+        return _head_select(
+            m, m,
+            s=("token_address", "symbol"),
+            v=("purchase_amount", "purchase_amount_usd", "av_purchase_price",
+               "current_price", "current_value", "net_value_change"),
+            ns=4, nv=6,
+        )
+    return _head_select(
+        m, m, s=("market", "reserve", "atoken_symbol", "measure"),
+        v=("value",), ns=4, nv=6,
+    )
+
+
+_IMP_ALIGN = "\nUNION ALL\n".join(_imp_head(m) for m in _IMP_MODELS)
+
+
+def _oracle_imp() -> str:
+    ctes = ",\n".join(f"{name} AS ({sql})" for name, sql in _IMP_INPUTS.items())
+    model_ctes = ",\n".join(
+        f"{m} AS ({_duck_dialect(MODELS[m].sql)})" for m in _IMP_MODELS
+    )
+    return f"""
+WITH {ctes},
+{model_ctes}
+{_IMP_ALIGN}
+"""
+
+
+@register(
+    "datamart_impact_proposal_real",
+    oracle=_oracle_imp(),
+    doc=(
+        "REAL datamart SQL under the driver gate (impact family, 12 models in"
+        " one aligned head): all impact_proposal_* parameterizations across"
+        " the three generator shapes — purchase-price (scalar-subquery"
+        " current price), state×revenue UNPIVOT, rewards-joined with"
+        " 4-token coalesce stack — verbatim on both engines (add_months"
+        " rewritten for DuckDB)"
+    ),
+)
+def datamart_impact_proposal_real(spark, sf_dir):
+    from dataclasses import replace as dc_replace
+
+    from aave_etl_spark.plans import run_datamart
+
+    inputs = {name: spark.sql(sql) for name, sql in _IMP_INPUTS.items()}
+    subset = {m: dc_replace(MODELS[m], refs=()) for m in _IMP_MODELS}
+    run_datamart(spark, inputs, models=subset)
+    return spark.sql(_IMP_ALIGN)
+
+
+# ---------------------------------------------------------------------------
+# Misc source-fed family: the eight remaining standalone datamart models —
+# safety-module holder stats (incl. the UNNEST-bucketing distro with its
+# max-day scalar subquery), Balancer pool contents, liquidity-mining
+# incentives passthrough, MATIC-LSD token supply, and the three
+# liquidity-depth models — verbatim in one aligned head. The distro's
+# inline(array(struct(...))) sort-order table is rewritten to VALUES for
+# DuckDB by _duck_dialect.
+# ---------------------------------------------------------------------------
+_MSC_DAYS = (
+    "(VALUES (TIMESTAMP '2024-06-01'), (TIMESTAMP '2024-06-02')) AS d(block_day)"
+)
+_MSC_DD = "CAST(extract(day FROM d.block_day) AS DOUBLE)"
+
+# log-spaced balances hit every holder bucket of both tokens; the max-day
+# subquery keeps only 06-02
+_MSC_HODL = f"""
+SELECT d.block_day, tk.safety_module_token,
+  concat('0xh_', lower(n.n_name), '_', CAST(n.n_nationkey AS STRING)) AS holder_address,
+  (CASE n.n_nationkey % 9 WHEN 0 THEN CAST(0.5 AS DOUBLE) WHEN 1 THEN CAST(5 AS DOUBLE)
+        WHEN 2 THEN CAST(50 AS DOUBLE) WHEN 3 THEN CAST(500 AS DOUBLE)
+        WHEN 4 THEN CAST(5000 AS DOUBLE) WHEN 5 THEN CAST(50000 AS DOUBLE)
+        WHEN 6 THEN CAST(500000 AS DOUBLE) WHEN 7 THEN CAST(50000000 AS DOUBLE)
+        ELSE CAST(500000000 AS DOUBLE) END) + {_MSC_DD} AS balance,
+  CASE tk.safety_module_token WHEN 'stkAAVE' THEN CAST(1000000 AS DOUBLE)
+       ELSE CAST(800000000 AS DOUBLE) END AS total_supply
+FROM nation n
+CROSS JOIN (VALUES ('stkAAVE'), ('stkABPT')) AS tk(safety_module_token)
+CROSS JOIN {_MSC_DAYS}
+"""
+
+_MSC_BAL_POOL = f"""
+SELECT d.block_day, p.safety_module_token, p.symbol, p.weight,
+  p.balance + {_MSC_DD} AS balance
+FROM (VALUES ('stkABPT', 'AAVE', CAST(0.8 AS DOUBLE), CAST(1000 AS DOUBLE)),
+             ('stkABPT', 'WETH', CAST(0.2 AS DOUBLE), CAST(250 AS DOUBLE)))
+  AS p(safety_module_token, symbol, weight, balance)
+CROSS JOIN {_MSC_DAYS}
+"""
+
+_MSC_INC = f"""
+SELECT d.block_day, CAST(100 AS BIGINT) AS block_height, 'polygon_v3' AS market,
+  concat('0xr_', lower(n.n_name)) AS reserve, n.n_name AS symbol,
+  CASE WHEN n.n_nationkey % 2 = 0 THEN '0xsd' ELSE '0xldo' END AS reward_token_address,
+  CASE WHEN n.n_nationkey % 2 = 0 THEN 'SD' ELSE 'LDO' END AS reward_token_symbol,
+  CAST(n.n_nationkey AS DOUBLE) + {_MSC_DD} AS supply_rewards,
+  CAST(n.n_nationkey AS DOUBLE) * 2 AS supply_rewards_usd,
+  CAST(n.n_nationkey AS DOUBLE) / 1000 AS supply_rewards_apr,
+  CAST(n.n_nationkey AS DOUBLE) * 0.5 AS variable_debt_rewards,
+  CAST(n.n_nationkey AS DOUBLE) AS variable_debt_rewards_usd,
+  CAST(n.n_nationkey AS DOUBLE) / 2000 AS variable_borrow_rewards_apr,
+  CAST(n.n_nationkey AS DOUBLE) * 0.25 AS stable_debt_rewards,
+  CAST(n.n_nationkey AS DOUBLE) * 0.5 AS stable_debt_rewards_usd,
+  CAST(n.n_nationkey AS DOUBLE) / 4000 AS stable_borrow_rewards_apr
+FROM nation n CROSS JOIN {_MSC_DAYS}
+"""
+
+_MSC_LSD_SUPPLY = f"""
+SELECT d.block_day, CAST(200 AS BIGINT) AS block_height, 'polygon' AS chain,
+  p.address, p.symbol, CAST(18 AS BIGINT) AS decimals,
+  p.base + {_MSC_DD} * 100 AS total_supply
+FROM (VALUES ('0xmaticx', 'MaticX', CAST(1000000 AS DOUBLE)),
+             ('0xstmatic', 'stMATIC', CAST(2000000 AS DOUBLE)))
+  AS p(address, symbol, base)
+CROSS JOIN {_MSC_DAYS}
+"""
+
+# two fetch_times: the *_latest head's scalar subquery keeps 06-02 12:00
+_MSC_DEPTH = """
+SELECT ft.fetch_time, 'AAVE' AS from_asset,
+  CAST(90 AS DOUBLE) + CAST(extract(day FROM ft.fetch_time) AS DOUBLE) AS from_asset_price,
+  CAST(g.g AS DOUBLE) * 100 AS from_amount_native,
+  (CAST(90 AS DOUBLE) + CAST(extract(day FROM ft.fetch_time) AS DOUBLE)) * CAST(g.g AS DOUBLE) * 100 AS from_amount_usd,
+  'USDC' AS to_asset, CAST(1 AS DOUBLE) AS to_asset_price,
+  CAST(g.g AS DOUBLE) * 100 * 89 AS to_amount_native,
+  CAST(g.g AS DOUBLE) * 100 * 89 AS to_amount_usd,
+  CAST(g.g AS DOUBLE) * 0.0025 AS price_impact
+FROM (VALUES (TIMESTAMP '2024-06-01 00:00:00'), (TIMESTAMP '2024-06-02 12:00:00')) AS ft(fetch_time)
+CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS g(g)
+"""
+
+# the fantom row has no display_names match → NULL display columns
+_MSC_LDEPTH = """
+SELECT ft.fetch_time, p.chain, p.market, concat(p.market, '_loop') AS loop_market,
+  p.from_asset, p.to_asset,
+  CAST(2000 AS DOUBLE) AS from_asset_price, CAST(1999 AS DOUBLE) AS to_asset_price,
+  CAST(g.g AS DOUBLE) * 50000 AS from_amount_usd,
+  CAST(g.g AS DOUBLE) * 0.001 AS price_impact
+FROM (VALUES ('ethereum', 'ethereum_v2', 'wstETH', 'WETH'),
+             ('polygon', 'polygon_v3', 'stMATIC', 'WMATIC'),
+             ('fantom', 'fantom_v3', 'sFTMX', 'WFTM'))
+  AS p(chain, market, from_asset, to_asset)
+CROSS JOIN (VALUES (1), (2), (3)) AS g(g)
+CROSS JOIN (VALUES (TIMESTAMP '2024-06-02 12:00:00')) AS ft(fetch_time)
+"""
+
+_MSC_INPUTS = {
+    "safety_module_token_hodlers_by_day": _MSC_HODL,
+    "safety_module_bal_pool_contents": _MSC_BAL_POOL,
+    "incentives_by_day": _MSC_INC,
+    "matic_lsd_token_supply_by_day": _MSC_LSD_SUPPLY,
+    "aave_token_liquidity_depth": _MSC_DEPTH,
+    "liquidity_depth": _MSC_LDEPTH,
+    "display_names": _TVL_NAMES,
+}
+
+_MSC_MODELS = (
+    "sm_token_holders_by_day",
+    "sm_token_holder_distro",
+    "sm_bal_pool_contents",
+    "lm_incentives",
+    "token_supply_by_day",
+    "aave_token_liquidity_depth_all",
+    "aave_token_liquidity_depth_latest",
+    "liquidity_depth_lsd",
+)
+
+_MSC_ALIGN = "\nUNION ALL\n".join(
+    [
+        _head_select("sm_token_holders_by_day", "sm_token_holders_by_day",
+                     s=("safety_module_token",),
+                     v=("CAST(token_holders AS DOUBLE)",), ns=6, nv=10),
+        _head_select("sm_token_holder_distro", "sm_token_holder_distro",
+                     s=("safety_module_token", "holder_bucket"),
+                     v=("bucket_balance", "balance_percentage",
+                        "CAST(holder_count AS DOUBLE)", "holder_percentage"),
+                     ns=6, nv=10),
+        _head_select("sm_bal_pool_contents", "sm_bal_pool_contents",
+                     s=("safety_module_token", "symbol"),
+                     v=("weight", "balance"), ns=6, nv=10),
+        _head_select("lm_incentives", "lm_incentives",
+                     s=("market", "reserve", "symbol", "reward_token_address",
+                        "reward_token_symbol"),
+                     v=("CAST(block_height AS DOUBLE)", "supply_rewards",
+                        "supply_rewards_usd", "supply_rewards_apr",
+                        "variable_debt_rewards", "variable_debt_rewards_usd",
+                        "variable_debt_rewards_apr", "stable_debt_rewards",
+                        "stable_debt_rewards_usd", "stable_debt_rewards_apr"),
+                     ns=6, nv=10),
+        _head_select("token_supply_by_day", "token_supply_by_day",
+                     s=("chain", "address", "symbol"),
+                     v=("CAST(block_height AS DOUBLE)", "CAST(decimals AS DOUBLE)",
+                        "total_supply"), ns=6, nv=10),
+        _head_select("aave_token_liquidity_depth_all", "aave_token_liquidity_depth_all",
+                     t0="fetch_time", s=("from_asset", "to_asset"),
+                     v=("from_asset_price", "from_amount_native", "from_amount_usd",
+                        "to_asset_price", "to_amount_native", "to_amount_usd",
+                        "price_impact"), ns=6, nv=10),
+        _head_select("aave_token_liquidity_depth_latest",
+                     "aave_token_liquidity_depth_latest",
+                     t0="CAST(NULL AS TIMESTAMP)", s=("from_asset", "to_asset"),
+                     v=("from_asset_price", "from_amount_native", "from_amount_usd",
+                        "to_asset_price", "to_amount_native", "to_amount_usd",
+                        "price_impact"), ns=6, nv=10),
+        _head_select("liquidity_depth_lsd", "liquidity_depth_lsd",
+                     t0="fetch_time",
+                     s=("chain", "market", "loop_market", "from_asset",
+                        "to_asset", "pair"),
+                     v=("from_asset_price", "to_asset_price", "from_amount_usd",
+                        "price_impact"), ns=6, nv=10),
+    ]
+)
+
+
+def _oracle_msc() -> str:
+    ctes = ",\n".join(f"{name} AS ({sql})" for name, sql in _MSC_INPUTS.items())
+    model_ctes = ",\n".join(
+        f"{m} AS ({_duck_dialect(MODELS[m].sql)})" for m in _MSC_MODELS
+    )
+    return f"""
+WITH {ctes},
+{model_ctes}
+{_MSC_ALIGN}
+"""
+
+
+@register(
+    "datamart_misc_heads_real",
+    oracle=_oracle_msc(),
+    doc=(
+        "REAL datamart SQL under the driver gate (misc family, 8 models in"
+        " one aligned head): sm_token_holders_by_day, sm_token_holder_distro"
+        " (bucketing + max-day scalar subquery + inline-struct sort table),"
+        " sm_bal_pool_contents, lm_incentives, token_supply_by_day and the"
+        " three liquidity-depth models — verbatim on both engines"
+    ),
+)
+def datamart_misc_heads_real(spark, sf_dir):
+    from aave_etl_spark.plans import run_datamart
+
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    inputs = {name: spark.sql(sql) for name, sql in _MSC_INPUTS.items()}
+    subset = {m: MODELS[m] for m in _MSC_MODELS}
+    run_datamart(spark, inputs, models=subset)
+    return spark.sql(_MSC_ALIGN)
