@@ -259,6 +259,24 @@ def datamart(spark):
             "partition_date timestamp, beaconchain_day long, day_start timestamp, day_end timestamp,"
             "apr double, cl_apr double, el_apr double",
         ),
+        # model #61 balancer_bpt_by_day: rate known both days → LAG APR on day 2
+        "warehouse_balancer_bpt_by_day": df(
+            [(D1, "ethereum", "B-80AAVE-20WETH", "Balancer 80/20", "0xpool80", "AAVE",
+              100.0, 1.00, 1000.0, 120.0, 120000.0),
+             (D2, "ethereum", "B-80AAVE-20WETH", "Balancer 80/20", "0xpool80", "AAVE",
+              101.0, 1.01, 1000.0, 121.0, 121000.0)],
+            "block_day timestamp, chain string, symbol string, name string, pool string, denom string,"
+            "underlying_asset_price double, rate double, actual_supply double,"
+            "bpt_usd_price double, pool_tvl_usd double",
+        ),
+        # model #62 grants_dao_token_balances_by_day: one grants-wallet row
+        # (atoken → priced via reserve fallback) + one non-wallet row dropped
+        "erc20_balances_by_day": df(
+            [(D1, "ethereum", "aRSV", ATOK, "0x89c51828427f70d77875c6747759fb17ba10ceb0", 7.0),
+             (D1, "ethereum", "RSV", RES, "0xother", 3.0)],
+            "block_day timestamp, chain string, token string, token_address string,"
+            "wallet_address string, balance double",
+        ),
     }
     return run_datamart(spark, inputs)
 
@@ -351,6 +369,23 @@ def test_inv_defi_ref_rates(datamart):
     assert rows[0].stable_reference_rate_ex_price == pytest.approx(0.03)
     # eth rate known on day 1 only → day 2 forward-filled (explicit RANGE frame)
     assert rows[1].eth_reference_rate == pytest.approx(0.04)
+
+
+def test_balancer_bpt_lag_apr(datamart):
+    rows = datamart["balancer_bpt_by_day"].orderBy("block_day").collect()
+    assert len(rows) == 2
+    # day 1: LAG is null → coalesce to self → apr 0; day 2: (1.01/1.00 - 1) * 365
+    assert rows[0].daily_apr == pytest.approx(0.0)
+    assert rows[1].daily_apr == pytest.approx(3.65)
+    assert rows[0].bpt_underlying_asset == "AAVE"
+
+
+def test_grants_dao_balances(datamart):
+    rows = datamart["grants_dao_token_balances_by_day"].collect()
+    # only the grants wallet row survives; atoken priced via reserve fallback
+    assert len(rows) == 1
+    assert rows[0].token_symbol == "aRSV"
+    assert rows[0].balance_usd == pytest.approx(7.0 * 2.0)
 
 
 def test_impact_proposal_and_inv_lst_models_run(datamart):
