@@ -18,6 +18,20 @@ from aave_etl_spark.queries.registry import register, t
 from aave_etl_spark.functions.scalars import vested_amount
 
 
+def _epoch_s(col):
+    """Epoch seconds (incl. fractional micros) for TIMESTAMP or TIMESTAMP_NTZ.
+
+    Spark 4 forbids TIMESTAMP_NTZ -> DOUBLE casts, so `ts.cast("double")`
+    breaks when parquet timestamps are tz-naive (timestamp[us] with no zone,
+    which Spark reads as TIMESTAMP_NTZ). timestamp_diff from the NTZ epoch is
+    type-safe for both and timezone-independent — it matches DuckDB's
+    epoch() on the same naive parquet values exactly (microsecond precision).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    epoch0 = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", epoch0, c.cast("timestamp_ntz")) / F.lit(1e6)
+
+
 # ---------------------------------------------------------------------------
 # §2.4 dedup keep-last by sort (sort_values + drop_duplicates keep='last',
 # data_warehouse.py:706, 751) → row_number desc = 1.
@@ -234,8 +248,8 @@ def vesting_clamp(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     dur_s = (k + 1) * 86400
-    # ts.cast(double) = epoch seconds incl. fractional micros (== DuckDB epoch())
-    start_s = F.col("ts").cast("double")
+    # epoch seconds incl. fractional micros (== DuckDB epoch())
+    start_s = _epoch_s("ts")
     streams = e.select(
         "event_id",
         "event_type",
@@ -244,7 +258,7 @@ def vesting_clamp(spark, sf_dir):
         (F.col("value") / dur_s.cast("double")).alias("rate_per_s"),
         "value",
     )
-    now_s = F.lit("2024-01-15 00:00:00").cast("timestamp").cast("double")
+    now_s = _epoch_s(F.lit("2024-01-15 00:00:00"))
     return streams.groupBy("event_type").agg(
         F.sum(vested_amount(now_s, F.col("start_s"), F.col("stop_s"), F.col("rate_per_s"))).alias("vested_total"),
         F.sum("value").alias("deposit_total"),
@@ -285,7 +299,7 @@ def vesting_clamp(spark, sf_dir):
 def sessionize_events(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    gap = _epoch_s("ts") - _epoch_s(F.lag(F.col("ts")).over(w))
     g = e.withColumn(
         "is_new",
         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
