@@ -64,6 +64,7 @@ def dedup_keep_last(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "lead_day_pairing",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, sum(value) AS day_value
@@ -105,6 +106,7 @@ def lead_day_pairing(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "lag_daily_ratio",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, sum(value) AS day_value
@@ -138,6 +140,7 @@ def lag_daily_ratio(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "forward_fill_ignore_nulls",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     SELECT event_id, user_id, ts,
            last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
@@ -169,6 +172,7 @@ def forward_fill_ignore_nulls(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "json_extract_agg",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -227,6 +231,7 @@ def date_rollup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "vesting_clamp",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     WITH streams AS (
       SELECT event_id, event_type, value,
@@ -319,6 +324,7 @@ def sessionize_events(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "json_struct_parse",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_rows,

@@ -74,6 +74,7 @@ WHERE c.measure_type IS NOT NULL
 
 @register(
     "all_financials_shape",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle=FLAGSHIP_ORACLE,
     doc=(
         "Flagship: all_financials chain — agg → LEAD pairing + last-day drop "
@@ -137,6 +138,7 @@ def all_financials_shape(spark, sf_dir):
 
 @register(
     "treasury_rollup_shape",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     WITH base AS (
       SELECT l_returnflag AS market, CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,

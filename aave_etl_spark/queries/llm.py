@@ -38,6 +38,7 @@ def llm_dedup_exact(spark, sf_dir):
 
 @register(
     "llm_fingerprint",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle=f"""
     WITH fp AS (
       SELECT doc_id,
@@ -58,6 +59,7 @@ def llm_fingerprint(spark, sf_dir):
 
 @register(
     "llm_token_stats",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle=f"""
     WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     SELECT doc_id,
@@ -77,6 +79,7 @@ def llm_token_stats(spark, sf_dir):
 
 @register(
     "llm_quality_features",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle=f"""
     WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     SELECT doc_id,

@@ -132,6 +132,7 @@ def shipping_priority(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "order_priority_semi",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
     FROM orders o
@@ -161,6 +162,7 @@ def order_priority_semi(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "customers_without_orders",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     SELECT c.c_mktsegment AS c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_customers,
@@ -323,6 +325,7 @@ def cheapest_part_per_type(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "union_all_padded",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
            'order_value' AS measure,
@@ -356,6 +359,7 @@ def union_all_padded(spark, sf_dir):
 
 @register(
     "union_distinct_keys",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     SELECT DISTINCT * FROM (
       SELECT c_nationkey AS nationkey FROM customer
@@ -376,6 +380,7 @@ def union_distinct_keys(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "unpivot_measures",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     WITH wide AS (
       SELECT l_returnflag,
@@ -416,6 +421,7 @@ def unpivot_measures(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "pivot_status_by_priority",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     SELECT o_orderpriority,
            sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) AS f_total,
@@ -630,6 +636,7 @@ def positional_rank_join(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "apy_compounding",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     SELECT l_returnflag,
            avg(pow(1 + l_discount / 365, 365) - 1) AS avg_apy,

@@ -18,6 +18,7 @@ from aave_etl_spark.queries.registry import register, t
 # ---------------------------------------------------------------------------
 @register(
     "holder_distro_buckets",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     WITH holders AS (
       SELECT c_custkey, c_mktsegment,
@@ -93,6 +94,7 @@ def holder_distro_buckets(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "ordered_collect_fingerprint",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     SELECT user_id,
            md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS events_md5,
