@@ -131,10 +131,17 @@ def bucketed_cosine_pairs(
     min_cos: float = 0.0,
 ) -> DataFrame:
     """Approximate near-neighbor pairs: SRP-bucket join then exact cosine
-    within buckets. Output (id_a < id_b, cos_sim)."""
+    within buckets. Output (id_a < id_b, cos_sim).
+
+    Vectors are unit-normalized ONCE up front (`normalized`), so the
+    per-pair cost inside hot buckets is a single Arrow-batched dot product
+    (np.einsum over the batch) — not the three interpreted HOF array walks
+    (dot + two norms) the naive cosine would re-evaluate per pair. At 100 TB
+    the pair count inside popular buckets dominates; one dot/pair is the
+    floor."""
     buckets = srp_buckets(df, id_col, vec_col, n_planes)
-    vecs = df.select(F.col(id_col), F.col(vec_col))
-    withb = vecs.join(buckets, id_col)
+    unit = normalized(df, id_col, vec_col)
+    withb = unit.join(buckets, id_col)
     a = withb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
     )
@@ -144,9 +151,29 @@ def bucketed_cosine_pairs(
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_batch_dot_udf()(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= min_cos)
     )
+
+
+def _batch_dot_udf():
+    """Arrow-batched pairwise dot (np.einsum over the stacked batch) — the
+    vectorized hot path shared by the exact (`cosine_pairs`) and SRP-bucketed
+    (`bucketed_cosine_pairs`) pair scorers. On pre-normalized vectors one dot
+    IS the cosine."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def batch_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return batch_dot
 
 
 def normalized(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -174,14 +201,7 @@ def cosine_pairs(
     UDF (np.einsum over the stacked batch) instead of per-row interpreted
     `aggregate`/`zip_with`, ~20× faster at sf0.1. Exact verification twin
     of the SRP-bucketed scale path (`bucketed_cosine_pairs`)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def batch_dot(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.stack(a.to_numpy())
-        B = np.stack(b.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", A, B))
-
+    batch_dot = _batch_dot_udf()
     unit = normalized(df, id_col, vec_col)
     a = unit.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ea"))
     b = unit.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_eb"))
@@ -215,49 +235,56 @@ def ivf_topk(
     tie-break); each query probes its `n_probe` nearest cells and ranks
     only the vectors inside them.
 
-    Scale design (100 TB): the centroid table is tiny and broadcast twice —
-    corpus assignment is ONE full scan with no shuffle, probe selection is
-    per-query-batch. The only shuffle is the cell_id equi-join of probe
-    cells against cell assignments (Spark broadcasts the small probe side),
-    then the per-query top-k window. Candidate work drops from
-    |corpus| x |queries| to the probed fraction (~n_probe/n_cells).
+    Scale design (100 TB): the centroids are folded into ONE broadcast row
+    holding an array<struct(cell_id, centroid)>, and nearest-cell selection
+    is a per-row JVM array expression (`array_max` / `sort_array` over
+    struct(sim, -cell_id), so ties break toward the smallest cell id).
+    Corpus assignment is therefore a single map-side pass with NO shuffle —
+    no corpus×n_cells row blow-up, no per-candidate window exchange (that
+    window was the round-1/2 scale-killer). Probe selection uses the same
+    broadcast array per query row. The only remaining exchanges are the
+    cell_id equi-join of probe cells against cell assignments (Spark
+    broadcasts the small probe side) and the final per-query top-k window.
+    Candidate work drops from |corpus| x |queries| to the probed fraction
+    (~n_probe/n_cells).
     """
     cent = candidates.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_ce")
     )
+    # one broadcast row: all centroids as a deterministic-order array
+    cent_arr = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cell_id", "_ce"))).alias("_cents")
+    )
+
+    def _cell_sims(vec: Column) -> Column:
+        # struct(sim, -cell_id): lexicographic max/sort-desc = highest sim,
+        # then smallest cell_id — same tie-break as an ORDER BY sim DESC,
+        # cell_id ASC window, but evaluated per-row with no shuffle.
+        return F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                F.round(cosine(vec, s["_ce"]), round_digits).alias("sim"),
+                (-s["cell_id"]).alias("neg_id"),
+            ),
+        )
+
     c = candidates.select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
     )
-    assign_w = Window.partitionBy("candidate_id").orderBy(
-        F.col("_cell_sim").desc(), F.col("cell_id")
-    )
     assign = (
-        c.crossJoin(F.broadcast(cent))
-        .select(
-            "candidate_id",
-            "cell_id",
-            "_cv",
-            F.round(cosine(F.col("_cv"), F.col("_ce")), round_digits).alias("_cell_sim"),
-        )
-        .withColumn("_rn", F.row_number().over(assign_w))
-        .filter(F.col("_rn") == 1)
-        .select("candidate_id", "cell_id", "_cv")
+        c.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_best", F.array_max(_cell_sims(F.col("_cv"))))
+        .select("candidate_id", (-F.col("_best.neg_id")).alias("cell_id"), "_cv")
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("_cell_sim").desc(), F.col("cell_id")
-    )
     probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "cell_id",
-            "_qv",
-            F.round(cosine(F.col("_qv"), F.col("_ce")), round_digits).alias("_cell_sim"),
+        q.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "_top",
+            F.slice(F.sort_array(_cell_sims(F.col("_qv")), asc=False), 1, n_probe),
         )
-        .withColumn("_rn", F.row_number().over(probe_w))
-        .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "cell_id", "_qv")
+        .select("query_id", "_qv", F.explode("_top").alias("_p"))
+        .select("query_id", (-F.col("_p.neg_id")).alias("cell_id"), "_qv")
     )
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("candidate_id")

@@ -259,11 +259,41 @@ def llm_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, queries, k=3)
 
 
+def _srp_oracle(n_planes: int = 8, min_cos: float = 0.0) -> str:
+    """DuckDB mirror of the SRP plane derivation (operators/similarity.py
+    `_srp_plane`/`srp_buckets`): the ±1 sign for (plane p, dim i) is the
+    parity of the integer formed by the first 15 hex chars of md5('p:i') —
+    i.e. whether the 15th hex digit is odd. DuckDB's 1-based lambda index
+    maps to Spark's 0-based sequence via i-1."""
+    sign = (
+        "CASE WHEN strpos('13579bdf', "
+        "substring(md5('{p}:' || CAST(i - 1 AS VARCHAR)), 15, 1)) > 0 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
+    projs = [
+        f"list_sum(list_transform(e, (x, i) -> x * {sign.format(p=p)}))"
+        for p in range(n_planes)
+    ]
+    bucket = " + ".join(
+        f"CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END" for p, proj in enumerate(projs)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             round(list_dot_product(a.e, b2.e)
+                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))),
+                   6) AS cos_sim
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {min_cos}
+    """
+
+
 @register(
     "llm_srp_bucket_pairs",
-    oracle=None,  # deterministic but deliberately rows-only: the SRP plane
-    # derivation (md5 parity per (plane, dim)) is validated in unit tests;
-    # an SQL mirror adds no confidence beyond the jaccard/minhash oracles.
+    oracle=_srp_oracle(n_planes=8, min_cos=0.0),
     doc="LLM similarity: SRP-LSH bucketed near-neighbor pairs (scale path for ANN)",
 )
 def llm_srp_bucket_pairs(spark, sf_dir):
@@ -291,11 +321,39 @@ def llm_binary_payload(spark, sf_dir):
     return withmeta.select("doc_id", "byte_len", "content_md5")
 
 
+def _media_oracle(dim: int = 8) -> str:
+    """DuckDB mirror of multimodal._fake_decode: feature i is byte i of
+    md5(payload).digest() / 255 — reconstructed from the md5 hex string
+    (byte i = 16*hex[2i] + hex[2i+1]); feat_mean/feat_std are the same
+    left-to-right double arithmetic the Python stub runs."""
+    hexv = "(strpos('0123456789abcdef', substring(h, {c}, 1)) - 1)"
+    feats = [
+        f"({hexv.format(c=2 * i + 1)} * 16.0 + {hexv.format(c=2 * i + 2)}) / 255.0"
+        for i in range(dim)
+    ]
+    v = "[" + ", ".join(feats) + "]"
+    return f"""
+    WITH d AS (
+      SELECT doc_id AS media_id, 'image' AS media_type,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+             md5(text) AS h
+      FROM documents
+    ),
+    f AS (SELECT media_id, media_type, byte_len, {v} AS v FROM d)
+    SELECT media_id, media_type, byte_len,
+           list_sum(v) / {dim} AS feat_mean,
+           sqrt(list_sum(list_transform(v,
+               x -> (x - list_sum(v) / {dim}) * (x - list_sum(v) / {dim}))) / {dim})
+             AS feat_std,
+           CAST({dim} AS BIGINT) AS feat_dim
+    FROM f
+    """
+
+
 @register(
     "llm_media_features",
-    oracle=None,  # mapInPandas decode stub — not SQL-expressible; driver
-    # records the rows-only check (documented in SURVEY §2 coverage).
-    doc="Multimodal: Arrow-batched mapInPandas feature extraction over binary payloads (decode stubbed)",
+    oracle=_media_oracle(dim=8),
+    doc="Multimodal: Arrow-batched mapInPandas feature extraction over binary payloads (decode stubbed; md5-arithmetic stub mirrored in SQL)",
 )
 def llm_media_features(spark, sf_dir):
     from aave_etl_spark.operators import multimodal

@@ -5,6 +5,8 @@ scale properties, not just the answers."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from aave_etl_spark.queries import all_queries
@@ -78,9 +80,15 @@ def test_ivf_topk_broadcasts_centroids(spark):
     shuffle for assignment; the only exchange is the cell-id join +
     per-query window."""
     p = plan(spark, "llm_ivf_topk")
-    # corpus x centroids and queries x centroids are broadcast cross joins
+    # corpus x centroid-array and queries x centroid-array are broadcast
+    # cross joins against ONE folded row
     assert p.count("BroadcastNestedLoopJoin") >= 2
     # the cell-id join broadcasts the (tiny) probe side
     assert "BroadcastHashJoin" in p
     # no cartesian product ever materializes corpus x corpus
     assert "CartesianProduct" not in p
+    # cell assignment is a per-row array argmax: the ONLY window node (and
+    # the only hash-partition exchange feeding one) is the final per-query
+    # top-k — no Exchange between the corpus scan and its cell assignment
+    assert len(re.findall(r"\bWindow\b(?!GroupLimit)", p)) == 1
+    assert "hashpartitioning(candidate_id" not in p
