@@ -39,6 +39,14 @@ def _head_select(
     typed-NULL pads, so the driver compare stays ROW-LEVEL exact per model.
     The same text runs on Spark (over run_datamart temp views) and DuckDB
     (over model CTEs)."""
+    if len(s) > ns or len(v) > nv:
+        # a miscounted head must fail loudly — silent truncation would pass
+        # parity (identical on both engines) while un-certifying the
+        # dropped model columns
+        raise ValueError(
+            f"_head_select({head!r}): {len(s)} key / {len(v)} value columns "
+            f"exceed the aligned superset ns={ns} / nv={nv}"
+        )
     cols = [f"'{head}' AS head", f"{t0} AS t0"]
     for i in range(ns):
         cols.append(f"{s[i] if i < len(s) else 'CAST(NULL AS STRING)'} AS s{i + 1}")
@@ -94,6 +102,12 @@ def _duck_dialect(sql: str) -> str:
         out,
         flags=re.IGNORECASE | re.DOTALL,
     )
+    # the rewrites are pattern-scoped: a model varying the construct's form
+    # must fail at import, not surface as an opaque DuckDB error later
+    low = out.lower()
+    for bad in (") ignore nulls over", "add_months(", "inline(array("):
+        if bad in low:
+            raise ValueError(f"_duck_dialect: unrewritten construct {bad!r} survives")
     return out
 
 _DAYS = "(VALUES (TIMESTAMP '2024-01-01'), (TIMESTAMP '2024-01-02'), (TIMESTAMP '2024-01-03')) AS d(block_day)"
@@ -1846,3 +1860,258 @@ def datamart_misc_heads_real(spark, sf_dir):
     subset = {m: MODELS[m] for m in _MSC_MODELS}
     run_datamart(spark, inputs, models=subset)
     return spark.sql(_MSC_ALIGN)
+
+
+# ---------------------------------------------------------------------------
+# Investment-analysis family: the four inv_* models outside the LST head,
+# verbatim in one aligned slot. inv_defi_ref_stable_rate_base (aave+compound
+# stable deposit earnings, LEAD end price) feeds inv_defi_ref_rates_by_day
+# (ratio-of-sums + the SURVEY §2.5 RANGE-frame last_value IGNORE NULLS ffill
+# citation, rewritten for DuckDB by _duck_dialect); inv_bal_performance_base
+# (oracle→coingecko price fallback, coalesce-0 rate) and
+# inv_treasury_atoken_performance_base (LEAD end-of-day family + receipts
+# decomposition) run off shared derived lake inputs. market_state_by_time
+# and aave_atokens arrive as derived input views (their own model SQL is
+# certified in the market-state and misc heads).
+#
+# The inputs deliberately exercise: excluded-market filters (ethereum_v1
+# rows), the beacon-chain day gap (ignore-nulls ffill arm), a missing
+# oracle price day (NULL / coingecko-fallback arms), a missing
+# liquidity_rate day (coalesce-0 arm), a zero balance (balance_native > 0
+# filter), an unmapped atoken (NULL reserve join) and a date below the
+# '2022-07-20' floor.
+# ---------------------------------------------------------------------------
+_INV_DAYS = (
+    "(VALUES (TIMESTAMP '2022-07-19'), (TIMESTAMP '2022-07-20'),"
+    " (TIMESTAMP '2022-07-21')) AS d(block_day)"
+)
+
+_INV_MST = f"""
+SELECT d.block_day AS block_time,
+  CASE WHEN n.n_nationkey % 2 = 0 THEN 'ethereum_v2' ELSE 'ethereum_v3' END AS market,
+  CASE n.n_nationkey % 4 WHEN 0 THEN 'USDT' WHEN 1 THEN 'USDC' WHEN 2 THEN 'DAI'
+       ELSE 'WBTC' END AS reserve_symbol,
+  CAST(1000 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 50
+    + CAST(extract(day FROM d.block_day) AS DOUBLE) * 7 AS atoken_supply,
+  CAST(0.01 AS DOUBLE) + CAST(n.n_nationkey % 7 AS DOUBLE) * 0.002 AS deposit_apy
+FROM nation n CROSS JOIN {_INV_DAYS}
+UNION ALL
+SELECT d.block_day, 'avalanche_v3', 'USDT', CAST(99999 AS DOUBLE), CAST(0.5 AS DOUBLE)
+FROM {_INV_DAYS}
+"""
+
+
+def _inv_compound(time_col: str, version: str, base: int) -> str:
+    return f"""
+SELECT d.block_day AS {time_col}, '{version}' AS compound_version,
+  CASE n.n_nationkey % 3 WHEN 0 THEN 'USDT' WHEN 1 THEN 'USDC' ELSE 'DAI' END
+    AS underlying_symbol,
+  CAST({base} AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 10
+    + CAST(extract(day FROM d.block_day) AS DOUBLE) AS deposits,
+  CAST(0.02 AS DOUBLE) + CAST(n.n_nationkey % 5 AS DOUBLE) * 0.001 AS supply_apy
+FROM nation n CROSS JOIN {_INV_DAYS} WHERE n.n_nationkey < 6
+"""
+
+
+_INV_CG = f"""
+SELECT d.block_day, 'ethereum' AS chain,
+  CASE n.n_nationkey WHEN 0 THEN 'USDT' WHEN 1 THEN 'USDC' WHEN 2 THEN 'DAI'
+       ELSE 'B-80BAL-20WETH' END AS symbol,
+  CASE n.n_nationkey WHEN 3 THEN '0xbpt' ELSE concat('0xcg_', lower(n.n_name)) END
+    AS address,
+  CAST(1 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 0.01
+    + CAST(extract(day FROM d.block_day) AS DOUBLE) * 0.001 AS price_usd
+FROM nation n CROSS JOIN {_INV_DAYS} WHERE n.n_nationkey < 4
+"""
+
+# day-20 gap: the left join NULL is filled by the RANGE-frame ignore-nulls
+_INV_BEACON = f"""
+SELECT d.block_day AS partition_date,
+  CAST(0.04 AS DOUBLE) + CAST(extract(day FROM d.block_day) AS DOUBLE) * 0.001 AS apr
+FROM {_INV_DAYS} WHERE extract(day FROM d.block_day) <> 20
+"""
+
+_INV_PDP = f"""
+SELECT d.block_day, 'ethereum_v2' AS market, 'BAL' AS symbol, '0xbal' AS reserve,
+  CAST(0.001 AS DOUBLE) + CAST(extract(day FROM d.block_day) AS DOUBLE) * 0.0001
+    AS liquidity_rate
+FROM {_INV_DAYS} WHERE extract(day FROM d.block_day) <> 21
+UNION ALL
+SELECT d.block_day, 'ethereum_v1', 'BAL', '0xbal_v1', CAST(9.9 AS DOUBLE)
+FROM {_INV_DAYS}
+UNION ALL
+SELECT d.block_day,
+  CASE WHEN n.n_nationkey % 2 = 0 THEN 'ethereum_v2' ELSE 'polygon_v3' END,
+  concat('a', n.n_name), concat('0xres_', lower(n.n_name)),
+  CAST(0.005 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 0.0005
+FROM nation n CROSS JOIN {_INV_DAYS} WHERE n.n_nationkey < 6
+"""
+
+_INV_NAB = f"""
+SELECT d.block_day, 'ethereum_v2' AS market, '0xbal' AS token, 'BAL' AS symbol,
+  CAST(5000 AS DOUBLE) + CAST(extract(day FROM d.block_day) AS DOUBLE) * 13 AS balance
+FROM {_INV_DAYS}
+UNION ALL
+SELECT d.block_day, 'ethereum_v2', '0xbpt', 'B-80BAL-20WETH',
+  CAST(3000 AS DOUBLE) + CAST(extract(day FROM d.block_day) AS DOUBLE) * 11
+FROM {_INV_DAYS}
+UNION ALL
+SELECT d.block_day, 'ethereum_v2', '0xxyz', 'XYZ', CAST(1 AS DOUBLE) FROM {_INV_DAYS}
+UNION ALL
+SELECT TIMESTAMP '2022-07-18', 'ethereum_v2', '0xbal', 'BAL', CAST(4000 AS DOUBLE)
+"""
+
+_INV_AOP = f"""
+SELECT d.block_day, 'ethereum_v2' AS market, '0xbal' AS reserve, 'BAL' AS symbol,
+  CAST(6 AS DOUBLE) + CAST(extract(day FROM d.block_day) AS DOUBLE) * 0.05 AS usd_price
+FROM {_INV_DAYS} WHERE extract(day FROM d.block_day) <> 21
+UNION ALL
+SELECT d.block_day, 'ethereum_v2', '0xweth', 'WETH',
+  CAST(1500 AS DOUBLE) + CAST(extract(day FROM d.block_day) AS DOUBLE)
+FROM {_INV_DAYS}
+UNION ALL
+SELECT d.block_day,
+  CASE WHEN n.n_nationkey % 2 = 0 THEN 'ethereum_v2' ELSE 'polygon_v3' END,
+  concat('0xres_', lower(n.n_name)), n.n_name,
+  CAST(2 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 0.125
+    + CAST(extract(day FROM d.block_day) AS DOUBLE) * 0.01
+FROM nation n CROSS JOIN {_INV_DAYS} WHERE n.n_nationkey < 6 AND n.n_nationkey % 5 <> 3
+"""
+
+_INV_ATOKENS = """
+SELECT concat('0xatk_', lower(n.n_name)) AS atoken, concat('a', n.n_name) AS atoken_symbol,
+  concat('0xres_', lower(n.n_name)) AS reserve, n.n_name AS reserve_symbol,
+  CASE WHEN n.n_nationkey % 2 = 0 THEN 'ethereum_v2' ELSE 'polygon_v3' END AS market
+FROM nation n WHERE n.n_nationkey < 6 AND n.n_nationkey % 5 <> 4
+"""
+
+_INV_CAB = f"""
+SELECT d.block_day,
+  CASE WHEN n.n_nationkey % 2 = 0 THEN 'ethereum_v2' ELSE 'polygon_v3' END AS market,
+  concat('0xatk_', lower(n.n_name)) AS token, concat('a', n.n_name) AS symbol,
+  CASE WHEN n.n_nationkey = 5 THEN CAST(0 AS DOUBLE)
+       ELSE CAST(100 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 9
+         + CAST(extract(day FROM d.block_day) AS DOUBLE) END AS balance
+FROM nation n CROSS JOIN {_INV_DAYS} WHERE n.n_nationkey < 6
+UNION ALL
+SELECT d.block_day, 'ethereum_v1', '0xatk_old', 'aOLD', CAST(777 AS DOUBLE)
+FROM {_INV_DAYS}
+"""
+
+_INV_BGL2 = """
+SELECT CASE WHEN n.n_nationkey % 2 = 0 THEN 'ethereum_v2' ELSE 'polygon_v3' END AS market,
+  concat('a', n.n_name) AS atoken_symbol,
+  CASE n.n_nationkey % 3 WHEN 0 THEN 'stablecoins' WHEN 1 THEN 'eth' ELSE 'other' END
+    AS balance_group,
+  CASE WHEN n.n_nationkey % 3 = 0 THEN 'stable' ELSE 'volatile' END AS stable_class
+FROM nation n WHERE n.n_nationkey < 4
+UNION ALL
+SELECT 'ethereum_v2', 'BAL', 'other', 'volatile'
+UNION ALL
+SELECT 'ethereum_v2', 'B-80BAL-20WETH', 'other', 'volatile'
+"""
+
+_INV4_INPUTS = {
+    "market_state_by_time": _INV_MST,
+    "coingecko_data_by_day": _INV_CG,
+    "compound_v2_by_day": _inv_compound("block_day", "compound_v2", 500),
+    "compound_v3_by_day": _inv_compound("block_day", "compound_v3", 800),
+    "compound_v2_by_hour": _inv_compound("block_hour", "compound_v2", 650),
+    "compound_v3_by_hour": _inv_compound("block_hour", "compound_v3", 950),
+    "beacon_chain_staking_returns_by_day": _INV_BEACON,
+    "protocol_data_by_day": _INV_PDP,
+    "non_atoken_balances_by_day": _INV_NAB,
+    "aave_oracle_prices_by_day": _INV_AOP,
+    "aave_atokens": _INV_ATOKENS,
+    "collector_atoken_balances_by_day": _INV_CAB,
+    "balance_group_lookup": _INV_BGL2,
+}
+
+_INV4_MODELS = (
+    "inv_defi_ref_stable_rate_base",
+    "inv_defi_ref_rates_by_day",
+    "inv_bal_performance_base",
+    "inv_treasury_atoken_performance_base",
+)
+
+_INV_PERF_VALS = (
+    "balance_native", "balance_usd", "balance_eth", "usd_price", "eth_price",
+    "earnings_native", "earnings_usd", "earnings_eth",
+    "price_change_usd", "price_change_eth",
+    "receipts_native", "receipts_usd", "receipts_eth",
+)
+
+_INV4_ALIGN = "\nUNION ALL\n".join(
+    [
+        _head_select(
+            "stable_rate_base", "inv_defi_ref_stable_rate_base",
+            s=("market", "symbol"),
+            v=("deposits_native", "deposit_apy", "price_usd", "end_price_usd",
+               "deposits_usd", "earnings_native", "earnings_usd",
+               "price_change_usd"),
+            ns=4, nv=13,
+        ),
+        _head_select(
+            "ref_rates", "inv_defi_ref_rates_by_day",
+            v=("stable_reference_rate", "stable_reference_rate_ex_price",
+               "eth_reference_rate"),
+            ns=4, nv=13,
+        ),
+        _head_select(
+            "bal_perf", "inv_bal_performance_base",
+            s=("market", "symbol", "balance_group", "stable_class"),
+            v=_INV_PERF_VALS, ns=4, nv=13,
+        ),
+        _head_select(
+            "treasury_atoken_perf", "inv_treasury_atoken_performance_base",
+            s=("market", "symbol", "balance_group", "stable_class"),
+            v=_INV_PERF_VALS, ns=4, nv=13,
+        ),
+    ]
+)
+
+
+def _oracle_inv4() -> str:
+    input_ctes = ",\n".join(f"{n} AS ({sql})" for n, sql in _INV4_INPUTS.items())
+    model_ctes = ",\n".join(
+        f"{n} AS ({_duck_dialect(MODELS[n].sql)})" for n in _INV4_MODELS
+    )
+    return f"""
+WITH {input_ctes},
+{model_ctes}
+{_INV4_ALIGN}
+"""
+
+
+@register(
+    "datamart_inv_family_real",
+    oracle=_oracle_inv4(),
+    doc=(
+        "REAL datamart SQL under the driver gate (investment family, the 4"
+        " inv_* models outside the LST head): inv_defi_ref_stable_rate_base"
+        " aave+compound earnings with LEAD end price,"
+        " inv_defi_ref_rates_by_day ratio-of-sums + RANGE-frame ignore-nulls"
+        " ffill, inv_bal_performance_base oracle→coingecko fallback,"
+        " inv_treasury_atoken_performance_base LEAD family + receipts —"
+        " verbatim model SQL on both engines"
+    ),
+)
+def datamart_inv_family_real(spark, sf_dir):
+    from dataclasses import replace as dc_replace
+
+    from aave_etl_spark.plans import run_datamart
+
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    inputs = {name: spark.sql(sql) for name, sql in _INV4_INPUTS.items()}
+    subset = {
+        "inv_defi_ref_stable_rate_base": dc_replace(
+            MODELS["inv_defi_ref_stable_rate_base"], refs=()
+        ),
+        "inv_defi_ref_rates_by_day": MODELS["inv_defi_ref_rates_by_day"],
+        "inv_bal_performance_base": MODELS["inv_bal_performance_base"],
+        "inv_treasury_atoken_performance_base": dc_replace(
+            MODELS["inv_treasury_atoken_performance_base"], refs=()
+        ),
+    }
+    run_datamart(spark, inputs, models=subset)
+    return spark.sql(_INV4_ALIGN)
