@@ -9,7 +9,11 @@ from aave_etl_spark.warehouse.measures import (
     non_atoken_measures_by_day,
 )
 from aave_etl_spark.warehouse.prices import token_prices_by_day
-from aave_etl_spark.warehouse.incentives import incentives_by_day
+from aave_etl_spark.warehouse.incentives import (
+    incentives_by_day,
+    treasury_incentives_by_day,
+)
+from aave_etl_spark.warehouse.blocks import blocks_by_day
 from aave_etl_spark.warehouse.liquidity import (
     liquidity_depth,
     paraswap_fees_dedup,
@@ -20,6 +24,8 @@ __all__ = [
     "non_atoken_measures_by_day",
     "token_prices_by_day",
     "incentives_by_day",
+    "treasury_incentives_by_day",
+    "blocks_by_day",
     "liquidity_depth",
     "paraswap_fees_dedup",
 ]

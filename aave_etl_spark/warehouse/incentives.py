@@ -119,3 +119,26 @@ def incentives_by_day(
         "reward_token_symbol",
         "reward_token_address",
     ).agg(*[F.sum(m).alias(m) for m in REWARD_MEASURES])
+
+
+def treasury_incentives_by_day(treasury_accrued_incentives_by_day: DataFrame) -> DataFrame:
+    """LM rewards owed and owned by treasury contracts (reference
+    aave_data/assets/financials/data_warehouse.py:417-459).
+
+    Projection of the accrued-incentives lake table plus a ``held_rewards``
+    placeholder pinned to 0.0 (the reference's "todo: join held rewards
+    table when implemented"). An empty input flows through as a typed empty
+    frame — no driver-side branch needed (the reference special-cases
+    ``.empty`` only because pandas loses dtypes on empty selection)."""
+    from aave_etl_spark.functions.standardise import standardise_types
+
+    out = treasury_accrued_incentives_by_day.select(
+        "chain",
+        "market",
+        "collector_contract",
+        "block_day",
+        "rewards_token_address",
+        "rewards_token_symbol",
+        "accrued_rewards",
+    ).withColumn("held_rewards", F.lit(0.0))
+    return standardise_types(out)

@@ -226,3 +226,52 @@ def test_shortfall_simulation_linear_fallback(spark):
     assert r.aave_sold_usd == pytest.approx(9e5)
     assert r.overhang >= 0.0
     assert out.count() == 104  # 99 + 5 bad-debt grid points (:555-558)
+
+
+def test_blocks_by_day_dedup_projection(spark):
+    """Reference data_warehouse.py:44-82: per-market rows collapse to one
+    per-chain row via the 5-col projection + drop_duplicates (the extra
+    `market` column is what makes the duplicates)."""
+    from aave_etl_spark.warehouse import blocks_by_day
+
+    src = spark.createDataFrame(
+        [
+            ("polygon_v3", DAY, DAY, 100, 150, "polygon"),
+            ("polygon_v2", DAY, DAY, 100, 150, "polygon"),  # same chain-day block
+            ("ethereum_v2", DAY, DAY, 200, 260, "ethereum"),
+        ],
+        ["market", "block_day", "block_time", "block_height", "end_block", "chain"],
+    )
+    out = blocks_by_day(src)
+    assert out.columns == ["block_day", "block_time", "block_height", "end_block", "chain"]
+    rows = {(r.chain, r.block_height) for r in out.collect()}
+    assert rows == {("polygon", 100), ("ethereum", 200)}
+
+
+def test_treasury_incentives_projection_and_empty(spark):
+    """Reference data_warehouse.py:417-459: projection + held_rewards=0.0;
+    empty input stays a typed empty frame (pandas' .empty special case has
+    no Spark analogue — schema survives)."""
+    from aave_etl_spark.warehouse import treasury_incentives_by_day
+
+    src = spark.createDataFrame(
+        [
+            ("polygon", "polygon_v3", "0xCOL", DAY, "0xREW", "WMATIC", 12.5, "extra"),
+        ],
+        ["chain", "market", "collector_contract", "block_day",
+         "rewards_token_address", "rewards_token_symbol", "accrued_rewards",
+         "dropped_col"],
+    )
+    out = treasury_incentives_by_day(src)
+    assert out.columns == [
+        "chain", "market", "collector_contract", "block_day",
+        "rewards_token_address", "rewards_token_symbol", "accrued_rewards",
+        "held_rewards",
+    ]
+    row = out.collect()[0]
+    assert row.held_rewards == 0.0 and row.accrued_rewards == 12.5
+    # addresses lowercased through the standardise chokepoint
+    assert row.collector_contract == "0xcol" and row.rewards_token_address == "0xrew"
+
+    empty = treasury_incentives_by_day(src.limit(0))
+    assert empty.count() == 0 and empty.columns == out.columns
