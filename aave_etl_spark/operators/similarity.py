@@ -77,10 +77,22 @@ def cosine_topk(
     )
 
 
-def _srp_plane(plane: int, dim: int) -> Column:
-    """Deterministic ±1 hyperplane component from md5(plane:dim) parity."""
-    h = F.conv(F.substring(F.md5(F.lit(f"{plane}:") + F.lit(dim).cast("string")), 1, 15), 16, 10).cast("long")
-    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+_SRP_MAX_DIM = 256
+
+
+def _srp_signs(plane: int, max_dim: int = _SRP_MAX_DIM) -> list[float]:
+    """Deterministic ±1 hyperplane: sign_p(i) = parity of the integer formed
+    by the first 15 hex chars of md5('p:i') — the same derivation the DuckDB
+    oracle mirrors in SQL (queries/llm.py `_srp_oracle`). The matrix is a
+    (n_planes × dim) CONSTANT, so it's computed here once driver-side and
+    shipped as literal arrays; evaluating md5 per element per row in
+    interpreted HOF lambdas cost ~1M hash calls per million corpus cells."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:15], 16) & 1 else -1.0
+        for i in range(max_dim)
+    ]
 
 
 def srp_buckets(
@@ -92,35 +104,25 @@ def srp_buckets(
     """Sign-random-projection bucket id per vector: (id, bucket long).
 
     bucket bit p = [Σ_i sign_p(i) * v_i > 0] with sign_p(i) = ±1 from
-    md5(p:i) parity. Vectors in the same bucket are near-duplicates /
-    close neighbors with high probability; candidate generation is then a
-    self-join on `bucket` (bounded buckets, no cross join)."""
+    md5(p:i) parity (precomputed literal matrix, `_srp_signs`). Vectors in
+    the same bucket are near-duplicates / close neighbors with high
+    probability; candidate generation is then a self-join on `bucket`
+    (bounded buckets, no cross join)."""
     v = F.col(vec_col)
+    guard = F.when(
+        F.size(v) <= _SRP_MAX_DIM, F.lit(True)
+    ).otherwise(F.raise_error(F.lit(f"srp_buckets: vector dim exceeds {_SRP_MAX_DIM}")))
     sig = None
     for p in range(n_planes):
+        signs = F.array(*[F.lit(s) for s in _srp_signs(p)])
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda x, i: x.cast("double")
-                * F.when(
-                    F.conv(
-                        F.substring(F.md5(F.concat_ws(":", F.lit(str(p)), i.cast("string"))), 1, 15),
-                        16,
-                        10,
-                    )
-                    .cast("long")
-                    .bitwiseAND(F.lit(1))
-                    == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
+            F.zip_with(v, F.slice(signs, 1, F.size(v)), lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         term = F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return df.select(F.col(id_col), sig.cast("long").alias("bucket"))
+    return df.where(guard).select(F.col(id_col), sig.cast("long").alias("bucket"))
 
 
 def bucketed_cosine_pairs(
@@ -141,7 +143,10 @@ def bucketed_cosine_pairs(
     floor."""
     buckets = srp_buckets(df, id_col, vec_col, n_planes)
     unit = normalized(df, id_col, vec_col)
-    withb = unit.join(buckets, id_col)
+    # the bucketed unit-vector table feeds BOTH sides of the self-join:
+    # cut the lineage so normalization + bucketing run once, not twice
+    # (at warehouse scale this is the table you'd persist)
+    withb = unit.join(buckets, id_col).localCheckpoint(eager=False)
     a = withb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
     )
@@ -249,11 +254,16 @@ def ivf_topk(
     (~n_probe/n_cells).
     """
     cent = candidates.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_ce")
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).alias("_ce"),
+        # centroid norms computed ONCE here, not per corpus row per cell
+        # (dot/(sqrt(dv)*precomputed sqrt(dc)) is bitwise-identical to the
+        # oracle's dot/(sqrt(dv)*sqrt(dc)))
+        norm(F.col(vec_col)).alias("_cen"),
     )
     # one broadcast row: all centroids as a deterministic-order array
     cent_arr = cent.agg(
-        F.sort_array(F.collect_list(F.struct("cell_id", "_ce"))).alias("_cents")
+        F.sort_array(F.collect_list(F.struct("cell_id", "_ce", "_cen"))).alias("_cents")
     )
 
     def _cell_sims(vec: Column) -> Column:
@@ -263,7 +273,9 @@ def ivf_topk(
         return F.transform(
             F.col("_cents"),
             lambda s: F.struct(
-                F.round(cosine(vec, s["_ce"]), round_digits).alias("sim"),
+                F.round(
+                    dot(vec, s["_ce"]) / (norm(vec) * s["_cen"]), round_digits
+                ).alias("sim"),
                 (-s["cell_id"]).alias("neg_id"),
             ),
         )

@@ -25,7 +25,7 @@ def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "32")
 
-    from aave_etl_spark.queries import all_queries
+    from aave_etl_spark.queries import exported_queries
     from aave_etl_spark.session import get_spark
 
     spark = get_spark(app_name="aave_etl_spark_bench")
@@ -36,7 +36,9 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name, q in all_queries().items():
+    # exported set only — the driver-facing surface; export=False singleton
+    # parts would double-count work their family head already executes
+    for name, q in exported_queries().items():
         # Isolate queries from each other's heap garbage: without this,
         # whichever query follows a heavy one pays its GC debt and the
         # per-query numbers depend on registry order.
