@@ -185,11 +185,19 @@ def normalized(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
     """Unit-normalize each vector once, up front. Pairwise cosine then
     reduces to a dot product — at N² pair scale this removes two norm
     recomputations per pair (the norms would otherwise be re-evaluated
-    inside interpreted HOF lambdas for every pair)."""
-    n = norm(F.col(vec_col))
-    return df.select(
+    inside interpreted HOF lambdas for every pair).
+
+    The norm is bound to its own projection BEFORE the per-element divide:
+    HOF lambdas are interpreted, so an inlined norm subtree would re-run the
+    full dot+sqrt for EVERY element — O(dim²) per row. CollapseProject keeps
+    the non-cheap alias materialized (verified: one `aggregate(` in the
+    optimized plan), making this O(dim) per row."""
+    withn = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")
+    )
+    return withn.select(
         F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / n).alias(vec_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_n")).alias(vec_col),
     )
 
 
@@ -266,34 +274,47 @@ def ivf_topk(
         F.sort_array(F.collect_list(F.struct("cell_id", "_ce", "_cen"))).alias("_cents")
     )
 
-    def _cell_sims(vec: Column) -> Column:
+    def _cell_sims(vec: Column, vec_norm: Column) -> Column:
         # struct(sim, -cell_id): lexicographic max/sort-desc = highest sim,
         # then smallest cell_id — same tie-break as an ORDER BY sim DESC,
         # cell_id ASC window, but evaluated per-row with no shuffle.
+        # vec_norm arrives as a column computed BELOW the broadcast join
+        # (one dot+sqrt per row); referencing norm(vec) here would re-run
+        # it per cell inside the interpreted lambda.
         return F.transform(
             F.col("_cents"),
             lambda s: F.struct(
                 F.round(
-                    dot(vec, s["_ce"]) / (norm(vec) * s["_cen"]), round_digits
+                    dot(vec, s["_ce"]) / (vec_norm * s["_cen"]), round_digits
                 ).alias("sim"),
                 (-s["cell_id"]).alias("neg_id"),
             ),
         )
 
     c = candidates.select(
-        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cvn"),
     )
     assign = (
         c.crossJoin(F.broadcast(cent_arr))
-        .withColumn("_best", F.array_max(_cell_sims(F.col("_cv"))))
+        .withColumn("_best", F.array_max(_cell_sims(F.col("_cv"), F.col("_cvn"))))
         .select("candidate_id", (-F.col("_best.neg_id")).alias("cell_id"), "_cv")
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qvn"),
+    )
     probes = (
         q.crossJoin(F.broadcast(cent_arr))
         .withColumn(
             "_top",
-            F.slice(F.sort_array(_cell_sims(F.col("_qv")), asc=False), 1, n_probe),
+            F.slice(
+                F.sort_array(_cell_sims(F.col("_qv"), F.col("_qvn")), asc=False),
+                1,
+                n_probe,
+            ),
         )
         .select("query_id", "_qv", F.explode("_top").alias("_p"))
         .select("query_id", (-F.col("_p.neg_id")).alias("cell_id"), "_qv")
