@@ -92,3 +92,14 @@ def test_ivf_topk_broadcasts_centroids(spark):
     # top-k — no Exchange between the corpus scan and its cell assignment
     assert len(re.findall(r"\bWindow\b(?!GroupLimit)", p)) == 1
     assert "hashpartitioning(candidate_id" not in p
+
+
+def test_srp_bucket_pairs_plan(spark):
+    """SRP-LSH pair generation: bucket equi-join only (never a cartesian
+    over the corpus), Arrow-batched pair scoring (never row-at-a-time
+    Python), and no runtime md5 in bucket assignment — the sign matrix is
+    a driver-side literal constant."""
+    p = plan(spark, "llm_srp_bucket_pairs")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p  # einsum dot arrives via ArrowEvalPython
+    assert "md5" not in p
