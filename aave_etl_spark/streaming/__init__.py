@@ -11,7 +11,13 @@ ingest path.
 from aave_etl_spark.streaming.micro_batch import (
     dedup_snapshot_stream,
     sessionized_stream,
+    stateful_running_totals,
     stream_lake_table,
 )
 
-__all__ = ["dedup_snapshot_stream", "sessionized_stream", "stream_lake_table"]
+__all__ = [
+    "dedup_snapshot_stream",
+    "sessionized_stream",
+    "stateful_running_totals",
+    "stream_lake_table",
+]

@@ -100,3 +100,58 @@ def run_available_now(
     if path is not None:
         w = w.option("path", path)
     return w.start()
+
+
+def stateful_running_totals(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+    idle_horizon_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (total, n_events) carried across micro-batches, one updated
+    row emitted per key per batch it appears in.
+
+    This is the streaming form of the reference's cumulative account-state
+    tables (per-day balance rollups recomputed batch-wise) for sources that
+    drip-feed events. Scale design: state lives in the per-key partitioned
+    state store (RocksDB on a cluster), and EventTimeTimeout expires keys
+    idle past the watermark + horizon, so state is BOUNDED by active keys,
+    not all-time keys — the property that keeps this runnable forever at
+    100 TB/day ingest. Arrow-batched: one Python call per key-group per
+    batch, never per row."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} bigint, total double, n_events bigint"
+    state_schema = "total double, n bigint, max_ts_ms bigint"
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            # idle key aged out: drop state, emit nothing (the last emitted
+            # row already holds the final total)
+            state.remove()
+            return
+        total, n, max_ts = state.get if state.exists else (0.0, 0, 0)
+        for pdf in pdfs:
+            total += float(pdf[value_col].sum())
+            n += int(len(pdf))
+            if len(pdf):
+                max_ts = max(max_ts, int(pdf[ts_col].max().value // 1_000_000))
+        state.update((total, n, max_ts))
+        state.setTimeoutTimestamp(max_ts + idle_horizon_ms)
+        yield pd.DataFrame({key_col: [key[0]], "total": [total], "n_events": [n]})
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -87,3 +87,44 @@ def test_sessionized_stream(spark, tmp_path):
     first = out[(1, t0)]
     assert first.n_events == 2
     assert first.session_value == 3.0
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key totals carry across checkpointed
+    availableNow drains (state survives restart), one emitted row per key
+    per batch it appears in."""
+    from aave_etl_spark.streaming import stateful_running_totals
+
+    lake = str(tmp_path / "lake")
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(1, t0, 1.0), (1, t0 + timedelta(minutes=1), 2.0), (2, t0, 3.0)],
+        "user_id bigint, ts timestamp, value double",
+    ).write.mode("append").parquet(lake)
+    schema = spark.read.parquet(lake).schema
+    out_dir = str(tmp_path / "out")
+
+    def drain(name):
+        q = run_available_now(
+            stateful_running_totals(stream_lake_table(spark, lake, schema)),
+            str(tmp_path / "ckpt"),
+            query_name=name,
+            fmt="parquet",
+            path=out_dir,
+        )
+        q.awaitTermination(120)
+
+    drain("stateful1")
+    out1 = {r.user_id: (r.total, r.n_events) for r in spark.read.parquet(out_dir).collect()}
+    assert out1 == {1: (3.0, 2), 2: (3.0, 1)}
+
+    # second drain: only user 1 gets new events; its state accumulates
+    spark.createDataFrame(
+        [(1, t0 + timedelta(minutes=2), 4.0)],
+        "user_id bigint, ts timestamp, value double",
+    ).write.mode("append").parquet(lake)
+    drain("stateful2")
+    rows = spark.read.parquet(out_dir).collect()
+    assert (1, 7.0, 3) in {(r.user_id, r.total, r.n_events) for r in rows}
+    # user 2 emitted nothing new in batch 2
+    assert sum(1 for r in rows if r.user_id == 2) == 1
