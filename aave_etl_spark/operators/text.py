@@ -124,3 +124,34 @@ def fingerprint(
     toks = tokens(text_col)
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def ngram_doc_freq_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level top-k n-grams by DOCUMENT frequency — the vocabulary
+    statistic a pretraining pipeline computes before filtering/dedup.
+
+    Dataflow at 100 TB: per-doc distinct shingles (narrow map, reuses the
+    dedup shingler) → one shuffle on the n-gram with map-side partial
+    counts → a global rank over an aggregate whose cardinality is the
+    vocabulary, not the corpus; Spark's WindowGroupLimit keeps only k rows
+    per partition before the final single-partition sort, so the "global"
+    window never sees more than partitions×k rows. Ties break (count desc,
+    ngram asc) for engine-reproducible output."""
+    from aave_etl_spark.operators.dedup import word_shingles
+
+    from pyspark.sql.window import Window
+
+    sh = word_shingles(df, id_col, text_col, n=n)
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("ngram"))
+    return (
+        sh.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -88,8 +88,12 @@ family(
             ("doc_id",),
             ("n_chars", "n_words", "stopword_ratio", "punct_ratio", "distinct_ratio"),
         ),
+        ("ngram_topk", "llm_ngram_topk", ("ngram",), ("doc_freq", "rank")),
     ],
-    doc="text-analysis family: rolling-hash fingerprint + token stats + quality features",
+    doc=(
+        "text-analysis family: rolling-hash fingerprint + token stats +"
+        " quality features + corpus top-k bigram document frequencies"
+    ),
 )
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,30 @@ def llm_fingerprint(spark, sf_dir):
 
 
 @register(
+    "llm_ngram_topk",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g
+      FROM toks, UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS u(g)
+    )
+    SELECT g AS ngram, CAST(count(*) AS BIGINT) AS doc_freq,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, g) AS BIGINT) AS rank
+    FROM grams GROUP BY g
+    QUALIFY row_number() OVER (ORDER BY count(*) DESC, g) <= 20
+    """,
+    doc="LLM text analysis: corpus top-20 bigrams by document frequency (vocabulary stats)",
+)
+def llm_ngram_topk(spark, sf_dir):
+    return text.ngram_doc_freq_topk(t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+@register(
     "llm_token_stats",
     export=False,  # driver slot held by its family head (queries/families.py)
     oracle=f"""
