@@ -401,3 +401,34 @@ def blocked_cosine_pairs(
         )
 
     return tagged.groupBy("_bi", "_bj").applyInPandas(_block, out_schema)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization: q_i = round(x_i * 127 / max|x|), plus
+    the per-vector dequantization scale. The compression step before a
+    vector store ships embeddings at 100 TB — 4x smaller than float32,
+    8x smaller than the double math Spark does internally.
+
+    Narrow map, no shuffle. The scale is bound to its own projection so
+    the max|x| pass runs once per row, not once per element inside the
+    interpreted quantize lambda. Zero vectors get qscale 0 and an all-zero
+    qvec (guarded divide)."""
+    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    withs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0)).alias("qscale"),
+    )
+    return withs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        "qscale",
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.col("qscale"), 0).cast("tinyint"),
+        ).alias("qvec"),
+    )

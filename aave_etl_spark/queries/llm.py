@@ -467,3 +467,59 @@ def llm_ivf_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=4)
+
+
+@register(
+    "llm_embed_quantize",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, e,
+             CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS qscale
+      FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM v)
+    ),
+    q AS (
+      SELECT vec_id, e, qscale,
+             list_transform(e, x -> round(x * qscale, 0)) AS qv
+      FROM s
+    ),
+    err AS (
+      SELECT vec_id, qscale,
+             list_transform(range(1, len(e) + 1),
+                            i -> abs(e[i] - CASE WHEN qscale > 0 THEN qv[i] / qscale ELSE 0.0 END)) AS errs
+      FROM q
+    )
+    SELECT vec_id, round(qscale, 6) AS qscale,
+           round(list_max(errs), 6) AS max_abs_err,
+           round(list_sum(errs) / len(errs), 6) AS mean_abs_err
+    FROM err
+    """,
+    doc=(
+        "LLM similarity: symmetric int8 embedding quantization with per-vector"
+        " dequantization scale; the query gates the round-trip reconstruction"
+        " error (max/mean abs) per vector"
+    ),
+)
+def llm_embed_quantize(spark, sf_dir):
+    q = similarity.quantize_embeddings(t(spark, sf_dir, "embeddings"))
+    deq = F.zip_with(
+        F.col("embedding"),
+        F.col("qvec"),
+        lambda x, v: F.abs(
+            x.cast("double")
+            - F.when(F.col("qscale") > 0, v.cast("double") / F.col("qscale")).otherwise(
+                F.lit(0.0)
+            )
+        ),
+    )
+    withe = q.select("vec_id", "qscale", deq.alias("errs"))
+    return withe.select(
+        "vec_id",
+        F.round(F.col("qscale"), 6).alias("qscale"),
+        F.round(F.array_max("errs"), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate(F.col("errs"), F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("errs"),
+            6,
+        ).alias("mean_abs_err"),
+    )
