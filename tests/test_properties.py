@@ -108,3 +108,51 @@ def test_blocked_equals_pairwise_cosine(spark):
     sa = {key(r): r.cos_sim for r in a}
     sb = {key(r): r.cos_sim for r in b}
     assert all(abs(sa[k] - sb[k]) < 1e-9 for k in sa)
+
+
+VEC = st.lists(
+    st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(st.lists(VEC, min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_quantization_error_bound(spark, vecs):
+    """int8 round-trip error is bounded by half a quantization step
+    (0.5/qscale) for every vector with a nonzero scale; zero vectors
+    take qscale 0 and an all-zero qvec."""
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.quantize_embeddings(df).collect()
+    for r in out:
+        if r.qscale == 0.0:
+            assert all(q == 0 for q in r.qvec)
+            continue
+        step = 0.5 / r.qscale
+        for x, q in zip(r.embedding, r.qvec):
+            # q was rounded from float32-cast-to-double input
+            assert abs(float(x) - q / r.qscale) <= step + 1e-9
+
+
+def test_srp_sign_literals_match_md5_parity():
+    """The precomputed literal sign matrix must equal the md5-parity
+    derivation the DuckDB oracle computes in SQL."""
+    import duckdb
+
+    con = duckdb.connect()
+    for p in (0, 3, 7):
+        signs = similarity._srp_signs(p, 32)
+        sql = con.execute(
+            """
+            SELECT list_transform(range(0, 32), i ->
+              CASE WHEN strpos('13579bdf',
+                substring(md5(CAST($p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 15, 1)) > 0
+              THEN 1.0 ELSE -1.0 END)
+            """,
+            {"p": p},
+        ).fetchone()[0]
+        assert signs == [float(x) for x in sql]
