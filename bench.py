@@ -31,8 +31,16 @@ def main() -> int:
     spark = get_spark(app_name="aave_etl_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM, codegen, parquet footer reads.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm-up: JVM, codegen, shuffle machinery, parquet footer reads — a
+    # representative agg so the first measured query doesn't pay JIT warm-up.
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg({"l_quantity": "sum"})
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
