@@ -345,3 +345,64 @@ def json_struct_parse(spark, sf_dir):
         F.sum(F.col("p.k")).alias("k_total"),
         F.count(F.col("p.missing_field")).alias("n_missing_present"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join: each event enriched with the latest purchase
+# at-or-before it for the same user — the "last quote before the trade"
+# temporal join, implemented sort-merge-style (operators/asof.py: union +
+# one keyed shuffle + last_value carry-forward, never a range join).
+# ---------------------------------------------------------------------------
+@register(
+    "asof_last_purchase",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             CAST(NULL AS DOUBLE) AS pv, CAST(NULL AS BIGINT) AS pid, 1 AS side
+      FROM events
+    ),
+    r AS (
+      SELECT CAST(NULL AS BIGINT), user_id, ts, CAST(NULL AS VARCHAR),
+             CAST(NULL AS DOUBLE), value, event_id, 0
+      FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+    filled AS (
+      SELECT event_id, user_id, event_type, value, side,
+             last_value(pv IGNORE NULLS) OVER w AS asof_purchase_value,
+             last_value(pid IGNORE NULLS) OVER w AS asof_purchase_event_id
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, event_type, value,
+           asof_purchase_value, asof_purchase_event_id
+    FROM filled WHERE side = 1
+    """,
+    doc=(
+        "as-of temporal join (sort-merge union+window form): latest purchase"
+        " at-or-before each event per user; one keyed shuffle, no range join"
+    ),
+)
+def asof_last_purchase(spark, sf_dir):
+    from aave_etl_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    left = e.select("event_id", "user_id", "ts", "event_type", "value")
+    out = asof_join(left, purchases, ["user_id"], "ts",
+                    ["purchase_value", "purchase_event_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "asof_purchase_value",
+        F.col("asof_purchase_event_id").cast("long").alias("asof_purchase_event_id"),
+    )

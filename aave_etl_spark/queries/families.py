@@ -135,8 +135,17 @@ family(
             ("day_value", "day_over_day"),
         ),
         ("ffill", "forward_fill_ignore_nulls", ("event_id", "user_id"), ("value_ffill",)),
+        (
+            "asof",
+            "asof_last_purchase",
+            ("event_id", "event_type"),
+            ("value", "asof_purchase_value", "asof_purchase_event_id"),
+        ),
     ],
-    doc="§2.5 window-shift family: LEAD pairing + LAG coalesce + ffill ignore nulls",
+    doc=(
+        "§2.5 window-shift family: LEAD pairing + LAG coalesce + ffill ignore"
+        " nulls + as-of temporal join (sort-merge union+window form)"
+    ),
 )
 
 # ---------------------------------------------------------------------------
