@@ -1,0 +1,43 @@
+"""Skew mitigation: salted joins for hot keys.
+
+AQE's skew-join splitting (enabled session-wide) handles most skew at
+runtime by splitting oversized shuffle partitions — but it only applies to
+sort-merge joins and only when statistics surface the skew. Salting is the
+plan-level tool for the remaining cases: a join key so hot that one task
+would receive an unbounded share of the shuffle.
+
+Mechanics: the big side gets a deterministic salt in [0, n) appended to the
+key (spreading each hot key over n tasks); the small side is replicated n
+times, once per salt value. The join result is IDENTICAL to the unsalted
+join — the salt never leaves the plan — at the cost of an n-fold
+replication of the (small) build side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_cols: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join `big` to `small` on key_cols with the hot keys spread over
+    `n_salts` shuffle partitions. Output columns = unsalted join output.
+
+    The salt on the big side hashes ALL of the row's columns, so it is
+    deterministic per row content (replays produce the same spread) and
+    uniform even when the join key itself has two values."""
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.abs(F.hash(*[F.col(c) for c in big.columns])), F.lit(n_salts))
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        salted_big.join(salted_small, [*key_cols, "_salt"], how).drop("_salt")
+    )

@@ -190,8 +190,12 @@ family(
             ("c_mktsegment",),
             ("n_customers", "total_acctbal"),
         ),
+        ("salted", "salted_hot_join", ("label",), ("sum_qty", "n_rows")),
     ],
-    doc="§2.3 semi/anti join family: EXISTS semi-join + left-anti join",
+    doc=(
+        "§2.3 join-technique family: EXISTS semi-join + left-anti join +"
+        " skew-salted hot-key join (result identical to the plain join)"
+    ),
 )
 
 # ---------------------------------------------------------------------------

@@ -681,3 +681,46 @@ def broadcast_dim_enrich(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(F.sum("s_acctbal").alias("total_acctbal"), F.count(F.lit(1)).alias("n_suppliers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join: lineitem keyed down to TWO hot values (extreme skew —
+# each key ~50% of the table) joined to a tiny dim through
+# operators/skew.salted_join, which spreads each hot key over n salt
+# partitions. The result is identical to the plain join (the oracle IS the
+# plain join), certifying that salting never changes semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "salted_hot_join",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey % 2 AS hot_key, l_quantity FROM lineitem
+    ),
+    dim AS (
+      SELECT CAST(0 AS BIGINT) AS hot_key, 'even' AS label
+      UNION ALL SELECT 1, 'odd'
+    )
+    SELECT d.label, sum(b.l_quantity) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM big b JOIN dim d USING (hot_key)
+    GROUP BY d.label
+    """,
+    doc=(
+        "skew-salted join (operators/skew.py): 2-hot-key big side spread over"
+        " salt partitions, replicated dim; result identical to the plain join"
+    ),
+)
+def salted_hot_join(spark, sf_dir):
+    from aave_etl_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.pmod(F.col("l_orderkey"), F.lit(2)).cast("long").alias("hot_key"),
+        "l_quantity",
+    )
+    dim = spark.createDataFrame([(0, "even"), (1, "odd")], "hot_key long, label string")
+    joined = salted_join(li, dim, ["hot_key"], n_salts=8)
+    return joined.groupBy("label").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
