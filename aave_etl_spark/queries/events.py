@@ -200,6 +200,7 @@ def json_extract_agg(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "date_rollup",
+    export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS next_day,
@@ -406,3 +407,40 @@ def asof_last_purchase(spark, sf_dir):
         "asof_purchase_value",
         F.col("asof_purchase_event_id").cast("long").alias("asof_purchase_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style continuous aggregate: one pass produces BOTH the daily
+# and the monthly rollup via GROUPING SETS — the multi-granularity
+# materialization a time-series store (hypertable) maintains incrementally.
+# The SAME SQL text runs on both engines.
+# ---------------------------------------------------------------------------
+_HYPER_SQL = """
+WITH base AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(date_trunc('month', ts) AS DATE) AS m,
+         value
+  FROM events
+)
+SELECT CASE WHEN grouping(d) = 0 THEN 'day' ELSE 'month' END AS grain,
+       CAST(coalesce(d, m) AS STRING) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(value) AS total_value
+FROM base
+GROUP BY GROUPING SETS ((d), (m))
+"""
+
+
+@register(
+    "hypertable_rollup",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=_HYPER_SQL,
+    doc=(
+        "hypertable-style multi-granularity rollup: day+month continuous"
+        " aggregate in ONE pass via GROUPING SETS (partial aggregation is"
+        " shared across grains map-side); identical SQL text on both engines"
+    ),
+)
+def hypertable_rollup(spark, sf_dir):
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_HYPER_SQL)

@@ -89,10 +89,12 @@ family(
             ("n_chars", "n_words", "stopword_ratio", "punct_ratio", "distinct_ratio"),
         ),
         ("ngram_topk", "llm_ngram_topk", ("ngram",), ("doc_freq", "rank")),
+        ("kmv", "llm_kmv_distinct", ("lang",), ("est_distinct", "exact_distinct")),
     ],
     doc=(
         "text-analysis family: rolling-hash fingerprint + token stats +"
-        " quality features + corpus top-k bigram document frequencies"
+        " quality features + corpus top-k bigram document frequencies +"
+        " KMV distinct-text sketch per language"
     ),
 )
 
@@ -109,8 +111,12 @@ family(
             ("value", "fee"),
         ),
         ("distinct_keys", "union_distinct_keys", ("nationkey",), ()),
+        ("range_tiers", "quantity_tier_range_join", ("tier",), ("n_rows", "sum_qty")),
     ],
-    doc="§2.7 union family: UNION ALL with lit-0 padding + UNION DISTINCT",
+    doc=(
+        "§2.7 union family: UNION ALL with lit-0 padding + UNION DISTINCT +"
+        " bucketized range join (plain-BETWEEN oracle identity)"
+    ),
 )
 
 # ---------------------------------------------------------------------------
@@ -145,6 +151,32 @@ family(
     doc=(
         "§2.5 window-shift family: LEAD pairing + LAG coalesce + ffill ignore"
         " nulls + as-of temporal join (sort-merge union+window form)"
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Time-rollup pair: §2.9 date_trunc day rollup + the hypertable-style
+# day+month GROUPING SETS continuous aggregate.
+# ---------------------------------------------------------------------------
+family(
+    "time_rollup_family",
+    [
+        (
+            "day_rollup",
+            "date_rollup",
+            ("CAST(day AS DATE)", "CAST(next_day AS DATE)"),
+            ("n_events", "total_value"),
+        ),
+        (
+            "hypertable",
+            "hypertable_rollup",
+            ("grain", "bucket"),
+            ("n_events", "total_value"),
+        ),
+    ],
+    doc=(
+        "time-rollup family: §2.9 date_trunc+interval day rollup + the"
+        " hypertable-style multi-granularity GROUPING SETS aggregate"
     ),
 )
 

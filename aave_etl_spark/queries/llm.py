@@ -523,3 +523,37 @@ def llm_embed_quantize(spark, sf_dir):
             6,
         ).alias("mean_abs_err"),
     )
+
+
+@register(
+    "llm_kmv_distinct",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle="""
+    WITH h AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
+    rn AS (SELECT lang, h,
+                  row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+           FROM h),
+    kth AS (
+      SELECT lang,
+             15 / (CAST('0x' || substring(h, 1, 15) AS BIGINT)
+                   / 1152921504606846976.0) AS est
+      FROM rn WHERE rn = 16
+    ),
+    exact AS (SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
+              FROM h GROUP BY lang)
+    SELECT e.lang,
+           round(coalesce(k.est, CAST(e.exact_distinct AS DOUBLE)), 6)
+             AS est_distinct,
+           e.exact_distinct
+    FROM exact e LEFT JOIN kth k USING (lang)
+    """,
+    doc=(
+        "LLM corpus stats: KMV (k-minimum-values) distinct-text sketch per"
+        " language — deterministic md5 bottom-k estimator, bit-identical on"
+        " both engines, exact below k (operators/sketch.py)"
+    ),
+)
+def llm_kmv_distinct(spark, sf_dir):
+    from aave_etl_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(t(spark, sf_dir, "documents"), ["lang"], "text", k=16)

@@ -724,3 +724,45 @@ def salted_hot_join(spark, sf_dir):
         F.sum("l_quantity").alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval-containment) join: lineitem quantities against tier
+# intervals via operators/range_join.py — bucketized equi-join + exact
+# post-filter, never a nested-loop range probe. Oracle is the plain
+# BETWEEN join: identical results certify the bucketization.
+# ---------------------------------------------------------------------------
+@register(
+    "quantity_tier_range_join",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('bronze', 1.0, 10.0), ('silver', 11.0, 25.0),
+             ('gold', 26.0, 40.0), ('platinum', 41.0, 50.0)
+    )
+    SELECT t.tier, CAST(count(*) AS BIGINT) AS n_rows,
+           sum(CAST(l.l_quantity AS DOUBLE)) AS sum_qty
+    FROM lineitem l JOIN tiers t
+      ON CAST(l.l_quantity AS DOUBLE) BETWEEN t.lo AND t.hi
+    GROUP BY t.tier
+    """,
+    doc=(
+        "range join (operators/range_join.py): bucketized interval join of"
+        " quantities to tier ranges; plain-BETWEEN oracle certifies identity"
+    ),
+)
+def quantity_tier_range_join(spark, sf_dir):
+    from aave_etl_spark.operators.range_join import range_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("qty")
+    )
+    tiers = spark.createDataFrame(
+        [("bronze", 1.0, 10.0), ("silver", 11.0, 25.0),
+         ("gold", 26.0, 40.0), ("platinum", 41.0, 50.0)],
+        "tier string, lo double, hi double",
+    )
+    joined = range_join(li, tiers, "qty", bucket_width=10.0)
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("qty").alias("sum_qty")
+    )
