@@ -103,3 +103,26 @@ def test_srp_bucket_pairs_plan(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p  # einsum dot arrives via ArrowEvalPython
     assert "md5" not in p
+
+
+def test_asof_join_single_keyed_window(spark):
+    """As-of join is the sort-merge union+window form: no nested-loop or
+    cartesian range probe, exactly one window (the carry-forward)."""
+    p = plan(spark, "asof_last_purchase")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert len(re.findall(r"\bWindow\b(?!GroupLimit)", p)) == 1
+
+
+def test_range_join_is_equi_join(spark):
+    """Bucketized range join must execute as a hash equi-join on the
+    bucket id, never a nested-loop range probe over the fact table."""
+    p = plan(spark, "quantity_tier_range_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # an actual (hash) join on _bucket remains
+
+
+def test_salted_join_no_cartesian(spark):
+    p = plan(spark, "salted_hot_join")
+    assert "CartesianProduct" not in p
