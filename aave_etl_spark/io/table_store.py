@@ -79,6 +79,38 @@ class TableStore:
         mode = "append" if append_only else "overwrite"
         writer.mode(mode).parquet(self._path(name))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Persist ``df`` hash-bucketed (CLUSTERED BY) on ``bucket_cols``.
+
+        Bucketing is the co-location tool the partition layout (K1) can't
+        provide: two tables bucketed on the same key with the same bucket
+        count join WITHOUT an Exchange — each task zips bucket i with
+        bucket i (asserted in tests/test_io.py). For a 100 TB fact table
+        joined repeatedly on the same key, the one-time bucketed write
+        amortizes the shuffle out of every downstream join/agg on that
+        key. Requires the session catalog (bucket metadata lives there,
+        not in parquet); read back with ``read_bucketed``."""
+        writer = (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.option("path", self._path(name)).saveAsTable(name)
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Catalog read preserving bucket metadata (a plain parquet read of
+        the same files would lose the co-location guarantee)."""
+        return self.spark.table(name)
+
     def read(
         self,
         name: str,

@@ -1,0 +1,88 @@
+"""TableStore sink/read semantics (SURVEY §2.1 K1-K4) and bucketed
+co-location — direct tests for the IO layer the datamart runner builds on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from aave_etl_spark.io.table_store import TableStore
+
+
+def _store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "warehouse"))
+
+
+def test_k1_dynamic_partition_overwrite(spark, tmp_path):
+    """Rewriting one partition's slice must leave sibling partitions
+    intact (the reference's delete-then-append idempotency)."""
+    store = _store(spark, tmp_path)
+    df = spark.createDataFrame(
+        [("2024-01-01", "m1", 1.0), ("2024-01-01", "m2", 2.0)],
+        "day string, market string, v double",
+    )
+    store.write(df, "t", partition_cols=["day", "market"])
+    # replay m1's partition with a corrected value
+    fixed = spark.createDataFrame(
+        [("2024-01-01", "m1", 9.0)], "day string, market string, v double"
+    )
+    store.write(fixed, "t", partition_cols=["day", "market"])
+    out = {(r.market, r.v) for r in store.read("t").collect()}
+    assert out == {("m1", 9.0), ("m2", 2.0)}
+
+
+def test_k2_append_only(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    store.write(df, "t", append_only=True)
+    store.write(df, "t", append_only=True)
+    assert store.read("t").count() == 2
+
+
+def test_k3_missing_table_and_pruned_read(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    schema = StructType([StructField("k", StringType())])
+    empty = store.read("nope", schema=schema)
+    assert empty.count() == 0 and empty.schema == schema
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1.0), ("2024-01-02", 2.0)], "day string, v double"
+    )
+    store.write(df, "t", partition_cols=["day"])
+    got = store.read("t", where="day = '2024-01-02'")
+    assert [r.v for r in got.collect()] == [2.0]
+
+
+def test_k4_plain_roundtrip_strips_meta(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    store.write(df, "t")
+    out = store.read("t")
+    assert set(out.columns) == {"k", "v"}
+    assert store.read("t", keep_meta=True).columns != out.columns
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange operators — bucket i zips with bucket i."""
+    store = _store(spark, tmp_path)
+    facts = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    dims = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    try:
+        store.write_bucketed(facts, "bf", ["k"], n_buckets=8, sort_cols=["k"])
+        store.write_bucketed(dims, "bd", ["k"], n_buckets=8, sort_cols=["k"])
+        joined = (
+            store.read_bucketed("bf")
+            .hint("merge")  # forbid broadcast so the shuffle question is real
+            .join(store.read_bucketed("bd"), "k")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bf")
+        spark.sql("DROP TABLE IF EXISTS bd")
