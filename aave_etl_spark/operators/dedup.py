@@ -190,3 +190,39 @@ def keep_first_per_group(
     (reference keep-last pattern, data_warehouse.py:706 — SURVEY §7.4.3)."""
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def jaccard_verify(
+    shingles: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for a GIVEN candidate-pair set — the
+    verify stage after LSH. Unlike `jaccard_pairs` (shingle-equality
+    blocking, quadratic inside hot shingle buckets), work here is
+    |pairs| x avg-shingles-per-doc: each candidate pair pulls its two
+    shingle sets through equi-joins on the ids, immune to shingle skew.
+    This is the composition a 100 TB dedup runs: LSH prunes the pair
+    space, verify certifies it."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("_sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("_sz_b"))
+    jac = (
+        F.col("n_inter").cast("double")
+        / (F.col("_sz_a") + F.col("_sz_b") - F.col("n_inter")).cast("double")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -266,6 +266,10 @@ family(
             ("user_id", "events_md5"),
             ("n_events",),
         ),
+        ("lsh_verified", "llm_lsh_verified_dups", ("id_a", "id_b"), ("jaccard",)),
     ],
-    doc="§2.8 inline array-of-struct buckets + §2.4 ordered collect-to-list md5",
+    doc=(
+        "§2.8 inline array-of-struct buckets + §2.4 ordered collect-to-list"
+        " md5 + the LSH candidates→exact-Jaccard verified dedup pipeline"
+    ),
 )

@@ -157,10 +157,10 @@ def llm_language_id(spark, sf_dir):
     return guessed.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-@register(
-    "llm_minhash_lsh",
-    oracle=f"""
-    WITH norm AS (
+# shared MinHash-LSH derivation CTEs (candidate generation); reused by the
+# candidates query and the candidates→exact-Jaccard verified pipeline
+_MH_CTES = f"""
+    norm AS (
       SELECT doc_id, {_TOKS} AS toks FROM documents
     ),
     shingles AS (
@@ -183,6 +183,13 @@ def llm_language_id(spark, sf_dir):
                             ORDER BY CAST(h AS VARCHAR) || ':' || minhash)) AS band_key
       FROM mh GROUP BY doc_id, CAST(floor(h / 2) AS INT)
     )
+"""
+
+
+@register(
+    "llm_minhash_lsh",
+    oracle=f"""
+    WITH {_MH_CTES}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
     WHERE a.doc_id < b.doc_id
@@ -557,3 +564,41 @@ def llm_kmv_distinct(spark, sf_dir):
     from aave_etl_spark.operators.sketch import kmv_distinct
 
     return kmv_distinct(t(spark, sf_dir, "documents"), ["lang"], "text", k=16)
+
+
+@register(
+    "llm_lsh_verified_dups",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=f"""
+    WITH {_MH_CTES},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.id_a
+      JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.doc_id
+    JOIN sizes sb ON i.id_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
+    """,
+    doc=(
+        "LLM dedup PIPELINE: MinHash-LSH candidates verified by exact"
+        " Jaccard restricted to the candidate set (operators/dedup.py"
+        " jaccard_verify) — the two-stage composition a 100 TB dedup runs"
+    ),
+)
+def llm_lsh_verified_dups(spark, sf_dir):
+    sh = dedup.word_shingles(t(spark, sf_dir, "documents"), n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
+    return dedup.jaccard_verify(sh, cand, threshold=0.5)
