@@ -70,7 +70,12 @@ class TableStore:
                 "_partition_key",
                 F.concat_ws("|", *[F.col(c).cast("string") for c in partition_cols]),
             ).withColumn("_partition_type", F.lit("multi" if len(partition_cols) > 1 else "single"))
-            writer = stamped.write.partitionBy(*partition_cols)
+            # Pin dynamic overwrite at the writer (not ambient session conf):
+            # partition overwrite must replace only the slices present in
+            # `df` regardless of how the caller built their session.
+            writer = stamped.write.partitionBy(*partition_cols).option(
+                "partitionOverwriteMode", "dynamic"
+            )
         else:
             stamped = stamped.withColumn("_partition_key", F.lit(None).cast("string")).withColumn(
                 "_partition_type", F.lit(None).cast("string")

@@ -173,10 +173,18 @@ family(
             ("grain", "bucket"),
             ("n_events", "total_value"),
         ),
+        (
+            "pipeline",
+            "orchestration_backfill_run",
+            ("day",),
+            ("n_events", "n_users", "total_value", "day_over_day"),
+        ),
     ],
     doc=(
         "time-rollup family: §2.9 date_trunc+interval day rollup + the"
-        " hypertable-style multi-granularity GROUPING SETS aggregate"
+        " hypertable-style multi-granularity GROUPING SETS aggregate + the"
+        " orchestration backfill pipeline (lake→warehouse→datamart through"
+        " TableStore dynamic partition overwrite, read back from the store)"
     ),
 )
 

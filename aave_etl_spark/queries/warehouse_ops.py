@@ -188,3 +188,68 @@ def grouped_linear_interp(spark, sf_dir):
     return pts.groupBy("grp").applyInPandas(
         interp, schema="grp string, target_x double, interp_y double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Orchestration: backfill a date range through the lake→warehouse→datamart
+# asset graph (plans/orchestration.py + plans/events_pipeline.py), every
+# layer written via TableStore dynamic partition overwrite, result read back
+# from the store. Certifies the reference's partitioned-run entry point
+# (aave_data/__init__.py:374-434) end-to-end against a plain-SQL oracle.
+# ---------------------------------------------------------------------------
+_ORCH_START, _ORCH_END = "2024-01-01", "2024-01-07"
+
+
+@register(
+    "orchestration_backfill_run",
+    export=False,  # driver slot held by its family head (time_rollup_family)
+    oracle=f"""
+    WITH lake AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             sum(value) AS total_value
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '{_ORCH_START}' AND DATE '{_ORCH_END}'
+      GROUP BY 1, 2
+    ), wh AS (
+      SELECT day,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_users,
+             sum(total_value) AS total_value
+      FROM lake GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_events, n_users, total_value,
+           total_value / lag(total_value) OVER (ORDER BY day) AS day_over_day
+    FROM wh
+    """,
+    doc=(
+        "partitioned-run orchestration: backfill 7 daily partitions through "
+        "lake→warehouse→datamart via TableStore dynamic partition overwrite "
+        "(ref aave_data/__init__.py:374-434), read the datamart table back"
+    ),
+)
+def orchestration_backfill_run(spark, sf_dir):
+    import tempfile
+
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.plans.events_pipeline import events_pipeline_graph
+    from aave_etl_spark.plans.orchestration import backfill
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="aave_etl_orch_"))
+    graph = events_pipeline_graph()
+    backfill(
+        spark,
+        store,
+        graph,
+        _ORCH_START,
+        _ORCH_END,
+        markets=(),
+        resources={"events": t(spark, sf_dir, "events")},
+    )
+    return store.read("datamart_day_summary").select(
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        "n_users",
+        "total_value",
+        "day_over_day",
+    )

@@ -1,0 +1,257 @@
+"""Partitioned-run orchestration layer (plans/orchestration.py).
+
+Proves the reference entry-point semantics (aave_data/__init__.py:374-434):
+idempotent per-partition re-runs, slice-scoped overwrite (re-running day A
+never disturbs day B), cross-partition reads in the full-refresh layer, the
+daily cadence chain, backfill over a range, and the schedule cadences.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from aave_etl_spark.io.table_store import TableStore
+from aave_etl_spark.plans import orchestration as orch
+from aave_etl_spark.plans.events_pipeline import events_pipeline_graph
+from aave_etl_spark.plans.orchestration import (
+    DAILY,
+    MARKET_DAY,
+    UNPARTITIONED,
+    Asset,
+    AssetGraph,
+    PartitionKey,
+    Schedule,
+    backfill,
+    cron_due,
+    date_range,
+    due_jobs,
+    run_day,
+    run_partition,
+)
+from aave_etl_spark.sources.connectors import block_numbers_by_day
+from aave_etl_spark.warehouse.blocks import blocks_by_day
+
+
+def _rows(df, *order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+# ---------------------------------------------------------------------------
+# Graph mechanics (pure).
+# ---------------------------------------------------------------------------
+def test_topo_order_and_cycle_detection():
+    a = Asset("a", fn=lambda ctx: None)
+    b = Asset("b", fn=lambda ctx: None, deps=("a",))
+    c = Asset("c", fn=lambda ctx: None, deps=("b",))
+    g = AssetGraph([c, b, a])
+    assert [x.name for x in g.topo_order()] == ["a", "b", "c"]
+    # selection that excludes a dep treats it as already materialized
+    assert [x.name for x in g.topo_order(["b", "c"])] == ["b", "c"]
+    with pytest.raises(ValueError, match="cycle"):
+        AssetGraph(
+            [
+                Asset("x", fn=lambda ctx: None, deps=("y",)),
+                Asset("y", fn=lambda ctx: None, deps=("x",)),
+            ]
+        ).topo_order()
+    with pytest.raises(ValueError, match="unknown deps"):
+        AssetGraph([Asset("x", fn=lambda ctx: None, deps=("nope",))])
+
+
+def test_group_selection():
+    g = AssetGraph(
+        [
+            Asset("l1", fn=lambda ctx: None, group="data_lake"),
+            Asset("w1", fn=lambda ctx: None, group="warehouse_datamart"),
+        ]
+    )
+    assert g.select_groups("data_lake") == ["l1"]
+    with pytest.raises(ValueError, match="no assets"):
+        g.select_groups("nope")
+
+
+# ---------------------------------------------------------------------------
+# Schedule cadences (reference aave_data/__init__.py:374-434).
+# ---------------------------------------------------------------------------
+def test_cron_due_reference_cadences():
+    # warehouse_datamart at 01:15 (warehouse_datamart_schedule)
+    assert cron_due("15 1 * * *", datetime(2026, 8, 13, 1, 15))
+    assert not cron_due("15 1 * * *", datetime(2026, 8, 13, 1, 14))
+    # liquidity_depth every 2 hours (0 */2 * * *)
+    assert cron_due("0 */2 * * *", datetime(2026, 8, 13, 4, 0))
+    assert not cron_due("0 */2 * * *", datetime(2026, 8, 13, 3, 0))
+    # hourly lake at :05 every hour
+    assert cron_due("5 * * * *", datetime(2026, 8, 13, 17, 5))
+    # day-of-week: 2026-08-13 is a Thursday (cron dow 4)
+    assert cron_due("0 1 * * 4", datetime(2026, 8, 13, 1, 0))
+    assert not cron_due("0 1 * * 0", datetime(2026, 8, 13, 1, 0))
+    with pytest.raises(ValueError, match="bad cron"):
+        cron_due("0 1 *", datetime(2026, 8, 13, 1, 0))
+
+
+def test_due_jobs_daily_cadence_chain():
+    # 01:00 — lake jobs fire; 01:15 — warehouse+datamart; 01:25 — daily +
+    # chain_day partitioned jobs.
+    assert set(due_jobs(datetime(2026, 8, 13, 1, 0))) >= {
+        "data_lake",
+        "data_lake_unpartitioned",
+    }
+    assert due_jobs(datetime(2026, 8, 13, 1, 15)) == ["warehouse_datamart"]
+    assert set(due_jobs(datetime(2026, 8, 13, 1, 25))) == {
+        "daily_partitioned",
+        "chain_day",
+    }
+    # :05 / :10 hourly chain
+    assert "hourly_data_lake" in due_jobs(datetime(2026, 8, 13, 9, 5))
+    assert "datamart_hourly" in due_jobs(datetime(2026, 8, 13, 9, 10))
+
+
+def test_date_range():
+    assert date_range("2024-01-30", "2024-02-02") == [
+        "2024-01-30",
+        "2024-01-31",
+        "2024-02-01",
+        "2024-02-02",
+    ]
+    with pytest.raises(ValueError, match="before start"):
+        date_range("2024-01-02", "2024-01-01")
+
+
+# ---------------------------------------------------------------------------
+# Connector-backed market_day pipeline: lake fetch → warehouse, per-partition
+# overwrite, idempotent re-run, slice isolation.
+# ---------------------------------------------------------------------------
+def _block_transport(height_of):
+    """Fake DeFiLlama closest-block transport (FIXTURES §1 shape)."""
+
+    def transport(req):
+        day = datetime.fromisoformat(req["day"])
+        nxt = day.timestamp() + 86400
+        h = height_of(req["day"], req["chain"])
+        return {
+            "start": {"height": h, "timestamp": day.timestamp()},
+            "next": {"height": h + 7000, "timestamp": nxt},
+        }
+
+    return transport
+
+
+def _blocks_graph():
+    def lake(ctx):
+        chain = {"ethereum_v3": "ethereum", "polygon_v3": "polygon"}[ctx.partition.market]
+        return block_numbers_by_day(
+            ctx.spark, ctx.resources["transport"], ctx.partition.date, chain, ctx.partition.market
+        )
+
+    def warehouse(ctx):
+        return blocks_by_day(ctx.upstream("block_numbers_by_day"))
+
+    return AssetGraph(
+        [
+            Asset(
+                "block_numbers_by_day",
+                fn=lake,
+                group="data_lake",
+                partitioning=MARKET_DAY,
+                partition_cols=("block_day", "market"),
+            ),
+            Asset(
+                "warehouse_blocks_by_day",
+                fn=warehouse,
+                deps=("block_numbers_by_day",),
+                group="warehouse_datamart",
+                partitioning=UNPARTITIONED,
+            ),
+        ]
+    )
+
+
+def test_run_day_idempotent_and_slice_scoped(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "store"))
+    graph = _blocks_graph()
+    markets = ["ethereum_v3", "polygon_v3"]
+    res = {"transport": _block_transport(lambda d, c: 1_000_000)}
+
+    run_day(spark, store, graph, "2024-01-01", markets, res)
+    run_day(spark, store, graph, "2024-01-02", markets, res)
+
+    lake = store.read("block_numbers_by_day")
+    assert lake.count() == 4  # 2 days x 2 markets
+    first = _rows(lake, "block_day", "market")
+
+    # idempotency: re-running the same partition day is byte-identical
+    run_day(spark, store, graph, "2024-01-01", markets, res)
+    assert _rows(store.read("block_numbers_by_day"), "block_day", "market") == first
+
+    # slice isolation: re-run day 1 with new heights — day 2 rows untouched
+    res2 = {"transport": _block_transport(lambda d, c: 2_000_000)}
+    run_day(spark, store, graph, "2024-01-01", markets, res2)
+    after = store.read("block_numbers_by_day")
+    assert after.count() == 4
+    d1 = after.where("block_day = DATE '2024-01-01'")
+    d2 = after.where("block_day = DATE '2024-01-02'")
+    assert {r.block_height for r in d1.collect()} == {2_000_000}
+    assert {r.block_height for r in d2.collect()} == {1_000_000}
+
+    # warehouse full-refresh saw both chains x both days, deduped per chain
+    wh = store.read("warehouse_blocks_by_day")
+    assert wh.count() == 4  # 2 chains x 2 days
+    assert set(wh.columns) == {"block_day", "block_time", "block_height", "end_block", "chain"}
+
+
+def test_run_partition_selection_respects_deps(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "store"))
+    graph = _blocks_graph()
+    res = {"transport": _block_transport(lambda d, c: 5)}
+    # running only the warehouse selection against an empty store yields an
+    # empty (schema-less) upstream -> empty write skipped, table absent
+    out = run_partition(
+        spark, store, graph, PartitionKey("2024-01-01", "ethereum_v3"), res,
+        selection=["block_numbers_by_day"],
+    )
+    assert out["block_numbers_by_day"].count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Backfill over the events pipeline: cross-partition LAG + oracle identity.
+# ---------------------------------------------------------------------------
+def test_backfill_cross_partition_lag(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 5), 10.0),
+            (2, datetime(2024, 1, 1, 9), 30.0),
+            (1, datetime(2024, 1, 2, 5), 20.0),
+            (3, datetime(2024, 1, 3, 5), 120.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    store = TableStore(spark, str(tmp_path / "store"))
+    graph = events_pipeline_graph()
+    backfill(spark, store, graph, "2024-01-01", "2024-01-03", markets=(), resources={"events": ev})
+
+    dm = _rows(store.read("datamart_day_summary"), "day")
+    # (day, n_events, n_users, total_value, day_over_day)
+    assert [(str(r[0]), r[1], r[2], r[3], r[4]) for r in dm] == [
+        ("2024-01-01", 2, 2, 40.0, None),
+        ("2024-01-02", 1, 1, 20.0, 0.5),  # day 2 LAG saw day 1's partition
+        ("2024-01-03", 1, 1, 120.0, 6.0),
+    ]
+
+    # re-running the backfill (or any sub-range) is idempotent
+    lake_before = _rows(store.read("lake_user_day"), "day", "user_id")
+    backfill(spark, store, graph, "2024-01-02", "2024-01-02", markets=(), resources={"events": ev})
+    assert _rows(store.read("lake_user_day"), "day", "user_id") == lake_before
+    assert store.read("lake_user_day").count() == 4
+
+    # full_refresh_each_day replays the exact daily cadence to the same state
+    store2 = TableStore(spark, str(tmp_path / "store2"))
+    backfill(
+        spark, store2, graph, "2024-01-01", "2024-01-03", markets=(),
+        resources={"events": ev}, full_refresh_each_day=True,
+    )
+    assert _rows(store2.read("datamart_day_summary"), "day") == _rows(
+        store.read("datamart_day_summary"), "day"
+    )
