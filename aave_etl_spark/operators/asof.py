@@ -33,23 +33,28 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: every left row + `asof_<c>` for each right value
     column, from the latest right row at-or-before the left row's ts with
-    equal keys (NULL when no prior right row exists)."""
+    equal keys (NULL when no prior right row exists).
+
+    All value columns travel as ONE struct through a single
+    ``last(ignorenulls=True)``: every ``asof_<c>`` comes from the SAME
+    right row, and a NULL field in that row stays NULL (per-column last
+    would back-fill it from an older right row — mixed-row output)."""
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    struct_t = T.StructType([right.schema[c] for c in value_cols])
     l = left.select(
         *lcols,
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(struct_t).alias("_r"),
         F.lit(1).alias("_side"),
     )
     r = right.select(
-        *key_cols, ts_col, *[F.col(c).alias(f"_r_{c}") for c in value_cols]
+        *key_cols, ts_col, F.struct(*[F.col(c) for c in value_cols]).alias("_r")
     )
     for c in lcols:
         if c not in (*key_cols, ts_col):
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    r = r.select(*lcols, *[f"_r_{c}" for c in value_cols], F.lit(0).alias("_side"))
+    r = r.select(*lcols, "_r", F.lit(0).alias("_side"))
 
     u = l.unionByName(r)
     w = (
@@ -59,10 +64,13 @@ def asof_join(
     )
     filled = u.select(
         *lcols,
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_asof"),
         "_side",
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols],
+        )
+    )

@@ -9,10 +9,11 @@ stage stays in whole-stage codegen and scales by shuffle on bounded keys:
             well-distributed; no O(n²) pair comparison ever materializes.
 - simhash:  token → per-bit signed counts → 16/32-bit signature;
             near-dups = identical signature (or banded signature pieces).
-- n-gram Jaccard: shingle-equality blocking join; exact but quadratic in
-            the worst case — verification stage for minhash candidates, or
-            small corpora only. At 100 TB use minhash_lsh first and feed
-            candidate pairs into `jaccard_verify`.
+- n-gram Jaccard: shingle-equality blocking join with document-frequency
+            pruning (`max_shingle_df`) bounding hot-shingle fan-out; with
+            the cap unset it is exact but quadratic inside a hot bucket.
+            At 100 TB use minhash_lsh first and feed candidate pairs into
+            `jaccard_verify`.
 
 Determinism: all hashing is md5 (content-derived) — reproducible across
 engines and runs, unlike Spark's seed-dependent `hash()`. Min over md5 hex
@@ -123,12 +124,32 @@ def jaccard_pairs(
     shingles: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle.
 
     Blocking join on the shingle value: only docs with a common shingle are
     compared (never a full cross join). Output: (id_a < id_b, jaccard).
-    Worst case is quadratic within a shingle bucket — use after LSH at scale."""
+
+    ``max_shingle_df`` is the skew guard: a shingle shared by k documents
+    fans out k² pairs through the blocking join, so one boilerplate shingle
+    (a hot key) makes the standalone form quadratic. Setting a document-
+    frequency cap drops shingles appearing in more than that many docs
+    BEFORE the join — standard df-based pruning; pair fan-out per shingle is
+    then bounded by cap², and Jaccard is computed consistently over the
+    pruned shingle universe (sizes and intersections both exclude pruned
+    shingles). Pruning ubiquitous shingles also improves precision: they
+    carry no similarity signal. With the cap unset, semantics are exact —
+    reserve that for small corpora or the post-LSH verify stage
+    (`jaccard_verify`)."""
+    if max_shingle_df is not None:
+        keep = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(keep, "shingle")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -208,11 +229,17 @@ def jaccard_verify(
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
+    counts = (
         pairs.join(a, "id_a")
         .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(F.count(F.lit(1)).alias("_n_inter"))
+    )
+    # LEFT join back onto the candidate pairs: a pair with an empty shingle
+    # intersection keeps n_inter = 0 (jaccard = 0) instead of vanishing, so
+    # threshold = 0.0 returns every candidate pair scored.
+    inter = pairs.join(counts, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", F.coalesce("_n_inter", F.lit(0)).alias("n_inter")
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("_sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("_sz_b"))

@@ -167,9 +167,9 @@ def bucketed_cosine_pairs(
 
 def _batch_dot_udf():
     """Arrow-batched pairwise dot (np.einsum over the stacked batch) — the
-    vectorized hot path shared by the exact (`cosine_pairs`) and SRP-bucketed
-    (`bucketed_cosine_pairs`) pair scorers. On pre-normalized vectors one dot
-    IS the cosine."""
+    vectorized pair scorer for the SRP-bucketed path
+    (`bucketed_cosine_pairs`). On pre-normalized vectors one dot IS the
+    cosine."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -210,22 +210,20 @@ def cosine_pairs(
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold: (id_a < id_b, cos_sim).
 
-    Hot path is the O(N²) pairwise dot — done as an Arrow-batched pandas
-    UDF (np.einsum over the stacked batch) instead of per-row interpreted
-    `aggregate`/`zip_with`, ~20× faster at sf0.1. Exact verification twin
-    of the SRP-bucketed scale path (`bucketed_cosine_pairs`)."""
-    batch_dot = _batch_dot_udf()
-    unit = normalized(df, id_col, vec_col)
-    a = unit.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ea"))
-    b = unit.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_eb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(batch_dot(F.col("_ea"), F.col("_eb")), round_digits).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    Thin wrapper over `blocked_cosine_pairs(n_blocks=1)`: one block pair,
+    one numpy matrix product, O(N·d) Arrow traffic. The former theta-join
+    form (`a.join(b, id_a < id_b)`) planned as a BroadcastNestedLoop —
+    O(N²) rows through the join — and is retired so no O(N²) join shape
+    survives in the package; the blocked dataflow at n_blocks=1 produces
+    the identical result. Exact verification twin of the SRP-bucketed
+    scale path (`bucketed_cosine_pairs`)."""
+    return blocked_cosine_pairs(
+        df,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        n_blocks=1,
     )
 
 

@@ -8,9 +8,11 @@ would receive an unbounded share of the shuffle.
 
 Mechanics: the big side gets a deterministic salt in [0, n) appended to the
 key (spreading each hot key over n tasks); the small side is replicated n
-times, once per salt value. The join result is IDENTICAL to the unsalted
-join — the salt never leaves the plan — at the cost of an n-fold
-replication of the (small) build side.
+times, once per salt value. For inner and the left family the join result
+is IDENTICAL to the unsalted join — the salt never leaves the plan — at
+the cost of an n-fold replication of the (small) build side. right/full
+are rejected: each unmatched small-side row would be emitted once per salt
+value (the explode replicates it and no salt matches).
 """
 
 from __future__ import annotations
@@ -32,6 +34,9 @@ def salted_join(
     The salt on the big side hashes ALL of the row's columns, so it is
     deterministic per row content (replays produce the same spread) and
     uniform even when the join key itself has two values."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}, got {how!r}")
     salted_big = big.withColumn(
         "_salt", F.pmod(F.abs(F.hash(*[F.col(c) for c in big.columns])), F.lit(n_salts))
     )

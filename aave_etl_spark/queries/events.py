@@ -360,25 +360,26 @@ def json_struct_parse(spark, sf_dir):
     oracle="""
     WITH l AS (
       SELECT event_id, user_id, ts, event_type, value,
-             CAST(NULL AS DOUBLE) AS pv, CAST(NULL AS BIGINT) AS pid, 1 AS side
+             CAST(NULL AS STRUCT(pv DOUBLE, pid BIGINT)) AS payload, 1 AS side
       FROM events
     ),
     r AS (
       SELECT CAST(NULL AS BIGINT), user_id, ts, CAST(NULL AS VARCHAR),
-             CAST(NULL AS DOUBLE), value, event_id, 0
+             CAST(NULL AS DOUBLE), struct_pack(pv := value, pid := event_id), 0
       FROM events WHERE event_type = 'purchase'
     ),
     u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+    -- ONE struct through a single last_value IGNORE NULLS: all asof_*
+    -- columns come from the same right row (mirrors operators/asof.py)
     filled AS (
       SELECT event_id, user_id, event_type, value, side,
-             last_value(pv IGNORE NULLS) OVER w AS asof_purchase_value,
-             last_value(pid IGNORE NULLS) OVER w AS asof_purchase_event_id
+             last_value(payload IGNORE NULLS) OVER w AS p
       FROM u
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT event_id, user_id, event_type, value,
-           asof_purchase_value, asof_purchase_event_id
+           p.pv AS asof_purchase_value, p.pid AS asof_purchase_event_id
     FROM filled WHERE side = 1
     """,
     doc=(

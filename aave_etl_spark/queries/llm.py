@@ -208,7 +208,7 @@ def llm_minhash_lsh(spark, sf_dir):
     WITH norm AS (
       SELECT doc_id, {_TOKS} AS toks FROM documents
     ),
-    shingles AS (
+    shingles_all AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -216,6 +216,11 @@ def llm_minhash_lsh(spark, sf_dir):
         FROM norm WHERE len(toks) >= 3
       )
     ),
+    -- df-based pruning (skew guard): drop shingles shared by > 50 docs so a
+    -- hot boilerplate shingle cannot fan out quadratically in the blocking
+    -- join; sizes and intersections use the same pruned universe
+    keep AS (SELECT shingle FROM shingles_all GROUP BY shingle HAVING count(*) <= 50),
+    shingles AS (SELECT s.doc_id, s.shingle FROM shingles_all s JOIN keep USING (shingle)),
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
@@ -230,11 +235,14 @@ def llm_minhash_lsh(spark, sf_dir):
     JOIN sizes sb ON i.id_b = sb.doc_id
     WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.2
     """,
-    doc="LLM dedup: exact n-gram Jaccard with shingle-equality blocking join",
+    doc=(
+        "LLM dedup: n-gram Jaccard with shingle-equality blocking join +"
+        " df-based hot-shingle pruning (fan-out bounded by cap^2 per shingle)"
+    ),
 )
 def llm_ngram_jaccard(spark, sf_dir):
     sh = dedup.word_shingles(t(spark, sf_dir, "documents"), n=3)
-    return dedup.jaccard_pairs(sh, threshold=0.2)
+    return dedup.jaccard_pairs(sh, threshold=0.2, max_shingle_df=50)
 
 
 @register(

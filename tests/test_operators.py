@@ -1,0 +1,163 @@
+"""Behavioral tests for the custom join/dedup operators — the semantics
+edges the oracle-parity gate can't see (outer joins, NULL payloads, skew
+guards)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from aave_etl_spark.operators import dedup, similarity
+from aave_etl_spark.operators.asof import asof_join
+from aave_etl_spark.operators.range_join import range_join
+from aave_etl_spark.operators.skew import salted_join
+
+
+# ---------------------------------------------------------------------------
+# as-of join: all asof_* columns must come from ONE right row; a NULL field
+# in the latest right row stays NULL (no back-fill from an older row).
+# ---------------------------------------------------------------------------
+def test_asof_null_field_not_backfilled(spark):
+    left = spark.createDataFrame(
+        [("k", 3, "trade")], "key string, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [("k", 1, 10.0, "old"), ("k", 2, None, "new")],
+        "key string, ts long, px double, src string",
+    )
+    out = asof_join(left, right, ["key"], "ts", ["px", "src"]).collect()
+    assert len(out) == 1
+    # latest right row at ts=2 has px NULL — it must NOT pull px=10.0 from ts=1
+    assert out[0].asof_src == "new"
+    assert out[0].asof_px is None
+
+
+def test_asof_no_prior_right_row_is_null(spark):
+    left = spark.createDataFrame([("k", 0, "t")], "key string, ts long, tag string")
+    right = spark.createDataFrame(
+        [("k", 5, 1.0, "later")], "key string, ts long, px double, src string"
+    )
+    out = asof_join(left, right, ["key"], "ts", ["px", "src"]).collect()
+    assert out[0].asof_px is None and out[0].asof_src is None
+
+
+# ---------------------------------------------------------------------------
+# range join: outer semantics + empty-interval guard.
+# ---------------------------------------------------------------------------
+def _range_inputs(spark):
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 25.0), (3, 995.0)], "fact_id long, value double"
+    )
+    intervals = spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("mid", 20.0, 30.0), ("bad", 9.0, 3.0)],
+        "tier string, lo double, hi double",
+    )
+    return facts, intervals
+
+
+def test_range_join_left_keeps_unmatched_facts(spark):
+    facts, intervals = _range_inputs(spark)
+    out = range_join(facts, intervals, "value", how="left").collect()
+    by_fact = {r.fact_id: r for r in out}
+    assert len(out) == 3  # one row per fact, exactly
+    assert by_fact[1].tier == "lo" and by_fact[2].tier == "mid"
+    assert by_fact[3].tier is None  # unmatched fact NULL-padded, not dropped
+    # the lo > hi interval is dropped, not a crash and not a match
+    assert all(r.tier != "bad" for r in out)
+
+
+def test_range_join_inner_and_semi_anti(spark):
+    facts, intervals = _range_inputs(spark)
+    inner = range_join(facts, intervals, "value", how="inner").collect()
+    assert {r.fact_id for r in inner} == {1, 2}
+    semi = range_join(facts, intervals, "value", how="left_semi").collect()
+    assert {r.fact_id for r in semi} == {1, 2}
+    assert set(semi[0].asDict()) == {"fact_id", "value"}  # facts' columns only
+    anti = range_join(facts, intervals, "value", how="left_anti").collect()
+    assert {r.fact_id for r in anti} == {3}
+    with pytest.raises(ValueError, match="range_join supports"):
+        range_join(facts, intervals, "value", how="full")
+
+
+# ---------------------------------------------------------------------------
+# salted join: left family identical to the plain join; right/full rejected.
+# ---------------------------------------------------------------------------
+def test_salted_left_join_matches_plain(spark):
+    big = spark.createDataFrame(
+        [(k, i) for k in ("hot", "cold") for i in range(20)] + [("orphan", 0)],
+        "k string, i long",
+    )
+    small = spark.createDataFrame([("hot", 1.0), ("cold", 2.0)], "k string, w double")
+    plain = big.join(small, ["k"], "left").orderBy("k", "i").collect()
+    salted = salted_join(big, small, ["k"], n_salts=4, how="left").orderBy("k", "i").collect()
+    assert plain == salted
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(big, small, ["k"], how="full")
+
+
+# ---------------------------------------------------------------------------
+# jaccard: df-based hot-shingle pruning bounds blocking-join fan-out;
+# verify stage keeps zero-intersection candidates at threshold 0.
+# ---------------------------------------------------------------------------
+def test_jaccard_pairs_hot_shingle_pruned(spark):
+    # 40 docs share one boilerplate shingle; otherwise all-distinct content.
+    # Unpruned, the hot shingle alone fans out C(40,2) = 780 pairs.
+    docs = spark.createDataFrame(
+        [(i, f"copyright footer boilerplate unique{i} text{i} tail{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sh = dedup.word_shingles(docs, n=3)
+    unpruned = dedup.jaccard_pairs(sh, threshold=0.0)
+    pruned = dedup.jaccard_pairs(sh, threshold=0.0, max_shingle_df=10)
+    assert unpruned.count() == 780
+    # the hot shingle (df=40 > cap) is dropped before the join: no pair
+    # survives, so fan-out is bounded by cap^2 per remaining shingle
+    assert pruned.count() == 0
+
+
+def test_jaccard_pairs_pruning_keeps_cold_shingles(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma epsilon"),
+            (2, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = dedup.word_shingles(docs, n=3)
+    with_cap = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(sh, threshold=0.0, max_shingle_df=10).collect()
+    }
+    no_cap = {
+        (r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(sh, threshold=0.0).collect()
+    }
+    assert with_cap == no_cap  # cap above every df: identical to exact form
+
+
+def test_jaccard_verify_zero_intersection_kept(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    sh = dedup.word_shingles(docs, n=3)
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = dedup.jaccard_verify(sh, pairs, threshold=0.0).collect()
+    assert len(out) == 1 and out[0].jaccard == 0.0  # scored 0, not dropped
+    assert dedup.jaccard_verify(sh, pairs, threshold=0.1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# cosine_pairs is the n_blocks=1 blocked form — no theta join in its plan.
+# ---------------------------------------------------------------------------
+def test_cosine_pairs_plan_has_no_nested_loop(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    df = similarity.cosine_pairs(emb, threshold=0.9)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert df.count() > 0

@@ -98,8 +98,9 @@ def test_cosine_self_similarity(spark, vec):
 
 
 def test_blocked_equals_pairwise_cosine(spark):
-    """blocked_cosine_pairs (block-matrix applyInPandas) must produce the
-    exact same pair set and rounded sims as the pairwise-UDF cosine_pairs."""
+    """blocked_cosine_pairs must be block-count independent: n_blocks=1
+    (the cosine_pairs wrapper) and n_blocks=5 produce the exact same pair
+    set and rounded sims."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     a = similarity.cosine_pairs(emb, threshold=0.35).collect()
     b = similarity.blocked_cosine_pairs(emb, threshold=0.35, n_blocks=5).collect()
