@@ -1137,10 +1137,7 @@ with all_data as (
     , unbacked_atokens, scaled_accrued_to_treasury, atoken_supply, stable_debt, variable_debt
     , liquidity_rate, variable_borrow_rate, stable_borrow_rate, average_stable_rate
     , liquidity_index, variable_borrow_index, available_liquidity
-    , pow(1 + liquidity_rate / (60*60*24*365), 60*60*24*365) - 1
-    , pow(1 + variable_borrow_rate / (60*60*24*365), 60*60*24*365) - 1
-    , pow(1 + stable_borrow_rate / (60*60*24*365), 60*60*24*365) - 1
-    , pow(1 + average_stable_rate / (60*60*24*365), 60*60*24*365) - 1
+    , deposit_apy, variable_borrow_apy, stable_borrow_apy, av_stable_borrow_apy
   from market_state_by_day
 )
 , deduplicated as (select distinct * from all_data)

@@ -200,11 +200,11 @@ def datamart_sm_cost_of_cover_real(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _DAYS2 = "(VALUES (TIMESTAMP '2024-02-01'), (TIMESTAMP '2024-02-02')) AS d(block_day)"
 
-_DERIVE_STATE = f"""
+_DERIVE_PROTOCOL_DATA = f"""
 SELECT
   d.block_day, CAST(1 AS BIGINT) AS block_height, 'ethereum_v2' AS market,
   concat('0xr_', CAST(s.s_suppkey AS STRING)) AS reserve,
-  concat('a', s.s_name) AS atoken_symbol,
+  concat('a', s.s_name) AS symbol,
   CAST(0 AS DOUBLE) AS unbacked_atokens, CAST(0 AS DOUBLE) AS scaled_accrued_to_treasury,
   1000 + CAST(s.s_suppkey AS DOUBLE) AS atoken_supply,
   CAST(s.s_suppkey % 11 AS DOUBLE) * 10 AS stable_debt,
@@ -214,15 +214,7 @@ SELECT
   CAST(s.s_suppkey % 9 AS DOUBLE) / 100 AS stable_borrow_rate,
   CAST(0 AS DOUBLE) AS average_stable_rate,
   CAST(1.01 AS DOUBLE) AS liquidity_index, CAST(1.02 AS DOUBLE) AS variable_borrow_index,
-  1000 + CAST(s.s_suppkey AS DOUBLE) AS available_liquidity
-FROM supplier s CROSS JOIN {_DAYS2}
-"""
-
-_DERIVE_CONFIG = f"""
-SELECT
-  d.block_day, CAST(1 AS BIGINT) AS block_height, 'ethereum_v2' AS market,
-  concat('0xr_', CAST(s.s_suppkey AS STRING)) AS reserve,
-  concat('a', s.s_name) AS atoken_symbol,
+  1000 + CAST(s.s_suppkey AS DOUBLE) AS available_liquidity,
   CAST(18 AS BIGINT) AS decimals,
   CAST(0.8 AS DOUBLE) AS ltv, CAST(0.85 AS DOUBLE) AS liquidation_threshold,
   CAST(1.05 AS DOUBLE) AS liquidation_bonus,
@@ -239,13 +231,71 @@ SELECT
   s.s_suppkey % 11 = 0 AS siloed_borrowing,
   CAST(0.1 AS DOUBLE) AS liquidation_protocol_fee,
   CAST(0 AS DOUBLE) AS unbacked_mint_cap,
-  CAST(s.s_suppkey AS DOUBLE) * 100 AS debt_ceiling,
-  CASE s.s_suppkey % 3 WHEN 0 THEN 'stable-e' WHEN 1 THEN 'eth-e' ELSE NULL END AS emode_category_name,
-  CASE WHEN s.s_suppkey % 3 < 2 THEN CAST(0.91 AS DOUBLE) ELSE NULL END AS emode_ltv,
-  CASE WHEN s.s_suppkey % 3 < 2 THEN CAST(1.03 AS DOUBLE) ELSE NULL END AS emode_liquidation_bonus,
-  CASE WHEN s.s_suppkey % 3 < 2 THEN CAST(0.94 AS DOUBLE) ELSE NULL END AS emode_liquidation_threshold
+  CAST(s.s_suppkey AS DOUBLE) * 100 AS debt_ceiling
 FROM supplier s CROSS JOIN {_DAYS2}
 """
+
+# eMode lake fixture for the daily warehouse transform: categories 0/1
+# configured on both days (category 2 absent -> NULL emode after the left
+# join, exercising the no-category arm exactly like the old inline fixture)
+_DERIVE_EMODE = f"""
+SELECT d.block_day, CAST(1 AS BIGINT) AS block_height, 'ethereum_v2' AS market,
+       c.reserve_emode_category, c.emode_category_name,
+       CAST(0.91 AS DOUBLE) AS emode_ltv,
+       CAST(1.03 AS DOUBLE) AS emode_liquidation_bonus,
+       CAST(0.94 AS DOUBLE) AS emode_liquidation_threshold,
+       '0xemode_price' AS emode_price_address
+FROM (VALUES (CAST(0 AS BIGINT), 'stable-e'), (CAST(1 AS BIGINT), 'eth-e'))
+     AS c(reserve_emode_category, emode_category_name)
+CROSS JOIN {_DAYS2}
+"""
+
+# DuckDB twins of the REAL warehouse transforms (warehouse/market.py —
+# reference protocol_data_warehouse.py:33-160). The Spark side runs the
+# DataFrame transforms; the oracle runs this SQL over the same lake CTEs,
+# so parity certifies the transform (projection + rate_to_apy pow + eMode
+# left join + emode_price_address drop), not a fixture of its output.
+_WH_STATE_SQL = """
+SELECT block_day, block_height, market, reserve, symbol AS atoken_symbol,
+  unbacked_atokens, scaled_accrued_to_treasury, atoken_supply, stable_debt,
+  variable_debt, liquidity_rate, variable_borrow_rate, stable_borrow_rate,
+  average_stable_rate, liquidity_index, variable_borrow_index,
+  available_liquidity,
+  pow(1 + liquidity_rate / (60*60*24*365), 60*60*24*365) - 1 AS deposit_apy,
+  pow(1 + variable_borrow_rate / (60*60*24*365), 60*60*24*365) - 1 AS variable_borrow_apy,
+  pow(1 + stable_borrow_rate / (60*60*24*365), 60*60*24*365) - 1 AS stable_borrow_apy,
+  pow(1 + average_stable_rate / (60*60*24*365), 60*60*24*365) - 1 AS av_stable_borrow_apy
+FROM protocol_data_by_day
+"""
+
+_WH_CONFIG_SQL = """
+SELECT p.block_day, p.block_height, p.market, p.reserve,
+  p.symbol AS atoken_symbol, p.decimals, p.ltv, p.liquidation_threshold,
+  p.liquidation_bonus, p.reserve_factor, p.usage_as_collateral_enabled,
+  p.borrowing_enabled, p.stable_borrow_rate_enabled, p.is_active, p.is_frozen,
+  p.reserve_emode_category, p.borrow_cap, p.supply_cap, p.is_paused,
+  p.siloed_borrowing, p.liquidation_protocol_fee, p.unbacked_mint_cap,
+  p.debt_ceiling, e.emode_category_name, e.emode_ltv,
+  e.emode_liquidation_bonus, e.emode_liquidation_threshold
+FROM protocol_data_by_day p
+LEFT JOIN emode_config_by_day e
+  ON p.block_day = e.block_day AND p.block_height = e.block_height
+ AND p.market = e.market AND p.reserve_emode_category = e.reserve_emode_category
+"""
+
+
+def _wh_inputs(spark):
+    """The two warehouse views built by the REAL transforms from the lake
+    fixtures (Spark side of the oracle twins above)."""
+    from aave_etl_spark.warehouse.market import market_config_by_day, market_state_by_day
+
+    pdd = spark.sql(_DERIVE_PROTOCOL_DATA)
+    emode = spark.sql(_DERIVE_EMODE)
+    return {
+        "warehouse_market_state_by_day": market_state_by_day(pdd),
+        "warehouse_market_config_by_day": market_config_by_day(pdd, emode),
+    }
+
 
 _DERIVE_NAMES = """
 SELECT * FROM (VALUES ('0xc', 'ethereum', 'ethereum_v2', 'Ethereum', 'Ethereum V2'))
@@ -264,8 +314,10 @@ FROM supplier s CROSS JOIN {_DAYS2}
 
 def _oracle_rf() -> str:
     return f"""
-WITH warehouse_market_state_by_day AS ({_DERIVE_STATE}),
-warehouse_market_config_by_day AS ({_DERIVE_CONFIG}),
+WITH protocol_data_by_day AS ({_DERIVE_PROTOCOL_DATA}),
+emode_config_by_day AS ({_DERIVE_EMODE}),
+warehouse_market_state_by_day AS ({_WH_STATE_SQL}),
+warehouse_market_config_by_day AS ({_WH_CONFIG_SQL}),
 display_names AS ({_DERIVE_NAMES}),
 token_prices_by_day AS ({_DERIVE_PRICES2}),
 chains_markets AS ({MODELS["chains_markets"].sql}),
@@ -289,8 +341,7 @@ def datamart_reserve_factor_income_real(spark, sf_dir):
 
     t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     inputs = {
-        "warehouse_market_state_by_day": spark.sql(_DERIVE_STATE),
-        "warehouse_market_config_by_day": spark.sql(_DERIVE_CONFIG),
+        **_wh_inputs(spark),
         "display_names": spark.sql(_DERIVE_NAMES),
         "token_prices_by_day": spark.sql(_DERIVE_PRICES2),
     }
@@ -1201,12 +1252,13 @@ FROM supplier s CROSS JOIN {_MST_HOURS}
 # fill (market_config_by_hour) is exercised in both directions
 _MST_EMODE = """
 SELECT * FROM (VALUES
-  (TIMESTAMP '2024-02-01', 'ethereum_v2', CAST(0 AS BIGINT), 'stable-e',
-   CAST(0.93 AS DOUBLE), CAST(1.01 AS DOUBLE), CAST(0.95 AS DOUBLE)),
-  (TIMESTAMP '2024-02-01', 'ethereum_v2', CAST(1 AS BIGINT), 'eth-e',
-   CAST(0.9 AS DOUBLE), CAST(1.02 AS DOUBLE), CAST(0.93 AS DOUBLE)))
-  AS v(block_day, market, reserve_emode_category, emode_category_name,
-       emode_ltv, emode_liquidation_bonus, emode_liquidation_threshold)
+  (TIMESTAMP '2024-02-01', CAST(1 AS BIGINT), 'ethereum_v2', CAST(0 AS BIGINT), 'stable-e',
+   CAST(0.93 AS DOUBLE), CAST(1.01 AS DOUBLE), CAST(0.95 AS DOUBLE), '0xep'),
+  (TIMESTAMP '2024-02-01', CAST(1 AS BIGINT), 'ethereum_v2', CAST(1 AS BIGINT), 'eth-e',
+   CAST(0.9 AS DOUBLE), CAST(1.02 AS DOUBLE), CAST(0.93 AS DOUBLE), '0xep'))
+  AS v(block_day, block_height, market, reserve_emode_category, emode_category_name,
+       emode_ltv, emode_liquidation_bonus, emode_liquidation_threshold,
+       emode_price_address)
 """
 
 # reserve prices for the rf-income-by-hour head; k%4=2 reserves unpriced
@@ -1236,10 +1288,12 @@ SELECT d.block_day, concat('0xr_', CAST(s.s_suppkey AS STRING)) AS reserve,
 FROM supplier s CROSS JOIN {_DAYS2}
 """
 
-_MST_INPUTS = {
+# lake-layer fixtures; the two warehouse views are NOT fixtures — they are
+# produced by the real transforms (warehouse/market.py) on the Spark side
+# and by their SQL twins (_WH_STATE_SQL/_WH_CONFIG_SQL) on the oracle side
+_MST_LAKE_INPUTS = {
     "protocol_data_by_hour": _MST_PDH,
-    "warehouse_market_state_by_day": _DERIVE_STATE,
-    "warehouse_market_config_by_day": _DERIVE_CONFIG,
+    "protocol_data_by_day": _DERIVE_PROTOCOL_DATA,
     "emode_config_by_day": _MST_EMODE,
     "token_prices_by_day": _MST_TP,
     "display_names": _DERIVE_NAMES,
@@ -1314,12 +1368,17 @@ _MST_ALIGN = "\nUNION ALL\n".join(
 
 
 def _oracle_mst() -> str:
-    ctes = ",\n".join(f"{name} AS ({sql})" for name, sql in _MST_INPUTS.items())
+    ctes = ",\n".join(f"{name} AS ({sql})" for name, sql in _MST_LAKE_INPUTS.items())
+    wh_ctes = (
+        f"warehouse_market_state_by_day AS ({_WH_STATE_SQL}),\n"
+        f"warehouse_market_config_by_day AS ({_WH_CONFIG_SQL})"
+    )
     model_ctes = ",\n".join(
         f"{name} AS ({_duck_dialect(MODELS[name].sql)})" for name in _MST_MODELS
     )
     return f"""
 WITH {ctes},
+{wh_ctes},
 {model_ctes}
 {_MST_ALIGN}
 """
@@ -1341,8 +1400,16 @@ WITH {ctes},
 def datamart_market_state_by_time_real(spark, sf_dir):
     from aave_etl_spark.plans import run_datamart
 
+    from aave_etl_spark.warehouse.market import market_config_by_day, market_state_by_day
+
     t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
-    inputs = {name: spark.sql(sql) for name, sql in _MST_INPUTS.items()}
+    inputs = {name: spark.sql(sql) for name, sql in _MST_LAKE_INPUTS.items()}
+    inputs["warehouse_market_state_by_day"] = market_state_by_day(
+        inputs["protocol_data_by_day"]
+    )
+    inputs["warehouse_market_config_by_day"] = market_config_by_day(
+        inputs["protocol_data_by_day"], inputs["emode_config_by_day"]
+    )
     subset = {k: MODELS[k] for k in _MST_MODELS}
     run_datamart(spark, inputs, models=subset)
     return spark.sql(_MST_ALIGN)

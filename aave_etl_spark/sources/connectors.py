@@ -581,7 +581,7 @@ def emode_config_by_day(
                 "emode_ltv": float(payload["ltv"]) / 1e4,
                 "emode_liquidation_threshold": float(payload["liquidation_threshold"]) / 1e4,
                 "emode_liquidation_bonus": float(payload["liquidation_bonus"]) / 1e4,
-                "emode_price_source": payload["price_source"].lower(),
+                "emode_price_address": payload["price_source"].lower(),
                 "emode_category_name": payload["label"],
             }
         ]

@@ -118,7 +118,7 @@ EMODE_CONFIG_BY_DAY = _schema(
     ("block_day", T), ("block_height", L), ("market", S),
     ("reserve_emode_category", L), ("emode_ltv", D),
     ("emode_liquidation_threshold", D), ("emode_liquidation_bonus", D),
-    ("emode_price_source", S), ("emode_category_name", S),
+    ("emode_price_address", S), ("emode_category_name", S),
 )
 
 # S12 — re-homed Flipside scans (data_lake.py:1276-1400, 1589-1732; FIXTURES §13)

@@ -104,27 +104,6 @@ def datamart(spark):
              (D2, "ethereum", RES, "RSV", 3.0, "aave_oracle")],
             "block_day timestamp, chain string, reserve string, symbol string, usd_price double, pricing_source string",
         ),
-        "warehouse_market_state_by_day": df(
-            [(D1, 1, "ethereum_v2", RES, "aRSV", 0.0, 0.0, 1000.0, 100.0, 400.0,
-              0.02, 0.04, 0.06, 0.05, 1.01, 1.02, 500.0)],
-            "block_day timestamp, block_height long, market string, reserve string, atoken_symbol string,"
-            "unbacked_atokens double, scaled_accrued_to_treasury double, atoken_supply double,"
-            "stable_debt double, variable_debt double, liquidity_rate double, variable_borrow_rate double,"
-            "stable_borrow_rate double, average_stable_rate double, liquidity_index double,"
-            "variable_borrow_index double, available_liquidity double",
-        ),
-        "warehouse_market_config_by_day": df(
-            [(D1, 1, "ethereum_v2", RES, "aRSV", 18, 0.8, 0.85, 1.05, 0.1,
-              True, True, False, True, False, 0, 0, 0, False, False, 0.0, 0, 0,
-              None, None, None, None)],
-            "block_day timestamp, block_height long, market string, reserve string, atoken_symbol string, decimals long,"
-            "ltv double, liquidation_threshold double, liquidation_bonus double, reserve_factor double,"
-            "usage_as_collateral_enabled boolean, borrowing_enabled boolean, stable_borrow_rate_enabled boolean,"
-            "is_active boolean, is_frozen boolean, reserve_emode_category long, borrow_cap long, supply_cap long,"
-            "is_paused boolean, siloed_borrowing boolean, liquidation_protocol_fee double, unbacked_mint_cap long,"
-            "debt_ceiling long, emode_category_name string, emode_ltv double, emode_liquidation_bonus double,"
-            "emode_liquidation_threshold double",
-        ),
         "protocol_data_by_hour": df(
             [(H1, 1, "ethereum_v2", RES, "aRSV", 18, 0.8, 0.85, 1.05, 0.1,
               True, True, False, True, False, False, False, 1,
@@ -149,7 +128,7 @@ def datamart(spark):
             [(D1, 1, "ethereum_v2", 1, 0.9, 0.93, 1.01, "0xfeed", "Stablecoins")],
             "block_day timestamp, block_height long, market string, reserve_emode_category long,"
             "emode_ltv double, emode_liquidation_threshold double, emode_liquidation_bonus double,"
-            "emode_price_source string, emode_category_name string",
+            "emode_price_address string, emode_category_name string",
         ),
         "safety_module_rpc": df(
             [(0.01, 864.0, 1, 1000.0, 10000.0, D1, 1, "0xstk", "stkAAVE",
@@ -235,9 +214,23 @@ def datamart(spark):
             "address string, underlying_symbol string, underlying_address string,"
             "supply_apy double, borrow_apy double, deposits double, borrows double",
         ),
+        # full per-day lake superset: the warehouse market_state/config
+        # transforms (warehouse/market.py) project from this below
         "protocol_data_by_day": df(
-            [(D1, 1, "ethereum_v2", RES, "aRSV", 0.02)],
-            "block_day timestamp, block_height long, market string, symbol string, reserve string, liquidity_rate double",
+            [(D1, 1, "ethereum_v2", RES, "aRSV", 0.0, 0.0, 1000.0, 100.0, 400.0,
+              0.02, 0.04, 0.06, 0.05, 1.01, 1.02, 500.0,
+              18, 0.8, 0.85, 1.05, 0.1, True, True, False, True, False, 1,
+              0, 0, False, False, 0.0, 0, 0)],
+            "block_day timestamp, block_height long, market string, reserve string, symbol string,"
+            "unbacked_atokens double, scaled_accrued_to_treasury double, atoken_supply double,"
+            "stable_debt double, variable_debt double, liquidity_rate double, variable_borrow_rate double,"
+            "stable_borrow_rate double, average_stable_rate double, liquidity_index double,"
+            "variable_borrow_index double, available_liquidity double, decimals long,"
+            "ltv double, liquidation_threshold double, liquidation_bonus double, reserve_factor double,"
+            "usage_as_collateral_enabled boolean, borrowing_enabled boolean, stable_borrow_rate_enabled boolean,"
+            "is_active boolean, is_frozen boolean, reserve_emode_category long, borrow_cap long, supply_cap long,"
+            "is_paused boolean, siloed_borrowing boolean, liquidation_protocol_fee double, unbacked_mint_cap long,"
+            "debt_ceiling long",
         ),
         "non_atoken_balances_by_day": df(
             [("0xca", "ethereum", "ethereum_v2", "0xwsteth", 18, "wstETH", 1, datetime(2023, 8, 1), 5.0)],
@@ -278,6 +271,15 @@ def datamart(spark):
             "wallet_address string, balance double",
         ),
     }
+    # the two warehouse views come from the REAL transforms, not fixtures
+    from aave_etl_spark.warehouse.market import market_config_by_day, market_state_by_day
+
+    inputs["warehouse_market_state_by_day"] = market_state_by_day(
+        inputs["protocol_data_by_day"]
+    )
+    inputs["warehouse_market_config_by_day"] = market_config_by_day(
+        inputs["protocol_data_by_day"], inputs["emode_config_by_day"]
+    )
     return run_datamart(spark, inputs)
 
 

@@ -275,3 +275,72 @@ def test_treasury_incentives_projection_and_empty(spark):
 
     empty = treasury_incentives_by_day(src.limit(0))
     assert empty.count() == 0 and empty.columns == out.columns
+
+
+def test_market_state_by_day_projection_and_apy(spark):
+    """Reference protocol_data_warehouse.py:98-160: 17-col projection,
+    symbol→atoken_symbol, four per-second-compounding APY columns."""
+    import math
+
+    from aave_etl_spark.warehouse.market import SECONDS_IN_YEAR, market_state_by_day
+
+    pdd = spark.createDataFrame(
+        [(DAY, 1, "ethereum_v2", "0xr", "aRSV", 0.0, 0.0, 1000.0, 100.0, 400.0,
+          0.02, 0.04, 0.06, 0.05, 1.01, 1.02, 500.0, "extra")],
+        "block_day timestamp, block_height long, market string, reserve string, symbol string,"
+        "unbacked_atokens double, scaled_accrued_to_treasury double, atoken_supply double,"
+        "stable_debt double, variable_debt double, liquidity_rate double, variable_borrow_rate double,"
+        "stable_borrow_rate double, average_stable_rate double, liquidity_index double,"
+        "variable_borrow_index double, available_liquidity double, dropped_col string",
+    )
+    out = market_state_by_day(pdd)
+    assert "atoken_symbol" in out.columns and "symbol" not in out.columns
+    assert "dropped_col" not in out.columns
+    assert out.columns[-4:] == [
+        "deposit_apy", "variable_borrow_apy", "stable_borrow_apy", "av_stable_borrow_apy",
+    ]
+    row = out.collect()[0]
+    expect = (1 + 0.02 / SECONDS_IN_YEAR) ** SECONDS_IN_YEAR - 1
+    assert math.isclose(row.deposit_apy, expect, rel_tol=1e-12)
+    assert math.isclose(row.variable_borrow_apy, (1 + 0.04 / SECONDS_IN_YEAR) ** SECONDS_IN_YEAR - 1, rel_tol=1e-12)
+
+
+def test_market_config_by_day_emode_join(spark):
+    """Reference protocol_data_warehouse.py:33-95: config projection +
+    eMode left join on (block_day, block_height, market, category), price
+    address dropped, unmatched categories carry NULL emode fields."""
+    from aave_etl_spark.warehouse.market import market_config_by_day
+
+    pdd = spark.createDataFrame(
+        [
+            (DAY, 1, "ethereum_v2", "0xr1", "aR1", 18, 0.8, 0.85, 1.05, 0.1,
+             True, True, False, True, False, 1, 0, 0, False, False, 0.0, 0, 0),
+            (DAY, 1, "ethereum_v2", "0xr2", "aR2", 18, 0.8, 0.85, 1.05, 0.1,
+             True, True, False, True, False, 2, 0, 0, False, False, 0.0, 0, 0),
+        ],
+        "block_day timestamp, block_height long, market string, reserve string, symbol string, decimals long,"
+        "ltv double, liquidation_threshold double, liquidation_bonus double, reserve_factor double,"
+        "usage_as_collateral_enabled boolean, borrowing_enabled boolean, stable_borrow_rate_enabled boolean,"
+        "is_active boolean, is_frozen boolean, reserve_emode_category long, borrow_cap long, supply_cap long,"
+        "is_paused boolean, siloed_borrowing boolean, liquidation_protocol_fee double, unbacked_mint_cap long,"
+        "debt_ceiling long",
+    )
+    emode = spark.createDataFrame(
+        [(DAY, 1, "ethereum_v2", 1, "Stablecoins", 0.9, 0.93, 1.01, "0xfeed")],
+        "block_day timestamp, block_height long, market string, reserve_emode_category long,"
+        "emode_category_name string, emode_ltv double, emode_liquidation_threshold double,"
+        "emode_liquidation_bonus double, emode_price_address string",
+    )
+    out = market_config_by_day(pdd, emode)
+    assert "emode_price_address" not in out.columns
+    assert "atoken_symbol" in out.columns and "symbol" not in out.columns
+    # reference pandas-merge order: left frame cols then eMode extras
+    assert out.columns[:5] == ["block_day", "block_height", "market", "reserve", "atoken_symbol"]
+    assert out.columns[-4:] == [
+        "emode_category_name", "emode_ltv", "emode_liquidation_threshold", "emode_liquidation_bonus",
+    ]
+    rows = {r.reserve: r for r in out.collect()}
+    assert rows["0xr1"].emode_category_name == "Stablecoins"
+    assert rows["0xr1"].emode_ltv == 0.9
+    assert rows["0xr2"].emode_category_name is None  # category 2 unconfigured
+    assert rows["0xr2"].emode_ltv is None
