@@ -395,10 +395,16 @@ SELECT * FROM (VALUES ('0xcol', 'ethereum', 'ethereum_v2', 'Ethereum', 'Ethereum
   AS v(collector, chain, market, display_chain, display_name)
 """
 
+# lake twin incl. a dominated duplicate the warehouse dedup must drop
 _DERIVE_LEGACY = f"""
 SELECT d.block_day, 'ethereum' AS chain, 'ethereum_v2' AS market,
        '0xclaimer' AS paraswap_fee_claimer, '0xlegacy' AS paraswap_legacy_claimer,
        '0xr_legacy' AS reserve, 'LGC' AS symbol, CAST(4 AS DOUBLE) AS claimable
+FROM {_DAYS3}
+UNION ALL
+SELECT d.block_day, 'ethereum' AS chain, 'aaa_v2' AS market,
+       '0xclaimer' AS paraswap_fee_claimer, '0xlegacy' AS paraswap_legacy_claimer,
+       '0xr_legacy' AS reserve, 'LGC' AS symbol, CAST(777 AS DOUBLE) AS claimable
 FROM {_DAYS3}
 """
 
@@ -685,10 +691,44 @@ SELECT b.market, concat('0xlg_', b.nm) AS atoken, concat('0xlg_', b.nm) AS reser
 FROM ({_AF_BASE}) b WHERE b.k % 12 = 2
 """
 
+# the LAKE paraswap_legacy_fees twin: the kept rows PLUS a dominated
+# duplicate per key (market prefixed 'aaa_' sorts below — keep-last keeps
+# the original even though the dup's claimable is larger) and a zero-
+# claimable key that must vanish entirely. The warehouse transform
+# (warehouse/liquidity.py paraswap_legacy_claimable_fees) prunes both;
+# its DuckDB twin is _WH_LEGACY_SQL below.
+_AF2_LEGACY_LAKE = f"""
+{_AF2_LEGACY}
+UNION ALL
+SELECT d.block_day, b.chain, concat('aaa_', b.market) AS market,
+  '0xclaimer' AS paraswap_fee_claimer, '0xlegacy' AS paraswap_legacy_claimer,
+  concat('0xlg_', b.nm) AS reserve, concat('LG', b.nm) AS symbol,
+  CAST(999 AS DOUBLE) AS claimable
+FROM ({_AF_BASE}) b CROSS JOIN {_AF_DAYS} WHERE b.k % 6 = 2
+UNION ALL
+SELECT d.block_day, b.chain, b.market,
+  '0xclaimer' AS paraswap_fee_claimer, '0xlegacy' AS paraswap_legacy_claimer,
+  concat('0xzero_', b.nm) AS reserve, concat('Z', b.nm) AS symbol,
+  CAST(0 AS DOUBLE) AS claimable
+FROM ({_AF_BASE}) b CROSS JOIN {_AF_DAYS} WHERE b.k % 6 = 4
+"""
+
+_WH_LEGACY_SQL = """
+SELECT block_day, chain, market, paraswap_fee_claimer,
+       paraswap_legacy_claimer, reserve, symbol, claimable
+FROM (
+  SELECT f.*, row_number() OVER (
+           PARTITION BY block_day, chain, paraswap_fee_claimer,
+                        paraswap_legacy_claimer, reserve
+           ORDER BY market DESC) AS _rn
+  FROM paraswap_legacy_fees f)
+WHERE _rn = 1 AND claimable > 0
+"""
+
 _AF2_INPUTS = {
     **{k: v for k, v in _AF_INPUTS.items()},
     "balance_group_lookup": _AF2_BGL,
-    "paraswap_legacy_claimable_fees": _AF2_LEGACY,
+    "paraswap_legacy_fees": _AF2_LEGACY_LAKE,
     "token_prices_by_day": _AF2_TP,
 }
 
@@ -722,6 +762,7 @@ def _oracle_e2e() -> str:
     ctes = ",\n".join(f"{name} AS ({sql})" for name, sql in _AF2_INPUTS.items())
     return f"""
 WITH {ctes},
+paraswap_legacy_claimable_fees AS ({_WH_LEGACY_SQL}),
 aave_atokens AS ({MODELS["aave_atokens"].sql}),
 all_financials AS ({MODELS["all_financials"].sql}),
 chains_markets AS ({MODELS["chains_markets"].sql}),
@@ -746,8 +787,13 @@ treasury_value_by_asset AS ({MODELS["treasury_value_by_asset"].sql})
 def datamart_treasury_e2e_real(spark, sf_dir):
     from aave_etl_spark.plans import run_datamart
 
+    from aave_etl_spark.warehouse.liquidity import paraswap_legacy_claimable_fees
+
     t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     inputs = {name: spark.sql(sql) for name, sql in _AF2_INPUTS.items()}
+    inputs["paraswap_legacy_claimable_fees"] = paraswap_legacy_claimable_fees(
+        inputs.pop("paraswap_legacy_fees")
+    )
     subset = {k: MODELS[k] for k in _AF2_MODELS}
     run_datamart(spark, inputs, models=subset)
     return spark.sql(_E2E_ALIGN)
@@ -996,7 +1042,8 @@ def _oracle_ttr() -> str:
     return f"""
 WITH all_financials AS ({_DERIVE_AF}),
 display_names AS ({_DERIVE_NAMES3}),
-paraswap_legacy_claimable_fees AS ({_DERIVE_LEGACY}),
+paraswap_legacy_fees AS ({_DERIVE_LEGACY}),
+paraswap_legacy_claimable_fees AS ({_WH_LEGACY_SQL}),
 balance_group_lookup AS ({_DERIVE_BGL}),
 token_prices_by_day AS ({_DERIVE_TP3}),
 chains_markets AS ({MODELS["chains_markets"].sql}),
@@ -1021,12 +1068,15 @@ def datamart_treasury_rollups_real(spark, sf_dir):
     from dataclasses import replace as dc_replace
 
     from aave_etl_spark.plans import run_datamart
+    from aave_etl_spark.warehouse.liquidity import paraswap_legacy_claimable_fees
 
     t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     spark.sql(_DERIVE_AF).createOrReplaceTempView("all_financials")
     inputs = {
         "display_names": spark.sql(_DERIVE_NAMES3),
-        "paraswap_legacy_claimable_fees": spark.sql(_DERIVE_LEGACY),
+        "paraswap_legacy_claimable_fees": paraswap_legacy_claimable_fees(
+            spark.sql(_DERIVE_LEGACY)
+        ),
         "balance_group_lookup": spark.sql(_DERIVE_BGL),
         "token_prices_by_day": spark.sql(_DERIVE_TP3),
     }

@@ -383,6 +383,102 @@ def compound_by_day(
 
 
 # ---------------------------------------------------------------------------
+# S21 — hourly block lookup: closest block to the hour boundary per
+# (market, hour) multipartition. Reference: block_numbers_by_hour,
+# protocol_hourly_data_lake.py:80-133 — ONE DeFiLlama call (the daily twin
+# S1 makes two: it also needs end_block; the hourly table does not).
+# ---------------------------------------------------------------------------
+def block_numbers_by_hour(
+    spark: SparkSession,
+    transport: Transport,
+    block_hour: str,
+    chain: str,
+    market: str,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """``block_hour`` uses the reference's hourly partition-key format
+    '%Y-%m-%d-%H:%M' (protocol_hourly_data_lake.py:99)."""
+
+    def rows(payload: Any) -> list[dict[str, Any]]:
+        return [
+            {
+                "block_hour": datetime.strptime(block_hour, "%Y-%m-%d-%H:%M"),
+                "block_time": _utc(payload["timestamp"]),
+                "block_height": int(payload["height"]),
+                "chain": chain,
+                "market": market,
+            }
+        ]
+
+    req = {"kind": "closest_block_hour", "chain": chain, "hour": block_hour}
+    return driver_fetch(spark, transport, req, rows, schemas.BLOCK_NUMBERS_BY_HOUR, policy)
+
+
+# ---------------------------------------------------------------------------
+# S22 — Compound v2/v3 hourly rate scan. Reference:
+# compound_v2_by_hour / compound_v3_by_hour,
+# protocol_hourly_data_lake.py:246-481. The two versions differ in BOTH the
+# APY formula and the balance math:
+#   v2: per-block compounding ((rate/1e18 * 7200 + 1)^365 - 1), deposits =
+#       ctoken supply × stored exchange rate (de-scaled by
+#       10^(18 + underlying_dec - ctoken_dec)), borrows in underlying units
+#       (:287-292, :319-322).
+#   v3: simple per-second annualization rate/1e18 × seconds_per_year;
+#       deposits AND borrows both in base-token units (:406-446).
+# ---------------------------------------------------------------------------
+SECONDS_PER_YEAR = 60 * 60 * 24 * 365
+
+
+def compound_v3_rate_to_apy(rate_per_second: float) -> float:
+    """rate/1e18 * seconds_per_year (protocol_hourly_data_lake.py:406-410)."""
+    return rate_per_second / 1e18 * SECONDS_PER_YEAR
+
+
+def compound_by_hour(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """keys: (block_hour, block_height, chain, compound_version, symbol,
+    address, underlying_symbol, underlying_address, ctoken_decimals,
+    underlying_decimals). One multicall per key row, fanned out on the
+    executors (Semaphore(20) parity via fanout_fetch)."""
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        cdec = int(req["ctoken_decimals"])
+        udec = int(req["underlying_decimals"])
+        if req["compound_version"] == "compound_v2":
+            exchange_rate = float(payload["exchange_rate"]) / 10 ** (18 + udec - cdec)
+            supply_apy = compound_rate_to_apy(float(payload["supply_rate_per_block"]))
+            borrow_apy = compound_rate_to_apy(float(payload["borrow_rate_per_block"]))
+            deposits = float(payload["total_supply"]) / 10**cdec * exchange_rate
+            borrows = float(payload["total_borrows"]) / 10**udec
+        else:
+            supply_apy = compound_v3_rate_to_apy(float(payload["supply_rate"]))
+            borrow_apy = compound_v3_rate_to_apy(float(payload["borrow_rate"]))
+            deposits = float(payload["total_supply"]) / 10**cdec
+            borrows = float(payload["total_borrows"]) / 10**cdec
+        return [
+            {
+                "block_hour": req["block_hour"],
+                "block_height": req["block_height"],
+                "chain": req["chain"],
+                "compound_version": req["compound_version"],
+                "symbol": req["symbol"],
+                "address": req["address"].lower(),
+                "underlying_symbol": req["underlying_symbol"],
+                "underlying_address": req["underlying_address"].lower(),
+                "supply_apy": supply_apy,
+                "borrow_apy": borrow_apy,
+                "deposits": deposits,
+                "borrows": borrows,
+            }
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.COMPOUND_BY_HOUR, policy)
+
+
+# ---------------------------------------------------------------------------
 # S17 — liquidity-depth sweep: per (pair), quote an amount grid; the grid is
 # generated JVM-side (sequence+transform linspace) and the quotes fan out.
 # Reference: liquidity_depth_raw, protocol_data_lake.py:837-1065.

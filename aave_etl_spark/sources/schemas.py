@@ -172,6 +172,21 @@ COMPOUND_BY_DAY = _schema(
     ("supply_apy", D), ("borrow_apy", D), ("deposits", D), ("borrows", D),
 )
 
+# S21 — hourly block lookup (protocol_hourly_data_lake.py:80-133): single
+# closest-block call per (hour, market); no end_block (unlike S1 daily)
+BLOCK_NUMBERS_BY_HOUR = _schema(
+    ("block_hour", T), ("block_time", T), ("block_height", L),
+    ("chain", S), ("market", S),
+)
+
+# S22 — Compound v2/v3 hourly rates (protocol_hourly_data_lake.py:246-481)
+COMPOUND_BY_HOUR = _schema(
+    ("block_hour", T), ("block_height", L), ("chain", S),
+    ("compound_version", S), ("symbol", S), ("address", S),
+    ("underlying_symbol", S), ("underlying_address", S),
+    ("supply_apy", D), ("borrow_apy", D), ("deposits", D), ("borrows", D),
+)
+
 # S17 — liquidity-depth sweep (protocol_data_lake.py:855-1065; FIXTURES §15)
 LIQUIDITY_DEPTH_RAW = _schema(
     ("market_key", S), ("market", S), ("chain", S), ("loop_market", S),

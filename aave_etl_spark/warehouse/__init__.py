@@ -17,6 +17,7 @@ from aave_etl_spark.warehouse.blocks import blocks_by_day
 from aave_etl_spark.warehouse.liquidity import (
     liquidity_depth,
     paraswap_fees_dedup,
+    paraswap_legacy_claimable_fees,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "blocks_by_day",
     "liquidity_depth",
     "paraswap_fees_dedup",
+    "paraswap_legacy_claimable_fees",
 ]

@@ -142,6 +142,23 @@ def paraswap_fees_dedup(
     )
 
 
+def paraswap_legacy_claimable_fees(paraswap_legacy_fees: DataFrame) -> DataFrame:
+    """Legacy-claimer twin of the fees dedup (data_warehouse.py:721-765):
+    projection keeps the extra paraswap_legacy_claimer column, the
+    keep-last key adds it, zeroes dropped AFTER dedup (a zero row that
+    wins keep-last removes its key entirely — pandas semantics)."""
+    fees = paraswap_legacy_fees.select(
+        "block_day", "chain", "market", "paraswap_fee_claimer",
+        "paraswap_legacy_claimer", "reserve", "symbol", "claimable",
+    )
+    return paraswap_fees_dedup(
+        fees,
+        key_cols=["block_day", "chain", "paraswap_fee_claimer",
+                  "paraswap_legacy_claimer", "reserve"],
+        order_cols=["market"],
+    )
+
+
 _SPLINE_SCHEMA = StructType(
     [
         StructField("block_day", TimestampType()),

@@ -331,3 +331,72 @@ def test_eth_and_erc20_balance_units(spark):
         erc_keys, lambda q: {"raw": 2_500_000, "decimals": 6}, FAST
     ).first()
     assert r2.balance == pytest.approx(2.5)
+
+
+def test_block_numbers_by_hour(spark):
+    """S21 parity (protocol_hourly_data_lake.py:80-133): single closest-block
+    call, partition key in the reference's '%Y-%m-%d-%H:%M' format, no
+    end_block column."""
+
+    def transport(req):
+        assert req["kind"] == "closest_block_hour"
+        assert req["hour"] == "2023-04-15-06:00"
+        return {"height": 17249150, "timestamp": 1681538407}
+
+    df = connectors.block_numbers_by_hour(
+        spark, transport, "2023-04-15-06:00", "ethereum", "ethereum_v3", FAST
+    )
+    assert df.schema == schemas.BLOCK_NUMBERS_BY_HOUR
+    row = df.first()
+    assert row.block_hour == datetime(2023, 4, 15, 6, 0)
+    assert row.block_height == 17249150
+    # actual block time trails the target hour (closest block at-or-after)
+    assert row.block_time == datetime(2023, 4, 15, 6, 0, 7)
+    assert "end_block" not in df.columns
+
+
+def test_compound_by_hour_v2_v3_math(spark):
+    """S22 parity (protocol_hourly_data_lake.py:287-322 v2, :406-446 v3):
+    v2 compounds per block and de-scales deposits through the stored
+    exchange rate; v3 annualizes per second and keeps base-token units."""
+    keys = spark.createDataFrame(
+        [
+            (datetime(2023, 4, 15, 6), 17249150, "ethereum", "compound_v2",
+             "cUSDC", "0xCusdc", "USDC", "0xUsdc", 8, 6),
+            (datetime(2023, 4, 15, 6), 17249150, "ethereum", "compound_v3",
+             "cUSDCv3", "0xCv3", "USDC", "0xUsdc", 6, 6),
+        ],
+        "block_hour timestamp, block_height long, chain string, compound_version string,"
+        "symbol string, address string, underlying_symbol string, underlying_address string,"
+        "ctoken_decimals long, underlying_decimals long",
+    )
+
+    def transport(req):
+        if req["compound_version"] == "compound_v2":
+            return {
+                "supply_rate_per_block": 1e10,
+                "borrow_rate_per_block": 2e10,
+                # 100 cUSDC (8 dec) at exchange rate 0.02 scaled by
+                # 10^(18+6-8)=1e16 -> deposits = 100 * 0.02 = 2 USDC
+                "total_supply": 100 * 10**8,
+                "exchange_rate": 0.02 * 10**16,
+                "total_borrows": 7 * 10**6,
+            }
+        return {
+            "supply_rate": 1e9,
+            "borrow_rate": 2e9,
+            "total_supply": 11 * 10**6,
+            "total_borrows": 3 * 10**6,
+        }
+
+    out = {r.compound_version: r for r in connectors.compound_by_hour(keys, transport, FAST).collect()}
+    v2, v3 = out["compound_v2"], out["compound_v3"]
+    assert v2.supply_apy == pytest.approx((1e10 / 1e18 * 7200 + 1) ** 365 - 1)
+    assert v2.borrow_apy == pytest.approx((2e10 / 1e18 * 7200 + 1) ** 365 - 1)
+    assert v2.deposits == pytest.approx(2.0)
+    assert v2.borrows == pytest.approx(7.0)
+    assert v2.address == "0xcusdc"  # lowercased
+    assert v3.supply_apy == pytest.approx(1e9 / 1e18 * 31536000)
+    assert v3.borrow_apy == pytest.approx(2e9 / 1e18 * 31536000)
+    assert v3.deposits == pytest.approx(11.0)
+    assert v3.borrows == pytest.approx(3.0)

@@ -344,3 +344,30 @@ def test_market_config_by_day_emode_join(spark):
     assert rows["0xr1"].emode_ltv == 0.9
     assert rows["0xr2"].emode_category_name is None  # category 2 unconfigured
     assert rows["0xr2"].emode_ltv is None
+
+
+def test_paraswap_legacy_keep_last_and_zero_drop(spark):
+    """Reference data_warehouse.py:721-765: dedup key includes the legacy
+    claimer; zeroes drop AFTER dedup (a winning zero row removes its key)."""
+    from aave_etl_spark.warehouse.liquidity import paraswap_legacy_claimable_fees
+
+    fees = spark.createDataFrame(
+        [
+            # dominated dup: 'aaa' market sorts first -> keep-last keeps 'zzz'
+            (DAY, "ethereum", "aaa_v2", "0xc", "0xl", "0xr", "RSV", 999.0, "x"),
+            (DAY, "ethereum", "zzz_v2", "0xc", "0xl", "0xr", "RSV", 4.0, "x"),
+            # distinct legacy claimer = distinct key, both kept
+            (DAY, "ethereum", "zzz_v2", "0xc", "0xl2", "0xr", "RSV", 5.0, "x"),
+            # zero row wins its key -> key vanishes
+            (DAY, "ethereum", "zzz_v2", "0xc", "0xl", "0xzero", "Z", 0.0, "x"),
+        ],
+        "block_day timestamp, chain string, market string, paraswap_fee_claimer string,"
+        "paraswap_legacy_claimer string, reserve string, symbol string, claimable double,"
+        "dropped_col string",
+    )
+    out = paraswap_legacy_claimable_fees(fees)
+    assert "dropped_col" not in out.columns
+    rows = {(r.paraswap_legacy_claimer, r.reserve): r for r in out.collect()}
+    assert set(rows) == {("0xl", "0xr"), ("0xl2", "0xr")}
+    assert rows[("0xl", "0xr")].market == "zzz_v2"
+    assert rows[("0xl", "0xr")].claimable == 4.0
