@@ -143,13 +143,18 @@ def jaccard_pairs(
     reserve that for small corpora or the post-LSH verify stage
     (`jaccard_verify`)."""
     if max_shingle_df is not None:
-        keep = (
+        # Hot list, not keep list: shingles OVER the cap are few by
+        # definition (that's what makes them hot), so they broadcast and
+        # the prune is a map-side anti join — no shuffle of the full
+        # shingle table just to prune it. The df agg itself is map-side
+        # partial (the exchange carries distinct shingles, not rows).
+        hot = (
             shingles.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_shingle_df)
+            .filter(F.col("_df") > max_shingle_df)
             .select("shingle")
         )
-        shingles = shingles.join(keep, "shingle")
+        shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")

@@ -213,6 +213,40 @@ def run_day(
         )
 
 
+def run_hour(
+    spark: SparkSession,
+    store: TableStore,
+    graph: AssetGraph,
+    day: str,
+    hour: int,
+    markets: Sequence[str],
+    resources: dict[str, Any] | None = None,
+) -> None:
+    """One tick of the hourly cadence chain (lake :05 → datamart :10,
+    aave_data/__init__.py:428-434): market_hour lake assets per market for
+    this (day, hour) cell, then unpartitioned hourly-datamart assets
+    full-refresh. Same idempotency contract as run_day — the lake write
+    touches one multipartition slice."""
+    by_kind: dict[str, list[str]] = {}
+    for a in graph.assets.values():
+        by_kind.setdefault(a.partitioning, []).append(a.name)
+    for market in markets:
+        if by_kind.get(MARKET_HOUR):
+            run_partition(
+                spark,
+                store,
+                graph,
+                PartitionKey(day, market, hour),
+                resources,
+                by_kind[MARKET_HOUR],
+            )
+    if by_kind.get(UNPARTITIONED):
+        run_partition(
+            spark, store, graph, PartitionKey(day, None, hour), resources,
+            by_kind[UNPARTITIONED],
+        )
+
+
 def date_range(start: str, end: str) -> list[str]:
     """Inclusive daily partition keys (DailyPartitionsDefinition, UTC)."""
     d0, d1 = date.fromisoformat(start), date.fromisoformat(end)

@@ -8,20 +8,31 @@ collected to the driver), and prints ONE JSON line:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": 0.1}
 
-A warm-up pass over `lineitem` triggers JVM/codegen warm-up so per-query
-times measure the plan, not session startup.
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 5) in
+round-robin order and `queries` reports the per-query MEDIAN — this box's
+wall-clock noise is ±50% run-to-run, so single-shot timings have muddied
+two rounds of cross-round comparisons (VERDICT r3). Round-robin (not
+back-to-back repeats) so a transient system hiccup lands on different
+queries in different passes instead of poisoning all repeats of one.
+`value` is the sum of medians; `spread` records each pass's total so the
+noise floor itself is visible in the artifact.
+
+A warm-up pass over `lineitem` triggers JVM/codegen warm-up so the first
+measured query doesn't pay JIT warm-up.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "32")
 
@@ -42,21 +53,30 @@ def main() -> int:
         .save()
     )
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
+    pass_totals: list[float] = []
     # exported set only — the driver-facing surface; export=False singleton
     # parts would double-count work their family head already executes
-    for name, q in exported_queries().items():
-        # Isolate queries from each other's heap garbage: without this,
-        # whichever query follows a heavy one pays its GC debt and the
-        # per-query numbers depend on registry order.
-        spark._jvm.System.gc()
-        t0 = time.perf_counter()
-        try:
-            q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
-            failures[name] = f"{type(exc).__name__}: {exc}"
+    queries = exported_queries()
+    for _ in range(n_runs):
+        pass_t0 = time.perf_counter()
+        for name, q in queries.items():
+            if name in failures:
+                continue
+            # Isolate queries from each other's heap garbage: without this,
+            # whichever query follows a heavy one pays its GC debt and the
+            # per-query numbers depend on registry order.
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            try:
+                q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.setdefault(name, []).append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001
+                failures[name] = f"{type(exc).__name__}: {exc}"
+        pass_totals.append(round(time.perf_counter() - pass_t0, 3))
+
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -64,11 +84,16 @@ def main() -> int:
         sf = None
 
     out = {
-        "metric": "total wall-clock over all registered queries (noop sink)",
+        "metric": (
+            "total wall-clock over all registered queries (noop sink;"
+            f" per-query median of {n_runs} round-robin passes)"
+        ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs": n_runs,
+        "spread": {"pass_totals": pass_totals},
     }
     if failures:
         out["failures"] = failures

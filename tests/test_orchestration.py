@@ -255,3 +255,64 @@ def test_backfill_cross_partition_lag(spark, tmp_path):
     assert _rows(store2.read("datamart_day_summary"), "day") == _rows(
         store.read("datamart_day_summary"), "day"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly cadence chain: market_hour lake fetch (S21 connector) per
+# (hour, market) cell → unpartitioned hourly rollup; idempotent per cell.
+# ---------------------------------------------------------------------------
+def test_run_hour_market_hour_chain(spark, tmp_path):
+    from aave_etl_spark.sources.connectors import block_numbers_by_hour
+
+    def transport(req):
+        h = int(req["hour"].split("-")[-1].split(":")[0])
+        return {"height": 17_000_000 + h * 300, "timestamp": 1681516800 + h * 3600}
+
+    def lake(ctx):
+        chain = {"ethereum_v3": "ethereum", "polygon_v3": "polygon"}[ctx.partition.market]
+        hour_key = f"{ctx.partition.date}-{ctx.partition.hour:02d}:00"
+        return block_numbers_by_hour(
+            ctx.spark, ctx.resources["transport"], hour_key, chain, ctx.partition.market
+        )
+
+    def rollup(ctx):
+        return (
+            ctx.upstream("block_numbers_by_hour")
+            .groupBy("chain")
+            .agg(F.max("block_height").alias("latest_height"))
+        )
+
+    graph = AssetGraph(
+        [
+            Asset(
+                "block_numbers_by_hour",
+                fn=lake,
+                group="hourly_data_lake",
+                partitioning=orch.MARKET_HOUR,
+                partition_cols=("block_hour", "market"),
+            ),
+            Asset(
+                "hourly_latest_blocks",
+                fn=rollup,
+                deps=("block_numbers_by_hour",),
+                group="datamart_hourly",
+                partitioning=UNPARTITIONED,
+            ),
+        ]
+    )
+    store = TableStore(spark, str(tmp_path / "store"))
+    markets = ["ethereum_v3", "polygon_v3"]
+    res = {"transport": transport}
+    orch.run_hour(spark, store, graph, "2023-04-15", 6, markets, res)
+    orch.run_hour(spark, store, graph, "2023-04-15", 7, markets, res)
+
+    lake_tbl = store.read("block_numbers_by_hour")
+    assert lake_tbl.count() == 4  # 2 hours x 2 markets
+    first = _rows(lake_tbl, "block_hour", "market")
+
+    # re-running an hour cell is idempotent
+    orch.run_hour(spark, store, graph, "2023-04-15", 6, markets, res)
+    assert _rows(store.read("block_numbers_by_hour"), "block_hour", "market") == first
+
+    roll = {r.chain: r.latest_height for r in store.read("hourly_latest_blocks").collect()}
+    assert roll == {"ethereum": 17_002_100, "polygon": 17_002_100}
