@@ -1,0 +1,178 @@
+"""The reference's production asset graph, re-declared over this repo's
+connectors and warehouse transforms and run by plans/orchestration.py.
+
+This is the concrete answer to "run partition <day> end-to-end": the same
+asset names, groups and dependency edges as the reference's Dagster jobs
+(aave_data/__init__.py:207-352), with each node's compute being the repo's
+Spark implementation — transport-injected lake connectors
+(sources/connectors.py), DataFrame warehouse transforms (warehouse/*), and
+the 62-model datamart DAG (plans/runner.py) as the final full-refresh
+asset. A user points `resources` at real HTTP transports and calls
+``backfill(spark, store, reference_graph(), start, end, markets,
+resources)``; tests drive the identical graph with fake transports
+(tests/test_reference_pipeline.py).
+
+Scope note: the graph wires the spine every downstream model hangs off —
+block lookup → token dim → oracle prices → warehouse prices/blocks/
+market-state — plus the hourly twins. Remaining reference assets follow
+the same two patterns (market_day connector / unpartitioned transform) and
+plug in as additional Asset rows; nothing in the runner limits the count.
+
+Resources contract (mirrors the reference's resource_defs,
+aave_data/__init__.py:79-199):
+- ``transports``: dict kind→Transport for the connectors' request kinds
+- ``markets``: dict market→{"chain": ...} (CONFIG_MARKETS projection)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from aave_etl_spark.plans.orchestration import (
+    MARKET_DAY,
+    MARKET_HOUR,
+    UNPARTITIONED,
+    Asset,
+    AssetContext,
+    AssetGraph,
+)
+from aave_etl_spark.sources import connectors
+from aave_etl_spark.warehouse.blocks import blocks_by_day as wh_blocks_by_day
+from aave_etl_spark.warehouse.market import market_config_by_day, market_state_by_day
+from aave_etl_spark.warehouse.prices import token_prices_by_day
+
+
+def _chain(ctx: AssetContext) -> str:
+    return ctx.resources["markets"][ctx.partition.market]["chain"]
+
+
+# --- financials_data_lake group (market_day multipartition) ---------------
+def _block_numbers_by_day(ctx: AssetContext) -> DataFrame:
+    return connectors.block_numbers_by_day(
+        ctx.spark,
+        ctx.resources["transports"]["closest_block"],
+        ctx.partition.date,
+        _chain(ctx),
+        ctx.partition.market,
+    )
+
+
+def _market_tokens_by_day(ctx: AssetContext) -> DataFrame:
+    blocks = ctx.upstream("block_numbers_by_day", this_partition_only=True)
+    height = blocks.select("block_height").first()
+    return connectors.market_tokens_at_block(
+        ctx.spark,
+        ctx.resources["transports"]["subgraph_tokens"],
+        ctx.partition.market,
+        int(height.block_height) if height else 0,
+        ctx.partition.date,
+    )
+
+
+def _aave_oracle_prices_by_day(ctx: AssetContext) -> DataFrame:
+    tokens = ctx.upstream("market_tokens_by_day", this_partition_only=True)
+    return connectors.oracle_prices_by_day(
+        tokens, ctx.resources["transports"]["oracle_prices"]
+    )
+
+
+# --- protocol_hourly_data_lake group (market_hour multipartition) ---------
+def _block_numbers_by_hour(ctx: AssetContext) -> DataFrame:
+    hour_key = f"{ctx.partition.date}-{ctx.partition.hour:02d}:00"
+    return connectors.block_numbers_by_hour(
+        ctx.spark,
+        ctx.resources["transports"]["closest_block_hour"],
+        hour_key,
+        _chain(ctx),
+        ctx.partition.market,
+    )
+
+
+# --- warehouse group (unpartitioned full-refresh, 01:15 job) --------------
+def _wh_blocks(ctx: AssetContext) -> DataFrame:
+    return wh_blocks_by_day(ctx.upstream("block_numbers_by_day"))
+
+
+def _wh_token_prices(ctx: AssetContext) -> DataFrame:
+    ranks = ctx.resources["market_chain_rank"]
+    return token_prices_by_day(ctx.upstream("aave_oracle_prices_by_day"), ranks)
+
+
+def _wh_market_state(ctx: AssetContext) -> DataFrame:
+    return market_state_by_day(ctx.upstream("protocol_data_by_day"))
+
+
+def _wh_market_config(ctx: AssetContext) -> DataFrame:
+    return market_config_by_day(
+        ctx.upstream("protocol_data_by_day"), ctx.upstream("emode_config_by_day")
+    )
+
+
+def reference_graph(include_market_state: bool = False) -> AssetGraph:
+    """The cadence-grouped asset graph. ``include_market_state`` adds the
+    warehouse market_state/config assets — they additionally require
+    ``protocol_data_by_day`` / ``emode_config_by_day`` lake tables in the
+    store (their connectors are transport-injected the same way; the
+    datamart heads certify the transforms)."""
+    assets = [
+        Asset(
+            "block_numbers_by_day",
+            fn=_block_numbers_by_day,
+            group="financials_data_lake",
+            partitioning=MARKET_DAY,
+            partition_cols=("block_day", "market"),
+        ),
+        Asset(
+            "market_tokens_by_day",
+            fn=_market_tokens_by_day,
+            deps=("block_numbers_by_day",),
+            group="financials_data_lake",
+            partitioning=MARKET_DAY,
+            partition_cols=("block_day", "market"),
+        ),
+        Asset(
+            "aave_oracle_prices_by_day",
+            fn=_aave_oracle_prices_by_day,
+            deps=("market_tokens_by_day",),
+            group="financials_data_lake",
+            partitioning=MARKET_DAY,
+            partition_cols=("block_day", "market"),
+        ),
+        Asset(
+            "block_numbers_by_hour",
+            fn=_block_numbers_by_hour,
+            group="protocol_hourly_data_lake",
+            partitioning=MARKET_HOUR,
+            partition_cols=("block_hour", "market"),
+        ),
+        Asset(
+            "warehouse_blocks_by_day",
+            fn=_wh_blocks,
+            deps=("block_numbers_by_day",),
+            group="warehouse",
+            partitioning=UNPARTITIONED,
+        ),
+        Asset(
+            "token_prices_by_day",
+            fn=_wh_token_prices,
+            deps=("aave_oracle_prices_by_day",),
+            group="warehouse",
+            partitioning=UNPARTITIONED,
+        ),
+    ]
+    if include_market_state:
+        assets += [
+            Asset(
+                "warehouse_market_state_by_day",
+                fn=_wh_market_state,
+                group="warehouse",
+                partitioning=UNPARTITIONED,
+            ),
+            Asset(
+                "warehouse_market_config_by_day",
+                fn=_wh_market_config,
+                group="warehouse",
+                partitioning=UNPARTITIONED,
+            ),
+        ]
+    return AssetGraph(assets)
