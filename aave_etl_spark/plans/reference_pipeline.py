@@ -13,10 +13,13 @@ resources)``; tests drive the identical graph with fake transports
 (tests/test_reference_pipeline.py).
 
 Scope note: the graph wires the spine every downstream model hangs off —
-block lookup → token dim → oracle prices → warehouse prices/blocks/
-market-state — plus the hourly twins. Remaining reference assets follow
-the same two patterns (market_day connector / unpartitioned transform) and
-plug in as additional Asset rows; nothing in the runner limits the count.
+block lookup → token dim → oracle prices, and (with
+``include_market_state=True``) the protocol lake pair
+protocol_data_by_day → emode_config_by_day feeding the warehouse
+market_state/config transforms — plus the hourly twins. Remaining
+reference assets follow the same two patterns (market_day connector /
+unpartitioned transform) and plug in as additional Asset rows; nothing in
+the runner limits the count.
 
 Resources contract (mirrors the reference's resource_defs,
 aave_data/__init__.py:79-199):
@@ -73,6 +76,23 @@ def _aave_oracle_prices_by_day(ctx: AssetContext) -> DataFrame:
     tokens = ctx.upstream("market_tokens_by_day", this_partition_only=True)
     return connectors.oracle_prices_by_day(
         tokens, ctx.resources["transports"]["oracle_prices"]
+    )
+
+
+# --- protocol_data_lake group (market_day multipartition) -----------------
+def _protocol_data_by_day(ctx: AssetContext) -> DataFrame:
+    keys = ctx.upstream("market_tokens_by_day", this_partition_only=True).select(
+        "market", "reserve", "symbol", "decimals", "block_height", "block_day"
+    )
+    return connectors.protocol_data_by_day(
+        keys, ctx.resources["transports"]["protocol_data"]
+    )
+
+
+def _emode_config_by_day(ctx: AssetContext) -> DataFrame:
+    pdd = ctx.upstream("protocol_data_by_day", this_partition_only=True)
+    return connectors.emode_config_by_day(
+        pdd, ctx.resources["transports"]["emode"]
     )
 
 
@@ -163,14 +183,32 @@ def reference_graph(include_market_state: bool = False) -> AssetGraph:
     if include_market_state:
         assets += [
             Asset(
+                "protocol_data_by_day",
+                fn=_protocol_data_by_day,
+                deps=("market_tokens_by_day",),
+                group="protocol_data_lake",
+                partitioning=MARKET_DAY,
+                partition_cols=("block_day", "market"),
+            ),
+            Asset(
+                "emode_config_by_day",
+                fn=_emode_config_by_day,
+                deps=("protocol_data_by_day",),
+                group="protocol_data_lake",
+                partitioning=MARKET_DAY,
+                partition_cols=("block_day", "market"),
+            ),
+            Asset(
                 "warehouse_market_state_by_day",
                 fn=_wh_market_state,
+                deps=("protocol_data_by_day",),
                 group="warehouse",
                 partitioning=UNPARTITIONED,
             ),
             Asset(
                 "warehouse_market_config_by_day",
                 fn=_wh_market_config,
+                deps=("protocol_data_by_day", "emode_config_by_day"),
                 group="warehouse",
                 partitioning=UNPARTITIONED,
             ),

@@ -50,11 +50,40 @@ def _transports():
         # deterministic per (reserve, block_height)
         return {"price": 1.0 + (req["block_height"] % 7) + len(req["reserve"]) % 3}
 
+    def protocol_data(req):
+        # v3-style payload; reserve index drives the eMode category
+        i = int(req["reserve"].rsplit("_", 1)[-1])
+        return {
+            "ltv": 8000, "liquidation_threshold": 8250, "liquidation_bonus": 10500,
+            "reserve_factor": 1000,
+            "usage_as_collateral_enabled": True, "borrowing_enabled": True,
+            "stable_borrow_rate_enabled": False, "is_active": True, "is_frozen": False,
+            "atoken_supply": (100 + i) * 10**18, "stable_debt": 10 * 10**18,
+            "variable_debt": 20 * 10**18,
+            "liquidity_rate": 2 * 10**25, "variable_borrow_rate": 3 * 10**25,
+            "stable_borrow_rate": 4 * 10**25, "liquidity_index": 1.01 * 10**27,
+            "variable_borrow_index": 1.02 * 10**27,
+            "last_update_timestamp": 1704067200,
+            "is_paused": False, "siloed_borrowing": False,
+            "reserve_emode_category": i % 2,  # half the reserves in category 1
+            "borrow_cap": 0, "supply_cap": 0, "unbacked_mint_cap": 0,
+            "debt_ceiling": 0, "liquidation_protocol_fee": 1000,
+            "unbacked_atokens": 0, "scaled_accrued_to_treasury": 0,
+        }
+
+    def emode(req):
+        return {
+            "ltv": 9300, "liquidation_threshold": 9500, "liquidation_bonus": 10100,
+            "price_source": "0xFEED", "label": "Stablecoins",
+        }
+
     return {
         "closest_block": closest_block,
         "closest_block_hour": closest_block_hour,
         "subgraph_tokens": subgraph_tokens,
         "oracle_prices": oracle_prices,
+        "protocol_data": protocol_data,
+        "emode": emode,
     }
 
 
@@ -70,7 +99,7 @@ def pipeline_store(spark, tmp_path_factory):
         "markets": MARKETS,
         "market_chain_rank": ranks,
     }
-    graph = reference_graph()
+    graph = reference_graph(include_market_state=True)
     backfill(
         spark, store, graph, "2024-01-01", "2024-01-02",
         markets=list(MARKETS), resources=resources,
@@ -113,6 +142,36 @@ def test_warehouse_layer_full_refresh(pipeline_store):
         "block_day", "chain", "reserve", "symbol", "usd_price", "pricing_source",
     }
     assert tp.filter("pricing_source != 'aave_oracle'").count() == 0
+
+
+def test_market_state_spine(pipeline_store):
+    """protocol lake pair -> warehouse market_state/config through the REAL
+    transforms, end-to-end from fetched (fake-transport) lake data."""
+    pdd = pipeline_store.read("protocol_data_by_day")
+    assert pdd.count() == 12  # 3 reserves x 2 days x 2 markets
+    assert pdd.filter("ltv != 0.8").count() == 0  # bps/1e4 shift survived
+
+    emode = pipeline_store.read("emode_config_by_day")
+    # only category > 0 fetched: one distinct category per (day, market)
+    assert emode.count() == 4
+    assert emode.filter("reserve_emode_category != 1").count() == 0
+
+    state = pipeline_store.read("warehouse_market_state_by_day")
+    assert state.count() == 12
+    row = state.first()
+    assert "deposit_apy" in state.columns and row.deposit_apy > 0
+    # available_liquidity invariant flowed through: supply - debts
+    assert state.filter(
+        "abs(available_liquidity - (atoken_supply - stable_debt - variable_debt)) > 1e-9"
+    ).count() == 0
+
+    cfg = pipeline_store.read("warehouse_market_config_by_day")
+    assert cfg.count() == 12
+    assert "emode_price_address" not in cfg.columns
+    with_emode = cfg.filter("reserve_emode_category = 1")
+    without = cfg.filter("reserve_emode_category = 0")
+    assert with_emode.filter("emode_category_name IS NULL").count() == 0
+    assert without.filter("emode_category_name IS NOT NULL").count() == 0
 
 
 def test_hourly_lake_cell(pipeline_store):
