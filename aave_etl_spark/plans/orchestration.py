@@ -81,6 +81,10 @@ class Asset:
     partitioning: str = MARKET_DAY
     partition_cols: tuple[str, ...] = ()
     append_only: bool = False
+    # False when fn materializes its own tables (e.g. a datamart asset
+    # whose run_datamart(store=...) already wrote every model) — the
+    # runner then skips the redundant write of the returned DataFrame.
+    write_output: bool = True
 
 
 class AssetGraph:
@@ -176,13 +180,16 @@ def run_partition(
     out: dict[str, DataFrame] = {}
     for asset in graph.topo_order(selection):
         df = asset.fn(ctx)
-        store.write(
-            df,
-            asset.name,
-            partition_cols=list(asset.partition_cols) or None,
-            append_only=asset.append_only,
-        )
-        out[asset.name] = store.read(asset.name)
+        if asset.write_output:
+            store.write(
+                df,
+                asset.name,
+                partition_cols=list(asset.partition_cols) or None,
+                append_only=asset.append_only,
+            )
+            out[asset.name] = store.read(asset.name)
+        else:
+            out[asset.name] = df
     return out
 
 

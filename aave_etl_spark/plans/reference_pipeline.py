@@ -128,6 +128,47 @@ def _wh_market_config(ctx: AssetContext) -> DataFrame:
     )
 
 
+# --- data_lake_unpartitioned group (seed dims, 01:00 job) -----------------
+def _display_names(ctx: AssetContext) -> DataFrame:
+    """Seed dim supplied as a resource (the reference reads it as a CSV
+    seed, data_lake.py:1409-1579 — read_seed_csv plugs in the same way)."""
+    return ctx.resources["display_names"]
+
+
+# --- datamart group (unpartitioned full-refresh, the 01:30 dbt job) -------
+_DATAMART_MODELS = (
+    "chains_markets",
+    "market_state_by_day",
+    "market_config_by_day",
+    "reserve_factor_income_by_day",
+)
+
+
+def _datamart(ctx: AssetContext) -> DataFrame:
+    """Run the datamart subset whose sources this graph materializes, each
+    model written to the store by the runner (dbt table materialization),
+    in ref-topological order."""
+    from aave_etl_spark.datamart.models import MODELS
+    from aave_etl_spark.plans.runner import run_datamart
+
+    inputs = {
+        name: ctx.upstream(name)
+        for name in (
+            "warehouse_market_state_by_day",
+            "warehouse_market_config_by_day",
+            "display_names",
+            "token_prices_by_day",
+        )
+    }
+    out = run_datamart(
+        ctx.spark,
+        inputs,
+        models={k: MODELS[k] for k in _DATAMART_MODELS},
+        store=ctx.store,
+    )
+    return out["reserve_factor_income_by_day"]
+
+
 def reference_graph(include_market_state: bool = False) -> AssetGraph:
     """The cadence-grouped asset graph. ``include_market_state`` adds the
     warehouse market_state/config assets — they additionally require
@@ -211,6 +252,25 @@ def reference_graph(include_market_state: bool = False) -> AssetGraph:
                 deps=("protocol_data_by_day", "emode_config_by_day"),
                 group="warehouse",
                 partitioning=UNPARTITIONED,
+            ),
+            Asset(
+                "display_names",
+                fn=_display_names,
+                group="data_lake_unpartitioned",
+                partitioning=UNPARTITIONED,
+            ),
+            Asset(
+                "datamart",
+                fn=_datamart,
+                deps=(
+                    "warehouse_market_state_by_day",
+                    "warehouse_market_config_by_day",
+                    "display_names",
+                    "token_prices_by_day",
+                ),
+                group="datamart",
+                partitioning=UNPARTITIONED,
+                write_output=False,  # run_datamart(store=...) wrote the models
             ),
         ]
     return AssetGraph(assets)

@@ -94,10 +94,16 @@ def pipeline_store(spark, tmp_path_factory):
         [("ethereum_v2", "ethereum", 1), ("polygon_v3", "polygon", 2)],
         "market string, chain string, price_rank long",
     )
+    display_names = spark.createDataFrame(
+        [("0xcol", "ethereum", "ethereum_v2", "Ethereum", "Ethereum V2"),
+         ("0xcol", "polygon", "polygon_v3", "Polygon", "Polygon V3")],
+        "collector string, chain string, market string, display_chain string, display_name string",
+    )
     resources = {
         "transports": _transports(),
         "markets": MARKETS,
         "market_chain_rank": ranks,
+        "display_names": display_names,
     }
     graph = reference_graph(include_market_state=True)
     backfill(
@@ -172,6 +178,22 @@ def test_market_state_spine(pipeline_store):
     without = cfg.filter("reserve_emode_category = 0")
     assert with_emode.filter("emode_category_name IS NULL").count() == 0
     assert without.filter("emode_category_name IS NOT NULL").count() == 0
+
+
+def test_datamart_layer_materialized(pipeline_store):
+    """The 01:30 dbt-job twin: the datamart asset ran the model subset with
+    store materialization — every model is a table in the store, and the
+    income model joins warehouse state x config x prices x dims."""
+    cm = pipeline_store.read("chains_markets")
+    assert cm.count() == 2  # one row per market
+
+    ms = pipeline_store.read("market_state_by_day")
+    assert ms.count() == 12 and "deposit_apy" in ms.columns
+
+    rf = pipeline_store.read("reserve_factor_income_by_day")
+    assert rf.count() == 12
+    assert rf.filter("reserve_factor != 0.1").count() == 0
+    assert rf.filter("display_chain IS NULL").count() == 0
 
 
 def test_hourly_lake_cell(pipeline_store):
