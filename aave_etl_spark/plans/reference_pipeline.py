@@ -62,6 +62,10 @@ def _block_numbers_by_day(ctx: AssetContext) -> DataFrame:
 
 def _market_tokens_by_day(ctx: AssetContext) -> DataFrame:
     blocks = ctx.upstream("block_numbers_by_day", this_partition_only=True)
+    # ONE scalar to the driver per partition run — the block height that
+    # parameterizes the next fetch (the reference does exactly this:
+    # `block_numbers_by_hour.block_height.values[0]`). This is control
+    # flow, not data flow; no row set ever collects.
     height = blocks.select("block_height").first()
     return connectors.market_tokens_at_block(
         ctx.spark,
