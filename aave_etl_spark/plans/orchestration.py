@@ -193,6 +193,19 @@ def run_partition(
     return out
 
 
+def _assets_by_kind(
+    graph: AssetGraph, groups: Sequence[str] | None
+) -> dict[str, list[str]]:
+    """Partitioning-kind → asset names, optionally restricted to job
+    ``groups`` (the reference's define_asset_job group selections)."""
+    allowed = set(graph.select_groups(*groups)) if groups else None
+    by_kind: dict[str, list[str]] = {}
+    for a in graph.assets.values():
+        if allowed is None or a.name in allowed:
+            by_kind.setdefault(a.partitioning, []).append(a.name)
+    return by_kind
+
+
 def run_day(
     spark: SparkSession,
     store: TableStore,
@@ -200,13 +213,16 @@ def run_day(
     day: str,
     markets: Sequence[str],
     resources: dict[str, Any] | None = None,
+    groups: Sequence[str] | None = None,
 ) -> None:
     """One day of the reference cadence chain (aave_data/__init__.py:374-407):
     market_day lake assets per market (01:00 job), daily assets once (01:25),
-    then unpartitioned warehouse/datamart full-refresh (01:15/01:30)."""
-    by_kind: dict[str, list[str]] = {}
-    for a in graph.assets.values():
-        by_kind.setdefault(a.partitioning, []).append(a.name)
+    then unpartitioned warehouse/datamart full-refresh (01:15/01:30).
+    ``groups`` restricts to a job's group selection — by default everything
+    EXCEPT hourly-partitioned assets runs (they belong to run_hour; an
+    unpartitioned asset downstream of an hourly one should carry an hourly
+    job group and be excluded here via ``groups``)."""
+    by_kind = _assets_by_kind(graph, groups)
     for market in markets:
         if by_kind.get(MARKET_DAY):
             run_partition(
@@ -228,15 +244,15 @@ def run_hour(
     hour: int,
     markets: Sequence[str],
     resources: dict[str, Any] | None = None,
+    groups: Sequence[str] | None = None,
 ) -> None:
     """One tick of the hourly cadence chain (lake :05 → datamart :10,
     aave_data/__init__.py:428-434): market_hour lake assets per market for
     this (day, hour) cell, then unpartitioned hourly-datamart assets
     full-refresh. Same idempotency contract as run_day — the lake write
-    touches one multipartition slice."""
-    by_kind: dict[str, list[str]] = {}
-    for a in graph.assets.values():
-        by_kind.setdefault(a.partitioning, []).append(a.name)
+    touches one multipartition slice. Pass the hourly job's ``groups`` so
+    only its unpartitioned (hourly-datamart) assets refresh here."""
+    by_kind = _assets_by_kind(graph, groups)
     for market in markets:
         if by_kind.get(MARKET_HOUR):
             run_partition(
@@ -271,20 +287,21 @@ def backfill(
     markets: Sequence[str],
     resources: dict[str, Any] | None = None,
     full_refresh_each_day: bool = False,
+    groups: Sequence[str] | None = None,
 ) -> None:
     """Backfill a date range. Default defers the unpartitioned full-refresh
     layer to one final run (what a Dagster backfill + reconciliation sensor
     converges to); ``full_refresh_each_day`` replays the exact daily cadence.
     Either way every partitioned slice is written exactly once per day —
-    re-running any sub-range is a per-partition overwrite, not an append."""
+    re-running any sub-range is a per-partition overwrite, not an append.
+    ``groups`` restricts to a job selection (see run_day)."""
     days = date_range(start, end)
-    part_sel = [
-        a.name for a in graph.assets.values() if a.partitioning in (MARKET_DAY, DAILY)
-    ]
-    unpart_sel = [a.name for a in graph.assets.values() if a.partitioning == UNPARTITIONED]
+    by_kind = _assets_by_kind(graph, groups)
+    part_sel = by_kind.get(MARKET_DAY, []) + by_kind.get(DAILY, [])
+    unpart_sel = by_kind.get(UNPARTITIONED, [])
     for day in days:
         if full_refresh_each_day:
-            run_day(spark, store, graph, day, markets, resources)
+            run_day(spark, store, graph, day, markets, resources, groups)
             continue
         for market in markets:
             md = [n for n in part_sel if graph.assets[n].partitioning == MARKET_DAY]

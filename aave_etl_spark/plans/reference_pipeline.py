@@ -45,6 +45,18 @@ from aave_etl_spark.warehouse.market import market_config_by_day, market_state_b
 from aave_etl_spark.warehouse.prices import token_prices_by_day
 
 
+# Job selections (define_asset_job group lists, aave_data/__init__.py:286-372):
+# the daily cadence chain vs the :05/:10 hourly chain.
+DAILY_JOB_GROUPS = (
+    "financials_data_lake",
+    "protocol_data_lake",
+    "data_lake_unpartitioned",
+    "warehouse",
+    "datamart",
+)
+HOURLY_JOB_GROUPS = ("protocol_hourly_data_lake", "datamart_hourly")
+
+
 def _chain(ctx: AssetContext) -> str:
     return ctx.resources["markets"][ctx.partition.market]["chain"]
 
@@ -112,6 +124,29 @@ def _block_numbers_by_hour(ctx: AssetContext) -> DataFrame:
     )
 
 
+def _protocol_data_by_hour(ctx: AssetContext) -> DataFrame:
+    """Day→hour partition mapping (protocol_hourly_data_lake.py:57-68): the
+    token dim comes from this hour's DAY partition; the block height from
+    this hour's block lookup."""
+    from pyspark.sql import functions as F
+
+    tokens = ctx.upstream("market_tokens_by_day", this_partition_only=True)
+    blocks = ctx.upstream(
+        "block_numbers_by_hour", this_partition_only=True, date_col="CAST(block_hour AS DATE)"
+    ).filter(F.hour("block_hour") == ctx.partition.hour)
+    hb = blocks.select("block_hour", "block_height").first()
+    if hb is None:
+        return ctx.spark.createDataFrame([], connectors.schemas.PROTOCOL_DATA_BY_HOUR)
+    keys = tokens.select(
+        "market", "reserve", "symbol", "decimals",
+        F.lit(hb.block_height).alias("block_height"),
+        F.lit(hb.block_hour).alias("block_hour"),
+    )
+    return connectors.protocol_data_by_hour(
+        keys, ctx.resources["transports"]["protocol_data"]
+    )
+
+
 # --- warehouse group (unpartitioned full-refresh, 01:15 job) --------------
 def _wh_blocks(ctx: AssetContext) -> DataFrame:
     return wh_blocks_by_day(ctx.upstream("block_numbers_by_day"))
@@ -146,6 +181,25 @@ _DATAMART_MODELS = (
     "market_config_by_day",
     "reserve_factor_income_by_day",
 )
+
+
+def _datamart_hourly(ctx: AssetContext) -> DataFrame:
+    """The hourly datamart job (datamart_hourly_schedule, :10 past the
+    hour): state + config hourly models over the hourly lake."""
+    from aave_etl_spark.datamart.models import MODELS
+    from aave_etl_spark.plans.runner import run_datamart
+
+    inputs = {
+        "protocol_data_by_hour": ctx.upstream("protocol_data_by_hour"),
+        "emode_config_by_day": ctx.upstream("emode_config_by_day"),
+    }
+    out = run_datamart(
+        ctx.spark,
+        inputs,
+        models={k: MODELS[k] for k in ("market_state_by_hour", "market_config_by_hour")},
+        store=ctx.store,
+    )
+    return out["market_state_by_hour"]
 
 
 def _datamart(ctx: AssetContext) -> DataFrame:
@@ -256,6 +310,22 @@ def reference_graph(include_market_state: bool = False) -> AssetGraph:
                 deps=("protocol_data_by_day", "emode_config_by_day"),
                 group="warehouse",
                 partitioning=UNPARTITIONED,
+            ),
+            Asset(
+                "protocol_data_by_hour",
+                fn=_protocol_data_by_hour,
+                deps=("block_numbers_by_hour", "market_tokens_by_day"),
+                group="protocol_hourly_data_lake",
+                partitioning=MARKET_HOUR,
+                partition_cols=("block_hour", "market"),
+            ),
+            Asset(
+                "datamart_hourly",
+                fn=_datamart_hourly,
+                deps=("protocol_data_by_hour", "emode_config_by_day"),
+                group="datamart_hourly",
+                partitioning=UNPARTITIONED,
+                write_output=False,
             ),
             Asset(
                 "display_names",

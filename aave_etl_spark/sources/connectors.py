@@ -230,16 +230,11 @@ def collector_atoken_balances_by_day(
 # Reference: get_raw_reserve_data / raw_reserve_to_dataframe,
 # helpers.py:695-965.
 # ---------------------------------------------------------------------------
-def protocol_data_by_day(
-    keys: DataFrame,
-    transport: Transport,
-    policy: RetryPolicy = DEFAULT_RETRY,
-) -> DataFrame:
-    """keys: (market, reserve, symbol, decimals, block_height, block_day).
-    The parser applies the reference's handler-lambda unit shifts: bps/1e4
-    for config fractions (helpers.py:758-761), ray/1e27 for rates/indices
-    (:789-795), raw/10**decimals for amounts; missing v3 fields default to
-    0/False for v2 markets (:929-931)."""
+def _protocol_data_rows(time_col: str):
+    """Shared S9 reserve-data parser (helpers.py:700-931): bps/1e4 config
+    fractions, ray/1e27 rates/indices, raw/10**decimals amounts, v2→v3
+    fill. ``time_col`` is 'block_day' (daily asset) or 'block_hour'
+    (hourly twin, protocol_hourly_data_lake.py:136-240)."""
     v3_defaults = {
         "is_paused": False, "siloed_borrowing": False,
         "reserve_emode_category": 0, "borrow_cap": 0, "supply_cap": 0,
@@ -252,7 +247,7 @@ def protocol_data_by_day(
         dec = int(req["decimals"])
         unit = 10**dec
         r: dict[str, Any] = {
-            "block_day": req["block_day"],
+            time_col: req[time_col],
             "block_height": req["block_height"],
             "market": req["market"],
             "reserve": req["reserve"].lower(),
@@ -289,7 +284,36 @@ def protocol_data_by_day(
         r["available_liquidity"] = r["atoken_supply"] - r["stable_debt"] - r["variable_debt"]
         return [r]
 
-    return fanout_fetch(keys, transport, rows, schemas.PROTOCOL_DATA_BY_DAY, policy)
+    return rows
+
+
+def protocol_data_by_day(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """keys: (market, reserve, symbol, decimals, block_height, block_day).
+    One multicall per reserve, fanned out on the executors."""
+    return fanout_fetch(
+        keys, transport, _protocol_data_rows("block_day"),
+        schemas.PROTOCOL_DATA_BY_DAY, policy,
+    )
+
+
+def protocol_data_by_hour(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """Hourly twin (protocol_hourly_data_lake.py:136-240): identical
+    multicall + unit shifts at the hour's block height; keys carry
+    block_hour and come from the DAY's token dim joined to the hour's
+    block lookup (the reference's day→hour partition mapping,
+    protocol_hourly_data_lake.py:57-68)."""
+    return fanout_fetch(
+        keys, transport, _protocol_data_rows("block_hour"),
+        schemas.PROTOCOL_DATA_BY_HOUR, policy,
+    )
 
 
 # ---------------------------------------------------------------------------

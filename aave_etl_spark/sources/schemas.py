@@ -172,6 +172,28 @@ COMPOUND_BY_DAY = _schema(
     ("supply_apy", D), ("borrow_apy", D), ("deposits", D), ("borrows", D),
 )
 
+# S9h — hourly reserve-data twin (protocol_hourly_data_lake.py:136-240):
+# same parser as PROTOCOL_DATA_BY_DAY keyed by the hour's block
+PROTOCOL_DATA_BY_HOUR = _schema(
+    ("block_hour", T), ("block_height", L), ("market", S), ("reserve", S),
+    ("symbol", S), ("decimals", L),
+    ("ltv", D), ("liquidation_threshold", D), ("liquidation_bonus", D),
+    ("reserve_factor", D),
+    ("usage_as_collateral_enabled", B), ("borrowing_enabled", B),
+    ("stable_borrow_rate_enabled", B), ("is_active", B), ("is_frozen", B),
+    ("is_paused", B), ("siloed_borrowing", B),
+    ("reserve_emode_category", L),
+    ("borrow_cap", L), ("supply_cap", L), ("unbacked_mint_cap", L),
+    ("debt_ceiling", L), ("liquidation_protocol_fee", D),
+    ("unbacked_atokens", D), ("scaled_accrued_to_treasury", D),
+    ("atoken_supply", D), ("stable_debt", D), ("variable_debt", D),
+    ("available_liquidity", D),
+    ("liquidity_rate", D), ("variable_borrow_rate", D),
+    ("stable_borrow_rate", D), ("average_stable_rate", D),
+    ("liquidity_index", D), ("variable_borrow_index", D),
+    ("last_update_timestamp", T),
+)
+
 # S21 — hourly block lookup (protocol_hourly_data_lake.py:80-133): single
 # closest-block call per (hour, market); no end_block (unlike S1 daily)
 BLOCK_NUMBERS_BY_HOUR = _schema(

@@ -10,7 +10,11 @@ import pytest
 
 from aave_etl_spark.io.table_store import TableStore
 from aave_etl_spark.plans.orchestration import backfill, run_hour
-from aave_etl_spark.plans.reference_pipeline import reference_graph
+from aave_etl_spark.plans.reference_pipeline import (
+    DAILY_JOB_GROUPS,
+    HOURLY_JOB_GROUPS,
+    reference_graph,
+)
 
 MARKETS = {"ethereum_v2": {"chain": "ethereum"}, "polygon_v3": {"chain": "polygon"}}
 
@@ -108,9 +112,12 @@ def pipeline_store(spark, tmp_path_factory):
     graph = reference_graph(include_market_state=True)
     backfill(
         spark, store, graph, "2024-01-01", "2024-01-02",
-        markets=list(MARKETS), resources=resources,
+        markets=list(MARKETS), resources=resources, groups=DAILY_JOB_GROUPS,
     )
-    run_hour(spark, store, graph, "2024-01-01", 6, list(MARKETS), resources)
+    run_hour(
+        spark, store, graph, "2024-01-01", 6, list(MARKETS), resources,
+        groups=HOURLY_JOB_GROUPS,
+    )
     return store
 
 
@@ -200,3 +207,22 @@ def test_hourly_lake_cell(pipeline_store):
     hourly = pipeline_store.read("block_numbers_by_hour")
     assert hourly.count() == 2  # one hour x 2 markets
     assert {r.block_height for r in hourly.collect()} == {2_001_800}
+
+
+def test_hourly_protocol_and_datamart(pipeline_store):
+    """Day→hour mapping: the hour's protocol fetch reuses the day's token
+    dim at the hour's block; the :10 datamart job lands the hourly models
+    in the store with the pow-APY columns."""
+    pdh = pipeline_store.read("protocol_data_by_hour")
+    assert pdh.count() == 6  # 3 reserves x 2 markets, one hour
+    assert pdh.filter("block_height != 2001800").count() == 0
+    assert pdh.filter("ltv != 0.8").count() == 0
+
+    msh = pipeline_store.read("market_state_by_hour")
+    assert msh.count() == 6
+    assert "deposit_apy" in msh.columns
+    assert msh.filter("deposit_apy <= 0").count() == 0
+
+    mch = pipeline_store.read("market_config_by_hour")
+    assert mch.count() == 6
+    assert "emode_category_name" in mch.columns
