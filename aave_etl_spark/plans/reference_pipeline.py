@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from aave_etl_spark.plans.orchestration import (
+    DAILY,
     MARKET_DAY,
     MARKET_HOUR,
     UNPARTITIONED,
@@ -41,6 +42,8 @@ from aave_etl_spark.plans.orchestration import (
 )
 from aave_etl_spark.sources import connectors
 from aave_etl_spark.warehouse.blocks import blocks_by_day as wh_blocks_by_day
+from aave_etl_spark.warehouse.incentives import incentives_by_day as wh_incentives_by_day
+from aave_etl_spark.warehouse.liquidity import liquidity_depth as wh_liquidity_depth
 from aave_etl_spark.warehouse.market import market_config_by_day, market_state_by_day
 from aave_etl_spark.warehouse.prices import token_prices_by_day
 
@@ -50,11 +53,16 @@ from aave_etl_spark.warehouse.prices import token_prices_by_day
 DAILY_JOB_GROUPS = (
     "financials_data_lake",
     "protocol_data_lake",
+    "daily_partitioned",
+    "daily_midday",
     "data_lake_unpartitioned",
     "warehouse",
     "datamart",
 )
 HOURLY_JOB_GROUPS = ("protocol_hourly_data_lake", "datamart_hourly")
+# separate 2-hourly cadence, explicitly subtracted from the warehouse job
+# in the reference (aave_data/__init__.py:307-311, 349-352)
+LIQUIDITY_JOB_GROUPS = ("liquidity_depth",)
 
 
 def _chain(ctx: AssetContext) -> str:
@@ -112,6 +120,76 @@ def _emode_config_by_day(ctx: AssetContext) -> DataFrame:
     )
 
 
+def _raw_incentives_by_day(ctx: AssetContext) -> DataFrame:
+    keys = ctx.upstream("block_numbers_by_day", this_partition_only=True).select(
+        "market", "block_height", "block_day"
+    )
+    return connectors.raw_incentives_by_day(
+        keys, ctx.resources["transports"]["incentives"]
+    )
+
+
+# --- daily_partitioned group (01:25 job; plain daily partitions) ----------
+def _eth_block_scalar(ctx: AssetContext):
+    """The day's ethereum block (one scalar — reference control flow)."""
+    return (
+        ctx.upstream("block_numbers_by_day", this_partition_only=True)
+        .filter("chain = 'ethereum'")
+        .select("block_day", "block_height")
+        .first()
+    )
+
+
+def _compound_v2_by_day(ctx: AssetContext) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    hb = _eth_block_scalar(ctx)
+    keys = ctx.resources["compound_v2_tokens"].select(
+        F.lit(hb.block_day).alias("block_day"),
+        F.lit(hb.block_height).alias("block_height"),
+        "chain", "compound_version", "symbol", "address",
+        "underlying_symbol", "underlying_address", "underlying_decimals",
+    )
+    return connectors.compound_by_day(keys, ctx.resources["transports"]["compound"])
+
+
+def _erc20_balances_by_day(ctx: AssetContext) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    hb = _eth_block_scalar(ctx)
+    keys = ctx.resources["grants_wallets"].select(
+        F.lit(hb.block_day).alias("block_day"),
+        F.lit(hb.block_height).alias("block_height"),
+        "chain", "wallet_address", "token", "token_address",
+    )
+    return connectors.erc20_balances_by_day(
+        keys, ctx.resources["transports"]["erc20_balance"]
+    )
+
+
+# --- daily_midday group (13:00 job) ---------------------------------------
+def _beacon_staking_returns(ctx: AssetContext) -> DataFrame:
+    return connectors.beacon_staking_returns_by_day(
+        ctx.spark, ctx.resources["transports"]["beacon"], ctx.partition.date
+    )
+
+
+# --- liquidity_depth group (every 2 h, append-only raw sweeps) ------------
+def _liquidity_depth_raw(ctx: AssetContext) -> DataFrame:
+    return connectors.liquidity_depth_sweep(
+        ctx.resources["liquidity_pairs"],
+        ctx.resources["transports"]["swap_quote"],
+        ctx.resources["fetch_time"],
+        n_points=5,
+        low_usd=1e4,
+        high_usd=1e5,
+    )
+
+
+def _wh_liquidity(ctx: AssetContext) -> DataFrame:
+    return wh_liquidity_depth(ctx.upstream("liquidity_depth_raw"))
+
+
 # --- protocol_hourly_data_lake group (market_hour multipartition) ---------
 def _block_numbers_by_hour(ctx: AssetContext) -> DataFrame:
     hour_key = f"{ctx.partition.date}-{ctx.partition.hour:02d}:00"
@@ -164,6 +242,14 @@ def _wh_market_state(ctx: AssetContext) -> DataFrame:
 def _wh_market_config(ctx: AssetContext) -> DataFrame:
     return market_config_by_day(
         ctx.upstream("protocol_data_by_day"), ctx.upstream("emode_config_by_day")
+    )
+
+
+def _wh_incentives(ctx: AssetContext) -> DataFrame:
+    return wh_incentives_by_day(
+        ctx.upstream("raw_incentives_by_day"),
+        ctx.upstream("protocol_data_by_day"),
+        ctx.upstream("aave_oracle_prices_by_day"),
     )
 
 
@@ -309,6 +395,66 @@ def reference_graph(include_market_state: bool = False) -> AssetGraph:
                 fn=_wh_market_config,
                 deps=("protocol_data_by_day", "emode_config_by_day"),
                 group="warehouse",
+                partitioning=UNPARTITIONED,
+            ),
+            Asset(
+                "raw_incentives_by_day",
+                fn=_raw_incentives_by_day,
+                deps=("block_numbers_by_day",),
+                group="protocol_data_lake",
+                partitioning=MARKET_DAY,
+                partition_cols=("block_day", "market"),
+            ),
+            Asset(
+                "incentives_by_day",
+                fn=_wh_incentives,
+                deps=(
+                    "raw_incentives_by_day",
+                    "protocol_data_by_day",
+                    "aave_oracle_prices_by_day",
+                ),
+                group="warehouse",
+                partitioning=UNPARTITIONED,
+            ),
+            Asset(
+                "compound_v2_by_day",
+                fn=_compound_v2_by_day,
+                deps=("block_numbers_by_day",),
+                group="daily_partitioned",
+                partitioning=DAILY,
+                partition_cols=("block_day",),
+            ),
+            Asset(
+                "erc20_balances_by_day",
+                fn=_erc20_balances_by_day,
+                deps=("block_numbers_by_day",),
+                group="daily_partitioned",
+                partitioning=DAILY,
+                partition_cols=("block_day",),
+            ),
+            Asset(
+                "beacon_chain_staking_returns_by_day",
+                fn=_beacon_staking_returns,
+                group="daily_midday",
+                partitioning=DAILY,
+                partition_cols=("partition_date",),
+            ),
+            # liquidity_depth job (0 */2 * * *): raw sweeps append per
+            # fetch_time (the reference's append-only io manager,
+            # aave_data/__init__.py:106-115); the warehouse interpolation
+            # full-refreshes over all sweeps
+            Asset(
+                "liquidity_depth_raw",
+                fn=_liquidity_depth_raw,
+                group="liquidity_depth",
+                partitioning=UNPARTITIONED,
+                append_only=True,
+            ),
+            Asset(
+                "liquidity_depth",
+                fn=_wh_liquidity,
+                deps=("liquidity_depth_raw",),
+                group="liquidity_depth",
                 partitioning=UNPARTITIONED,
             ),
             Asset(

@@ -13,6 +13,7 @@ from aave_etl_spark.plans.orchestration import backfill, run_hour
 from aave_etl_spark.plans.reference_pipeline import (
     DAILY_JOB_GROUPS,
     HOURLY_JOB_GROUPS,
+    LIQUIDITY_JOB_GROUPS,
     reference_graph,
 )
 
@@ -81,6 +82,39 @@ def _transports():
             "price_source": "0xFEED", "label": "Stablecoins",
         }
 
+    def incentives(req):
+        reward = {
+            "symbol": "SD", "address": "0xRW", "oracle": "0xOR",
+            "emission_per_second": 3.9e15, "last_update": 1, "index": 0.5,
+            "emission_end": 2_000_000_000, "price_feed": 1135753.0, "decimals": 18,
+            "precision": 18, "price_feed_decimals": 6,
+        }
+        return {
+            "reserves": [
+                {
+                    "underlying_asset": f"0xRES_{req['market']}_0",
+                    "atoken": {"token_address": "0xA", "controller": "0xC",
+                               "rewards": [reward]},
+                }
+            ]
+        }
+
+    def compound(req):
+        return {
+            "supply_rate_per_block": 1e10, "borrow_rate_per_block": 2e10,
+            "total_supply_underlying": 5_000_000 * 10**6, "total_borrows": 2_000_000 * 10**6,
+        }
+
+    def erc20_balance(req):
+        return {"raw": 7_500_000, "decimals": 6}
+
+    def beacon(req):
+        return {"data": {"day": 800, "day_start": 1704067200, "day_end": 1704153600,
+                         "apr": 0.04, "cl_apr": 0.03, "el_apr": 0.01}}
+
+    def swap_quote(req):
+        return {"to_amount_native": req["from_amount_usd"] * 0.985}
+
     return {
         "closest_block": closest_block,
         "closest_block_hour": closest_block_hour,
@@ -88,6 +122,11 @@ def _transports():
         "oracle_prices": oracle_prices,
         "protocol_data": protocol_data,
         "emode": emode,
+        "incentives": incentives,
+        "compound": compound,
+        "erc20_balance": erc20_balance,
+        "beacon": beacon,
+        "swap_quote": swap_quote,
     }
 
 
@@ -103,11 +142,34 @@ def pipeline_store(spark, tmp_path_factory):
          ("0xcol", "polygon", "polygon_v3", "Polygon", "Polygon V3")],
         "collector string, chain string, market string, display_chain string, display_name string",
     )
+    from datetime import datetime
+
+    compound_tokens = spark.createDataFrame(
+        [("ethereum", "compound_v2", "cUSDC", "0xcusdc", "USDC", "0xusdc", 6)],
+        "chain string, compound_version string, symbol string, address string,"
+        "underlying_symbol string, underlying_address string, underlying_decimals long",
+    )
+    grants_wallets = spark.createDataFrame(
+        [("ethereum", "0xgrants", "USDC", "0xusdc")],
+        "chain string, wallet_address string, token string, token_address string",
+    )
+    liquidity_pairs = spark.createDataFrame(
+        [("eth_weth_usdc", "ethereum_v2", "ethereum", "ethereum_v2",
+          "USDC", "0xusdc", 6, "WETH", "0xweth", 18, 2000.0, 1.0, 1)],
+        "market_key string, market string, chain string, loop_market string,"
+        "to_asset string, to_asset_address string, to_asset_decimals long,"
+        "from_asset string, from_asset_address string, from_asset_decimals long,"
+        "from_asset_price double, to_asset_price double, chain_id long",
+    )
     resources = {
         "transports": _transports(),
         "markets": MARKETS,
         "market_chain_rank": ranks,
         "display_names": display_names,
+        "compound_v2_tokens": compound_tokens,
+        "grants_wallets": grants_wallets,
+        "liquidity_pairs": liquidity_pairs,
+        "fetch_time": datetime(2024, 1, 1, 2),
     }
     graph = reference_graph(include_market_state=True)
     backfill(
@@ -117,6 +179,13 @@ def pipeline_store(spark, tmp_path_factory):
     run_hour(
         spark, store, graph, "2024-01-01", 6, list(MARKETS), resources,
         groups=HOURLY_JOB_GROUPS,
+    )
+    # one 2-hourly liquidity tick (liquidity_depth_job)
+    from aave_etl_spark.plans.orchestration import PartitionKey, run_partition
+
+    run_partition(
+        spark, store, graph, PartitionKey("2024-01-01"), resources,
+        selection=graph.select_groups(*LIQUIDITY_JOB_GROUPS),
     )
     return store
 
@@ -207,6 +276,46 @@ def test_hourly_lake_cell(pipeline_store):
     hourly = pipeline_store.read("block_numbers_by_hour")
     assert hourly.count() == 2  # one hour x 2 markets
     assert {r.block_height for r in hourly.collect()} == {2_001_800}
+
+
+def test_daily_partitioned_and_midday_jobs(pipeline_store):
+    """The 01:25 daily_partitioned and 13:00 daily_midday jobs: plain daily
+    partitions, keys built from config dims x the day's ethereum block."""
+    comp = pipeline_store.read("compound_v2_by_day")
+    assert comp.count() == 2  # one token x 2 days
+    row = comp.first()
+    assert row.deposits == 5_000_000.0 and row.borrows == 2_000_000.0
+    assert row.supply_apy > 0
+
+    erc = pipeline_store.read("erc20_balances_by_day")
+    assert erc.count() == 2
+    assert erc.first().balance == 7.5
+
+    beacon = pipeline_store.read("beacon_chain_staking_returns_by_day")
+    assert beacon.count() == 2
+    assert beacon.first().apr == 0.04
+
+
+def test_incentives_chain(pipeline_store):
+    """raw incentives lake fetch -> warehouse APR math over protocol data
+    and oracle prices."""
+    raw = pipeline_store.read("raw_incentives_by_day")
+    assert raw.count() == 4  # 1 reward x 2 days x 2 markets
+    inc = pipeline_store.read("incentives_by_day")
+    assert inc.count() == 4
+    assert "supply_rewards_apr" in inc.columns
+
+
+def test_liquidity_depth_job(pipeline_store):
+    """The 2-hourly job: append-only raw sweeps + interpolated warehouse
+    table stacked on the raw points."""
+    raw = pipeline_store.read("liquidity_depth_raw")
+    assert raw.count() == 5  # one sweep, 5 grid points
+    assert raw.filter("abs(price_impact - 0.015) > 1e-9").count() == 0
+
+    depth = pipeline_store.read("liquidity_depth")
+    assert depth.count() > 5  # raw points + interpolated targets
+    assert "is_interpolated" in depth.columns
 
 
 def test_hourly_protocol_and_datamart(pipeline_store):
