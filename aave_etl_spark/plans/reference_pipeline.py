@@ -55,6 +55,7 @@ DAILY_JOB_GROUPS = (
     "protocol_data_lake",
     "daily_partitioned",
     "daily_midday",
+    "chain_day",
     "data_lake_unpartitioned",
     "warehouse",
     "datamart",
@@ -164,6 +165,46 @@ def _erc20_balances_by_day(ctx: AssetContext) -> DataFrame:
     )
     return connectors.erc20_balances_by_day(
         keys, ctx.resources["transports"]["erc20_balance"]
+    )
+
+
+def _safety_module_token_hodlers_by_day(ctx: AssetContext) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    hb = _eth_block_scalar(ctx)
+    keys = ctx.resources["sm_tokens"].select(
+        F.lit(hb.block_day).alias("block_day"),
+        "chain", "safety_module_token", "stk_token_address",
+        F.lit(hb.block_height).alias("block_height"),
+    )
+    return connectors.token_holders_by_day(
+        keys, ctx.resources["transports"]["holders"]
+    )
+
+
+# --- chain_day group (01:25 job; chain-day multipartition, run as daily) ---
+def _balancer_bpt_data_by_day(ctx: AssetContext) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    hb = _eth_block_scalar(ctx)
+    keys = ctx.resources["balancer_pools"].select(
+        "pool", "symbol", "name", "decimals", "denom", "price_token",
+        "price_symbol",
+        F.lit(hb.block_day).alias("block_day"),
+        F.lit(hb.block_height).alias("block_height"),
+        "chain",
+    )
+    return connectors.balancer_bpt_by_day(
+        keys, ctx.resources["transports"]["balancer"]
+    )
+
+
+# --- data_lake_unpartitioned group (cont.): CoinGecko price history -------
+def _coingecko_data_by_day(ctx: AssetContext) -> DataFrame:
+    return connectors.coingecko_data_by_day(
+        ctx.spark,
+        ctx.resources["transports"]["coingecko"],
+        ctx.resources["coingecko_tokens"],
     )
 
 
@@ -431,6 +472,28 @@ def reference_graph(include_market_state: bool = False) -> AssetGraph:
                 group="daily_partitioned",
                 partitioning=DAILY,
                 partition_cols=("block_day",),
+            ),
+            Asset(
+                "safety_module_token_hodlers_by_day",
+                fn=_safety_module_token_hodlers_by_day,
+                deps=("block_numbers_by_day",),
+                group="daily_partitioned",
+                partitioning=DAILY,
+                partition_cols=("block_day",),
+            ),
+            Asset(
+                "balancer_bpt_data_by_day",
+                fn=_balancer_bpt_data_by_day,
+                deps=("block_numbers_by_day",),
+                group="chain_day",
+                partitioning=DAILY,
+                partition_cols=("block_day",),
+            ),
+            Asset(
+                "coingecko_data_by_day",
+                fn=_coingecko_data_by_day,
+                group="data_lake_unpartitioned",
+                partitioning=UNPARTITIONED,
             ),
             Asset(
                 "beacon_chain_staking_returns_by_day",

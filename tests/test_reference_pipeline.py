@@ -115,6 +115,23 @@ def _transports():
     def swap_quote(req):
         return {"to_amount_native": req["from_amount_usd"] * 0.985}
 
+    def holders(req):
+        return {
+            "decimals": 18,
+            "total_supply": 3 * 10**18,
+            "holders": [
+                {"address": "0xH1", "balance": 2 * 10**18},
+                {"address": "0xH2", "balance": 0},  # zero dropped
+                {"address": "0xH3", "balance": 10**18},
+            ],
+        }
+
+    def balancer(req):
+        return {"deployed": True, "rate": 1.05e18, "actual_supply": 2 * 10**18}
+
+    def coingecko(req):
+        return {"aave": [[1704067200000, 95.0], [1704153600000, 97.5]]}
+
     return {
         "closest_block": closest_block,
         "closest_block_hour": closest_block_hour,
@@ -127,6 +144,9 @@ def _transports():
         "erc20_balance": erc20_balance,
         "beacon": beacon,
         "swap_quote": swap_quote,
+        "holders": holders,
+        "balancer": balancer,
+        "coingecko": coingecko,
     }
 
 
@@ -161,6 +181,20 @@ def pipeline_store(spark, tmp_path_factory):
         "from_asset string, from_asset_address string, from_asset_decimals long,"
         "from_asset_price double, to_asset_price double, chain_id long",
     )
+    sm_tokens = spark.createDataFrame(
+        [("ethereum", "stkAAVE", "0xstk")],
+        "chain string, safety_module_token string, stk_token_address string",
+    )
+    balancer_pools = spark.createDataFrame(
+        [("0xpool80", "B-80AAVE-20WETH", "Balancer 80/20", 18, "usd", "0xp", "AAVE",
+          "ethereum")],
+        "pool string, symbol string, name string, decimals long, denom string,"
+        "price_token string, price_symbol string, chain string",
+    )
+    coingecko_tokens = [
+        {"cg_id": "aave", "symbol": "AAVE", "address": "0xAAVE", "chain": "ethereum",
+         "decimals": 18},
+    ]
     resources = {
         "transports": _transports(),
         "markets": MARKETS,
@@ -170,6 +204,9 @@ def pipeline_store(spark, tmp_path_factory):
         "grants_wallets": grants_wallets,
         "liquidity_pairs": liquidity_pairs,
         "fetch_time": datetime(2024, 1, 1, 2),
+        "sm_tokens": sm_tokens,
+        "balancer_pools": balancer_pools,
+        "coingecko_tokens": coingecko_tokens,
     }
     graph = reference_graph(include_market_state=True)
     backfill(
@@ -294,6 +331,23 @@ def test_daily_partitioned_and_midday_jobs(pipeline_store):
     beacon = pipeline_store.read("beacon_chain_staking_returns_by_day")
     assert beacon.count() == 2
     assert beacon.first().apr == 0.04
+
+
+def test_chain_day_sm_and_seed_jobs(pipeline_store):
+    """chain_day balancer job, SM holders in daily_partitioned, and the
+    unpartitioned CoinGecko seed fetch."""
+    bpt = pipeline_store.read("balancer_bpt_data_by_day")
+    assert bpt.count() == 2  # one pool x 2 days
+    assert bpt.first().rate == 1.05
+
+    hod = pipeline_store.read("safety_module_token_hodlers_by_day")
+    assert hod.count() == 4  # 2 nonzero holders x 2 days (zero dropped)
+    assert {r.holder_address for r in hod.collect()} == {"0xh1", "0xh3"}
+
+    cg = pipeline_store.read("coingecko_data_by_day")
+    assert cg.count() == 2  # 2 price points
+    assert cg.first().symbol == "AAVE"
+    assert cg.filter("address != '0xaave'").count() == 0  # lowercased
 
 
 def test_incentives_chain(pipeline_store):
