@@ -246,15 +246,22 @@ def jaccard_verify(
     inter = pairs.join(counts, ["id_a", "id_b"], "left").select(
         "id_a", "id_b", F.coalesce("_n_inter", F.lit(0)).alias("n_inter")
     )
+    # sizes also LEFT-joined (coalesced to 0): a doc with zero shingles
+    # (shorter than n words) must not make its candidate pairs vanish —
+    # J(empty, X) = 0 by convention, including the both-empty union=0 case
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("_sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("_sz_b"))
-    jac = (
-        F.col("n_inter").cast("double")
-        / (F.col("_sz_a") + F.col("_sz_b") - F.col("n_inter")).cast("double")
+    union = (
+        F.coalesce(F.col("_sz_a"), F.lit(0))
+        + F.coalesce(F.col("_sz_b"), F.lit(0))
+        - F.col("n_inter")
+    ).cast("double")
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        F.col("n_inter").cast("double") / union
     )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -34,8 +34,10 @@ def range_join(
     bucket and are rejected. The containment predicate is part of the join
     CONDITION (not a post-filter) so outer semantics survive: a left join's
     NULL-padded unmatched rows are produced by the join itself. Empty
-    intervals (lo > hi) contain nothing and are dropped up front — they
-    would also make F.sequence raise."""
+    intervals (lo > hi) contain nothing and are dropped up front —
+    F.sequence would otherwise step DESCENDING through every bucket from
+    floor(lo/bw) down to floor(hi/bw), silently replicating the empty
+    interval across the bucket range."""
     allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
     if how not in allowed:
         raise ValueError(f"range_join supports {sorted(allowed)}, got {how!r}")

@@ -150,18 +150,26 @@ class AssetContext:
         this_partition_only: bool = False,
         date_col: str = "block_day",
         market_col: str = "market",
+        schema=None,
     ) -> DataFrame:
         """Read an upstream table from the store. ``this_partition_only``
         prunes to the current partition's slice (partition-column predicates
         reach the file listing — K3). Column names default to the reference's
-        ``block_day``/``market`` convention (data_lake.py:73-140)."""
+        ``block_day``/``market`` convention (data_lake.py:73-140).
+
+        A table whose every run produced empty output was never written
+        (TableStore.write skips empties — reference bigquery_io_manager
+        parity) and reads back as a ZERO-COLUMN frame; pass ``schema`` to
+        get a typed empty instead, or guard on ``df.columns`` before
+        running SQL over it (see the datamart assets in
+        plans/reference_pipeline.py)."""
         where = None
         if this_partition_only:
             preds = [f"{date_col} = DATE '{self.partition.date}'"]
             if self.partition.market is not None:
                 preds.append(f"{market_col} = '{self.partition.market}'")
             where = " AND ".join(preds)
-        return self.store.read(name, where=where)
+        return self.store.read(name, schema=schema, where=where)
 
 
 def run_partition(

@@ -88,11 +88,15 @@ def _market_tokens_by_day(ctx: AssetContext) -> DataFrame:
     # `block_numbers_by_hour.block_height.values[0]`). This is control
     # flow, not data flow; no row set ever collects.
     height = blocks.select("block_height").first()
+    if height is None or height.block_height is None:
+        # no block lookup for this (day, market) -> typed empty, never a
+        # garbage block-0 fetch (K3 convention, like the daily assets)
+        return ctx.spark.createDataFrame([], connectors.schemas.MARKET_TOKENS_BY_DAY)
     return connectors.market_tokens_at_block(
         ctx.spark,
         ctx.resources["transports"]["subgraph_tokens"],
         ctx.partition.market,
-        int(height.block_height) if height else 0,
+        int(height.block_height),
         ctx.partition.date,
     )
 
@@ -145,6 +149,8 @@ def _compound_v2_by_day(ctx: AssetContext) -> DataFrame:
     from pyspark.sql import functions as F
 
     hb = _eth_block_scalar(ctx)
+    if hb is None:  # no ethereum block for this day -> typed empty (K3)
+        return ctx.spark.createDataFrame([], connectors.schemas.COMPOUND_BY_DAY)
     keys = ctx.resources["compound_v2_tokens"].select(
         F.lit(hb.block_day).alias("block_day"),
         F.lit(hb.block_height).alias("block_height"),
@@ -158,6 +164,8 @@ def _erc20_balances_by_day(ctx: AssetContext) -> DataFrame:
     from pyspark.sql import functions as F
 
     hb = _eth_block_scalar(ctx)
+    if hb is None:
+        return ctx.spark.createDataFrame([], connectors.schemas.ERC20_BALANCES_BY_DAY)
     keys = ctx.resources["grants_wallets"].select(
         F.lit(hb.block_day).alias("block_day"),
         F.lit(hb.block_height).alias("block_height"),
@@ -172,6 +180,8 @@ def _safety_module_token_hodlers_by_day(ctx: AssetContext) -> DataFrame:
     from pyspark.sql import functions as F
 
     hb = _eth_block_scalar(ctx)
+    if hb is None:
+        return ctx.spark.createDataFrame([], connectors.schemas.SM_TOKEN_HOLDERS_BY_DAY)
     keys = ctx.resources["sm_tokens"].select(
         F.lit(hb.block_day).alias("block_day"),
         "chain", "safety_module_token", "stk_token_address",
@@ -187,6 +197,8 @@ def _balancer_bpt_data_by_day(ctx: AssetContext) -> DataFrame:
     from pyspark.sql import functions as F
 
     hb = _eth_block_scalar(ctx)
+    if hb is None:
+        return ctx.spark.createDataFrame([], connectors.schemas.BALANCER_BPT_BY_DAY)
     keys = ctx.resources["balancer_pools"].select(
         "pool", "symbol", "name", "decimals", "denom", "price_token",
         "price_symbol",
@@ -320,6 +332,11 @@ def _datamart_hourly(ctx: AssetContext) -> DataFrame:
         "protocol_data_by_hour": ctx.upstream("protocol_data_by_hour"),
         "emode_config_by_day": ctx.upstream("emode_config_by_day"),
     }
+    if any(not df.columns for df in inputs.values()):
+        # an upstream lake table was never materialized (empty fetches are
+        # skipped by TableStore.write, reference parity) — nothing to run
+        # this tick; write_output=False so nothing lands either
+        return ctx.spark.createDataFrame([], "tick string")
     out = run_datamart(
         ctx.spark,
         inputs,
@@ -345,6 +362,8 @@ def _datamart(ctx: AssetContext) -> DataFrame:
             "token_prices_by_day",
         )
     }
+    if any(not df.columns for df in inputs.values()):
+        return ctx.spark.createDataFrame([], "tick string")
     out = run_datamart(
         ctx.spark,
         inputs,

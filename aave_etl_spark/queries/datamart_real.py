@@ -720,7 +720,7 @@ FROM (
   SELECT f.*, row_number() OVER (
            PARTITION BY block_day, chain, paraswap_fee_claimer,
                         paraswap_legacy_claimer, reserve
-           ORDER BY market DESC) AS _rn
+           ORDER BY market DESC, symbol DESC, claimable DESC) AS _rn
   FROM paraswap_legacy_fees f)
 WHERE _rn = 1 AND claimable > 0
 """

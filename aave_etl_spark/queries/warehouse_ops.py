@@ -229,13 +229,22 @@ _ORCH_START, _ORCH_END = "2024-01-01", "2024-01-07"
     ),
 )
 def orchestration_backfill_run(spark, sf_dir):
+    import os
     import tempfile
 
     from aave_etl_spark.io.table_store import TableStore
     from aave_etl_spark.plans.events_pipeline import events_pipeline_graph
     from aave_etl_spark.plans.orchestration import backfill
 
-    store = TableStore(spark, tempfile.mkdtemp(prefix="aave_etl_orch_"))
+    # deterministic per-sf store root: repeat invocations (bench passes,
+    # driver cert) OVERWRITE the same tables — bounded disk, and each
+    # re-run additionally exercises the idempotent-overwrite path
+    store_root = os.path.join(
+        tempfile.gettempdir(),
+        "aave_etl_spark_orch",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    store = TableStore(spark, store_root)
     graph = events_pipeline_graph()
     backfill(
         spark,

@@ -151,11 +151,13 @@ def paraswap_legacy_claimable_fees(paraswap_legacy_fees: DataFrame) -> DataFrame
         "block_day", "chain", "market", "paraswap_fee_claimer",
         "paraswap_legacy_claimer", "reserve", "symbol", "claimable",
     )
+    # order pinned past `market` so two rows sharing the full key AND
+    # market still pick a deterministic winner on both engines
     return paraswap_fees_dedup(
         fees,
         key_cols=["block_day", "chain", "paraswap_fee_claimer",
                   "paraswap_legacy_claimer", "reserve"],
-        order_cols=["market"],
+        order_cols=["market", "symbol", "claimable"],
     )
 
 

@@ -3,7 +3,7 @@ aave_data/assets/protocol/protocol_data_warehouse.py:33-160).
 
 - ``market_state_by_day``: projection of the per-day protocol lake table
   plus the four UI APY columns — compound-per-second rate→APY
-  ``(1 + rate/31536000)^31536536 - 1`` exactly as the AAVE UI displays it
+  ``(1 + rate/31536000)^31536000 - 1`` exactly as the AAVE UI displays it
   (protocol_data_warehouse.py:119-123, rate_to_apy).
 - ``market_config_by_day``: risk-parameter projection left-joined to the
   day's eMode category config on (block_day, block_height, market,
@@ -22,7 +22,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-SECONDS_IN_YEAR = 60 * 60 * 24 * 365
+from aave_etl_spark.functions.scalars import SECONDS_PER_YEAR, apy_from_rate
+
+SECONDS_IN_YEAR = SECONDS_PER_YEAR
 
 STATE_COLS = (
     "block_day",
@@ -75,8 +77,10 @@ _EMODE_KEYS = ["block_day", "block_height", "market", "reserve_emode_category"]
 
 def rate_to_apy(rate: Column) -> Column:
     """Per-second compounding APY as the AAVE UI displays it
-    (protocol_data_warehouse.py:119-123; docs.aave.com borrow-interest-rate)."""
-    return F.pow(F.lit(1.0) + rate / F.lit(SECONDS_IN_YEAR), F.lit(SECONDS_IN_YEAR)) - F.lit(1.0)
+    (protocol_data_warehouse.py:119-123; docs.aave.com borrow-interest-rate).
+    Thin alias of the shared ``functions.scalars.apy_from_rate`` so the
+    formula lives in exactly one place."""
+    return apy_from_rate(rate)
 
 
 def market_state_by_day(protocol_data_by_day: DataFrame) -> DataFrame:

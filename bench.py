@@ -74,6 +74,9 @@ def main() -> int:
                 samples.setdefault(name, []).append(time.perf_counter() - t0)
             except Exception as exc:  # noqa: BLE001
                 failures[name] = f"{type(exc).__name__}: {exc}"
+                # a query is either timed or failed, never both (earlier
+                # passes' samples would otherwise double-report it)
+                samples.pop(name, None)
         pass_totals.append(round(time.perf_counter() - pass_t0, 3))
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
