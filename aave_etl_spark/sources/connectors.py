@@ -23,7 +23,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aave_etl_spark.functions.scalars import bps_to_frac, from_ray, from_units
+from aave_etl_spark.functions.scalars import SECONDS_PER_YEAR, bps_to_frac, from_ray, from_units
 from aave_etl_spark.functions.standardise import standardise_types
 from aave_etl_spark.sources import schemas
 from aave_etl_spark.sources.base import (
@@ -450,9 +450,6 @@ def block_numbers_by_hour(
 #   v3: simple per-second annualization rate/1e18 × seconds_per_year;
 #       deposits AND borrows both in base-token units (:406-446).
 # ---------------------------------------------------------------------------
-SECONDS_PER_YEAR = 60 * 60 * 24 * 365
-
-
 def compound_v3_rate_to_apy(rate_per_second: float) -> float:
     """rate/1e18 * seconds_per_year (protocol_hourly_data_lake.py:406-410)."""
     return rate_per_second / 1e18 * SECONDS_PER_YEAR
