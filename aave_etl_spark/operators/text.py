@@ -155,3 +155,82 @@ def ngram_doc_freq_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signal: the fraction of word bigrams that
+    are duplicates of an earlier bigram in the same doc — the Gopher-style
+    repetition quality gate (high ratio = boilerplate/spam/looped text).
+
+    Docs with < 2 tokens have no bigrams and are excluded. The bigram array
+    is bound to its own projection (HOF lambdas are interpreted; size +
+    array_distinct reference it twice). Narrow map, no shuffle."""
+    from aave_etl_spark.operators.dedup import normalize_text
+
+    toked = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    bound = toked.select(F.col(id_col), grams.alias("_grams"))
+    n = F.size("_grams").cast("long")
+    nd = F.size(F.array_distinct("_grams")).cast("long")
+    return bound.select(
+        F.col(id_col),
+        n.alias("n_bigrams"),
+        nd.alias("n_distinct_bigrams"),
+        (F.lit(1.0) - nd.cast("double") / n.cast("double")).alias("repetition_ratio"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window chunking for context-window-bounded training: each doc
+    becomes ceil((n - K)/(K - overlap)) + 1 chunks of up to K tokens, with
+    consecutive chunks sharing ``overlap`` tokens. Output: (id, chunk_id,
+    n_chunk_tokens, chunk_md5) — the md5 stands in for the chunk text so
+    the operator stays narrow; a caller wanting the text swaps the md5 for
+    concat_ws over the same slice.
+
+    Plan shape: one explode (rows ≈ corpus_tokens / stride) over JVM-side
+    slice/sequence — no shuffle, no Python. At 100 TB, chunk volume scales
+    linearly with token volume and partitions with the input."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    from aave_etl_spark.operators.dedup import normalize_text
+
+    stride = chunk_tokens - overlap
+    toked = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    n = F.size("_toks")
+    n_chunks = (
+        F.when(n <= chunk_tokens, F.lit(1))
+        .otherwise(F.ceil((n - chunk_tokens) / F.lit(stride)) + 1)
+        .cast("int")
+    )
+    with_idx = toked.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice("_toks", F.col("chunk_id") * stride + 1, chunk_tokens)
+    bound = with_idx.select(
+        F.col(id_col), F.col("chunk_id").cast("long").alias("chunk_id"), chunk.alias("_chunk")
+    )
+    return bound.select(
+        F.col(id_col),
+        "chunk_id",
+        F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("_chunk"))).alias("chunk_md5"),
+    )

@@ -90,11 +90,24 @@ family(
         ),
         ("ngram_topk", "llm_ngram_topk", ("ngram",), ("doc_freq", "rank")),
         ("kmv", "llm_kmv_distinct", ("lang",), ("est_distinct", "exact_distinct")),
+        (
+            "repetition",
+            "llm_repetition",
+            ("doc_id",),
+            ("n_bigrams", "n_distinct_bigrams", "repetition_ratio"),
+        ),
+        (
+            "chunks",
+            "llm_doc_chunks",
+            ("doc_id", "chunk_id", "chunk_md5"),
+            ("n_chunk_tokens",),
+        ),
     ],
     doc=(
         "text-analysis family: rolling-hash fingerprint + token stats +"
         " quality features + corpus top-k bigram document frequencies +"
-        " KMV distinct-text sketch per language"
+        " KMV distinct-text sketch per language + Gopher-style repetition"
+        " signal + sliding-window context chunking"
     ),
 )
 

@@ -610,3 +610,56 @@ def llm_lsh_verified_dups(spark, sf_dir):
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
     return dedup.jaccard_verify(sh, cand, threshold=0.5)
+
+
+@register(
+    "llm_repetition",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT doc_id,
+             [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS grams
+      FROM base WHERE len(toks) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_bigrams,
+           1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+             AS repetition_ratio
+    FROM big
+    """,
+    doc=(
+        "LLM quality: Gopher-style within-doc repetition signal"
+        " (duplicate-bigram fraction); narrow map, no shuffle"
+    ),
+)
+def llm_repetition(spark, sf_dir):
+    return text.repetition_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_doc_chunks",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+      FROM base WHERE len(toks) > 0
+    ),
+    c AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM w)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, i*24 + 1, i*24 + 32)) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ')) AS chunk_md5
+    FROM c
+    """,
+    doc=(
+        "LLM pipeline: sliding-window context chunking (32-token chunks,"
+        " 8-token overlap); one explode, chunk volume linear in tokens"
+    ),
+)
+def llm_doc_chunks(spark, sf_dir):
+    return text.chunk_documents(t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8)

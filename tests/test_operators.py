@@ -161,3 +161,59 @@ def test_cosine_pairs_plan_has_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert df.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# chunking + repetition (training-pipeline text ops).
+# ---------------------------------------------------------------------------
+def test_chunk_documents_coverage_and_overlap(spark):
+    from aave_etl_spark.operators.text import chunk_documents
+
+    # 57 tokens, K=32, overlap=8 (stride 24) -> chunks at 0/24/48
+    words = " ".join(f"w{i}" for i in range(57))
+    docs = spark.createDataFrame([(1, words), (2, "short doc")], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in c1] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in c1] == [32, 32, 9]  # tail clamped
+    # full coverage: stride*last_start + last_len == n
+    assert 24 * 2 + 9 == 57
+    assert [r.chunk_id for r in by_doc[2]] == [0]
+    assert by_doc[2][0].n_chunk_tokens == 2
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_documents_overlap_is_shared_tokens(spark):
+    from aave_etl_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(56))  # exactly 2 full chunks
+    docs = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    out = {r.chunk_id: r for r in chunk_documents(docs, chunk_tokens=32, overlap=8).collect()}
+    assert len(out) == 2 and out[1].n_chunk_tokens == 32
+    # chunk 1 starts at token 24: tokens 24..31 shared with chunk 0
+    import hashlib
+
+    c0 = " ".join(f"w{i}" for i in range(0, 32))
+    c1 = " ".join(f"w{i}" for i in range(24, 56))
+    assert out[0].chunk_md5 == hashlib.md5(c0.encode()).hexdigest()
+    assert out[1].chunk_md5 == hashlib.md5(c1.encode()).hexdigest()
+
+
+def test_repetition_stats(spark):
+    from aave_etl_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "all words here unique"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    # doc 1 bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+    assert out[1].n_bigrams == 5 and out[1].n_distinct_bigrams == 2
+    assert abs(out[1].repetition_ratio - 0.6) < 1e-12
+    assert out[2].repetition_ratio == 0.0
+    assert 3 not in out  # <2 tokens: no bigrams, excluded
