@@ -316,33 +316,59 @@ def _display_names(ctx: AssetContext) -> DataFrame:
 # --- datamart group (unpartitioned full-refresh, the 01:30 dbt job) -------
 _DATAMART_MODELS = (
     "chains_markets",
+    "aave_atokens",
     "market_state_by_day",
     "market_config_by_day",
     "reserve_factor_income_by_day",
 )
 
+# the reference's datamart_hourly job selection verbatim
+# (aave_data/__init__.py:277-283)
+_DATAMART_HOURLY_MODELS = (
+    "market_config_by_hour",
+    "market_state_by_hour",
+    "market_config_by_time",
+    "market_state_by_time",
+    "reserve_factor_income_by_hour",
+)
+
 
 def _datamart_hourly(ctx: AssetContext) -> DataFrame:
     """The hourly datamart job (datamart_hourly_schedule, :10 past the
-    hour): state + config hourly models over the hourly lake."""
+    hour): the reference's five-model selection. refs to DAILY models
+    (chains_markets, aave_atokens, market_state/config_by_day) become
+    store reads of the tables the 01:30 job materialized — exactly dbt's
+    behavior of ref()ing a table the selection doesn't rebuild."""
+    from dataclasses import replace as dc_replace
+
     from aave_etl_spark.datamart.models import MODELS
     from aave_etl_spark.plans.runner import run_datamart
 
+    daily_tables = (
+        "chains_markets", "aave_atokens", "market_state_by_day", "market_config_by_day",
+    )
     inputs = {
         "protocol_data_by_hour": ctx.upstream("protocol_data_by_hour"),
         "emode_config_by_day": ctx.upstream("emode_config_by_day"),
+        "aave_oracle_prices_by_day": ctx.upstream("aave_oracle_prices_by_day"),
+        "token_prices_by_day": ctx.upstream("token_prices_by_day"),
+        **{t: ctx.upstream(t) for t in daily_tables},
     }
     if any(not df.columns for df in inputs.values()):
-        # an upstream lake table was never materialized (empty fetches are
+        # an upstream table was never materialized (empty fetches are
         # skipped by TableStore.write, reference parity) — nothing to run
         # this tick; write_output=False so nothing lands either
         return ctx.spark.createDataFrame([], "tick string")
-    out = run_datamart(
-        ctx.spark,
-        inputs,
-        models={k: MODELS[k] for k in ("market_state_by_hour", "market_config_by_hour")},
-        store=ctx.store,
-    )
+    models = {}
+    for k in _DATAMART_HOURLY_MODELS:
+        m = MODELS[k]
+        moved = tuple(r for r in m.refs if r in daily_tables)
+        models[k] = dc_replace(
+            m,
+            refs=tuple(r for r in m.refs if r not in daily_tables),
+            sources=m.sources + moved,
+        )
+    out = run_datamart(ctx.spark, inputs, models=models, store=ctx.store)
     return out["market_state_by_hour"]
 
 
@@ -360,6 +386,8 @@ def _datamart(ctx: AssetContext) -> DataFrame:
             "warehouse_market_config_by_day",
             "display_names",
             "token_prices_by_day",
+            "block_numbers_by_day",
+            "market_tokens_by_day",
         )
     }
     if any(not df.columns for df in inputs.values()):
@@ -550,7 +578,7 @@ def reference_graph(include_market_state: bool = False) -> AssetGraph:
             Asset(
                 "datamart_hourly",
                 fn=_datamart_hourly,
-                deps=("protocol_data_by_hour", "emode_config_by_day"),
+                deps=("protocol_data_by_hour", "emode_config_by_day", "datamart"),
                 group="datamart_hourly",
                 partitioning=UNPARTITIONED,
                 write_output=False,
@@ -569,6 +597,8 @@ def reference_graph(include_market_state: bool = False) -> AssetGraph:
                     "warehouse_market_config_by_day",
                     "display_names",
                     "token_prices_by_day",
+                    "block_numbers_by_day",
+                    "market_tokens_by_day",
                 ),
                 group="datamart",
                 partitioning=UNPARTITIONED,

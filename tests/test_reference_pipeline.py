@@ -389,3 +389,13 @@ def test_hourly_protocol_and_datamart(pipeline_store):
     mch = pipeline_store.read("market_config_by_hour")
     assert mch.count() == 6
     assert "emode_category_name" in mch.columns
+
+    # the by_time unions read the DAILY model tables (dbt ref-as-table):
+    # hourly rows + daily rows, priced/enriched
+    mst = pipeline_store.read("market_state_by_time")
+    assert mst.count() == 6 + 12  # 6 hourly + 12 daily state rows
+    assert {"usd_price", "deposits_usd", "display_market"} <= set(mst.columns)
+
+    rfh = pipeline_store.read("reserve_factor_income_by_hour")
+    assert rfh.count() == 6
+    assert "daily_income_usd" in rfh.columns
