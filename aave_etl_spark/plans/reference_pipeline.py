@@ -243,6 +243,25 @@ def _wh_liquidity(ctx: AssetContext) -> DataFrame:
     return wh_liquidity_depth(ctx.upstream("liquidity_depth_raw"))
 
 
+def _liquidity_depth_lsd(ctx: AssetContext) -> DataFrame:
+    """The liquidity job's datamart tail (its selection explicitly includes
+    liquidity_depth_lsd, aave_data/__init__.py:349-352)."""
+    from aave_etl_spark.datamart.models import MODELS
+    from aave_etl_spark.plans.runner import run_datamart
+
+    inputs = {
+        "liquidity_depth": ctx.upstream("liquidity_depth"),
+        "display_names": ctx.upstream("display_names"),
+    }
+    if any(not df.columns for df in inputs.values()):
+        return ctx.spark.createDataFrame([], "tick string")
+    out = run_datamart(
+        ctx.spark, inputs, models={"liquidity_depth_lsd": MODELS["liquidity_depth_lsd"]},
+        store=ctx.store,
+    )
+    return out["liquidity_depth_lsd"]
+
+
 # --- protocol_hourly_data_lake group (market_hour multipartition) ---------
 def _block_numbers_by_hour(ctx: AssetContext) -> DataFrame:
     hour_key = f"{ctx.partition.date}-{ctx.partition.hour:02d}:00"
@@ -314,12 +333,22 @@ def _display_names(ctx: AssetContext) -> DataFrame:
 
 
 # --- datamart group (unpartitioned full-refresh, the 01:30 dbt job) -------
+# every model whose source closure the graph materializes — the maximal
+# daily dbt selection this asset set supports (the remaining models need
+# the transfers/balances/safety-module-RPC connectors' tables, which plug
+# in as further Asset rows)
 _DATAMART_MODELS = (
     "chains_markets",
     "aave_atokens",
     "market_state_by_day",
     "market_config_by_day",
     "reserve_factor_income_by_day",
+    "asset_tvl_by_day",
+    "sm_covered_markets_tvl_by_day",
+    "grants_dao_token_balances_by_day",
+    "lm_incentives",
+    "sm_token_holders_by_day",
+    "sm_token_holder_distro",
 )
 
 # the reference's datamart_hourly job selection verbatim
@@ -379,25 +408,12 @@ def _datamart(ctx: AssetContext) -> DataFrame:
     from aave_etl_spark.datamart.models import MODELS
     from aave_etl_spark.plans.runner import run_datamart
 
-    inputs = {
-        name: ctx.upstream(name)
-        for name in (
-            "warehouse_market_state_by_day",
-            "warehouse_market_config_by_day",
-            "display_names",
-            "token_prices_by_day",
-            "block_numbers_by_day",
-            "market_tokens_by_day",
-        )
-    }
+    models = {k: MODELS[k] for k in _DATAMART_MODELS}
+    needed = sorted({src for m in models.values() for src in m.sources})
+    inputs = {src: ctx.upstream(src) for src in needed}
     if any(not df.columns for df in inputs.values()):
         return ctx.spark.createDataFrame([], "tick string")
-    out = run_datamart(
-        ctx.spark,
-        inputs,
-        models={k: MODELS[k] for k in _DATAMART_MODELS},
-        store=ctx.store,
-    )
+    out = run_datamart(ctx.spark, inputs, models=models, store=ctx.store)
     return out["reserve_factor_income_by_day"]
 
 
@@ -568,6 +584,14 @@ def reference_graph(include_market_state: bool = False) -> AssetGraph:
                 partitioning=UNPARTITIONED,
             ),
             Asset(
+                "liquidity_depth_lsd",
+                fn=_liquidity_depth_lsd,
+                deps=("liquidity_depth", "display_names"),
+                group="liquidity_depth",
+                partitioning=UNPARTITIONED,
+                write_output=False,
+            ),
+            Asset(
                 "protocol_data_by_hour",
                 fn=_protocol_data_by_hour,
                 deps=("block_numbers_by_hour", "market_tokens_by_day"),
@@ -599,6 +623,9 @@ def reference_graph(include_market_state: bool = False) -> AssetGraph:
                     "token_prices_by_day",
                     "block_numbers_by_day",
                     "market_tokens_by_day",
+                    "incentives_by_day",
+                    "erc20_balances_by_day",
+                    "safety_module_token_hodlers_by_day",
                 ),
                 group="datamart",
                 partitioning=UNPARTITIONED,

@@ -169,8 +169,10 @@ def pipeline_store(spark, tmp_path_factory):
         "chain string, compound_version string, symbol string, address string,"
         "underlying_symbol string, underlying_address string, underlying_decimals long",
     )
+    # the model filters to the hardcoded grants-DAO wallet list — use a
+    # real member address so the datamart row survives
     grants_wallets = spark.createDataFrame(
-        [("ethereum", "0xgrants", "USDC", "0xusdc")],
+        [("ethereum", "0x89c51828427f70d77875c6747759fb17ba10ceb0", "USDC", "0xusdc")],
         "chain string, wallet_address string, token string, token_address string",
     )
     liquidity_pairs = spark.createDataFrame(
@@ -307,6 +309,24 @@ def test_datamart_layer_materialized(pipeline_store):
     assert rf.count() == 12
     assert rf.filter("reserve_factor != 0.1").count() == 0
     assert rf.filter("display_chain IS NULL").count() == 0
+
+
+def test_maximal_daily_datamart_selection(pipeline_store):
+    """Every model whose source closure the graph materializes runs in the
+    daily dbt job — TVL, grants, LM incentives, SM holder rollups — and the
+    liquidity job's lsd tail lands too."""
+    for table, min_rows in (
+        ("asset_tvl_by_day", 12),
+        ("sm_covered_markets_tvl_by_day", 2),
+        ("lm_incentives", 4),
+        ("sm_token_holders_by_day", 2),  # per (day, token) count
+        ("sm_token_holder_distro", 1),
+        ("grants_dao_token_balances_by_day", 0),
+        ("liquidity_depth_lsd", 1),
+    ):
+        df = pipeline_store.read(table)
+        assert df.columns, f"{table} never materialized"
+        assert df.count() >= min_rows, f"{table}: {df.count()} < {min_rows}"
 
 
 def test_hourly_lake_cell(pipeline_store):
