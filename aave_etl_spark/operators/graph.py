@@ -1,0 +1,127 @@
+"""Distributed connected components over an edge (pair) table.
+
+The missing last stage of a near-dup pipeline: LSH + verify emit PAIRS
+(operators/dedup.py), but a dedup decision needs CLUSTERS — one keeper per
+group of transitively-connected documents. At 100 TB the pair graph does
+not fit on the driver, so the clustering must itself be a dataflow.
+
+Algorithm: iterative min-label propagation with pointer jumping (label
+compression), the DataFrame form of the map-reduce CC family (large-star /
+small-star, Kiveris et al., "Connected Components in MapReduce and
+Beyond"). Each iteration:
+
+1. neighbor-min — every node receives its neighbors' current labels and
+   keeps the min: one shuffle keyed by node id.
+2. pointer jumping — label(v) := label(label(v)): a self-join on the label
+   table. This is the doubling step: the hop distance a min label still
+   has to travel shrinks geometrically, so convergence is O(log diameter)
+   iterations, not O(diameter). Near-dup clusters are short-diameter, but
+   the bound is what makes the operator safe on adversarial graphs
+   (long chains of pairwise-similar documents).
+
+Every iteration ends in `localCheckpoint(eager=True)` — without it the
+lineage doubles per iteration and Catalyst plan compilation, not the data,
+becomes the bottleneck. On a real cluster swap localCheckpoint for
+`checkpoint()` on reliable storage if executor loss during the loop must
+be survivable.
+
+Labels are node ids and the propagated min is the component's global min
+id, so the final label doubles as the canonical "keeper" pick — no second
+pass needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected graph in ``edges``.
+
+    Returns (``id_col``, component) with component = MIN node id reachable
+    from the node (ids compared by their column type's ordering — the same
+    min the DuckDB recursive-CTE oracle computes). ``nodes`` optionally
+    supplies the full vertex set (single-column DataFrame) so isolated
+    nodes appear as their own singleton component; by default the vertex
+    set is derived from the edges.
+
+    Raises RuntimeError if labels still change after ``max_iter``
+    iterations — with pointer jumping that means diameter > ~2^max_iter,
+    i.e. something is structurally wrong with the input, and a silent
+    partial answer would mislabel components.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    if nodes is None:
+        vertices = sym.select(F.col("a").alias(id_col)).distinct()
+    else:
+        vertices = nodes.toDF(id_col).distinct()
+    # duplicate edges only inflate the neighbor-min join; drop them once
+    sym = sym.distinct().localCheckpoint(eager=False)
+
+    labels = vertices.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # 1. neighbor-min: node b receives a's label; keep the min of own+received
+        msgs = sym.join(
+            labels.select(F.col("node").alias("a"), "comp"), "a"
+        ).select(F.col("b").alias("node"), "comp")
+        stepped = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+        )
+        # 2. pointer jumping: comp := comp's own comp (labels are node ids,
+        # so the label table resolves them; left+coalesce keeps the row if
+        # a label somehow isn't a vertex — cannot happen, but cheap safety)
+        jumped = stepped.join(
+            stepped.select(F.col("node").alias("comp"), F.col("comp").alias("_c2")),
+            "comp",
+            "left",
+        ).select("node", F.coalesce("_c2", F.col("comp")).alias("comp"))
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.join(labels.select("node", F.col("comp").alias("_old")), "node")
+            .filter(F.col("comp") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTER table: (id, component, cluster_size,
+    is_keeper). ``all_ids`` is the full document id set (one column) so
+    every document lands in a cluster — unpaired docs as singletons.
+
+    component = the cluster's min id, so ``is_keeper`` (the canonical doc a
+    dedup retains) is simply id == component: the keeper pick costs nothing
+    beyond the CC itself. cluster_size comes from one window over the
+    component key — cluster cardinality, bounded by the largest dup group.
+    """
+    cc = connected_components(pairs, nodes=all_ids, id_col=id_col)
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col(id_col),
+        "component",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        F.when(F.col(id_col) == F.col("component"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_keeper"),
+    )

@@ -288,9 +288,16 @@ family(
             ("n_events",),
         ),
         ("lsh_verified", "llm_lsh_verified_dups", ("id_a", "id_b"), ("jaccard",)),
+        (
+            "cc",
+            "llm_dedup_cluster",
+            ("doc_id", "component"),
+            ("cluster_size", "is_keeper"),
+        ),
     ],
     doc=(
         "§2.8 inline array-of-struct buckets + §2.4 ordered collect-to-list"
-        " md5 + the LSH candidates→exact-Jaccard verified dedup pipeline"
+        " md5 + the LSH candidates→exact-Jaccard verified dedup pipeline +"
+        " its final connected-components cluster/keeper stage"
     ),
 )

@@ -663,3 +663,60 @@ def llm_repetition(spark, sf_dir):
 )
 def llm_doc_chunks(spark, sf_dir):
     return text.chunk_documents(t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8)
+
+
+@register(
+    "llm_dedup_cluster",
+    export=False,  # driver slot held by its family head (collect_family)
+    oracle=f"""
+    WITH RECURSIVE {_MH_CTES},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.id_a
+      JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    dup AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON i.id_a = sa.doc_id
+      JOIN sizes sb ON i.id_b = sb.doc_id
+      WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM dup
+            UNION ALL SELECT id_b AS a, id_a AS b FROM dup),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT s.b AS node, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT doc_id, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+           CAST(CASE WHEN doc_id = component THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+    FROM comp
+    """,
+    doc=(
+        "LLM dedup PIPELINE, final stage: LSH candidates → exact-Jaccard"
+        " verify → connected components (min-label propagation + pointer"
+        " jumping, operators/graph.py) → cluster table with the canonical"
+        " keeper per transitively-connected dup group. The oracle computes"
+        " the same min-reachable-id labels with a recursive CTE"
+    ),
+)
+def llm_dedup_cluster(spark, sf_dir):
+    from aave_etl_spark.operators.graph import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
+    dups = dedup.jaccard_verify(sh, cand, threshold=0.5)
+    return dedup_clusters(dups.select("id_a", "id_b"), docs.select("doc_id"))

@@ -217,3 +217,62 @@ def test_repetition_stats(spark):
     assert abs(out[1].repetition_ratio - 0.6) < 1e-12
     assert out[2].repetition_ratio == 0.0
     assert 3 not in out  # <2 tokens: no bigrams, excluded
+
+
+# ---------------------------------------------------------------------------
+# connected components: min-label propagation + pointer jumping.
+# ---------------------------------------------------------------------------
+def test_connected_components_basic(spark):
+    from aave_etl_spark.operators.graph import connected_components
+
+    # triangle {1,2,3}, edge {10,11}, isolated vertex 20
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20]], "node long")
+    out = {r.node: r.component for r in connected_components(edges, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_path_converges_logarithmically(spark):
+    from aave_etl_spark.operators.graph import connected_components
+
+    # path 0-1-2-...-63: diameter 63; pointer jumping must converge well
+    # inside 10 iterations (plain propagation would need 63)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    out = connected_components(edges, max_iter=10).collect()
+    assert len(out) == 64
+    assert {r.component for r in out} == {0}
+
+
+def test_connected_components_no_nodes_arg_and_string_ids(spark):
+    from aave_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_c", "doc_b")], "id_a string, id_b string"
+    )
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert out == {"doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a"}
+
+
+def test_dedup_clusters_keeper_and_sizes(spark):
+    from aave_etl_spark.operators.graph import dedup_clusters
+
+    pairs = spark.createDataFrame([(2, 5), (5, 7)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 5, 7]], "doc_id long")
+    rows = {r.doc_id: r for r in dedup_clusters(pairs, ids).collect()}
+    assert rows[1].component == 1 and rows[1].cluster_size == 1 and rows[1].is_keeper == 1
+    for d in (2, 5, 7):
+        assert rows[d].component == 2 and rows[d].cluster_size == 3
+    assert rows[2].is_keeper == 1 and rows[5].is_keeper == 0 and rows[7].is_keeper == 0
+
+
+def test_connected_components_empty_edges(spark):
+    from aave_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    out = {r.node: r.component for r in connected_components(edges, nodes).collect()}
+    assert out == {1: 1, 2: 2}
