@@ -1,0 +1,92 @@
+"""Deterministic corpus sampling: hash-fraction sampling, stratified
+exact-k sampling, and train/test splitting.
+
+Training-data curation needs samples that are (a) reproducible across
+runs and engines — so no `rand()`, whose value depends on seed, partition
+layout, and task retries — and (b) stable under corpus growth: a document
+keeps its sample/split assignment when neighbors are added or removed.
+Both fall out of hashing the document id: u(id) = md5(salt || id) mapped
+to [0, 1) is a fixed uniform score per document.
+
+Plan shapes:
+
+- fraction sample / split: a narrow map (one md5 + compare per row), no
+  shuffle. Filter pushdown applies as usual.
+- stratified exact-k: row_number over (stratum, hash order) — one shuffle
+  on the stratum key. The rank<=k filter is a WindowGroupLimit: Spark
+  keeps only k rows per partition BEFORE the exchange, so the shuffle
+  carries O(partitions x k) rows per stratum, not the stratum. This is
+  deterministic reservoir sampling: the "reservoir" is the k smallest
+  hash values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 16^15 — md5's first 15 hex chars as an integer fit a signed long
+_HASH_SPACE = float(16**15)
+
+
+def uniform_hash(id_col: Column | str, salt: str) -> Column:
+    """Deterministic uniform score in [0, 1): the first 15 hex chars of
+    md5(salt || ':' || id) as an integer, scaled. Engine-portable (DuckDB:
+    CAST('0x' || substring(md5(..), 1, 15) AS BIGINT) / 16^15)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat_ws(":", F.lit(salt), c.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") / F.lit(_HASH_SPACE)
+
+
+def hash_fraction_sample(
+    df: DataFrame, id_col: str = "doc_id", fraction: float = 0.1, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by id hash — reproducible, growth-
+    stable, and exactly repartition-invariant. Narrow map, no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(uniform_hash(id_col, salt) < fraction)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    test_frac: float = 0.2,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/test split: adds ``split_col`` ('train'/'test')
+    from the id hash. A document's assignment never changes as the corpus
+    grows — the property that keeps eval sets uncontaminated across
+    dataset versions. Narrow map, no shuffle."""
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError(f"test_frac must be in [0, 1], got {test_frac}")
+    u = uniform_hash(id_col, salt)
+    return df.withColumn(
+        split_col, F.when(u < test_frac, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_exact_k(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum: the k documents with the
+    smallest hash scores (ties broken by id — a total order, so the result
+    is unique). Adds ``sample_rank`` (1-based). Equivalent to per-stratum
+    reservoir sampling with a fixed seed, but deterministic and
+    distributed: one shuffle on the stratum key, WindowGroupLimit keeps
+    only k rows per map partition before the exchange."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(*group_cols).orderBy(
+        uniform_hash(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 DEFAULT_STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
 
@@ -233,4 +234,91 @@ def chunk_documents(
         "chunk_id",
         F.size("_chunk").cast("long").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", F.col("_chunk"))).alias("chunk_md5"),
+    )
+
+
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUM_PATTERN = r"[0-9]{6,}"
+
+
+def scrub_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII/URL scrubbing pass: URLs → <URL>, emails → <EMAIL>, long digit
+    runs (phone/account/card-shaped) → <NUM>, applied in that order so an
+    address inside a URL is counted once as a URL. Returns (id, n_urls,
+    n_emails, n_long_nums, clean_md5) — the md5 stands in for the cleaned
+    text (same narrow-map trick as chunking); a caller wanting the text
+    keeps the `_clean` column instead.
+
+    Pure regexp expressions (RE2-compatible patterns, portable to the
+    DuckDB oracle), narrow map, no shuffle — the cheapest possible pass at
+    100 TB, and the one every corpus runs first."""
+    c = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(c, F.lit(URL_PATTERN), F.lit(0)))
+    step1 = F.regexp_replace(c, URL_PATTERN, "<URL>")
+    n_emails = F.size(F.regexp_extract_all(step1, F.lit(EMAIL_PATTERN), F.lit(0)))
+    step2 = F.regexp_replace(step1, EMAIL_PATTERN, "<EMAIL>")
+    n_nums = F.size(F.regexp_extract_all(step2, F.lit(LONG_NUM_PATTERN), F.lit(0)))
+    clean = F.regexp_replace(step2, LONG_NUM_PATTERN, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        n_urls.cast("long").alias("n_urls"),
+        n_emails.cast("long").alias("n_emails"),
+        n_nums.cast("long").alias("n_long_nums"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k terms per document by BM25 weight — the per-doc keyword
+    signature used for retrieval indexing and topic-mix analysis.
+
+    score(t, d) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    with the BM25+ idf = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Dataflow at 100 TB: token explode → one shuffle to (doc, term) counts →
+    one shuffle to term doc-frequencies (vocabulary-sized, joined back on
+    the term key) → corpus scalars (N, avgdl) via a 1-row aggregate
+    broadcast-crossjoined, never collected to the driver → per-doc top-k
+    window (WindowGroupLimit caps each map partition at k before the
+    exchange). Scores round to 6dp so ranks are engine-reproducible."""
+    from aave_etl_spark.operators.dedup import normalize_text
+
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfv = F.col("tf").cast("double")
+    norm = tfv * (k1 + 1.0) / (
+        tfv + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(F.col(id_col), "term", "tf", F.round(idf * norm, 6).alias("bm25"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("bm25").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "bm25", "rank")
     )

@@ -102,12 +102,20 @@ family(
             ("doc_id", "chunk_id", "chunk_md5"),
             ("n_chunk_tokens",),
         ),
+        (
+            "scrub",
+            "llm_scrub_pii",
+            ("doc_id", "clean_md5"),
+            ("n_urls", "n_emails", "n_long_nums"),
+        ),
+        ("bm25", "llm_bm25_topk", ("doc_id", "term"), ("tf", "bm25", "rank")),
     ],
     doc=(
         "text-analysis family: rolling-hash fingerprint + token stats +"
         " quality features + corpus top-k bigram document frequencies +"
         " KMV distinct-text sketch per language + Gopher-style repetition"
-        " signal + sliding-window context chunking"
+        " signal + sliding-window context chunking + PII/URL scrubbing +"
+        " per-doc top-3 BM25 terms"
     ),
 )
 
@@ -125,10 +133,14 @@ family(
         ),
         ("distinct_keys", "union_distinct_keys", ("nationkey",), ()),
         ("range_tiers", "quantity_tier_range_join", ("tier",), ("n_rows", "sum_qty")),
+        ("strat_sample", "llm_stratified_sample", ("lang", "doc_id"), ("sample_rank",)),
+        ("split", "llm_train_test_split", ("lang", "split"), ("n_docs",)),
     ],
     doc=(
         "§2.7 union family: UNION ALL with lit-0 padding + UNION DISTINCT +"
-        " bucketized range join (plain-BETWEEN oracle identity)"
+        " bucketized range join (plain-BETWEEN oracle identity) + the"
+        " deterministic hash-sampling partition of the corpus (stratified"
+        " exact-k sample + train/test split)"
     ),
 )
 

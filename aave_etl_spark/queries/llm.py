@@ -720,3 +720,139 @@ def llm_dedup_cluster(spark, sf_dir):
     cand = dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
     dups = dedup.jaccard_verify(sh, cand, threshold=0.5)
     return dedup_clusters(dups.select("id_a", "id_b"), docs.select("doc_id"))
+
+
+# uniform-hash score shared by the sampling oracles (operators/sampling.py
+# uniform_hash): first 15 hex chars of md5(salt || ':' || id) / 16^15
+_UHASH = (
+    "CAST('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT) / 1152921504606846976.0"
+)
+
+
+@register(
+    "llm_stratified_sample",
+    export=False,  # driver slot held by its family head (union_family)
+    oracle=f"""
+    WITH r AS (
+      SELECT lang, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_UHASH.format(salt="sample")}, doc_id) AS BIGINT) AS sample_rank
+      FROM documents
+    )
+    SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 5
+    """,
+    doc=(
+        "LLM curation: deterministic stratified exact-k sampling — the k"
+        " docs with the smallest md5-hash scores per language (reservoir"
+        " sampling made reproducible and engine-portable); WindowGroupLimit"
+        " bounds the shuffle at k rows per map partition"
+    ),
+)
+def llm_stratified_sample(spark, sf_dir):
+    from aave_etl_spark.operators.sampling import stratified_exact_k
+
+    docs = t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return stratified_exact_k(docs, ["lang"], k=5).select("lang", "doc_id", "sample_rank")
+
+
+@register(
+    "llm_train_test_split",
+    export=False,  # driver slot held by its family head (union_family)
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN {_UHASH.format(salt="split")} < 0.2
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY lang, split
+    """,
+    doc=(
+        "LLM curation: deterministic hash train/test split — a doc's"
+        " assignment is a pure function of its id, so eval membership is"
+        " stable as the corpus grows (no contamination across versions);"
+        " narrow map + one count agg"
+    ),
+)
+def llm_train_test_split(spark, sf_dir):
+    from aave_etl_spark.operators.sampling import hash_split
+
+    docs = t(spark, sf_dir, "documents")
+    return hash_split(docs, test_frac=0.2).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "llm_scrub_pii",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, n_urls,
+             len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t2, '[0-9]{6,}')) AS BIGINT) AS n_long_nums,
+           md5(regexp_replace(t2, '[0-9]{6,}', '<NUM>', 'g')) AS clean_md5
+    FROM s2
+    """,
+    doc=(
+        "LLM curation: PII/URL scrubbing pass — URLs, emails, long digit"
+        " runs replaced by typed placeholders with per-doc counts; pure"
+        " regexp narrow map, the first pass every pretraining corpus runs"
+    ),
+)
+def llm_scrub_pii(spark, sf_dir):
+    return text.scrub_pii(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_bm25_topk",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             round(ln(1.0 + ((sc.n_docs - d.df) + 0.5) / (d.df + 0.5))
+                   * ((CAST(t.tf AS DOUBLE) * 2.2)
+                      / (CAST(t.tf AS DOUBLE)
+                         + 1.2 * (0.25 + ((0.75 * CAST(l.dl AS DOUBLE)) / sc.avgdl)))),
+                   6) AS bm25
+      FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term) CROSS JOIN sc
+    ),
+    r AS (
+      SELECT doc_id, term, tf, bm25,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY bm25 DESC, term) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, bm25, rank FROM r WHERE rank <= 3
+    """,
+    doc=(
+        "LLM retrieval: per-doc top-3 BM25 terms — corpus scalars (N,"
+        " avgdl) broadcast from a 1-row agg, vocabulary-keyed df join,"
+        " WindowGroupLimit-capped per-doc top-k; scores rounded 6dp for"
+        " engine-reproducible ranks"
+    ),
+)
+def llm_bm25_topk(spark, sf_dir):
+    return text.bm25_topk(t(spark, sf_dir, "documents"), k=3)

@@ -276,3 +276,100 @@ def test_connected_components_empty_edges(spark):
     nodes = spark.createDataFrame([(1,), (2,)], "node long")
     out = {r.node: r.component for r in connected_components(edges, nodes).collect()}
     assert out == {1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling: repartition-invariant, exact-k, growth-stable.
+# ---------------------------------------------------------------------------
+def test_stratified_exact_k_counts_and_determinism(spark):
+    from aave_etl_spark.operators.sampling import stratified_exact_k
+
+    df = spark.createDataFrame(
+        [(i, "g1" if i % 2 == 0 else "g2") for i in range(100)], "doc_id long, g string"
+    )
+    s1 = stratified_exact_k(df, ["g"], k=7).collect()
+    s2 = stratified_exact_k(df.repartition(13), ["g"], k=7).collect()
+    assert sorted((r.g, r.doc_id, r.sample_rank) for r in s1) == sorted(
+        (r.g, r.doc_id, r.sample_rank) for r in s2
+    )
+    by_g = {}
+    for r in s1:
+        by_g.setdefault(r.g, []).append(r.sample_rank)
+    assert sorted(by_g["g1"]) == list(range(1, 8))
+    assert sorted(by_g["g2"]) == list(range(1, 8))
+
+
+def test_stratified_exact_k_small_stratum(spark):
+    from aave_etl_spark.operators.sampling import stratified_exact_k
+
+    df = spark.createDataFrame([(1, "g"), (2, "g")], "doc_id long, g string")
+    assert stratified_exact_k(df, ["g"], k=10).count() == 2
+
+
+def test_hash_split_growth_stable(spark):
+    from aave_etl_spark.operators.sampling import hash_split
+
+    small = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    s_small = {r.doc_id: r.split for r in hash_split(small).collect()}
+    s_big = {r.doc_id: r.split for r in hash_split(big).collect()}
+    # every doc keeps its assignment when the corpus quadruples
+    assert all(s_big[d] == s for d, s in s_small.items())
+    assert set(s_big.values()) == {"train", "test"}
+
+
+def test_hash_fraction_sample_bounds_and_subset(spark):
+    from aave_etl_spark.operators.sampling import hash_fraction_sample
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    s10 = {r.doc_id for r in hash_fraction_sample(df, fraction=0.1).collect()}
+    s30 = {r.doc_id for r in hash_fraction_sample(df, fraction=0.3).collect()}
+    assert s10 <= s30  # nested samples: smaller fraction is a subset
+    assert 50 <= len(s10) <= 150 and 200 <= len(s30) <= 400
+
+    with pytest.raises(ValueError):
+        hash_fraction_sample(df, fraction=1.5)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + BM25.
+# ---------------------------------------------------------------------------
+def test_scrub_pii_counts_and_order(spark):
+    from aave_etl_spark.operators.text import scrub_pii
+    import hashlib
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://a.example.com/x?id=1234567 or mail bob@example.com now"),
+            (2, "card 4111111122223333 and pin 123"),
+            (3, "plain text"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    # the 7-digit run inside the URL is scrubbed AS part of the URL, not as a number
+    assert rows[1].n_urls == 1 and rows[1].n_emails == 1 and rows[1].n_long_nums == 0
+    assert rows[1].clean_md5 == hashlib.md5(b"see <URL> or mail <EMAIL> now").hexdigest()
+    assert rows[2].n_long_nums == 1  # one 16-digit run; '123' untouched
+    assert rows[2].clean_md5 == hashlib.md5(b"card <NUM> and pin 123").hexdigest()
+    assert rows[3].n_urls == rows[3].n_emails == rows[3].n_long_nums == 0
+
+
+def test_bm25_topk_ranks_rare_terms_highest(spark):
+    from aave_etl_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common zebra"),
+            (2, "common common filler filler"),
+            (3, "common filler other other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, k=2).collect()
+    top1 = {r.doc_id: r.term for r in out if r.rank == 1}
+    # 'zebra' appears only in doc 1: highest idf → its top term;
+    # 'common' appears in every doc: idf ~ ln(1 + 0.5/3.5), never rank 1
+    assert top1[1] == "zebra"
+    assert all(r.term != "common" or r.rank > 1 for r in out)
+    assert all(r.rank <= 2 for r in out)
