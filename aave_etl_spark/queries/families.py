@@ -276,8 +276,18 @@ family(
             ("o_orderpriority",),
             ("f_total", "o_total", "p_total"),
         ),
+        (
+            "pack",
+            "llm_sequence_pack",
+            ("lang", "doc_id"),
+            ("n_tokens", "pack_id", "pack_offset"),
+        ),
     ],
-    doc="§2.8 reshape family: UNPIVOT stack + PIVOT multi-agg",
+    doc=(
+        "§2.8 reshape family: UNPIVOT stack + PIVOT multi-agg + greedy"
+        " first-fit sequence packing (grouped-map running-sum-with-reset;"
+        " recursive-CTE oracle)"
+    ),
 )
 
 # ---------------------------------------------------------------------------

@@ -856,3 +856,46 @@ def llm_scrub_pii(spark, sf_dir):
 )
 def llm_bm25_topk(spark, sf_dir):
     return text.bm25_topk(t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "llm_sequence_pack",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT lang, doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    p AS (
+      SELECT lang, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS pack_id,
+             CAST(0 AS BIGINT) AS pack_offset,
+             n_tokens AS cum
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.lang, b.doc_id, b.n_tokens, b.rn,
+             CASE WHEN p.cum + b.n_tokens > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.cum + b.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE p.cum END,
+             CASE WHEN p.cum + b.n_tokens > 256 THEN b.n_tokens ELSE p.cum + b.n_tokens END
+      FROM p JOIN base b ON b.lang = p.lang AND b.rn = p.rn + 1
+    )
+    SELECT lang, doc_id, n_tokens, pack_id, pack_offset FROM p
+    """,
+    doc=(
+        "LLM training prep: greedy first-fit sequence packing of documents"
+        " into 256-token context budgets per language — a running sum with"
+        " reset, i.e. a sequential recurrence per group: grouped-map"
+        " applyInPandas on Spark, recursive CTE in the oracle; oversized"
+        " docs pack alone, nothing is split or dropped"
+    ),
+)
+def llm_sequence_pack(spark, sf_dir):
+    from aave_etl_spark.operators.packing import greedy_pack
+
+    docs = t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "lang", "doc_id", F.size(text.tokens("text")).cast("long").alias("n_tokens")
+    )
+    return greedy_pack(with_tokens, capacity=256)

@@ -373,3 +373,51 @@ def test_bm25_topk_ranks_rare_terms_highest(spark):
     assert top1[1] == "zebra"
     assert all(r.term != "common" or r.rank > 1 for r in out)
     assert all(r.rank <= 2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing.
+# ---------------------------------------------------------------------------
+def test_greedy_pack_first_fit_semantics(spark):
+    from aave_etl_spark.operators.packing import greedy_pack
+
+    df = spark.createDataFrame(
+        [
+            ("en", 1, 100), ("en", 2, 100), ("en", 3, 100),  # 1+2 fit, 3 spills
+            ("en", 4, 500),                                   # oversize: own pack
+            ("en", 5, 10),
+            ("fr", 6, 256),                                   # exactly full
+            ("fr", 7, 1),
+        ],
+        "lang string, doc_id long, n_tokens long",
+    )
+    rows = {r.doc_id: r for r in greedy_pack(df, capacity=256).collect()}
+    assert (rows[1].pack_id, rows[1].pack_offset) == (0, 0)
+    assert (rows[2].pack_id, rows[2].pack_offset) == (0, 100)
+    assert (rows[3].pack_id, rows[3].pack_offset) == (1, 0)
+    assert (rows[4].pack_id, rows[4].pack_offset) == (2, 0)  # oversize packs alone
+    assert (rows[5].pack_id, rows[5].pack_offset) == (3, 0)  # nothing joins an overfull pack
+    assert (rows[6].pack_id, rows[6].pack_offset) == (0, 0)
+    assert (rows[7].pack_id, rows[7].pack_offset) == (1, 0)  # 256+1 > 256 spills
+
+
+def test_greedy_pack_never_overflows_capacity(spark):
+    from aave_etl_spark.operators.packing import greedy_pack
+
+    df = spark.createDataFrame(
+        [("g", i, 1 + (i * 37) % 90) for i in range(200)],
+        "lang string, doc_id long, n_tokens long",
+    )
+    out = greedy_pack(df, capacity=128).collect()
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for rs in by_pack.values():
+        total = sum(r.n_tokens for r in rs)
+        assert total <= 128 or len(rs) == 1  # only an oversize singleton may exceed
+        # offsets are the exclusive running sum in id order
+        rs = sorted(rs, key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.pack_offset == cum
+            cum += r.n_tokens
