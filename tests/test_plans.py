@@ -126,3 +126,39 @@ def test_range_join_is_equi_join(spark):
 def test_salted_join_no_cartesian(spark):
     p = plan(spark, "salted_hot_join")
     assert "CartesianProduct" not in p
+
+
+def test_stratified_sample_window_group_limit(spark):
+    # rank<=k must become a WindowGroupLimit: each map partition keeps only
+    # k rows per stratum BEFORE the exchange
+    p = plan(spark, "llm_stratified_sample")
+    assert "WindowGroupLimit" in p
+
+
+def test_bm25_scalars_broadcast_not_collected(spark):
+    # corpus scalars (N, avgdl) join in via broadcast; the vocabulary df
+    # join must not be a cartesian
+    p = plan(spark, "llm_bm25_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p  # per-doc top-k capped before exchange
+
+
+def test_scrub_pii_is_shuffle_free(spark):
+    # pure narrow map: no Exchange anywhere in the plan
+    p = plan(spark, "llm_scrub_pii")
+    assert "Exchange" not in p
+
+
+def test_sequence_pack_single_group_shuffle(spark):
+    # grouped-map packing: exactly one shuffle (on the group key) feeding
+    # FlatMapGroupsInPandas
+    p = plan(spark, "llm_sequence_pack")
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_connected_components_no_cartesian(spark):
+    # every CC iteration is an equi-join on node/label keys
+    p = plan(spark, "llm_dedup_cluster")
+    assert "CartesianProduct" not in p
