@@ -109,13 +109,20 @@ family(
             ("n_urls", "n_emails", "n_long_nums"),
         ),
         ("bm25", "llm_bm25_topk", ("doc_id", "term"), ("tf", "bm25", "rank")),
+        (
+            "gate",
+            "llm_curation_gate",
+            ("doc_id",),
+            ("q_ok", "rep_ok", "lang_ok", "dup_ok", "kept"),
+        ),
     ],
     doc=(
         "text-analysis family: rolling-hash fingerprint + token stats +"
         " quality features + corpus top-k bigram document frequencies +"
         " KMV distinct-text sketch per language + Gopher-style repetition"
         " signal + sliding-window context chunking + PII/URL scrubbing +"
-        " per-doc top-3 BM25 terms"
+        " per-doc top-3 BM25 terms + the composed per-doc curation gate"
+        " (quality x repetition x language x exact-dup keeper)"
     ),
 )
 

@@ -899,3 +899,128 @@ def llm_sequence_pack(spark, sf_dir):
         "lang", "doc_id", F.size(text.tokens("text")).cast("long").alias("n_tokens")
     )
     return greedy_pack(with_tokens, capacity=256)
+
+
+@register(
+    "llm_curation_gate",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','and','in','is','it','for'))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+             (CAST(length(text) AS DOUBLE)
+                - CAST(length(regexp_replace(text, '[.,!?;:''"-]', '', 'g')) AS DOUBLE))
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+      FROM base
+    ),
+    q AS (
+      SELECT doc_id,
+             round(CASE WHEN n_words < 5 THEN 0.0 ELSE
+               least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.3
+               + least(stopword_ratio * 10.0, 1.0) * 0.3
+               + distinct_ratio * 0.3
+               + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.1 END, 6) AS quality
+      FROM feat
+    ),
+    rep AS (
+      SELECT doc_id,
+             1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+               AS repetition_ratio
+      FROM (SELECT doc_id,
+                   [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS grams
+            FROM base WHERE len(toks) >= 2)
+    ),
+    scored AS (
+      SELECT doc_id,
+        CAST(len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS DOUBLE) / len(toks) AS score_en,
+        CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) / len(toks) AS score_fr,
+        CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) / len(toks) AS score_de,
+        CAST(len(list_filter(toks, x -> x IN ('el','la','y','los'))) AS DOUBLE) / len(toks) AS score_es
+      FROM base
+    ),
+    guessed AS (
+      SELECT doc_id,
+        CASE
+          WHEN greatest(score_en, score_fr, score_de, score_es) <= 0.0 THEN 'und'
+          WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+          WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+          WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+          ELSE 'es'
+        END AS lang_guess
+      FROM scored
+    ),
+    dup AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY digest)
+                  THEN 1 ELSE 0 END AS dup_keep
+      FROM (SELECT doc_id, md5({_NORM}) AS digest FROM documents)
+    ),
+    flags AS (
+      SELECT q.doc_id,
+             CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS q_ok,
+             CASE WHEN coalesce(r.repetition_ratio, 0.0) <= 0.2 THEN 1 ELSE 0 END AS rep_ok,
+             CASE WHEN g.lang_guess <> 'und' THEN 1 ELSE 0 END AS lang_ok,
+             d.dup_keep AS dup_ok
+      FROM q
+      LEFT JOIN rep r USING (doc_id)
+      JOIN guessed g USING (doc_id)
+      JOIN dup d USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(q_ok AS BIGINT) AS q_ok,
+           CAST(rep_ok AS BIGINT) AS rep_ok,
+           CAST(lang_ok AS BIGINT) AS lang_ok,
+           CAST(dup_ok AS BIGINT) AS dup_ok,
+           CAST(q_ok * rep_ok * lang_ok * dup_ok AS BIGINT) AS kept
+    FROM flags
+    """,
+    doc=(
+        "LLM curation PIPELINE gate: the composed per-doc keep/drop"
+        " decision — quality score >= 0.5, repetition <= 0.2, confident"
+        " language guess, exact-dup keeper — each signal reusing the"
+        " certified operator, joined on doc_id (all narrow/one-shuffle"
+        " inputs; the gate itself adds only equi-joins on the id)"
+    ),
+)
+def llm_curation_gate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    q = text.quality_score(docs)
+    rep = text.repetition_stats(docs).select("doc_id", "repetition_ratio")
+    lid = text.language_id(docs).select("doc_id", "lang_guess")
+    withd = docs.select(
+        "doc_id", F.md5(dedup.normalize_text("text")).alias("digest")
+    )
+    keeper = withd.join(
+        dedup.exact_duplicates(docs).select("digest", "keeper_id"), "digest"
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("keeper_id"), F.lit(1)).otherwise(F.lit(0)).alias("dup_ok"),
+    )
+    flags = (
+        q.join(rep, "doc_id", "left")
+        .join(lid, "doc_id")
+        .join(keeper, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("quality") >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("q_ok"),
+            F.when(F.coalesce(F.col("repetition_ratio"), F.lit(0.0)) <= 0.2, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("rep_ok"),
+            F.when(F.col("lang_guess") != "und", F.lit(1)).otherwise(F.lit(0)).alias("lang_ok"),
+            F.col("dup_ok"),
+        )
+    )
+    return flags.select(
+        "doc_id",
+        F.col("q_ok").cast("long").alias("q_ok"),
+        F.col("rep_ok").cast("long").alias("rep_ok"),
+        F.col("lang_ok").cast("long").alias("lang_ok"),
+        F.col("dup_ok").cast("long").alias("dup_ok"),
+        (F.col("q_ok") * F.col("rep_ok") * F.col("lang_ok") * F.col("dup_ok"))
+        .cast("long")
+        .alias("kept"),
+    )
