@@ -236,12 +236,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse quantizer + multi-probe search.
 
-    The coarse quantizer here is deterministic — the first `n_cells`
-    vectors by id act as centroids (a real deployment plugs k-means-trained
-    centroids into the same plan; the dataflow is identical). Every vector
+    The default coarse quantizer is deterministic — the first `n_cells`
+    vectors by id act as centroids; pass ``centroids`` (cell_id, centroid)
+    from :func:`kmeans_fit` to search a trained quantizer through the
+    IDENTICAL plan (the certified query keeps the deterministic init so the
+    oracle stays closed-form; the trained path is covered by pytest
+    recall tests). Every vector
     is assigned to its nearest centroid (max rounded cosine, centroid-id
     tie-break); each query probes its `n_probe` nearest cells and ranks
     only the vectors inside them.
@@ -259,14 +263,21 @@ def ivf_topk(
     Candidate work drops from |corpus| x |queries| to the probed fraction
     (~n_probe/n_cells).
     """
-    cent = candidates.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"),
-        F.col(vec_col).alias("_ce"),
-        # centroid norms computed ONCE here, not per corpus row per cell
-        # (dot/(sqrt(dv)*precomputed sqrt(dc)) is bitwise-identical to the
-        # oracle's dot/(sqrt(dv)*sqrt(dc)))
-        norm(F.col(vec_col)).alias("_cen"),
-    )
+    if centroids is None:
+        cent = candidates.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("_ce"),
+            # centroid norms computed ONCE here, not per corpus row per cell
+            # (dot/(sqrt(dv)*precomputed sqrt(dc)) is bitwise-identical to the
+            # oracle's dot/(sqrt(dv)*sqrt(dc)))
+            norm(F.col(vec_col)).alias("_cen"),
+        )
+    else:
+        cent = centroids.select(
+            F.col("cell_id"),
+            F.col("centroid").alias("_ce"),
+            norm(F.col("centroid")).alias("_cen"),
+        )
     # one broadcast row: all centroids as a deterministic-order array
     cent_arr = cent.agg(
         F.sort_array(F.collect_list(F.struct("cell_id", "_ce", "_cen"))).alias("_cents")
@@ -430,3 +441,86 @@ def quantize_embeddings(
             lambda x: F.round(x.cast("double") * F.col("qscale"), 0).cast("tinyint"),
         ).alias("qvec"),
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over an embedding column: returns (cell_id, centroid)
+    for plugging into :func:`ivf_topk`'s ``centroids`` parameter.
+
+    Deterministic init — the first ``k`` vectors by id (k-means++ would add
+    a sequential dependency; with an IVF consumer the refinement matters
+    far more than the seed). Each iteration:
+
+    1. assign: centroids fold into ONE broadcast array row; nearest
+       centroid by L2 is a per-row JVM expression (`array_min` over
+       struct(dist, cell_id) — lexicographic min = smallest distance,
+       smallest cell id on ties). Map-only over the corpus, NO shuffle —
+       the same no-blow-up trick as ivf_topk's assignment.
+    2. update: posexplode to (cell, dim) partial sums — ONE shuffle whose
+       key space is k x dim, with map-side partial aggregation — then
+       collect each cell's dims back into an array. Empty cells keep their
+       previous centroid.
+
+    `localCheckpoint` per iteration truncates the growing lineage (same
+    discipline as operators/graph.py). Cost per iteration at 100 TB: one
+    corpus scan + one k*dim-key shuffle; centroids (k*dim doubles) stay
+    broadcast-sized throughout.
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError(f"need k >= 1 and n_iter >= 1, got k={k}, n_iter={n_iter}")
+    w = Window.orderBy(F.col(id_col))
+    cent = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            (F.col("_rn") - 1).cast("long").alias("cell_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    for _ in range(n_iter):
+        cent_arr = cent.agg(
+            F.sort_array(F.collect_list(F.struct("cell_id", "centroid"))).alias("_cents")
+        )
+        dists = F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"), s["centroid"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                s["cell_id"].alias("cell_id"),
+            ),
+        )
+        assign = (
+            vecs.crossJoin(F.broadcast(cent_arr))
+            .withColumn("_best", F.array_min(dists))
+            .select(F.col("_best.cell_id").alias("cell_id"), "_v")
+        )
+        means = (
+            assign.select("cell_id", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("_new")
+            )
+        )
+        cent = (
+            cent.join(means, "cell_id", "left")
+            .select("cell_id", F.coalesce("_new", F.col("centroid")).alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return cent

@@ -421,3 +421,61 @@ def test_greedy_pack_never_overflows_capacity(spark):
         for r in rs:
             assert r.pack_offset == cum
             cum += r.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# k-means coarse quantizer.
+# ---------------------------------------------------------------------------
+def _clustered_vectors(spark, n_per=20):
+    # three well-separated clusters around axis corners
+    base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    rows = [
+        (c * n_per + i, [v + ((i * 7 + d) % 5) * 0.1 for d, v in enumerate(base[c])], c)
+        for c in base
+        for i in range(n_per)
+    ]
+    return spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "vec_id long, embedding array<double>"
+    ), {r[0]: r[2] for r in rows}
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    from aave_etl_spark.operators.similarity import kmeans_fit
+
+    df, truth = _clustered_vectors(spark)
+    cent = kmeans_fit(df, k=3, n_iter=5)
+    rows = cent.collect()
+    assert len(rows) == 3
+    # each trained centroid should sit near one distinct cluster corner
+    corners = {0: 0, 1: 1, 2: 2}  # dominant dim -> cluster
+    dominant = sorted(max(range(3), key=lambda d: r.centroid[d]) for r in rows)
+    assert dominant == [0, 1, 2]
+    for r in rows:
+        d = max(range(3), key=lambda i: r.centroid[i])
+        assert 9.5 <= r.centroid[d] <= 10.7  # near the corner's 10 + jitter mean
+
+
+def test_ivf_topk_with_trained_centroids_full_recall_on_clusters(spark):
+    from aave_etl_spark.operators.similarity import cosine_topk, ivf_topk, kmeans_fit
+
+    df, _ = _clustered_vectors(spark)
+    cent = kmeans_fit(df, k=3, n_iter=4)
+    queries = df.filter(F.col("vec_id").isin([0, 25, 45]))
+    exact = cosine_topk(df, queries, k=3)
+    approx = ivf_topk(df, queries, k=3, n_probe=1, centroids=cent)
+    ex = {(r.query_id, r.candidate_id) for r in exact.collect()}
+    ap = {(r.query_id, r.candidate_id) for r in approx.collect()}
+    # clusters are separated: probing 1 trained cell must reach full recall
+    assert ap == ex
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    from aave_etl_spark.operators.similarity import kmeans_fit
+
+    # k=3 but only 2 distinct points: one init centroid never wins a vector
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.01]), (2, [9.0, 9.0]), (3, [9.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cent = kmeans_fit(df, k=3, n_iter=3)
+    assert cent.count() == 3  # no cell vanished
