@@ -59,9 +59,13 @@ def connected_components(
     i.e. something is structurally wrong with the input, and a silent
     partial answer would mislabel components.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # checkpoint the edge table BEFORE symmetrizing: the union references it
+    # twice, and edges often arrive at the end of an expensive pipeline
+    # (LSH -> verify) that must not run once per branch
+    edges = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=False
     )
+    sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     if nodes is None:
         vertices = sym.select(F.col("a").alias(id_col)).distinct()
     else:
