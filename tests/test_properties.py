@@ -157,3 +157,64 @@ def test_srp_sign_literals_match_md5_parity():
             {"p": p},
         ).fetchone()[0]
         assert signs == [float(x) for x in sql]
+
+
+EDGE = st.tuples(st.integers(0, 15), st.integers(0, 15))
+
+
+@given(st.lists(EDGE, min_size=0, max_size=20))
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edge_list):
+    from aave_etl_spark.operators.graph import connected_components
+
+    nodes = sorted({n for e in edge_list for n in e} | {0, 15})
+    # reference: driver-side union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent[find(a)] = find(b)
+    # canonical label = min node id in the component
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[find(n)] for n in nodes}
+
+    edges = spark.createDataFrame(
+        edge_list or [(0, 0)], "id_a long, id_b long"
+    )
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "node long")
+    got = {r.node: r.component for r in connected_components(edges, nodes_df).collect()}
+    assert got == expected
+
+
+@given(st.lists(st.integers(1, 40), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_greedy_pack_matches_sequential_reference(spark, sizes):
+    from aave_etl_spark.operators.packing import greedy_pack
+
+    cap = 64
+    # reference: plain sequential first-fit
+    expected, pack_id, cum = {}, 0, 0
+    for i, n in enumerate(sizes):
+        if cum > 0 and cum + n > cap:
+            pack_id += 1
+            cum = 0
+        expected[i] = (pack_id, cum)
+        cum += n
+
+    df = spark.createDataFrame(
+        [("g", i, n) for i, n in enumerate(sizes)],
+        "lang string, doc_id long, n_tokens long",
+    )
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in greedy_pack(df, capacity=cap).collect()
+    }
+    assert got == expected
