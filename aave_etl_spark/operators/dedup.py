@@ -265,3 +265,50 @@ def jaccard_verify(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def cross_split_contamination(
+    shingles: DataFrame,
+    membership: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    test_value: str = "test",
+) -> DataFrame:
+    """Decontamination check: how much of each TEST document's shingle set
+    also appears anywhere in the TRAIN split. The standard leakage gate a
+    training pipeline runs before shipping an eval set.
+
+    ``membership`` maps id → split label (e.g. from sampling.hash_split).
+    Returns one row per test doc that has shingles: (id, n_shingles,
+    n_overlap, contamination_ratio).
+
+    Scale shape — deliberately NOT pair-based: the train side collapses to
+    a DISTINCT shingle set (vocabulary-sized, one shuffle with map-side
+    partial distinct), and test shingles semi-join against it on the
+    shingle key. No doc×doc pairs ever materialize, so a boilerplate
+    shingle shared by millions of train docs costs one row, not a fan-out
+    — contamination is immune to the hot-shingle skew that makes naive
+    n-gram overlap quadratic."""
+    withsplit = shingles.join(membership.select(id_col, split_col), id_col)
+    train_sh = (
+        withsplit.filter(F.col(split_col) != test_value).select("shingle").distinct()
+    )
+    test_sh = withsplit.filter(F.col(split_col) == test_value).select(id_col, "shingle")
+    tot = test_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    ov = (
+        test_sh.join(train_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_overlap"))
+    )
+    return (
+        tot.join(ov, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("_n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce("_n_overlap", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination_ratio"),
+        )
+    )

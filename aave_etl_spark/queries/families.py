@@ -142,12 +142,19 @@ family(
         ("range_tiers", "quantity_tier_range_join", ("tier",), ("n_rows", "sum_qty")),
         ("strat_sample", "llm_stratified_sample", ("lang", "doc_id"), ("sample_rank",)),
         ("split", "llm_train_test_split", ("lang", "split"), ("n_docs",)),
+        (
+            "decontam",
+            "llm_decontaminate",
+            ("doc_id",),
+            ("n_shingles", "n_overlap", "contamination_ratio"),
+        ),
     ],
     doc=(
         "§2.7 union family: UNION ALL with lit-0 padding + UNION DISTINCT +"
         " bucketized range join (plain-BETWEEN oracle identity) + the"
         " deterministic hash-sampling partition of the corpus (stratified"
-        " exact-k sample + train/test split)"
+        " exact-k sample + train/test split) + the cross-split"
+        " decontamination gate built on that split"
     ),
 )
 

@@ -1024,3 +1024,56 @@ def llm_curation_gate(spark, sf_dir):
         .cast("long")
         .alias("kept"),
     )
+
+
+@register(
+    "llm_decontaminate",
+    export=False,  # driver slot held by its family head (union_family)
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN {_UHASH.format(salt="split")} < 0.2
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    ),
+    norm AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       for i in range(1, len(toks) - 1)]) AS shingle
+        FROM norm WHERE len(toks) >= 3
+      )
+    ),
+    train_sh AS (
+      SELECT DISTINCT shingle FROM sh JOIN m USING (doc_id) WHERE m.split <> 'test'
+    ),
+    test_sh AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN m USING (doc_id) WHERE m.split = 'test'
+    ),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM test_sh GROUP BY doc_id),
+    ov AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM test_sh t JOIN train_sh USING (shingle) GROUP BY t.doc_id
+    )
+    SELECT tot.doc_id, tot.n_shingles,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / CAST(tot.n_shingles AS DOUBLE)
+             AS contamination_ratio
+    FROM tot LEFT JOIN ov USING (doc_id)
+    """,
+    doc=(
+        "LLM curation: train/test DECONTAMINATION — per test doc, the"
+        " fraction of its 3-gram shingles appearing anywhere in the train"
+        " split. Pair-free by design: the train side collapses to a"
+        " distinct shingle set and test shingles semi-join it, so hot"
+        " boilerplate shingles cost one row instead of a quadratic fan-out"
+    ),
+)
+def llm_decontaminate(spark, sf_dir):
+    from aave_etl_spark.operators.sampling import hash_split
+
+    docs = t(spark, sf_dir, "documents")
+    membership = hash_split(docs, test_frac=0.2).select("doc_id", "split")
+    sh = dedup.word_shingles(docs, n=3)
+    return dedup.cross_split_contamination(sh, membership)

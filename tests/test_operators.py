@@ -479,3 +479,43 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     )
     cent = kmeans_fit(df, k=3, n_iter=3)
     assert cent.count() == 3  # no cell vanished
+
+
+# ---------------------------------------------------------------------------
+# cross-split decontamination.
+# ---------------------------------------------------------------------------
+def test_cross_split_contamination_counts(spark):
+    from aave_etl_spark.operators.dedup import cross_split_contamination, word_shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # train
+            (2, "alpha beta gamma epsilon"),      # test: shares 'alpha beta gamma'
+            (3, "zeta eta theta iota"),           # test: no overlap
+        ],
+        "doc_id long, text string",
+    )
+    membership = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "test")], "doc_id long, split string"
+    )
+    sh = word_shingles(docs, n=3)
+    rows = {r.doc_id: r for r in cross_split_contamination(sh, membership).collect()}
+    assert set(rows) == {2, 3}  # train docs don't get rows
+    assert rows[2].n_shingles == 2 and rows[2].n_overlap == 1
+    assert rows[2].contamination_ratio == 0.5
+    assert rows[3].n_overlap == 0 and rows[3].contamination_ratio == 0.0
+
+
+def test_cross_split_contamination_hot_shingle_no_fanout(spark):
+    from aave_etl_spark.operators.dedup import cross_split_contamination, word_shingles
+
+    # one boilerplate shingle in EVERY train doc: the semi-join must still
+    # produce one row per (test doc, shingle), never train-doc fan-out
+    docs = [(i, "common boiler plate") for i in range(50)] + [(99, "common boiler plate")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    membership = spark.createDataFrame(
+        [(i, "train") for i in range(50)] + [(99, "test")], "doc_id long, split string"
+    )
+    out = cross_split_contamination(word_shingles(df, n=3), membership).collect()
+    assert len(out) == 1
+    assert out[0].n_shingles == 1 and out[0].n_overlap == 1
