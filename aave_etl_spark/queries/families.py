@@ -115,6 +115,12 @@ family(
             ("doc_id",),
             ("q_ok", "rep_ok", "lang_ok", "dup_ok", "kept"),
         ),
+        (
+            "length_pct",
+            "llm_length_percentiles",
+            ("lang",),
+            ("p50", "p90", "p99", "n_docs"),
+        ),
     ],
     doc=(
         "text-analysis family: rolling-hash fingerprint + token stats +"

@@ -1077,3 +1077,31 @@ def llm_decontaminate(spark, sf_dir):
     membership = hash_split(docs, test_frac=0.2).select("doc_id", "split")
     sh = dedup.word_shingles(docs, n=3)
     return dedup.cross_split_contamination(sh, membership)
+
+
+@register(
+    "llm_length_percentiles",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle="""
+    SELECT lang,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.9) AS p90,
+           quantile_cont(n_chars, 0.99) AS p99,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    doc=(
+        "LLM corpus stats: exact per-language length percentiles (the"
+        " distribution report behind length-filter thresholds) — Spark's"
+        " percentile() and DuckDB's quantile_cont share the same"
+        " rank=p*(n-1) linear interpolation, so values match exactly"
+    ),
+)
+def llm_length_percentiles(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5D)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9D)").alias("p90"),
+        F.expr("percentile(n_chars, 0.99D)").alias("p99"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
