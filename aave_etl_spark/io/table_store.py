@@ -116,6 +116,61 @@ class TableStore:
         the same files would lose the co-location guarantee)."""
         return self.spark.table(name)
 
+    def _parquet_files(self, name: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(self._path(name)):
+            out.extend(
+                os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+            )
+        return out
+
+    def compact(
+        self,
+        name: str,
+        partition_cols: list[str] | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> tuple[int, int]:
+        """Rewrite ``name`` with bounded file counts — the maintenance pass
+        every incrementally-loaded table needs: daily partition overwrites
+        and appends accrete small files (one per write task), and small
+        files tax every downstream scan with per-file open/footer costs.
+
+        Partitioned tables repartition BY the partition columns, so each
+        partition directory collapses to one file (task) unless its bytes
+        exceed ``target_file_bytes``; unpartitioned tables coalesce to
+        ceil(bytes / target). Rows, schema, partition layout, and the
+        ``_load_timestamp`` provenance stamps are preserved exactly —
+        compaction is a physical-layout change only.
+
+        The rewrite lands in a sibling temp directory and swaps in via
+        rename (reading and overwriting the same path in one job is not
+        safe in any engine); on object storage the same shape runs against
+        the FileSystem API. Returns (files_before, files_after)."""
+        import math
+        import shutil
+
+        files = self._parquet_files(name)
+        if not files:
+            return (0, 0)
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        df = self.spark.read.parquet(self._path(name))
+        tmp = self._path(name) + ".__compacting"
+        if partition_cols:
+            # hash-repartition on the partition cols: every partition value
+            # lands in one task -> one output file per partition directory
+            # (n_out tasks bound the per-directory file count if a single
+            # partition outgrows the target)
+            out = df.repartition(n_out, *[F.col(c) for c in partition_cols])
+            writer = out.write.partitionBy(*partition_cols)
+        else:
+            out = df.coalesce(n_out)
+            writer = out.write
+        writer.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self._path(name))
+        os.replace(tmp, self._path(name))
+        return (len(files), len(self._parquet_files(name)))
+
     def read(
         self,
         name: str,

@@ -155,3 +155,51 @@ def stateful_running_totals(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def incremental_corpus_ingest(
+    store,
+    incoming: DataFrame,
+    checkpoint_dir: str,
+    name: str = "corpus",
+    text_col: str = "text",
+):
+    """Continuous corpus ingest with content-level dedup: new documents
+    stream in, anything whose content digest already exists in the corpus
+    is dropped, the remainder appends — the streaming form of the exact
+    dedup a pretraining pipeline runs on every ingest batch.
+
+    Per micro-batch (foreachBatch): dedup within the batch on the digest,
+    LEFT ANTI join against the corpus's CURRENT digest set (re-read each
+    batch, so batch N+1 sees batch N's appends), then append through the
+    store. The anti-join makes the at-least-once foreachBatch retry
+    contract harmless: a replayed batch finds its own digests already
+    present and appends nothing — content-level idempotency instead of
+    sink-level transactions.
+
+    At 100 TB: the digest set is a single narrow column off the corpus
+    table (scan prunes to it); the anti-join shuffles on the uniform
+    128-bit digest. With a digest-bucketed corpus (write_bucketed) the
+    anti-join runs exchange-free on the corpus side. Returns the started
+    availableNow StreamingQuery.
+    """
+    from aave_etl_spark.operators.dedup import normalize_text
+
+    withd = incoming.withColumn("digest", F.md5(normalize_text(text_col)))
+
+    def _ingest(bdf: DataFrame, _batch_id: int) -> None:
+        fresh = bdf.dropDuplicates(["digest"])
+        existing = store.read(name)
+        if "digest" in existing.columns:
+            fresh = fresh.join(
+                existing.select("digest").distinct(), "digest", "left_anti"
+            )
+        store.write(fresh, name, append_only=True)
+
+    return (
+        withd.writeStream.foreachBatch(_ingest)
+        .queryName("corpus_ingest")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -86,3 +86,38 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bf")
         spark.sql("DROP TABLE IF EXISTS bd")
+
+
+def test_compact_partitioned_preserves_content_and_shrinks_files(spark, tmp_path):
+    from aave_etl_spark.io.table_store import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2026-01-01", "2026-01-02") for i in range(200)],
+        "day string, k long, v double",
+    ).repartition(16)  # many write tasks -> many small files per partition
+    store.write(df, "t", partition_cols=["day"])
+    before_rows = sorted(store.read("t").collect())
+    n_before = len(store._parquet_files("t"))
+    assert n_before > 2  # the problem exists
+
+    fb, fa = store.compact("t", partition_cols=["day"])
+    assert (fb, fa) == (n_before, 2)  # one file per partition directory
+    after = store.read("t")
+    assert sorted(after.collect()) == before_rows
+    # partition pruning still works on the compacted layout
+    assert store.read("t", where="day = '2026-01-01'").count() == 200
+    # provenance stamps survive compaction
+    assert "_load_timestamp" in store.read("t", keep_meta=True).columns
+
+
+def test_compact_unpartitioned_and_missing(spark, tmp_path):
+    from aave_etl_spark.io.table_store import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    assert store.compact("nope") == (0, 0)
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long").repartition(8)
+    store.write(df, "u")
+    fb, fa = store.compact("u")
+    assert fb >= 8 and fa == 1
+    assert store.read("u").count() == 100

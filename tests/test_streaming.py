@@ -128,3 +128,52 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert (1, 7.0, 3) in {(r.user_id, r.total, r.n_events) for r in rows}
     # user 2 emitted nothing new in batch 2
     assert sum(1 for r in rows if r.user_id == 2) == 1
+
+
+def test_incremental_corpus_ingest_dedups_against_store(spark, tmp_path):
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.streaming.micro_batch import (
+        incremental_corpus_ingest,
+        stream_lake_table,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    store = TableStore(spark, str(tmp_path / "warehouse"))
+    # seed corpus: docs A, B (digest column as the ingest writes it)
+    seed = spark.createDataFrame(
+        [(1, "doc alpha"), (2, "doc beta")], "doc_id long, text string"
+    ).withColumn("digest", F.md5(F.col("text")))
+    store.write(seed, "corpus", append_only=True)
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    # batch 1: B again (already in corpus), C twice (within-batch dup)
+    spark.createDataFrame(
+        [(3, "doc beta"), (4, "doc gamma"), (5, "doc gamma")], schema
+    ).write.mode("append").parquet(str(inbox))
+
+    q = incremental_corpus_ingest(
+        store, stream_lake_table(spark, str(inbox), schema), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = store.read("corpus").select("text").collect()
+    assert sorted(r.text for r in got) == ["doc alpha", "doc beta", "doc gamma"]
+
+    # batch 2: C again + new D; restart with the SAME checkpoint
+    spark.createDataFrame([(6, "doc gamma"), (7, "doc delta")], schema).write.mode(
+        "append"
+    ).parquet(str(inbox))
+    q2 = incremental_corpus_ingest(
+        store, stream_lake_table(spark, str(inbox), schema), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    got2 = store.read("corpus").select("text").collect()
+    assert sorted(r.text for r in got2) == [
+        "doc alpha",
+        "doc beta",
+        "doc delta",
+        "doc gamma",
+    ]
