@@ -90,3 +90,33 @@ def stratified_exact_k(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Domain mixing: downsample each group to its target rate — the
+    "data mix" step that turns raw source proportions into the training
+    distribution. ``weights`` is a (group, keep_frac) table; rows keep iff
+    their id hash score < their group's rate (groups absent from
+    ``weights`` get ``default_frac``).
+
+    Same determinism contract as the other samplers: a document's fate
+    depends only on (salt, id, its group's rate), so re-runs, engine
+    swaps, and corpus growth never flip it — and per-group subsets nest
+    as rates increase. Plan: one broadcast left join on the group key
+    (weights are domain-cardinality, tiny by definition) + a narrow
+    filter; no shuffle of the corpus."""
+    if "keep_frac" not in weights.columns:
+        raise ValueError("weights must have a keep_frac column")
+    joined = df.join(F.broadcast(weights), group_col, "left")
+    kept = joined.filter(
+        uniform_hash(id_col, salt)
+        < F.coalesce(F.col("keep_frac"), F.lit(float(default_frac)))
+    )
+    return kept.drop("keep_frac")

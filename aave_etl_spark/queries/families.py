@@ -154,6 +154,7 @@ family(
             ("doc_id",),
             ("n_shingles", "n_overlap", "contamination_ratio"),
         ),
+        ("mix", "llm_data_mix", ("lang",), ("keep_frac", "n_docs", "n_kept")),
     ],
     doc=(
         "§2.7 union family: UNION ALL with lit-0 padding + UNION DISTINCT +"

@@ -1105,3 +1105,52 @@ def llm_length_percentiles(spark, sf_dir):
         F.expr("percentile(n_chars, 0.99D)").alias("p99"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+_MIX_WEIGHTS = [("en", 0.9), ("fr", 0.5), ("de", 0.5), ("es", 0.5), ("zh", 0.2)]
+
+
+@register(
+    "llm_data_mix",
+    export=False,  # driver slot held by its family head (union_family)
+    oracle=f"""
+    WITH w AS (
+      SELECT * FROM (VALUES {", ".join(f"('{g}', {f})" for g, f in _MIX_WEIGHTS)})
+        AS t(lang, keep_frac)
+    ),
+    d AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(w.keep_frac, 0.0) AS keep_frac,
+             {_UHASH.format(salt="mix")} AS u
+      FROM documents d LEFT JOIN w USING (lang)
+    )
+    SELECT lang, CAST(keep_frac AS DOUBLE) AS keep_frac,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN u < keep_frac THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM d GROUP BY lang, keep_frac
+    """,
+    doc=(
+        "LLM curation: domain mixing — per-language target keep rates"
+        " applied via the deterministic id hash (broadcast weights join +"
+        " narrow filter, no corpus shuffle); the query certifies the"
+        " kept-vs-total counts per group"
+    ),
+)
+def llm_data_mix(spark, sf_dir):
+    from aave_etl_spark.operators.sampling import mix_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(_MIX_WEIGHTS, "lang string, keep_frac double")
+    kept = mix_corpus(docs, weights, group_col="lang")
+    tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    k = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("_n_kept"))
+    return (
+        tot.join(k, "lang", "left")
+        .join(F.broadcast(weights), "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("keep_frac", F.lit(0.0)).alias("keep_frac"),
+            "n_docs",
+            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

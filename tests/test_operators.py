@@ -519,3 +519,23 @@ def test_cross_split_contamination_hot_shingle_no_fanout(spark):
     out = cross_split_contamination(word_shingles(df, n=3), membership).collect()
     assert len(out) == 1
     assert out[0].n_shingles == 1 and out[0].n_overlap == 1
+
+
+def test_mix_corpus_rates_and_nesting(spark):
+    from aave_etl_spark.operators.sampling import mix_corpus
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    w_lo = spark.createDataFrame([("a", 0.2), ("b", 0.8)], "lang string, keep_frac double")
+    w_hi = spark.createDataFrame([("a", 0.5), ("b", 0.8)], "lang string, keep_frac double")
+    lo = {r.doc_id for r in mix_corpus(df, w_lo).collect()}
+    hi = {r.doc_id for r in mix_corpus(df, w_hi).collect()}
+    assert lo <= hi  # raising one group's rate only ADDS documents
+    n_a = sum(1 for d in lo if d % 2 == 0)
+    n_b = sum(1 for d in lo if d % 2 == 1)
+    assert 60 <= n_a <= 140 and 330 <= n_b <= 470  # ~rate * 500 each
+    # unknown group with default 0.0 vanishes
+    extra = spark.createDataFrame([(5000, "zz")], "doc_id long, lang string")
+    assert mix_corpus(df.union(extra), w_lo).filter("lang = 'zz'").count() == 0
