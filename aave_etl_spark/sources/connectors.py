@@ -31,6 +31,7 @@ from aave_etl_spark.sources.base import (
     RetryPolicy,
     Transport,
     driver_fetch,
+    empty_frame,
     fanout_fetch,
 )
 
@@ -841,3 +842,71 @@ def erc20_balances_by_day(
         ]
 
     return fanout_fetch(keys, transport, rows, schemas.ERC20_BALANCES_BY_DAY, policy)
+
+
+# ---------------------------------------------------------------------------
+# S20 — unclaimed Paraswap fees per (market, day).
+# Reference: paraswap_claimable_fees, data_lake.py:1994-2089.
+# ---------------------------------------------------------------------------
+PARASWAP_CLAIMER_DEPLOYED = datetime(2022, 12, 7)
+
+
+def paraswap_claimable_fees(
+    spark: SparkSession,
+    transport: Transport,
+    market_tokens: DataFrame,
+    chain: str,
+    market: str,
+    fee_claimer: str | None,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """One ``batchGetClaimable(address[])`` multicall at the partition's
+    block height; the returned uint256[] is in TOKEN-ARGUMENT ORDER, so
+    the result joins back to the token dim BY POSITION
+    (data_lake.py:2072-2073) — the zip below IS that positional join.
+    Claimable decimal-shifts to float (:2079). Bails to a typed empty
+    frame pre-deployment (< 2022-12-07, :2021), with no fee-claimer
+    contract for the market (:2033-2035), or with an empty token dim
+    (:2025-2026).
+
+    The token dim is collected driver-side to build the call's ordered
+    address array — it is dim-sized (tens of rows per market) and the
+    batched RPC signature requires the list; the response is the same
+    size. The duplicate rows across v2/v3 markets noted in the reference
+    are deduplicated downstream by warehouse paraswap_fees_dedup."""
+    toks = market_tokens.select(
+        "block_day", "block_height", "reserve", "symbol", "decimals"
+    ).collect()
+    if not toks or fee_claimer is None:
+        return empty_frame(spark, schemas.PARASWAP_CLAIMABLE_FEES)
+    if toks[0].block_day < PARASWAP_CLAIMER_DEPLOYED:
+        return empty_frame(spark, schemas.PARASWAP_CLAIMABLE_FEES)
+
+    def rows(payload: Any) -> list[dict[str, Any]]:
+        claimable = payload["claimable"]
+        if len(claimable) != len(toks):
+            raise ValueError(
+                f"batchGetClaimable returned {len(claimable)} values for {len(toks)} tokens"
+            )
+        return [
+            {
+                "block_day": t.block_day,
+                "chain": chain,
+                "market": market,
+                "paraswap_fee_claimer": fee_claimer.lower(),
+                "reserve": t.reserve,
+                "symbol": t.symbol,
+                "claimable": float(raw) / 10 ** int(t.decimals),
+            }
+            for t, raw in zip(toks, claimable)
+        ]
+
+    req = {
+        "kind": "paraswap_claimable",
+        "fee_claimer": fee_claimer,
+        "tokens": [t.reserve for t in toks],
+        "block": int(toks[0].block_height),
+    }
+    return standardise_types(
+        driver_fetch(spark, transport, req, rows, schemas.PARASWAP_CLAIMABLE_FEES, policy)
+    )

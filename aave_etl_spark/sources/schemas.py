@@ -143,6 +143,8 @@ DISPLAY_NAMES = _schema(
     ("collector", S), ("chain", S), ("market", S),
     ("display_chain", S), ("display_name", S),
 )
+# the reference's internal_external_addresses seed (data_lake.py:1409-1446),
+# consumed downstream under its warehouse input name aave_internal_addresses
 INTERNAL_ADDRESSES = _schema(
     ("chain", S), ("label", S), ("contract_address", S), ("internal_external", S),
 )
@@ -263,4 +265,9 @@ V3_MINTED_TO_TREASURY_BY_DAY = _schema(
     ("market", S), ("reserve", S), ("symbol", S), ("atoken", S),
     ("atoken_symbol", S), ("block_height", L), ("block_day", T),
     ("minted_to_treasury_amount", D), ("minted_amount", D),
+)
+
+PARASWAP_CLAIMABLE_FEES = _schema(
+    ("block_day", T), ("chain", S), ("market", S), ("paraswap_fee_claimer", S),
+    ("reserve", S), ("symbol", S), ("claimable", D),
 )

@@ -400,3 +400,49 @@ def test_compound_by_hour_v2_v3_math(spark):
     assert v3.borrow_apy == pytest.approx(2e9 / 1e18 * 31536000)
     assert v3.deposits == pytest.approx(11.0)
     assert v3.borrows == pytest.approx(3.0)
+
+
+def test_paraswap_claimable_fees_positional_join_and_bails(spark):
+    tokens = spark.createDataFrame(
+        [
+            (datetime(2023, 1, 5), 1000, "0xdai", "DAI", 18),
+            (datetime(2023, 1, 5), 1000, "0xusdc", "USDC", 6),
+        ],
+        ["block_day", "block_height", "reserve", "symbol", "decimals"],
+    )
+
+    def transport(req):
+        assert req["tokens"] == ["0xdai", "0xusdc"]  # call carries token order
+        return {"claimable": [5 * 10**18, 7 * 10**6]}
+
+    out = connectors.paraswap_claimable_fees(
+        spark, transport, tokens, "ethereum", "ethereum_v3", "0xCLAIMER", FAST
+    )
+    rows = {r.reserve: r for r in out.collect()}
+    # uint256[] joined back BY POSITION, per-token decimal shift
+    assert rows["0xdai"].claimable == pytest.approx(5.0)
+    assert rows["0xusdc"].claimable == pytest.approx(7.0)
+    assert rows["0xdai"].paraswap_fee_claimer == "0xclaimer"  # lowercased
+
+    # bails: pre-deployment date / no claimer / empty dim -> typed empty
+    early = spark.createDataFrame(
+        [(datetime(2022, 6, 1), 900, "0xdai", "DAI", 18)], tokens.columns
+    )
+    assert connectors.paraswap_claimable_fees(
+        spark, transport, early, "ethereum", "ethereum_v3", "0xCLAIMER", FAST
+    ).count() == 0
+    assert connectors.paraswap_claimable_fees(
+        spark, transport, tokens, "ethereum", "ethereum_v3", None, FAST
+    ).count() == 0
+    assert connectors.paraswap_claimable_fees(
+        spark, transport, tokens.limit(0), "ethereum", "ethereum_v3", "0xC", FAST
+    ).count() == 0
+
+    # a mis-sized response is an error, not a silent truncation
+    def short(req):
+        return {"claimable": [1]}
+
+    with pytest.raises(Exception, match="2 tokens"):
+        connectors.paraswap_claimable_fees(
+            spark, short, tokens, "ethereum", "ethereum_v3", "0xC", FAST
+        ).collect()
