@@ -312,3 +312,67 @@ def cross_split_contamination(
             ).alias("contamination_ratio"),
         )
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance — the
+    fixed-cost-per-doc alternative to MinHash when signatures must be tiny
+    (one long per doc vs k minhashes).
+
+    Banded blocking with EXACT recall: a signature splits into ``bands``
+    equal bit-bands; two signatures within hamming distance
+    ``max_hamming`` < bands differ in at most ``max_hamming`` bands, so by
+    pigeonhole they MATCH on at least one band — banding misses nothing.
+    Candidates sharing any (band, band_bits) key are verified with
+    popcount(xor) <= max_hamming. One band-key equi-join (never
+    corpus × corpus) + a signature equi-join for the verify.
+
+    Sizing: per-band key space is 2^(bits/bands); candidate volume within
+    a band bucket is quadratic in its occupancy, so wider bands (more bits
+    each) cut candidates exponentially — 32 bits / 4 bands = 256-value
+    bands. At larger corpora raise ``bits`` (up to 63) to keep bucket
+    occupancy bounded; the verify stays O(candidates)."""
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"need 0 <= max_hamming < bands for exact recall, got {max_hamming}/{bands}"
+        )
+    if bits % bands != 0 or bits > 63:
+        raise ValueError(f"bits must be a multiple of bands and <= 63, got {bits}/{bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash(df, id_col, text_col, bits=bits).localCheckpoint(eager=False)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("simhash"),
+    ).select(
+        F.col(id_col),
+        "band",
+        # shiftright's python builder takes a literal count; the SQL form
+        # accepts the per-row band expression
+        F.expr(f"shiftright(simhash, band * {width}) & {mask}").alias("band_bits"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_bits")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_bits")
+    cand = (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", F.bit_count(F.expr("_sa ^ _sb")).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -277,10 +277,13 @@ family(
             ("n_customers", "total_acctbal"),
         ),
         ("salted", "salted_hot_join", ("label",), ("sum_qty", "n_rows")),
+        ("hamming", "llm_simhash_near_dup", ("id_a", "id_b"), ("hamming",)),
     ],
     doc=(
         "§2.3 join-technique family: EXISTS semi-join + left-anti join +"
-        " skew-salted hot-key join (result identical to the plain join)"
+        " skew-salted hot-key join (result identical to the plain join) +"
+        " banded SimHash hamming-radius join (pigeonhole-exact recall,"
+        " popcount verify)"
     ),
 )
 

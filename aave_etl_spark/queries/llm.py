@@ -1154,3 +1154,52 @@ def llm_data_mix(spark, sf_dir):
             F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+@register(
+    "llm_simhash_near_dup",
+    export=False,  # driver slot held by its family head (semi_anti_family)
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    th AS (
+      SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS th FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (th >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bs
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, band, (simhash >> CAST(band * 8 AS INT)) & 255 AS band_bits
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bd
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_bits = b.band_bits
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """,
+    doc=(
+        "LLM dedup: SimHash hamming-radius near-dup JOIN — 32-bit"
+        " signatures split into 4 byte-bands; hamming<=3 pairs share at"
+        " least one band by pigeonhole (EXACT recall), candidates verified"
+        " by popcount(xor). One band-key equi-join, never corpus x corpus"
+    ),
+)
+def llm_simhash_near_dup(spark, sf_dir):
+    return dedup.simhash_near_dup_pairs(t(spark, sf_dir, "documents"))

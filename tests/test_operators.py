@@ -539,3 +539,29 @@ def test_mix_corpus_rates_and_nesting(spark):
     # unknown group with default 0.0 vanishes
     extra = spark.createDataFrame([(5000, "zz")], "doc_id long, lang string")
     assert mix_corpus(df.union(extra), w_lo).filter("lang = 'zz'").count() == 0
+
+
+def test_simhash_near_dup_exact_recall_within_radius(spark):
+    from aave_etl_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and once"),  # near-dup
+            (3, "completely different content about spark physical query plans"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    out = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dup_pairs(docs).collect()}
+    # ground truth: brute-force hamming over the signatures
+    for x, y in [(1, 2), (1, 3), (2, 3)]:
+        h = bin(sigs[x] ^ sigs[y]).count("1")
+        if h <= 3:
+            assert out[(x, y)] == h  # banding must not miss it (pigeonhole)
+        else:
+            assert (x, y) not in out
+    assert (1, 2) in out  # the planted near-dup is found
+
+    with pytest.raises(ValueError, match="exact recall"):
+        simhash_near_dup_pairs(docs, bands=4, max_hamming=4)
