@@ -162,3 +162,25 @@ def test_connected_components_no_cartesian(spark):
     # every CC iteration is an equi-join on node/label keys
     p = plan(spark, "llm_dedup_cluster")
     assert "CartesianProduct" not in p
+
+
+def test_decontaminate_no_cartesian_pair_free(spark):
+    # train side collapses to a distinct shingle set; test side semi-joins
+    # it — no doc-pair join anywhere
+    p = plan(spark, "llm_decontaminate")
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
+
+
+def test_data_mix_broadcast_weights_no_shuffle_on_corpus_filter(spark):
+    # weights join must broadcast (domain-cardinality dim)
+    p = plan(spark, "llm_data_mix")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_simhash_hamming_band_equi_join(spark):
+    # candidate generation is an equi-join on (band, band_bits)
+    p = plan(spark, "llm_simhash_near_dup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
