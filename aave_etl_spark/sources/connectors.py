@@ -22,6 +22,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from aave_etl_spark.functions.scalars import SECONDS_PER_YEAR, bps_to_frac, from_ray, from_units
 from aave_etl_spark.functions.standardise import standardise_types
@@ -909,4 +910,66 @@ def paraswap_claimable_fees(
     }
     return standardise_types(
         driver_fetch(spark, transport, req, rows, schemas.PARASWAP_CLAIMABLE_FEES, policy)
+    )
+
+
+def liquidity_depth_refine_grid(
+    coarse: DataFrame,
+    pair_keys: tuple[str, ...] = ("market_key", "from_asset", "to_asset"),
+    sweep_steps: int = 20,
+) -> DataFrame:
+    """Phase 2 grid of the reference's two-phase sweep
+    (protocol_data_lake.py:957-1003): from the coarse quotes, per pair
+    pick the amount just INSIDE the 1% price-impact boundary (min
+    non-negative ``0.01 - price_impact``) and the amount just PAST the 5%
+    boundary (min non-negative ``price_impact - 0.05``), then lay a
+    linspace of ``sweep_steps`` amounts between them with endpoint=False
+    (:997), excluding the low point already quoted (:999).
+
+    Pure relational logic, faithful to the pandas original: the boundary
+    picks are the min-rank join-back pattern (window min + equality
+    filter, preserving ties exactly as the reference's merge+filter
+    does); pairs with no quote past the 5% boundary produce no
+    refinement rows (the reference would sweep NaN amounts there — the
+    guard is deliberate). Output: the coarse pair columns with the new
+    ``from_amount_usd``/``from_amount_native`` grid, ready for the same
+    executor fan-out as phase 1."""
+    keys = [F.col(k) for k in pair_keys]
+    w = Window.partitionBy(*keys)
+    d1 = coarse.withColumn("_dist1", F.lit(0.01) - F.col("price_impact"))
+    low = (
+        d1.filter(F.col("_dist1") >= 0)
+        .withColumn("_min1", F.min("_dist1").over(w))
+        .filter(F.col("_dist1") == F.col("_min1"))
+        .select(*pair_keys, "from_asset_price",
+                F.col("from_amount_usd").alias("from_amount_usd_low"))
+    )
+    d5 = coarse.withColumn("_dist5", F.col("price_impact") - F.lit(0.05))
+    high = (
+        d5.filter(F.col("_dist5") >= 0)
+        .withColumn("_min5", F.min("_dist5").over(w))
+        .filter(F.col("_dist5") == F.col("_min5"))
+        .select(*pair_keys, F.col("from_amount_usd").alias("from_amount_usd_high"))
+    )
+    bounds = low.join(high, list(pair_keys), "left").filter(
+        F.col("from_amount_usd_high").isNotNull()
+    )
+    # linspace(low, high, n, endpoint=False): low + i*(high-low)/n, i in [0, n)
+    step = (F.col("from_amount_usd_high") - F.col("from_amount_usd_low")) / sweep_steps
+    grid = bounds.select(
+        *pair_keys,
+        "from_asset_price",
+        "from_amount_usd_low",
+        F.explode(F.sequence(F.lit(0), F.lit(sweep_steps - 1))).alias("_i"),
+        step.alias("_step"),
+    ).withColumn(
+        "from_amount_usd",
+        F.col("from_amount_usd_low") + F.col("_i").cast("double") * F.col("_step"),
+    )
+    return (
+        grid.filter(F.col("from_amount_usd") != F.col("from_amount_usd_low"))
+        .withColumn(
+            "from_amount_native", F.col("from_amount_usd") / F.col("from_asset_price")
+        )
+        .drop("_i", "_step", "from_amount_usd_low")
     )

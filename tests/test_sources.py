@@ -446,3 +446,32 @@ def test_paraswap_claimable_fees_positional_join_and_bails(spark):
         connectors.paraswap_claimable_fees(
             spark, short, tokens, "ethereum", "ethereum_v3", "0xC", FAST
         ).collect()
+
+
+def test_liquidity_depth_refine_grid_two_phase(spark):
+    # reference protocol_data_lake.py:957-1003: pick the amount just inside
+    # the 1% impact boundary and just past 5%, then linspace between them
+    # (endpoint=False), excluding the already-quoted low point
+    rows = [
+        # pair A: boundary picks at 20k (impact .008) and 60k (impact .055)
+        ("A", "usdc", "weth", 2000.0, 10_000.0, 0.002),
+        ("A", "usdc", "weth", 2000.0, 20_000.0, 0.008),
+        ("A", "usdc", "weth", 2000.0, 30_000.0, 0.012),
+        ("A", "usdc", "weth", 2000.0, 60_000.0, 0.055),
+        ("A", "usdc", "weth", 2000.0, 80_000.0, 0.090),
+        # pair B: never crosses the 5% boundary -> no refinement rows
+        ("B", "dai", "weth", 1.0, 10_000.0, 0.002),
+        ("B", "dai", "weth", 1.0, 80_000.0, 0.030),
+    ]
+    coarse = spark.createDataFrame(
+        rows,
+        "market_key string, from_asset string, to_asset string,"
+        " from_asset_price double, from_amount_usd double, price_impact double",
+    )
+    out = connectors.liquidity_depth_refine_grid(coarse).collect()
+    assert all(r.market_key == "A" for r in out)
+    amounts = sorted(r.from_amount_usd for r in out)
+    # linspace(20k, 60k, 20, endpoint=False) = 20k + i*2k, minus the low point
+    assert amounts == [20_000.0 + i * 2_000.0 for i in range(1, 20)]
+    for r in out:
+        assert r.from_amount_native == pytest.approx(r.from_amount_usd / 2000.0)
