@@ -524,3 +524,40 @@ def kmeans_fit(
             .localCheckpoint(eager=True)
         )
     return cent
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic mean-pooled embedding per group: (group, n_vecs,
+    mean_embedding). The pooling every retrieval pipeline runs — chunk
+    vectors → document vector, member vectors → cluster centroid.
+
+    Float summation order is the trap: a plain explode+avg sums partials
+    in partition order, so two runs (or two engines) can differ in the
+    last ulp. Here each group's vectors collect into ONE sorted array
+    (by id — a total order) and fold left-to-right with `F.aggregate` —
+    bit-reproducible anywhere, which is what lets downstream exact-dedup
+    or hash-certification work on pooled vectors.
+
+    Scale contract: a group must fit one row (chunks of a document,
+    members of a near-dup cluster — thousands, not billions). For
+    unbounded groups use the order-free posexplode+avg shape (k-means
+    update step) and accept run-to-run ulp drift."""
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))
+    )
+    g = df.groupBy(*group_cols).agg(
+        arr.alias("_arr"), F.count(F.lit(1)).alias("n_vecs")
+    )
+    zero = F.transform(F.col("_arr")[0]["v"], lambda _: F.lit(0.0))
+    summed = F.aggregate(
+        F.col("_arr"),
+        zero,
+        lambda acc, s: F.zip_with(acc, s["v"], lambda a, b: a + b.cast("double")),
+    )
+    mean = F.transform(summed, lambda x: x / F.col("n_vecs").cast("double"))
+    return g.select(*group_cols, F.col("n_vecs").cast("long").alias("n_vecs"), mean.alias("mean_embedding"))

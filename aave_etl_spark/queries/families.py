@@ -340,10 +340,12 @@ family(
             ("doc_id", "component"),
             ("cluster_size", "is_keeper"),
         ),
+        ("pool", "llm_mean_pool", ("shard",), ("n_vecs", "mean_norm", "mean_c0")),
     ],
     doc=(
         "§2.8 inline array-of-struct buckets + §2.4 ordered collect-to-list"
         " md5 + the LSH candidates→exact-Jaccard verified dedup pipeline +"
-        " its final connected-components cluster/keeper stage"
+        " its final connected-components cluster/keeper stage +"
+        " deterministic sorted-fold embedding mean-pooling"
     ),
 )

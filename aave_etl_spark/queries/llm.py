@@ -1203,3 +1203,49 @@ def llm_data_mix(spark, sf_dir):
 )
 def llm_simhash_near_dup(spark, sf_dir):
     return dedup.simhash_near_dup_pairs(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_mean_pool",
+    export=False,  # driver slot held by its family head (collect_family)
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, vec_id % 8 AS shard
+      FROM embeddings
+    ),
+    g AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_vecs,
+             list(e ORDER BY vec_id) AS vs
+      FROM v GROUP BY shard
+    ),
+    m AS (
+      SELECT shard, n_vecs,
+             list_transform(range(1, len(vs[1]) + 1),
+                i -> list_sum(list_transform(vs, v -> v[i])) / CAST(n_vecs AS DOUBLE))
+               AS mean_e
+      FROM g
+    )
+    SELECT shard, n_vecs,
+           round(sqrt(list_dot_product(mean_e, mean_e)), 6) AS mean_norm,
+           round(mean_e[1], 6) AS mean_c0
+    FROM m
+    """,
+    doc=(
+        "LLM similarity: deterministic mean-pooling (chunk→doc /"
+        " member→centroid) — per-group vectors fold in sorted-id order so"
+        " the pooled floats are bit-reproducible across engines; certified"
+        " on the pooled vector's norm and first component"
+    ),
+)
+def llm_mean_pool(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "shard", F.expr("vec_id % 8")
+    )
+    pooled = similarity.mean_pool_embeddings(emb, ["shard"])
+    me = F.col("mean_embedding")
+    return pooled.select(
+        "shard",
+        "n_vecs",
+        F.round(F.sqrt(F.aggregate(me, F.lit(0.0), lambda a, x: a + x * x)), 6).alias("mean_norm"),
+        F.round(F.element_at(me, 1), 6).alias("mean_c0"),
+    )

@@ -565,3 +565,17 @@ def test_simhash_near_dup_exact_recall_within_radius(spark):
 
     with pytest.raises(ValueError, match="exact recall"):
         simhash_near_dup_pairs(docs, bands=4, max_hamming=4)
+
+
+def test_mean_pool_repartition_invariant_bitwise(spark):
+    from aave_etl_spark.operators.similarity import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [(i, "g", [0.1 * i, 1.0 / (i + 1), float(i % 7)]) for i in range(200)],
+        "vec_id long, grp string, embedding array<double>",
+    )
+    a = mean_pool_embeddings(df, ["grp"]).collect()[0]
+    b = mean_pool_embeddings(df.repartition(17), ["grp"]).collect()[0]
+    # BITWISE equality: the sorted fold makes float pooling layout-invariant
+    assert a.mean_embedding == b.mean_embedding
+    assert a.n_vecs == 200
