@@ -149,6 +149,14 @@ class TableStore:
         import math
         import shutil
 
+        # a bucketed table's co-location contract lives in the catalog; a
+        # plain rewrite would leave bucket metadata pointing at files that
+        # are no longer bucket-hashed — refuse instead of corrupting
+        if self.spark.catalog.tableExists(name):
+            raise ValueError(
+                f"{name!r} is a catalog (bucketed) table; compaction would"
+                " orphan its bucket metadata — rewrite via write_bucketed"
+            )
         files = self._parquet_files(name)
         if not files:
             return (0, 0)

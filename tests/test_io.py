@@ -3,6 +3,8 @@ co-location — direct tests for the IO layer the datamart runner builds on."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -121,3 +123,16 @@ def test_compact_unpartitioned_and_missing(spark, tmp_path):
     fb, fa = store.compact("u")
     assert fb >= 8 and fa == 1
     assert store.read("u").count() == 100
+
+
+def test_compact_refuses_bucketed_tables(spark, tmp_path):
+    from aave_etl_spark.io.table_store import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "k long, v double")
+    store.write_bucketed(df, "bkt_compact_t", ["k"], n_buckets=4)
+    try:
+        with pytest.raises(ValueError, match="bucket metadata"):
+            store.compact("bkt_compact_t")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_compact_t")
