@@ -136,9 +136,13 @@ class TableStore:
         files tax every downstream scan with per-file open/footer costs.
 
         Partitioned tables repartition BY the partition columns, so each
-        partition directory collapses to one file (task) unless its bytes
-        exceed ``target_file_bytes``; unpartitioned tables coalesce to
-        ceil(bytes / target). Rows, schema, partition layout, and the
+        partition directory collapses to exactly ONE file — hash
+        partitioning cannot split a single partition value, so a
+        partition whose bytes exceed ``target_file_bytes`` still becomes
+        one (large) file; that is the right trade for the small-file
+        problem this solves (split an oversized partition by adding a
+        finer partition column, not by compaction). Unpartitioned tables
+        coalesce to ceil(bytes / target). Rows, schema, partition layout, and the
         ``_load_timestamp`` provenance stamps are preserved exactly —
         compaction is a physical-layout change only.
 
@@ -166,9 +170,9 @@ class TableStore:
         tmp = self._path(name) + ".__compacting"
         if partition_cols:
             # hash-repartition on the partition cols: every partition value
-            # lands in one task -> one output file per partition directory
-            # (n_out tasks bound the per-directory file count if a single
-            # partition outgrows the target)
+            # lands in one task -> exactly one output file per partition
+            # directory (an oversized partition stays one file — see
+            # docstring)
             out = df.repartition(n_out, *[F.col(c) for c in partition_cols])
             writer = out.write.partitionBy(*partition_cols)
         else:

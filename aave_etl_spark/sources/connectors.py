@@ -936,13 +936,21 @@ def liquidity_depth_refine_grid(
     executor fan-out as phase 1."""
     keys = [F.col(k) for k in pair_keys]
     w = Window.partitionBy(*keys)
+    # the low side carries EVERY non-quote column (chain_id, prices, ...)
+    # into the phase-2 requests, like the reference's detail_sweep_low
+    # (:973 drops only the quote outputs); the high side contributes only
+    # its boundary amount (:988)
+    quote_cols = {
+        "from_amount_usd", "from_amount_native", "to_amount_native",
+        "to_amount_usd", "price_impact",
+    }
+    carry = [c for c in coarse.columns if c not in quote_cols]
     d1 = coarse.withColumn("_dist1", F.lit(0.01) - F.col("price_impact"))
     low = (
         d1.filter(F.col("_dist1") >= 0)
         .withColumn("_min1", F.min("_dist1").over(w))
         .filter(F.col("_dist1") == F.col("_min1"))
-        .select(*pair_keys, "from_asset_price",
-                F.col("from_amount_usd").alias("from_amount_usd_low"))
+        .select(*carry, F.col("from_amount_usd").alias("from_amount_usd_low"))
     )
     d5 = coarse.withColumn("_dist5", F.col("price_impact") - F.lit(0.05))
     high = (
@@ -957,8 +965,7 @@ def liquidity_depth_refine_grid(
     # linspace(low, high, n, endpoint=False): low + i*(high-low)/n, i in [0, n)
     step = (F.col("from_amount_usd_high") - F.col("from_amount_usd_low")) / sweep_steps
     grid = bounds.select(
-        *pair_keys,
-        "from_asset_price",
+        *carry,
         "from_amount_usd_low",
         F.explode(F.sequence(F.lit(0), F.lit(sweep_steps - 1))).alias("_i"),
         step.alias("_step"),

@@ -464,11 +464,13 @@ def test_liquidity_depth_refine_grid_two_phase(spark):
         ("B", "dai", "weth", 1.0, 80_000.0, 0.030),
     ]
     coarse = spark.createDataFrame(
-        rows,
+        [(*r, 1) for r in rows],
         "market_key string, from_asset string, to_asset string,"
-        " from_asset_price double, from_amount_usd double, price_impact double",
+        " from_asset_price double, from_amount_usd double, price_impact double,"
+        " chain_id long",
     )
     out = connectors.liquidity_depth_refine_grid(coarse).collect()
+    assert all(r.chain_id == 1 for r in out)  # non-quote columns carry through
     assert all(r.market_key == "A" for r in out)
     amounts = sorted(r.from_amount_usd for r in out)
     # linspace(20k, 60k, 20, endpoint=False) = 20k + i*2k, minus the low point
