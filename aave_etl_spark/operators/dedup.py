@@ -209,6 +209,64 @@ def simhash(
     return bit_sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+def span_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Substring-level exact-duplication signal: the per-doc fraction of
+    length-``n`` token windows whose content recurs anywhere in the corpus
+    (any doc, any offset) — the distributed form of suffix-array span dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022), with the suffix array replaced by a window-hash groupBy.
+
+    Output: (id, n_windows, n_dup_windows, dup_fraction). Docs shorter than
+    ``n`` tokens have zero windows and dup_fraction 0.0. A window counts as
+    duplicated when its md5 occurs >1 time globally — including both copies,
+    so two docs sharing one span each report one duplicated window.
+
+    Plan shape: token array bound in its own projection (see word_shingles),
+    transform-over-sequence to ALL per-offset window hashes (not distinct —
+    offsets matter for the fraction), explode, then two bounded shuffles:
+    groupBy on the uniform 128-bit window hash for corpus counts, and
+    groupBy on doc id after the count join. Cost is O(total tokens) rows
+    through each exchange; a span repeated k times contributes k rows,
+    never k² pairs — unlike shingle-blocking joins this cannot blow up on
+    boilerplate."""
+    toked = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+        ),
+    )
+    wins = toked.select(F.col(id_col), F.explode(grams).alias("_h"))
+    counts = wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = (
+        wins.join(counts, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_nw"),
+            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).alias("_nd"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_nw", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("_nd", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(F.col("_nw").isNull(), F.lit(0.0))
+            .otherwise(
+                F.round(F.col("_nd").cast("double") / F.col("_nw").cast("double"), 6)
+            )
+            .alias("dup_fraction"),
+        )
+    )
+
+
 def keep_first_per_group(
     df: DataFrame, group_cols: list[str], order_cols: list[Column]
 ) -> DataFrame:

@@ -155,13 +155,20 @@ family(
             ("n_shingles", "n_overlap", "contamination_ratio"),
         ),
         ("mix", "llm_data_mix", ("lang",), ("keep_frac", "n_docs", "n_kept")),
+        (
+            "span",
+            "llm_span_dedup",
+            ("doc_id",),
+            ("n_windows", "n_dup_windows", "dup_fraction"),
+        ),
     ],
     doc=(
         "§2.7 union family: UNION ALL with lit-0 padding + UNION DISTINCT +"
         " bucketized range join (plain-BETWEEN oracle identity) + the"
         " deterministic hash-sampling partition of the corpus (stratified"
         " exact-k sample + train/test split) + the cross-split"
-        " decontamination gate built on that split"
+        " decontamination gate built on that split + substring-level"
+        " duplicated-span fractions (window-hash span dedup)"
     ),
 )
 

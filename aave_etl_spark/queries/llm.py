@@ -246,6 +246,38 @@ def llm_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "llm_span_dedup",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    w AS (
+      SELECT doc_id, md5(array_to_string(l[i:i+7], ' ')) AS h
+      FROM d, unnest(range(1, len(l) - 6)) AS r(i)
+      WHERE len(l) >= 8
+    ),
+    g AS (SELECT h, count(*) AS c FROM w GROUP BY h),
+    pd AS (
+      SELECT doc_id, count(*) AS nw,
+             sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS nd
+      FROM w JOIN g USING (h) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(nw, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_windows,
+           CASE WHEN nw IS NULL THEN 0.0 ELSE round(nd / nw, 6) END AS dup_fraction
+    FROM d LEFT JOIN pd USING (doc_id)
+    """,
+    doc=(
+        "LLM dedup: substring-level duplicated-span fraction (Lee et al. 2022"
+        " suffix-array dedup re-shaped as an 8-token window-hash groupBy —"
+        " O(total tokens) through every exchange, immune to boilerplate skew)"
+    ),
+)
+def llm_span_dedup(spark, sf_dir):
+    return dedup.span_duplicates(t(spark, sf_dir, "documents"), n=8)
+
+
+@register(
     "llm_simhash",
     oracle=f"""
     WITH tok AS (

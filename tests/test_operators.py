@@ -149,6 +149,43 @@ def test_jaccard_verify_zero_intersection_kept(spark):
     assert dedup.jaccard_verify(sh, pairs, threshold=0.1).count() == 0
 
 
+def test_span_duplicates_planted_span(spark):
+    # docs 0 and 1 share one exact 4-token span; doc 2 is unrelated; doc 3
+    # is too short for any window.
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb cc dd ee ff"),
+            (1, "xx yy aa bb cc dd zz"),
+            (2, "one two three four five six"),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.span_duplicates(docs, n=4).collect()}
+    assert len(out) == 4
+    # doc 0: 3 windows, exactly one ("aa bb cc dd") duplicated
+    assert out[0].n_windows == 3 and out[0].n_dup_windows == 1
+    assert out[0].dup_fraction == pytest.approx(1 / 3, abs=1e-6)
+    # doc 1: 4 windows, one duplicated
+    assert out[1].n_windows == 4 and out[1].n_dup_windows == 1
+    # doc 2: no duplicated windows
+    assert out[2].n_windows == 3 and out[2].n_dup_windows == 0
+    assert out[2].dup_fraction == 0.0
+    # doc 3: shorter than n — zero windows, fraction 0
+    assert out[3].n_windows == 0 and out[3].dup_fraction == 0.0
+
+
+def test_span_duplicates_within_doc_repeat(spark):
+    # a span repeated twice WITHIN one doc counts both occurrences
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c")], "doc_id long, text string"
+    )
+    row = dedup.span_duplicates(docs, n=3).collect()[0]
+    # windows: 'a b c', 'b c a', 'c a b', 'a b c' — the two 'a b c' dup
+    assert row.n_windows == 4 and row.n_dup_windows == 2
+    assert row.dup_fraction == 0.5
+
+
 # ---------------------------------------------------------------------------
 # cosine_pairs is the n_blocks=1 blocked form — no theta join in its plan.
 # ---------------------------------------------------------------------------
