@@ -227,6 +227,55 @@ def cosine_pairs(
     )
 
 
+def _centroid_frame(
+    candidates: DataFrame,
+    centroids: DataFrame | None,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(cell_id, _ce, _cen): the coarse quantizer — deterministic first-n
+    vectors by id, or a trained (cell_id, centroid) table from kmeans_fit.
+    Centroid norms are computed ONCE here, not per corpus row per cell."""
+    if centroids is None:
+        return candidates.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("_ce"),
+            norm(F.col(vec_col)).alias("_cen"),
+        )
+    return centroids.select(
+        F.col("cell_id"),
+        F.col("centroid").alias("_ce"),
+        norm(F.col("centroid")).alias("_cen"),
+    )
+
+
+def _centroid_array(cent: DataFrame) -> DataFrame:
+    """One broadcast row: all centroids as a deterministic-order array."""
+    return cent.agg(
+        F.sort_array(F.collect_list(F.struct("cell_id", "_ce", "_cen"))).alias("_cents")
+    )
+
+
+def _cell_sims(vec: Column, vec_norm: Column, round_digits: int) -> Column:
+    """Per-row array of struct(sim, -cell_id) against the broadcast `_cents`
+    column. Lexicographic max/sort-desc = highest rounded cosine, then
+    smallest cell_id — the same tie-break as an ORDER BY sim DESC, cell_id
+    ASC window, but evaluated per-row with no shuffle. ``vec_norm`` must
+    arrive as a column computed BELOW the broadcast join (one dot+sqrt per
+    row); referencing norm(vec) here would re-run it per cell inside the
+    interpreted lambda."""
+    return F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            F.round(dot(vec, s["_ce"]) / (vec_norm * s["_cen"]), round_digits).alias(
+                "sim"
+            ),
+            (-s["cell_id"]).alias("neg_id"),
+        ),
+    )
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -263,42 +312,8 @@ def ivf_topk(
     Candidate work drops from |corpus| x |queries| to the probed fraction
     (~n_probe/n_cells).
     """
-    if centroids is None:
-        cent = candidates.filter(F.col(id_col) < n_cells).select(
-            F.col(id_col).alias("cell_id"),
-            F.col(vec_col).alias("_ce"),
-            # centroid norms computed ONCE here, not per corpus row per cell
-            # (dot/(sqrt(dv)*precomputed sqrt(dc)) is bitwise-identical to the
-            # oracle's dot/(sqrt(dv)*sqrt(dc)))
-            norm(F.col(vec_col)).alias("_cen"),
-        )
-    else:
-        cent = centroids.select(
-            F.col("cell_id"),
-            F.col("centroid").alias("_ce"),
-            norm(F.col("centroid")).alias("_cen"),
-        )
-    # one broadcast row: all centroids as a deterministic-order array
-    cent_arr = cent.agg(
-        F.sort_array(F.collect_list(F.struct("cell_id", "_ce", "_cen"))).alias("_cents")
-    )
-
-    def _cell_sims(vec: Column, vec_norm: Column) -> Column:
-        # struct(sim, -cell_id): lexicographic max/sort-desc = highest sim,
-        # then smallest cell_id — same tie-break as an ORDER BY sim DESC,
-        # cell_id ASC window, but evaluated per-row with no shuffle.
-        # vec_norm arrives as a column computed BELOW the broadcast join
-        # (one dot+sqrt per row); referencing norm(vec) here would re-run
-        # it per cell inside the interpreted lambda.
-        return F.transform(
-            F.col("_cents"),
-            lambda s: F.struct(
-                F.round(
-                    dot(vec, s["_ce"]) / (vec_norm * s["_cen"]), round_digits
-                ).alias("sim"),
-                (-s["cell_id"]).alias("neg_id"),
-            ),
-        )
+    cent = _centroid_frame(candidates, centroids, n_cells, id_col, vec_col)
+    cent_arr = _centroid_array(cent)
 
     c = candidates.select(
         F.col(id_col).alias("candidate_id"),
@@ -307,7 +322,7 @@ def ivf_topk(
     )
     assign = (
         c.crossJoin(F.broadcast(cent_arr))
-        .withColumn("_best", F.array_max(_cell_sims(F.col("_cv"), F.col("_cvn"))))
+        .withColumn("_best", F.array_max(_cell_sims(F.col("_cv"), F.col("_cvn"), round_digits)))
         .select("candidate_id", (-F.col("_best.neg_id")).alias("cell_id"), "_cv")
     )
     q = queries.select(
@@ -320,7 +335,7 @@ def ivf_topk(
         .withColumn(
             "_top",
             F.slice(
-                F.sort_array(_cell_sims(F.col("_qv"), F.col("_qvn")), asc=False),
+                F.sort_array(_cell_sims(F.col("_qv"), F.col("_qvn"), round_digits), asc=False),
                 1,
                 n_probe,
             ),
@@ -410,6 +425,78 @@ def blocked_cosine_pairs(
         )
 
     return tagged.groupBy("_bi", "_bj").applyInPandas(_block, out_schema)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    eps: float = 0.35,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pruning (Abbas et al. 2023):
+    cluster the corpus, then drop all-but-one of every eps-similar group
+    WITHIN each cluster.
+
+    1. cluster: every vector is assigned to its nearest centroid by rounded
+       cosine — the ivf_topk assignment (one broadcast centroid-array row,
+       per-row JVM argmax, map-only over the corpus, NO shuffle). The
+       default quantizer is the deterministic first-``n_cells`` vectors;
+       pass ``centroids`` from :func:`kmeans_fit` for a trained one through
+       the identical plan.
+    2. prune: unit-normalize once, equi-join on cell_id for within-cell
+       pairs (one Arrow-batched dot per pair — never corpus × corpus), and
+       drop a vector when some LOWER-id vector in its cell is >= ``eps``
+       similar. "Drop if similar to any smaller id" is the deterministic,
+       order-parallel keeper rule — no sequential greedy pass, identical
+       result on any partitioning, and expressible verbatim in the SQL
+       oracle (EXISTS over the pair table).
+
+    Output: (id, cell_id, n_cell, kept). Scale: pair work is Σ cell_size²
+    bounded by the quantizer granularity (n_cells tunes it — more cells,
+    smaller cells), and the corpus-side cost is one map pass + one
+    cell-keyed exchange; nothing quadratic in the corpus materializes."""
+    cent = _centroid_frame(df, centroids, n_cells, id_col, vec_col)
+    cent_arr = _centroid_array(cent)
+    c = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cvn"),
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_best", F.array_max(_cell_sims(F.col("_cv"), F.col("_cvn"), round_digits)))
+        .select(F.col(id_col), (-F.col("_best.neg_id")).alias("cell_id"))
+    )
+    unit = normalized(df, id_col, vec_col)
+    # assignment + normalization feed both sides of the self-join: cut the
+    # lineage so they run once (same discipline as bucketed_cosine_pairs)
+    withc = unit.join(assign, id_col).localCheckpoint(eager=False)
+    a = withc.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell_id")
+    b = withc.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cell_id")
+    dropped = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(_batch_dot_udf()(F.col("_va"), F.col("_vb")), round_digits) >= eps
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    sizes = withc.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_cell"))
+    return (
+        withc.select(F.col(id_col), "cell_id")
+        .join(sizes, "cell_id")
+        .join(dropped.withColumn("_d", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell_id"),
+            F.col("n_cell").cast("long").alias("n_cell"),
+            F.col("_d").isNull().alias("kept"),
+        )
+    )
 
 
 def quantize_embeddings(
