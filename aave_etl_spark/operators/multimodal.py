@@ -103,6 +103,67 @@ def decode_image_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+def uniform_frame_sample(
+    df: DataFrame,
+    m: int = 4,
+    id_col: str = "media_id",
+    duration_col: str = "duration_s",
+    fps_col: str = "fps",
+) -> DataFrame:
+    """Fixed-budget uniform frame sampling: exactly ``m`` frames per clip,
+    evenly spaced over [0, n_frames-1] — the standard video-pretraining
+    sampling policy (every clip contributes the same token budget
+    regardless of duration, unlike every-N-seconds sampling).
+
+    frame_idx(pos) = floor(pos * (n_frames-1) / (m-1)); ts_s = idx / fps;
+    frame_digest = md5(media_id:frame_idx) — the deterministic key a decode
+    stage (mapInPandas over the payload, see decode_image_features) joins
+    back on.
+
+    All JVM-side: metadata-only sequence+explode, payloads untouched — the
+    m× expansion happens on narrow rows, and only the sampled (media_id,
+    frame_idx) keys reach a decoder."""
+    if m < 2:
+        raise ValueError(f"need m >= 2 sample positions, got {m}")
+    base = df.select(
+        F.col(id_col),
+        F.col(fps_col),
+        (F.col(duration_col).cast("long") * F.col(fps_col).cast("long")).alias("_nf"),
+    )
+    samples = base.select(
+        F.col(id_col),
+        F.col(fps_col),
+        "_nf",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sample_pos"),
+    )
+    frame_idx = F.floor(
+        F.col("sample_pos").cast("double")
+        * (F.col("_nf") - 1).cast("double")
+        / F.lit(float(m - 1))
+    ).cast("long")
+    # frame_idx is bound in its own projection so ts_s / digest reference
+    # the computed column, not a re-evaluated floor subtree
+    idxed = samples.select(
+        F.col(id_col),
+        F.col(fps_col),
+        F.col("sample_pos").cast("long").alias("sample_pos"),
+        frame_idx.alias("frame_idx"),
+    )
+    return idxed.select(
+        F.col(id_col),
+        "sample_pos",
+        "frame_idx",
+        F.round(F.col("frame_idx").cast("double") / F.col(fps_col).cast("double"), 6).alias(
+            "ts_s"
+        ),
+        F.md5(
+            F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.col("frame_idx").cast("string")
+            )
+        ).alias("frame_digest"),
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts) via
     sequence+explode on a duration metadata column — the expansion happens

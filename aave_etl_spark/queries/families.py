@@ -285,12 +285,19 @@ family(
         ),
         ("salted", "salted_hot_join", ("label",), ("sum_qty", "n_rows")),
         ("hamming", "llm_simhash_near_dup", ("id_a", "id_b"), ("hamming",)),
+        (
+            "ann_recall",
+            "llm_ann_recall",
+            ("query_id",),
+            ("n_hits", "recall_at_3"),
+        ),
     ],
     doc=(
         "§2.3 join-technique family: EXISTS semi-join + left-anti join +"
         " skew-salted hot-key join (result identical to the plain join) +"
         " banded SimHash hamming-radius join (pigeonhole-exact recall,"
-        " popcount verify)"
+        " popcount verify) + the ANN recall@3 gate (IVF index results"
+        " intersection-joined against brute-force ground truth)"
     ),
 )
 
@@ -313,11 +320,18 @@ family(
             ("lang", "doc_id"),
             ("n_tokens", "pack_id", "pack_offset"),
         ),
+        (
+            "frames",
+            "llm_frame_sample",
+            ("media_id", "frame_digest"),
+            ("sample_pos", "frame_idx", "ts_s"),
+        ),
     ],
     doc=(
         "§2.8 reshape family: UNPIVOT stack + PIVOT multi-agg + greedy"
         " first-fit sequence packing (grouped-map running-sum-with-reset;"
-        " recursive-CTE oracle)"
+        " recursive-CTE oracle) + fixed-budget uniform video frame sampling"
+        " (metadata-only explode grid)"
     ),
 )
 
@@ -348,11 +362,18 @@ family(
             ("cluster_size", "is_keeper"),
         ),
         ("pool", "llm_mean_pool", ("shard",), ("n_vecs", "mean_norm", "mean_c0")),
+        (
+            "semdedup",
+            "llm_semantic_dedup",
+            ("vec_id", "cell_id"),
+            ("n_cell", "CAST(kept AS DOUBLE)"),
+        ),
     ],
     doc=(
         "§2.8 inline array-of-struct buckets + §2.4 ordered collect-to-list"
         " md5 + the LSH candidates→exact-Jaccard verified dedup pipeline +"
         " its final connected-components cluster/keeper stage +"
-        " deterministic sorted-fold embedding mean-pooling"
+        " deterministic sorted-fold embedding mean-pooling + SemDeDup"
+        " semantic near-dup pruning over broadcast-argmax clusters"
     ),
 )

@@ -302,9 +302,7 @@ def llm_simhash(spark, sf_dir):
     return dedup.simhash(t(spark, sf_dir, "documents"), bits=16)
 
 
-@register(
-    "llm_cosine_topk",
-    oracle="""
+_TOPK_ORACLE = """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 8),
     c AS (SELECT vec_id AS candidate_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
@@ -321,7 +319,12 @@ def llm_simhash(spark, sf_dir):
                                    ORDER BY cos_sim DESC, candidate_id) AS BIGINT) AS rank
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id) <= 3
-    """,
+    """
+
+
+@register(
+    "llm_cosine_topk",
+    oracle=_TOPK_ORACLE,
     doc="LLM similarity: brute-force cosine top-k ANN baseline (broadcast query set)",
 )
 def llm_cosine_topk(spark, sf_dir):
@@ -438,6 +441,48 @@ def llm_media_features(spark, sf_dir):
 
 
 @register(
+    "llm_frame_sample",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, (n_chars % 30) + 1 AS duration_s, 24 AS fps
+      FROM documents
+    ),
+    s AS (
+      SELECT media_id, fps, duration_s * fps AS nf, i AS sample_pos
+      FROM m, unnest(range(0, 4)) AS r(i)
+    ),
+    f AS (
+      SELECT media_id, fps, sample_pos,
+             CAST(floor(sample_pos * (nf - 1) / 3.0) AS BIGINT) AS frame_idx
+      FROM s
+    )
+    SELECT media_id,
+           CAST(sample_pos AS BIGINT) AS sample_pos,
+           frame_idx,
+           round(CAST(frame_idx AS DOUBLE) / fps, 6) AS ts_s,
+           md5(CAST(media_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR))
+             AS frame_digest
+    FROM f
+    """,
+    doc=(
+        "Multimodal: fixed-budget uniform video frame sampling — metadata-only"
+        " sequence+explode (payloads untouched), m evenly-spaced frame indices"
+        " + timestamps + the deterministic digest a decode stage joins on"
+    ),
+)
+def llm_frame_sample(spark, sf_dir):
+    from aave_etl_spark.operators import multimodal
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        ((F.col("n_chars") % 30) + 1).alias("duration_s"),
+        F.lit(24).alias("fps"),
+    )
+    return multimodal.uniform_frame_sample(media, m=4)
+
+
+@register(
     "llm_cosine_near_dup",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -466,9 +511,7 @@ _IVF_COS = (
 )
 
 
-@register(
-    "llm_ivf_topk",
-    oracle=f"""
+_IVF_ORACLE = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cent AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 16),
     assigned AS (
@@ -501,7 +544,12 @@ _IVF_COS = (
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, candidate_id) <= 3
-    """,
+    """
+
+
+@register(
+    "llm_ivf_topk",
+    oracle=_IVF_ORACLE,
     doc=(
         "LLM similarity: IVF-flat approximate top-k — deterministic coarse"
         " quantizer (first-16 centroids; k-means slots into the same plan),"
@@ -514,6 +562,93 @@ def llm_ivf_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=4)
+
+
+@register(
+    "llm_ann_recall",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=f"""
+    WITH truth AS ({_TOPK_ORACLE}),
+    approx AS ({_IVF_ORACLE}),
+    hits AS (
+      SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM truth t JOIN approx a
+        ON t.query_id = a.query_id AND t.candidate_id = a.candidate_id
+      GROUP BY t.query_id
+    ),
+    q AS (SELECT DISTINCT query_id FROM truth)
+    SELECT q.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall_at_3
+    FROM q LEFT JOIN hits h USING (query_id)
+    """,
+    doc=(
+        "LLM similarity: ANN index-quality measurement — per-query recall@3"
+        " of the IVF multi-probe index against the brute-force ground truth"
+        " (the join every index rollout gates on before swapping paths)"
+    ),
+)
+def llm_ann_recall(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    truth = similarity.cosine_topk(emb, queries, k=3).select("query_id", "candidate_id")
+    approx = similarity.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=4).select(
+        "query_id", "candidate_id"
+    )
+    hits = (
+        truth.join(approx, ["query_id", "candidate_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    qs = truth.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("_h", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(F.col("_h").cast("double"), F.lit(0.0)) / F.lit(3.0), 6).alias(
+            "recall_at_3"
+        ),
+    )
+
+
+@register(
+    "llm_semantic_dedup",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, cell_id, e FROM (
+        SELECT v.vec_id, v.e, cent.cell_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_IVF_COS.format(a="v.e", b="cent.ce")} DESC, cent.cell_id) AS rn
+        FROM v CROSS JOIN cent)
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_IVF_COS.format(a="a.e", b="b.e")} AS cos_sim
+      FROM assigned a JOIN assigned b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    ),
+    dropped AS (SELECT DISTINCT id_b FROM pairs WHERE cos_sim >= 0.35),
+    sizes AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_cell
+              FROM assigned GROUP BY cell_id)
+    SELECT a.vec_id, a.cell_id, s.n_cell, (d.id_b IS NULL) AS kept
+    FROM assigned a
+    JOIN sizes s USING (cell_id)
+    LEFT JOIN dropped d ON a.vec_id = d.id_b
+    """,
+    doc=(
+        "LLM dedup: SemDeDup semantic near-dup pruning — broadcast-argmax"
+        " cluster assignment (map-only over the corpus), within-cell exact"
+        " cosine pairs, drop-if-similar-to-any-smaller-id keeper rule"
+    ),
+)
+def llm_semantic_dedup(spark, sf_dir):
+    return similarity.semantic_dedup(
+        t(spark, sf_dir, "embeddings"), eps=0.35, n_cells=16
+    )
 
 
 @register(

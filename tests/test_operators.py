@@ -149,6 +149,89 @@ def test_jaccard_verify_zero_intersection_kept(spark):
     assert dedup.jaccard_verify(sh, pairs, threshold=0.1).count() == 0
 
 
+def test_uniform_frame_sample_grid(spark):
+    from aave_etl_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(0, 10, 24), (1, 1, 24)], "media_id long, duration_s long, fps long"
+    )
+    rows = multimodal.uniform_frame_sample(media, m=4).collect()
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r.media_id, []).append(r)
+    # exactly m rows per clip regardless of duration
+    assert {len(v) for v in by_clip.values()} == {4}
+    clip0 = sorted(by_clip[0], key=lambda r: r.sample_pos)
+    # 10 s @ 24 fps = 240 frames: endpoints pinned, evenly spaced
+    assert [r.frame_idx for r in clip0] == [0, 79, 159, 239]
+    assert clip0[-1].ts_s == pytest.approx(239 / 24, abs=1e-6)
+    # 1 s clip: indices stay within [0, 23]
+    assert all(0 <= r.frame_idx <= 23 for r in by_clip[1])
+    # digest is the decode-stage join key
+    assert all(len(r.frame_digest) == 32 for r in rows)
+    with pytest.raises(ValueError):
+        multimodal.uniform_frame_sample(media, m=1)
+
+
+def test_frame_sample_plan_every_n_seconds(spark):
+    from aave_etl_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(0, 12), (1, 3)], "media_id long, duration_s long"
+    )
+    rows = multimodal.frame_sample_plan(media, every_n_seconds=5).collect()
+    got = {(r.media_id, r.frame_ts) for r in rows}
+    assert got == {(0, 0), (0, 5), (0, 10), (1, 0)}
+
+
+def test_semantic_dedup_keeper_rule(spark):
+    # centroids = first 2 vectors (n_cells=2): cell 0 along +x, cell 1
+    # along +y. Vectors 2,3 duplicate cell 0's direction; 4 is y-ish; 5 is
+    # a y-direction near-dup of 4 but in-cell only vs lower ids 1 and 4.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [2.0, 0.0]),       # cos=1 to 0 -> dropped
+            (3, [1.0, 0.05]),      # ~1 to 0 -> dropped
+            (4, [0.05, 1.0]),      # ~1 to 1 -> dropped
+            (5, [-1.0, 0.2]),      # far from everything in its cell? cos to 0 is -1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(emb, eps=0.9, n_cells=2).collect()
+    }
+    assert len(out) == 6
+    assert out[0].kept and out[1].kept
+    assert not out[2].kept and not out[3].kept and not out[4].kept
+    # vector 5: assigned to cell 1 (cos(5,1)=0.196 > cos(5,0)=-0.98);
+    # within cell 1 its best lower-id cos is ~0.196 < eps -> kept
+    assert out[5].cell_id == 1 and out[5].kept
+    # cell sizes: cell 0 = {0,2,3}, cell 1 = {1,4,5}
+    assert out[0].n_cell == 3 and out[1].n_cell == 3
+
+
+def test_semantic_dedup_trained_centroids(spark):
+    # a kmeans_fit centroid table slots into the same plan and still
+    # produces a full partition of the corpus
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = similarity.kmeans_fit(emb, k=3, n_iter=2)
+    out = similarity.semantic_dedup(emb, eps=0.999, n_cells=3, centroids=cent)
+    rows = out.collect()
+    assert len(rows) == 30
+    assert {r.cell_id for r in rows} <= {0, 1, 2}
+    # every cell's n_cell matches its member count
+    from collections import Counter
+
+    sizes = Counter(r.cell_id for r in rows)
+    assert all(r.n_cell == sizes[r.cell_id] for r in rows)
+
+
 def test_span_duplicates_planted_span(spark):
     # docs 0 and 1 share one exact 4-token span; doc 2 is unrelated; doc 3
     # is too short for any window.

@@ -184,3 +184,28 @@ def test_simhash_hamming_band_equi_join(spark):
     p = plan(spark, "llm_simhash_near_dup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_semantic_dedup_plan(spark):
+    """SemDeDup: cluster assignment is the broadcast-argmax map (one
+    BroadcastNestedLoopJoin against the folded centroid row, no corpus
+    shuffle, no Window); the pair stage is a cell-keyed equi-join — never
+    corpus x corpus."""
+    p = plan(spark, "llm_semantic_dedup")
+    # the assignment subtree sits behind the localCheckpoint boundary; its
+    # broadcast-argmax shape is pinned by test_ivf_topk_broadcasts_centroids
+    # (shared _centroid_frame/_cell_sims code). Here: the pair stage must be
+    # a cell-keyed equi-join, never corpus x corpus, with no Window node.
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "hashpartitioning(cell_id" in p
+    assert len(re.findall(r"\bWindow\b(?!GroupLimit)", p)) == 0
+
+
+def test_span_dedup_plan(spark):
+    """Span dedup: explode + two bounded-key exchanges (window-hash count,
+    doc re-agg) — no pair join at all."""
+    p = plan(spark, "llm_span_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate explode" in p
