@@ -55,12 +55,37 @@ class TableStore:
         name: str,
         partition_cols: list[str] | None = None,
         append_only: bool = False,
+        cluster_by: list[str] | None = None,
+        cluster_files: int | None = None,
     ) -> None:
         """Write ``df``; idempotent per-partition overwrite unless
         ``append_only`` (K2). Empty outputs are skipped like the reference
-        (bigquery_io_manager.py:115, 168-169)."""
+        (bigquery_io_manager.py:115, 168-169).
+
+        ``cluster_by`` sort-clusters the data before writing: rows are
+        range-repartitioned then sorted within tasks on
+        ``partition_cols + cluster_by``, so each output file carries a
+        TIGHT, largely disjoint min/max footer range on those columns.
+        Parquet readers (Spark's ParquetFilters included) drop whole
+        files/row-groups whose stats exclude a pushed predicate — at
+        100 TB a selective filter on the clustered column then scans the
+        few matching files instead of the table (the poor-man's Z-order:
+        one extra range exchange at write time buys data skipping for
+        every downstream scan; tests/test_io.py asserts the disjoint
+        footer ranges from the parquet metadata). ``cluster_files`` pins
+        the range-partition count (default: shuffle partitions, with AQE
+        free to coalesce — pass it when a specific file granularity
+        matters)."""
         if df.isEmpty():
             return
+        if cluster_by:
+            rcols = [F.col(c) for c in [*(partition_cols or []), *cluster_by]]
+            ranged = (
+                df.repartitionByRange(cluster_files, *rcols)
+                if cluster_files
+                else df.repartitionByRange(*rcols)
+            )
+            df = ranged.sortWithinPartitions(*rcols)
         stamped = df.withColumn(
             "_load_timestamp",
             F.lit(datetime.now(timezone.utc).isoformat()),
