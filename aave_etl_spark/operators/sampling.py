@@ -92,6 +92,50 @@ def stratified_exact_k(
     )
 
 
+def top_fraction_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    frac: float,
+    id_col: str = "doc_id",
+    approximate: bool = False,
+) -> DataFrame:
+    """Per-group quality gate: keep the top ``frac`` of each group by
+    score — "top 50% by quality per language", the selection step after
+    quality scoring in a curation pipeline.
+
+    Exact form (default): rank over (group, score DESC, id) against
+    ceil(n_group * frac) — adds ``q_rank``, ``n_group``, ``kept``; every
+    row is returned with its verdict so downstream can audit the cut.
+    Deterministic: ties break by id (a total order).
+
+    ``approximate=True`` is the 100 TB path: the per-group score threshold
+    comes from ``percentile_approx`` (one agg pass, bounded sketch state),
+    broadcast-joins back, and rows keep iff score >= threshold — no
+    full per-group sort of the corpus, at the cost of tie/epsilon slop
+    around the boundary. The exact form is the certification twin; the
+    approximate form is property-tested against it (tests/test_operators.py).
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    if approximate:
+        thr = df.groupBy(*group_cols).agg(
+            F.percentile_approx(score_col, 1.0 - frac).alias("_thr")
+        )
+        joined = df.join(F.broadcast(thr), group_cols)
+        return joined.withColumn("kept", F.col(score_col) >= F.col("_thr")).drop("_thr")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    wg = Window.partitionBy(*group_cols)
+    ranked = df.withColumn("q_rank", F.row_number().over(w).cast("long")).withColumn(
+        "n_group", F.count(F.lit(1)).over(wg).cast("long")
+    )
+    return ranked.withColumn(
+        "kept", F.col("q_rank") <= F.ceil(F.col("n_group") * F.lit(frac))
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     weights: DataFrame,

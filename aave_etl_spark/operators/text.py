@@ -322,3 +322,83 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "bm25", "rank")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    coverage: float = 0.9,
+) -> DataFrame:
+    """Per-group vocabulary coverage curve summary: (group, n_tokens,
+    vocab_size, k_cov, top1_share) where ``k_cov`` is the smallest number
+    of top-frequency words covering ``coverage`` of all token occurrences
+    — the corpus statistic that sizes a tokenizer vocabulary / spots
+    boilerplate-dominated sources (tiny k_cov = low lexical diversity).
+
+    Plan: token explode → (group, token) count (one shuffle, well-spread
+    key) → per-group frequency-rank window with a running-sum frame. The
+    window sorts each group's VOCABULARY (distinct words — millions at
+    worst), not its token stream, so the per-group sort state is bounded
+    by vocab size regardless of corpus size."""
+    tok = df.select(F.col(group_col), F.explode(tokens(text_col)).alias("token"))
+    freq = tok.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy(group_col).orderBy(F.col("f").desc(), F.col("token"))
+    ranked = freq.withColumn("r", F.row_number().over(w)).withColumn(
+        "cum", F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = freq.groupBy(group_col).agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.max("f").cast("double").alias("_top1"),
+    )
+    k_cov = (
+        ranked.join(totals, group_col)
+        .filter(F.col("cum").cast("double") >= F.lit(coverage) * F.col("n_tokens").cast("double"))
+        .groupBy(group_col)
+        .agg(F.min("r").cast("long").alias("k_cov"))
+    )
+    return (
+        totals.join(k_cov, group_col)
+        .select(
+            F.col(group_col),
+            "n_tokens",
+            "vocab_size",
+            "k_cov",
+            F.round(F.col("_top1") / F.col("n_tokens").cast("double"), 6).alias(
+                "top1_share"
+            ),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc unigram negative log-likelihood under the corpus's own
+    unigram distribution: (id, n_tokens, avg_neg_logprob) — the cheap
+    perplexity proxy (CCNet-style LM quality filtering with the LM
+    replaced by corpus unigram frequencies). Low score = stereotypical
+    text; high score = rare-token-heavy (gibberish or genuinely novel).
+
+    Plan: (token) count (one shuffle) + the corpus total folded into ONE
+    broadcast row; per-doc scoring is an equi-join of the token stream
+    against the frequency table followed by a per-doc avg — every token
+    present in the corpus has frequency >= 1, so the log never sees zero."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").cast("double").alias("_total"))
+    scored = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (-F.log(F.col("tf").cast("double") / F.col("_total"))).alias("_nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("_nll"), 6).alias("avg_neg_logprob"),
+    )

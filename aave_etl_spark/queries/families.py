@@ -121,6 +121,24 @@ family(
             ("lang",),
             ("p50", "p90", "p99", "n_docs"),
         ),
+        (
+            "topfrac",
+            "llm_quality_topfrac",
+            ("doc_id", "lang"),
+            ("score", "q_rank", "n_group", "CAST(kept AS DOUBLE)"),
+        ),
+        (
+            "vocab",
+            "llm_vocab_coverage",
+            ("lang",),
+            ("n_tokens", "vocab_size", "k_cov", "top1_share"),
+        ),
+        (
+            "logprob",
+            "llm_unigram_logprob",
+            ("doc_id",),
+            ("n_tokens", "avg_neg_logprob"),
+        ),
     ],
     doc=(
         "text-analysis family: rolling-hash fingerprint + token stats +"
@@ -128,7 +146,9 @@ family(
         " KMV distinct-text sketch per language + Gopher-style repetition"
         " signal + sliding-window context chunking + PII/URL scrubbing +"
         " per-doc top-3 BM25 terms + the composed per-doc curation gate"
-        " (quality x repetition x language x exact-dup keeper)"
+        " (quality x repetition x language x exact-dup keeper) +"
+        " per-language quality-percentile top-50% gate + vocabulary"
+        " coverage curve + unigram-NLL perplexity proxy"
     ),
 )
 

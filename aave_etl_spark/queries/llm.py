@@ -1416,3 +1416,116 @@ def llm_mean_pool(spark, sf_dir):
         F.round(F.sqrt(F.aggregate(me, F.lit(0.0), lambda a, x: a + x * x)), 6).alias("mean_norm"),
         F.round(F.element_at(me, 1), 6).alias("mean_c0"),
     )
+
+
+@register(
+    "llm_quality_topfrac",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=f"""
+    WITH base AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS score
+      FROM base
+    ),
+    r AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS q_rank,
+             count(*) OVER (PARTITION BY lang) AS n_group
+      FROM scored
+    )
+    SELECT doc_id, lang, round(score, 6) AS score,
+           CAST(q_rank AS BIGINT) AS q_rank,
+           CAST(n_group AS BIGINT) AS n_group,
+           (q_rank <= ceil(n_group * 0.5)) AS kept
+    FROM r
+    """,
+    doc=(
+        "LLM curation: per-language quality-percentile gate — keep the top"
+        " 50% by distinct-token ratio, exact rank form (the"
+        " percentile_approx broadcast-threshold twin is the 100 TB path,"
+        " property-tested against this one)"
+    ),
+)
+def llm_quality_topfrac(spark, sf_dir):
+    from aave_etl_spark.operators.sampling import top_fraction_by_group
+
+    docs = t(spark, sf_dir, "documents")
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(
+            text.quality_features(docs).select(
+                "doc_id", F.col("distinct_ratio").alias("score")
+            ),
+            "doc_id",
+        )
+    )
+    out = top_fraction_by_group(scored, ["lang"], "score", 0.5)
+    return out.select(
+        "doc_id", "lang", F.round("score", 6).alias("score"), "q_rank", "n_group", "kept"
+    )
+
+
+@register(
+    "llm_vocab_coverage",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=f"""
+    WITH tok AS (SELECT lang, unnest({_TOKS}) AS token FROM documents),
+    freq AS (SELECT lang, token, count(*) AS f FROM tok GROUP BY lang, token),
+    ranked AS (
+      SELECT lang, f,
+             row_number() OVER (PARTITION BY lang ORDER BY f DESC, token) AS r,
+             sum(f) OVER (PARTITION BY lang ORDER BY f DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM freq
+    ),
+    totals AS (
+      SELECT lang, CAST(sum(f) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(max(f) AS DOUBLE) AS top1
+      FROM freq GROUP BY lang
+    ),
+    kc AS (
+      SELECT r.lang, CAST(min(r.r) AS BIGINT) AS k_cov
+      FROM ranked r JOIN totals t2 ON r.lang = t2.lang
+      WHERE CAST(r.cum AS DOUBLE) >= 0.9 * CAST(t2.n_tokens AS DOUBLE)
+      GROUP BY r.lang
+    )
+    SELECT t.lang, t.n_tokens, t.vocab_size, kc.k_cov,
+           round(t.top1 / CAST(t.n_tokens AS DOUBLE), 6) AS top1_share
+    FROM totals t JOIN kc USING (lang)
+    """,
+    doc=(
+        "LLM text analysis: per-language vocabulary coverage curve — the"
+        " smallest top-frequency vocab covering 90% of token occurrences"
+        " (tokenizer sizing / boilerplate detection); window state bounded"
+        " by vocab size, not corpus size"
+    ),
+)
+def llm_vocab_coverage(spark, sf_dir):
+    return text.vocab_coverage(t(spark, sf_dir, "documents"), coverage=0.9)
+
+
+@register(
+    "llm_unigram_logprob",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+    total AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM freq),
+    scored AS (
+      SELECT tok.doc_id, -ln(CAST(freq.tf AS DOUBLE) / total.t) AS nll
+      FROM tok JOIN freq USING (token) CROSS JOIN total
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(nll), 6) AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc=(
+        "LLM curation: unigram negative-log-likelihood quality proxy"
+        " (CCNet-style perplexity filtering with corpus unigram frequencies"
+        " as the LM) — corpus total folded into one broadcast row"
+    ),
+)
+def llm_unigram_logprob(spark, sf_dir):
+    return text.unigram_logprob(t(spark, sf_dir, "documents"))

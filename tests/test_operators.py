@@ -699,3 +699,70 @@ def test_mean_pool_repartition_invariant_bitwise(spark):
     # BITWISE equality: the sorted fold makes float pooling layout-invariant
     assert a.mean_embedding == b.mean_embedding
     assert a.n_vecs == 200
+
+
+def test_top_fraction_by_group_exact(spark):
+    from aave_etl_spark.operators.sampling import top_fraction_by_group
+
+    rows = [(i, "a", float(i)) for i in range(10)] + [(i, "b", float(i % 3)) for i in range(10, 15)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    out = top_fraction_by_group(df, ["lang"], "score", 0.3)
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 15  # every row returned with a verdict
+    # group a: 10 rows, ceil(10*0.3)=3 -> scores 9,8,7 kept
+    assert {i for i in range(10) if got[i].kept} == {7, 8, 9}
+    # group b: 5 rows, ceil(5*0.3)=2; scores (i%3) = 1,2,0,1,2 -> top by
+    # (score desc, id): 11 (2.0) then 14 (2.0)
+    assert {i for i in range(10, 15) if got[i].kept} == {11, 14}
+    with pytest.raises(ValueError):
+        top_fraction_by_group(df, ["lang"], "score", 0.0)
+
+
+def test_top_fraction_approximate_matches_exact_on_distinct_scores(spark):
+    from aave_etl_spark.operators.sampling import top_fraction_by_group
+
+    # distinct uniform scores: the percentile threshold cut agrees with the
+    # exact rank cut to within one boundary row per group
+    rows = [(i, "g" + str(i % 2), float((i * 37) % 101)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    exact = {
+        (r.lang, r.doc_id) for r in top_fraction_by_group(df, ["lang"], "score", 0.5).collect() if r.kept
+    }
+    approx = {
+        (r.lang, r.doc_id)
+        for r in top_fraction_by_group(df, ["lang"], "score", 0.5, approximate=True).collect()
+        if r.kept
+    }
+    sym = exact ^ approx
+    assert len(sym) <= 2  # at most one boundary row per group
+
+
+def test_vocab_coverage_hand_case(spark):
+    from aave_etl_spark.operators import text as text_ops
+
+    # lang x: tokens a a a b -> n_tokens=4, vocab=2, top1=3/4; k90: a covers
+    # .75 < .9, a+b covers 1.0 -> k_cov=2
+    df = spark.createDataFrame(
+        [(0, "a a a b", "x"), (1, "c c c c c c c c c d", "y")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.lang: r for r in text_ops.vocab_coverage(df).collect()}
+    assert got["x"].n_tokens == 4 and got["x"].vocab_size == 2 and got["x"].k_cov == 2
+    assert got["x"].top1_share == 0.75
+    # lang y: c covers 9/10 >= .9 -> k_cov=1
+    assert got["y"].k_cov == 1 and got["y"].top1_share == 0.9
+
+
+def test_unigram_logprob_hand_case(spark):
+    import math
+
+    from aave_etl_spark.operators import text as text_ops
+
+    # corpus: 'a a b' + 'b' -> freq a=2, b=2, total=4; every token nll=ln(2)
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in text_ops.unigram_logprob(df).collect()}
+    assert got[0].n_tokens == 3 and got[1].n_tokens == 1
+    assert got[0].avg_neg_logprob == pytest.approx(math.log(2), abs=1e-6)
+    assert got[1].avg_neg_logprob == pytest.approx(math.log(2), abs=1e-6)

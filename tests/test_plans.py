@@ -209,3 +209,37 @@ def test_span_dedup_plan(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Generate explode" in p
+
+
+def test_quality_topfrac_approximate_is_broadcast_no_window(spark):
+    """The 100 TB form of the quality gate: percentile_approx thresholds
+    broadcast back — no per-group sort window over the corpus."""
+    from pyspark.sql import functions as F
+
+    from aave_etl_spark.operators.sampling import top_fraction_by_group
+
+    df = (
+        spark.range(0, 1000)
+        .withColumn("lang", (F.col("id") % 3).cast("string"))
+        .withColumn("score", F.pmod(F.hash("id"), F.lit(997)).cast("double"))
+        .withColumnRenamed("id", "doc_id")
+    )
+    out = top_fraction_by_group(df, ["lang"], "score", 0.5, approximate=True)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"\bWindow\b(?!GroupLimit)", p)) == 0
+
+
+def test_unigram_logprob_total_broadcast_not_collected(spark):
+    """Corpus token total arrives as one broadcast row (BNLJ against the
+    1-row agg), never via a driver collect; token-frequency join is an
+    equi-join."""
+    p = plan(spark, "llm_unigram_logprob")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_vocab_coverage_no_cartesian(spark):
+    p = plan(spark, "llm_vocab_coverage")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
