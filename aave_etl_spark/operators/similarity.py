@@ -427,6 +427,118 @@ def blocked_cosine_pairs(
     return tagged.groupBy("_bi", "_bj").applyInPandas(_block, out_schema)
 
 
+def ivf_index_build(
+    store,
+    df: DataFrame,
+    name: str = "ivf_index",
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize an IVF index AT REST through the TableStore: the cell
+    assignments land partitioned BY ``cell_id`` (one directory per cell)
+    plus a tiny ``<name>_centroids`` sidecar table.
+
+    This moves the IVF probed-fraction guarantee from the plan into the
+    STORAGE LAYOUT: a search that probes 4 of 16 cells lists and scans
+    only those 4 partition directories (Catalyst partition pruning on the
+    file listing — asserted in tests) — at 100 TB the index scan is
+    n_probe/n_cells of the corpus bytes, enforced before any task runs.
+    Rebuilds are idempotent per-cell (dynamic partition overwrite)."""
+    cent = _centroid_frame(df, centroids, n_cells, id_col, vec_col)
+    cent_arr = _centroid_array(cent)
+    c = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_cvn"),
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "_best", F.array_max(_cell_sims(F.col(vec_col), F.col("_cvn"), round_digits))
+        )
+        .select(
+            (-F.col("_best.neg_id")).alias("cell_id"), F.col(id_col), F.col(vec_col)
+        )
+    )
+    store.write(assign, name, partition_cols=["cell_id"])
+    store.write(
+        cent.select("cell_id", F.col("_ce").alias("centroid")), f"{name}_centroids"
+    )
+
+
+def ivf_index_search(
+    store,
+    queries: DataFrame,
+    name: str = "ivf_index",
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Search a materialized IVF index (:func:`ivf_index_build`): produces
+    exactly :func:`ivf_topk`'s output — (query_id, candidate_id, cos_sim,
+    rank) — but the corpus side is the partition-pruned at-rest index
+    scan instead of a full-corpus assignment pass.
+
+    The probed cell ids are collected to the driver to build the literal
+    partition predicate — a bounded set (≤ n_cells, the centroid
+    cardinality), which is exactly the static pruning a file listing
+    needs; the corpus itself is never collected."""
+    centroids = store.read(f"{name}_centroids")
+    centf = centroids.select(
+        "cell_id",
+        F.col("centroid").alias("_ce"),
+        norm(F.col("centroid")).alias("_cen"),
+    )
+    cent_arr = _centroid_array(centf)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qvn"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "_top",
+            F.slice(
+                F.sort_array(_cell_sims(F.col("_qv"), F.col("_qvn"), round_digits), asc=False),
+                1,
+                n_probe,
+            ),
+        )
+        .select("query_id", "_qv", F.explode("_top").alias("_p"))
+        .select("query_id", (-F.col("_p.neg_id")).alias("cell_id"), "_qv")
+    )
+    probe_cells = sorted(
+        r.cell_id for r in probes.select("cell_id").distinct().collect()
+    )
+    cells_pred = f"cell_id IN ({', '.join(str(c) for c in probe_cells)})"
+    idx = store.read(name, where=cells_pred).select(
+        "cell_id", F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("candidate_id")
+    )
+    return (
+        idx.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "candidate_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     eps: float = 0.35,

@@ -252,12 +252,20 @@ family(
             ("day",),
             ("n_events", "n_users", "total_value", "day_over_day"),
         ),
+        (
+            "ivf_at_rest",
+            "llm_ivf_index_search",
+            ("query_id", "candidate_id"),
+            ("cos_sim", "rank"),
+        ),
     ],
     doc=(
         "time-rollup family: §2.9 date_trunc+interval day rollup + the"
         " hypertable-style multi-granularity GROUPING SETS aggregate + the"
         " orchestration backfill pipeline (lake→warehouse→datamart through"
         " TableStore dynamic partition overwrite, read back from the store)"
+        " + the at-rest IVF index (built partitioned by cell_id through the"
+        " same store; search scans only probed partition directories)"
     ),
 )
 

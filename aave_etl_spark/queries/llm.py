@@ -1529,3 +1529,35 @@ def llm_vocab_coverage(spark, sf_dir):
 )
 def llm_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_ivf_index_search",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=_IVF_ORACLE,  # identical output contract to llm_ivf_topk
+    doc=(
+        "LLM similarity: the AT-REST IVF path — build the index through"
+        " TableStore partitioned BY cell_id, then search via a"
+        " partition-PRUNED scan of only the probed cells' directories"
+        " (n_probe/n_cells of the corpus bytes, enforced by the file"
+        " listing); results bitwise-match the in-flight llm_ivf_topk"
+    ),
+)
+def llm_ivf_index_search(spark, sf_dir):
+    import os
+    import tempfile
+
+    from aave_etl_spark.io.table_store import TableStore
+
+    emb = t(spark, sf_dir, "embeddings")
+    # deterministic per-sf store root (same discipline as
+    # orchestration_backfill_run): re-runs overwrite idempotently
+    store_root = os.path.join(
+        tempfile.gettempdir(),
+        "aave_etl_spark_ivf",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    store = TableStore(spark, store_root)
+    similarity.ivf_index_build(store, emb, n_cells=16)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_index_search(store, queries, k=3, n_probe=4)

@@ -766,3 +766,38 @@ def test_unigram_logprob_hand_case(spark):
     assert got[0].n_tokens == 3 and got[1].n_tokens == 1
     assert got[0].avg_neg_logprob == pytest.approx(math.log(2), abs=1e-6)
     assert got[1].avg_neg_logprob == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_ivf_index_roundtrip_matches_in_flight(spark, tmp_path):
+    from aave_etl_spark.io.table_store import TableStore
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    store = TableStore(spark, str(tmp_path))
+    similarity.ivf_index_build(store, emb, n_cells=16)
+    queries = emb.filter(F.col("vec_id") < 8)
+    at_rest = similarity.ivf_index_search(store, queries, k=3, n_probe=4).collect()
+    in_flight = similarity.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=4).collect()
+    assert sorted(map(tuple, at_rest)) == sorted(map(tuple, in_flight))
+
+
+def test_ivf_index_search_scans_only_probed_cells(spark, tmp_path):
+    import re as _re
+
+    from aave_etl_spark.io.table_store import TableStore
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13) % 7), float((i * 5) % 11), 1.0]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    store = TableStore(spark, str(tmp_path))
+    similarity.ivf_index_build(store, emb, n_cells=8)
+    one_query = emb.filter(F.col("vec_id") == 20)
+    out = similarity.ivf_index_search(store, one_query, k=3, n_probe=2)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"cell_id#\d+ IN(?:SET)? \(?([\d, ]+)\)?", p)
+    assert m, f"no partition IN/INSET filter in plan:\n{p[:2000]}"
+    # exactly the 2 probed cells reach the file listing — 6 of 8 partition
+    # directories are never read
+    assert len([v for v in m.group(1).split(",") if v.strip()]) == 2
+    assert out.count() == 3
