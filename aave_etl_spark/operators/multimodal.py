@@ -136,9 +136,11 @@ def uniform_frame_sample(
         "_nf",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sample_pos"),
     )
+    # greatest(nf - 1, 0): a zero-length clip (duration or fps 0) samples
+    # frame 0 m times rather than producing negative indices
     frame_idx = F.floor(
         F.col("sample_pos").cast("double")
-        * (F.col("_nf") - 1).cast("double")
+        * F.greatest(F.col("_nf") - 1, F.lit(0)).cast("double")
         / F.lit(float(m - 1))
     ).cast("long")
     # frame_idx is bound in its own projection so ts_s / digest reference

@@ -516,6 +516,10 @@ def ivf_index_search(
     probe_cells = sorted(
         r.cell_id for r in probes.select("cell_id").distinct().collect()
     )
+    if not probe_cells:  # empty query set: nothing to probe, nothing to scan
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, candidate_id long, cos_sim double, rank long"
+        )
     cells_pred = f"cell_id IN ({', '.join(str(c) for c in probe_cells)})"
     idx = store.read(name, where=cells_pred).select(
         "cell_id", F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")

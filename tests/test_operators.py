@@ -171,6 +171,12 @@ def test_uniform_frame_sample_grid(spark):
     assert all(len(r.frame_digest) == 32 for r in rows)
     with pytest.raises(ValueError):
         multimodal.uniform_frame_sample(media, m=1)
+    # zero-length clip: frame 0 sampled m times, never a negative index
+    degenerate = spark.createDataFrame(
+        [(9, 0, 24)], "media_id long, duration_s long, fps long"
+    )
+    zrows = multimodal.uniform_frame_sample(degenerate, m=4).collect()
+    assert len(zrows) == 4 and all(r.frame_idx == 0 for r in zrows)
 
 
 def test_frame_sample_plan_every_n_seconds(spark):
@@ -801,3 +807,14 @@ def test_ivf_index_search_scans_only_probed_cells(spark, tmp_path):
     # directories are never read
     assert len([v for v in m.group(1).split(",") if v.strip()]) == 2
     assert out.count() == 3
+    # empty query set: typed empty result, no IN () predicate constructed
+    none = similarity.ivf_index_search(
+        store, emb.filter(F.col("vec_id") < 0), k=3, n_probe=2
+    )
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == [
+        "query_id",
+        "candidate_id",
+        "cos_sim",
+        "rank",
+    ]
