@@ -57,6 +57,7 @@ class TableStore:
         append_only: bool = False,
         cluster_by: list[str] | None = None,
         cluster_files: int | None = None,
+        full_refresh: bool = False,
     ) -> None:
         """Write ``df``; idempotent per-partition overwrite unless
         ``append_only`` (K2). Empty outputs are skipped like the reference
@@ -75,7 +76,12 @@ class TableStore:
         footer ranges from the parquet metadata). ``cluster_files`` pins
         the range-partition count (default: shuffle partitions, with AQE
         free to coalesce — pass it when a specific file granularity
-        matters)."""
+        matters). ``full_refresh`` switches a partitioned overwrite from
+        dynamic (replace only the slices present in ``df`` — the K1
+        incremental contract) to static (drop EVERY existing partition
+        first) — required when the new snapshot is authoritative and a
+        partition absent from ``df`` must disappear rather than survive
+        as a stale directory (e.g. a rebuilt index)."""
         if df.isEmpty():
             return
         if cluster_by:
@@ -99,7 +105,7 @@ class TableStore:
             # partition overwrite must replace only the slices present in
             # `df` regardless of how the caller built their session.
             writer = stamped.write.partitionBy(*partition_cols).option(
-                "partitionOverwriteMode", "dynamic"
+                "partitionOverwriteMode", "static" if full_refresh else "dynamic"
             )
         else:
             stamped = stamped.withColumn("_partition_key", F.lit(None).cast("string")).withColumn(
@@ -154,6 +160,7 @@ class TableStore:
         name: str,
         partition_cols: list[str] | None = None,
         target_file_bytes: int = 128 * 1024 * 1024,
+        sort_cols: list[str] | None = None,
     ) -> tuple[int, int]:
         """Rewrite ``name`` with bounded file counts — the maintenance pass
         every incrementally-loaded table needs: daily partition overwrites
@@ -171,10 +178,21 @@ class TableStore:
         ``_load_timestamp`` provenance stamps are preserved exactly —
         compaction is a physical-layout change only.
 
-        The rewrite lands in a sibling temp directory and swaps in via
-        rename (reading and overwriting the same path in one job is not
-        safe in any engine); on object storage the same shape runs against
-        the FileSystem API. Returns (files_before, files_after)."""
+        The rewrite lands in a sibling temp directory, the live directory
+        is moved aside, the rewrite renamed in, then the old copy removed —
+        so at every instant at least one complete copy exists on disk
+        (reading and overwriting the same path in one job is not safe in
+        any engine); the only vulnerable window is between the two
+        atomic renames (microseconds), and a crash there leaves the full
+        old copy recoverable at ``<name>.__old``. On object storage the
+        same shape runs against the FileSystem API.
+
+        A table written with ``cluster_by`` must pass those columns as
+        ``sort_cols`` — compaction re-sorts within the rewrite so the
+        disjoint min/max footer ranges (the data-skipping contract)
+        survive the file-count change.
+
+        Returns (files_before, files_after)."""
         import math
         import shutil
 
@@ -199,13 +217,25 @@ class TableStore:
             # directory (an oversized partition stays one file — see
             # docstring)
             out = df.repartition(n_out, *[F.col(c) for c in partition_cols])
-            writer = out.write.partitionBy(*partition_cols)
+        elif sort_cols:
+            # re-establish the GLOBAL clustering, not just per-file order: a
+            # coalesce merges files in size order, so two sorted output
+            # files could still overlap in range — range-repartition first
+            out = df.repartitionByRange(n_out, *[F.col(c) for c in sort_cols])
         else:
             out = df.coalesce(n_out)
-            writer = out.write
+        if sort_cols:
+            # replay the cluster_by ordering so footer min/max ranges stay
+            # tight after the rewrite
+            out = out.sortWithinPartitions(*[*(partition_cols or []), *sort_cols])
+        writer = out.write.partitionBy(*partition_cols) if partition_cols else out.write
         writer.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self._path(name))
+        old = self._path(name) + ".__old"
+        if os.path.exists(old):  # debris from a crashed prior compaction
+            shutil.rmtree(old)
+        os.replace(self._path(name), old)
         os.replace(tmp, self._path(name))
+        shutil.rmtree(old)
         return (len(files), len(self._parquet_files(name)))
 
     def read(

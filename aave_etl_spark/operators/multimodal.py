@@ -125,10 +125,16 @@ def uniform_frame_sample(
     frame_idx) keys reach a decoder."""
     if m < 2:
         raise ValueError(f"need m >= 2 sample positions, got {m}")
+    # multiply BEFORE truncating: duration 0.9 s @ 30 fps is 27 frames, not
+    # floor(0.9) * 30 = 0; fractional framerates (29.97) keep their product
     base = df.select(
         F.col(id_col),
         F.col(fps_col),
-        (F.col(duration_col).cast("long") * F.col(fps_col).cast("long")).alias("_nf"),
+        F.floor(
+            F.col(duration_col).cast("double") * F.col(fps_col).cast("double")
+        )
+        .cast("long")
+        .alias("_nf"),
     )
     samples = base.select(
         F.col(id_col),

@@ -131,8 +131,10 @@ def top_fraction_by_group(
     ranked = df.withColumn("q_rank", F.row_number().over(w).cast("long")).withColumn(
         "n_group", F.count(F.lit(1)).over(wg).cast("long")
     )
+    # round before ceil: IEEE products like 0.07 * 100 = 7.000000000000001
+    # must cut at ceil(7) = 7 kept rows, not silently over-keep an 8th
     return ranked.withColumn(
-        "kept", F.col("q_rank") <= F.ceil(F.col("n_group") * F.lit(frac))
+        "kept", F.col("q_rank") <= F.ceil(F.round(F.col("n_group") * F.lit(frac), 9))
     )
 
 
@@ -158,9 +160,14 @@ def mix_corpus(
     filter; no shuffle of the corpus."""
     if "keep_frac" not in weights.columns:
         raise ValueError("weights must have a keep_frac column")
-    joined = df.join(F.broadcast(weights), group_col, "left")
+    # project the weights table to (group, keep_frac) so stray columns on a
+    # caller's weights frame never leak into the mixed corpus's schema
+    joined = df.join(
+        F.broadcast(weights.select(group_col, "keep_frac")), group_col, "left"
+    )
     kept = joined.filter(
         uniform_hash(id_col, salt)
         < F.coalesce(F.col("keep_frac"), F.lit(float(default_frac)))
     )
-    return kept.drop("keep_frac")
+    # restore the caller's column order (the join moved the group key first)
+    return kept.select(*df.columns)

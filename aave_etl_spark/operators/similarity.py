@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -390,7 +391,10 @@ def blocked_cosine_pairs(
         .drop("_other")
     )
 
-    out_schema = f"id_a long, id_b long, cos_sim double"
+    # pair ids carry the input id column's own type (string doc keys work
+    # the same as numeric ones — comparison/canonicalization is generic)
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
 
     def _block(pdf: pd.DataFrame) -> pd.DataFrame:
         bi = int(pdf["_bi"].iloc[0])
@@ -408,7 +412,13 @@ def blocked_cosine_pairs(
         else:
             right = pdf[pdf["_blk"] == bj]
             if left.empty or right.empty:
-                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+                return pd.DataFrame(
+                    {
+                        "id_a": pdf[id_col].iloc[:0],
+                        "id_b": pdf[id_col].iloc[:0],
+                        "cos_sim": pd.Series([], dtype="float64"),
+                    }
+                )
             ids_l = left[id_col].to_numpy()
             ids_r = right[id_col].to_numpy()
             S = np.stack(left[vec_col].to_numpy()) @ np.stack(right[vec_col].to_numpy()).T
@@ -446,7 +456,9 @@ def ivf_index_build(
     only those 4 partition directories (Catalyst partition pruning on the
     file listing — asserted in tests) — at 100 TB the index scan is
     n_probe/n_cells of the corpus bytes, enforced before any task runs.
-    Rebuilds are idempotent per-cell (dynamic partition overwrite)."""
+    Rebuilds are FULL refreshes (static partition overwrite): a cell with
+    no vectors in the new corpus must disappear, not survive as a stale
+    directory a probe could still scan."""
     cent = _centroid_frame(df, centroids, n_cells, id_col, vec_col)
     cent_arr = _centroid_array(cent)
     c = df.select(
@@ -463,7 +475,7 @@ def ivf_index_build(
             (-F.col("_best.neg_id")).alias("cell_id"), F.col(id_col), F.col(vec_col)
         )
     )
-    store.write(assign, name, partition_cols=["cell_id"])
+    store.write(assign, name, partition_cols=["cell_id"], full_refresh=True)
     store.write(
         cent.select("cell_id", F.col("_ce").alias("centroid")), f"{name}_centroids"
     )
@@ -489,6 +501,10 @@ def ivf_index_search(
     cardinality), which is exactly the static pruning a file listing
     needs; the corpus itself is never collected."""
     centroids = store.read(f"{name}_centroids")
+    if "cell_id" not in centroids.columns:
+        raise ValueError(
+            f"IVF index {name!r} not found in store — run ivf_index_build first"
+        )
     centf = centroids.select(
         "cell_id",
         F.col("centroid").alias("_ce"),
@@ -512,14 +528,24 @@ def ivf_index_search(
         )
         .select("query_id", "_qv", F.explode("_top").alias("_p"))
         .select("query_id", (-F.col("_p.neg_id")).alias("cell_id"), "_qv")
+        # consumed twice (driver collect of probe cells + the scan join):
+        # cut the lineage so query scoring against the centroids runs once
+        .localCheckpoint(eager=False)
     )
     probe_cells = sorted(
         r.cell_id for r in probes.select("cell_id").distinct().collect()
     )
     if not probe_cells:  # empty query set: nothing to probe, nothing to scan
-        return queries.sparkSession.createDataFrame(
-            [], "query_id long, candidate_id long, cos_sim double, rank long"
+        id_type = queries.schema[id_col].dataType
+        empty_schema = T.StructType(
+            [
+                T.StructField("query_id", id_type),
+                T.StructField("candidate_id", id_type),
+                T.StructField("cos_sim", T.DoubleType()),
+                T.StructField("rank", T.LongType()),
+            ]
         )
+        return queries.sparkSession.createDataFrame([], empty_schema)
     cells_pred = f"cell_id IN ({', '.join(str(c) for c in probe_cells)})"
     idx = store.read(name, where=cells_pred).select(
         "cell_id", F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")

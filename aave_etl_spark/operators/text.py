@@ -21,9 +21,15 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(text_col: Column | str) -> Column:
-    """Whitespace tokens of normalized text."""
+    """Whitespace tokens of normalized text — ONE tokenization for every
+    text operator: lowercase + whitespace collapse, identical to
+    dedup.normalize_text and to the DuckDB oracles' shared ``_TOKS``
+    snippet (queries/llm.py). A case-sensitive variant here would make
+    vocab/NLL statistics disagree with the BM25/repetition views of the
+    same corpus and silently diverge from the oracle on mixed-case
+    input."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.split(F.trim(F.regexp_replace(c, r"\s+", " ")), " ")
+    return F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
 
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

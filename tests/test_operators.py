@@ -818,3 +818,115 @@ def test_ivf_index_search_scans_only_probed_cells(spark, tmp_path):
         "cos_sim",
         "rank",
     ]
+
+
+# ---------------------------------------------------------------------------
+# round-4 review regressions
+# ---------------------------------------------------------------------------
+def test_top_fraction_float_ceil_boundary(spark):
+    from aave_etl_spark.operators.sampling import top_fraction_by_group
+
+    # 0.07 * 100 = 7.000000000000001 in IEEE; exactly 7 must be kept
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(100)], "doc_id long, lang string, score double"
+    )
+    kept = [r for r in top_fraction_by_group(df, ["lang"], "score", 0.07).collect() if r.kept]
+    assert len(kept) == 7
+
+
+def test_mix_corpus_no_weight_column_leak(spark):
+    from aave_etl_spark.operators.sampling import mix_corpus
+
+    df = spark.createDataFrame(
+        [(i, "en", f"t{i}") for i in range(20)], "doc_id long, lang string, text string"
+    )
+    weights = spark.createDataFrame(
+        [("en", 1.0, "stray note")], "lang string, keep_frac double, note string"
+    )
+    out = mix_corpus(df, weights)
+    assert out.columns == df.columns  # no leak, original order preserved
+    assert out.count() == 20
+
+
+def test_uniform_frame_sample_fractional_duration(spark):
+    from aave_etl_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(0, 0.9, 30.0)], "media_id long, duration_s double, fps double"
+    )
+    rows = sorted(
+        multimodal.uniform_frame_sample(media, m=4).collect(), key=lambda r: r.sample_pos
+    )
+    # 0.9 s @ 30 fps = 27 frames -> indices span [0, 26], not all-zero
+    assert [r.frame_idx for r in rows] == [0, 8, 17, 26]
+
+
+def test_blocked_cosine_pairs_string_ids(spark):
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.01]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = similarity.blocked_cosine_pairs(emb, threshold=0.9, n_blocks=2).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {("a", "b")}
+
+
+def test_ivf_index_rebuild_drops_stale_cells(spark, tmp_path):
+    from aave_etl_spark.io.table_store import TableStore
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13) % 7), float((i * 5) % 11), 1.0]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    store = TableStore(spark, str(tmp_path))
+    similarity.ivf_index_build(store, emb, n_cells=8)
+    n_v1 = store.read("ivf_index").count()
+    assert n_v1 == 64
+    # corpus shrinks to the first 8 vectors (the centroids themselves):
+    # rebuild must leave EXACTLY 8 rows — no stale partition directories
+    similarity.ivf_index_build(store, emb.filter(F.col("vec_id") < 8), n_cells=8)
+    assert store.read("ivf_index").count() == 8
+
+
+def test_ivf_index_search_missing_index_raises(spark, tmp_path):
+    from aave_etl_spark.io.table_store import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="not found in store"):
+        similarity.ivf_index_search(store, q)
+
+
+def test_tokens_lowercase_shared_tokenization(spark):
+    from aave_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(0, "The THE the")], "doc_id long, text string")
+    row = text_ops.token_stats(df).collect()[0]
+    # one vocabulary entry: every text operator shares the lowercase view
+    assert row.n_tokens == 3 and row.n_distinct_tokens == 1
+
+
+def test_compact_sort_cols_keeps_disjoint_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from aave_etl_spark.io.table_store import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = (
+        spark.range(0, 10_000)
+        .withColumn("k", F.pmod(F.hash("id"), F.lit(1_000_000)))
+        .repartition(8)
+    )
+    store.write(df, "ct", cluster_by=["k"], cluster_files=4)
+    store.compact("ct", target_file_bytes=40_000, sort_cols=["k"])
+    files = [str(p) for p in (tmp_path / "ct").rglob("*.parquet")]
+    assert len(files) > 1
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        kidx = md.schema.to_arrow_schema().get_field_index("k")
+        stats = [md.row_group(rg).column(kidx).statistics for rg in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    assert store.read("ct").count() == 10_000
