@@ -243,3 +243,51 @@ def test_vocab_coverage_no_cartesian(spark):
     p = plan(spark, "llm_vocab_coverage")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """SCALE.md's skew story is salting (operators/skew.py) OR AQE skew-join
+    handling; pin that AQE actually fires on a planted hot key — the claim
+    is tested, not aspirational. Thresholds are lowered so the tiny fixture
+    trips the same code path a 100 TB skewed partition would."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 99% of rows share one key: a classic hot partition
+        big = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit("hot"))
+            .otherwise((F.col("id") % 7).cast("string"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 8).select(
+            (F.col("id") % 7).cast("string").alias("k"), F.lit(1.0).alias("w")
+        ).union(spark.createDataFrame([("hot", 2.0)], "k string, w double"))
+        # no downstream operator may reuse the join's partitioning — AQE
+        # refuses to split a skewed join whose output partitioning is
+        # required (e.g. a groupBy on the same key) unless forced. And the
+        # action must drive THIS QueryExecution (a .write clones the plan,
+        # leaving this one isFinalPlan=false) — collect, then inspect.
+        joined = big.join(dim, "k").select("k", (F.col("v") * F.col("w")).alias("vw"))
+        assert len(joined.collect()) > 0
+        p = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p, f"AQE skew split did not fire:\n{p[:1500]}"
+        assert "AQEShuffleRead skewed" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -218,3 +218,52 @@ def test_greedy_pack_matches_sequential_reference(spark, sizes):
         for r in greedy_pack(df, capacity=cap).collect()
     }
     assert got == expected
+
+
+@given(CORPUS)
+@settings(**SETTINGS)
+def test_span_dedup_fraction_bounds_and_totals(spark, texts):
+    """span dedup invariants on any corpus: fractions in [0,1], dup count
+    never exceeds window count, and total windows = Σ max(len-n+1, 0)."""
+    n = 3
+    df = _docs_df(spark, texts)
+    rows = dedup.span_duplicates(df, n=n).collect()
+    assert len(rows) == len(texts)
+    expected_windows = sum(
+        max(len(t.split()) - n + 1, 0) if t.strip() else 0 for t in texts
+    )
+    got_windows = sum(r.n_windows for r in rows)
+    # normalize_text collapses whitespace; empty docs tokenize to one ''
+    # token, still < n so zero windows either way
+    assert got_windows == expected_windows
+    for r in rows:
+        assert 0 <= r.n_dup_windows <= r.n_windows
+        assert 0.0 <= r.dup_fraction <= 1.0
+
+
+@given(st.lists(st.lists(st.floats(min_value=-3, max_value=3, allow_nan=False),
+                          min_size=3, max_size=3), min_size=2, max_size=10))
+@settings(**SETTINGS)
+def test_semantic_dedup_partitions_and_keeps_one_per_cell(spark, vecs):
+    """semantic dedup on any corpus: every vector appears exactly once,
+    n_cell sums to the corpus size, and each nonempty cell keeps >= 1
+    vector (the smallest id in a cell can never be dropped)."""
+    from collections import Counter
+
+    # skip zero vectors (undefined cosine)
+    vecs = [v for v in vecs if sum(x * x for x in v) > 1e-9]
+    if len(vecs) < 2:
+        return
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    rows = similarity.semantic_dedup(emb, eps=0.95, n_cells=2).collect()
+    assert sorted(r.vec_id for r in rows) == list(range(len(vecs)))
+    sizes = Counter(r.cell_id for r in rows)
+    for r in rows:
+        assert r.n_cell == sizes[r.cell_id]
+    for cell in sizes:
+        members = [r for r in rows if r.cell_id == cell]
+        assert any(r.kept for r in members)
+        # the smallest id in a cell has no smaller partner: always kept
+        assert min(members, key=lambda r: r.vec_id).kept
