@@ -126,6 +126,58 @@ def srp_buckets(
     return df.where(guard).select(F.col(id_col), sig.cast("long").alias("bucket"))
 
 
+def random_projection(
+    df: DataFrame,
+    r: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a deterministic
+    ±1/sqrt(r) matrix (Achlioptas 2003: ±1 entries satisfy the JL lemma) —
+    the compression step before shipping embeddings into a distance index
+    when even int8 quantization (quantize_embeddings) keeps too many dims.
+
+    The projection rows reuse srp_buckets' md5-parity sign derivation
+    (`_srp_signs`) so the matrix is a reproducible constant shipped as
+    literal arrays — no stored model, no runtime hashing, and the DuckDB
+    oracle re-derives the identical matrix in SQL. Pure narrow map,
+    shuffle-free; output (id, rproj[r], orig_norm, proj_norm). By the JL
+    lemma E[proj_norm²] = orig_norm², so norm_ratio concentrates around 1
+    (property-tested)."""
+    import math
+
+    v = F.col(vec_col)
+    guard = F.when(F.size(v) <= _SRP_MAX_DIM, F.lit(True)).otherwise(
+        F.raise_error(F.lit(f"random_projection: vector dim exceeds {_SRP_MAX_DIM}"))
+    )
+    scale = F.lit(math.sqrt(float(r)))
+    projs = []
+    for p in range(r):
+        signs = F.array(*[F.lit(s) for s in _srp_signs(p)])
+        proj = (
+            F.aggregate(
+                F.zip_with(
+                    v, F.slice(signs, 1, F.size(v)), lambda x, s: x.cast("double") * s
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / scale
+        )
+        projs.append(proj)
+    withp = df.where(guard).select(
+        F.col(id_col), v, F.array(*projs).alias("rproj")
+    )
+    return withp.select(
+        F.col(id_col),
+        "rproj",
+        norm(v).alias("orig_norm"),
+        F.sqrt(
+            F.aggregate(F.col("rproj"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("proj_norm"),
+    )
+
+
 def bucketed_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

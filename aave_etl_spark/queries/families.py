@@ -294,8 +294,18 @@ family(
     [
         ("apy", "apy_compounding", ("l_returnflag",), ("avg_apy", "avg_apy_rounded")),
         ("vesting", "vesting_clamp", ("event_type",), ("vested_total", "deposit_total")),
+        (
+            "rp",
+            "llm_rp_project",
+            ("vec_id",),
+            ("orig_norm", "proj_norm", "norm_ratio"),
+        ),
     ],
-    doc="§2.9 financial math family: APY compounding + stream-vesting clamp",
+    doc=(
+        "§2.9 financial math family: APY compounding + stream-vesting clamp"
+        " + Johnson-Lindenstrauss ±1/sqrt(r) random projection with"
+        " norm-preservation gate"
+    ),
 )
 
 # ---------------------------------------------------------------------------

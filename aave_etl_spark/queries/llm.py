@@ -1566,3 +1566,48 @@ def llm_ivf_index_search(spark, sf_dir):
         similarity.ivf_index_build(store, emb, n_cells=16)
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_index_search(store, queries, k=3, n_probe=4)
+
+
+def _rp_oracle(r: int = 16) -> str:
+    """DuckDB mirror of similarity.random_projection: row p of the ±1/sqrt(r)
+    matrix reuses the SRP md5-parity sign derivation (`_srp_oracle` docs)."""
+    sign = (
+        "CASE WHEN strpos('13579bdf', "
+        "substring(md5('{p}:' || CAST(i - 1 AS VARCHAR)), 15, 1)) > 0 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
+    projs = ", ".join(
+        f"list_sum(list_transform(e, (x, i) -> x * {sign.format(p=p)})) / sqrt({r}.0)"
+        for p in range(r)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (SELECT vec_id, e, [{projs}] AS rp FROM v)
+    SELECT vec_id,
+           round(sqrt(list_dot_product(e, e)), 6) AS orig_norm,
+           round(sqrt(list_dot_product(rp, rp)), 6) AS proj_norm,
+           round(sqrt(list_dot_product(rp, rp)) / sqrt(list_dot_product(e, e)), 6)
+             AS norm_ratio
+    FROM p
+    """
+
+
+@register(
+    "llm_rp_project",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=_rp_oracle(r=16),
+    doc=(
+        "LLM similarity: Johnson-Lindenstrauss random projection 64->16 dims"
+        " (Achlioptas ±1/sqrt(r) literal matrix, md5-parity derivation shared"
+        " with SRP) — shuffle-free narrow map; the query gates per-vector"
+        " norm preservation"
+    ),
+)
+def llm_rp_project(spark, sf_dir):
+    rp = similarity.random_projection(t(spark, sf_dir, "embeddings"), r=16)
+    return rp.select(
+        "vec_id",
+        F.round("orig_norm", 6).alias("orig_norm"),
+        F.round("proj_norm", 6).alias("proj_norm"),
+        F.round(F.col("proj_norm") / F.col("orig_norm"), 6).alias("norm_ratio"),
+    )

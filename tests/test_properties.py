@@ -267,3 +267,33 @@ def test_semantic_dedup_partitions_and_keeps_one_per_cell(spark, vecs):
         assert any(r.kept for r in members)
         # the smallest id in a cell has no smaller partner: always kept
         assert min(members, key=lambda r: r.vec_id).kept
+
+
+def test_random_projection_jl_properties(spark):
+    """JL invariants (deterministic given the fixed md5 sign matrix):
+    linearity (P(x+y) = P(x)+P(y)) and unbiased norm preservation —
+    the mean squared norm ratio over a batch concentrates near 1."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(64, 64))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in similarity.random_projection(emb, r=16).collect()}
+    ratios_sq = [(out[i].proj_norm / out[i].orig_norm) ** 2 for i in range(64)]
+    # E[ratio^2] = 1; with 64 samples x 16 dims the mean is within ~35%
+    assert 0.65 < sum(ratios_sq) / len(ratios_sq) < 1.35
+    # linearity: project x, y, and x+y separately
+    pair = spark.createDataFrame(
+        [
+            (0, [float(x) for x in X[0]]),
+            (1, [float(x) for x in X[1]]),
+            (2, [float(x) for x in (X[0] + X[1])]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.rproj for r in similarity.random_projection(pair, r=16).collect()}
+    for a, b, s in zip(got[0], got[1], got[2]):
+        assert abs((a + b) - s) < 1e-9
