@@ -1552,9 +1552,11 @@ def llm_ivf_index_search(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     # deterministic per-sf store root (same discipline as
     # orchestration_backfill_run): re-runs overwrite idempotently
+    # the version segment invalidates cached indexes when the assignment
+    # layout changes — bump it alongside any ivf_index_build semantics change
     store_root = os.path.join(
         tempfile.gettempdir(),
-        "aave_etl_spark_ivf",
+        "aave_etl_spark_ivf_v1",
         os.path.basename(sf_dir.rstrip("/")),
     )
     store = TableStore(spark, store_root)

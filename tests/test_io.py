@@ -185,3 +185,20 @@ def test_cluster_by_write_disjoint_file_stats(spark, tmp_path):
     # unclustered write of the same scrambled data would overlap everywhere;
     # sanity: the clustered table still returns every row
     assert store.read("clustered").count() == 20_000
+
+
+def test_full_refresh_overwrite_drops_absent_partitions(spark, tmp_path):
+    from aave_etl_spark.io.table_store import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    v1 = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "part string, v long"
+    )
+    store.write(v1, "fr", partition_cols=["part"])
+    # dynamic overwrite (default): writing only partition 'a' keeps 'b'
+    store.write(v1.filter("part = 'a'"), "fr", partition_cols=["part"])
+    assert store.read("fr").count() == 2
+    # full refresh: partition 'b' absent from the snapshot must disappear
+    store.write(v1.filter("part = 'a'"), "fr", partition_cols=["part"], full_refresh=True)
+    rows = store.read("fr").collect()
+    assert [r.part for r in rows] == ["a"]
