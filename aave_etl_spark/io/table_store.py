@@ -47,7 +47,20 @@ class TableStore:
         return os.path.join(self.root, name)
 
     def exists(self, name: str) -> bool:
+        self._recover_interrupted_compact(name)
         return os.path.isdir(self._path(name))
+
+    def _recover_interrupted_compact(self, name: str) -> None:
+        """Self-heal the one vulnerable window in :meth:`compact`'s swap: a
+        crash between ``os.replace(live, old)`` and ``os.replace(tmp, live)``
+        leaves no live directory but a complete copy at ``<name>.__old``.
+        Without this, ``exists()`` returns False and ``read()`` silently
+        serves an EMPTY frame (missing-table K3 semantics) for a table whose
+        data is sitting intact one rename away — restore it instead."""
+        live = self._path(name)
+        old = live + ".__old"
+        if not os.path.isdir(live) and os.path.isdir(old):
+            os.replace(old, live)
 
     def write(
         self,
@@ -204,6 +217,7 @@ class TableStore:
                 f"{name!r} is a catalog (bucketed) table; compaction would"
                 " orphan its bucket metadata — rewrite via write_bucketed"
             )
+        self._recover_interrupted_compact(name)
         files = self._parquet_files(name)
         if not files:
             return (0, 0)

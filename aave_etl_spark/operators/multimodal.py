@@ -125,6 +125,16 @@ def uniform_frame_sample(
     frame_idx) keys reach a decoder."""
     if m < 2:
         raise ValueError(f"need m >= 2 sample positions, got {m}")
+    # reject malformed metadata up front: fps <= 0 / NULL would divide to a
+    # NULL/NaN ts_s that flows into downstream digest joins looking valid,
+    # and a negative duration is corrupt by contract — drop both rather than
+    # emit poisoned sample rows (the row-level twin of the m<2 ValueError)
+    df = df.filter(
+        F.col(fps_col).isNotNull()
+        & (F.col(fps_col) > 0)
+        & F.col(duration_col).isNotNull()
+        & (F.col(duration_col) >= 0)
+    )
     # multiply BEFORE truncating: duration 0.9 s @ 30 fps is 27 frames, not
     # floor(0.9) * 30 = 0; fractional framerates (29.97) keep their product
     base = df.select(

@@ -105,9 +105,16 @@ def top_fraction_by_group(
     quality scoring in a curation pipeline.
 
     Exact form (default): rank over (group, score DESC, id) against
-    ceil(n_group * frac) — adds ``q_rank``, ``n_group``, ``kept``; every
-    row is returned with its verdict so downstream can audit the cut.
-    Deterministic: ties break by id (a total order).
+    ceil(round(n_group * frac, 9)) — adds ``q_rank``, ``n_group``,
+    ``kept``; every row is returned with its verdict so downstream can
+    audit the cut. Deterministic: ties break by id (a total order).
+
+    ORACLE-PARITY CONTRACT: the cut is ceil(round(x, 9)), NOT plain
+    ceil(x) — IEEE products like 0.07 * 100 = 7.000000000000001 must keep
+    7 rows, not 8. Any SQL twin certifying a NON-dyadic ``frac`` (anything
+    not exactly representable in binary: 0.07, 0.1, ...) must replicate
+    the guard verbatim: ``ceil(round(n_group * f, 9))``. A plain-ceil
+    oracle agrees only for dyadic fractions (0.5, 0.25, ...).
 
     ``approximate=True`` is the 100 TB path: the per-group score threshold
     comes from ``percentile_approx`` (one agg pass, bounded sketch state),

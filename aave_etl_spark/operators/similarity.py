@@ -527,10 +527,14 @@ def ivf_index_build(
             (-F.col("_best.neg_id")).alias("cell_id"), F.col(id_col), F.col(vec_col)
         )
     )
-    store.write(assign, name, partition_cols=["cell_id"], full_refresh=True)
+    # centroids first: an interrupted build then leaves centroids-without-index,
+    # which rebuild guards (gating on BOTH tables) detect and redo — the reverse
+    # order would leave an index-without-centroids that a naive exists(name)
+    # guard treats as complete while every search raises "not found"
     store.write(
         cent.select("cell_id", F.col("_ce").alias("centroid")), f"{name}_centroids"
     )
+    store.write(assign, name, partition_cols=["cell_id"], full_refresh=True)
 
 
 def ivf_index_search(

@@ -1437,7 +1437,9 @@ def llm_mean_pool(spark, sf_dir):
     SELECT doc_id, lang, round(score, 6) AS score,
            CAST(q_rank AS BIGINT) AS q_rank,
            CAST(n_group AS BIGINT) AS n_group,
-           (q_rank <= ceil(n_group * 0.5)) AS kept
+           -- ceil(round(x, 9)) mirrors top_fraction_by_group's IEEE guard
+           -- verbatim (required for non-dyadic fracs; harmless at 0.5)
+           (q_rank <= ceil(round(n_group * 0.5, 9))) AS kept
     FROM r
     """,
     doc=(
@@ -1544,6 +1546,7 @@ def llm_unigram_logprob(spark, sf_dir):
     ),
 )
 def llm_ivf_index_search(spark, sf_dir):
+    import hashlib
     import os
     import tempfile
 
@@ -1551,20 +1554,29 @@ def llm_ivf_index_search(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     # deterministic per-sf store root (same discipline as
-    # orchestration_backfill_run): re-runs overwrite idempotently
+    # orchestration_backfill_run): re-runs overwrite idempotently.
     # the version segment invalidates cached indexes when the assignment
-    # layout changes — bump it alongside any ivf_index_build semantics change
+    # layout changes — bump it alongside any ivf_index_build semantics change.
+    # keyed by a digest of the FULL resolved sf_dir path (not its basename):
+    # two corpora whose dirs share a basename (parallel checkouts, regenerated
+    # fixtures under different parents) must never share a cached index.
+    sf_key = hashlib.sha256(
+        os.path.realpath(sf_dir).encode("utf-8")
+    ).hexdigest()[:16]
     store_root = os.path.join(
         tempfile.gettempdir(),
         "aave_etl_spark_ivf_v1",
-        os.path.basename(sf_dir.rstrip("/")),
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
     )
     store = TableStore(spark, store_root)
     # build-once, search-many: the at-rest pattern's whole point. The index
     # is keyed by sf_dir, and the corpus at a given sf is immutable, so a
     # present index is current; repeat invocations (bench passes, driver
     # cert) exercise the search path against the materialized layout.
-    if not store.exists("ivf_index"):
+    # gate on BOTH tables: centroids are written first in ivf_index_build, so
+    # an interrupted build (either order of loss) fails this check and rebuilds
+    # instead of serving a half-written index forever.
+    if not (store.exists("ivf_index") and store.exists("ivf_index_centroids")):
         similarity.ivf_index_build(store, emb, n_cells=16)
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_index_search(store, queries, k=3, n_probe=4)

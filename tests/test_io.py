@@ -125,6 +125,29 @@ def test_compact_unpartitioned_and_missing(spark, tmp_path):
     assert store.read("u").count() == 100
 
 
+def test_compact_crash_window_recovery(spark, tmp_path):
+    """A crash between compact's two renames leaves only <name>.__old; the
+    store must restore it on the next touch instead of serving K3 empty."""
+    import os
+
+    from aave_etl_spark.io.table_store import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    store.write(df, "crashy")
+    # simulate the half-swapped state: live moved aside, replacement never
+    # renamed in (exactly the os.replace(live, old) -> crash window)
+    os.replace(str(tmp_path / "crashy"), str(tmp_path / "crashy.__old"))
+    assert store.exists("crashy")  # auto-restored, not reported missing
+    assert store.read("crashy").count() == 50
+    assert not os.path.exists(str(tmp_path / "crashy.__old"))
+    # compact on a freshly re-broken table also self-heals before counting
+    os.replace(str(tmp_path / "crashy"), str(tmp_path / "crashy.__old"))
+    fb, fa = store.compact("crashy")
+    assert fb >= 1 and fa >= 1
+    assert store.read("crashy").count() == 50
+
+
 def test_compact_refuses_bucketed_tables(spark, tmp_path):
     from aave_etl_spark.io.table_store import TableStore
 

@@ -177,6 +177,15 @@ def test_uniform_frame_sample_grid(spark):
     )
     zrows = multimodal.uniform_frame_sample(degenerate, m=4).collect()
     assert len(zrows) == 4 and all(r.frame_idx == 0 for r in zrows)
+    # poisoned metadata (fps<=0/NULL, negative duration) is dropped, never
+    # emitted as NULL/NaN ts_s rows that would join downstream looking valid
+    poisoned = spark.createDataFrame(
+        [(20, 10, 0), (21, 10, None), (22, -1, 24), (23, 5, 24)],
+        "media_id long, duration_s long, fps long",
+    )
+    prows = multimodal.uniform_frame_sample(poisoned, m=4).collect()
+    assert {r.media_id for r in prows} == {23}
+    assert all(r.ts_s is not None for r in prows)
 
 
 def test_frame_sample_plan_every_n_seconds(spark):
