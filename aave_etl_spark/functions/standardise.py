@@ -60,10 +60,16 @@ def standardise_types(df: DataFrame, address_cols: list[str] | None = None) -> D
             "recipient",
             "contract",
         )
+        # symbol/name columns hold human-readable text, never 0x-addresses —
+        # the reference's value sniff would skip them (helpers.py:690), so
+        # the name heuristic must too (atoken_symbol contains "token")
+        non_address = ("symbol", "name")
         address_cols = [
             f.name
             for f in df.schema.fields
-            if f.dataType.typeName() == "string" and any(m in f.name.lower() for m in markers)
+            if f.dataType.typeName() == "string"
+            and any(m in f.name.lower() for m in markers)
+            and not any(x in f.name.lower() for x in non_address)
         ]
     for c in address_cols:
         out = out.withColumn(c, F.lower(F.col(c)))

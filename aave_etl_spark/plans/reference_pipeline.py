@@ -108,6 +108,244 @@ def _aave_oracle_prices_by_day(ctx: AssetContext) -> DataFrame:
     )
 
 
+# --- treasury-measure chain (financials_data_lake, market_day) ------------
+def _mcfg(ctx: AssetContext, key: str, default=None):
+    return ctx.resources["markets"][ctx.partition.market].get(key, default)
+
+
+def _collectors(ctx: AssetContext) -> list[str]:
+    """Changed-collector handling (data_lake.py:392-402, 566-572): past the
+    change date both the old and new collector contracts are scanned."""
+    from datetime import datetime
+
+    collectors = [_mcfg(ctx, "collector")]
+    change = _mcfg(ctx, "collector_change_date")
+    if change is not None and datetime.fromisoformat(ctx.partition.date) > change:
+        collectors.append(_mcfg(ctx, "collector_v2"))
+    return [c for c in collectors if c]
+
+
+def _day_blocks(ctx: AssetContext):
+    return (
+        ctx.upstream("block_numbers_by_day", this_partition_only=True)
+        .select("block_height", "end_block", "block_day")
+        .first()
+    )
+
+
+def _collector_atoken_transfers_by_day(ctx: AssetContext) -> DataFrame:
+    """Covalent/Alchemy transfer scan per (collector, atoken)
+    (data_lake.py:368-459); ethereum_v1 tracks the reserve itself (:416)."""
+    from pyspark.sql import functions as F
+
+    hb = _day_blocks(ctx)
+    tokens = ctx.upstream("market_tokens_by_day", this_partition_only=True)
+    if hb is None:
+        return ctx.spark.createDataFrame([], connectors.schemas.TOKEN_TRANSFERS_BY_DAY)
+    token_col = "reserve" if ctx.partition.market == "ethereum_v1" else "atoken"
+    requests = tokens.select(
+        F.col(token_col).alias("token"),
+        F.lit(int(hb.block_height)).alias("start_block"),
+        F.lit(int(hb.end_block)).alias("end_block"),
+        "market",
+        F.lit(hb.block_day).alias("block_day"),
+        F.explode(F.array(*[F.lit(c) for c in _collectors(ctx)])).alias("collector"),
+    )
+    return connectors.token_transfers_by_day(
+        requests, ctx.resources["transports"]["token_transfers"]
+    )
+
+
+def _collector_atoken_balances_by_day(ctx: AssetContext) -> DataFrame:
+    """balanceOf/scaledBalanceOf per (collector, atoken) (data_lake.py:536-644);
+    for ethereum_v1 the transport answers scaled = balance (:585-612)."""
+    from pyspark.sql import functions as F
+
+    tokens = ctx.upstream("market_tokens_by_day", this_partition_only=True)
+    v1 = ctx.partition.market == "ethereum_v1"
+    keys = tokens.select(
+        "market",
+        F.col("reserve" if v1 else "atoken").alias("token"),
+        F.col("symbol" if v1 else "atoken_symbol").alias("symbol"),
+        "block_height",
+        "block_day",
+        F.explode(F.array(*[F.lit(c) for c in _collectors(ctx)])).alias("collector"),
+    )
+    return connectors.collector_atoken_balances_by_day(
+        keys, ctx.resources["transports"]["balance_of"]
+    )
+
+
+def _v3_accrued_fees_by_day(ctx: AssetContext) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    if _mcfg(ctx, "version") != 3:  # v3-only (data_lake.py:780)
+        return ctx.spark.createDataFrame([], connectors.schemas.V3_ACCRUED_FEES_BY_DAY)
+    keys = ctx.upstream("market_tokens_by_day", this_partition_only=True).select(
+        "market", "reserve", "symbol", "decimals", "atoken", "atoken_symbol",
+        "block_height", "block_day",
+    )
+    return connectors.v3_accrued_fees_by_day(
+        keys, ctx.resources["transports"]["reserve_data"]
+    )
+
+
+def _v3_minted_to_treasury_by_day(ctx: AssetContext) -> DataFrame:
+    if _mcfg(ctx, "version") != 3:  # v3-only (data_lake.py:1006)
+        return ctx.spark.createDataFrame(
+            [], connectors.schemas.V3_MINTED_TO_TREASURY_BY_DAY
+        )
+    hb = _day_blocks(ctx)
+    tokens = ctx.upstream("market_tokens_by_day", this_partition_only=True)
+    if hb is None:
+        return ctx.spark.createDataFrame(
+            [], connectors.schemas.V3_MINTED_TO_TREASURY_BY_DAY
+        )
+    return connectors.v3_minted_to_treasury_by_day(
+        ctx.spark,
+        ctx.resources["transports"]["events_by_topic"],
+        tokens,
+        int(hb.block_height),
+        int(hb.end_block),
+        int(_mcfg(ctx, "chain_id", 1)),
+        _mcfg(ctx, "pool"),
+        ctx.partition.market,
+        ctx.partition.date,
+    )
+
+
+def _treasury_accrued_incentives_by_day(ctx: AssetContext) -> DataFrame:
+    hb = _day_blocks(ctx)
+    if hb is None:
+        return ctx.spark.createDataFrame(
+            [], connectors.schemas.TREASURY_ACCRUED_INCENTIVES_BY_DAY
+        )
+    return connectors.treasury_accrued_incentives_by_day(
+        ctx.spark,
+        ctx.resources["transports"]["treasury_incentives"],
+        _chain(ctx),
+        ctx.partition.market,
+        _mcfg(ctx, "collector"),
+        _mcfg(ctx, "incentives_controller"),
+        int(_mcfg(ctx, "version", 0)),
+        int(hb.end_block) + 1,  # data_lake.py:1191
+        ctx.partition.date,
+        rewards_token=_mcfg(ctx, "rewards_token"),
+        rewards_token_symbol=_mcfg(ctx, "rewards_token_symbol"),
+        rewards_token_decimals=_mcfg(ctx, "rewards_token_decimals"),
+    )
+
+
+def _non_atoken_transfers_by_day(ctx: AssetContext) -> DataFrame:
+    """CONFIG_TOKENS wallet×token fan-out (data_lake.py:472-532); markets
+    absent from the config contribute no keys (:504)."""
+    from pyspark.sql import functions as F
+
+    hb = _day_blocks(ctx)
+    if hb is None:
+        return ctx.spark.createDataFrame([], connectors.schemas.TOKEN_TRANSFERS_BY_DAY)
+    keys = (
+        ctx.resources["config_tokens"]
+        .filter(F.col("market") == ctx.partition.market)
+        .select(
+            F.col("wallet_address").alias("collector"),
+            F.col("token_address").alias("token"),
+            F.lit(int(hb.block_height)).alias("start_block"),
+            F.lit(int(hb.end_block)).alias("end_block"),
+            "market",
+            F.lit(hb.block_day).alias("block_day"),
+        )
+    )
+    return connectors.non_atoken_transfers_by_day(
+        keys, ctx.resources["transports"]["token_transfers"]
+    )
+
+
+def _non_atoken_balances_by_day(ctx: AssetContext) -> DataFrame:
+    """balanceOf at end_block+1 with config-sourced decimals
+    (data_lake.py:652-724); block_day is the partition date (:677-679)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    hb = _day_blocks(ctx)
+    if hb is None:
+        return ctx.spark.createDataFrame(
+            [], connectors.schemas.NON_ATOKEN_BALANCES_BY_DAY
+        )
+    keys = (
+        ctx.resources["config_tokens"]
+        .filter(F.col("market") == ctx.partition.market)
+        .select(
+            F.col("wallet_address").alias("contract_address"),
+            F.lit(_chain(ctx)).alias("chain"),
+            "market",
+            F.col("token_address").alias("token"),
+            "decimals",
+            "symbol",
+            F.lit(int(hb.end_block) + 1).alias("block_height"),
+            F.lit(datetime.fromisoformat(ctx.partition.date)).alias("block_day"),
+        )
+    )
+    return connectors.non_atoken_balances_by_day(
+        keys, ctx.resources["transports"]["balance_of"]
+    )
+
+
+def _paraswap_claimable_fees(ctx: AssetContext) -> DataFrame:
+    tokens = ctx.upstream("market_tokens_by_day", this_partition_only=True)
+    return connectors.paraswap_claimable_fees(
+        ctx.spark,
+        ctx.resources["transports"]["paraswap_claimable"],
+        tokens,
+        _chain(ctx),
+        ctx.partition.market,
+        _mcfg(ctx, "paraswap_fee_claimer"),
+    )
+
+
+def _market_chain_dim(ctx: AssetContext) -> DataFrame:
+    """Tiny (market, chain) dim from config (data_warehouse.py:109-112)."""
+    return ctx.spark.createDataFrame(
+        [(m, c["chain"]) for m, c in ctx.resources["markets"].items()],
+        "market string, chain string",
+    )
+
+
+def _wh_atoken_measures(ctx: AssetContext) -> DataFrame:
+    from aave_etl_spark.warehouse.measures import atoken_measures_by_day
+
+    s = connectors.schemas
+    return atoken_measures_by_day(
+        ctx.upstream(
+            "collector_atoken_balances_by_day",
+            schema=s.COLLECTOR_ATOKEN_BALANCES_BY_DAY,
+        ),
+        ctx.upstream(
+            "collector_atoken_transfers_by_day", schema=s.TOKEN_TRANSFERS_BY_DAY
+        ),
+        ctx.upstream("v3_accrued_fees_by_day", schema=s.V3_ACCRUED_FEES_BY_DAY),
+        ctx.upstream(
+            "v3_minted_to_treasury_by_day", schema=s.V3_MINTED_TO_TREASURY_BY_DAY
+        ),
+        ctx.resources["internal_addresses"],
+        _market_chain_dim(ctx),
+    )
+
+
+def _wh_non_atoken_measures(ctx: AssetContext) -> DataFrame:
+    from aave_etl_spark.warehouse.measures import non_atoken_measures_by_day
+
+    s = connectors.schemas
+    return non_atoken_measures_by_day(
+        ctx.upstream("non_atoken_balances_by_day", schema=s.NON_ATOKEN_BALANCES_BY_DAY),
+        ctx.upstream("non_atoken_transfers_by_day", schema=s.TOKEN_TRANSFERS_BY_DAY),
+        ctx.resources["internal_addresses"],
+        ctx.upstream("paraswap_claimable_fees", schema=s.PARASWAP_CLAIMABLE_FEES),
+        _market_chain_dim(ctx),
+    )
+
+
 # --- protocol_data_lake group (market_day multipartition) -----------------
 def _protocol_data_by_day(ctx: AssetContext) -> DataFrame:
     keys = ctx.upstream("market_tokens_by_day", this_partition_only=True).select(
@@ -471,6 +709,95 @@ def reference_graph(include_market_state: bool = False) -> AssetGraph:
     ]
     if include_market_state:
         assets += [
+            # treasury-measure chain: the flagship's own upstream
+            # (data_lake.py:368-1279 → data_warehouse.py:84-335)
+            Asset(
+                "collector_atoken_transfers_by_day",
+                fn=_collector_atoken_transfers_by_day,
+                deps=("block_numbers_by_day", "market_tokens_by_day"),
+                group="financials_data_lake",
+                partitioning=MARKET_DAY,
+                partition_cols=("block_day", "market"),
+            ),
+            Asset(
+                "collector_atoken_balances_by_day",
+                fn=_collector_atoken_balances_by_day,
+                deps=("market_tokens_by_day",),
+                group="financials_data_lake",
+                partitioning=MARKET_DAY,
+                partition_cols=("block_day", "market"),
+            ),
+            Asset(
+                "v3_accrued_fees_by_day",
+                fn=_v3_accrued_fees_by_day,
+                deps=("market_tokens_by_day",),
+                group="financials_data_lake",
+                partitioning=MARKET_DAY,
+                partition_cols=("block_day", "market"),
+            ),
+            Asset(
+                "v3_minted_to_treasury_by_day",
+                fn=_v3_minted_to_treasury_by_day,
+                deps=("block_numbers_by_day", "market_tokens_by_day"),
+                group="financials_data_lake",
+                partitioning=MARKET_DAY,
+                partition_cols=("block_day", "market"),
+            ),
+            Asset(
+                "treasury_accrued_incentives_by_day",
+                fn=_treasury_accrued_incentives_by_day,
+                deps=("block_numbers_by_day",),
+                group="financials_data_lake",
+                partitioning=MARKET_DAY,
+                partition_cols=("block_day", "market"),
+            ),
+            Asset(
+                "non_atoken_transfers_by_day",
+                fn=_non_atoken_transfers_by_day,
+                deps=("block_numbers_by_day",),
+                group="financials_data_lake",
+                partitioning=MARKET_DAY,
+                partition_cols=("block_day", "market"),
+            ),
+            Asset(
+                "non_atoken_balances_by_day",
+                fn=_non_atoken_balances_by_day,
+                deps=("block_numbers_by_day",),
+                group="financials_data_lake",
+                partitioning=MARKET_DAY,
+                partition_cols=("block_day", "market"),
+            ),
+            Asset(
+                "paraswap_claimable_fees",
+                fn=_paraswap_claimable_fees,
+                deps=("market_tokens_by_day",),
+                group="financials_data_lake",
+                partitioning=MARKET_DAY,
+                partition_cols=("block_day", "market"),
+            ),
+            Asset(
+                "atoken_measures_by_day",
+                fn=_wh_atoken_measures,
+                deps=(
+                    "collector_atoken_balances_by_day",
+                    "collector_atoken_transfers_by_day",
+                    "v3_accrued_fees_by_day",
+                    "v3_minted_to_treasury_by_day",
+                ),
+                group="warehouse",
+                partitioning=UNPARTITIONED,
+            ),
+            Asset(
+                "non_atoken_measures_by_day",
+                fn=_wh_non_atoken_measures,
+                deps=(
+                    "non_atoken_balances_by_day",
+                    "non_atoken_transfers_by_day",
+                    "paraswap_claimable_fees",
+                ),
+                group="warehouse",
+                partitioning=UNPARTITIONED,
+            ),
             Asset(
                 "protocol_data_by_day",
                 fn=_protocol_data_by_day,

@@ -17,7 +17,7 @@ Driver-side vs executor-side:
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -608,6 +608,9 @@ def events_by_topic_hash(
                 "block_height": int(e["block_height"]),
                 "tx_hash": e["tx_hash"].lower(),
                 "raw_log_topics_0": e["topics"][0].lower(),
+                "raw_log_topics_1": (
+                    e["topics"][1].lower() if len(e["topics"]) > 1 and e["topics"][1] else None
+                ),
                 "sender_address": e["sender_address"].lower(),
                 "raw_log_data": e.get("raw_log_data"),
             }
@@ -980,3 +983,291 @@ def liquidity_depth_refine_grid(
         )
         .drop("_i", "_step", "from_amount_usd_low")
     )
+
+
+# ---------------------------------------------------------------------------
+# Treasury-measure lake chain: accrued fees, MintedToTreasury decode, and
+# treasury LM incentives — the three upstream tables of
+# warehouse.measures.atoken_measures_by_day.
+# Reference: v3_accrued_fees_by_day data_lake.py:744-905,
+# v3_minted_to_treasury_by_day data_lake.py:929-1092,
+# treasury_accrued_incentives_by_day data_lake.py:1095-1279.
+# ---------------------------------------------------------------------------
+
+# event signature keccak hashes (public constants, data_lake.py:966, 1013)
+MINTED_TO_TREASURY_TOPIC = "0xbfa21aa5d5f9a1f0120a95e7c0749f389863cbdbfff531aa7339077a5bc919de"
+MINT_TOPIC = "0x458f5fa412d0f69b08dd84872b0215675cc67bc1d5b6fd93300a1c3878b86196"
+
+
+def uint256_hex_to_double(col, word: int = 0):
+    """ABI-decode 32-byte word ``word`` of an ``0x…`` hex data blob into a
+    double, JVM-side (the Spark analog of ``decode(['uint256'], …)`` +
+    float64 cast, data_lake.py:978-981, 1031-1034).
+
+    ``conv(hex, 16, 10)`` is 64-bit-capped, so the 64-hex-char word splits
+    into four 16-char limbs, each conv'd independently, recombined with
+    double math: v = l0·2^192 + l1·2^128 + l2·2^64 + l3. Realistic token
+    amounts occupy ≤2 limbs, where this is exactly the reference's
+    int→Float64 rounding; a whole-stage-codegen expression, no UDF."""
+    h = F.lower(F.regexp_replace(col, "^0x", ""))
+    w = F.substring(h, word * 64 + 1, 64)
+    limbs = [
+        F.coalesce(F.conv(F.substring(w, i * 16 + 1, 16), 16, 10).cast("double"), F.lit(0.0))
+        for i in range(4)
+    ]
+    return (
+        limbs[0] * float(2**192)
+        + limbs[1] * float(2**128)
+        + limbs[2] * float(2**64)
+        + limbs[3]
+    )
+
+
+def topic_address(col):
+    """Indexed-address topic → address: the 20-byte value right-aligned in
+    the 32-byte topic (``decode(['address'], …)``, data_lake.py:982-984)."""
+    return F.concat(F.lit("0x"), F.lower(F.substring(col, -40, 40)))
+
+
+def v3_accrued_fees_by_day(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """Fees earned but not yet materialised via MintToTreasury().
+
+    keys: (market, reserve, symbol, decimals, atoken, atoken_symbol,
+    block_height, block_day) — the v3 token dim; the caller gates on
+    market version 3 (data_lake.py:780) so v2 markets contribute no keys.
+    One getReserveData() per reserve fans out on the executors; payload
+    carries the raw uint fields {"accrued_to_treasury_scaled", ray
+    "liquidity_index"}. Unit math data_lake.py:884-886:
+    accrued_fees_scaled = raw/10^decimals, liquidity_index = ray/1e27,
+    accrued_fees = scaled × index (golden values pinned by
+    aave_data_tests/financials/test_data_lake.py::test_v3_accrued_fees_by_day)."""
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        scaled = float(payload["accrued_to_treasury_scaled"]) / 10 ** int(req["decimals"])
+        idx = float(payload["liquidity_index"]) / 1e27
+        return [
+            {
+                "market": req["market"],
+                "reserve": req["reserve"].lower(),
+                "symbol": req["symbol"],
+                "atoken": req["atoken"].lower(),
+                "atoken_symbol": req["atoken_symbol"],
+                "block_height": req["block_height"],
+                "block_day": req["block_day"],
+                "accrued_fees_scaled": scaled,
+                "liquidity_index": idx,
+                "accrued_fees": scaled * idx,
+            }
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.V3_ACCRUED_FEES_BY_DAY, policy)
+
+
+def v3_minted_to_treasury_by_day(
+    spark: SparkSession,
+    transport: Transport,
+    market_tokens: DataFrame,
+    start_block: int,
+    end_block: int,
+    chain_id: int,
+    pool: str,
+    market: str,
+    block_day: str,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """MintedToTreasury amounts joined to their Mint twins, rolled to day.
+
+    Reference data_lake.py:929-1092: fetch MintedToTreasury events at the
+    pool (S8), ABI-decode amount (data word 0) + reserve (topic 1), inner
+    join the token dim on the reserve, then fetch Mint events, keep only
+    tx_hashes present in the minted set (the ``isin`` filter :1029 →
+    LEFT SEMI here), decode value (word 0 of the 3×uint256 data), join on
+    (tx_hash, atoken = sender) and group-to-day with summed amounts
+    (:1066 catches multiple MintToTreasury events in a day).
+
+    block_day lands on the PREVIOUS day (partition - 1 day, :988) — the
+    events cover the prior day's block range. Decodes are JVM-side limb
+    expressions (uint256_hex_to_double); the token dim is broadcast; the
+    only shuffle is the final day rollup. The transport returns raw log
+    items only (the reference drops covalent-predecoded rows, :1030)."""
+    minted_ev = events_by_topic_hash(
+        spark, transport, start_block, end_block, chain_id,
+        MINTED_TO_TREASURY_TOPIC, sender_address=pool, policy=policy,
+    )
+    if minted_ev.first() is None:  # no events → typed empty (:1067-1070)
+        return empty_frame(spark, schemas.V3_MINTED_TO_TREASURY_BY_DAY)
+
+    minted = (
+        minted_ev.filter(F.col("raw_log_topics_0").isNotNull())  # :977
+        .select(
+            "tx_hash",
+            topic_address(F.col("raw_log_topics_1")).alias("minted_reserve"),
+            uint256_hex_to_double(F.col("raw_log_data")).alias("minted_raw"),
+        )
+    )
+    toks = market_tokens.select(
+        "reserve", "symbol", "decimals", "atoken", "atoken_symbol", "block_height"
+    )
+    joined = (
+        minted.join(F.broadcast(toks), minted.minted_reserve == toks.reserve, "inner")
+        .withColumn(
+            "minted_to_treasury_amount",
+            F.col("minted_raw") / F.pow(F.lit(10.0), F.col("decimals")),
+        )
+    )
+
+    mint_ev = events_by_topic_hash(
+        spark, transport, start_block, end_block, chain_id, MINT_TOPIC, policy=policy
+    )
+    mints = (
+        mint_ev.join(joined.select("tx_hash"), "tx_hash", "left_semi")
+        .select(
+            "tx_hash",
+            F.col("sender_address").alias("minted_atoken"),
+            uint256_hex_to_double(F.col("raw_log_data")).alias("value_raw"),
+        )
+    )
+    out = (
+        joined.join(
+            mints,
+            (joined.tx_hash == mints.tx_hash) & (joined.atoken == mints.minted_atoken),
+            "inner",
+        )
+        .drop(mints.tx_hash)
+        .withColumn("minted_amount", F.col("value_raw") / F.pow(F.lit(10.0), F.col("decimals")))
+    )
+
+    prev_day = datetime.fromisoformat(block_day) - timedelta(days=1)
+    out = (
+        out.withColumn("market", F.lit(market))
+        .withColumn("block_day", F.lit(prev_day))
+        .groupBy("market", "reserve", "symbol", "atoken", "atoken_symbol",
+                 "block_height", "block_day")
+        .agg(
+            F.sum("minted_to_treasury_amount").alias("minted_to_treasury_amount"),
+            F.sum("minted_amount").alias("minted_amount"),
+        )
+    )
+    return standardise_types(out.to(schemas.V3_MINTED_TO_TREASURY_BY_DAY))
+
+
+def treasury_accrued_incentives_by_day(
+    spark: SparkSession,
+    transport: Transport,
+    chain: str,
+    market: str,
+    collector: str,
+    incentives_controller: str | None,
+    version: int,
+    block_height: int,
+    block_day: str,
+    rewards_token: str | None = None,
+    rewards_token_symbol: str | None = None,
+    rewards_token_decimals: int | None = None,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """Accrued LM rewards owed to the treasury from holding aTokens.
+
+    Reference data_lake.py:1095-1279. v3: the transport enumerates
+    getRewardsList() and returns one element per reward token with its
+    ERC20 symbol/decimals and getUserAccruedRewards(collector, token)
+    raw amount; v2: a single getUserUnclaimedRewards(collector) amount
+    with token/symbol/decimals from market config (:1232-1250). No
+    incentives controller (or other versions) → typed empty (:1181-1182).
+    ``block_height`` is the caller's end_block+1 (:1191)."""
+    if incentives_controller is None or version not in (2, 3):
+        return empty_frame(spark, schemas.TREASURY_ACCRUED_INCENTIVES_BY_DAY)
+
+    day = datetime.fromisoformat(block_day)
+    base_row = {
+        "chain": chain,
+        "market": market,
+        "collector_contract": collector.lower(),
+        "block_height": block_height,
+        "block_day": day,
+    }
+
+    def rows(payload: Any) -> list[dict[str, Any]]:
+        if version == 3:
+            return [
+                {
+                    **base_row,
+                    "rewards_token_address": rw["address"].lower(),
+                    "rewards_token_symbol": rw["symbol"],
+                    "accrued_rewards": float(rw["accrued"]) / 10 ** int(rw["decimals"]),
+                }
+                for rw in payload["rewards"]
+            ]
+        return [
+            {
+                **base_row,
+                "rewards_token_address": str(rewards_token).lower(),
+                "rewards_token_symbol": rewards_token_symbol,
+                "accrued_rewards": float(payload["raw"]) / 10 ** int(rewards_token_decimals or 0),
+            }
+        ]
+
+    req = {
+        "kind": "treasury_incentives",
+        "controller": incentives_controller,
+        "user": collector,
+        "block": block_height,
+        "version": version,
+    }
+    return driver_fetch(
+        spark, transport, req, rows, schemas.TREASURY_ACCRUED_INCENTIVES_BY_DAY, policy
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-atoken twins: wallet-config fan-out over CONFIG_TOKENS instead of the
+# market token dim. Reference: non_atoken_transfers_by_day data_lake.py:472-532,
+# non_atoken_balances_by_day data_lake.py:652-724.
+# ---------------------------------------------------------------------------
+def non_atoken_transfers_by_day(
+    requests: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """Treasury-swap / governance / incentives-payment transfers.
+
+    Same Covalent transfer flatten + day rollup as the collector variant
+    (the reference calls the identical helper, data_lake.py:509-515);
+    only the request keys differ — one row per (wallet, token) from the
+    CONFIG_TOKENS map with collector = the config wallet address
+    (:506-517), built by the caller (plans/reference_pipeline.py)."""
+    return token_transfers_by_day(requests, transport, policy)
+
+
+def non_atoken_balances_by_day(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """balanceOf() scan over the CONFIG_TOKENS wallet×token fan-out.
+
+    keys: (contract_address, chain, market, token, decimals, symbol,
+    block_height, block_day) — block_height is end_block+1 of the PREVIOUS
+    day's range (data_lake.py:675-677). Decimals come from config (not an
+    RPC), so the decimal shift uses the key (:700-706)."""
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        return [
+            {
+                "contract_address": req["contract_address"].lower(),
+                "chain": req["chain"],
+                "market": req["market"],
+                "token": req["token"].lower(),
+                "decimals": int(req["decimals"]),
+                "symbol": req["symbol"],
+                "block_height": req["block_height"],
+                "block_day": req["block_day"],
+                "balance": float(payload["raw"]) / 10 ** int(req["decimals"]),
+            }
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.NON_ATOKEN_BALANCES_BY_DAY, policy)

@@ -73,10 +73,13 @@ NON_ATOKEN_BALANCES_BY_DAY = _schema(
     ("balance", D),
 )
 
-# S8 — event logs by topic hash (helpers.py:603-661)
+# S8 — event logs by topic hash (helpers.py:603-661). topics_1 carries the
+# first indexed argument (needed by the MintedToTreasury decode,
+# data_lake.py:978-984); NULL when the event has no indexed args.
 EVENTS_BY_TOPIC = _schema(
     ("block_signed_at", T), ("block_height", L), ("tx_hash", S),
-    ("raw_log_topics_0", S), ("sender_address", S), ("raw_log_data", S),
+    ("raw_log_topics_0", S), ("raw_log_topics_1", S), ("sender_address", S),
+    ("raw_log_data", S),
 )
 
 # S9 — reserve config+state multicall (helpers.py:937-965; FIXTURES §9)
@@ -265,6 +268,13 @@ V3_MINTED_TO_TREASURY_BY_DAY = _schema(
     ("market", S), ("reserve", S), ("symbol", S), ("atoken", S),
     ("atoken_symbol", S), ("block_height", L), ("block_day", T),
     ("minted_to_treasury_amount", D), ("minted_amount", D),
+)
+
+# treasury LM rewards accrued to the collector (data_lake.py:1095-1279)
+TREASURY_ACCRUED_INCENTIVES_BY_DAY = _schema(
+    ("chain", S), ("market", S), ("collector_contract", S),
+    ("block_height", L), ("block_day", T), ("rewards_token_address", S),
+    ("rewards_token_symbol", S), ("accrued_rewards", D),
 )
 
 PARASWAP_CLAIMABLE_FEES = _schema(

@@ -146,17 +146,21 @@ def non_atoken_measures_by_day(
     """Non-atoken variant (data_warehouse.py:236-335): transfers keyed by
     holder contract_address; paraswap claimable fees stacked in via
     union+re-aggregate (:321-331) rather than a join."""
+    # balances already carry chain; pandas merge(how='left') with no `on`
+    # joins on ALL shared columns = (market, chain) (data_warehouse.py:271)
     out = non_atoken_balances_by_day.drop("block_height", "decimals").join(
-        F.broadcast(market_chain), "market", "left"
+        F.broadcast(market_chain), ["market", "chain"], "left"
     )
 
     transfers = classify_transfers(
         non_atoken_transfers_by_day, aave_internal_addresses, market_chain
     )
+    # ordered renames: contract_address→token must happen BEFORE
+    # collector→contract_address or the rename map collides and every
+    # post-collision 'contract_address' (old + new) becomes 'token'
     transfers_agg = (
-        transfers.withColumnsRenamed(
-            {"collector": "contract_address", "contract_address": "token"}
-        )
+        transfers.withColumnRenamed("contract_address", "token")
+        .withColumnRenamed("collector", "contract_address")
         .groupBy("market", "chain", "contract_address", "token", "block_day")
         .agg(*[F.sum(q).alias(q) for q in QUADRANTS])
     )

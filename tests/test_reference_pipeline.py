@@ -17,10 +17,39 @@ from aave_etl_spark.plans.reference_pipeline import (
     reference_graph,
 )
 
-MARKETS = {"ethereum_v2": {"chain": "ethereum"}, "polygon_v3": {"chain": "polygon"}}
+MARKETS = {
+    "ethereum_v2": {
+        "chain": "ethereum", "version": 2, "chain_id": 1,
+        "pool": "0xpool_eth", "collector": "0xcol",
+        "incentives_controller": "0xic2",
+        "rewards_token": "0xAAVE", "rewards_token_symbol": "stkAAVE",
+        "rewards_token_decimals": 18,
+    },
+    "polygon_v3": {
+        "chain": "polygon", "version": 3, "chain_id": 137,
+        "pool": "0xpool_pol", "collector": "0xcolp",
+        "incentives_controller": "0xic3",
+        "paraswap_fee_claimer": "0xPSC",
+    },
+}
+
+
+def _res_addr(market: str, i: int) -> str:
+    """40-hex reserve address (topic-decode round-trips require real
+    addresses); tag byte distinguishes markets, suffix carries the index."""
+    tag = "e" if market == "ethereum_v2" else "f"
+    return "0x" + tag * 36 + f"{i:04d}"
 
 
 def _transports():
+    # nested copy: fan-out transports (incentives, events) close over this,
+    # and cloudpickle must serialize it BY VALUE for executors (a
+    # module-level test function would pickle by reference and fail to
+    # import on workers)
+    def res_addr(market, i):
+        tag = "e" if market == "ethereum_v2" else "f"
+        return "0x" + tag * 36 + f"{i:04d}"
+
     def closest_block(req):
         from datetime import datetime, timezone
 
@@ -40,7 +69,7 @@ def _transports():
         return {
             "reserves": [
                 {
-                    "underlyingAsset": f"0xRES_{req['market']}_{i}",
+                    "underlyingAsset": res_addr(req["market"], i),
                     "name": f"Token {i}",
                     "symbol": f"T{i}",
                     "decimals": 18,
@@ -57,7 +86,7 @@ def _transports():
 
     def protocol_data(req):
         # v3-style payload; reserve index drives the eMode category
-        i = int(req["reserve"].rsplit("_", 1)[-1])
+        i = int(req["reserve"][-4:])
         return {
             "ltv": 8000, "liquidation_threshold": 8250, "liquidation_bonus": 10500,
             "reserve_factor": 1000,
@@ -92,7 +121,7 @@ def _transports():
         return {
             "reserves": [
                 {
-                    "underlying_asset": f"0xRES_{req['market']}_0",
+                    "underlying_asset": res_addr(req["market"], 0),
                     "atoken": {"token_address": "0xA", "controller": "0xC",
                                "rewards": [reward]},
                 }
@@ -132,7 +161,67 @@ def _transports():
     def coingecko(req):
         return {"aave": [[1704067200000, 95.0], [1704153600000, 97.5]]}
 
+    def token_transfers(req):
+        # one external inflow + one internal outflow per (collector, token)
+        i = int(req["token"][-1]) if req["token"][-1].isdigit() else 0
+        sym = f"aT{i}" if "atok" in req["token"] else "GOV"
+        return {"transfers": [
+            {"type": "IN", "from": "0xEXT1", "to": req["collector"],
+             "raw_amount": 3 * 10**18, "decimals": 18, "name": "T", "symbol": sym},
+            {"type": "OUT", "from": req["collector"], "to": "0xINT1",
+             "raw_amount": 1 * 10**18, "decimals": 18, "name": "T", "symbol": sym},
+        ]}
+
+    def balance_of(req):
+        # superset payload: collector-atoken path reads balance/scaled,
+        # non-atoken path reads raw with config decimals
+        return {"decimals": 18, "balance": 5 * 10**18,
+                "scaled_balance": 4 * 10**18, "raw": 9 * 10**18}
+
+    def reserve_data(req):
+        return {"accrued_to_treasury_scaled": 2 * 10**18,
+                "liquidity_index": 1.01 * 10**27}
+
+    def events_by_topic(req):
+        from aave_etl_spark.sources.connectors import MINT_TOPIC, MINTED_TO_TREASURY_TOPIC
+
+        market = "polygon_v3" if req["chain_id"] == 137 else "ethereum_v2"
+        res = res_addr(market, 0)
+        if req["topic"] == MINTED_TO_TREASURY_TOPIC:
+            topic1 = "0x" + "0" * 24 + res[2:]
+            return {"items": [
+                {"block_signed_at": 1704100000, "block_height": req["start_block"] + 5,
+                 "tx_hash": "0xTXMT", "topics": [MINTED_TO_TREASURY_TOPIC, topic1],
+                 "sender_address": "0xpool_pol",
+                 "raw_log_data": "0x" + format(6 * 10**18, "064x")},
+            ]}
+        # Mint twin: sender is the atoken, 3×uint256 data, word 0 = value
+        return {"items": [
+            {"block_signed_at": 1704100000, "block_height": req["start_block"] + 5,
+             "tx_hash": "0xTXMT", "topics": [MINT_TOPIC],
+             "sender_address": "0xATOK_0",
+             "raw_log_data": "0x" + format(7 * 10**18, "064x")
+                              + format(10**18, "064x") + format(10**27, "064x")},
+        ]}
+
+    def treasury_incentives(req):
+        if req["version"] == 3:
+            return {"rewards": [
+                {"address": "0xWMATIC", "symbol": "WMATIC", "decimals": 18,
+                 "accrued": 11 * 10**18},
+            ]}
+        return {"raw": 13 * 10**18}
+
+    def paraswap_claimable(req):
+        return {"claimable": [2 * 10**6 for _ in req["tokens"]]}
+
     return {
+        "token_transfers": token_transfers,
+        "balance_of": balance_of,
+        "reserve_data": reserve_data,
+        "events_by_topic": events_by_topic,
+        "treasury_incentives": treasury_incentives,
+        "paraswap_claimable": paraswap_claimable,
         "closest_block": closest_block,
         "closest_block_hour": closest_block_hour,
         "subgraph_tokens": subgraph_tokens,
@@ -197,9 +286,22 @@ def pipeline_store(spark, tmp_path_factory):
         {"cg_id": "aave", "symbol": "AAVE", "address": "0xAAVE", "chain": "ethereum",
          "decimals": 18},
     ]
+    config_tokens = spark.createDataFrame(
+        [("ethereum_v2", "ecosystem_reserve", "0xWAL1", "aave", "0xGOV1", 18),
+         ("polygon_v3", "treasury", "0xWAL2", "wmatic", "0xGOV2", 18)],
+        "market string, wallet_label string, wallet_address string,"
+        "symbol string, token_address string, decimals long",
+    )
+    internal_addresses = spark.createDataFrame(
+        [("ethereum", "0xint1", "aave_internal"),
+         ("polygon", "0xint1", "aave_internal")],
+        "chain string, contract_address string, internal_external string",
+    )
     resources = {
         "transports": _transports(),
         "markets": MARKETS,
+        "config_tokens": config_tokens,
+        "internal_addresses": internal_addresses,
         "market_chain_rank": ranks,
         "display_names": display_names,
         "compound_v2_tokens": compound_tokens,
@@ -239,7 +341,7 @@ def test_lake_layer_partitions(pipeline_store):
     assert tokens.count() == 12  # 3 tokens x 2 days x 2 markets
     # dependent fetch used the partition's block height, and lowercased
     row = tokens.filter("market = 'ethereum_v2'").first()
-    assert row.reserve.startswith("0xres_ethereum_v2")
+    assert row.reserve.startswith("0x" + "e" * 36)
     assert row.block_height >= 1_000_000
 
     prices = pipeline_store.read("aave_oracle_prices_by_day")
@@ -419,3 +521,70 @@ def test_hourly_protocol_and_datamart(pipeline_store):
     rfh = pipeline_store.read("reserve_factor_income_by_hour")
     assert rfh.count() == 6
     assert "daily_income_usd" in rfh.columns
+
+
+def test_treasury_measure_chain(pipeline_store):
+    """The treasury-measure lake chain runs off REAL (fake-transport)
+    connectors end-to-end: data_lake.py:368-1279 feeding
+    data_warehouse.py:84-335 — atoken/non-atoken measures no longer
+    synthesized from fixtures."""
+    fees = pipeline_store.read("v3_accrued_fees_by_day")
+    # v3-only gate: polygon_v3's 3 reserves × 2 days, ethereum_v2 none
+    assert fees.count() == 6
+    assert fees.filter("market != 'polygon_v3'").count() == 0
+    row = fees.first()
+    # accrued_fees = scaled × liquidity_index (data_lake.py:884-886)
+    assert abs(row.accrued_fees - 2.0 * 1.01) < 1e-9
+
+    minted = pipeline_store.read("v3_minted_to_treasury_by_day")
+    # one MintedToTreasury event per polygon day-run; lands on partition-1
+    assert minted.count() == 2
+    m = minted.filter("block_day = TIMESTAMP '2024-01-01 00:00:00'").first()
+    assert m is not None
+    assert abs(m.minted_to_treasury_amount - 6.0) < 1e-9
+    assert abs(m.minted_amount - 7.0) < 1e-9  # Mint word 0, not balanceIncrease
+
+    inc = pipeline_store.read("treasury_accrued_incentives_by_day")
+    # v3 rewards enumeration + v2 config-token path, 2 markets × 2 days
+    assert inc.count() == 4
+    v2 = inc.filter("market = 'ethereum_v2'").first()
+    assert v2.rewards_token_symbol == "stkAAVE"
+    assert abs(v2.accrued_rewards - 13.0) < 1e-9
+
+    measures = pipeline_store.read("atoken_measures_by_day")
+    # driving table: balances (2 markets × 3 atokens × 2 days)
+    assert measures.count() == 12
+    pol = measures.filter(
+        "market = 'polygon_v3' AND token = '0xatok_0' "
+        "AND block_day = TIMESTAMP '2024-01-01 00:00:00'"
+    ).first()
+    # transfer quadrants: 0xEXT1 inflow external, 0xINT1 outflow internal
+    assert abs(pol.tokens_in_external - 3.0) < 1e-9
+    assert abs(pol.tokens_out_internal - 1.0) < 1e-9
+    assert abs(pol.tokens_in_internal) < 1e-9
+    assert abs(pol.accrued_fees - 2.02) < 1e-9
+    assert abs(pol.minted_to_treasury_amount - 6.0) < 1e-9
+    # ethereum day-1 row: fees/minted fill to 0 AFTER all joins
+    eth = measures.filter("market = 'ethereum_v2'").first()
+    assert eth.accrued_fees == 0.0 and eth.minted_to_treasury_amount == 0.0
+
+
+def test_non_atoken_measure_chain(pipeline_store):
+    balances = pipeline_store.read("non_atoken_balances_by_day")
+    # one config (wallet, token) per market × 2 days; config decimals
+    assert balances.count() == 4
+    assert abs(balances.first().balance - 9.0) < 1e-9
+
+    fees = pipeline_store.read("paraswap_claimable_fees")
+    # fee claimer configured on polygon_v3 only; positional join over 3 tokens
+    assert fees.count() == 6
+    assert fees.filter("market != 'polygon_v3'").count() == 0
+
+    measures = pipeline_store.read("non_atoken_measures_by_day")
+    # 4 wallet-token rows + 6 paraswap-stacked rows, all distinct keys
+    assert measures.count() == 10
+    w = measures.filter("contract_address = '0xwal1'").first()
+    assert abs(w.balance - 9.0) < 1e-9
+    assert abs(w.tokens_in_external - 3.0) < 1e-9
+    assert abs(w.tokens_out_internal - 1.0) < 1e-9
+    assert w.paraswap_fees_claimable == 0.0

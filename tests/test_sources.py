@@ -477,3 +477,178 @@ def test_liquidity_depth_refine_grid_two_phase(spark):
     assert amounts == [20_000.0 + i * 2_000.0 for i in range(1, 20)]
     for r in out:
         assert r.from_amount_native == pytest.approx(r.from_amount_usd / 2000.0)
+
+
+# --- treasury-measure chain (data_lake.py:744-1279) -----------------------
+def test_v3_accrued_fees_golden(spark):
+    """Pins the reference golden values (test_data_lake.py::
+    test_v3_accrued_fees_by_day, polygon_v3 USDC @ block 36068925)."""
+    keys = spark.createDataFrame(
+        [("polygon_v3", "0x2791bca1f2de4661ed88a30c99a7a9449aa84174", "USDC", 6,
+          "0x625e7708f30ca75bfd92586e17077590c60eb4cd", "aPolUSDC", 36068925,
+          datetime(2022, 11, 26))],
+        "market string, reserve string, symbol string, decimals long,"
+        "atoken string, atoken_symbol string, block_height long, block_day timestamp",
+    )
+
+    def transport(req):
+        assert req["block_height"] == 36068925
+        # raw values chosen to reproduce the golden floats exactly
+        return {
+            "accrued_to_treasury_scaled": 43.39621 * 1e6,
+            "liquidity_index": 1.009852 * 1e27,
+        }
+
+    df = connectors.v3_accrued_fees_by_day(keys, transport, FAST)
+    assert df.schema == schemas.V3_ACCRUED_FEES_BY_DAY
+    row = df.first()
+    assert row.accrued_fees_scaled == pytest.approx(43.39621)
+    assert row.liquidity_index == pytest.approx(1.009852)
+    # accrued_fees = scaled × index (data_lake.py:884-886)
+    assert row.accrued_fees == pytest.approx(43.39621 * 1.009852)
+    assert row.atoken_symbol == "aPolUSDC"  # casing survives standardise
+
+
+def test_uint256_hex_decode_words(spark):
+    from pyspark.sql import functions as F
+
+    big = 193399934 * 10**12  # > 2^53, needs two limbs
+    data = "0x" + format(191977829, "064x") + format(big, "064x")
+    df = spark.range(1).select(
+        connectors.uint256_hex_to_double(F.lit(data)).alias("w0"),
+        connectors.uint256_hex_to_double(F.lit(data), word=1).alias("w1"),
+        connectors.topic_address(
+            F.lit("0x000000000000000000000000" + "AB" * 20)
+        ).alias("addr"),
+    )
+    row = df.first()
+    assert row.w0 == float(191977829)
+    assert row.w1 == float(big)
+    assert row.addr == "0x" + "ab" * 20
+
+
+def test_v3_minted_to_treasury_golden(spark):
+    """Mints×tokens inner join, tx-hash semi-join, ABI decode, group-to-day
+    (data_lake.py:929-1092; golden: polygon_v3 USDC 2022-12-15 →
+    minted_to_treasury 191.977829, minted 193.399934, block_day = 12-14)."""
+    tokens = spark.createDataFrame(
+        [("0x2791bca1f2de4661ed88a30c99a7a9449aa84174", "USDC", 6,
+          "0x625e7708f30ca75bfd92586e17077590c60eb4cd", "aPolUSDC", 36839447)],
+        "reserve string, symbol string, decimals long, atoken string,"
+        "atoken_symbol string, block_height long",
+    )
+    reserve_topic = "0x000000000000000000000000" + "2791bca1f2de4661ed88a30c99a7a9449aa84174"
+    minted_data = "0x" + format(191977829, "064x")
+    # Mint data = (value, balanceIncrease, index) — only word 0 is used
+    mint_data = "0x" + format(193399934, "064x") + format(7, "064x") + format(10**27, "064x")
+
+    def transport(req):
+        assert req["kind"] == "events_by_topic"
+        if req["topic"] == connectors.MINTED_TO_TREASURY_TOPIC:
+            return {"items": [
+                {"block_signed_at": 1671062400, "block_height": 36850000,
+                 "tx_hash": "0xTX1", "topics": [connectors.MINTED_TO_TREASURY_TOPIC,
+                                                 reserve_topic],
+                 "sender_address": "0x794a61358D6845594F94dc1DB02A252b5b4814aD",
+                 "raw_log_data": minted_data},
+                # an unrelated tx that no Mint row matches → dropped by join
+                {"block_signed_at": 1671062400, "block_height": 36850001,
+                 "tx_hash": "0xTX9", "topics": [connectors.MINTED_TO_TREASURY_TOPIC,
+                                                 "0x" + "00" * 12 + "99" * 20],
+                 "sender_address": "0x794a61358D6845594F94dc1DB02A252b5b4814aD",
+                 "raw_log_data": minted_data},
+            ]}
+        assert req["topic"] == connectors.MINT_TOPIC
+        return {"items": [
+            {"block_signed_at": 1671062400, "block_height": 36850000,
+             "tx_hash": "0xTX1", "topics": [connectors.MINT_TOPIC],
+             "sender_address": "0x625E7708f30cA75bfd92586e17077590C60eb4cD",
+             "raw_log_data": mint_data},
+        ]}
+
+    df = connectors.v3_minted_to_treasury_by_day(
+        spark, transport, tokens, 36839447, 36879843, 137,
+        "0x794a61358d6845594f94dc1db02a252b5b4814ad", "polygon_v3",
+        "2022-12-15", FAST,
+    )
+    # lit-built columns come out non-nullable; names+types are the contract
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in schemas.V3_MINTED_TO_TREASURY_BY_DAY.fields
+    ]
+    rows = df.collect()
+    assert len(rows) == 1  # unmatched reserve/tx dropped by the inner joins
+    row = rows[0]
+    assert row.minted_to_treasury_amount == pytest.approx(191.977829)
+    assert row.minted_amount == pytest.approx(193.399934)
+    assert row.block_day == datetime(2022, 12, 14)  # partition - 1 day (:988)
+    assert row.atoken_symbol == "aPolUSDC"
+
+
+def test_v3_minted_to_treasury_no_events(spark):
+    def transport(req):
+        return {"items": []}
+
+    df = connectors.v3_minted_to_treasury_by_day(
+        spark, transport, spark.createDataFrame([], "reserve string"), 1, 2, 137,
+        "0xpool", "polygon_v3", "2022-12-15", FAST,
+    )
+    assert df.schema == schemas.V3_MINTED_TO_TREASURY_BY_DAY
+    assert df.count() == 0
+
+
+def test_treasury_accrued_incentives_v3_v2_none(spark):
+    """v3 rewards enumeration, v2 config-token path, no-controller empty
+    (data_lake.py:1095-1279; golden WAVAX accruals)."""
+    def transport(req):
+        if req["version"] == 3:
+            return {"rewards": [
+                {"address": "0xB31f66AA3C1e785363F0875A1B74E27b85FD66c7",
+                 "symbol": "WAVAX", "decimals": 18,
+                 "accrued": 584.4829744983532 * 1e18},
+            ]}
+        return {"raw": 724.8002888143623 * 1e18}
+
+    v3 = connectors.treasury_accrued_incentives_by_day(
+        spark, transport, "avalanche", "avax_v3",
+        "0x5ba7fd868c40c16f7aDfAe6CF87121E13FC2F7a0", "0xctrl", 3,
+        23686858, "2022-12-15", policy=FAST,
+    )
+    assert v3.schema == schemas.TREASURY_ACCRUED_INCENTIVES_BY_DAY
+    row = v3.first()
+    assert row.accrued_rewards == pytest.approx(584.4829744983532)
+    assert row.rewards_token_symbol == "WAVAX"
+    assert row.collector_contract == "0x5ba7fd868c40c16f7adfae6cf87121e13fc2f7a0"
+
+    v2 = connectors.treasury_accrued_incentives_by_day(
+        spark, transport, "avalanche", "avax_v2", "0xC2", "0xctrl", 2,
+        23686858, "2022-12-15",
+        rewards_token="0xB31f66AA3C1e785363F0875A1B74E27b85FD66c7",
+        rewards_token_symbol="WAVAX", rewards_token_decimals=18, policy=FAST,
+    )
+    assert v2.first().accrued_rewards == pytest.approx(724.8002888143623)
+
+    none = connectors.treasury_accrued_incentives_by_day(
+        spark, transport, "ethereum", "aave_arc", "0xC3", None, 2,
+        1, "2023-01-29", policy=FAST,
+    )
+    assert none.count() == 0
+    assert none.schema == schemas.TREASURY_ACCRUED_INCENTIVES_BY_DAY
+
+
+def test_non_atoken_balances_config_decimals(spark):
+    """Decimal shift uses CONFIG decimals, not an RPC (data_lake.py:700-706)."""
+    keys = spark.createDataFrame(
+        [("0xWALLET", "ethereum", "ethereum_v2", "0xTOKEN", 6, "usdc",
+          1_000_001, datetime(2024, 1, 1))],
+        "contract_address string, chain string, market string, token string,"
+        "decimals long, symbol string, block_height long, block_day timestamp",
+    )
+
+    def transport(req):
+        return {"raw": 12_345_678}
+
+    df = connectors.non_atoken_balances_by_day(keys, transport, FAST)
+    assert df.schema == schemas.NON_ATOKEN_BALANCES_BY_DAY
+    row = df.first()
+    assert row.balance == pytest.approx(12.345678)
+    assert row.contract_address == "0xwallet"
