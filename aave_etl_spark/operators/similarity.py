@@ -527,14 +527,18 @@ def ivf_index_build(
             (-F.col("_best.neg_id")).alias("cell_id"), F.col(id_col), F.col(vec_col)
         )
     )
-    # centroids first: an interrupted build then leaves centroids-without-index,
-    # which rebuild guards (gating on BOTH tables) detect and redo — the reverse
-    # order would leave an index-without-centroids that a naive exists(name)
-    # guard treats as complete while every search raises "not found"
+    # completion-marker protocol: clear FIRST, mark LAST (atomic rename).
+    # Any interruption — first build OR a rebuild over an existing store —
+    # leaves the marker absent, so guards gating on is_complete() rebuild
+    # instead of serving a centroids/assignments pair from different runs
+    # (gating on table existence alone cannot catch a partial REBUILD:
+    # both tables exist, one is stale)
+    store.clear_complete(name)
     store.write(
         cent.select("cell_id", F.col("_ce").alias("centroid")), f"{name}_centroids"
     )
     store.write(assign, name, partition_cols=["cell_id"], full_refresh=True)
+    store.mark_complete(name)
 
 
 def ivf_index_search(
@@ -633,6 +637,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     round_digits: int = 6,
     centroids: DataFrame | None = None,
+    cell_cap: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pruning (Abbas et al. 2023):
     cluster the corpus, then drop all-but-one of every eps-similar group
@@ -655,7 +660,22 @@ def semantic_dedup(
     Output: (id, cell_id, n_cell, kept). Scale: pair work is Σ cell_size²
     bounded by the quantizer granularity (n_cells tunes it — more cells,
     smaller cells), and the corpus-side cost is one map pass + one
-    cell-keyed exchange; nothing quadratic in the corpus materializes."""
+    cell-keyed exchange; nothing quadratic in the corpus materializes.
+
+    ``cell_cap`` bounds the SINGLE-CELL blowup a skewed quantizer can't:
+    a cell of n rows is split into ceil(n/cell_cap) sub-buckets by a
+    deterministic md5(id) hash before the pair join, so per-group pair
+    work is ~cap² regardless of skew (one hot cell on a 1B-row corpus is
+    otherwise ~10^15 pairs). The split is hash-exact, not locality-aware —
+    near-dups landing in different sub-buckets of an oversized cell escape
+    pruning, leaving ≤ ceil(n/cap) keepers per duplicate group instead of
+    1: bounded approximation error in exchange for a hard cost bound (the
+    same df-pruning discipline as jaccard_pairs' hot-shingle guard).
+    Cells at or under the cap are bit-identical to the uncapped result
+    (at the defaults nothing splits until a cell exceeds 1024 rows), and
+    the SQL oracle mirrors the split exactly so parity holds at any skew.
+    Measured hostile 10× (every replica identical, SCALE.md): uncapped
+    ~30 s → 17 s at the default cap on the same corpus."""
     cent = _centroid_frame(df, centroids, n_cells, id_col, vec_col)
     cent_arr = _centroid_array(cent)
     c = df.select(
@@ -669,13 +689,32 @@ def semantic_dedup(
         .select(F.col(id_col), (-F.col("_best.neg_id")).alias("cell_id"))
     )
     unit = normalized(df, id_col, vec_col)
-    # assignment + normalization feed both sides of the self-join: cut the
-    # lineage so they run once (same discipline as bucketed_cosine_pairs)
-    withc = unit.join(assign, id_col).localCheckpoint(eager=False)
-    a = withc.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell_id")
-    b = withc.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cell_id")
+    # assignment + normalization feed sizes AND both sides of the
+    # self-join: cut the lineage FIRST so the corpus pass runs once (same
+    # discipline as bucketed_cosine_pairs)
+    base = unit.join(assign, id_col).localCheckpoint(eager=False)
+    # sub-bucket oversized cells BEFORE the pair join: parts = ceil(n/cap),
+    # sub = md5(id) hex prefix mod parts (engine-portable — the oracle
+    # mirrors CAST('0x'||substring(md5(id),1,15) AS BIGINT) % parts)
+    sizes = base.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_cell"))
+    parts = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("n_cell") / F.lit(float(cell_cap))).cast("long"),
+    )
+    sizes = sizes.select("cell_id", "n_cell", parts.alias("_parts"))
+    sub = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % F.col("_parts")
+    )
+    withc = base.join(F.broadcast(sizes), "cell_id").withColumn("sub_cell", sub)
+    a = withc.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell_id", "sub_cell"
+    )
+    b = withc.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cell_id", "sub_cell"
+    )
     dropped = (
-        a.join(b, "cell_id")
+        a.join(b, ["cell_id", "sub_cell"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.round(_batch_dot_udf()(F.col("_va"), F.col("_vb")), round_digits) >= eps
@@ -683,10 +722,8 @@ def semantic_dedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    sizes = withc.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_cell"))
     return (
-        withc.select(F.col(id_col), "cell_id")
-        .join(sizes, "cell_id")
+        withc.select(F.col(id_col), "cell_id", "n_cell")
         .join(dropped.withColumn("_d", F.lit(True)), id_col, "left")
         .select(
             F.col(id_col),

@@ -625,18 +625,27 @@ def llm_ann_recall(spark, sf_dir):
         FROM v CROSS JOIN cent)
       WHERE rn = 1
     ),
+    sizes AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_cell
+              FROM assigned GROUP BY cell_id),
+    -- cell_cap sub-split twin (similarity.py semantic_dedup): parts =
+    -- ceil(n/1024), sub = md5(id) hex prefix mod parts (1 part below cap)
+    parted AS (
+      SELECT a.vec_id, a.cell_id, a.e, s.n_cell,
+             CAST(('0x' || substring(md5(CAST(a.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % GREATEST(CAST(1 AS BIGINT), CAST(ceil(s.n_cell / 1024.0) AS BIGINT))
+               AS sub_cell
+      FROM assigned a JOIN sizes s USING (cell_id)
+    ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              {_IVF_COS.format(a="a.e", b="b.e")} AS cos_sim
-      FROM assigned a JOIN assigned b
-        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      FROM parted a JOIN parted b
+        ON a.cell_id = b.cell_id AND a.sub_cell = b.sub_cell
+       AND a.vec_id < b.vec_id
     ),
-    dropped AS (SELECT DISTINCT id_b FROM pairs WHERE cos_sim >= 0.35),
-    sizes AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_cell
-              FROM assigned GROUP BY cell_id)
-    SELECT a.vec_id, a.cell_id, s.n_cell, (d.id_b IS NULL) AS kept
-    FROM assigned a
-    JOIN sizes s USING (cell_id)
+    dropped AS (SELECT DISTINCT id_b FROM pairs WHERE cos_sim >= 0.35)
+    SELECT a.vec_id, a.cell_id, a.n_cell, (d.id_b IS NULL) AS kept
+    FROM parted a
     LEFT JOIN dropped d ON a.vec_id = d.id_b
     """,
     doc=(
@@ -1573,10 +1582,15 @@ def llm_ivf_index_search(spark, sf_dir):
     # is keyed by sf_dir, and the corpus at a given sf is immutable, so a
     # present index is current; repeat invocations (bench passes, driver
     # cert) exercise the search path against the materialized layout.
-    # gate on BOTH tables: centroids are written first in ivf_index_build, so
-    # an interrupted build (either order of loss) fails this check and rebuilds
-    # instead of serving a half-written index forever.
-    if not (store.exists("ivf_index") and store.exists("ivf_index_centroids")):
+    # gate on the COMPLETION MARKER (cleared first / written last by
+    # ivf_index_build): an interrupted first build OR rebuild leaves no
+    # marker, so a half-written or cross-run-inconsistent table pair can
+    # never be served; the existence checks stay as belt-and-braces
+    if not (
+        store.is_complete("ivf_index")
+        and store.exists("ivf_index")
+        and store.exists("ivf_index_centroids")
+    ):
         similarity.ivf_index_build(store, emb, n_cells=16)
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_index_search(store, queries, k=3, n_probe=4)

@@ -186,6 +186,18 @@ def test_uniform_frame_sample_grid(spark):
     prows = multimodal.uniform_frame_sample(poisoned, m=4).collect()
     assert {r.media_id for r in prows} == {23}
     assert all(r.ts_s is not None for r in prows)
+    # NaN in a double-typed column: Spark orders NaN above every number,
+    # so `fps > 0` alone would pass it — the isnan terms must drop it
+    nan = float("nan")
+    nan_media = spark.createDataFrame(
+        [(30, 10.0, nan), (31, nan, 24.0), (32, 5.0, 24.0)],
+        "media_id long, duration_s double, fps double",
+    )
+    nrows = multimodal.uniform_frame_sample(nan_media, m=4).collect()
+    assert {r.media_id for r in nrows} == {32}
+    import math
+
+    assert all(not math.isnan(r.ts_s) for r in nrows)
 
 
 def test_frame_sample_plan_every_n_seconds(spark):
@@ -939,3 +951,85 @@ def test_compact_sort_cols_keeps_disjoint_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
     assert store.read("ct").count() == 10_000
+
+
+def test_semantic_dedup_cell_cap_bounds_pairs(spark):
+    """Planted hot cell: 240 near-identical vectors all land in one cell.
+    cell_cap=40 splits it into ceil(240/40)=6 md5 sub-buckets, so the pair
+    join does ~sum(part^2)/2 work instead of 240^2/2, while cells under the
+    cap stay bit-identical to the uncapped result."""
+    import hashlib
+
+    hot = [(i, [1.0, 0.001 * (i % 7)]) for i in range(240)]
+    cold = [(1000 + i, [0.0, 1.0 + 0.001 * i]) for i in range(5)]
+    emb = spark.createDataFrame(hot + cold, "vec_id long, embedding array<double>")
+    # centroids = first 2 vectors: both ~+x! use explicit centroids so the
+    # hot mass lands in cell 0 and the cold rows in cell 1
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell_id long, centroid array<double>"
+    )
+    out = similarity.semantic_dedup(
+        emb, eps=0.99, n_cells=2, centroids=cent, cell_cap=40
+    ).collect()
+    assert len(out) == 245
+    by_id = {r.vec_id: r for r in out}
+    # hot cell: one keeper PER SUB-BUCKET (6 parts) — bounded approximation,
+    # not one global keeper; each keeper is its bucket's smallest id
+    hot_rows = [r for r in out if r.cell_id == 0]
+    assert len(hot_rows) == 240 and hot_rows[0].n_cell == 240
+
+    def sub(i: int, parts: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % parts
+
+    keepers = {r.vec_id for r in hot_rows if r.kept}
+    expected_keepers = {
+        min(i for i in range(240) if sub(i, 6) == p)
+        for p in {sub(i, 6) for i in range(240)}
+    }
+    assert keepers == expected_keepers
+    assert len(keepers) <= 6
+    # cold cell (size 5 < cap): untouched single-bucket behavior
+    cold_rows = [r for r in out if r.cell_id == 1]
+    assert len(cold_rows) == 5
+    assert sum(1 for r in cold_rows if r.kept) == 1
+    assert by_id[1000].kept  # smallest id keeps
+
+
+def test_semantic_dedup_cap_off_matches_capped_when_under(spark):
+    """A corpus whose every cell is under the cap produces bit-identical
+    results with any cap value (the sub split degenerates to 1 part)."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3) + 0.1, float((i * 7) % 5)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(
+        similarity.semantic_dedup(emb, eps=0.95, n_cells=4, cell_cap=4096).collect()
+    )
+    b = sorted(
+        similarity.semantic_dedup(emb, eps=0.95, n_cells=4, cell_cap=40).collect()
+    )
+    assert a == b
+
+
+def test_ivf_index_completion_marker_protocol(spark, tmp_path):
+    """ivf_index_build clears the completion marker first and writes it
+    last, so an interrupted REBUILD (both tables exist, one stale) is
+    detectable — the exists()-only gate cannot catch that state."""
+    from aave_etl_spark.io.table_store import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    similarity.ivf_index_build(store, emb, n_cells=4)
+    assert store.is_complete("ivf_index")
+    assert store.exists("ivf_index") and store.exists("ivf_index_centroids")
+    # simulate an interrupted rebuild: marker cleared, centroids rewritten,
+    # assignments still from the previous run — both tables exist, but the
+    # dataset must NOT present as complete
+    store.clear_complete("ivf_index")
+    assert not store.is_complete("ivf_index")
+    # a fresh build restores the marker atomically
+    similarity.ivf_index_build(store, emb, n_cells=4)
+    assert store.is_complete("ivf_index")
