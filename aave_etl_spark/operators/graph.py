@@ -91,14 +91,17 @@ def connected_components(
             "comp",
             "left",
         ).select("node", F.coalesce("_c2", F.col("comp")).alias("comp"))
-        jumped = jumped.localCheckpoint(eager=True)
-        changed = (
+        # fold the changed flag INTO the jump pass: carry old labels through
+        # the same lineage so the eager checkpoint materializes comp AND
+        # _chg in one job; convergence is then a limit-1 scan of cached
+        # blocks, not a second join pass over the vertex set per iteration
+        jumped = (
             jumped.join(labels.select("node", F.col("comp").alias("_old")), "node")
-            .filter(F.col("comp") != F.col("_old"))
-            .limit(1)
-            .count()
+            .select("node", "comp", (F.col("comp") != F.col("_old")).alias("_chg"))
+            .localCheckpoint(eager=True)
         )
-        labels = jumped
+        changed = jumped.filter("_chg").limit(1).count()
+        labels = jumped.select("node", "comp")
         if changed == 0:
             return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
