@@ -50,17 +50,63 @@ class TableStore:
         self._recover_interrupted_compact(name)
         return os.path.isdir(self._path(name))
 
+    # --- multi-table completion markers -----------------------------------
+    # A logical dataset spanning several tables (e.g. an IVF index =
+    # assignments + centroids sidecar) has no single atomic write; the
+    # marker is written LAST (tmp + atomic rename) and checked FIRST, so an
+    # interrupted multi-table build/rebuild can never present a mutually
+    # inconsistent pair as complete. Writers call clear_complete() before
+    # touching any member table and mark_complete() after the last one.
+    def mark_complete(self, tag: str) -> None:
+        path = os.path.join(self.root, f"{tag}.__complete")
+        tmp = path + ".__tmp"
+        os.makedirs(self.root, exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(tag)
+        os.replace(tmp, path)
+
+    def clear_complete(self, tag: str) -> None:
+        try:
+            os.remove(os.path.join(self.root, f"{tag}.__complete"))
+        except FileNotFoundError:
+            pass
+
+    def is_complete(self, tag: str) -> bool:
+        return os.path.exists(os.path.join(self.root, f"{tag}.__complete"))
+
     def _recover_interrupted_compact(self, name: str) -> None:
         """Self-heal the one vulnerable window in :meth:`compact`'s swap: a
         crash between ``os.replace(live, old)`` and ``os.replace(tmp, live)``
         leaves no live directory but a complete copy at ``<name>.__old``.
         Without this, ``exists()`` returns False and ``read()`` silently
         serves an EMPTY frame (missing-table K3 semantics) for a table whose
-        data is sitting intact one rename away — restore it instead."""
+        data is sitting intact one rename away — restore it instead.
+
+        The ``.__swap_pending`` marker distinguishes MID-swap debris (crash
+        between the renames — restore) from POST-swap debris (crash after
+        the swap, before cleanup — the old copy is stale; never resurrect
+        it, even if the live directory was later removed externally). The
+        restore rename tolerates a concurrent process winning the same
+        recovery (FileNotFoundError → already healed)."""
+        import shutil
+
         live = self._path(name)
         old = live + ".__old"
-        if not os.path.isdir(live) and os.path.isdir(old):
-            os.replace(old, live)
+        marker = live + ".__swap_pending"
+        if os.path.isdir(old):
+            if not os.path.isdir(live) and os.path.exists(marker):
+                try:
+                    os.replace(old, live)  # mid-swap crash: restore
+                except FileNotFoundError:
+                    pass  # a concurrent recovery already renamed it
+            elif os.path.isdir(live):
+                # post-swap debris: live is the newer copy, old is stale
+                shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(live) and os.path.exists(marker):
+            try:
+                os.remove(marker)
+            except FileNotFoundError:
+                pass
 
     def write(
         self,
@@ -245,10 +291,16 @@ class TableStore:
         writer = out.write.partitionBy(*partition_cols) if partition_cols else out.write
         writer.mode("overwrite").parquet(tmp)
         old = self._path(name) + ".__old"
+        marker = self._path(name) + ".__swap_pending"
         if os.path.exists(old):  # debris from a crashed prior compaction
             shutil.rmtree(old)
+        # marker first: recovery restores .__old ONLY while it exists, so a
+        # crash after the swap can never resurrect the stale copy
+        with open(marker, "w") as f:
+            f.write(name)
         os.replace(self._path(name), old)
         os.replace(tmp, self._path(name))
+        os.remove(marker)
         shutil.rmtree(old)
         return (len(files), len(self._parquet_files(name)))
 

@@ -135,17 +135,46 @@ def test_compact_crash_window_recovery(spark, tmp_path):
     store = TableStore(spark, str(tmp_path))
     df = spark.createDataFrame([(i,) for i in range(50)], "k long")
     store.write(df, "crashy")
-    # simulate the half-swapped state: live moved aside, replacement never
-    # renamed in (exactly the os.replace(live, old) -> crash window)
-    os.replace(str(tmp_path / "crashy"), str(tmp_path / "crashy.__old"))
+
+    def break_mid_swap():
+        # simulate the half-swapped state: marker written, live moved
+        # aside, replacement never renamed in (the crash window between
+        # compact's two os.replace calls)
+        (tmp_path / "crashy.__swap_pending").write_text("crashy")
+        os.replace(str(tmp_path / "crashy"), str(tmp_path / "crashy.__old"))
+
+    break_mid_swap()
     assert store.exists("crashy")  # auto-restored, not reported missing
     assert store.read("crashy").count() == 50
     assert not os.path.exists(str(tmp_path / "crashy.__old"))
+    assert not os.path.exists(str(tmp_path / "crashy.__swap_pending"))
     # compact on a freshly re-broken table also self-heals before counting
-    os.replace(str(tmp_path / "crashy"), str(tmp_path / "crashy.__old"))
+    break_mid_swap()
     fb, fa = store.compact("crashy")
     assert fb >= 1 and fa >= 1
     assert store.read("crashy").count() == 50
+
+
+def test_compact_post_swap_debris_never_resurrects(spark, tmp_path):
+    """.__old WITHOUT the swap-pending marker is post-swap debris (crash
+    after the swap, before cleanup): it must be cleaned when live exists,
+    and must NOT resurrect a stale copy when live was removed externally."""
+    import os
+    import shutil
+
+    from aave_etl_spark.io.table_store import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    store.write(spark.createDataFrame([(1,)], "k long"), "t")
+    # crash-after-swap shape: old stale copy remains next to the new live
+    shutil.copytree(str(tmp_path / "t"), str(tmp_path / "t.__old"))
+    assert store.exists("t")
+    assert not os.path.exists(str(tmp_path / "t.__old"))  # debris cleaned
+    # live removed externally + unmarked old: respect the deletion
+    shutil.copytree(str(tmp_path / "t"), str(tmp_path / "t.__old"))
+    shutil.rmtree(str(tmp_path / "t"))
+    assert not store.exists("t")
+    assert store.read("t").count() == 0  # K3 typed-empty, not stale data
 
 
 def test_compact_refuses_bucketed_tables(spark, tmp_path):
