@@ -128,13 +128,15 @@ def uniform_frame_sample(
     # reject malformed metadata up front: fps <= 0 / NULL would divide to a
     # NULL/NaN ts_s that flows into downstream digest joins looking valid,
     # and a negative duration is corrupt by contract — drop both rather than
-    # emit poisoned sample rows (the row-level twin of the m<2 ValueError)
-    df = df.filter(
-        F.col(fps_col).isNotNull()
-        & (F.col(fps_col) > 0)
-        & F.col(duration_col).isNotNull()
-        & (F.col(duration_col) >= 0)
-    )
+    # emit poisoned sample rows (the row-level twin of the m<2 ValueError).
+    # NaN needs its own term: Spark orders NaN GREATER than any number, so
+    # a double-typed fps=NaN passes `fps > 0` and still emits NaN ts_s
+    def _finite_pos(c, allow_zero: bool):
+        col = F.col(c).cast("double")
+        bound = (col >= 0) if allow_zero else (col > 0)
+        return F.col(c).isNotNull() & ~F.isnan(col) & bound
+
+    df = df.filter(_finite_pos(fps_col, allow_zero=False) & _finite_pos(duration_col, allow_zero=True))
     # multiply BEFORE truncating: duration 0.9 s @ 30 fps is 27 frames, not
     # floor(0.9) * 30 = 0; fractional framerates (29.97) keep their product
     base = df.select(
@@ -152,8 +154,9 @@ def uniform_frame_sample(
         "_nf",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sample_pos"),
     )
-    # greatest(nf - 1, 0): a zero-length clip (duration or fps 0) samples
-    # frame 0 m times rather than producing negative indices
+    # greatest(nf - 1, 0): a zero-DURATION clip samples frame 0 m times
+    # rather than producing negative indices (fps<=0 rows never reach here
+    # — the metadata filter above drops them)
     frame_idx = F.floor(
         F.col("sample_pos").cast("double")
         * F.greatest(F.col("_nf") - 1, F.lit(0)).cast("double")
