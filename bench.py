@@ -96,7 +96,11 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "runs": n_runs,
-        "spread": {"pass_totals": pass_totals},
+        # the first pass pays cold costs the medians exclude (Catalyst
+        # first-compile, code-cache JIT, page-cache fill, the IVF
+        # build-once) — flag it so cross-round readers don't misread the
+        # first pass_total as a regression (VERDICT r5 "Next round" #8)
+        "spread": {"pass_totals": pass_totals, "cold_first_pass": True},
     }
     if failures:
         out["failures"] = failures
