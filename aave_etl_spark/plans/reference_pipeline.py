@@ -430,6 +430,73 @@ def _safety_module_token_hodlers_by_day(ctx: AssetContext) -> DataFrame:
     )
 
 
+def _safety_module_rpc(ctx: AssetContext) -> DataFrame:
+    """SM supplies/emissions at the ethereum block (protocol_data_lake.py
+    :1141-1249; block = prev-day end+1, here the partition's block)."""
+    from pyspark.sql import functions as F
+
+    hb = _eth_block_scalar(ctx)
+    if hb is None:
+        return ctx.spark.createDataFrame([], connectors.schemas.SAFETY_MODULE_RPC)
+    keys = ctx.resources["sm_rpc_tokens"].select(
+        F.lit(hb.block_day).alias("block_day"),
+        F.lit(hb.block_height).alias("block_height"),
+        "stk_token_address", "stk_token_symbol",
+        "unstaked_token_address", "unstaked_token_symbol",
+        "reward_token_address", "reward_token_symbol", "decimals",
+    )
+    return connectors.safety_module_rpc(keys, ctx.resources["transports"]["sm_rpc"])
+
+
+def _matic_lsd_token_supply_by_day(ctx: AssetContext) -> DataFrame:
+    """Per-chain LSD totalSupply scan (protocol_data_lake.py:723-830): the
+    token config joins each chain's block lookup for the day."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    blocks = (
+        ctx.upstream("block_numbers_by_day", this_partition_only=False)
+        .filter(F.col("block_day") == datetime.fromisoformat(ctx.partition.date))
+        .select("chain", "end_block")
+        .distinct()
+    )
+    keys = (
+        ctx.resources["lsd_tokens"]
+        .join(F.broadcast(blocks), "chain")
+        .select(
+            F.lit(datetime.fromisoformat(ctx.partition.date)).alias("block_day"),
+            (F.col("end_block") + 1).alias("block_height"),
+            "chain", "address", "symbol", "decimals",
+        )
+    )
+    return connectors.matic_lsd_token_supply_by_day(
+        keys, ctx.resources["transports"]["total_supply"]
+    )
+
+
+def _safety_module_bal_pool_contents(ctx: AssetContext) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    hb = _eth_block_scalar(ctx)
+    if hb is None:
+        return ctx.spark.createDataFrame([], connectors.schemas.SM_BAL_POOL_CONTENTS)
+    keys = (
+        ctx.resources["sm_rpc_tokens"]
+        .filter(F.col("bal_pool_address").isNotNull())  # :1706
+        .select(
+            F.lit(hb.block_day).alias("block_day"),
+            F.lit(hb.block_height).alias("block_height"),
+            F.lit("ethereum").alias("chain"),
+            F.col("safety_module_token"),
+            "bal_pool_address",
+        )
+    )
+    return connectors.safety_module_bal_pool_contents(
+        keys, ctx.resources["transports"]["bal_pool"]
+    )
+
+
 # --- chain_day group (01:25 job; chain-day multipartition, run as daily) ---
 def _balancer_bpt_data_by_day(ctx: AssetContext) -> DataFrame:
     from pyspark.sql import functions as F
@@ -552,6 +619,15 @@ def _wh_market_state(ctx: AssetContext) -> DataFrame:
 def _wh_market_config(ctx: AssetContext) -> DataFrame:
     return market_config_by_day(
         ctx.upstream("protocol_data_by_day"), ctx.upstream("emode_config_by_day")
+    )
+
+
+def _wh_balancer_bpt(ctx: AssetContext) -> DataFrame:
+    from aave_etl_spark.warehouse.bpt import balancer_bpt_by_day as wh_bpt
+
+    return wh_bpt(
+        ctx.upstream("balancer_bpt_data_by_day"),
+        ctx.upstream("token_prices_by_day"),
     )
 
 
@@ -872,12 +948,43 @@ def reference_graph(include_market_state: bool = False) -> AssetGraph:
                 partition_cols=("block_day",),
             ),
             Asset(
+                "safety_module_rpc",
+                fn=_safety_module_rpc,
+                deps=("block_numbers_by_day",),
+                group="daily_partitioned",
+                partitioning=DAILY,
+                partition_cols=("block_day",),
+            ),
+            Asset(
+                "matic_lsd_token_supply_by_day",
+                fn=_matic_lsd_token_supply_by_day,
+                deps=("block_numbers_by_day",),
+                group="daily_partitioned",
+                partitioning=DAILY,
+                partition_cols=("block_day",),
+            ),
+            Asset(
+                "safety_module_bal_pool_contents",
+                fn=_safety_module_bal_pool_contents,
+                deps=("block_numbers_by_day",),
+                group="daily_partitioned",
+                partitioning=DAILY,
+                partition_cols=("block_day",),
+            ),
+            Asset(
                 "balancer_bpt_data_by_day",
                 fn=_balancer_bpt_data_by_day,
                 deps=("block_numbers_by_day",),
                 group="chain_day",
                 partitioning=DAILY,
                 partition_cols=("block_day",),
+            ),
+            Asset(
+                "warehouse_balancer_bpt_by_day",
+                fn=_wh_balancer_bpt,
+                deps=("balancer_bpt_data_by_day", "token_prices_by_day"),
+                group="warehouse",
+                partitioning=UNPARTITIONED,
             ),
             Asset(
                 "coingecko_data_by_day",

@@ -1480,21 +1480,44 @@ _BGQ_DAYS = (
 
 # k%5=0 pools hold a constant rate (daily_apr = 0); all pools' first day
 # exercises the coalesce-to-self arm (lag NULL -> apr 0)
-_BGQ_BPT = f"""
+# LAKE fixture (S19 scan shape): the WAREHOUSE table is no longer
+# synthesized — it's computed by warehouse/bpt.py balancer_bpt_by_day over
+# this lake table + token prices, with the identical join/price math
+# mirrored in SQL for the oracle (_BGQ_BPT_WH). Odd-nation rows are
+# 'polygon' (no price row -> coalesce-to-1 arm); k%4=3 ethereum rows have
+# no oracle price either.
+_BGQ_BPT_LAKE = f"""
 SELECT d.block_day,
   CASE WHEN n.n_nationkey % 2 = 0 THEN 'ethereum' ELSE 'polygon' END AS chain,
   concat('B-80AAVE-20WETH-', lower(n.n_name)) AS symbol,
   concat('Balancer 80/20 ', n.n_name) AS name,
   concat('0xpool_', lower(n.n_name)) AS pool,
   'AAVE' AS denom,
-  CAST(80 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) AS underlying_asset_price,
+  concat('0xres_', lower(n.n_name)) AS price_token,
+  n.n_name AS price_symbol,
+  CAST(18 AS BIGINT) AS decimals,
+  CAST(1000000 AS BIGINT) + n.n_nationkey AS block_height,
   CAST(1 AS DOUBLE) + CAST(n.n_nationkey % 7 AS DOUBLE) * 0.03125
     + CAST(extract(day FROM d.block_day) AS DOUBLE)
       * CAST(n.n_nationkey % 5 AS DOUBLE) * 0.015625 AS rate,
-  CAST(10000 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 100 AS actual_supply,
-  CAST(15 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 0.25 AS bpt_usd_price,
-  CAST(150000 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 1000 AS pool_tvl_usd
+  CAST(10000 AS DOUBLE) + CAST(n.n_nationkey AS DOUBLE) * 100 AS actual_supply
 FROM nation n CROSS JOIN {_BGQ_DAYS}
+"""
+
+# SQL twin of warehouse/bpt.py balancer_bpt_by_day (the oracle's view of
+# the Spark transform): price join on (chain, day, price_token=reserve,
+# price_symbol=symbol), missing price -> 1, bpt price and TVL products
+_BGQ_BPT_WH = """
+SELECT b.block_day, b.chain, b.symbol, b.name, b.pool, b.denom,
+       b.price_token, b.price_symbol, b.decimals, b.block_height,
+       b.rate, b.actual_supply,
+       coalesce(p.usd_price, 1.0) AS underlying_asset_price,
+       b.rate * coalesce(p.usd_price, 1.0) AS bpt_usd_price,
+       b.rate * coalesce(p.usd_price, 1.0) * b.actual_supply AS pool_tvl_usd
+FROM balancer_bpt_data_by_day b
+LEFT JOIN token_prices_by_day p
+  ON b.chain = p.chain AND b.block_day = p.block_day
+ AND b.price_token = p.reserve AND b.price_symbol = p.symbol
 """
 
 _BGQ_WALLET = "0x89c51828427f70d77875c6747759fb17ba10ceb0"
@@ -1552,10 +1575,11 @@ FROM grants_dao_token_balances_by_day
 
 def _oracle_bpt_grants() -> str:
     return f"""
-WITH warehouse_balancer_bpt_by_day AS ({_BGQ_BPT}),
+WITH balancer_bpt_data_by_day AS ({_BGQ_BPT_LAKE}),
+token_prices_by_day AS ({_BGQ_TP}),
+warehouse_balancer_bpt_by_day AS ({_BGQ_BPT_WH}),
 erc20_balances_by_day AS ({_BGQ_ERC20}),
 aave_atokens AS ({_BGQ_ATOKENS}),
-token_prices_by_day AS ({_BGQ_TP}),
 balancer_bpt_by_day AS ({MODELS["balancer_bpt_by_day"].sql}),
 grants_dao_token_balances_by_day AS ({MODELS["grants_dao_token_balances_by_day"].sql})
 {_BGQ_ALIGN}
@@ -1577,11 +1601,16 @@ def datamart_bpt_grants_real(spark, sf_dir):
 
     from aave_etl_spark.plans import run_datamart
 
+    from aave_etl_spark.warehouse.bpt import balancer_bpt_by_day as wh_bpt
+
     t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    token_prices = spark.sql(_BGQ_TP)
     inputs = {
-        "warehouse_balancer_bpt_by_day": spark.sql(_BGQ_BPT),
+        # the REAL warehouse transform (warehouse/bpt.py) over the lake
+        # fixture — the oracle runs its SQL twin (_BGQ_BPT_WH)
+        "warehouse_balancer_bpt_by_day": wh_bpt(spark.sql(_BGQ_BPT_LAKE), token_prices),
         "erc20_balances_by_day": spark.sql(_BGQ_ERC20),
-        "token_prices_by_day": spark.sql(_BGQ_TP),
+        "token_prices_by_day": token_prices,
         "aave_atokens": spark.sql(_BGQ_ATOKENS),
     }
     subset = {

@@ -371,3 +371,36 @@ def test_paraswap_legacy_keep_last_and_zero_drop(spark):
     assert set(rows) == {("0xl", "0xr"), ("0xl2", "0xr")}
     assert rows[("0xl", "0xr")].market == "zzz_v2"
     assert rows[("0xl", "0xr")].claimable == 4.0
+
+
+def test_balancer_bpt_warehouse_pricing(spark):
+    """warehouse/bpt.py balancer_bpt_by_day: price join on (chain, day,
+    price_token, price_symbol), missing price -> 1 (USD denom), BPT price
+    and TVL products (protocol_data_warehouse.py:427-472)."""
+    from datetime import datetime
+
+    from aave_etl_spark.warehouse.bpt import balancer_bpt_by_day
+
+    day = datetime(2024, 1, 1)
+    bpt = spark.createDataFrame(
+        [("0xp1", "B-80AAVE-20WETH", "Bal 80/20", 18, "AAVE", "0xaave", "AAVE",
+          day, 100, "ethereum", 1.05, 2000.0),
+         ("0xp2", "B-USD", "Bal USD", 18, "usd", "0xnope", "NOPE",
+          day, 100, "ethereum", 1.10, 500.0)],
+        "pool string, symbol string, name string, decimals long, denom string,"
+        "price_token string, price_symbol string, block_day timestamp,"
+        "block_height long, chain string, rate double, actual_supply double",
+    )
+    prices = spark.createDataFrame(
+        [("ethereum", day, "0xaave", "AAVE", 90.0)],
+        "chain string, block_day timestamp, reserve string, symbol string,"
+        "usd_price double",
+    )
+    out = {r.pool: r for r in balancer_bpt_by_day(bpt, prices).collect()}
+    assert out["0xp1"].underlying_asset_price == 90.0
+    assert out["0xp1"].bpt_usd_price == pytest.approx(1.05 * 90.0)
+    assert out["0xp1"].pool_tvl_usd == pytest.approx(1.05 * 90.0 * 2000.0)
+    # no price row -> USD-denominated: price fills to 1
+    assert out["0xp2"].underlying_asset_price == 1.0
+    assert out["0xp2"].bpt_usd_price == pytest.approx(1.10)
+    assert out["0xp2"].pool_tvl_usd == pytest.approx(1.10 * 500.0)
