@@ -1271,3 +1271,111 @@ def non_atoken_balances_by_day(
         ]
 
     return fanout_fetch(keys, transport, rows, schemas.NON_ATOKEN_BALANCES_BY_DAY, policy)
+
+
+# ---------------------------------------------------------------------------
+# S20 completion — safety-module + LSD scans.
+# Reference: safety_module_rpc protocol_data_lake.py:1141-1249,
+# matic_lsd_token_supply_by_day :723-830,
+# safety_module_bal_pool_contents :1673-1759.
+# ---------------------------------------------------------------------------
+def safety_module_rpc(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """Safety-module staked/unstaked supplies + LM emission config.
+
+    keys: (block_day, block_height, stk_token_address, stk_token_symbol,
+    unstaked_token_address, unstaked_token_symbol, reward_token_address,
+    reward_token_symbol, decimals) — one multicall per SM token from
+    CONFIG_SM_TOKENS. Payload carries the raw multicall fields
+    {stk_token_supply, unstaked_token_supply, emission_per_second,
+    last_update_timestamp, index}; the assets() index is dropped like the
+    reference (:1238). emission_per_day = emission_per_second × 86400
+    (:1187); block_height is the caller's prev-day end_block + 1 (:1163)."""
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        unit = 10 ** int(req["decimals"])
+        eps = float(payload["emission_per_second"]) / unit
+        return [
+            {
+                "emission_per_second": eps,
+                "emission_per_day": eps * 86400,
+                "last_update_timestamp": _utc(payload["last_update_timestamp"]),
+                "stk_token_supply": float(payload["stk_token_supply"]) / unit,
+                "unstaked_token_supply": float(payload["unstaked_token_supply"]) / unit,
+                "block_day": req["block_day"],
+                "block_height": req["block_height"],
+                "stk_token_address": req["stk_token_address"].lower(),
+                "stk_token_symbol": req["stk_token_symbol"],
+                "unstaked_token_address": req["unstaked_token_address"].lower(),
+                "unstaked_token_symbol": req["unstaked_token_symbol"],
+                "reward_token_address": req["reward_token_address"].lower(),
+                "reward_token_symbol": req["reward_token_symbol"],
+            }
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.SAFETY_MODULE_RPC, policy)
+
+
+def matic_lsd_token_supply_by_day(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """LSD token totalSupply() per (chain, token) at prev-day end_block+1.
+
+    keys: (block_day, block_height, chain, address, symbol, decimals) —
+    the TOKENS dict fan-out (:747-769). A null/absent supply fills to 0
+    like the reference's fillna (:819)."""
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        raw = payload.get("raw")
+        supply = 0.0 if raw is None else float(raw) / 10 ** int(req["decimals"])
+        return [
+            {
+                "block_day": req["block_day"],
+                "block_height": req["block_height"],
+                "chain": req["chain"],
+                "address": req["address"].lower(),
+                "symbol": req["symbol"],
+                "decimals": req["decimals"],
+                "total_supply": supply,
+            }
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.MATIC_LSD_SUPPLY_BY_DAY, policy)
+
+
+def safety_module_bal_pool_contents(
+    keys: DataFrame,
+    transport: Transport,
+    policy: RetryPolicy = DEFAULT_RETRY,
+) -> DataFrame:
+    """Balancer pool token weights + balances backing a safety-module token.
+
+    keys: (block_day, block_height, chain, safety_module_token,
+    bal_pool_address) — SM tokens WITH a bal_pool_address (:1706); the
+    transport enumerates getCurrentTokens() and the per-token
+    decimals/symbol/weight/balance multicalls in one payload
+    {"tokens": [{address, symbol, decimals, weight, balance}]}.
+    weight/1e18, balance/10^decimals (:1736-1737); decimals dropped."""
+
+    def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
+        return [
+            {
+                "block_day": req["block_day"],
+                "block_height": req["block_height"],
+                "chain": req["chain"],
+                "safety_module_token": req["safety_module_token"],
+                "bal_pool_address": req["bal_pool_address"].lower(),
+                "token_address": tk["address"].lower(),
+                "symbol": tk["symbol"],
+                "weight": float(tk["weight"]) / 1e18,
+                "balance": float(tk["balance"]) / 10 ** int(tk["decimals"]),
+            }
+            for tk in payload["tokens"]
+        ]
+
+    return fanout_fetch(keys, transport, rows, schemas.SM_BAL_POOL_CONTENTS, policy)

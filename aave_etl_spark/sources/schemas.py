@@ -247,11 +247,22 @@ ETH_BALANCES_BY_DAY = _schema(
 )
 SAFETY_MODULE_RPC = _schema(
     ("emission_per_second", D), ("emission_per_day", D),
-    ("last_update_timestamp", L), ("stk_token_supply", D),
+    ("last_update_timestamp", T), ("stk_token_supply", D),
     ("unstaked_token_supply", D), ("block_day", T), ("block_height", L),
     ("stk_token_address", S), ("stk_token_symbol", S),
     ("unstaked_token_address", S), ("unstaked_token_symbol", S),
     ("reward_token_address", S), ("reward_token_symbol", S),
+)
+# LSD token totalSupply scan (protocol_data_lake.py:723-830)
+MATIC_LSD_SUPPLY_BY_DAY = _schema(
+    ("block_day", T), ("block_height", L), ("chain", S), ("address", S),
+    ("symbol", S), ("decimals", L), ("total_supply", D),
+)
+# Balancer pool token weights/balances (protocol_data_lake.py:1673-1759)
+SM_BAL_POOL_CONTENTS = _schema(
+    ("block_day", T), ("block_height", L), ("chain", S),
+    ("safety_module_token", S), ("bal_pool_address", S), ("token_address", S),
+    ("symbol", S), ("weight", D), ("balance", D),
 )
 ERC20_BALANCES_BY_DAY = _schema(
     ("block_day", T), ("block_height", L), ("chain", S),

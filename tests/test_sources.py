@@ -652,3 +652,83 @@ def test_non_atoken_balances_config_decimals(spark):
     row = df.first()
     assert row.balance == pytest.approx(12.345678)
     assert row.contract_address == "0xwallet"
+
+
+# --- S20 completion: safety-module + LSD scans ----------------------------
+def test_safety_module_rpc_units(spark):
+    """Unit shifts + emission_per_day derivation
+    (protocol_data_lake.py:1182-1196); assets() index dropped."""
+    keys = spark.createDataFrame(
+        [(datetime(2023, 4, 16), 17072018, "0xSTK", "stkAAVE", "0xAAVE", "AAVE",
+          "0xAAVE", "AAVE", 18)],
+        "block_day timestamp, block_height long, stk_token_address string,"
+        "stk_token_symbol string, unstaked_token_address string,"
+        "unstaked_token_symbol string, reward_token_address string,"
+        "reward_token_symbol string, decimals long",
+    )
+
+    def transport(req):
+        return {
+            "stk_token_supply": 2_500_000 * 10**18,
+            "unstaked_token_supply": 16_000_000 * 10**18,
+            "emission_per_second": 5 * 10**15,
+            "last_update_timestamp": 1681603200,
+            "index": 123,  # dropped
+        }
+
+    df = connectors.safety_module_rpc(keys, transport, FAST)
+    assert df.schema == schemas.SAFETY_MODULE_RPC
+    r = df.first()
+    assert r.emission_per_second == pytest.approx(0.005)
+    assert r.emission_per_day == pytest.approx(0.005 * 86400)
+    assert r.stk_token_supply == pytest.approx(2_500_000.0)
+    assert r.unstaked_token_supply == pytest.approx(16_000_000.0)
+    assert r.last_update_timestamp == datetime(2023, 4, 16)
+    assert r.stk_token_address == "0xstk"
+    assert "index" not in df.columns
+
+
+def test_matic_lsd_supply_fillna_zero(spark):
+    keys = spark.createDataFrame(
+        [(datetime(2024, 1, 1), 100, "polygon", "0xSTM", "stMATIC", 18),
+         (datetime(2024, 1, 1), 100, "polygon", "0xMX", "MaticX", 18)],
+        "block_day timestamp, block_height long, chain string, address string,"
+        "symbol string, decimals long",
+    )
+
+    def transport(req):
+        # MaticX returns no supply -> fillna(0) parity (:819)
+        return {"raw": None if req["address"] == "0xMX" else 7 * 10**18}
+
+    df = connectors.matic_lsd_token_supply_by_day(keys, transport, FAST)
+    assert df.schema == schemas.MATIC_LSD_SUPPLY_BY_DAY
+    out = {r.symbol: r for r in df.collect()}
+    assert out["stMATIC"].total_supply == pytest.approx(7.0)
+    assert out["MaticX"].total_supply == 0.0
+    assert out["stMATIC"].address == "0xstm"
+
+
+def test_sm_bal_pool_contents_weights(spark):
+    keys = spark.createDataFrame(
+        [(datetime(2023, 5, 18), 17282745, "ethereum", "stkABPT", "0xPOOL")],
+        "block_day timestamp, block_height long, chain string,"
+        "safety_module_token string, bal_pool_address string",
+    )
+
+    def transport(req):
+        assert req["bal_pool_address"] == "0xPOOL"
+        return {"tokens": [
+            {"address": "0xAAVE", "symbol": "AAVE", "decimals": 18,
+             "weight": int(0.8 * 1e18), "balance": 300_000 * 10**18},
+            {"address": "0xWETH", "symbol": "WETH", "decimals": 18,
+             "weight": int(0.2 * 1e18), "balance": 4_000 * 10**18},
+        ]}
+
+    df = connectors.safety_module_bal_pool_contents(keys, transport, FAST)
+    assert df.schema == schemas.SM_BAL_POOL_CONTENTS
+    out = {r.symbol: r for r in df.collect()}
+    assert out["AAVE"].weight == pytest.approx(0.8)
+    assert out["WETH"].weight == pytest.approx(0.2)
+    assert out["AAVE"].balance == pytest.approx(300_000.0)
+    assert out["AAVE"].token_address == "0xaave"
+    assert "decimals" not in df.columns
