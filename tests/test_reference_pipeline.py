@@ -215,7 +215,27 @@ def _transports():
     def paraswap_claimable(req):
         return {"claimable": [2 * 10**6 for _ in req["tokens"]]}
 
+    def sm_rpc(req):
+        return {"stk_token_supply": 3 * 10**18, "unstaked_token_supply": 20 * 10**18,
+                "emission_per_second": 10**15, "last_update_timestamp": 1704067200,
+                "index": 1}
+
+    def total_supply(req):
+        # one token per chain reports no supply -> fillna(0)
+        return {"raw": None if req["symbol"] == "MaticX" else 5 * 10**18}
+
+    def bal_pool(req):
+        return {"tokens": [
+            {"address": "0xAAVE", "symbol": "AAVE", "decimals": 18,
+             "weight": int(0.8 * 1e18), "balance": 10 * 10**18},
+            {"address": "0xWETH", "symbol": "WETH", "decimals": 18,
+             "weight": int(0.2 * 1e18), "balance": 2 * 10**18},
+        ]}
+
     return {
+        "sm_rpc": sm_rpc,
+        "total_supply": total_supply,
+        "bal_pool": bal_pool,
         "token_transfers": token_transfers,
         "balance_of": balance_of,
         "reserve_data": reserve_data,
@@ -297,11 +317,27 @@ def pipeline_store(spark, tmp_path_factory):
          ("polygon", "0xint1", "aave_internal")],
         "chain string, contract_address string, internal_external string",
     )
+    sm_rpc_tokens = spark.createDataFrame(
+        [("stkAAVE", "0xSTK", "stkAAVE", "0xAAVE", "AAVE", "0xAAVE", "AAVE", 18, None),
+         ("stkABPT", "0xSTKB", "stkABPT", "0xABPT", "ABPT", "0xAAVE", "AAVE", 18,
+          "0xBALPOOL")],
+        "safety_module_token string, stk_token_address string,"
+        "stk_token_symbol string, unstaked_token_address string,"
+        "unstaked_token_symbol string, reward_token_address string,"
+        "reward_token_symbol string, decimals long, bal_pool_address string",
+    )
+    lsd_tokens = spark.createDataFrame(
+        [("polygon", "0xSTM_P", "stMATIC", 18), ("polygon", "0xMX_P", "MaticX", 18),
+         ("ethereum", "0xSTM_E", "stMATIC", 18), ("ethereum", "0xMX_E", "MaticX", 18)],
+        "chain string, address string, symbol string, decimals long",
+    )
     resources = {
         "transports": _transports(),
         "markets": MARKETS,
         "config_tokens": config_tokens,
         "internal_addresses": internal_addresses,
+        "sm_rpc_tokens": sm_rpc_tokens,
+        "lsd_tokens": lsd_tokens,
         "market_chain_rank": ranks,
         "display_names": display_names,
         "compound_v2_tokens": compound_tokens,
@@ -588,3 +624,32 @@ def test_non_atoken_measure_chain(pipeline_store):
     assert abs(w.tokens_in_external - 3.0) < 1e-9
     assert abs(w.tokens_out_internal - 1.0) < 1e-9
     assert w.paraswap_fees_claimable == 0.0
+
+
+def test_safety_module_and_lsd_scans(pipeline_store):
+    """S20 completion: safety_module_rpc, matic_lsd_token_supply_by_day and
+    safety_module_bal_pool_contents land from real (fake-transport)
+    connectors through the daily job."""
+    sm = pipeline_store.read("safety_module_rpc")
+    # 2 SM tokens × 2 days
+    assert sm.count() == 4
+    r = sm.first()
+    assert abs(r.emission_per_day - 0.001 * 86400) < 1e-9
+    assert abs(r.stk_token_supply - 3.0) < 1e-9
+
+    lsd = pipeline_store.read("matic_lsd_token_supply_by_day")
+    # 2 chains × 2 tokens × 2 days
+    assert lsd.count() == 8
+    by_sym = {(r.chain, r.symbol): r for r in lsd.collect() if r.block_day.day == 1}
+    assert abs(by_sym[("polygon", "stMATIC")].total_supply - 5.0) < 1e-9
+    assert by_sym[("ethereum", "MaticX")].total_supply == 0.0  # fillna(0)
+    # per-chain block heights differ (ethereum vs polygon lookups)
+    assert (by_sym[("polygon", "stMATIC")].block_height
+            != by_sym[("ethereum", "stMATIC")].block_height)
+
+    pool = pipeline_store.read("safety_module_bal_pool_contents")
+    # only the SM token WITH a bal pool contributes: 2 pool tokens × 2 days
+    assert pool.count() == 4
+    assert {r.safety_module_token for r in pool.collect()} == {"stkABPT"}
+    w = {r.symbol: r.weight for r in pool.collect() if r.block_day.day == 1}
+    assert abs(w["AAVE"] - 0.8) < 1e-9 and abs(w["WETH"] - 0.2) < 1e-9
