@@ -258,6 +258,14 @@ family(
             ("query_id", "candidate_id"),
             ("cos_sim", "rank"),
         ),
+        (
+            "depth_append",
+            "liquidity_depth_append_store",
+            ("from_asset", "to_asset"),
+            ("from_asset_price", "from_amount_native", "from_amount_usd",
+             "to_asset_price", "to_amount_native", "to_amount_usd",
+             "price_impact"),
+        ),
     ],
     doc=(
         "time-rollup family: §2.9 date_trunc+interval day rollup + the"
@@ -266,6 +274,8 @@ family(
         " TableStore dynamic partition overwrite, read back from the store)"
         " + the at-rest IVF index (built partitioned by cell_id through the"
         " same store; search scans only probed partition directories)"
+        " + the K2 append-only liquidity-depth snapshot table with the"
+        " fetch_time-latest model read from the appended store"
     ),
 )
 

@@ -262,3 +262,82 @@ def orchestration_backfill_run(spark, sf_dir):
         "total_value",
         "day_over_day",
     )
+
+
+# ---------------------------------------------------------------------------
+# K2 append-only end-to-end: the aave_token_liquidity_depth shape
+# (protocol_data_lake.py:1904-2089 — non-idempotent append per fetch, the
+# reference's append io manager aave_data/__init__.py:106-115) + the
+# fetch_time-latest read (aave_dbt aave_token_liquidity_depth_latest.sql:16).
+# Three deterministic sweep snapshots APPEND through TableStore (the table
+# is reset first so re-runs stay bounded), then the latest-model SQL runs
+# over the STORE read — certifying the append layout + max-fetch_time
+# filter from at-rest data, not a fixture view.
+# ---------------------------------------------------------------------------
+_DEPTH_SNAPSHOT = """
+SELECT TIMESTAMP '2024-06-0{idx} 00:00:00' AS fetch_time,
+  'AAVE' AS from_asset, CAST(90 AS DOUBLE) + {idx} AS from_asset_price,
+  CAST(g.g AS DOUBLE) * 100000 AS from_amount_usd,
+  CAST(g.g AS DOUBLE) * 100000 / (CAST(90 AS DOUBLE) + {idx}) AS from_amount_native,
+  'USDC' AS to_asset, CAST(1 AS DOUBLE) AS to_asset_price,
+  CAST(g.g AS DOUBLE) * 100000 * (1 - CAST(g.g AS DOUBLE) * 0.002 * {idx}) AS to_amount_usd,
+  CAST(g.g AS DOUBLE) * 100000 * (1 - CAST(g.g AS DOUBLE) * 0.002 * {idx}) AS to_amount_native,
+  CAST(g.g AS DOUBLE) * 0.002 * {idx} AS price_impact
+FROM (VALUES (1), (2), (3), (4), (5)) AS g(g)
+"""
+
+_DEPTH_LATEST_COLS = (
+    "from_asset, from_asset_price, from_amount_native, from_amount_usd,"
+    " to_asset, to_asset_price, to_amount_native, to_amount_usd, price_impact"
+)
+
+
+@register(
+    "liquidity_depth_append_store",
+    export=False,  # driver slot held by its family head (time_rollup_family)
+    oracle=f"""
+    WITH aave_token_liquidity_depth AS (
+      {_DEPTH_SNAPSHOT.format(idx=1)}
+      UNION ALL
+      {_DEPTH_SNAPSHOT.format(idx=2)}
+      UNION ALL
+      {_DEPTH_SNAPSHOT.format(idx=3)}
+    )
+    SELECT {_DEPTH_LATEST_COLS}
+    FROM aave_token_liquidity_depth
+    WHERE fetch_time = (SELECT max(fetch_time) FROM aave_token_liquidity_depth)
+    """,
+    doc=(
+        "K2 append-only end-to-end: three sweep snapshots appended through"
+        " TableStore (reference append io manager), then the"
+        " aave_token_liquidity_depth_latest model's max-fetch_time read"
+        " runs over the STORE table"
+    ),
+)
+def liquidity_depth_append_store(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from aave_etl_spark.datamart.models import MODELS
+    from aave_etl_spark.io.table_store import TableStore
+
+    store_root = os.path.join(
+        tempfile.gettempdir(),
+        "aave_etl_spark_depth",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    store = TableStore(spark, store_root)
+    # reset so repeat invocations (bench passes, driver cert) exercise the
+    # SAME three-append sequence with bounded disk
+    shutil.rmtree(os.path.join(store_root, "aave_token_liquidity_depth"),
+                  ignore_errors=True)
+    for idx in (1, 2, 3):
+        snap = spark.sql(_DEPTH_SNAPSHOT.format(idx=idx))
+        store.write(snap, "aave_token_liquidity_depth", append_only=True)
+    store.read("aave_token_liquidity_depth").createOrReplaceTempView(
+        "aave_token_liquidity_depth"
+    )
+    # the dbt model SQL verbatim (fetch_time-latest filter,
+    # aave_token_liquidity_depth_latest.sql:16)
+    return spark.sql(MODELS["aave_token_liquidity_depth_latest"].sql)
