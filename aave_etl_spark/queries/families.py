@@ -181,12 +181,33 @@ family(
             ("doc_id",),
             ("n_windows", "n_dup_windows", "dup_fraction"),
         ),
+        (
+            "atoken_measures",
+            "warehouse_atoken_measures",
+            ("market", "chain", "collector", "token", "symbol",
+             "CAST(block_day AS DATE)"),
+            ("CAST(block_height AS DOUBLE)", "balance", "scaled_balance",
+             "accrued_fees", "tokens_in_external", "tokens_in_internal",
+             "tokens_out_external", "tokens_out_internal",
+             "minted_to_treasury_amount", "minted_amount"),
+        ),
+        (
+            "non_atoken_measures",
+            "warehouse_non_atoken_measures",
+            ("market", "chain", "contract_address", "token", "symbol",
+             "CAST(block_day AS DATE)"),
+            ("balance", "tokens_in_external", "tokens_in_internal",
+             "tokens_out_external", "tokens_out_internal",
+             "paraswap_fees_claimable"),
+        ),
     ],
     doc=(
         "§2.7 union family: UNION ALL with lit-0 padding + UNION DISTINCT +"
         " bucketized range join (plain-BETWEEN oracle identity) + the"
         " deterministic hash-sampling partition of the corpus (stratified"
-        " exact-k sample + train/test split) + the cross-split"
+        " exact-k sample + train/test split) + the REAL warehouse"
+        " atoken/non-atoken measure-join transforms (classify/quadrant/"
+        " paraswap-stack, data_warehouse.py:84-335) + the cross-split"
         " decontamination gate built on that split + substring-level"
         " duplicated-span fractions (window-hash span dedup)"
     ),

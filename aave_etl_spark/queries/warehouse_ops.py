@@ -341,3 +341,305 @@ def liquidity_depth_append_store(spark, sf_dir):
     # the dbt model SQL verbatim (fetch_time-latest filter,
     # aave_token_liquidity_depth_latest.sql:16)
     return spark.sql(MODELS["aave_token_liquidity_depth_latest"].sql)
+
+
+# ---------------------------------------------------------------------------
+# The REAL treasury measure-join transforms (warehouse/measures.py —
+# reference data_warehouse.py:84-227 atoken, :236-335 non-atoken) under the
+# driver gate: lake-level fixtures from `nation`, the Spark transform runs
+# verbatim, and the oracle mirrors the classify/quadrant/join/fillna logic
+# in SQL. Previously these transforms were pytest-only (the datamart heads
+# consume their OUTPUT as fixture views).
+# ---------------------------------------------------------------------------
+_WM_DAYS = (
+    "(VALUES (TIMESTAMP '2023-06-01'), (TIMESTAMP '2023-06-02')) AS d(block_day)"
+)
+_WM_DD = "CAST(extract(day FROM d.block_day) AS DOUBLE) * 0.5"
+
+# markets: polygon_v3 (fees/minted arm), ethereum_v2, ethereum_v1 (the
+# ETH→WETH symbol-fixup arm)
+_WM_BASE = """
+SELECT n.n_nationkey AS k, lower(n.n_name) AS nm,
+  CASE n.n_nationkey % 3 WHEN 0 THEN 'polygon_v3' WHEN 1 THEN 'ethereum_v2'
+       ELSE 'ethereum_v1' END AS market,
+  CASE n.n_nationkey % 3 WHEN 0 THEN 'polygon' ELSE 'ethereum' END AS chain,
+  CASE n.n_nationkey % 3 WHEN 0 THEN '0xcol_pol' WHEN 1 THEN '0xcol_eth2'
+       ELSE '0xcol_eth1' END AS collector
+FROM nation n
+"""
+
+# pre-fixup symbol: ethereum_v1 even-k rows carry 'ETH' (the fixup target)
+_WM_SYM = (
+    "CASE WHEN b.market = 'ethereum_v1' AND b.k % 2 = 0 THEN 'ETH'"
+    " ELSE concat('a', b.nm) END"
+)
+
+_WM_BAL = f"""
+SELECT b.collector, b.market, concat('0xt_', b.nm) AS token,
+  {_WM_SYM} AS symbol,
+  CAST(100 + b.k AS BIGINT) AS block_height, d.block_day,
+  CAST(1000 AS DOUBLE) + CAST(b.k AS DOUBLE) * 16 + {_WM_DD} AS balance,
+  CAST(900 AS DOUBLE) + CAST(b.k AS DOUBLE) AS scaled_balance
+FROM ({_WM_BASE}) b CROSS JOIN {_WM_DAYS}
+"""
+
+# transfer arms: IN-from-internal, IN-from-unknown (external default, two
+# rows on k%4=0 so the day rollup sums), OUT-to-internal, OUT-to-external,
+# plus an orphan token no balance row drives (dropped by the left join)
+_WM_TR = f"""
+SELECT t.transfer_type AS transfers_transfer_type,
+  t.from_address AS transfers_from_address,
+  t.to_address AS transfers_to_address,
+  t.token AS transfers_contract_address,
+  t.symbol AS transfers_contract_symbol,
+  t.block_day, t.amount AS amount_transferred, t.market, t.collector
+FROM (
+  SELECT 'IN' AS transfer_type, '0xint1' AS from_address,
+         b.collector AS to_address, concat('0xt_', b.nm) AS token,
+         {_WM_SYM} AS symbol, d.block_day, CAST(3 AS DOUBLE) AS amount,
+         b.market, b.collector
+  FROM ({_WM_BASE}) b CROSS JOIN {_WM_DAYS} WHERE b.k % 2 = 0
+  UNION ALL
+  SELECT 'IN', '0xext9', b.collector, concat('0xt_', b.nm), {_WM_SYM},
+         d.block_day, CAST(1.5 AS DOUBLE), b.market, b.collector
+  FROM ({_WM_BASE}) b CROSS JOIN {_WM_DAYS} WHERE b.k % 2 = 0
+  UNION ALL
+  SELECT 'IN', '0xext8', b.collector, concat('0xt_', b.nm), {_WM_SYM},
+         d.block_day, CAST(0.25 AS DOUBLE), b.market, b.collector
+  FROM ({_WM_BASE}) b CROSS JOIN {_WM_DAYS} WHERE b.k % 4 = 0
+  UNION ALL
+  SELECT 'OUT', b.collector, '0xint1', concat('0xt_', b.nm), {_WM_SYM},
+         d.block_day, CAST(0.5 AS DOUBLE), b.market, b.collector
+  FROM ({_WM_BASE}) b CROSS JOIN {_WM_DAYS} WHERE b.k % 3 = 0
+  UNION ALL
+  SELECT 'OUT', b.collector, '0xext7', concat('0xt_', b.nm), {_WM_SYM},
+         d.block_day, CAST(2 AS DOUBLE), b.market, b.collector
+  FROM ({_WM_BASE}) b CROSS JOIN {_WM_DAYS} WHERE b.k % 3 = 1
+  UNION ALL
+  SELECT 'IN', '0xext9', b.collector, '0xt_orphan', 'aORPHAN',
+         d.block_day, CAST(9 AS DOUBLE), b.market, b.collector
+  FROM ({_WM_BASE}) b CROSS JOIN {_WM_DAYS} WHERE b.k = 1
+) t
+"""
+
+_WM_FEES = f"""
+SELECT b.market, concat('0xr_', b.nm) AS reserve, b.nm AS symbol,
+  concat('0xt_', b.nm) AS atoken, concat('a', b.nm) AS atoken_symbol,
+  CAST(100 + b.k AS BIGINT) AS block_height, d.block_day,
+  CAST(10 AS DOUBLE) + CAST(b.k AS DOUBLE) * 0.5 AS accrued_fees_scaled,
+  CAST(1.25 AS DOUBLE) AS liquidity_index,
+  (CAST(10 AS DOUBLE) + CAST(b.k AS DOUBLE) * 0.5) * 1.25 AS accrued_fees
+FROM ({_WM_BASE}) b CROSS JOIN {_WM_DAYS} WHERE b.market = 'polygon_v3'
+"""
+
+_WM_MINTED = f"""
+SELECT b.market, concat('0xr_', b.nm) AS reserve, b.nm AS symbol,
+  concat('0xt_', b.nm) AS atoken, concat('a', b.nm) AS atoken_symbol,
+  CAST(100 + b.k AS BIGINT) AS block_height, d.block_day,
+  CAST(2 AS DOUBLE) + CAST(b.k AS DOUBLE) * 0.25 AS minted_to_treasury_amount,
+  CAST(2.5 AS DOUBLE) + CAST(b.k AS DOUBLE) * 0.25 AS minted_amount
+FROM ({_WM_BASE}) b CROSS JOIN {_WM_DAYS}
+WHERE b.market = 'polygon_v3' AND b.k % 2 = 0
+"""
+
+_WM_IA = """
+SELECT * FROM (VALUES ('polygon', '0xint1', 'aave_internal'),
+                      ('ethereum', '0xint1', 'aave_internal'))
+  AS v(chain, contract_address, internal_external)
+"""
+
+_WM_MC = f"SELECT DISTINCT market, chain FROM ({_WM_BASE}) b"
+
+# SQL twin of warehouse/measures.py classify_transfers + quadrant agg —
+# shared by both measure oracles (keyed by the caller's group columns)
+_WM_CLASSIFIED = f"""
+  SELECT trs.*, coalesce(c.internal_external, 'aave_external') AS ie
+  FROM (
+    SELECT t.market, t.collector, mc.chain,
+           t.transfers_transfer_type AS transfer_type,
+           t.transfers_from_address AS from_address,
+           t.transfers_to_address AS to_address,
+           t.transfers_contract_address AS token,
+           t.transfers_contract_symbol AS symbol,
+           t.block_day, t.amount_transferred
+    FROM tr t LEFT JOIN mc ON t.market = mc.market
+  ) trs
+  LEFT JOIN ia c
+    ON trs.chain = c.chain
+   AND c.contract_address = CASE WHEN trs.transfer_type = 'IN'
+                                 THEN trs.from_address ELSE trs.to_address END
+  WHERE trs.transfer_type IN ('IN', 'OUT')
+"""
+
+_WM_QUAD_SUMS = """
+    sum(CASE WHEN ie = 'aave_external' AND transfer_type = 'IN'
+             THEN amount_transferred ELSE 0 END) AS tokens_in_external,
+    sum(CASE WHEN ie = 'aave_internal' AND transfer_type = 'IN'
+             THEN amount_transferred ELSE 0 END) AS tokens_in_internal,
+    sum(CASE WHEN ie = 'aave_external' AND transfer_type = 'OUT'
+             THEN amount_transferred ELSE 0 END) AS tokens_out_external,
+    sum(CASE WHEN ie = 'aave_internal' AND transfer_type = 'OUT'
+             THEN amount_transferred ELSE 0 END) AS tokens_out_internal
+"""
+
+
+@register(
+    "warehouse_atoken_measures",
+    export=False,  # driver slot held by its family head (union_family)
+    oracle=f"""
+    WITH bal AS ({_WM_BAL}), tr AS ({_WM_TR}), fees AS ({_WM_FEES}),
+    minted AS ({_WM_MINTED}), ia AS ({_WM_IA}), mc AS ({_WM_MC}),
+    classified AS ({_WM_CLASSIFIED}),
+    quad AS (
+      SELECT market, chain, collector, token, symbol, block_day,
+      {_WM_QUAD_SUMS}
+      FROM classified GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    f AS (SELECT market, atoken AS token, atoken_symbol AS symbol,
+                 block_height, block_day, accrued_fees FROM fees),
+    m AS (SELECT market, atoken AS token, block_day,
+                 minted_to_treasury_amount, minted_amount FROM minted),
+    joined AS (
+      SELECT b.collector, b.market, b.token, b.symbol, b.block_height,
+             b.block_day, b.balance, b.scaled_balance, mc.chain,
+             f.accrued_fees, q.tokens_in_external, q.tokens_in_internal,
+             q.tokens_out_external, q.tokens_out_internal,
+             m.minted_to_treasury_amount, m.minted_amount
+      FROM bal b
+      LEFT JOIN mc ON b.market = mc.market
+      LEFT JOIN f ON b.market = f.market AND b.token = f.token
+                 AND b.symbol = f.symbol AND b.block_height = f.block_height
+                 AND b.block_day = f.block_day
+      LEFT JOIN quad q ON b.market = q.market AND mc.chain = q.chain
+                      AND b.collector = q.collector AND b.token = q.token
+                      AND b.symbol = q.symbol AND b.block_day = q.block_day
+      LEFT JOIN m ON b.market = m.market AND b.token = m.token
+                 AND b.block_day = m.block_day
+    )
+    SELECT collector, market, token,
+      CASE WHEN market = 'ethereum_v1' AND symbol = 'ETH' THEN 'WETH'
+           ELSE symbol END AS symbol,
+      block_height, block_day, balance, scaled_balance, chain,
+      coalesce(accrued_fees, 0) AS accrued_fees,
+      coalesce(tokens_in_external, 0) AS tokens_in_external,
+      coalesce(tokens_in_internal, 0) AS tokens_in_internal,
+      coalesce(tokens_out_external, 0) AS tokens_out_external,
+      coalesce(tokens_out_internal, 0) AS tokens_out_internal,
+      coalesce(minted_to_treasury_amount, 0) AS minted_to_treasury_amount,
+      coalesce(minted_amount, 0) AS minted_amount
+    FROM joined
+    """,
+    doc=(
+        "REAL warehouse atoken measure-join transform under the driver gate:"
+        " classify IN/OUT transfers vs the internal-address dim, quadrant"
+        " conditional sums, fees/minted left joins, ETH->WETH fixup,"
+        " fill-0 after all joins (data_warehouse.py:84-227)"
+    ),
+)
+def warehouse_atoken_measures(spark, sf_dir):
+    from aave_etl_spark.warehouse.measures import atoken_measures_by_day
+
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    out = atoken_measures_by_day(
+        spark.sql(_WM_BAL),
+        spark.sql(_WM_TR),
+        spark.sql(_WM_FEES),
+        spark.sql(_WM_MINTED),
+        spark.sql(_WM_IA),
+        spark.sql(_WM_MC),
+    )
+    return out.select(
+        "collector", "market", "token", "symbol", "block_height", "block_day",
+        "balance", "scaled_balance", "chain", "accrued_fees",
+        "tokens_in_external", "tokens_in_internal", "tokens_out_external",
+        "tokens_out_internal", "minted_to_treasury_amount", "minted_amount",
+    )
+
+
+_WM_NBAL = f"""
+SELECT b.collector AS contract_address, b.chain, b.market,
+  concat('0xt_', b.nm) AS token, CAST(18 AS BIGINT) AS decimals,
+  {_WM_SYM} AS symbol,
+  CAST(100 + b.k AS BIGINT) AS block_height, d.block_day,
+  CAST(500 AS DOUBLE) + CAST(b.k AS DOUBLE) * 8 + {_WM_DD} AS balance
+FROM ({_WM_BASE}) b CROSS JOIN {_WM_DAYS} WHERE b.k % 2 = 0
+"""
+
+# paraswap fees stack in by union + re-aggregate, not a join: one arm
+# matches an existing (day, contract, token, symbol) key (k%4=0 via the
+# shared collector/token), one arm is fee-only rows (k%4=2)
+_WM_PFEES = f"""
+SELECT d.block_day, b.chain, b.market, b.collector AS paraswap_fee_claimer,
+  concat('0xt_', b.nm) AS reserve, {_WM_SYM} AS symbol,
+  CAST(0.125 AS DOUBLE) * CAST(b.k + 1 AS DOUBLE) AS claimable
+FROM ({_WM_BASE}) b CROSS JOIN {_WM_DAYS} WHERE b.k % 4 IN (0, 2)
+"""
+
+
+@register(
+    "warehouse_non_atoken_measures",
+    export=False,  # driver slot held by its family head (union_family)
+    oracle=f"""
+    WITH bal AS ({_WM_NBAL}), tr AS ({_WM_TR}), ia AS ({_WM_IA}),
+    pfees AS ({_WM_PFEES}), mc AS ({_WM_MC}),
+    classified AS ({_WM_CLASSIFIED}),
+    quad AS (
+      SELECT market, chain, collector AS contract_address, token, block_day,
+      {_WM_QUAD_SUMS}
+      FROM classified GROUP BY 1, 2, 3, 4, 5
+    ),
+    joined AS (
+      SELECT b.block_day, b.chain, b.market, b.contract_address, b.token,
+             b.symbol, b.balance,
+             q.tokens_in_external, q.tokens_in_internal,
+             q.tokens_out_external, q.tokens_out_internal
+      FROM bal b
+      LEFT JOIN quad q ON b.market = q.market AND b.chain = q.chain
+                      AND b.contract_address = q.contract_address
+                      AND b.token = q.token AND b.block_day = q.block_day
+    ),
+    stacked AS (
+      SELECT block_day, chain, market, contract_address, token, symbol,
+             coalesce(balance, 0) AS balance,
+             coalesce(tokens_in_external, 0) AS tokens_in_external,
+             coalesce(tokens_in_internal, 0) AS tokens_in_internal,
+             coalesce(tokens_out_external, 0) AS tokens_out_external,
+             coalesce(tokens_out_internal, 0) AS tokens_out_internal,
+             CAST(0 AS DOUBLE) AS paraswap_fees_claimable
+      FROM joined
+      UNION ALL
+      SELECT block_day, chain, market, paraswap_fee_claimer, reserve, symbol,
+             0, 0, 0, 0, 0, claimable
+      FROM pfees
+    )
+    SELECT block_day, chain, market, contract_address, token, symbol,
+           sum(balance) AS balance,
+           sum(tokens_in_external) AS tokens_in_external,
+           sum(tokens_in_internal) AS tokens_in_internal,
+           sum(tokens_out_external) AS tokens_out_external,
+           sum(tokens_out_internal) AS tokens_out_internal,
+           sum(paraswap_fees_claimable) AS paraswap_fees_claimable
+    FROM stacked GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+    doc=(
+        "REAL warehouse non-atoken measure transform under the driver gate:"
+        " holder-keyed transfer classification + the paraswap-fee"
+        " union-and-reaggregate stack (data_warehouse.py:236-335)"
+    ),
+)
+def warehouse_non_atoken_measures(spark, sf_dir):
+    from aave_etl_spark.warehouse.measures import non_atoken_measures_by_day
+
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    out = non_atoken_measures_by_day(
+        spark.sql(_WM_NBAL),
+        spark.sql(_WM_TR),
+        spark.sql(_WM_IA),
+        spark.sql(_WM_PFEES),
+        spark.sql(_WM_MC),
+    )
+    return out.select(
+        "block_day", "chain", "market", "contract_address", "token", "symbol",
+        "balance", "tokens_in_external", "tokens_in_internal",
+        "tokens_out_external", "tokens_out_internal", "paraswap_fees_claimable",
+    )
