@@ -178,3 +178,121 @@ def mix_corpus(
     )
     # restore the caller's column order (the join moved the group key first)
     return kept.select(*df.columns)
+
+
+def dsir_importance_resample(
+    df: DataFrame,
+    target_pred: str = "lang = 'en'",
+    m: int = 256,
+    keep_frac: float = 0.25,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, arXiv:2302.03169): score raw documents by how target-like their
+    hashed-n-gram distribution is, then Gumbel-top-k resample.
+
+    1. features: unigrams + bigrams WITH multiplicity, hashed into ``m``
+       buckets (md5 hex prefix mod m — the repo's engine-portable hash).
+    2. bucket distributions: target = rows matching ``target_pred``; raw =
+       the whole corpus; Laplace-smoothed p[b] = (c[b]+1)/(n+m).
+    3. weight(doc) = Σ_b c_doc[b]·(ln p_target[b] − ln p_raw[b]) — the
+       bag-of-hashed-ngrams log-likelihood ratio.
+    4. resample: key = weight/temperature + Gumbel(md5(id)) (deterministic
+       inverse-CDF Gumbel, so the Gumbel-top-k trick — equivalent to
+       sampling without replacement ∝ exp(weight/T) — stays reproducible
+       across engines/partitionings); keep the ceil(keep_frac·N) largest.
+
+    Output: (id, n_grams, weight, sample_key, kept).
+
+    Scale: gram explode + one m-bounded bucket shuffle; both distributions
+    are m-row aggregates broadcast into the scorer. The exact global
+    top-k rank is the certification form; at 100 TB swap the rank for a
+    percentile_approx(sample_key, 1-keep_frac) broadcast threshold (the
+    same exact→approx swap as top_fraction_by_group)."""
+    toked = df.select(
+        F.col(id_col),
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+        ).alias("_toks"),
+        F.expr(target_pred).alias("_is_target"),
+    )
+    toks = F.col("_toks")
+    uni = toks
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toked.select(
+        F.col(id_col),
+        "_is_target",
+        F.explode(F.concat(uni, bi)).alias("_gram"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_gram")), 1, 15), 16, 10).cast("long")
+        % F.lit(m)
+    )
+    doc_buckets = grams.select(F.col(id_col), "_is_target", bucket.alias("_b")).groupBy(
+        id_col, "_is_target", "_b"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+
+    # m-row Laplace-smoothed distributions; ln-ratio per bucket
+    tgt = (
+        doc_buckets.filter("_is_target")
+        .groupBy("_b")
+        .agg(F.sum("_c").alias("_ct"))
+    )
+    raw = doc_buckets.groupBy("_b").agg(F.sum("_c").alias("_cr"))
+    # every bucket 0..m-1 participates via the smoothing prior, so the
+    # ratio table is built over the raw buckets (superset of target's)
+    # with target counts coalesced to 0
+    tot_t = F.broadcast(tgt.agg(F.sum("_ct").cast("double").alias("_nt")))
+    tot_r = F.broadcast(raw.agg(F.sum("_cr").cast("double").alias("_nr")))
+    ratio = (
+        raw.join(tgt, "_b", "left")
+        .crossJoin(tot_t)
+        .crossJoin(tot_r)
+        .select(
+            "_b",
+            (
+                F.log((F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + 1.0)
+                      / (F.col("_nt") + float(m)))
+                - F.log((F.col("_cr").cast("double") + 1.0) / (F.col("_nr") + float(m)))
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        doc_buckets.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_grams"),
+            F.sum(F.col("_c").cast("double") * F.col("_lr")).alias("_w"),
+        )
+    )
+    u = uniform_hash(id_col, "dsir")
+    gumbel = -F.log(-F.log(u + F.lit(0.5 / _HASH_SPACE)))
+    keyed = scored.select(
+        F.col(id_col),
+        "n_grams",
+        F.round(F.col("_w"), 6).alias("weight"),
+        F.round(F.col("_w") / F.lit(temperature) + gumbel, 6).alias("sample_key"),
+    )
+    total = F.broadcast(keyed.agg(F.count(F.lit(1)).cast("double").alias("_n")))
+    w = Window.orderBy(F.col("sample_key").desc(), F.col(id_col))
+    return (
+        keyed.crossJoin(total)
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "weight",
+            "sample_key",
+            (F.col("_rk") <= F.ceil(F.lit(keep_frac) * F.col("_n"))).alias("kept"),
+        )
+    )

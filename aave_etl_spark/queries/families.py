@@ -192,6 +192,12 @@ family(
              "minted_to_treasury_amount", "minted_amount"),
         ),
         (
+            "dsir",
+            "llm_dsir_resample",
+            ("doc_id",),
+            ("n_grams", "weight", "sample_key", "CAST(kept AS DOUBLE)"),
+        ),
+        (
             "non_atoken_measures",
             "warehouse_non_atoken_measures",
             ("market", "chain", "contract_address", "token", "symbol",
@@ -205,7 +211,9 @@ family(
         "§2.7 union family: UNION ALL with lit-0 padding + UNION DISTINCT +"
         " bucketized range join (plain-BETWEEN oracle identity) + the"
         " deterministic hash-sampling partition of the corpus (stratified"
-        " exact-k sample + train/test split) + the REAL warehouse"
+        " exact-k sample + train/test split) + DSIR importance resampling"
+        " (hashed-ngram log-likelihood-ratio weights, Gumbel-top-k) +"
+        " the REAL warehouse"
         " atoken/non-atoken measure-join transforms (classify/quadrant/"
         " paraswap-stack, data_warehouse.py:84-335) + the cross-split"
         " decontamination gate built on that split + substring-level"
@@ -360,13 +368,20 @@ family(
             ("query_id",),
             ("n_hits", "recall_at_3"),
         ),
+        (
+            "margin",
+            "llm_margin_topk",
+            ("query_id", "candidate_id"),
+            ("cos_sim", "margin", "rank"),
+        ),
     ],
     doc=(
         "§2.3 join-technique family: EXISTS semi-join + left-anti join +"
         " skew-salted hot-key join (result identical to the plain join) +"
         " banded SimHash hamming-radius join (pigeonhole-exact recall,"
         " popcount verify) + the ANN recall@3 gate (IVF index results"
-        " intersection-joined against brute-force ground truth)"
+        " intersection-joined against brute-force ground truth) + the"
+        " margin-based (CCMatrix) candidate re-ranker"
     ),
 )
 

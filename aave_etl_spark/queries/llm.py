@@ -333,6 +333,67 @@ def llm_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, queries, k=3)
 
 
+_MARGIN_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "llm_margin_topk",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS candidate_id,
+             {_MARGIN_COS.format(a="q.qe", b="c.e")} AS cos_sim
+      FROM v c CROSS JOIN q WHERE c.vec_id != q.query_id
+    ),
+    aq AS (
+      SELECT query_id, avg(cos_sim) AS a_q FROM (
+        SELECT query_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, candidate_id) AS r
+        FROM scored) s WHERE r <= 4 GROUP BY query_id
+    ),
+    ac AS (
+      SELECT candidate_id, avg(cos_sim) AS a_c FROM (
+        SELECT candidate_id, cos_sim,
+               row_number() OVER (PARTITION BY candidate_id
+                                  ORDER BY cos_sim DESC, query_id) AS r
+        FROM scored) s WHERE r <= 4 GROUP BY candidate_id
+    ),
+    fw AS (
+      SELECT query_id, candidate_id, cos_sim FROM (
+        SELECT scored.*,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, candidate_id) AS r
+        FROM scored) s WHERE r <= 3
+    ),
+    margined AS (
+      SELECT fw.query_id, fw.candidate_id, fw.cos_sim,
+             round(fw.cos_sim / ((aq.a_q + ac.a_c) / 2.0), 6) AS margin
+      FROM fw JOIN aq USING (query_id) JOIN ac USING (candidate_id)
+    )
+    SELECT query_id, candidate_id, cos_sim, margin,
+      CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY margin DESC, candidate_id) AS BIGINT) AS rank
+    FROM margined
+    """,
+    doc=(
+        "LLM similarity: margin-based candidate re-ranking (Artetxe &"
+        " Schwenk 2019, CCMatrix bitext-mining criterion) — cosine"
+        " normalized by both endpoints' k-NN neighborhood means, one"
+        " broadcast pair scan feeding both direction's windows"
+    ),
+)
+def llm_margin_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.margin_topk(emb, queries, k=3, knn=4)
+
+
 def _srp_oracle(n_planes: int = 8, min_cos: float = 0.0) -> str:
     """DuckDB mirror of the SRP plane derivation (operators/similarity.py
     `_srp_plane`/`srp_buckets`): the ±1 sign for (plane p, dim i) is the
@@ -1540,6 +1601,78 @@ def llm_vocab_coverage(spark, sf_dir):
 )
 def llm_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob(t(spark, sf_dir, "documents"))
+
+
+# 16^15 as a literal for the oracle's md5-uniform scale
+_HASH_SPACE_SQL = "1152921504606846976.0"
+
+_DSIR_GUMBEL = (
+    "-ln(-ln((CAST(('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    f" AS BIGINT) + 0.5) / {_HASH_SPACE_SQL}))"
+)
+
+
+@register(
+    "llm_dsir_resample",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS l, (lang = 'en') AS is_target FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, is_target,
+             unnest(list_concat(
+               l,
+               CASE WHEN len(l) >= 2
+                    THEN list_transform(l[1:len(l) - 1], (x, i) -> x || ' ' || l[i + 1])
+                    ELSE CAST([] AS VARCHAR[]) END
+             )) AS g
+      FROM d
+    ),
+    doc_buckets AS (
+      SELECT doc_id, is_target,
+             CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % 256 AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    tgt AS (SELECT b, sum(c) AS ct FROM doc_buckets WHERE is_target GROUP BY b),
+    raw AS (SELECT b, sum(c) AS cr FROM doc_buckets GROUP BY b),
+    tots AS (SELECT (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS nt,
+                    (SELECT CAST(sum(cr) AS DOUBLE) FROM raw) AS nr),
+    ratio AS (
+      SELECT raw.b,
+             ln((coalesce(tgt.ct, 0) + 1.0) / (tots.nt + 256.0))
+             - ln((raw.cr + 1.0) / (tots.nr + 256.0)) AS lr
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots
+    ),
+    scored AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, sum(c * lr) AS w
+      FROM doc_buckets JOIN ratio USING (b) GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, n_grams, round(w, 6) AS weight,
+             round(w / 1.0 + ({_DSIR_GUMBEL}), 6) AS sample_key
+      FROM scored
+    )
+    SELECT doc_id, n_grams, weight, sample_key,
+      (row_number() OVER (ORDER BY sample_key DESC, doc_id)
+         <= ceil(0.25 * (SELECT count(*) FROM keyed))) AS kept
+    FROM keyed
+    """,
+    doc=(
+        "LLM sampling: DSIR importance resampling (Xie et al. 2023) —"
+        " hashed unigram+bigram bucket distributions (target vs raw),"
+        " Laplace-smoothed log-likelihood-ratio weights, deterministic"
+        " Gumbel-top-k resample"
+    ),
+)
+def llm_dsir_resample(spark, sf_dir):
+    from aave_etl_spark.operators import sampling
+
+    return sampling.dsir_importance_resample(
+        t(spark, sf_dir, "documents"), target_pred="lang = 'en'",
+        m=256, keep_frac=0.25,
+    )
 
 
 @register(

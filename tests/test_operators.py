@@ -1033,3 +1033,71 @@ def test_ivf_index_completion_marker_protocol(spark, tmp_path):
     # a fresh build restores the marker atomically
     similarity.ivf_index_build(store, emb, n_cells=4)
     assert store.is_complete("ivf_index")
+
+
+def test_dsir_importance_resample_prefers_target_like(spark):
+    """DSIR: docs sharing the target side's n-gram distribution score
+    higher; kept = ceil(keep_frac * N) docs; deterministic across
+    partitionings (md5 features + md5 Gumbel)."""
+    from aave_etl_spark.operators import sampling
+
+    tgt_text = "the quick brown fox jumps over the lazy dog"
+    off_text = "zzz qqq vvv kkk www yyy xxx uuu ttt"
+    rows = (
+        [(i, tgt_text, "en") for i in range(4)]
+        + [(10 + i, tgt_text + " extra words here", "fr") for i in range(3)]  # target-like raw
+        + [(20 + i, off_text, "fr") for i in range(5)]                        # off-target raw
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = sampling.dsir_importance_resample(
+        docs, target_pred="lang = 'en'", m=64, keep_frac=0.5
+    ).collect()
+    assert len(out) == 12
+    by_id = {r.doc_id: r for r in out}
+    # every target-like raw doc outweighs every off-target raw doc
+    tgt_like = [by_id[10 + i].weight for i in range(3)]
+    off = [by_id[20 + i].weight for i in range(5)]
+    assert min(tgt_like) > max(off)
+    assert sum(1 for r in out if r.kept) == 6  # ceil(0.5 * 12)
+    # repartition invariance
+    out2 = sampling.dsir_importance_resample(
+        docs.repartition(7), target_pred="lang = 'en'", m=64, keep_frac=0.5
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_margin_topk_suppresses_hubs(spark):
+    """Margin scoring: a hub candidate close to EVERY query is discounted
+    by its high neighborhood mean; a candidate uniquely close to one query
+    out-margins it despite similar raw cosine."""
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    queries = spark.createDataFrame(
+        [(0, vec(0.0)), (1, vec(1.2))], "vec_id long, embedding array<double>"
+    )
+    cands = spark.createDataFrame(
+        [
+            (100, vec(0.6)),    # hub: moderately close to both queries
+            (101, vec(0.05)),   # uniquely close to query 0
+            (102, vec(1.15)),   # uniquely close to query 1
+            (103, vec(3.0)),    # far from everything
+            (0, vec(0.0)), (1, vec(1.2)),  # self rows excluded from own results
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.margin_topk(cands, queries, k=3, knn=2).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, {})[r.candidate_id] = r
+    # per-query top-3 present with margin-ranked order
+    for qid, cmap in per_q.items():
+        ranks = sorted((r.rank, r.candidate_id) for r in cmap.values())
+        assert [rk for rk, _ in ranks] == list(range(1, len(ranks) + 1))
+    # the unique neighbor out-margins the hub for its query
+    assert per_q[0][101].margin > per_q[0][100].margin
+    assert per_q[1][102].margin > per_q[1][100].margin
+    # margin = cos / mean of the two neighborhood means: spot-check ratio > 1
+    assert per_q[0][101].margin > 1.0
