@@ -291,3 +291,42 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dsir_no_cartesian_and_bounded_broadcasts(spark):
+    """DSIR: gram/bucket aggregation with m-row distribution broadcasts and
+    1-row total broadcasts; nothing corpus x corpus. The two crossJoins in
+    the lineage are against 1-row aggregates (BroadcastNestedLoopJoin is
+    the right shape there, CartesianProduct never appears)."""
+    p = plan(spark, "llm_dsir_resample")
+    assert "CartesianProduct" not in p
+    # the m-row log-ratio table joins the doc-bucket stream broadcast-side
+    assert "BroadcastHashJoin" in p
+
+
+def test_margin_topk_single_scan_both_windows(spark):
+    """margin_topk: the pair set is a broadcast NL join of the tiny query
+    set against the corpus (cosine_topk's shape); both neighborhood
+    windows and the forward top-k consume the SAME checkpointed pair set —
+    no second corpus scan, no cartesian product."""
+    p = plan(spark, "llm_margin_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_warehouse_measures_broadcast_dims(spark):
+    """The measure-join transforms broadcast every dim (market-chain,
+    internal addresses, classified-transfer aggregates are dim-sized) —
+    the fact side is the balances table and is never cartesian-joined."""
+    for q in ("warehouse_atoken_measures", "warehouse_non_atoken_measures"):
+        p = plan(spark, q)
+        assert "CartesianProduct" not in p, q
+        assert "BroadcastHashJoin" in p, q
+
+
+def test_semantic_dedup_subsplit_keyed_join(spark):
+    """The cell_cap sub-split keeps the pair stage a (cell_id, sub_cell)
+    equi-join — capping must never degrade to a cartesian pair join."""
+    p = plan(spark, "llm_semantic_dedup")
+    assert "CartesianProduct" not in p
+    assert "sub_cell" in p
