@@ -408,3 +408,51 @@ def unigram_logprob(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("_nll"), 6).alias("avg_neg_logprob"),
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020, §2.2): keep a line
+    only if it ends in terminal punctuation, has >= ``min_words`` words,
+    and carries no boilerplate markers (lorem ipsum / javascript / cookie
+    notices / code braces); a document survives when >= ``min_kept_lines``
+    lines remain. Complements the doc-level quality gates — boilerplate
+    lives at line granularity, and dropping lines beats dropping docs.
+
+    Output: (id, n_lines, n_kept_lines, clean_chars, clean_md5, doc_kept)
+    — clean_md5 keys the cleaned text for the downstream exact-dedup pass
+    (C4's own order of operations: line-clean, then dedup).
+
+    Pure narrow map: split → HOF filter → array_join, shuffle-free, all
+    JVM-side; the per-line predicates are the same regex/instr expressions
+    on both engines."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(x):
+        t = F.trim(x)
+        words = F.size(F.split(F.trim(F.regexp_replace(x, r"\s+", " ")), " "))
+        low = F.lower(x)
+        return (
+            t.rlike('[.!?"]$')
+            & (words >= min_words)
+            & (F.instr(low, "lorem ipsum") == 0)
+            & (F.instr(low, "javascript") == 0)
+            & (F.instr(low, "cookie") == 0)
+            & (F.instr(low, "{") == 0)
+        )
+
+    kept = F.filter(lines, keep)
+    clean = F.array_join(kept, "\n")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.length(clean).cast("long").alias("clean_chars"),
+        F.md5(clean).alias("clean_md5"),
+        (F.size(kept) >= min_kept_lines).alias("doc_kept"),
+    )

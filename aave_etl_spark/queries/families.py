@@ -139,6 +139,12 @@ family(
             ("doc_id",),
             ("n_tokens", "avg_neg_logprob"),
         ),
+        (
+            "c4_lines",
+            "llm_c4_line_filter",
+            ("doc_id", "clean_md5"),
+            ("n_lines", "n_kept_lines", "clean_chars", "CAST(doc_kept AS DOUBLE)"),
+        ),
     ],
     doc=(
         "text-analysis family: rolling-hash fingerprint + token stats +"
@@ -148,7 +154,8 @@ family(
         " per-doc top-3 BM25 terms + the composed per-doc curation gate"
         " (quality x repetition x language x exact-dup keeper) +"
         " per-language quality-percentile top-50% gate + vocabulary"
-        " coverage curve + unigram-NLL perplexity proxy"
+        " coverage curve + unigram-NLL perplexity proxy + C4-style"
+        " line-level cleaning with the kept-lines doc gate"
     ),
 )
 

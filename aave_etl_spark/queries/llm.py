@@ -1603,6 +1603,53 @@ def llm_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob(t(spark, sf_dir, "documents"))
 
 
+@register(
+    "llm_c4_line_filter",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle="""
+    -- the synthetic corpus is single-line; derive line structure the same
+    -- way on both engines (every ' table ' becomes a sentence boundary)
+    -- so kept, dropped AND doc-gate arms all exercise
+    WITH d AS (
+      SELECT doc_id,
+             string_split(replace(text, ' table ', '.' || chr(10) || 'table '),
+                          chr(10)) AS ls
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, ls,
+             list_filter(ls, x ->
+               regexp_matches(trim(x), '[.!?"]$')
+               AND len(string_split(trim(regexp_replace(x, '\\s+', ' ', 'g')), ' ')) >= 3
+               AND NOT contains(lower(x), 'lorem ipsum')
+               AND NOT contains(lower(x), 'javascript')
+               AND NOT contains(lower(x), 'cookie')
+               AND NOT contains(lower(x), '{')) AS ks
+      FROM d
+    )
+    SELECT doc_id,
+      CAST(len(ls) AS BIGINT) AS n_lines,
+      CAST(len(ks) AS BIGINT) AS n_kept_lines,
+      -- array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
+      CAST(length(coalesce(array_to_string(ks, chr(10)), '')) AS BIGINT) AS clean_chars,
+      md5(coalesce(array_to_string(ks, chr(10)), '')) AS clean_md5,
+      (len(ks) >= 3) AS doc_kept
+    FROM k
+    """,
+    doc=(
+        "LLM curation: C4-style line-level cleaning (terminal punctuation,"
+        " min words/line, boilerplate markers) with the >=3-kept-lines doc"
+        " gate; clean_md5 keys the post-clean exact dedup"
+    ),
+)
+def llm_c4_line_filter(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.expr("replace(text, ' table ', concat('.', chr(10), 'table '))"),
+    )
+    return text.c4_line_filter(docs)
+
+
 # 16^15 as a literal for the oracle's md5-uniform scale
 _HASH_SPACE_SQL = "1152921504606846976.0"
 

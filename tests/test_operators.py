@@ -1101,3 +1101,35 @@ def test_margin_topk_suppresses_hubs(spark):
     assert per_q[1][102].margin > per_q[1][100].margin
     # margin = cos / mean of the two neighborhood means: spot-check ratio > 1
     assert per_q[0][101].margin > 1.0
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 line rule in isolation: terminal punctuation, min words,
+    boilerplate markers; the >=3-kept-lines doc gate; empty-clean md5."""
+    from aave_etl_spark.operators import text as text_ops
+
+    doc_good = "\n".join(
+        ["This line is properly terminated.",
+         "Another good sentence here!",
+         'A quoted ending counts too."',
+         "short.",                          # < 3 words -> dropped
+         "no terminal punctuation here",    # no terminal punct -> dropped
+         "Enable javascript to continue.",  # boilerplate -> dropped
+         "We use cookie banners sadly.",    # boilerplate -> dropped
+         "function() { return 1; }",        # brace -> dropped
+         "lorem ipsum dolor sit amet."]     # boilerplate -> dropped
+    )
+    doc_thin = "Only one good line survives here.\nand nothing else"
+    docs = spark.createDataFrame(
+        [(0, doc_good), (1, doc_thin)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text_ops.c4_line_filter(docs).collect()}
+    assert out[0].n_lines == 9 and out[0].n_kept_lines == 3
+    assert out[0].doc_kept is True
+    assert out[1].n_kept_lines == 1 and out[1].doc_kept is False
+    # clean text = exactly the kept lines, newline-joined
+    import hashlib
+
+    expect = "\n".join(doc_good.split("\n")[:3])
+    assert out[0].clean_md5 == hashlib.md5(expect.encode()).hexdigest()
+    assert out[0].clean_chars == len(expect)
