@@ -328,8 +328,21 @@ family(
             ("event_type",),
             ("n_rows", "k_total", "n_missing_present"),
         ),
+        (
+            "abi_decode",
+            "connector_minted_decode",
+            ("market", "reserve", "symbol", "atoken", "atoken_symbol",
+             "CAST(block_day AS DATE)"),
+            ("CAST(block_height AS DOUBLE)", "minted_to_treasury_amount",
+             "minted_amount"),
+        ),
     ],
-    doc="§2.9/§1.3 JSON family: get_json_object agg + from_json struct parse",
+    doc=(
+        "§2.9/§1.3 parse family: get_json_object agg + from_json struct"
+        " parse + the MintedToTreasury ABI-decode connector chain (uint256"
+        " limb decode, topic address, token join, tx-hash semi-join,"
+        " prior-day rollup) vs an integer-derived oracle"
+    ),
 )
 
 # ---------------------------------------------------------------------------

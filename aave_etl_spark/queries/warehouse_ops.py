@@ -643,3 +643,103 @@ def warehouse_non_atoken_measures(spark, sf_dir):
         "balance", "tokens_in_external", "tokens_in_internal",
         "tokens_out_external", "tokens_out_internal", "paraswap_fees_claimable",
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-certified CONNECTOR decode chain: v3_minted_to_treasury_by_day
+# (sources/connectors.py — reference data_lake.py:929-1092) runs against a
+# deterministic fake transport whose event payloads are derived from
+# `nation`; the oracle derives the EXPECTED decode results independently
+# (integer formulas, never hex), so the JVM-side uint256 limb decode, the
+# topic→address extraction, the broadcast token join, the tx-hash
+# semi-join and the prior-day rollup are all value-hash-gated.
+# ---------------------------------------------------------------------------
+@register(
+    "connector_minted_decode",
+    export=False,  # driver slot held by its family head (json_family)
+    oracle="""
+    WITH b AS (
+      SELECT n_nationkey AS k, lower(n_name) AS nm FROM nation
+      WHERE n_nationkey % 5 != 4  -- k%5=4 reserves get no Mint twin → dropped
+    )
+    SELECT 'bench' AS market,
+      '0x' || printf('%040x', k) AS reserve,
+      nm AS symbol,
+      '0x' || printf('%040x', 1000000 + k) AS atoken,
+      'a' || nm AS atoken_symbol,
+      CAST(500 + k AS BIGINT) AS block_height,
+      TIMESTAMP '2024-03-09 00:00:00' AS block_day,
+      -- mirror the connector's per-event divide THEN sum (summing raw
+      -- integers first changes the double rounding)
+      CAST((k+1) * 1000000 + k AS DOUBLE) / 1000000.0
+        + CAST((k+2) * 1000000 AS DOUBLE) / 1000000.0 AS minted_to_treasury_amount,
+      CAST((k+1) * 1000000 + k + 3 AS DOUBLE) / 1000000.0
+        + CAST((k+2) * 1000000 + 3 AS DOUBLE) / 1000000.0 AS minted_amount
+    FROM b
+    """,
+    doc=(
+        "connector certification: the MintedToTreasury/Mint ABI-decode"
+        " chain (uint256 limb decode, topic address, token join, tx-hash"
+        " semi-join, prior-day rollup) vs an integer-derived oracle"
+    ),
+)
+def connector_minted_decode(spark, sf_dir):
+    from aave_etl_spark.sources import connectors
+
+    # dim-sized driver collect to BUILD the fake transport's payloads
+    nat = sorted(
+        (int(r.n_nationkey), r.n_name.lower())
+        for r in t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    )
+
+    def res(k: int) -> str:
+        return "0x" + format(k, "040x")
+
+    def atok(k: int) -> str:
+        return "0x" + format(10**6 + k, "040x")
+
+    def word(n: int) -> str:
+        return format(n, "064x")
+
+    minted_items, mint_items = [], []
+    for k, _nm in nat:
+        a1 = (k + 1) * 10**6 + k
+        a2 = (k + 2) * 10**6
+        for tag, amt in (("a", a1), ("b", a2)):
+            minted_items.append({
+                "block_signed_at": 1710000000, "block_height": 900 + k,
+                "tx_hash": f"0xTX{k}{tag}",
+                "topics": ["0xMTT", "0x" + "0" * 24 + res(k)[2:]],
+                "sender_address": "0xPOOL",
+                "raw_log_data": "0x" + word(amt),
+            })
+            if k % 5 != 4:  # k%5=4 txs get NO Mint twin → inner-join drop
+                mint_items.append({
+                    "block_signed_at": 1710000000, "block_height": 900 + k,
+                    "tx_hash": f"0xTX{k}{tag}",
+                    "topics": ["0xMINT"],
+                    "sender_address": atok(k),
+                    # 3×uint256 Mint data; only word 0 (value) is decoded
+                    "raw_log_data": "0x" + word(amt + 3) + word(1) + word(10**27),
+                })
+    # an orphan MintedToTreasury for a reserve absent from the token dim
+    minted_items.append({
+        "block_signed_at": 1710000000, "block_height": 999,
+        "tx_hash": "0xTXORPHAN",
+        "topics": ["0xMTT", "0x" + "0" * 24 + "ff" * 20],
+        "sender_address": "0xPOOL", "raw_log_data": "0x" + word(123),
+    })
+
+    def transport(req):
+        if req["topic"] == connectors.MINTED_TO_TREASURY_TOPIC:
+            return {"items": minted_items}
+        return {"items": mint_items}
+
+    tokens = spark.createDataFrame(
+        [(res(k), nm, 6, atok(k), "a" + nm, 500 + k) for k, nm in nat],
+        "reserve string, symbol string, decimals long, atoken string,"
+        "atoken_symbol string, block_height long",
+    )
+    return connectors.v3_minted_to_treasury_by_day(
+        spark, transport, tokens, 1, 999_999, 1, "0xpool", "bench", "2024-03-10"
+    )
