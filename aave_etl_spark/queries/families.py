@@ -359,11 +359,19 @@ family(
             ("vec_id",),
             ("orig_norm", "proj_norm", "norm_ratio"),
         ),
+        (
+            "reserve_units",
+            "connector_reserve_units",
+            ("reserve", "field"),
+            ("value",),
+        ),
     ],
     doc=(
         "§2.9 financial math family: APY compounding + stream-vesting clamp"
         " + Johnson-Lindenstrauss ±1/sqrt(r) random projection with"
-        " norm-preservation gate"
+        " norm-preservation gate + the S9 reserve-data parser's full"
+        " unit-shift matrix (bps/ray/decimals, v2->v3 fill) certified"
+        " per field"
     ),
 )
 

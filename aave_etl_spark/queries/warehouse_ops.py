@@ -743,3 +743,147 @@ def connector_minted_decode(spark, sf_dir):
     return connectors.v3_minted_to_treasury_by_day(
         spark, transport, tokens, 1, 999_999, 1, "0xpool", "bench", "2024-03-10"
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-certified S9 parser: protocol_data_by_day's full unit-shift
+# matrix (bps/1e4 config, ray/1e27 rates/indices, raw/10**decimals
+# amounts, v2→v3 fill, the available-liquidity invariant) against a
+# field-unpivoted oracle that derives every expected value from the same
+# integer formulas. Raw fixtures are small-integer × power-of-two so every
+# double conversion is EXACT on both engines; odd-k reserves get v2
+# payloads (v3-only fields absent → filled defaults certified too).
+# ---------------------------------------------------------------------------
+def _s9_payload(k: int, dec: int) -> dict:
+    p = {
+        "ltv": 8000 + k, "liquidation_threshold": 8250 + k,
+        "liquidation_bonus": 10500 + k, "reserve_factor": 1000 + k,
+        "usage_as_collateral_enabled": k % 2 == 0, "borrowing_enabled": k % 3 != 0,
+        "stable_borrow_rate_enabled": k % 4 == 0, "is_active": True,
+        "is_frozen": k % 5 == 0,
+        "atoken_supply": (k + 2) * 2**40, "stable_debt": (k % 5) * 2**38,
+        "variable_debt": (k % 7) * 2**39,
+        "liquidity_rate": (k + 1) * 2**80, "variable_borrow_rate": (k + 2) * 2**80,
+        "stable_borrow_rate": (k + 3) * 2**80, "liquidity_index": (k + 5) * 2**80,
+        "variable_borrow_index": (k + 6) * 2**80,
+        "last_update_timestamp": 1710000000 + k,
+    }
+    if k % 2 == 0:  # v3 payload: the optional field block present
+        p.update({
+            "average_stable_rate": (k + 4) * 2**80,
+            "is_paused": k % 6 == 0, "siloed_borrowing": k % 7 == 0,
+            "reserve_emode_category": k % 3, "borrow_cap": k * 10,
+            "supply_cap": k * 100, "unbacked_mint_cap": k, "debt_ceiling": k * 7,
+            "liquidation_protocol_fee": 1000 + 2 * k,
+            "unbacked_atokens": (k % 3) * 2**36,
+            "scaled_accrued_to_treasury": (k % 4) * 2**35,
+        })
+    return p
+
+
+# field → (SQL expected-value expr in k/dec, guarded for odd-k v2 fill)
+_S9_FIELDS = {
+    "ltv": "CAST(8000 + k AS DOUBLE) / 1e4",
+    "liquidation_threshold": "CAST(8250 + k AS DOUBLE) / 1e4",
+    "liquidation_bonus": "CAST(10500 + k AS DOUBLE) / 1e4",
+    "reserve_factor": "CAST(1000 + k AS DOUBLE) / 1e4",
+    "atoken_supply": "CAST((k+2) AS DOUBLE) * power(2.0, 40) / power(10.0, dec)",
+    "stable_debt": "CAST((k%5) AS DOUBLE) * power(2.0, 38) / power(10.0, dec)",
+    "variable_debt": "CAST((k%7) AS DOUBLE) * power(2.0, 39) / power(10.0, dec)",
+    "available_liquidity": (
+        "CAST((k+2) AS DOUBLE) * power(2.0, 40) / power(10.0, dec)"
+        " - CAST((k%5) AS DOUBLE) * power(2.0, 38) / power(10.0, dec)"
+        " - CAST((k%7) AS DOUBLE) * power(2.0, 39) / power(10.0, dec)"
+    ),
+    "liquidity_rate": "CAST(k+1 AS DOUBLE) * power(2.0, 80) / 1e27",
+    "variable_borrow_rate": "CAST(k+2 AS DOUBLE) * power(2.0, 80) / 1e27",
+    "stable_borrow_rate": "CAST(k+3 AS DOUBLE) * power(2.0, 80) / 1e27",
+    "average_stable_rate": (
+        "CASE WHEN k % 2 = 0 THEN CAST(k+4 AS DOUBLE) * power(2.0, 80) / 1e27"
+        " ELSE 0.0 END"
+    ),
+    "liquidity_index": "CAST(k+5 AS DOUBLE) * power(2.0, 80) / 1e27",
+    "variable_borrow_index": "CAST(k+6 AS DOUBLE) * power(2.0, 80) / 1e27",
+    "liquidation_protocol_fee": (
+        "CASE WHEN k % 2 = 0 THEN CAST(1000 + 2*k AS DOUBLE) / 1e4 ELSE 0.0 END"
+    ),
+    "unbacked_atokens": (
+        "CASE WHEN k % 2 = 0 THEN CAST(k%3 AS DOUBLE) * power(2.0, 36)"
+        " / power(10.0, dec) ELSE 0.0 END"
+    ),
+    "scaled_accrued_to_treasury": (
+        "CASE WHEN k % 2 = 0 THEN CAST(k%4 AS DOUBLE) * power(2.0, 35)"
+        " / power(10.0, dec) ELSE 0.0 END"
+    ),
+    "reserve_emode_category": "CASE WHEN k % 2 = 0 THEN CAST(k%3 AS DOUBLE) ELSE 0.0 END",
+    "borrow_cap": "CASE WHEN k % 2 = 0 THEN CAST(k*10 AS DOUBLE) ELSE 0.0 END",
+    "supply_cap": "CASE WHEN k % 2 = 0 THEN CAST(k*100 AS DOUBLE) ELSE 0.0 END",
+    "unbacked_mint_cap": "CASE WHEN k % 2 = 0 THEN CAST(k AS DOUBLE) ELSE 0.0 END",
+    "debt_ceiling": "CASE WHEN k % 2 = 0 THEN CAST(k*7 AS DOUBLE) ELSE 0.0 END",
+    "usage_as_collateral_enabled": "CASE WHEN k % 2 = 0 THEN 1.0 ELSE 0.0 END",
+    "borrowing_enabled": "CASE WHEN k % 3 != 0 THEN 1.0 ELSE 0.0 END",
+    "stable_borrow_rate_enabled": "CASE WHEN k % 4 = 0 THEN 1.0 ELSE 0.0 END",
+    "is_active": "1.0",
+    "is_frozen": "CASE WHEN k % 5 = 0 THEN 1.0 ELSE 0.0 END",
+    "is_paused": "CASE WHEN k % 2 = 0 AND k % 6 = 0 THEN 1.0 ELSE 0.0 END",
+    "siloed_borrowing": "CASE WHEN k % 2 = 0 AND k % 7 = 0 THEN 1.0 ELSE 0.0 END",
+}
+
+
+def _s9_oracle() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT reserve, '{f}' AS field, {expr} AS value FROM b"
+        for f, expr in _S9_FIELDS.items()
+    )
+    return f"""
+    WITH b AS (
+      SELECT '0x' || printf('%040x', n_nationkey) AS reserve,
+             n_nationkey AS k,
+             (n_nationkey % 3) * 3 + 6 AS dec
+      FROM nation
+    )
+    {arms}
+    """
+
+
+@register(
+    "connector_reserve_units",
+    export=False,  # driver slot held by its family head (finmath_family)
+    oracle=_s9_oracle(),
+    doc=(
+        "connector certification: the S9 reserve-data parser's full"
+        " unit-shift matrix (bps, ray, decimals, v2->v3 fill, available-"
+        "liquidity invariant) unpivoted per field vs an integer-derived"
+        " oracle"
+    ),
+)
+def connector_reserve_units(spark, sf_dir):
+    from datetime import datetime
+
+    from aave_etl_spark.sources import connectors
+
+    nat = sorted(
+        int(r.n_nationkey)
+        for r in t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+
+    def res(k: int) -> str:
+        return "0x" + format(k, "040x")
+
+    payloads = {res(k): _s9_payload(k, (k % 3) * 3 + 6) for k in nat}
+
+    def transport(req):
+        return payloads[req["reserve"]]
+
+    keys = spark.createDataFrame(
+        [("bench", res(k), f"T{k}", (k % 3) * 3 + 6, 100 + k, datetime(2024, 3, 10))
+         for k in nat],
+        "market string, reserve string, symbol string, decimals long,"
+        "block_height long, block_day timestamp",
+    )
+    out = connectors.protocol_data_by_day(keys, transport)
+    fields = list(_S9_FIELDS)
+    casted = out.select(
+        "reserve", *[F.col(f).cast("double").alias(f) for f in fields]
+    )
+    return casted.unpivot(["reserve"], fields, "field", "value")
