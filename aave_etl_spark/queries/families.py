@@ -438,12 +438,21 @@ family(
             ("media_id", "frame_digest"),
             ("sample_pos", "frame_idx", "ts_s"),
         ),
+        (
+            "incentives_flatten",
+            "connector_incentives_flatten",
+            ("underlying_asset", "token_type", "reward_token_address"),
+            ("emission_per_second", "token_incentives_index",
+             "reward_price_feed", "emission_end_timestamp",
+             "incentives_last_update_timestamp"),
+        ),
     ],
     doc=(
         "§2.8 reshape family: UNPIVOT stack + PIVOT multi-agg + greedy"
         " first-fit sequence packing (grouped-map running-sum-with-reset;"
         " recursive-CTE oracle) + fixed-budget uniform video frame sampling"
-        " (metadata-only explode grid)"
+        " (metadata-only explode grid) + the S10 incentives 3-level nested"
+        " flatten certified against a generate-series oracle"
     ),
 )
 

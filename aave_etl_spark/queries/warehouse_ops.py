@@ -887,3 +887,100 @@ def connector_reserve_units(spark, sf_dir):
         "reserve", *[F.col(f).cast("double").alias(f) for f in fields]
     )
     return casted.unpivot(["reserve"], fields, "field", "value")
+
+
+# ---------------------------------------------------------------------------
+# Driver-certified S10 flatten: raw_incentives_by_day's 3-level nesting
+# (reserve → a/v/s token side → rewards list) becomes one row per
+# (reserve, token_type, reward). The fake payload derives from nation —
+# k%3 rewards on the atoken side (zero-reward sides emit NOTHING),
+# a vtoken side only on even k, stoken always absent — and the oracle
+# regenerates the flattened row set with generate-series SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "connector_incentives_flatten",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle="""
+    WITH b AS (SELECT n_nationkey AS k FROM nation),
+    a_side AS (
+      SELECT k, unnest(range(0, k % 3)) AS j FROM b
+    ),
+    rows_ AS (
+      SELECT k, j, 'atoken' AS token_type FROM a_side
+      UNION ALL
+      SELECT k, 0 AS j, 'vtoken' AS token_type FROM b WHERE k % 2 = 0
+    )
+    SELECT
+      '0x' || printf('%040x', k) AS underlying_asset,
+      token_type,
+      '0xrw' || CAST(k AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+        AS reward_token_address,
+      CAST(k + 1 AS DOUBLE) * power(2.0, 30) + j AS emission_per_second,
+      CAST(j AS DOUBLE) * power(2.0, 20) AS token_incentives_index,
+      CAST(k + j AS DOUBLE) * power(2.0, 25) AS reward_price_feed,
+      CAST(2000000000 + k AS DOUBLE) AS emission_end_timestamp,
+      CAST(1700000000 + j AS DOUBLE) AS incentives_last_update_timestamp
+    FROM rows_
+    """,
+    doc=(
+        "connector certification: the S10 UiIncentiveDataProvider 3-level"
+        " nested flatten (reserve -> token side -> reward), zero-reward and"
+        " absent sides included, vs a generate-series oracle"
+    ),
+)
+def connector_incentives_flatten(spark, sf_dir):
+    from datetime import datetime
+
+    from aave_etl_spark.sources import connectors
+
+    nat = sorted(
+        int(r.n_nationkey)
+        for r in t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+
+    def res(k: int) -> str:
+        return "0x" + format(k, "040x")
+
+    def reward(k: int, j: int) -> dict:
+        return {
+            "symbol": f"RW{j}", "address": f"0xRW{k}_{j}", "oracle": "0xOR",
+            "emission_per_second": (k + 1) * 2**30 + j,
+            "last_update": 1700000000 + j, "index": j * 2**20,
+            "emission_end": 2000000000 + k,
+            "price_feed": (k + j) * 2**25, "decimals": 18,
+            "precision": 18, "price_feed_decimals": 8,
+        }
+
+    def payload(k: int) -> dict:
+        sides = {
+            "atoken": {"token_address": f"0xA{k}", "controller": "0xC",
+                       "rewards": [reward(k, j) for j in range(k % 3)]},
+        }
+        if k % 2 == 0:
+            sides["vtoken"] = {"token_address": f"0xV{k}", "controller": "0xC",
+                               "rewards": [reward(k, 0)]}
+        # stoken deliberately absent — the parser must skip it
+        return {"reserves": [{"underlying_asset": res(k), **sides}]}
+
+    payloads = {k: payload(k) for k in nat}
+
+    def transport(req):
+        return payloads[req["block_height"] - 100]
+
+    keys = spark.createDataFrame(
+        [("bench", 100 + k, datetime(2024, 3, 10)) for k in nat],
+        "market string, block_height long, block_day timestamp",
+    )
+    out = connectors.raw_incentives_by_day(keys, transport)
+    return out.select(
+        "underlying_asset",
+        "token_type",
+        "reward_token_address",
+        "emission_per_second",
+        "token_incentives_index",
+        "reward_price_feed",
+        F.col("emission_end_timestamp").cast("double").alias("emission_end_timestamp"),
+        F.col("incentives_last_update_timestamp").cast("double").alias(
+            "incentives_last_update_timestamp"
+        ),
+    )
