@@ -336,12 +336,20 @@ family(
             ("CAST(block_height AS DOUBLE)", "minted_to_treasury_amount",
              "minted_amount"),
         ),
+        (
+            "scan_quintet",
+            "connector_scan_quintet",
+            ("part", "k1", "k2"),
+            ("v1", "v2", "v3", "v4"),
+        ),
     ],
     doc=(
         "§2.9/§1.3 parse family: get_json_object agg + from_json struct"
         " parse + the MintedToTreasury ABI-decode connector chain (uint256"
         " limb decode, topic address, token join, tx-hash semi-join,"
-        " prior-day rollup) vs an integer-derived oracle"
+        " prior-day rollup) and the scan quintet (S7 decimal adjust, S16"
+        " Compound APY, S18 zero-balance drop, S19 existence->NULL,"
+        " treasury-incentives v3/v2 dispatch) vs integer-derived oracles"
     ),
 )
 

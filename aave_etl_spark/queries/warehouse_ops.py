@@ -984,3 +984,194 @@ def connector_incentives_flatten(spark, sf_dir):
             "incentives_last_update_timestamp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-certified scan quintet: five more connector parsers under one
+# union-aligned query — S7 balance decimal adjust, S16 Compound per-block
+# APY compounding, S18 holders zero-balance drop, S19 Balancer
+# existence→NULL, and the treasury-incentives v3/v2 dispatch. Fakes derive
+# from nation with power-of-two raw values (exact doubles both engines);
+# the oracle derives every expected value independently in SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "connector_scan_quintet",
+    export=False,  # driver slot held by its family head (json_family)
+    oracle="""
+    WITH b AS (SELECT n_nationkey AS k FROM nation),
+    s7 AS (
+      SELECT 'balance' AS part,
+        '0xt' || printf('%02d', k) AS k1, CAST(NULL AS VARCHAR) AS k2,
+        CAST(k+1 AS DOUBLE) * power(2.0, 30) / power(10.0, 6 + (k % 3) * 3) AS v1,
+        CAST(k AS DOUBLE) * power(2.0, 30) / power(10.0, 6 + (k % 3) * 3) AS v2,
+        CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4
+      FROM b
+    ),
+    s16 AS (
+      SELECT 'compound' AS part, '0xc' || printf('%02d', k) AS k1, NULL AS k2,
+        power(CAST(k+1 AS DOUBLE) * power(2.0, 40) / 1e18 * 7200 + 1, 365) - 1 AS v1,
+        power(CAST(k+2 AS DOUBLE) * power(2.0, 40) / 1e18 * 7200 + 1, 365) - 1 AS v2,
+        CAST(k+2 AS DOUBLE) * power(2.0, 41) / power(10.0, 6) AS v3,
+        CAST(k+3 AS DOUBLE) * power(2.0, 41) / power(10.0, 6) AS v4
+      FROM b
+    ),
+    s18 AS (
+      -- holder j=0 has balance 0 and is DROPPED (zero-balance filter)
+      SELECT 'holders' AS part,
+        '0xh' || CAST(k AS VARCHAR) || '_' || CAST(j AS VARCHAR) AS k1, NULL AS k2,
+        CAST(j AS DOUBLE) * power(2.0, 30) / power(10.0, 6) AS v1,
+        CAST(k+1 AS DOUBLE) * power(2.0, 30) / power(10.0, 6) AS v2,
+        NULL AS v3, NULL AS v4
+      FROM (SELECT k, unnest(range(1, (k % 4) + 1)) AS j FROM b) h
+    ),
+    s19 AS (
+      -- odd-k pools are pre-deployment: rate/supply NULL
+      SELECT 'bpt' AS part, '0xp' || printf('%02d', k) AS k1, NULL AS k2,
+        CASE WHEN k % 2 = 0
+             THEN CAST(k+1 AS DOUBLE) * power(2.0, 50) / 1e18 ELSE NULL END AS v1,
+        CASE WHEN k % 2 = 0
+             THEN CAST(k+2 AS DOUBLE) * power(2.0, 45) / power(10.0, 18)
+             ELSE NULL END AS v2,
+        NULL AS v3, NULL AS v4
+      FROM b
+    ),
+    tri AS (
+      -- markets k<4: even k are v3 (one reward row per k%2+1... exactly
+      -- one reward here), odd k v2 (config-token path)
+      SELECT 'treasury_inc' AS part, 'm' || CAST(k AS VARCHAR) AS k1,
+        CASE WHEN k % 2 = 0 THEN '0xrw' || CAST(k AS VARCHAR) ELSE '0xcfg' END AS k2,
+        CAST(k+1 AS DOUBLE) * power(2.0, 35) / power(10.0, 18) AS v1,
+        NULL AS v2, NULL AS v3, NULL AS v4
+      FROM b WHERE k < 4
+    )
+    SELECT * FROM s7 UNION ALL SELECT * FROM s16 UNION ALL
+    SELECT * FROM s18 UNION ALL SELECT * FROM s19 UNION ALL SELECT * FROM tri
+    """,
+    doc=(
+        "connector certification quintet: S7 decimal adjust, S16 Compound"
+        " per-block APY compounding, S18 zero-balance holder drop, S19"
+        " Balancer existence->NULL, treasury-incentives v3/v2 dispatch —"
+        " all vs integer-derived oracles"
+    ),
+)
+def connector_scan_quintet(spark, sf_dir):
+    from datetime import datetime
+    from functools import reduce
+
+    from aave_etl_spark.sources import connectors
+
+    day = datetime(2024, 3, 10)
+    nat = sorted(
+        int(r.n_nationkey)
+        for r in t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    S = "part string, k1 string, k2 string, v1 double, v2 double, v3 double, v4 double"
+
+    # --- S7: balanceOf decimal adjust -------------------------------------
+    bal_keys = spark.createDataFrame(
+        [("0xCOL", "bench", f"0xT{k:02d}", f"aT{k}", 100 + k, day) for k in nat],
+        "collector string, market string, token string, symbol string,"
+        "block_height long, block_day timestamp",
+    )
+
+    def bal_transport(req):
+        k = int(req["token"][3:])
+        return {"decimals": 6 + (k % 3) * 3, "balance": (k + 1) * 2**30,
+                "scaled_balance": k * 2**30}
+
+    s7 = connectors.collector_atoken_balances_by_day(bal_keys, bal_transport).selectExpr(
+        "'balance' AS part", "token AS k1", "CAST(NULL AS STRING) AS k2",
+        "balance AS v1", "scaled_balance AS v2",
+        "CAST(NULL AS DOUBLE) AS v3", "CAST(NULL AS DOUBLE) AS v4",
+    )
+
+    # --- S16: Compound APY -------------------------------------------------
+    cmp_keys = spark.createDataFrame(
+        [(day, 100 + k, "ethereum", "compound_v2", f"cT{k}", f"0xC{k:02d}",
+          f"T{k}", f"0xU{k:02d}", 6) for k in nat],
+        "block_day timestamp, block_height long, chain string,"
+        "compound_version string, symbol string, address string,"
+        "underlying_symbol string, underlying_address string,"
+        "underlying_decimals long",
+    )
+
+    def cmp_transport(req):
+        k = int(req["address"][3:])
+        return {"supply_rate_per_block": (k + 1) * 2**40,
+                "borrow_rate_per_block": (k + 2) * 2**40,
+                "total_supply_underlying": (k + 2) * 2**41,
+                "total_borrows": (k + 3) * 2**41}
+
+    s16 = connectors.compound_by_day(cmp_keys, cmp_transport).selectExpr(
+        "'compound' AS part", "address AS k1", "CAST(NULL AS STRING) AS k2",
+        "supply_apy AS v1", "borrow_apy AS v2", "deposits AS v3", "borrows AS v4",
+    )
+
+    # --- S18: holders zero-balance drop ------------------------------------
+    hold_keys = spark.createDataFrame(
+        [(day, "ethereum", f"stk{k}", f"0xS{k:02d}", 100 + k) for k in nat],
+        "block_day timestamp, chain string, safety_module_token string,"
+        "stk_token_address string, block_height long",
+    )
+
+    def hold_transport(req):
+        k = int(req["stk_token_address"][3:])
+        return {"decimals": 6, "total_supply": (k + 1) * 2**30,
+                "holders": [{"address": f"0xH{k}_{j}", "balance": j * 2**30}
+                            for j in range(k % 4 + 1)]}  # j=0 → balance 0 → drop
+
+    s18 = connectors.token_holders_by_day(hold_keys, hold_transport).selectExpr(
+        "'holders' AS part", "holder_address AS k1", "CAST(NULL AS STRING) AS k2",
+        "balance AS v1", "total_supply AS v2",
+        "CAST(NULL AS DOUBLE) AS v3", "CAST(NULL AS DOUBLE) AS v4",
+    )
+
+    # --- S19: Balancer existence → NULL -------------------------------------
+    bpt_keys = spark.createDataFrame(
+        [(f"0xp{k:02d}", f"BPT{k}", f"Pool {k}", 18, "usd", "0xPT", "PT",
+          day, 100 + k, "ethereum") for k in nat],
+        "pool string, symbol string, name string, decimals long, denom string,"
+        "price_token string, price_symbol string, block_day timestamp,"
+        "block_height long, chain string",
+    )
+
+    def bpt_transport(req):
+        k = int(req["pool"][3:])
+        return {"deployed": k % 2 == 0, "rate": (k + 1) * 2**50,
+                "actual_supply": (k + 2) * 2**45}
+
+    s19 = connectors.balancer_bpt_by_day(bpt_keys, bpt_transport).selectExpr(
+        "'bpt' AS part", "pool AS k1", "CAST(NULL AS STRING) AS k2",
+        "rate AS v1", "actual_supply AS v2",
+        "CAST(NULL AS DOUBLE) AS v3", "CAST(NULL AS DOUBLE) AS v4",
+    )
+
+    # --- treasury incentives: v3 enumeration vs v2 config path --------------
+    def tri_transport(req):
+        k = int(req["user"][3:])
+        if req["version"] == 3:
+            return {"rewards": [{"address": f"0xRW{k}", "symbol": f"RW{k}",
+                                 "decimals": 18, "accrued": (k + 1) * 2**35}]}
+        return {"raw": (k + 1) * 2**35}
+
+    tri_parts = []
+    for k in [k for k in nat if k < 4]:
+        tri_parts.append(
+            connectors.treasury_accrued_incentives_by_day(
+                spark, tri_transport, "ethereum", f"m{k}", f"0xC{k}", "0xIC",
+                3 if k % 2 == 0 else 2, 100 + k, "2024-03-10",
+                rewards_token="0xCFG", rewards_token_symbol="CFG",
+                rewards_token_decimals=18,
+            ).selectExpr(
+                "market AS k1", "rewards_token_address AS k2",
+                "accrued_rewards AS v1",
+            )
+        )
+    tri = reduce(lambda a, b: a.unionByName(b), tri_parts).selectExpr(
+        "'treasury_inc' AS part", "k1", "k2", "v1",
+        "CAST(NULL AS DOUBLE) AS v2", "CAST(NULL AS DOUBLE) AS v3",
+        "CAST(NULL AS DOUBLE) AS v4",
+    )
+
+    out = reduce(lambda a, b: a.unionByName(b), [s7, s16, s18, s19, tri])
+    return out.to(spark.createDataFrame([], S).schema)
