@@ -342,6 +342,12 @@ family(
             ("part", "k1", "k2"),
             ("v1", "v2", "v3", "v4"),
         ),
+        (
+            "scan_decet",
+            "connector_scan_decet",
+            ("part", "k1", "k2"),
+            ("v1", "v2", "v3", "v4"),
+        ),
     ],
     doc=(
         "§2.9/§1.3 parse family: get_json_object agg + from_json struct"
@@ -349,7 +355,10 @@ family(
         " limb decode, topic address, token join, tx-hash semi-join,"
         " prior-day rollup) and the scan quintet (S7 decimal adjust, S16"
         " Compound APY, S18 zero-balance drop, S19 existence->NULL,"
-        " treasury-incentives v3/v2 dispatch) vs integer-derived oracles"
+        " treasury-incentives v3/v2 dispatch) and the scan decet (ETH->WETH"
+        " patch, transfer group-to-day, accrued-fees product, ms-epoch,"
+        " wei/raw/config-decimal shifts, LSD fillna, SM emission math,"
+        " pool weights) vs integer-derived oracles"
     ),
 )
 

@@ -1175,3 +1175,312 @@ def connector_scan_quintet(spark, sf_dir):
 
     out = reduce(lambda a, b: a.unionByName(b), [s7, s16, s18, s19, tri])
     return out.to(spark.createDataFrame([], S).schema)
+
+
+# ---------------------------------------------------------------------------
+# Driver-certified scan DECET — the remaining parser semantics in one
+# aligned query: S2 ETH→WETH patch + lowercasing, S5/S6 transfer flatten
+# with the group-to-day sum, v3 accrued-fees scaled×index math, S14
+# CoinGecko ms-epoch dates, S20 wei/1e18 + raw/10^dec units, LSD
+# fillna(0), safety-module emission math, Balancer pool weights, and the
+# non-atoken config-decimal shift. Same discipline as the quintet:
+# nation-derived fakes, power-of-two raws, integer-derived oracle arms.
+# ---------------------------------------------------------------------------
+@register(
+    "connector_scan_decet",
+    export=False,  # driver slot held by its family head (json_family)
+    oracle="""
+    WITH b AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 8),
+    s2 AS (
+      SELECT 'tokens' AS part,
+        CASE WHEN k = 0 THEN '0xc02aaa39b223fe8d0a0e5c4f27ead9083c756cc2'
+             ELSE '0x' || printf('%040x', 500 + k) END AS k1,
+        '0x' || printf('%040x', 900 + k) AS k2,
+        CAST(18 AS DOUBLE) AS v1, CAST(777 AS DOUBLE) AS v2,
+        CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4
+      FROM b
+    ),
+    s5 AS (
+      -- two IN rows per key summed to one; one OUT row
+      SELECT 'transfers' AS part, '0xfrom' || CAST(k AS VARCHAR) AS k1, 'IN' AS k2,
+        (CAST(k+1 AS DOUBLE) * power(2.0, 20) + CAST(k+2 AS DOUBLE) * power(2.0, 20))
+          / power(10.0, 6) AS v1,
+        NULL AS v2, NULL AS v3, NULL AS v4
+      FROM b
+      UNION ALL
+      SELECT 'transfers', '0xcol' || CAST(k AS VARCHAR), 'OUT',
+        CAST(k+3 AS DOUBLE) * power(2.0, 20) / power(10.0, 6),
+        NULL, NULL, NULL
+      FROM b
+    ),
+    fees AS (
+      SELECT 'fees' AS part, '0x' || printf('%040x', k) AS k1, NULL AS k2,
+        CAST(k+1 AS DOUBLE) * power(2.0, 40) / power(10.0, 6) AS v1,
+        CAST(k+5 AS DOUBLE) * power(2.0, 80) / 1e27 AS v2,
+        (CAST(k+1 AS DOUBLE) * power(2.0, 40) / power(10.0, 6))
+          * (CAST(k+5 AS DOUBLE) * power(2.0, 80) / 1e27) AS v3,
+        NULL AS v4
+      FROM b
+    ),
+    cg AS (
+      -- ms-epoch 2024-03-10/11 00:00 UTC
+      SELECT 'coingecko' AS part, 'aave' AS k1,
+        CAST(CAST(to_timestamp(1710028800 + 86400 * d) AS TIMESTAMP) AS VARCHAR) AS k2,
+        CAST(95 + d AS DOUBLE) AS v1, NULL AS v2, NULL AS v3, NULL AS v4
+      FROM (SELECT unnest(range(0, 2)) AS d)
+    ),
+    units AS (
+      SELECT 'eth_bal' AS part, '0xw' || CAST(k AS VARCHAR) AS k1, NULL AS k2,
+        CAST(k+1 AS DOUBLE) * power(2.0, 55) / 1e18 AS v1, NULL, NULL, NULL
+      FROM b
+      UNION ALL
+      SELECT 'erc20_bal', '0xe' || CAST(k AS VARCHAR), NULL,
+        CAST(k+2 AS DOUBLE) * power(2.0, 30) / power(10.0, 6 + (k % 2) * 12),
+        NULL, NULL, NULL
+      FROM b
+      UNION ALL
+      SELECT 'lsd_supply', '0xl' || CAST(k AS VARCHAR), NULL,
+        CASE WHEN k % 2 = 0 THEN 0.0
+             ELSE CAST(k+1 AS DOUBLE) * power(2.0, 40) / power(10.0, 18) END,
+        NULL, NULL, NULL
+      FROM b
+      UNION ALL
+      SELECT 'nab', '0xn' || CAST(k AS VARCHAR), NULL,
+        CAST(k+3 AS DOUBLE) * power(2.0, 30) / power(10.0, 6),
+        NULL, NULL, NULL
+      FROM b
+    ),
+    smr AS (
+      SELECT 'sm_rpc' AS part, '0xk' || CAST(k AS VARCHAR) AS k1, NULL AS k2,
+        CAST(k+1 AS DOUBLE) * power(2.0, 40) / power(10.0, 18) AS v1,
+        CAST(k+1 AS DOUBLE) * power(2.0, 40) / power(10.0, 18) * 86400 AS v2,
+        CAST(k+2 AS DOUBLE) * power(2.0, 50) / power(10.0, 18) AS v3,
+        CAST(k+3 AS DOUBLE) * power(2.0, 50) / power(10.0, 18) AS v4
+      FROM b
+    ),
+    pool AS (
+      SELECT 'bal_pool' AS part,
+        '0xq' || CAST(k AS VARCHAR) || '_' || CAST(j AS VARCHAR) AS k1, NULL AS k2,
+        CAST(j+1 AS DOUBLE) * power(2.0, 56) / 1e18 AS v1,
+        CAST(k+j AS DOUBLE) * power(2.0, 30) / power(10.0, 6) AS v2,
+        NULL AS v3, NULL AS v4
+      FROM (SELECT k, unnest(range(0, 2)) AS j FROM b) t
+    )
+    SELECT * FROM s2 UNION ALL SELECT * FROM s5 UNION ALL
+    SELECT * FROM fees UNION ALL SELECT * FROM cg UNION ALL
+    SELECT * FROM units UNION ALL SELECT * FROM smr UNION ALL
+    SELECT * FROM pool
+    """,
+    doc=(
+        "connector certification decet: S2 ETH->WETH patch, S5/S6 transfer"
+        " flatten + group-to-day sum, v3 accrued-fees scaled*index, S14"
+        " ms-epoch, wei/raw unit shifts, LSD fillna(0), SM emission math,"
+        " Balancer pool weights, non-atoken config decimals — all vs"
+        " integer-derived oracles"
+    ),
+)
+def connector_scan_decet(spark, sf_dir):
+    from datetime import datetime
+    from functools import reduce
+
+    from aave_etl_spark.sources import connectors
+
+    day = datetime(2024, 3, 10)
+    ks = sorted(
+        int(r.n_nationkey)
+        for r in t(spark, sf_dir, "nation")
+        .filter("n_nationkey < 8").select("n_nationkey").collect()
+    )
+    NULLS2 = ("CAST(NULL AS DOUBLE) AS v2", "CAST(NULL AS DOUBLE) AS v3",
+              "CAST(NULL AS DOUBLE) AS v4")
+
+    # --- S2: ETH pseudo-address -> WETH + lowercasing ----------------------
+    def s2_transport(req):
+        return {"reserves": [
+            {"underlyingAsset": ("0xEEEEeEeeeEeEeeEeEeEeeEEEeeeeEeeeeeeeEEeE"
+                                 if k == 0 else "0x" + format(500 + k, "040X")),
+             "name": f"T{k}", "symbol": f"T{k}", "decimals": 18,
+             "aToken": {"id": "0x" + format(900 + k, "040X")},
+             "pool": {"id": "0xPOOL"}}
+            for k in ks
+        ]}
+
+    s2 = connectors.market_tokens_at_block(
+        spark, s2_transport, "bench", 777, "2024-03-10"
+    ).selectExpr(
+        "'tokens' AS part", "reserve AS k1", "atoken AS k2",
+        "CAST(decimals AS DOUBLE) AS v1", "CAST(block_height AS DOUBLE) AS v2",
+        "CAST(NULL AS DOUBLE) AS v3", "CAST(NULL AS DOUBLE) AS v4",
+    )
+
+    # --- S5/S6: flatten + group-to-day sum ---------------------------------
+    tr_reqs = spark.createDataFrame(
+        [(f"0xCOL{k}", f"0xTOK{k}", 1, 999, "bench", day) for k in ks],
+        "collector string, token string, start_block long, end_block long,"
+        "market string, block_day timestamp",
+    )
+
+    def tr_transport(req):
+        k = int(req["token"][5:])
+        base = {"decimals": 6, "name": "T", "symbol": f"T{k}"}
+        return {"transfers": [
+            {**base, "type": "IN", "from": f"0xFROM{k}", "to": req["collector"],
+             "raw_amount": (k + 1) * 2**20},
+            {**base, "type": "IN", "from": f"0xFROM{k}", "to": req["collector"],
+             "raw_amount": (k + 2) * 2**20},
+            {**base, "type": "OUT", "from": req["collector"], "to": f"0xTO{k}",
+             "raw_amount": (k + 3) * 2**20},
+        ]}
+
+    s5 = connectors.token_transfers_by_day(tr_reqs, tr_transport).selectExpr(
+        "'transfers' AS part",
+        "CASE WHEN transfers_transfer_type = 'IN' THEN transfers_from_address"
+        " ELSE transfers_from_address END AS k1",
+        "transfers_transfer_type AS k2",
+        "amount_transferred AS v1", *NULLS2,
+    )
+
+    # --- v3 accrued fees: scaled x index -----------------------------------
+    fee_keys = spark.createDataFrame(
+        [("bench", "0x" + format(k, "040x"), f"T{k}", 6,
+          "0x" + format(10**6 + k, "040x"), f"aT{k}", 100 + k, day) for k in ks],
+        "market string, reserve string, symbol string, decimals long,"
+        "atoken string, atoken_symbol string, block_height long,"
+        "block_day timestamp",
+    )
+
+    def fee_transport(req):
+        k = int(req["reserve"], 16)
+        return {"accrued_to_treasury_scaled": (k + 1) * 2**40,
+                "liquidity_index": (k + 5) * 2**80}
+
+    fees = connectors.v3_accrued_fees_by_day(fee_keys, fee_transport).selectExpr(
+        "'fees' AS part", "reserve AS k1", "CAST(NULL AS STRING) AS k2",
+        "accrued_fees_scaled AS v1", "liquidity_index AS v2", "accrued_fees AS v3",
+        "CAST(NULL AS DOUBLE) AS v4",
+    )
+
+    # --- S14 CoinGecko: ms-epoch → day -------------------------------------
+    def cg_transport(req):
+        return {"aave": [[1710028800000, 95.0], [1710115200000, 96.0]]}
+
+    cg = connectors.coingecko_data_by_day(
+        spark, cg_transport,
+        [{"cg_id": "aave", "symbol": "AAVE", "address": "0xAAVE",
+          "chain": "ethereum", "decimals": 18}],
+    ).selectExpr(
+        "'coingecko' AS part", "cg_id AS k1", "CAST(block_day AS STRING) AS k2",
+        "price_usd AS v1", *NULLS2,
+    )
+
+    # --- S20 + LSD + non-atoken unit shifts --------------------------------
+    eth_keys = spark.createDataFrame(
+        [(100 + k, day, "ethereum", "bench", f"0xw{k}", f"0xWG{k}", f"G{k}")
+         for k in ks],
+        "block_height long, block_day timestamp, chain string, market string,"
+        "collector string, wrapped_gas_token string, gas_token string",
+    )
+
+    def eth_transport(req):
+        k = int(req["collector"][3:])
+        return {"wei": (k + 1) * 2**55}
+
+    eth = connectors.eth_balances_by_day(eth_keys, eth_transport).selectExpr(
+        "'eth_bal' AS part", "collector AS k1", "CAST(NULL AS STRING) AS k2",
+        "balance AS v1", *NULLS2,
+    )
+
+    erc_keys = spark.createDataFrame(
+        [(day, 100 + k, "ethereum", f"0xe{k}", f"T{k}", f"0xTA{k}") for k in ks],
+        "block_day timestamp, block_height long, chain string,"
+        "wallet_address string, token string, token_address string",
+    )
+
+    def erc_transport(req):
+        k = int(req["wallet_address"][3:])
+        return {"raw": (k + 2) * 2**30, "decimals": 6 + (k % 2) * 12}
+
+    erc = connectors.erc20_balances_by_day(erc_keys, erc_transport).selectExpr(
+        "'erc20_bal' AS part", "wallet_address AS k1", "CAST(NULL AS STRING) AS k2",
+        "balance AS v1", *NULLS2,
+    )
+
+    lsd_keys = spark.createDataFrame(
+        [(day, 100 + k, "polygon", f"0xL{k}", f"L{k}", 18) for k in ks],
+        "block_day timestamp, block_height long, chain string, address string,"
+        "symbol string, decimals long",
+    )
+
+    def lsd_transport(req):
+        k = int(req["address"][3:])
+        return {"raw": None if k % 2 == 0 else (k + 1) * 2**40}
+
+    lsd = connectors.matic_lsd_token_supply_by_day(lsd_keys, lsd_transport).selectExpr(
+        "'lsd_supply' AS part", "address AS k1", "CAST(NULL AS STRING) AS k2",
+        "total_supply AS v1", *NULLS2,
+    )
+
+    nab_keys = spark.createDataFrame(
+        [(f"0xN{k}", "ethereum", "bench", f"0xT{k}", 6, f"t{k}", 100 + k, day)
+         for k in ks],
+        "contract_address string, chain string, market string, token string,"
+        "decimals long, symbol string, block_height long, block_day timestamp",
+    )
+
+    def nab_transport(req):
+        k = int(req["contract_address"][3:])
+        return {"raw": (k + 3) * 2**30}
+
+    nab = connectors.non_atoken_balances_by_day(nab_keys, nab_transport).selectExpr(
+        "'nab' AS part", "contract_address AS k1", "CAST(NULL AS STRING) AS k2",
+        "balance AS v1", *NULLS2,
+    )
+
+    # --- safety-module emission math ---------------------------------------
+    sm_keys = spark.createDataFrame(
+        [(day, 100 + k, f"0xK{k}", f"stk{k}", f"0xU{k}", f"u{k}", f"0xR{k}",
+          f"r{k}", 18) for k in ks],
+        "block_day timestamp, block_height long, stk_token_address string,"
+        "stk_token_symbol string, unstaked_token_address string,"
+        "unstaked_token_symbol string, reward_token_address string,"
+        "reward_token_symbol string, decimals long",
+    )
+
+    def sm_transport(req):
+        k = int(req["stk_token_address"][3:])
+        return {"emission_per_second": (k + 1) * 2**40,
+                "last_update_timestamp": 1710000000,
+                "stk_token_supply": (k + 2) * 2**50,
+                "unstaked_token_supply": (k + 3) * 2**50, "index": 0}
+
+    sm = connectors.safety_module_rpc(sm_keys, sm_transport).selectExpr(
+        "'sm_rpc' AS part", "stk_token_address AS k1", "CAST(NULL AS STRING) AS k2",
+        "emission_per_second AS v1", "emission_per_day AS v2",
+        "stk_token_supply AS v3", "unstaked_token_supply AS v4",
+    )
+
+    # --- Balancer pool contents ---------------------------------------------
+    pool_keys = spark.createDataFrame(
+        [(day, 100 + k, "ethereum", f"stk{k}", f"0xBP{k}") for k in ks],
+        "block_day timestamp, block_height long, chain string,"
+        "safety_module_token string, bal_pool_address string",
+    )
+
+    def pool_transport(req):
+        k = int(req["bal_pool_address"][4:])
+        return {"tokens": [
+            {"address": f"0xQ{k}_{j}", "symbol": f"Q{j}", "decimals": 6,
+             "weight": (j + 1) * 2**56, "balance": (k + j) * 2**30}
+            for j in range(2)
+        ]}
+
+    pool = connectors.safety_module_bal_pool_contents(pool_keys, pool_transport).selectExpr(
+        "'bal_pool' AS part", "token_address AS k1", "CAST(NULL AS STRING) AS k2",
+        "weight AS v1", "balance AS v2",
+        "CAST(NULL AS DOUBLE) AS v3", "CAST(NULL AS DOUBLE) AS v4",
+    )
+
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        [s2, s5, fees, cg, eth, erc, lsd, nab, sm, pool],
+    )
