@@ -382,13 +382,20 @@ family(
             ("reserve", "field"),
             ("value",),
         ),
+        (
+            "scan_quartet",
+            "connector_scan_quartet",
+            ("part", "k1", "k2"),
+            ("v1", "v2", "v3"),
+        ),
     ],
     doc=(
         "§2.9 financial math family: APY compounding + stream-vesting clamp"
         " + Johnson-Lindenstrauss ±1/sqrt(r) random projection with"
         " norm-preservation gate + the S9 reserve-data parser's full"
         " unit-shift matrix (bps/ray/decimals, v2->v3 fill) certified"
-        " per field"
+        " per field + the scan quartet (S1 end-block invariant, S3"
+        " positional zip, S11 eMode prefilter, S15 beacon)"
     ),
 )
 

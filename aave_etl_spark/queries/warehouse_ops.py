@@ -1072,7 +1072,7 @@ def connector_scan_quintet(spark, sf_dir):
         [("0xCOL", "bench", f"0xT{k:02d}", f"aT{k}", 100 + k, day) for k in nat],
         "collector string, market string, token string, symbol string,"
         "block_height long, block_day timestamp",
-    )
+    ).coalesce(1)
 
     def bal_transport(req):
         k = int(req["token"][3:])
@@ -1093,7 +1093,7 @@ def connector_scan_quintet(spark, sf_dir):
         "compound_version string, symbol string, address string,"
         "underlying_symbol string, underlying_address string,"
         "underlying_decimals long",
-    )
+    ).coalesce(1)
 
     def cmp_transport(req):
         k = int(req["address"][3:])
@@ -1112,7 +1112,7 @@ def connector_scan_quintet(spark, sf_dir):
         [(day, "ethereum", f"stk{k}", f"0xS{k:02d}", 100 + k) for k in nat],
         "block_day timestamp, chain string, safety_module_token string,"
         "stk_token_address string, block_height long",
-    )
+    ).coalesce(1)
 
     def hold_transport(req):
         k = int(req["stk_token_address"][3:])
@@ -1133,7 +1133,7 @@ def connector_scan_quintet(spark, sf_dir):
         "pool string, symbol string, name string, decimals long, denom string,"
         "price_token string, price_symbol string, block_day timestamp,"
         "block_height long, chain string",
-    )
+    ).coalesce(1)
 
     def bpt_transport(req):
         k = int(req["pool"][3:])
@@ -1318,7 +1318,7 @@ def connector_scan_decet(spark, sf_dir):
         [(f"0xCOL{k}", f"0xTOK{k}", 1, 999, "bench", day) for k in ks],
         "collector string, token string, start_block long, end_block long,"
         "market string, block_day timestamp",
-    )
+    ).coalesce(1)
 
     def tr_transport(req):
         k = int(req["token"][5:])
@@ -1347,7 +1347,7 @@ def connector_scan_decet(spark, sf_dir):
         "market string, reserve string, symbol string, decimals long,"
         "atoken string, atoken_symbol string, block_height long,"
         "block_day timestamp",
-    )
+    ).coalesce(1)
 
     def fee_transport(req):
         k = int(req["reserve"], 16)
@@ -1379,7 +1379,7 @@ def connector_scan_decet(spark, sf_dir):
          for k in ks],
         "block_height long, block_day timestamp, chain string, market string,"
         "collector string, wrapped_gas_token string, gas_token string",
-    )
+    ).coalesce(1)
 
     def eth_transport(req):
         k = int(req["collector"][3:])
@@ -1394,7 +1394,7 @@ def connector_scan_decet(spark, sf_dir):
         [(day, 100 + k, "ethereum", f"0xe{k}", f"T{k}", f"0xTA{k}") for k in ks],
         "block_day timestamp, block_height long, chain string,"
         "wallet_address string, token string, token_address string",
-    )
+    ).coalesce(1)
 
     def erc_transport(req):
         k = int(req["wallet_address"][3:])
@@ -1409,7 +1409,7 @@ def connector_scan_decet(spark, sf_dir):
         [(day, 100 + k, "polygon", f"0xL{k}", f"L{k}", 18) for k in ks],
         "block_day timestamp, block_height long, chain string, address string,"
         "symbol string, decimals long",
-    )
+    ).coalesce(1)
 
     def lsd_transport(req):
         k = int(req["address"][3:])
@@ -1425,7 +1425,7 @@ def connector_scan_decet(spark, sf_dir):
          for k in ks],
         "contract_address string, chain string, market string, token string,"
         "decimals long, symbol string, block_height long, block_day timestamp",
-    )
+    ).coalesce(1)
 
     def nab_transport(req):
         k = int(req["contract_address"][3:])
@@ -1444,7 +1444,7 @@ def connector_scan_decet(spark, sf_dir):
         "stk_token_symbol string, unstaked_token_address string,"
         "unstaked_token_symbol string, reward_token_address string,"
         "reward_token_symbol string, decimals long",
-    )
+    ).coalesce(1)
 
     def sm_transport(req):
         k = int(req["stk_token_address"][3:])
@@ -1464,7 +1464,7 @@ def connector_scan_decet(spark, sf_dir):
         [(day, 100 + k, "ethereum", f"stk{k}", f"0xBP{k}") for k in ks],
         "block_day timestamp, block_height long, chain string,"
         "safety_module_token string, bal_pool_address string",
-    )
+    ).coalesce(1)
 
     def pool_transport(req):
         k = int(req["bal_pool_address"][4:])
@@ -1484,3 +1484,142 @@ def connector_scan_decet(spark, sf_dir):
         lambda a, b: a.unionByName(b),
         [s2, s5, fees, cg, eth, erc, lsd, nab, sm, pool],
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-certified scan quartet — the last uncovered parsers: S1 closest
+# block (end_block = next day's first block - 1), S3 RPC positional tuple
+# zip, S11 eMode distinct>0 prefilter, S15 beacon staking returns.
+# ---------------------------------------------------------------------------
+@register(
+    "connector_scan_quartet",
+    export=False,  # driver slot held by its family head (finmath_family)
+    oracle="""
+    WITH days AS (SELECT unnest(range(0, 3)) AS d),
+    s1 AS (
+      SELECT 'blocks' AS part,
+        CAST(CAST(CAST('2024-03-10' AS DATE) + to_days(CAST(d AS INTEGER)) AS DATE)
+             AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2,
+        CAST(1000 * (d + 1) AS DOUBLE) AS v1,
+        CAST(1000 * (d + 2) - 1 AS DOUBLE) AS v2,
+        CAST(NULL AS DOUBLE) AS v3
+      FROM days
+    ),
+    b AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 8),
+    s3 AS (
+      -- positional zip: reserve i pairs with atoken i, NEVER shifted
+      SELECT 'rpc_tokens' AS part,
+        '0x' || printf('%040x', 300 + k) AS k1,
+        '0x' || printf('%040x', 700 + k) AS k2,
+        CAST(6 + (k % 3) * 3 AS DOUBLE) AS v1, NULL AS v2, NULL AS v3
+      FROM b
+    ),
+    s11 AS (
+      -- categories {1, 2} survive the >0 distinct prefilter (k%3=0 rows
+      -- carry category 0 and must fetch nothing)
+      SELECT 'emode' AS part, CAST(c AS VARCHAR) AS k1, 'Cat ' || CAST(c AS VARCHAR) AS k2,
+        CAST(9000 + c AS DOUBLE) / 1e4 AS v1,
+        CAST(9500 + c AS DOUBLE) / 1e4 AS v2,
+        CAST(10100 + c AS DOUBLE) / 1e4 AS v3
+      FROM (SELECT unnest(range(1, 3)) AS c)
+    ),
+    s15 AS (
+      SELECT 'beacon' AS part, '2024-03-10' AS k1,
+        CAST(CAST(to_timestamp(1710028800) AS TIMESTAMP) AS VARCHAR) AS k2,
+        CAST(812 AS DOUBLE) AS v1, 0.04 AS v2, 0.03 AS v3
+    )
+    SELECT * FROM s1 UNION ALL SELECT * FROM s3 UNION ALL
+    SELECT * FROM s11 UNION ALL SELECT * FROM s15
+    """,
+    doc=(
+        "connector certification quartet: S1 end-block invariant, S3"
+        " positional reserve/atoken zip, S11 eMode >0 distinct prefilter,"
+        " S15 beacon staking returns — vs integer-derived oracles"
+    ),
+)
+def connector_scan_quartet(spark, sf_dir):
+    from datetime import datetime, timedelta
+    from functools import reduce
+
+    from aave_etl_spark.sources import connectors
+
+    # --- S1: three days of closest-block lookups ---------------------------
+    def blk_transport(req):
+        d = (datetime.fromisoformat(req["day"]) - datetime(2024, 3, 10)).days
+        return {"start": {"height": 1000 * (d + 1), "timestamp": 1710028800 + 86400 * d},
+                "next": {"height": 1000 * (d + 2), "timestamp": 1710028800 + 86400 * (d + 1)}}
+
+    s1 = reduce(
+        lambda a, b: a.unionByName(b),
+        [connectors.block_numbers_by_day(
+            spark, blk_transport,
+            (datetime(2024, 3, 10) + timedelta(days=d)).strftime("%Y-%m-%d"),
+            "ethereum", "bench")
+         for d in range(3)],
+    ).selectExpr(
+        "'blocks' AS part", "CAST(CAST(block_day AS DATE) AS STRING) AS k1",
+        "CAST(NULL AS STRING) AS k2",
+        "CAST(block_height AS DOUBLE) AS v1", "CAST(end_block AS DOUBLE) AS v2",
+        "CAST(NULL AS DOUBLE) AS v3",
+    )
+
+    # --- S3: positional tuple zip ------------------------------------------
+    ks = sorted(
+        int(r.n_nationkey)
+        for r in t(spark, sf_dir, "nation")
+        .filter("n_nationkey < 8").select("n_nationkey").collect()
+    )
+
+    def rpc_transport(req):
+        return {
+            "pool": "0xPOOL",
+            "reserves": [{"address": "0x" + format(300 + k, "040X"),
+                          "name": f"T{k}", "symbol": f"T{k}",
+                          "decimals": 6 + (k % 3) * 3} for k in ks],
+            "atokens": [{"address": "0x" + format(700 + k, "040X"),
+                         "symbol": f"aT{k}"} for k in ks],
+        }
+
+    s3 = connectors.market_tokens_at_block_rpc(
+        spark, rpc_transport, "bench", 777, "2024-03-10"
+    ).selectExpr(
+        "'rpc_tokens' AS part", "reserve AS k1", "atoken AS k2",
+        "CAST(decimals AS DOUBLE) AS v1",
+        "CAST(NULL AS DOUBLE) AS v2", "CAST(NULL AS DOUBLE) AS v3",
+    )
+
+    # --- S11: distinct >0 category prefilter --------------------------------
+    pdd = spark.createDataFrame(
+        [(datetime(2024, 3, 10), 777, "bench", k % 3) for k in range(9)],
+        "block_day timestamp, block_height long, market string,"
+        "reserve_emode_category long",
+    )
+
+    def emode_transport(req):
+        c = int(req["reserve_emode_category"])
+        return {"ltv": 9000 + c, "liquidation_threshold": 9500 + c,
+                "liquidation_bonus": 10100 + c, "price_source": "0xFEED",
+                "label": f"Cat {c}"}
+
+    s11 = connectors.emode_config_by_day(pdd, emode_transport).selectExpr(
+        "'emode' AS part", "CAST(reserve_emode_category AS STRING) AS k1",
+        "emode_category_name AS k2",
+        "emode_ltv AS v1", "emode_liquidation_threshold AS v2",
+        "emode_liquidation_bonus AS v3",
+    )
+
+    # --- S15: beacon staking returns ----------------------------------------
+    def beacon_transport(req):
+        return {"data": {"day": 812, "day_start": 1710028800,
+                         "day_end": 1710115200, "apr": 0.04,
+                         "cl_apr": 0.03, "el_apr": 0.01}}
+
+    s15 = connectors.beacon_staking_returns_by_day(
+        spark, beacon_transport, "2024-03-10"
+    ).selectExpr(
+        "'beacon' AS part", "partition_date AS k1",
+        "CAST(day_start AS STRING) AS k2",
+        "CAST(beaconchain_day AS DOUBLE) AS v1", "apr AS v2", "cl_apr AS v3",
+    )
+
+    return reduce(lambda a, b: a.unionByName(b), [s1, s3, s11, s15])
