@@ -1334,8 +1334,7 @@ def connector_scan_decet(spark, sf_dir):
 
     s5 = connectors.token_transfers_by_day(tr_reqs, tr_transport).selectExpr(
         "'transfers' AS part",
-        "CASE WHEN transfers_transfer_type = 'IN' THEN transfers_from_address"
-        " ELSE transfers_from_address END AS k1",
+        "transfers_from_address AS k1",
         "transfers_transfer_type AS k2",
         "amount_transferred AS v1", *NULLS2,
     )
