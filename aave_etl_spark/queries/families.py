@@ -388,6 +388,16 @@ family(
             ("part", "k1", "k2"),
             ("v1", "v2", "v3"),
         ),
+        (
+            "incentives_apr",
+            "warehouse_incentives_apr",
+            ("reserve", "symbol", "reward_token_address"),
+            ("supply_rewards_apr", "variable_borrow_rewards_apr",
+             "stable_borrow_rewards_apr", "supply_rewards",
+             "variable_debt_rewards", "stable_debt_rewards",
+             "supply_rewards_usd", "variable_debt_rewards_usd",
+             "stable_debt_rewards_usd"),
+        ),
     ],
     doc=(
         "§2.9 financial math family: APY compounding + stream-vesting clamp"
@@ -395,7 +405,8 @@ family(
         " norm-preservation gate + the S9 reserve-data parser's full"
         " unit-shift matrix (bps/ray/decimals, v2->v3 fill) certified"
         " per field + the scan quartet (S1 end-block invariant, S3"
-        " positional zip, S11 eMode prefilter, S15 beacon)"
+        " positional zip, S11 eMode prefilter, S15 beacon) + the REAL"
+        " warehouse LM-incentives 9-measure APR transform"
     ),
 )
 

@@ -1622,3 +1622,127 @@ def connector_scan_quartet(spark, sf_dir):
     )
 
     return reduce(lambda a, b: a.unionByName(b), [s1, s3, s11, s15])
+
+
+# ---------------------------------------------------------------------------
+# Driver-certified warehouse incentives transform: the 9-measure LM APR
+# arithmetic (warehouse/incentives.py — reference
+# protocol_data_warehouse.py:180-318) over nation-derived lake fixtures,
+# vs a SQL twin mirroring every conditional arm: emission zeroed past the
+# program end (and filtered), zero price feeds filtered, missing protocol
+# rows -> safe_div 0 APR, missing prices -> NULL symbol group, a/v/s token
+# types summed per (reserve, reward token).
+# ---------------------------------------------------------------------------
+@register(
+    "warehouse_incentives_apr",
+    export=False,  # driver slot held by its family head (finmath_family)
+    oracle="""
+    WITH b AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 12),
+    types AS (
+      SELECT k, 'atoken' AS tt FROM b
+      UNION ALL SELECT k, 'vtoken' FROM b WHERE k % 2 = 0
+      UNION ALL SELECT k, 'stoken' FROM b WHERE k % 3 = 0
+    ),
+    inc AS (
+      SELECT k, tt,
+        CASE WHEN k % 4 = 0 THEN 0.0
+             ELSE CAST(k+1 AS DOUBLE) * power(2.0, 30) * 86400 / power(10.0, 6)
+        END AS epd,
+        CASE WHEN k % 5 = 0 THEN 0.0
+             ELSE CAST(k+2 AS DOUBLE) * power(2.0, 20) END AS feed
+      FROM types
+    ),
+    kept AS (
+      SELECT k, tt, epd, epd * feed / power(10.0, 6) AS epd_usd
+      FROM inc WHERE epd * feed / power(10.0, 6) > 0
+    ),
+    joined AS (
+      SELECT kept.*,
+        CASE WHEN k % 3 != 1 THEN CAST(k+3 AS DOUBLE) * 4 ELSE NULL END AS supply,
+        CASE WHEN k % 4 != 3 THEN CAST(k+1 AS DOUBLE) * 0.25 ELSE NULL END AS price,
+        CASE WHEN k % 4 != 3 THEN 'T' || CAST(k AS VARCHAR) ELSE NULL END AS symbol
+      FROM kept
+    ),
+    apr AS (
+      SELECT *,
+        (CASE WHEN supply * price != 0 THEN epd_usd / (supply * price)
+              ELSE 0.0 END) * 365 AS apr_v
+      FROM joined
+    )
+    SELECT '0x' || printf('%040x', k) AS reserve, symbol,
+      '0xrw0' AS reward_token_address,
+      sum(CASE WHEN tt = 'atoken' THEN apr_v ELSE 0.0 END) AS supply_rewards_apr,
+      sum(CASE WHEN tt = 'vtoken' THEN apr_v ELSE 0.0 END) AS variable_borrow_rewards_apr,
+      sum(CASE WHEN tt = 'stoken' THEN apr_v ELSE 0.0 END) AS stable_borrow_rewards_apr,
+      sum(CASE WHEN tt = 'atoken' THEN epd ELSE 0.0 END) AS supply_rewards,
+      sum(CASE WHEN tt = 'vtoken' THEN epd ELSE 0.0 END) AS variable_debt_rewards,
+      sum(CASE WHEN tt = 'stoken' THEN epd ELSE 0.0 END) AS stable_debt_rewards,
+      sum(CASE WHEN tt = 'atoken' THEN epd_usd ELSE 0.0 END) AS supply_rewards_usd,
+      sum(CASE WHEN tt = 'vtoken' THEN epd_usd ELSE 0.0 END) AS variable_debt_rewards_usd,
+      sum(CASE WHEN tt = 'stoken' THEN epd_usd ELSE 0.0 END) AS stable_debt_rewards_usd
+    FROM apr GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "REAL warehouse LM-incentives APR transform under the driver gate:"
+        " emission-end zeroing + positive-usd filter + safe_div APR over"
+        " supply*price + a/v/s conditional measures summed per reward"
+        " (protocol_data_warehouse.py:180-318)"
+    ),
+)
+def warehouse_incentives_apr(spark, sf_dir):
+    from datetime import datetime
+
+    from aave_etl_spark.warehouse.incentives import incentives_by_day
+
+    day = datetime(2024, 3, 10)
+    ks = sorted(
+        int(r.n_nationkey)
+        for r in t(spark, sf_dir, "nation")
+        .filter("n_nationkey < 12").select("n_nationkey").collect()
+    )
+
+    def res(k: int) -> str:
+        return "0x" + format(k, "040x")
+
+    raw_rows = []
+    for k in ks:
+        tts = ["atoken"] + (["vtoken"] if k % 2 == 0 else []) + (
+            ["stoken"] if k % 3 == 0 else []
+        )
+        for tt in tts:
+            raw_rows.append((
+                day, 777, "bench", res(k), f"0xside{k}", tt, "0xrw0", "RW", 6,
+                float((k + 1) * 2**30),
+                1709000000 if k % 4 == 0 else 1999999999,  # ended vs live
+                0.0 if k % 5 == 0 else float((k + 2) * 2**20),  # zero feed arm
+                6,
+            ))
+    raw = spark.createDataFrame(
+        raw_rows,
+        "block_day timestamp, block_height long, market string,"
+        "underlying_asset string, token_address string, token_type string,"
+        "reward_token_address string, reward_token_symbol string,"
+        "reward_token_decimals long, emission_per_second double,"
+        "emission_end_timestamp long, reward_price_feed double,"
+        "price_feed_decimals long",
+    ).coalesce(1)
+    protocol = spark.createDataFrame(
+        [(day, 777, "bench", res(k), float((k + 3) * 4), 1.0, 2.0)
+         for k in ks if k % 3 != 1],
+        "block_day timestamp, block_height long, market string, reserve string,"
+        "atoken_supply double, stable_debt double, variable_debt double",
+    ).coalesce(1)
+    prices = spark.createDataFrame(
+        [(day, 777, "bench", res(k), f"T{k}", (k + 1) * 0.25)
+         for k in ks if k % 4 != 3],
+        "block_day timestamp, block_height long, market string, reserve string,"
+        "symbol string, usd_price double",
+    ).coalesce(1)
+    out = incentives_by_day(raw, protocol, prices)
+    return out.select(
+        "reserve", "symbol", "reward_token_address",
+        "supply_rewards_apr", "variable_borrow_rewards_apr",
+        "stable_borrow_rewards_apr", "supply_rewards", "variable_debt_rewards",
+        "stable_debt_rewards", "supply_rewards_usd", "variable_debt_rewards_usd",
+        "stable_debt_rewards_usd",
+    )
