@@ -295,6 +295,12 @@ family(
             ("cos_sim", "rank"),
         ),
         (
+            "wh_trio",
+            "warehouse_transforms_trio",
+            ("part", "k1", "k2", "k3"),
+            ("v1", "v2"),
+        ),
+        (
             "depth_append",
             "liquidity_depth_append_store",
             ("from_asset", "to_asset"),
@@ -311,7 +317,9 @@ family(
         " + the at-rest IVF index (built partitioned by cell_id through the"
         " same store; search scans only probed partition directories)"
         " + the K2 append-only liquidity-depth snapshot table with the"
-        " fetch_time-latest model read from the appended store"
+        " fetch_time-latest model read from the appended store + the"
+        " warehouse trio (token-price min-rank pick, per-chain block"
+        " dedup, last-match-wins balance-group classification)"
     ),
 )
 

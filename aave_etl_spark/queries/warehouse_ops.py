@@ -1746,3 +1746,164 @@ def warehouse_incentives_apr(spark, sf_dir):
         "stable_debt_rewards", "supply_rewards_usd", "variable_debt_rewards_usd",
         "stable_debt_rewards_usd",
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-certified warehouse trio: token-price min-rank pick, per-chain
+# block dedup, and the balance-group classification (union arms + the
+# LAST-match-wins group loop) — the remaining warehouse transforms that
+# had no driver-gated twin.
+# ---------------------------------------------------------------------------
+@register(
+    "warehouse_transforms_trio",
+    export=False,  # driver slot held by its family head (time_rollup_family)
+    oracle="""
+    WITH b AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 6),
+    -- m0/m1/m3/m4 are ethereum (ranks 1,2,1,1), m2 polygon (rank 1).
+    -- min-rank keeps m0/m3/m4 rows; m0 and m3 price identically (distinct
+    -- dedups them), m4 differs (a second surviving row per key).
+    tp AS (
+      SELECT 'tp' AS part, mc.chain AS k1,
+        '0x' || printf('%040x', k) AS k2, 'aave_oracle' AS k3,
+        CAST(k+1 AS DOUBLE) * 0.25 + mc.bump AS v1, CAST(NULL AS DOUBLE) AS v2
+      FROM b CROSS JOIN (VALUES ('ethereum', 0.0), ('polygon', 2.0),
+                                ('ethereum', 0.5))
+        AS mc(chain, bump)
+    ),
+    blocks AS (
+      SELECT 'blocks' AS part, c.chain AS k1, '2024-03-10' AS k2,
+        CAST(NULL AS VARCHAR) AS k3,
+        CAST(CASE WHEN c.chain = 'ethereum' THEN 1000 ELSE 2000 END + k AS DOUBLE) AS v1,
+        CAST(CASE WHEN c.chain = 'ethereum' THEN 1999 ELSE 2999 END + k AS DOUBLE) AS v2
+      FROM b CROSS JOIN (VALUES ('ethereum'), ('polygon')) AS c(chain)
+    ),
+    -- balance groups: aT1 is in both DAI and USDC lists; the reference's
+    -- sequential overwrite makes the LAST group (USDC) win
+    bg_tokens AS (
+      SELECT 'm0' AS market, 'ethereum' AS chain,
+             '0xa' || CAST(k AS VARCHAR) AS atoken, 'aT' || CAST(k AS VARCHAR) AS sym
+      FROM b
+      UNION ALL  -- the v1 branch re-emits reserves as atokens
+      SELECT 'ethereum_v1', 'ethereum', '0xr' || CAST(k AS VARCHAR),
+             'aT' || CAST(k AS VARCHAR)
+      FROM b WHERE k < 2
+      UNION ALL  -- non-atoken arm
+      SELECT 'm0', 'ethereum', '0xn' || CAST(k AS VARCHAR), 'N' || CAST(k AS VARCHAR)
+      FROM b WHERE k < 3
+      UNION ALL  -- gas-token arm
+      SELECT 'm0', 'ethereum', '0xgas', 'GAS'
+    ),
+    bg AS (
+      SELECT 'bg' AS part, atoken AS k1,
+        chain || '|' || CASE
+          WHEN sym IN ('aT3') THEN 'Grp'
+          WHEN sym IN ('aT1', 'aT2') THEN 'USDC'
+          WHEN sym IN ('aT0') THEN 'DAI'
+          ELSE 'Other Token' END AS k2,
+        CASE WHEN (CASE
+          WHEN sym IN ('aT3') THEN 'Grp'
+          WHEN sym IN ('aT1', 'aT2') THEN 'USDC'
+          WHEN sym IN ('aT0') THEN 'DAI'
+          ELSE 'Other Token' END) IN ('DAI', 'USDC', 'USDT', 'other_stables')
+          THEN 'stablecoin' ELSE 'unstablecoin' END AS k3,
+        NULL AS v1, NULL AS v2
+      FROM bg_tokens
+    )
+    SELECT * FROM tp
+    UNION ALL SELECT DISTINCT * FROM blocks
+    UNION ALL SELECT * FROM bg
+    """,
+    doc=(
+        "REAL warehouse transforms under the driver gate: token-price"
+        " min-rank pick (w/ equal-rank tie arms), per-chain daily block"
+        " dedup, and balance-group classification with the last-match-wins"
+        " group loop and all four token-source union arms"
+    ),
+)
+def warehouse_transforms_trio(spark, sf_dir):
+    from datetime import datetime
+    from functools import reduce
+
+    from aave_etl_spark.warehouse.balance_groups import balance_group_lookup
+    from aave_etl_spark.warehouse.blocks import blocks_by_day
+    from aave_etl_spark.warehouse.prices import token_prices_by_day
+
+    day = datetime(2024, 3, 10)
+    ks = sorted(
+        int(r.n_nationkey)
+        for r in t(spark, sf_dir, "nation")
+        .filter("n_nationkey < 6").select("n_nationkey").collect()
+    )
+
+    def res(k: int) -> str:
+        return "0x" + format(k, "040x")
+
+    # --- token prices: 4 markets, min-rank + tie arms -----------------------
+    # m0/m3 ethereum rank 1 identical price (distinct dedups), m4 ethereum
+    # rank 1 different price (second surviving row), m1 ethereum rank 2
+    # (dropped), m2 polygon rank 1
+    ranks = spark.createDataFrame(
+        [("m0", "ethereum", 1), ("m1", "ethereum", 2), ("m2", "polygon", 1),
+         ("m3", "ethereum", 1), ("m4", "ethereum", 1)],
+        "market string, chain string, price_rank long",
+    )
+    price_rows = []
+    for k in ks:
+        for m, bump in (("m0", 0.0), ("m1", 1.0), ("m2", 2.0), ("m3", 0.0),
+                        ("m4", 0.5)):
+            price_rows.append((res(k), f"T{k}", m, 777, day, (k + 1) * 0.25 + bump))
+    prices = spark.createDataFrame(
+        price_rows,
+        "reserve string, symbol string, market string, block_height long,"
+        "block_day timestamp, usd_price double",
+    ).coalesce(1)
+    tp = token_prices_by_day(prices, ranks).selectExpr(
+        "'tp' AS part", "chain AS k1", "reserve AS k2", "pricing_source AS k3",
+        "usd_price AS v1", "CAST(NULL AS DOUBLE) AS v2",
+    )
+
+    # --- blocks: per-market rows dedup to per-chain -------------------------
+    blk_rows = []
+    for k in ks:
+        for m, chain, base in (("m0", "ethereum", 1000), ("m1", "ethereum", 1000),
+                               ("m2", "polygon", 2000)):
+            blk_rows.append((day, day, base + k, base + 999 + k, chain, m))
+    blocks = blocks_by_day(
+        spark.createDataFrame(
+            blk_rows,
+            "block_day timestamp, block_time timestamp, block_height long,"
+            "end_block long, chain string, market string",
+        ).coalesce(1)
+    ).selectExpr(
+        "'blocks' AS part", "chain AS k1", "CAST(CAST(block_day AS DATE) AS STRING) AS k2",
+        "CAST(NULL AS STRING) AS k3",
+        "CAST(block_height AS DOUBLE) AS v1", "CAST(end_block AS DOUBLE) AS v2",
+    )
+
+    # --- balance groups: union arms + last-match-wins -----------------------
+    tokens = spark.createDataFrame(
+        [("m0" if k >= 2 else "ethereum_v1", f"0xa{k}", f"aT{k}", f"0xr{k}", f"T{k}")
+         for k in ks],
+        "market string, atoken string, atoken_symbol string, reserve string,"
+        "symbol string",
+    ).coalesce(1)
+    nam = spark.createDataFrame(
+        [(f"m0", f"0xn{k}", f"N{k}") for k in ks if k < 3],
+        "market string, token string, symbol string",
+    ).coalesce(1)
+    eth = spark.createDataFrame(
+        [("m0", "0xgas", "GAS")],
+        "market string, wrapped_gas_token string, gas_token string",
+    )
+    mc = spark.createDataFrame(
+        [("m0", "ethereum"), ("ethereum_v1", "ethereum")],
+        "market string, chain string",
+    )
+    groups = {"DAI": ["aT0", "aT1"], "USDC": ["aT1", "aT2"], "Grp": ["aT3"]}
+    bg = balance_group_lookup(tokens, nam, eth, groups, mc).selectExpr(
+        "'bg' AS part", "atoken AS k1",
+        "concat(chain, '|', balance_group) AS k2", "stable_class AS k3",
+        "CAST(NULL AS DOUBLE) AS v1", "CAST(NULL AS DOUBLE) AS v2",
+    )
+
+    return reduce(lambda a, b: a.unionByName(b), [tp, blocks, bg])

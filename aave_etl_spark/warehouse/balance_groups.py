@@ -60,9 +60,12 @@ def balance_group_lookup(
 
     group_expr = F.lit(None).cast("string")
     # the reference's sequential np.where loop overwrites, so the LAST
-    # matching group wins; a when-chain is first-match-wins, so iterate the
-    # groups in reverse to get the same winner
-    for group, symbols in reversed(list(balance_group_lists.items())):
+    # matching group wins. Each iteration WRAPS the previous expression as
+    # its otherwise-branch, making the latest group the outermost (first-
+    # evaluated) check — so iterate in CONFIG ORDER to give later groups
+    # priority (iterating reversed would flip this to first-match-wins,
+    # the round-6 parity bug this comment replaces)
+    for group, symbols in balance_group_lists.items():
         group_expr = F.when(F.col("atoken_symbol").isin(symbols), F.lit(group)).otherwise(group_expr)
     out = out.withColumn("balance_group", F.coalesce(group_expr, F.lit("Other Token")))
     out = out.withColumn(
