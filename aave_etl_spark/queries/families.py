@@ -256,10 +256,18 @@ family(
             ("event_id", "event_type"),
             ("value", "asof_purchase_value", "asof_purchase_event_id"),
         ),
+        (
+            "market_state_config",
+            "warehouse_market_state_config",
+            ("part", "k1", "k2"),
+            ("v1",),
+        ),
     ],
     doc=(
         "§2.5 window-shift family: LEAD pairing + LAG coalesce + ffill ignore"
-        " nulls + as-of temporal join (sort-merge union+window form)"
+        " nulls + as-of temporal join (sort-merge union+window form) + the"
+        " REAL warehouse market state/config transforms (UI compounding"
+        " APYs, eMode left-join NULL arms)"
     ),
 )
 

@@ -1907,3 +1907,134 @@ def warehouse_transforms_trio(spark, sf_dir):
     )
 
     return reduce(lambda a, b: a.unionByName(b), [tp, blocks, bg])
+
+
+# ---------------------------------------------------------------------------
+# Driver-certified market state/config transforms (warehouse/market.py —
+# reference protocol_data_warehouse.py:33-160): the four UI per-second
+# compounding APYs, state passthroughs, and the config->eMode left join
+# with its NULL arms (category 0, and a category missing from the day's
+# eMode table).
+# ---------------------------------------------------------------------------
+_MS_APY = "power(1.0 + {r} / 31536000.0, 31536000.0) - 1.0"
+
+
+@register(
+    "warehouse_market_state_config",
+    export=False,  # driver slot held by its family head (window_shift_family)
+    oracle=f"""
+    WITH b AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 8),
+    r AS (
+      SELECT k,
+        CAST(k AS DOUBLE) * 0.03125 AS lr,
+        CAST(k+1 AS DOUBLE) * 0.03125 AS vbr,
+        CAST(k+2 AS DOUBLE) * 0.03125 AS sbr,
+        CAST(k+3 AS DOUBLE) * 0.03125 AS asr
+      FROM b
+    ),
+    state AS (
+      SELECT 'state' AS part, '0x' || printf('%040x', k) AS k1, f.field AS k2,
+        CASE f.field
+          WHEN 'deposit_apy' THEN {_MS_APY.format(r="lr")}
+          WHEN 'variable_borrow_apy' THEN {_MS_APY.format(r="vbr")}
+          WHEN 'stable_borrow_apy' THEN {_MS_APY.format(r="sbr")}
+          WHEN 'av_stable_borrow_apy' THEN {_MS_APY.format(r="asr")}
+          WHEN 'atoken_supply' THEN CAST(k+2 AS DOUBLE) * 4
+          WHEN 'available_liquidity' THEN CAST(k+2 AS DOUBLE) * 4 - CAST(k AS DOUBLE)
+        END AS v1
+      FROM r CROSS JOIN (VALUES ('deposit_apy'), ('variable_borrow_apy'),
+        ('stable_borrow_apy'), ('av_stable_borrow_apy'), ('atoken_supply'),
+        ('available_liquidity')) AS f(field)
+    ),
+    config AS (
+      -- eMode join: category 1 matches the day's eMode row; category 2
+      -- is missing from the eMode table; category 0 never joins
+      SELECT 'config' AS part, '0x' || printf('%040x', k) AS k1, f.field AS k2,
+        CASE f.field
+          WHEN 'ltv' THEN CAST(8000 + k AS DOUBLE) / 1e4
+          WHEN 'emode_ltv' THEN
+            CASE WHEN k % 3 = 1 THEN 0.93 ELSE NULL END
+          WHEN 'emode_liquidation_threshold' THEN
+            CASE WHEN k % 3 = 1 THEN 0.95 ELSE NULL END
+        END AS v1
+      FROM b CROSS JOIN (VALUES ('ltv'), ('emode_ltv'),
+        ('emode_liquidation_threshold')) AS f(field)
+    )
+    SELECT * FROM state UNION ALL SELECT * FROM config
+    """,
+    doc=(
+        "REAL warehouse market state/config transforms under the driver"
+        " gate: the four UI per-second compounding APYs, passthrough"
+        " invariants, and the config->eMode left join's matched/missing/"
+        "category-0 arms (protocol_data_warehouse.py:33-160)"
+    ),
+)
+def warehouse_market_state_config(spark, sf_dir):
+    from datetime import datetime
+    from functools import reduce
+
+    from aave_etl_spark.warehouse.market import market_config_by_day, market_state_by_day
+
+    day = datetime(2024, 3, 10)
+    ks = sorted(
+        int(r.n_nationkey)
+        for r in t(spark, sf_dir, "nation")
+        .filter("n_nationkey < 8").select("n_nationkey").collect()
+    )
+
+    def res(k: int) -> str:
+        return "0x" + format(k, "040x")
+
+    pdd = spark.createDataFrame(
+        [(day, 777, "bench", res(k), f"T{k}", 6,
+          (8000 + k) / 1e4, (8250 + k) / 1e4, (10500 + k) / 1e4, (1000 + k) / 1e4,
+          True, True, False, True, False,
+          float((k + 2) * 4), float(k % 5), float(k % 7),
+          k * 0.03125, (k + 1) * 0.03125, (k + 2) * 0.03125, (k + 3) * 0.03125,
+          1.01, 1.02, day,
+          False, False, k % 3, 0, 0, 0, 0, 0.0, 0.0, 0.0,
+          float((k + 2) * 4) - float(k))
+         for k in ks],
+        "block_day timestamp, block_height long, market string, reserve string,"
+        "symbol string, decimals long, ltv double, liquidation_threshold double,"
+        "liquidation_bonus double, reserve_factor double,"
+        "usage_as_collateral_enabled boolean, borrowing_enabled boolean,"
+        "stable_borrow_rate_enabled boolean, is_active boolean, is_frozen boolean,"
+        "atoken_supply double, stable_debt double, variable_debt double,"
+        "liquidity_rate double, variable_borrow_rate double,"
+        "stable_borrow_rate double, average_stable_rate double,"
+        "liquidity_index double, variable_borrow_index double,"
+        "last_update_timestamp timestamp, is_paused boolean,"
+        "siloed_borrowing boolean, reserve_emode_category long,"
+        "borrow_cap long, supply_cap long, unbacked_mint_cap long,"
+        "debt_ceiling long, liquidation_protocol_fee double,"
+        "unbacked_atokens double, scaled_accrued_to_treasury double,"
+        "available_liquidity double",
+    ).coalesce(1)
+    # eMode table carries ONLY category 1 — category 2 rows exercise the
+    # missing-category NULL arm, category 0 the never-joined arm
+    emode = spark.createDataFrame(
+        [(day, 777, "bench", 1, 0.93, 0.95, 1.01, "0xFEED", "Stablecoins")],
+        "block_day timestamp, block_height long, market string,"
+        "reserve_emode_category long, emode_ltv double,"
+        "emode_liquidation_threshold double, emode_liquidation_bonus double,"
+        "emode_price_address string, emode_category_name string",
+    )
+
+    state = market_state_by_day(pdd)
+    state_u = reduce(
+        lambda a, b: a.unionByName(b),
+        [state.selectExpr("'state' AS part", "reserve AS k1", f"'{f}' AS k2",
+                          f"{f} AS v1")
+         for f in ("deposit_apy", "variable_borrow_apy", "stable_borrow_apy",
+                   "av_stable_borrow_apy", "atoken_supply",
+                   "available_liquidity")],
+    )
+    cfg = market_config_by_day(pdd, emode)
+    cfg_u = reduce(
+        lambda a, b: a.unionByName(b),
+        [cfg.selectExpr("'config' AS part", "reserve AS k1", f"'{f}' AS k2",
+                        f"{f} AS v1")
+         for f in ("ltv", "emode_ltv", "emode_liquidation_threshold")],
+    )
+    return state_u.unionByName(cfg_u)
