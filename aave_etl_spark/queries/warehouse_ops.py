@@ -862,10 +862,8 @@ def connector_reserve_units(spark, sf_dir):
 
     from aave_etl_spark.sources import connectors
 
-    nat = sorted(
-        int(r.n_nationkey)
-        for r in t(spark, sf_dir, "nation").select("n_nationkey").collect()
-    )
+    # nation is TPC-H's fixed 25-row dim (keys 0..24 at every SF)
+    nat = list(range(25))
 
     def res(k: int) -> str:
         return "0x" + format(k, "040x")
@@ -933,10 +931,8 @@ def connector_incentives_flatten(spark, sf_dir):
 
     from aave_etl_spark.sources import connectors
 
-    nat = sorted(
-        int(r.n_nationkey)
-        for r in t(spark, sf_dir, "nation").select("n_nationkey").collect()
-    )
+    # nation is TPC-H's fixed 25-row dim (keys 0..24 at every SF)
+    nat = list(range(25))
 
     def res(k: int) -> str:
         return "0x" + format(k, "040x")
@@ -1061,10 +1057,8 @@ def connector_scan_quintet(spark, sf_dir):
     from aave_etl_spark.sources import connectors
 
     day = datetime(2024, 3, 10)
-    nat = sorted(
-        int(r.n_nationkey)
-        for r in t(spark, sf_dir, "nation").select("n_nationkey").collect()
-    )
+    # nation is TPC-H's fixed 25-row dim (keys 0..24 at every SF)
+    nat = list(range(25))
     S = "part string, k1 string, k2 string, v1 double, v2 double, v3 double, v4 double"
 
     # --- S7: balanceOf decimal adjust -------------------------------------
@@ -1286,11 +1280,9 @@ def connector_scan_decet(spark, sf_dir):
     from aave_etl_spark.sources import connectors
 
     day = datetime(2024, 3, 10)
-    ks = sorted(
-        int(r.n_nationkey)
-        for r in t(spark, sf_dir, "nation")
-        .filter("n_nationkey < 8").select("n_nationkey").collect()
-    )
+    # nation is TPC-H's fixed 25-row dim (keys 0..24 at every SF); the
+    # oracle reads the real table, the builder skips the read+collect job
+    ks = list(range(8))
     NULLS2 = ("CAST(NULL AS DOUBLE) AS v2", "CAST(NULL AS DOUBLE) AS v3",
               "CAST(NULL AS DOUBLE) AS v4")
 
@@ -1563,11 +1555,9 @@ def connector_scan_quartet(spark, sf_dir):
     )
 
     # --- S3: positional tuple zip ------------------------------------------
-    ks = sorted(
-        int(r.n_nationkey)
-        for r in t(spark, sf_dir, "nation")
-        .filter("n_nationkey < 8").select("n_nationkey").collect()
-    )
+    # nation is TPC-H's fixed 25-row dim (keys 0..24 at every SF); the
+    # oracle reads the real table, the builder skips the read+collect job
+    ks = list(range(8))
 
     def rpc_transport(req):
         return {
@@ -1695,11 +1685,9 @@ def warehouse_incentives_apr(spark, sf_dir):
     from aave_etl_spark.warehouse.incentives import incentives_by_day
 
     day = datetime(2024, 3, 10)
-    ks = sorted(
-        int(r.n_nationkey)
-        for r in t(spark, sf_dir, "nation")
-        .filter("n_nationkey < 12").select("n_nationkey").collect()
-    )
+    # nation is TPC-H's fixed 25-row dim (keys 0..24 at every SF); the
+    # oracle reads the real table, the builder skips the read+collect job
+    ks = list(range(12))
 
     def res(k: int) -> str:
         return "0x" + format(k, "040x")
@@ -1829,11 +1817,9 @@ def warehouse_transforms_trio(spark, sf_dir):
     from aave_etl_spark.warehouse.prices import token_prices_by_day
 
     day = datetime(2024, 3, 10)
-    ks = sorted(
-        int(r.n_nationkey)
-        for r in t(spark, sf_dir, "nation")
-        .filter("n_nationkey < 6").select("n_nationkey").collect()
-    )
+    # nation is TPC-H's fixed 25-row dim (keys 0..24 at every SF); the
+    # oracle reads the real table, the builder skips the read+collect job
+    ks = list(range(6))
 
     def res(k: int) -> str:
         return "0x" + format(k, "040x")
@@ -1976,11 +1962,9 @@ def warehouse_market_state_config(spark, sf_dir):
     from aave_etl_spark.warehouse.market import market_config_by_day, market_state_by_day
 
     day = datetime(2024, 3, 10)
-    ks = sorted(
-        int(r.n_nationkey)
-        for r in t(spark, sf_dir, "nation")
-        .filter("n_nationkey < 8").select("n_nationkey").collect()
-    )
+    # nation is TPC-H's fixed 25-row dim (keys 0..24 at every SF); the
+    # oracle reads the real table, the builder skips the read+collect job
+    ks = list(range(8))
 
     def res(k: int) -> str:
         return "0x" + format(k, "040x")
