@@ -275,8 +275,15 @@ def dsir_importance_resample(
             F.sum(F.col("_c").cast("double") * F.col("_lr")).alias("_w"),
         )
     )
-    u = uniform_hash(id_col, "dsir")
-    gumbel = -F.log(-F.log(u + F.lit(0.5 / _HASH_SPACE)))
+    # u = (h + 0.5) / 16^15 — the half-shift keeps u strictly inside (0,1)
+    # so neither log blows up, and the expression STRUCTURE mirrors the
+    # oracle's (h + 0.5)/S exactly (h/S + 0.5/S differs in the last ulp)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("dsir"), F.col(id_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_HASH_SPACE)
+    gumbel = -F.log(-F.log(u))
     keyed = scored.select(
         F.col(id_col),
         "n_grams",
