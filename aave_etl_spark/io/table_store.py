@@ -102,11 +102,16 @@ class TableStore:
             elif os.path.isdir(live):
                 # post-swap debris: live is the newer copy, old is stale
                 shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(live) and os.path.exists(marker):
-            try:
-                os.remove(marker)
-            except FileNotFoundError:
-                pass
+                # only NOW is a lingering marker provably from a crashed
+                # (not in-flight) compact — (live, old, marker) can't occur
+                # mid-swap. A bare (live, marker, no old) state is an
+                # ACTIVE compact between marker-write and its first rename;
+                # deleting that marker would re-open the silent-empty
+                # window the protocol closes, so leave it alone.
+                try:
+                    os.remove(marker)
+                except FileNotFoundError:
+                    pass
 
     def write(
         self,
@@ -117,10 +122,12 @@ class TableStore:
         cluster_by: list[str] | None = None,
         cluster_files: int | None = None,
         full_refresh: bool = False,
-    ) -> None:
+    ) -> bool:
         """Write ``df``; idempotent per-partition overwrite unless
         ``append_only`` (K2). Empty outputs are skipped like the reference
-        (bigquery_io_manager.py:115, 168-169).
+        (bigquery_io_manager.py:115, 168-169); returns whether data landed
+        (False = empty skip) so multi-table writers can gate completion
+        markers on actual writes.
 
         ``cluster_by`` sort-clusters the data before writing: rows are
         range-repartitioned then sorted within tasks on
@@ -142,7 +149,7 @@ class TableStore:
         partition absent from ``df`` must disappear rather than survive
         as a stale directory (e.g. a rebuilt index)."""
         if df.isEmpty():
-            return
+            return False
         if cluster_by:
             rcols = [F.col(c) for c in [*(partition_cols or []), *cluster_by]]
             ranged = (
@@ -173,6 +180,7 @@ class TableStore:
             writer = stamped.write
         mode = "append" if append_only else "overwrite"
         writer.mode(mode).parquet(self._path(name))
+        return True
 
     def write_bucketed(
         self,

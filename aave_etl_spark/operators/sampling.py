@@ -238,9 +238,15 @@ def dsir_importance_resample(
         F.conv(F.substring(F.md5(F.col("_gram")), 1, 15), 16, 10).cast("long")
         % F.lit(m)
     )
-    doc_buckets = grams.select(F.col(id_col), "_is_target", bucket.alias("_b")).groupBy(
-        id_col, "_is_target", "_b"
-    ).agg(F.count(F.lit(1)).alias("_c"))
+    # the bucket table feeds the target distribution, the raw distribution
+    # AND the scorer — cut the lineage so the corpus-wide gram explode (the
+    # dominant cost) runs once, not once per consumer
+    doc_buckets = (
+        grams.select(F.col(id_col), "_is_target", bucket.alias("_b"))
+        .groupBy(id_col, "_is_target", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
 
     # m-row Laplace-smoothed distributions; ln-ratio per bucket
     tgt = (
@@ -284,6 +290,10 @@ def dsir_importance_resample(
     ).cast("long")
     u = (h.cast("double") + F.lit(0.5)) / F.lit(_HASH_SPACE)
     gumbel = -F.log(-F.log(u))
+    # keyed feeds the count aggregate and the final ranked select — both
+    # recompute only the cheap scoring join over the CHECKPOINTED bucket
+    # table, so no second lineage cut is needed (and the executed plan
+    # stays inspectable for the plan-assert suite)
     keyed = scored.select(
         F.col(id_col),
         "n_grams",

@@ -534,11 +534,15 @@ def ivf_index_build(
     # (gating on table existence alone cannot catch a partial REBUILD:
     # both tables exist, one is stale)
     store.clear_complete(name)
-    store.write(
+    wrote_cent = store.write(
         cent.select("cell_id", F.col("_ce").alias("centroid")), f"{name}_centroids"
     )
-    store.write(assign, name, partition_cols=["cell_id"], full_refresh=True)
-    store.mark_complete(name)
+    wrote_assign = store.write(assign, name, partition_cols=["cell_id"], full_refresh=True)
+    # TableStore.write SKIPS empty frames — marking completeness then would
+    # stamp a PREVIOUS run's (stale) tables as this corpus's index; only
+    # mark when both members actually landed this run
+    if wrote_cent and wrote_assign:
+        store.mark_complete(name)
 
 
 def ivf_index_search(

@@ -120,8 +120,14 @@ def _collectors(ctx: AssetContext) -> list[str]:
 
     collectors = [_mcfg(ctx, "collector")]
     change = _mcfg(ctx, "collector_change_date")
-    if change is not None and datetime.fromisoformat(ctx.partition.date) > change:
-        collectors.append(_mcfg(ctx, "collector_v2"))
+    if change is not None:
+        # config may carry the change date as str / date / datetime
+        if isinstance(change, str):
+            change = datetime.fromisoformat(change)
+        elif not isinstance(change, datetime):  # datetime.date
+            change = datetime(change.year, change.month, change.day)
+        if datetime.fromisoformat(ctx.partition.date) > change:
+            collectors.append(_mcfg(ctx, "collector_v2"))
     return [c for c in collectors if c]
 
 
@@ -374,11 +380,14 @@ def _raw_incentives_by_day(ctx: AssetContext) -> DataFrame:
 
 # --- daily_partitioned group (01:25 job; plain daily partitions) ----------
 def _eth_block_scalar(ctx: AssetContext):
-    """The day's ethereum block (one scalar — reference control flow)."""
+    """The day's ethereum block (one scalar — reference control flow).
+    Carries end_block too: the safety-module scans snapshot at
+    end_block + 1 (protocol_data_lake.py:1163, :1694) while the other
+    daily assets use the day's start block."""
     return (
         ctx.upstream("block_numbers_by_day", this_partition_only=True)
         .filter("chain = 'ethereum'")
-        .select("block_day", "block_height")
+        .select("block_day", "block_height", "end_block")
         .first()
     )
 
@@ -440,7 +449,9 @@ def _safety_module_rpc(ctx: AssetContext) -> DataFrame:
         return ctx.spark.createDataFrame([], connectors.schemas.SAFETY_MODULE_RPC)
     keys = ctx.resources["sm_rpc_tokens"].select(
         F.lit(hb.block_day).alias("block_day"),
-        F.lit(hb.block_height).alias("block_height"),
+        # end_block + 1, NOT the start block (protocol_data_lake.py:1163) —
+        # SM supplies must align with the LSD/treasury snapshots for the day
+        F.lit(int(hb.end_block) + 1).alias("block_height"),
         "stk_token_address", "stk_token_symbol",
         "unstaked_token_address", "unstaked_token_symbol",
         "reward_token_address", "reward_token_symbol", "decimals",
@@ -486,7 +497,8 @@ def _safety_module_bal_pool_contents(ctx: AssetContext) -> DataFrame:
         .filter(F.col("bal_pool_address").isNotNull())  # :1706
         .select(
             F.lit(hb.block_day).alias("block_day"),
-            F.lit(hb.block_height).alias("block_height"),
+            # end_block + 1 (protocol_data_lake.py:1694), like safety_module_rpc
+            F.lit(int(hb.end_block) + 1).alias("block_height"),
             F.lit("ethereum").alias("chain"),
             F.col("safety_module_token"),
             "bal_pool_address",

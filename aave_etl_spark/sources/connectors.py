@@ -1181,6 +1181,15 @@ def treasury_accrued_incentives_by_day(
     ``block_height`` is the caller's end_block+1 (:1191)."""
     if incentives_controller is None or version not in (2, 3):
         return empty_frame(spark, schemas.TREASURY_ACCRUED_INCENTIVES_BY_DAY)
+    if version == 2 and (rewards_token is None or rewards_token_decimals is None):
+        # the reference indexes CONFIG_MARKETS[...]['rewards_token'] and
+        # would KeyError; a silent 'none'-address row with raw-wei amounts
+        # must never flow into treasury aggregations
+        raise ValueError(
+            f"treasury_accrued_incentives_by_day: v2 market {market!r} has an"
+            " incentives controller but no rewards_token/rewards_token_decimals"
+            " config"
+        )
 
     day = datetime.fromisoformat(block_day)
     base_row = {
@@ -1205,9 +1214,9 @@ def treasury_accrued_incentives_by_day(
         return [
             {
                 **base_row,
-                "rewards_token_address": str(rewards_token).lower(),
+                "rewards_token_address": rewards_token.lower(),
                 "rewards_token_symbol": rewards_token_symbol,
-                "accrued_rewards": float(payload["raw"]) / 10 ** int(rewards_token_decimals or 0),
+                "accrued_rewards": float(payload["raw"]) / 10 ** int(rewards_token_decimals),
             }
         ]
 
