@@ -234,7 +234,10 @@ def _treasury_accrued_incentives_by_day(ctx: AssetContext) -> DataFrame:
         _mcfg(ctx, "collector"),
         _mcfg(ctx, "incentives_controller"),
         int(_mcfg(ctx, "version", 0)),
-        int(hb.end_block) + 1,  # data_lake.py:1191
+        # day-D snapshot block: the reference's prev-day end_block+1
+        # (data_lake.py:1191) equals day-D's start under its convention;
+        # here block_numbers_by_day partition D already carries that block
+        int(hb.block_height),
         ctx.partition.date,
         rewards_token=_mcfg(ctx, "rewards_token"),
         rewards_token_symbol=_mcfg(ctx, "rewards_token_symbol"),
@@ -289,7 +292,9 @@ def _non_atoken_balances_by_day(ctx: AssetContext) -> DataFrame:
             F.col("token_address").alias("token"),
             "decimals",
             "symbol",
-            F.lit(int(hb.end_block) + 1).alias("block_height"),
+            # day-D 00:00 snapshot (reference prev-day end+1 = day start,
+            # data_lake.py:677-679) — same block as the atoken balances
+            F.lit(int(hb.block_height)).alias("block_height"),
             F.lit(datetime.fromisoformat(ctx.partition.date)).alias("block_day"),
         )
     )
@@ -381,9 +386,10 @@ def _raw_incentives_by_day(ctx: AssetContext) -> DataFrame:
 # --- daily_partitioned group (01:25 job; plain daily partitions) ----------
 def _eth_block_scalar(ctx: AssetContext):
     """The day's ethereum block (one scalar — reference control flow).
-    Carries end_block too: the safety-module scans snapshot at
-    end_block + 1 (protocol_data_lake.py:1163, :1694) while the other
-    daily assets use the day's start block."""
+    All daily snapshots use the day's start block: the reference's
+    "prev-day end_block + 1" (protocol_data_lake.py:1163, :1694) is the
+    labeled day's 00:00 block under its partition convention, and here
+    block_numbers_by_day partition D carries that block directly."""
     return (
         ctx.upstream("block_numbers_by_day", this_partition_only=True)
         .filter("chain = 'ethereum'")
@@ -449,9 +455,11 @@ def _safety_module_rpc(ctx: AssetContext) -> DataFrame:
         return ctx.spark.createDataFrame([], connectors.schemas.SAFETY_MODULE_RPC)
     keys = ctx.resources["sm_rpc_tokens"].select(
         F.lit(hb.block_day).alias("block_day"),
-        # end_block + 1, NOT the start block (protocol_data_lake.py:1163) —
-        # SM supplies must align with the LSD/treasury snapshots for the day
-        F.lit(int(hb.end_block) + 1).alias("block_height"),
+        # the reference's prev-day end_block + 1 (protocol_data_lake.py:1163)
+        # is day-D's 00:00 start block under its convention; here the
+        # partition's own block_height IS that block, aligning SM supplies
+        # with the atoken/treasury snapshots for the day
+        F.lit(int(hb.block_height)).alias("block_height"),
         "stk_token_address", "stk_token_symbol",
         "unstaked_token_address", "unstaked_token_symbol",
         "reward_token_address", "reward_token_symbol", "decimals",
@@ -469,7 +477,7 @@ def _matic_lsd_token_supply_by_day(ctx: AssetContext) -> DataFrame:
     blocks = (
         ctx.upstream("block_numbers_by_day", this_partition_only=False)
         .filter(F.col("block_day") == datetime.fromisoformat(ctx.partition.date))
-        .select("chain", "end_block")
+        .select("chain", "block_height")
         .distinct()
     )
     keys = (
@@ -477,7 +485,9 @@ def _matic_lsd_token_supply_by_day(ctx: AssetContext) -> DataFrame:
         .join(F.broadcast(blocks), "chain")
         .select(
             F.lit(datetime.fromisoformat(ctx.partition.date)).alias("block_day"),
-            (F.col("end_block") + 1).alias("block_height"),
+            # day-start snapshot (reference prev-day end+1 = day start,
+            # protocol_data_lake.py:723-830)
+            F.col("block_height"),
             "chain", "address", "symbol", "decimals",
         )
     )
@@ -497,8 +507,9 @@ def _safety_module_bal_pool_contents(ctx: AssetContext) -> DataFrame:
         .filter(F.col("bal_pool_address").isNotNull())  # :1706
         .select(
             F.lit(hb.block_day).alias("block_day"),
-            # end_block + 1 (protocol_data_lake.py:1694), like safety_module_rpc
-            F.lit(int(hb.end_block) + 1).alias("block_height"),
+            # day-start snapshot (protocol_data_lake.py:1694 prev-day end+1
+            # = day start), like safety_module_rpc
+            F.lit(int(hb.block_height)).alias("block_height"),
             F.lit("ethereum").alias("chain"),
             F.col("safety_module_token"),
             "bal_pool_address",

@@ -652,7 +652,7 @@ def warehouse_non_atoken_measures(spark, sf_dir):
 # `nation`; the oracle derives the EXPECTED decode results independently
 # (integer formulas, never hex), so the JVM-side uint256 limb decode, the
 # topic→address extraction, the broadcast token join, the tx-hash
-# semi-join and the prior-day rollup are all value-hash-gated.
+# semi-join and the group-to-day rollup are all value-hash-gated.
 # ---------------------------------------------------------------------------
 @register(
     "connector_minted_decode",
@@ -668,7 +668,7 @@ def warehouse_non_atoken_measures(spark, sf_dir):
       '0x' || printf('%040x', 1000000 + k) AS atoken,
       'a' || nm AS atoken_symbol,
       CAST(500 + k AS BIGINT) AS block_height,
-      TIMESTAMP '2024-03-09 00:00:00' AS block_day,
+      TIMESTAMP '2024-03-10 00:00:00' AS block_day,
       -- mirror the connector's per-event divide THEN sum (summing raw
       -- integers first changes the double rounding)
       CAST((k+1) * 1000000 + k AS DOUBLE) / 1000000.0
@@ -680,7 +680,7 @@ def warehouse_non_atoken_measures(spark, sf_dir):
     doc=(
         "connector certification: the MintedToTreasury/Mint ABI-decode"
         " chain (uint256 limb decode, topic address, token join, tx-hash"
-        " semi-join, prior-day rollup) vs an integer-derived oracle"
+        " semi-join, group-to-day rollup) vs an integer-derived oracle"
     ),
 )
 def connector_minted_decode(spark, sf_dir):

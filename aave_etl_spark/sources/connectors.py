@@ -17,7 +17,7 @@ Driver-side vs executor-side:
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta, timezone
+from datetime import datetime, timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1089,8 +1089,12 @@ def v3_minted_to_treasury_by_day(
     (tx_hash, atoken = sender) and group-to-day with summed amounts
     (:1066 catches multiple MintToTreasury events in a day).
 
-    block_day lands on the PREVIOUS day (partition - 1 day, :988) — the
-    events cover the prior day's block range. Decodes are JVM-side limb
+    ``block_day`` must be the day the scanned [start_block, end_block]
+    range COVERS. The reference labels partition - 1 day (:988) because
+    its partition D scans day D-1's blocks; this repo's
+    block_numbers_by_day partition D covers day D itself, so the plan
+    passes the partition date unshifted and rows land on the same day as
+    the collector transfers/balances. Decodes are JVM-side limb
     expressions (uint256_hex_to_double); the token dim is broadcast; the
     only shuffle is the final day rollup. The transport returns raw log
     items only (the reference drops covalent-predecoded rows, :1030)."""
@@ -1141,10 +1145,9 @@ def v3_minted_to_treasury_by_day(
         .withColumn("minted_amount", F.col("value_raw") / F.pow(F.lit(10.0), F.col("decimals")))
     )
 
-    prev_day = datetime.fromisoformat(block_day) - timedelta(days=1)
     out = (
         out.withColumn("market", F.lit(market))
-        .withColumn("block_day", F.lit(prev_day))
+        .withColumn("block_day", F.lit(datetime.fromisoformat(block_day)))
         .groupBy("market", "reserve", "symbol", "atoken", "atoken_symbol",
                  "block_height", "block_day")
         .agg(
@@ -1178,7 +1181,10 @@ def treasury_accrued_incentives_by_day(
     raw amount; v2: a single getUserUnclaimedRewards(collector) amount
     with token/symbol/decimals from market config (:1232-1250). No
     incentives controller (or other versions) → typed empty (:1181-1182).
-    ``block_height`` is the caller's end_block+1 (:1191)."""
+    ``block_height`` is the day's snapshot block: the reference passes
+    prev-day end_block+1 (:1191), which under its block convention IS the
+    labeled day's 00:00 start block — the plan passes the partition day's
+    start block (hb.block_height), the same chain state."""
     if incentives_controller is None or version not in (2, 3):
         return empty_frame(spark, schemas.TREASURY_ACCRUED_INCENTIVES_BY_DAY)
     if version == 2 and (rewards_token is None or rewards_token_decimals is None):
@@ -1302,7 +1308,9 @@ def safety_module_rpc(
     {stk_token_supply, unstaked_token_supply, emission_per_second,
     last_update_timestamp, index}; the assets() index is dropped like the
     reference (:1238). emission_per_day = emission_per_second × 86400
-    (:1187); block_height is the caller's prev-day end_block + 1 (:1163)."""
+    (:1187); block_height is the labeled day's snapshot block — the
+    reference's prev-day end_block + 1 (:1163) = day start under its
+    convention; the plan passes the partition day's start block."""
 
     def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
         unit = 10 ** int(req["decimals"])

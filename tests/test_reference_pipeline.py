@@ -573,7 +573,9 @@ def test_treasury_measure_chain(pipeline_store):
     assert abs(row.accrued_fees - 2.0 * 1.01) < 1e-9
 
     minted = pipeline_store.read("v3_minted_to_treasury_by_day")
-    # one MintedToTreasury event per polygon day-run; lands on partition-1
+    # one MintedToTreasury event per polygon day-run; lands on the
+    # partition's own day (the day its block range covers), aligned with
+    # the collector transfers/balances
     assert minted.count() == 2
     m = minted.filter("block_day = TIMESTAMP '2024-01-01 00:00:00'").first()
     assert m is not None

@@ -529,8 +529,10 @@ def test_uint256_hex_decode_words(spark):
 
 def test_v3_minted_to_treasury_golden(spark):
     """Mints×tokens inner join, tx-hash semi-join, ABI decode, group-to-day
-    (data_lake.py:929-1092; golden: polygon_v3 USDC 2022-12-15 →
-    minted_to_treasury 191.977829, minted 193.399934, block_day = 12-14)."""
+    (data_lake.py:929-1092; golden: polygon_v3 USDC partition 2022-12-15 →
+    minted_to_treasury 191.977829, minted 193.399934, block_day = 12-14 —
+    the day the reference's partition-D range covers; here the caller
+    passes that covered day directly)."""
     tokens = spark.createDataFrame(
         [("0x2791bca1f2de4661ed88a30c99a7a9449aa84174", "USDC", 6,
           "0x625e7708f30ca75bfd92586e17077590c60eb4cd", "aPolUSDC", 36839447)],
@@ -569,7 +571,7 @@ def test_v3_minted_to_treasury_golden(spark):
     df = connectors.v3_minted_to_treasury_by_day(
         spark, transport, tokens, 36839447, 36879843, 137,
         "0x794a61358d6845594f94dc1db02a252b5b4814ad", "polygon_v3",
-        "2022-12-15", FAST,
+        "2022-12-14", FAST,  # the day the [start, end] block range covers
     )
     # lit-built columns come out non-nullable; names+types are the contract
     assert [(f.name, f.dataType) for f in df.schema.fields] == [
@@ -580,7 +582,7 @@ def test_v3_minted_to_treasury_golden(spark):
     row = rows[0]
     assert row.minted_to_treasury_amount == pytest.approx(191.977829)
     assert row.minted_amount == pytest.approx(193.399934)
-    assert row.block_day == datetime(2022, 12, 14)  # partition - 1 day (:988)
+    assert row.block_day == datetime(2022, 12, 14)  # the covered day (:988)
     assert row.atoken_symbol == "aPolUSDC"
 
 
