@@ -188,6 +188,7 @@ def dsir_importance_resample(
     temperature: float = 1.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    approximate: bool = False,
 ) -> DataFrame:
     """DSIR-style data selection via importance resampling (Xie et al.
     2023, arXiv:2302.03169): score raw documents by how target-like their
@@ -208,9 +209,14 @@ def dsir_importance_resample(
 
     Scale: gram explode + one m-bounded bucket shuffle; both distributions
     are m-row aggregates broadcast into the scorer. The exact global
-    top-k rank is the certification form; at 100 TB swap the rank for a
-    percentile_approx(sample_key, 1-keep_frac) broadcast threshold (the
-    same exact→approx swap as top_fraction_by_group)."""
+    top-k rank (default) is the certification form — a partition-less
+    window, fine at test scale but a single-task funnel on a real corpus.
+    ``approximate=True`` is the 100 TB path: the cut threshold comes from
+    ``percentile_approx(sample_key, 1-keep_frac)`` (one agg pass, bounded
+    sketch state) broadcast into a narrow filter — no global sort, no
+    single-task window, at the cost of epsilon slop around the boundary
+    (the same exact→approx swap as top_fraction_by_group; property-tested
+    against the exact form in tests/test_operators.py)."""
     toked = df.select(
         F.col(id_col),
         F.split(
@@ -300,6 +306,22 @@ def dsir_importance_resample(
         F.round(F.col("_w"), 6).alias("weight"),
         F.round(F.col("_w") / F.lit(temperature) + gumbel, 6).alias("sample_key"),
     )
+    if approximate:
+        # one sketch agg over the scored corpus → a scalar threshold,
+        # broadcast into a narrow filter; keep_frac=1.0 degenerates to the
+        # minimum key, so every row keeps (>= min) like the exact form
+        thr = F.broadcast(
+            keyed.agg(
+                F.percentile_approx("sample_key", 1.0 - keep_frac).alias("_thr")
+            )
+        )
+        return keyed.crossJoin(thr).select(
+            F.col(id_col),
+            "n_grams",
+            "weight",
+            "sample_key",
+            (F.col("sample_key") >= F.col("_thr")).alias("kept"),
+        )
     total = F.broadcast(keyed.agg(F.count(F.lit(1)).cast("double").alias("_n")))
     w = Window.orderBy(F.col("sample_key").desc(), F.col(id_col))
     return (

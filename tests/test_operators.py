@@ -1066,6 +1066,50 @@ def test_dsir_importance_resample_prefers_target_like(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_dsir_approximate_matches_exact_and_has_no_window(spark):
+    """The 100 TB form: percentile_approx broadcast threshold instead of
+    the global rank window. Property-tested against the exact form (same
+    schema, kept sets agree to within boundary slop) and plan-asserted
+    window-free — the approx path must never funnel the corpus through a
+    single-task global sort."""
+    from aave_etl_spark.operators import sampling
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [
+        (
+            i,
+            " ".join(words[(i * 3 + j) % len(words)] for j in range(6)),
+            "en" if i % 3 == 0 else "fr",
+        )
+        for i in range(48)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kw = dict(target_pred="lang = 'en'", m=64, keep_frac=0.25)
+    exact = sampling.dsir_importance_resample(docs, **kw)
+    approx = sampling.dsir_importance_resample(docs, approximate=True, **kw)
+    assert exact.columns == approx.columns
+    e_rows = {r.doc_id: r for r in exact.collect()}
+    a_rows = {r.doc_id: r for r in approx.collect()}
+    assert set(e_rows) == set(a_rows)  # every doc returned with a verdict
+    # identical scoring: only the cut differs
+    for i in e_rows:
+        assert e_rows[i].sample_key == a_rows[i].sample_key
+    e_kept = {i for i, r in e_rows.items() if r.kept}
+    a_kept = {i for i, r in a_rows.items() if r.kept}
+    # the percentile threshold lands on a data value: agree to <= 2
+    # boundary rows on a distinct-key corpus
+    assert len(e_kept ^ a_kept) <= 2
+    # and every approx-kept doc's key >= every approx-dropped doc's key
+    if a_kept and (set(a_rows) - a_kept):
+        assert min(a_rows[i].sample_key for i in a_kept) >= max(
+            a_rows[i].sample_key for i in set(a_rows) - a_kept
+        )
+    # plan assert: no Window operator anywhere in the approx physical plan
+    approx.collect()
+    p = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p, f"approx DSIR must be window-free:\n{p[:1500]}"
+
+
 def test_margin_topk_suppresses_hubs(spark):
     """Margin scoring: a hub candidate close to EVERY query is discounted
     by its high neighborhood mean; a candidate uniquely close to one query
