@@ -112,6 +112,15 @@ class TableStore:
                     os.remove(marker)
                 except FileNotFoundError:
                     pass
+            else:
+                # no live AND no marker: by the protocol this state is only
+                # reachable after a completed swap (marker removed) whose
+                # stale ``.__old`` survived (crash before its rmtree) and
+                # whose live directory was later removed externally. The
+                # old copy is stale by the protocol's own reasoning — never
+                # resurrect it; reclaim the space so respecting the
+                # external deletion doesn't leak the directory forever.
+                shutil.rmtree(old, ignore_errors=True)
 
     def write(
         self,

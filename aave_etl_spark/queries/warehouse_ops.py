@@ -322,9 +322,14 @@ def liquidity_depth_append_store(spark, sf_dir):
     from aave_etl_spark.datamart.models import MODELS
     from aave_etl_spark.io.table_store import TableStore
 
+    # keyed by the Spark application id: the reset+append+read sequence is
+    # NOT concurrency-safe across processes (one harness rmtree-ing while
+    # another reads → flaky max-fetch_time rows), so each session gets a
+    # private store; same-session re-runs still reuse (and reset) one root
     store_root = os.path.join(
         tempfile.gettempdir(),
         "aave_etl_spark_depth",
+        spark.sparkContext.applicationId,
         os.path.basename(sf_dir.rstrip("/")),
     )
     store = TableStore(spark, store_root)

@@ -179,6 +179,8 @@ def test_compact_post_swap_debris_never_resurrects(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "t"))
     assert not store.exists("t")
     assert store.read("t").count() == 0  # K3 typed-empty, not stale data
+    # and the stale unmarked .__old is reclaimed, not left on disk forever
+    assert not os.path.exists(str(tmp_path / "t.__old"))
 
 
 def test_compact_refuses_bucketed_tables(spark, tmp_path):
