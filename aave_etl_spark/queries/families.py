@@ -21,6 +21,12 @@ from functools import reduce
 
 from aave_etl_spark.queries.registry import all_queries, register
 
+# head name → [(tag, part query name)] — bench.py uses this to attribute
+# a family head's wall-clock to its parts (cross-round head totals grow
+# exactly when parts are added; the breakdown makes that visible without
+# diff archaeology)
+FAMILY_PARTS: dict[str, list[tuple[str, str]]] = {}
+
 
 def _aligned_exprs(
     tag: str, keys: tuple[str, ...], vals: tuple[str, ...], ns: int, nv: int
@@ -66,6 +72,7 @@ def family(
         + f" FROM (\n{q.oracle}\n) AS _{tag}"
         for tag, q, keys, vals in resolved
     )
+    FAMILY_PARTS[name] = [(tag, qname) for tag, qname, _, _ in parts]
     register(name, oracle=oracle, doc=doc)(builder)
 
 
@@ -145,6 +152,12 @@ family(
             ("doc_id", "clean_md5"),
             ("n_lines", "n_kept_lines", "clean_chars", "CAST(doc_kept AS DOUBLE)"),
         ),
+        (
+            "pipeline",
+            "llm_curation_pipeline",
+            ("part", "k1", "k2"),
+            ("v1", "v2", "v3"),
+        ),
     ],
     doc=(
         "text-analysis family: rolling-hash fingerprint + token stats +"
@@ -155,7 +168,10 @@ family(
         " (quality x repetition x language x exact-dup keeper) +"
         " per-language quality-percentile top-50% gate + vocabulary"
         " coverage curve + unigram-NLL perplexity proxy + C4-style"
-        " line-level cleaning with the kept-lines doc gate"
+        " line-level cleaning with the kept-lines doc gate + the"
+        " END-TO-END curation pipeline (C4 clean -> exact dedup ->"
+        " near-dup keeper -> quality/lang gate -> DSIR -> domain mix ->"
+        " sequence pack) certified as one flow"
     ),
 )
 
@@ -364,17 +380,26 @@ family(
             ("part", "k1", "k2"),
             ("v1", "v2", "v3", "v4"),
         ),
+        (
+            "scan_hourly",
+            "connector_scan_hourly",
+            ("part", "k1", "k2"),
+            ("v1", "v2", "v3", "v4"),
+        ),
     ],
     doc=(
         "§2.9/§1.3 parse family: get_json_object agg + from_json struct"
         " parse + the MintedToTreasury ABI-decode connector chain (uint256"
         " limb decode, topic address, token join, tx-hash semi-join,"
-        " prior-day rollup) and the scan quintet (S7 decimal adjust, S16"
+        " group-to-day rollup) and the scan quintet (S7 decimal adjust, S16"
         " Compound APY, S18 zero-balance drop, S19 existence->NULL,"
         " treasury-incentives v3/v2 dispatch) and the scan decet (ETH->WETH"
         " patch, transfer group-to-day, accrued-fees product, ms-epoch,"
         " wei/raw/config-decimal shifts, LSD fillna, SM emission math,"
-        " pool weights) vs integer-derived oracles"
+        " pool weights) and the hourly/seed/price scan (S4 usd/wei"
+        " multipliers + ethereum_v1 WETH overwrite, S13 CSV quote=''"
+        " parity, S21 hourly closest-block, S22 hourly Compound v2/v3,"
+        " S9h hourly reserve-data twin) vs integer-derived oracles"
     ),
 )
 

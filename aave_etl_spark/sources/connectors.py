@@ -130,10 +130,17 @@ def oracle_prices_by_day(
     tokens: DataFrame,
     transport: Transport,
     price_multiplier: float = 1.0,
+    eth_usd_price: float | None = None,
     policy: RetryPolicy = DEFAULT_RETRY,
 ) -> DataFrame:
     """Fan-out over the (market, block_height) token rows; raw oracle answer
-    × multiplier → usd_price (data_lake.py:337-338)."""
+    × multiplier → usd_price (data_lake.py:337-338). The multiplier is
+    resolved by the caller per market exactly as the reference does
+    (data_lake.py:295-310): 1/BASE_CURRENCY_UNIT for usd-base oracles,
+    eth_usd_price/1e18 for wei-base, else 1. ``eth_usd_price`` additionally
+    patches the ethereum_v1 rows whose reserve is WETH: v1's ETH entry
+    doesn't use the WETH oracle slot, so its usd_price is overwritten with
+    the Chainlink ETH/USD answer (data_lake.py:340-342)."""
     keys = tokens.select("reserve", "symbol", "market", "block_height", "block_day")
 
     def rows(req: dict[str, Any], payload: Any) -> list[dict[str, Any]]:
@@ -148,7 +155,16 @@ def oracle_prices_by_day(
             }
         ]
 
-    return fanout_fetch(keys, transport, rows, schemas.ORACLE_PRICES_BY_DAY, policy)
+    out = fanout_fetch(keys, transport, rows, schemas.ORACLE_PRICES_BY_DAY, policy)
+    if eth_usd_price is not None:
+        out = out.withColumn(
+            "usd_price",
+            F.when(
+                (F.col("market") == "ethereum_v1") & (F.col("reserve") == WETH),
+                F.lit(float(eth_usd_price)),
+            ).otherwise(F.col("usd_price")),
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -734,3 +734,39 @@ def test_sm_bal_pool_contents_weights(spark):
     assert out["AAVE"].balance == pytest.approx(300_000.0)
     assert out["AAVE"].token_address == "0xaave"
     assert "decimals" not in df.columns
+
+
+def test_oracle_prices_weth_overwrite(spark):
+    """S4 parity (data_lake.py:295-342): wei-base markets multiply by
+    eth_usd/1e18; ethereum_v1's WETH row is then overwritten with the
+    Chainlink ETH/USD answer itself (v1's ETH entry doesn't use the WETH
+    oracle slot). Other markets' WETH rows are NOT touched."""
+    keys = spark.createDataFrame(
+        [(connectors.WETH, "WETH", "ethereum_v1", 100, datetime(2024, 3, 10)),
+         ("0x" + "1" * 40, "DAI", "ethereum_v1", 100, datetime(2024, 3, 10)),
+         (connectors.WETH, "WETH", "ethereum_v2", 100, datetime(2024, 3, 10))],
+        "reserve string, symbol string, market string, block_height long,"
+        "block_day timestamp",
+    )
+    out = {
+        (r.market, r.symbol): r.usd_price
+        for r in connectors.oracle_prices_by_day(
+            keys, lambda req: {"price": 4 * 10**18},
+            price_multiplier=2000.0 / 1e18, eth_usd_price=2000.0, policy=FAST,
+        ).collect()
+    }
+    assert out[("ethereum_v1", "WETH")] == 2000.0          # overwritten
+    assert out[("ethereum_v1", "DAI")] == pytest.approx(8000.0)   # 4e18 * 2000/1e18
+    assert out[("ethereum_v2", "WETH")] == pytest.approx(8000.0)  # untouched
+
+
+def test_seed_csv_quote_none_literal_quotes(spark, tmp_path):
+    """S13 parity (data_lake.py:1422, quoting=3): a leading literal '\"' in
+    an unquoted field survives the parse instead of opening a quoted
+    field."""
+    p = tmp_path / "seed.csv"
+    p.write_text('symbol,label\ntok0,"L0\n')
+    row = connectors.read_seed_csv(
+        spark, str(p), "symbol string, label string"
+    ).first()
+    assert row.label == '"L0'
