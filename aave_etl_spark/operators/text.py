@@ -416,6 +416,7 @@ def c4_line_filter(
     text_col: str = "text",
     min_words: int = 3,
     min_kept_lines: int = 3,
+    keep_text: bool = False,
 ) -> DataFrame:
     """C4-style LINE-level cleaning (Raffel et al. 2020, §2.2): keep a line
     only if it ends in terminal punctuation, has >= ``min_words`` words,
@@ -448,11 +449,16 @@ def c4_line_filter(
 
     kept = F.filter(lines, keep)
     clean = F.array_join(kept, "\n")
-    return df.select(
+    cols = [
         F.col(id_col),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept_lines"),
         F.length(clean).cast("long").alias("clean_chars"),
         F.md5(clean).alias("clean_md5"),
         (F.size(kept) >= min_kept_lines).alias("doc_kept"),
-    )
+    ]
+    if keep_text:
+        # the cleaned text itself, for composed pipelines that feed the
+        # surviving lines into downstream dedup / scoring stages
+        cols.append(clean.alias("clean_text"))
+    return df.select(*cols)

@@ -1819,3 +1819,326 @@ def llm_rp_project(spark, sf_dir):
         F.round("proj_norm", 6).alias("proj_norm"),
         F.round(F.col("proj_norm") / F.col("orig_norm"), 6).alias("norm_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The END-TO-END curation pipeline: the canonical ordered chain a training-
+# data build runs, composed from the individually-certified stages and
+# certified as ONE flow — C4 line-clean (its own order of operations:
+# clean first, then dedup on the cleaned text) → exact dedup on clean_md5
+# → MinHash-LSH→Jaccard-verify→CC near-dup keeper → quality+language gate
+# → DSIR importance resample → domain mixing → greedy sequence packing.
+# The oracle is the chained-CTE composition of every stage's certified SQL
+# twin; the output certifies per-stage survivor counts AND the final
+# packed assignment (which is sensitive to every upstream decision).
+# ---------------------------------------------------------------------------
+_CT_TOKS = "string_split(trim(regexp_replace(lower(ct), '\\s+', ' ', 'g')), ' ')"
+
+_CURATION_PIPELINE_ORACLE = f"""
+WITH RECURSIVE
+docs AS (
+  SELECT doc_id, lang,
+         replace(text, ' table ', '.' || chr(10) || 'table ') AS text
+  FROM documents
+),
+c4 AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, chr(10)), x ->
+           regexp_matches(trim(x), '[.!?"]$')
+           AND len(string_split(trim(regexp_replace(x, '\\s+', ' ', 'g')), ' ')) >= 3
+           AND NOT contains(lower(x), 'lorem ipsum')
+           AND NOT contains(lower(x), 'javascript')
+           AND NOT contains(lower(x), 'cookie')
+           AND NOT contains(lower(x), '{{')) AS ks
+  FROM docs
+),
+c4k AS MATERIALIZED (
+  SELECT doc_id, lang, coalesce(array_to_string(ks, chr(10)), '') AS ct
+  FROM c4 WHERE len(ks) >= 3
+),
+ex AS MATERIALIZED (
+  SELECT doc_id, lang, ct FROM (
+    SELECT c4k.*, min(doc_id) OVER (PARTITION BY md5(ct)) AS k0 FROM c4k
+  ) WHERE doc_id = k0
+),
+mnorm AS MATERIALIZED (SELECT doc_id, {_CT_TOKS} AS toks FROM ex),
+mshingles AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)]) AS shingle
+    FROM mnorm WHERE len(toks) >= 3
+  )
+),
+mmh AS MATERIALIZED (
+  SELECT doc_id, h,
+         min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM mshingles CROSS JOIN (SELECT unnest(range(0, 8)) AS h) hs
+  GROUP BY doc_id, h
+),
+mbands AS MATERIALIZED (
+  SELECT doc_id, CAST(floor(h / 2) AS INT) AS band,
+         md5(string_agg(CAST(h AS VARCHAR) || ':' || minhash, '|'
+                        ORDER BY CAST(h AS VARCHAR) || ':' || minhash)) AS band_key
+  FROM mmh GROUP BY doc_id, CAST(floor(h / 2) AS INT)
+),
+mcand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mbands a JOIN mbands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+msizes AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM mshingles GROUP BY doc_id),
+minter AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM mcand c
+  JOIN mshingles a ON a.doc_id = c.id_a
+  JOIN mshingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+mdup AS MATERIALIZED (
+  SELECT i.id_a, i.id_b
+  FROM minter i
+  JOIN msizes sa ON i.id_a = sa.doc_id
+  JOIN msizes sb ON i.id_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
+),
+msym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM mdup
+         UNION ALL SELECT id_b AS a, id_a AS b FROM mdup),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM ex
+  UNION
+  SELECT s.b AS node, r.lbl FROM reach r JOIN msym s ON s.a = r.node
+),
+comp AS MATERIALIZED (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+surv3 AS MATERIALIZED (
+  SELECT ex.doc_id, ex.lang, ex.ct
+  FROM ex JOIN comp ON ex.doc_id = comp.doc_id
+  WHERE comp.doc_id = comp.component
+),
+gbase AS MATERIALIZED (SELECT doc_id, ct, {_CT_TOKS} AS toks FROM surv3),
+gfeat AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','and','in','is','it','for'))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         (CAST(length(ct) AS DOUBLE)
+            - CAST(length(regexp_replace(ct, '[.,!?;:''"-]', '', 'g')) AS DOUBLE))
+           / CAST(length(ct) AS DOUBLE) AS punct_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+  FROM gbase
+),
+gq AS MATERIALIZED (
+  SELECT doc_id,
+         round(CASE WHEN n_words < 5 THEN 0.0 ELSE
+           least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.3
+           + least(stopword_ratio * 10.0, 1.0) * 0.3
+           + distinct_ratio * 0.3
+           + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.1 END, 6) AS quality
+  FROM gfeat
+),
+gscored AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS DOUBLE) / len(toks) AS score_en,
+    CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) / len(toks) AS score_fr,
+    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) / len(toks) AS score_de,
+    CAST(len(list_filter(toks, x -> x IN ('el','la','y','los'))) AS DOUBLE) / len(toks) AS score_es
+  FROM gbase
+),
+gguessed AS MATERIALIZED (
+  SELECT doc_id,
+    CASE
+      WHEN greatest(score_en, score_fr, score_de, score_es) <= 0.0 THEN 'und'
+      WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+      WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+      WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+      ELSE 'es'
+    END AS lang_guess
+  FROM gscored
+),
+surv4 AS MATERIALIZED (
+  SELECT surv3.doc_id, surv3.lang, surv3.ct
+  FROM surv3
+  JOIN gq ON surv3.doc_id = gq.doc_id
+  JOIN gguessed ON surv3.doc_id = gguessed.doc_id
+  WHERE gq.quality >= 0.5 AND gguessed.lang_guess <> 'und'
+),
+dnorm AS MATERIALIZED (SELECT doc_id, (lang = 'en') AS is_target, {_CT_TOKS} AS l FROM surv4),
+dgrams AS MATERIALIZED (
+  SELECT doc_id, is_target,
+         unnest(list_concat(
+           l,
+           CASE WHEN len(l) >= 2
+                THEN list_transform(l[1:len(l) - 1], (x, i) -> x || ' ' || l[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END
+         )) AS g
+  FROM dnorm
+),
+dbuck AS MATERIALIZED (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % 64 AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM dgrams GROUP BY 1, 2, 3
+),
+dtgt AS MATERIALIZED (SELECT b, sum(c) AS ctt FROM dbuck WHERE is_target GROUP BY b),
+draw AS MATERIALIZED (SELECT b, sum(c) AS cr FROM dbuck GROUP BY b),
+dtots AS MATERIALIZED (SELECT (SELECT CAST(sum(ctt) AS DOUBLE) FROM dtgt) AS nt,
+                 (SELECT CAST(sum(cr) AS DOUBLE) FROM draw) AS nr),
+dratio AS MATERIALIZED (
+  SELECT draw.b,
+         ln((coalesce(dtgt.ctt, 0) + 1.0) / (dtots.nt + 64.0))
+         - ln((draw.cr + 1.0) / (dtots.nr + 64.0)) AS lr
+  FROM draw LEFT JOIN dtgt USING (b) CROSS JOIN dtots
+),
+dkeyed AS MATERIALIZED (
+  SELECT doc_id,
+         round(sum(c * lr) / 1.0 + ({_DSIR_GUMBEL}), 6) AS sample_key
+  FROM dbuck JOIN dratio USING (b) GROUP BY doc_id
+),
+dkept AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rk,
+           (SELECT count(*) FROM dkeyed) AS n
+    FROM dkeyed
+  ) WHERE rk <= ceil(0.5 * n)
+),
+surv5 AS MATERIALIZED (SELECT surv4.* FROM surv4 JOIN dkept ON surv4.doc_id = dkept.doc_id),
+mixw AS MATERIALIZED (
+  SELECT * FROM (VALUES ('en', 0.9), ('fr', 0.5), ('de', 0.5), ('es', 0.5), ('zh', 0.2))
+    AS t(lang, keep_frac)
+),
+surv6 AS MATERIALIZED (
+  SELECT surv5.doc_id, surv5.lang, surv5.ct
+  FROM surv5 LEFT JOIN mixw USING (lang)
+  WHERE {_UHASH.format(salt="mix")} < coalesce(keep_frac, 0.0)
+),
+pbase AS MATERIALIZED (
+  SELECT lang, doc_id,
+         CAST(len({_CT_TOKS}) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM surv6
+),
+p AS (
+  SELECT lang, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id,
+         CAST(0 AS BIGINT) AS pack_offset,
+         n_tokens AS cum
+  FROM pbase WHERE rn = 1
+  UNION ALL
+  SELECT b.lang, b.doc_id, b.n_tokens, b.rn,
+         CASE WHEN pp.cum + b.n_tokens > 256 THEN pp.pack_id + 1 ELSE pp.pack_id END,
+         CASE WHEN pp.cum + b.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE pp.cum END,
+         CASE WHEN pp.cum + b.n_tokens > 256 THEN b.n_tokens ELSE pp.cum + b.n_tokens END
+  FROM p pp JOIN pbase b ON b.lang = pp.lang AND b.rn = pp.rn + 1
+)
+SELECT 'stage' AS part, 'c4' AS k1, CAST(NULL AS VARCHAR) AS k2,
+       CAST((SELECT count(*) FROM c4k) AS DOUBLE) AS v1,
+       CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3
+UNION ALL
+SELECT 'stage', 'exact', NULL, CAST((SELECT count(*) FROM ex) AS DOUBLE), NULL, NULL
+UNION ALL
+SELECT 'stage', 'neardup', NULL, CAST((SELECT count(*) FROM surv3) AS DOUBLE), NULL, NULL
+UNION ALL
+SELECT 'stage', 'gate', NULL, CAST((SELECT count(*) FROM surv4) AS DOUBLE), NULL, NULL
+UNION ALL
+SELECT 'stage', 'dsir', NULL, CAST((SELECT count(*) FROM surv5) AS DOUBLE), NULL, NULL
+UNION ALL
+SELECT 'stage', 'mix', NULL, CAST((SELECT count(*) FROM surv6) AS DOUBLE), NULL, NULL
+UNION ALL
+SELECT 'packed', lang, CAST(doc_id AS VARCHAR),
+       CAST(n_tokens AS DOUBLE), CAST(pack_id AS DOUBLE), CAST(pack_offset AS DOUBLE)
+FROM p
+"""
+
+
+@register(
+    "llm_curation_pipeline",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=_CURATION_PIPELINE_ORACLE,
+    doc=(
+        "LLM curation PIPELINE end-to-end: C4 line-clean -> exact dedup on"
+        " clean_md5 -> MinHash-LSH/Jaccard/CC near-dup keeper -> quality +"
+        " language gate -> DSIR importance resample -> domain mixing ->"
+        " greedy sequence packing, certified as one flow (per-stage"
+        " survivor counts + the final packed assignment) against the"
+        " chained-CTE composition of every stage's certified oracle"
+    ),
+)
+def llm_curation_pipeline(spark, sf_dir):
+    from functools import reduce
+
+    from aave_etl_spark.operators import packing, sampling
+    from aave_etl_spark.operators.graph import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.expr("replace(text, ' table ', concat('.', chr(10), 'table '))"),
+    )
+    # 1. C4 line-level clean, keeping the cleaned text for the chain
+    c4 = text.c4_line_filter(docs, keep_text=True)
+    c4k = (
+        c4.filter("doc_kept")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.col("clean_text").alias("ct"))
+    )
+    # 2. exact dedup on the cleaned text (C4's own order of operations);
+    # checkpoint: five downstream stage-count arms re-consume this frame
+    ex = (
+        c4k.withColumn("_k0", F.min("doc_id").over(Window.partitionBy(F.md5("ct"))))
+        .filter(F.col("doc_id") == F.col("_k0"))
+        .drop("_k0")
+        .localCheckpoint(eager=False)
+    )
+    # 3. near-dup keeper: LSH candidates -> exact-Jaccard verify -> CC
+    sh = dedup.word_shingles(ex, text_col="ct", n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
+    dups = dedup.jaccard_verify(sh, cand, threshold=0.5)
+    clusters = dedup_clusters(dups, ex.select("doc_id"))
+    surv3 = ex.join(
+        clusters.filter("is_keeper = 1").select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    # 4. quality + language gate over the cleaned text
+    q = text.quality_score(surv3, text_col="ct")
+    lid = text.language_id(surv3, text_col="ct")
+    surv4 = (
+        surv3.join(q, "doc_id")
+        .join(lid.select("doc_id", "lang_guess"), "doc_id")
+        .filter("quality >= 0.5 AND lang_guess <> 'und'")
+        .select("doc_id", "lang", "ct")
+    )
+    # 5. DSIR importance resample toward the English target
+    ds = sampling.dsir_importance_resample(
+        surv4, target_pred="lang = 'en'", m=64, keep_frac=0.5, text_col="ct"
+    )
+    surv5 = surv4.join(
+        ds.filter("kept").select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    # 6. domain mixing to the target language distribution
+    weights = spark.createDataFrame(
+        [("en", 0.9), ("fr", 0.5), ("de", 0.5), ("es", 0.5), ("zh", 0.2)],
+        "lang string, keep_frac double",
+    )
+    surv6 = sampling.mix_corpus(surv5, weights)
+    # 7. greedy sequence packing of the final corpus
+    pin = surv6.select(
+        "lang", "doc_id", F.size(text.tokens("ct")).cast("long").alias("n_tokens")
+    )
+    packed = packing.greedy_pack(pin, capacity=256)
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).cast("double").alias("v1")).selectExpr(
+            "'stage' AS part", f"'{name}' AS k1", "CAST(NULL AS STRING) AS k2",
+            "v1", "CAST(NULL AS DOUBLE) AS v2", "CAST(NULL AS DOUBLE) AS v3",
+        )
+
+    arms = [
+        cnt(c4k, "c4"), cnt(ex, "exact"), cnt(surv3, "neardup"),
+        cnt(surv4, "gate"), cnt(surv5, "dsir"), cnt(surv6, "mix"),
+        packed.selectExpr(
+            "'packed' AS part", "lang AS k1", "CAST(doc_id AS STRING) AS k2",
+            "CAST(n_tokens AS DOUBLE) AS v1", "CAST(pack_id AS DOUBLE) AS v2",
+            "CAST(pack_offset AS DOUBLE) AS v3",
+        ),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), arms)
