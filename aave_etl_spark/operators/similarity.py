@@ -897,6 +897,7 @@ def margin_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Margin-based candidate scoring (Artetxe & Schwenk 2019,
     arXiv:1811.01136 — the CCMatrix/LASER bitext-mining criterion):
@@ -916,13 +917,25 @@ def margin_topk(
     cardinality bounded by WindowGroupLimit) and per-candidate (each
     candidate sees only |queries| rows). At 100 TB the candidate scan is
     the linear cost, identical to cosine_topk; nothing quadratic in the
-    corpus materializes."""
+    corpus materializes.
+
+    The broadcast assumes the query side is small (the bitext-mining
+    contract: queries are the probe set). A misuse with a huge query
+    frame would silently build an executor-OOM broadcast, so the query
+    cardinality is probed with a LIMIT-bounded count first; above
+    ``max_broadcast_queries`` the broadcast hints are dropped and the
+    pair scan falls back to a shuffled join (correct, just no longer
+    map-side)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     c = candidates.select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
     )
+    # LIMIT-bounded probe: costs at most max+1 rows of the query side
+    small_q = (
+        queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
+    )
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q) if small_q else q)
         .filter(F.col("candidate_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -954,7 +967,7 @@ def margin_topk(
         F.col("margin").desc(), F.col("candidate_id")
     )
     return (
-        fw.join(F.broadcast(a_q), "query_id")
+        fw.join(F.broadcast(a_q) if small_q else a_q, "query_id")
         .join(a_c, "candidate_id")
         .select(
             "query_id",

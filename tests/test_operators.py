@@ -1177,3 +1177,24 @@ def test_c4_line_filter_rules(spark):
     expect = "\n".join(doc_good.split("\n")[:3])
     assert out[0].clean_md5 == hashlib.md5(expect.encode()).hexdigest()
     assert out[0].clean_chars == len(expect)
+
+
+def test_margin_topk_broadcast_guard_falls_back(spark):
+    """A query frame above max_broadcast_queries must NOT be broadcast —
+    the guard drops the hint and the pair scan shuffles instead. Results
+    are identical either way (the guard changes the physical plan only)."""
+    from aave_etl_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(4)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = vecs.filter("vec_id < 3")
+    cands = vecs.filter("vec_id >= 3")
+    fast = similarity.margin_topk(cands, queries, k=2, knn=3)
+    guarded = similarity.margin_topk(
+        cands, queries, k=2, knn=3, max_broadcast_queries=1
+    )
+    # the guarded plan carries no broadcast hint on the pair scan
+    assert "ResolvedHint" not in guarded._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, guarded.collect()))
