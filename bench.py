@@ -81,6 +81,32 @@ def main() -> int:
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
 
+    # Per-PART attribution for the union-aligned family heads: one extra
+    # single-shot pass over each head's export=False singleton builders so
+    # cross-round head-total growth is attributable to the parts that
+    # changed (VERDICT r6 "Next round" #5). Single-shot (not medians) —
+    # attribution detail, not the headline number.
+    from aave_etl_spark.queries.families import FAMILY_PARTS
+    from aave_etl_spark.queries.registry import all_queries
+
+    allq = all_queries()
+    parts_out: dict[str, dict[str, float]] = {}
+    for head, parts in FAMILY_PARTS.items():
+        if head in failures:
+            continue
+        breakdown: dict[str, float] = {}
+        for tag, qname in parts:
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            try:
+                allq[qname].builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                breakdown[tag] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                failures[f"{head}.{tag}"] = f"{type(exc).__name__}: {exc}"
+        parts_out[head] = breakdown
+
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -101,6 +127,9 @@ def main() -> int:
         # build-once) — flag it so cross-round readers don't misread the
         # first pass_total as a regression (VERDICT r5 "Next round" #8)
         "spread": {"pass_totals": pass_totals, "cold_first_pass": True},
+        # single-shot per-part walls inside each family head (attribution
+        # only; medians above remain the citable numbers)
+        "parts": parts_out,
     }
     if failures:
         out["failures"] = failures
