@@ -332,6 +332,12 @@ family(
              "to_asset_price", "to_amount_native", "to_amount_usd",
              "price_impact"),
         ),
+        (
+            "stream_ingest",
+            "llm_stream_ingest",
+            ("CAST(doc_id AS STRING)", "digest"),
+            (),
+        ),
     ],
     doc=(
         "time-rollup family: §2.9 date_trunc+interval day rollup + the"
@@ -343,7 +349,10 @@ family(
         " + the K2 append-only liquidity-depth snapshot table with the"
         " fetch_time-latest model read from the appended store + the"
         " warehouse trio (token-price min-rank pick, per-chain block"
-        " dedup, last-match-wins balance-group classification)"
+        " dedup, last-match-wins balance-group classification) + the"
+        " availableNow streaming corpus ingest certified at rest (two"
+        " checkpointed drains, foreachBatch content dedup, replicas"
+        " anti-joined away)"
     ),
 )
 
