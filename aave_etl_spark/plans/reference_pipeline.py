@@ -102,10 +102,84 @@ def _market_tokens_by_day(ctx: AssetContext) -> DataFrame:
 
 
 def _aave_oracle_prices_by_day(ctx: AssetContext) -> DataFrame:
+    """Oracle price scan with per-market multiplier resolution
+    (data_lake.py:232-342): the connector multiplies raw oracle answers,
+    but WHICH multiplier is a per-market decision made here —
+    1/BASE_CURRENCY_UNIT for usd-base oracles (contract call, 1e8
+    fallback for markets lacking the function, :295-304), the Chainlink
+    ETH/USD answer / 1e18 for wei-base (:251-279, :305-306), else 1.
+    All resolution calls are single driver-side scalars per partition
+    run — the same in-process control-flow fetches the reference makes."""
+    from pyspark.sql import functions as F
+
+    from aave_etl_spark.sources.base import retrying
+
     tokens = ctx.upstream("market_tokens_by_day", this_partition_only=True)
-    return connectors.oracle_prices_by_day(
-        tokens, ctx.resources["transports"]["oracle_prices"]
+    transports = ctx.resources["transports"]
+    base = _mcfg(ctx, "oracle_base_currency")
+    hb = tokens.select("block_height").first()
+    height = int(hb.block_height) if hb is not None else None
+
+    multiplier = 1.0
+    eth_usd = None
+    if base == "wei" and height is not None:
+        # Chainlink ETH/USD at the ethereum chain's block for this date.
+        # The reference re-runs block_numbers_by_day for ethereum_v2
+        # in-process and uses prev-day end_block+1 (:258-268) — under
+        # this repo's convention that is exactly the day-D start block.
+        eth_hb = (
+            connectors.block_numbers_by_day(
+                ctx.spark,
+                transports["closest_block"],
+                ctx.partition.date,
+                "ethereum",
+                "ethereum_v2",
+            )
+            .select("block_height")
+            .first()
+        )
+        answer = retrying(
+            lambda: transports["eth_usd_price"](
+                {"block_height": int(eth_hb.block_height)}
+            )
+        )
+        eth_usd = float(answer["answer"]) / 1e8  # from_oracle_decimals (:251)
+        multiplier = eth_usd / 1e18
+    elif base == "usd" and height is not None:
+        try:
+            unit = retrying(
+                lambda: transports["base_currency_unit"](
+                    {"market": ctx.partition.market, "block_height": height}
+                )
+            )["answer"]
+        except Exception:
+            # some markets don't expose BASE_CURRENCY_UNIT — the call
+            # fails and the reference hardcodes 1e8 (:300-304)
+            unit = 100_000_000
+        multiplier = 1.0 / float(unit)
+
+    # the AMM oracle borks in this block range due to one bad asset: the
+    # reference moves the PRICE CALL a few blocks forward but keeps the
+    # partition's own block_height on the output rows (:244-246)
+    fetch_tokens = tokens
+    patched = (
+        ctx.partition.market == "aave_amm"
+        and height is not None
+        and 14_993_520 <= height < 15_000_397
     )
+    if patched:
+        fetch_tokens = tokens.withColumn(
+            "block_height", F.lit(15_000_397).cast("long")
+        )
+    out = connectors.oracle_prices_by_day(
+        fetch_tokens,
+        transports["oracle_prices"],
+        price_multiplier=multiplier,
+        eth_usd_price=eth_usd,
+    )
+    if patched:
+        out = out.withColumn("block_height", F.lit(height).cast("long"))
+    return out
 
 
 # --- treasury-measure chain (financials_data_lake, market_day) ------------
@@ -271,8 +345,10 @@ def _non_atoken_transfers_by_day(ctx: AssetContext) -> DataFrame:
 
 
 def _non_atoken_balances_by_day(ctx: AssetContext) -> DataFrame:
-    """balanceOf at end_block+1 with config-sourced decimals
-    (data_lake.py:652-724); block_day is the partition date (:677-679)."""
+    """balanceOf at the day-D start block (the reference's prev-day
+    end_block+1, data_lake.py:652-724 — identical under this repo's
+    block convention) with config-sourced decimals; block_day is the
+    partition date (:677-679)."""
     from datetime import datetime
 
     from pyspark.sql import functions as F

@@ -24,12 +24,17 @@ MARKETS = {
         "incentives_controller": "0xic2",
         "rewards_token": "0xAAVE", "rewards_token_symbol": "stkAAVE",
         "rewards_token_decimals": 18,
+        # v1/v2 oracles answer in wei — prices resolve through the
+        # Chainlink ETH/USD multiplier path (data_lake.py:251-306)
+        "oracle_base_currency": "wei",
     },
     "polygon_v3": {
         "chain": "polygon", "version": 3, "chain_id": 137,
         "pool": "0xpool_pol", "collector": "0xcolp",
         "incentives_controller": "0xic3",
         "paraswap_fee_claimer": "0xPSC",
+        # v3 oracles answer in the base currency unit (usd path)
+        "oracle_base_currency": "usd",
     },
 }
 
@@ -83,6 +88,14 @@ def _transports():
     def oracle_prices(req):
         # deterministic per (reserve, block_height)
         return {"price": 1.0 + (req["block_height"] % 7) + len(req["reserve"]) % 3}
+
+    def eth_usd_price(req):
+        # Chainlink latestAnswer, 8 decimals — keyed off the block so the
+        # test can recompute the wei-path multiplier exactly
+        return {"answer": 2000 * 10**8 + req["block_height"]}
+
+    def base_currency_unit(req):
+        return {"answer": 10**8}
 
     def protocol_data(req):
         # v3-style payload; reserve index drives the eMode category
@@ -246,6 +259,8 @@ def _transports():
         "closest_block_hour": closest_block_hour,
         "subgraph_tokens": subgraph_tokens,
         "oracle_prices": oracle_prices,
+        "eth_usd_price": eth_usd_price,
+        "base_currency_unit": base_currency_unit,
         "protocol_data": protocol_data,
         "emode": emode,
         "incentives": incentives,
@@ -383,6 +398,28 @@ def test_lake_layer_partitions(pipeline_store):
     prices = pipeline_store.read("aave_oracle_prices_by_day")
     assert prices.count() == 12
     assert prices.filter("usd_price <= 0").count() == 0
+
+
+def test_oracle_price_multiplier_resolution(pipeline_store):
+    """The plan (not just the connector) resolves the per-market S4
+    multiplier (data_lake.py:295-310): wei-base markets go through the
+    Chainlink ETH/USD answer / 1e18, usd-base through
+    1/BASE_CURRENCY_UNIT — recomputed here from the same fakes."""
+    prices = pipeline_store.read("aave_oracle_prices_by_day")
+    rows = prices.collect()
+    assert rows
+    for r in rows:
+        raw = 1.0 + (r.block_height % 7) + len(r.reserve) % 3
+        if r.market == "ethereum_v2":
+            # wei path: the plan fetches the ethereum chain's day-start
+            # block (same chain+date as this market's own in the fake)
+            eth_usd = float(2000 * 10**8 + r.block_height) / 1e8
+            expected = raw * (eth_usd / 1e18)
+        else:  # polygon_v3, usd path
+            expected = raw * (1.0 / float(10**8))
+        assert r.usd_price == pytest.approx(expected, rel=1e-12), (
+            r.market, r.reserve,
+        )
 
 
 def test_warehouse_layer_full_refresh(pipeline_store):
