@@ -1,0 +1,43 @@
+"""Per-session scratch directories under the system temp root.
+
+Several certification queries materialize small throwaway stores (the
+K2 append-only depth table, the streaming-ingest corpus, the S13 seed
+CSV) keyed by the Spark ``applicationId`` so concurrent harness
+processes never share a root. The flip side of per-session keying is
+that dead sessions leave their roots behind; ``session_scratch_dir``
+both hands out the current session's root and sweeps stale siblings,
+bounding the debris at roughly one day's sessions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+# Old enough that no live session can still own it (rounds run ~10 h),
+# young enough that /tmp never accumulates more than a day of debris.
+STALE_AFTER_S = 24 * 3600.0
+
+
+def session_scratch_dir(spark, family: str, *parts: str) -> str:
+    """Return ``$TMPDIR/<family>/<applicationId>/<parts...>`` (not created),
+    first removing sibling session roots older than ``STALE_AFTER_S``.
+
+    The age guard is what makes the sweep safe against a CONCURRENT
+    session on the same box: a live sibling's root is hours old at most
+    and is left alone; only roots no process can still own are reclaimed.
+    """
+    root = os.path.join(tempfile.gettempdir(), family)
+    app = spark.sparkContext.applicationId
+    if os.path.isdir(root):
+        cutoff = time.time() - STALE_AFTER_S
+        for entry in os.listdir(root):
+            p = os.path.join(root, entry)
+            try:
+                if entry != app and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # raced with another sweeper; the loser just moves on
+    return os.path.join(root, app, *parts)

@@ -307,6 +307,14 @@ def dsir_importance_resample(
         F.round(F.col("_w") / F.lit(temperature) + gumbel, 6).alias("sample_key"),
     )
     if approximate:
+        # keep_frac=0.0 must keep NOTHING, like the exact form's
+        # ceil(0·n)=0 — but percentile_approx(key, 1.0) is the MAXIMUM
+        # key, and `>= max` keeps at least one row; short-circuit instead
+        if keep_frac <= 0.0:
+            return keyed.select(
+                F.col(id_col), "n_grams", "weight", "sample_key",
+                F.lit(False).alias("kept"),
+            )
         # one sketch agg over the scored corpus → a scalar threshold,
         # broadcast into a narrow filter; keep_frac=1.0 degenerates to the
         # minimum key, so every row keeps (>= min) like the exact form

@@ -898,6 +898,7 @@ def margin_topk(
     vec_col: str = "embedding",
     round_digits: int = 6,
     max_broadcast_queries: int = 100_000,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Margin-based candidate scoring (Artetxe & Schwenk 2019,
     arXiv:1811.01136 — the CCMatrix/LASER bitext-mining criterion):
@@ -921,19 +922,26 @@ def margin_topk(
 
     The broadcast assumes the query side is small (the bitext-mining
     contract: queries are the probe set). A misuse with a huge query
-    frame would silently build an executor-OOM broadcast, so the query
+    frame would silently build an executor-OOM broadcast, so when the
+    caller doesn't vouch (``broadcast_queries=None``) the query
     cardinality is probed with a LIMIT-bounded count first; above
     ``max_broadcast_queries`` the broadcast hints are dropped and the
     pair scan falls back to a shuffled join (correct, just no longer
-    map-side)."""
+    map-side). The probe is an EAGER count job at plan-build time and
+    re-runs the query-side lineage — callers who know their cardinality
+    (a literal probe set, a pre-counted frame) should pass
+    ``broadcast_queries=True``/``False`` to skip it."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     c = candidates.select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
     )
-    # LIMIT-bounded probe: costs at most max+1 rows of the query side
-    small_q = (
-        queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
-    )
+    if broadcast_queries is None:
+        # LIMIT-bounded probe: costs at most max+1 rows of the query side
+        small_q = (
+            queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
+        )
+    else:
+        small_q = broadcast_queries
     scored = (
         c.crossJoin(F.broadcast(q) if small_q else q)
         .filter(F.col("candidate_id") != F.col("query_id"))

@@ -391,7 +391,11 @@ _MARGIN_COS = (
 def llm_margin_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.margin_topk(emb, queries, k=3, knn=4)
+    # cardinality known by construction (≤ 8 ids) — vouch instead of
+    # paying the guard's eager probe count on every bench/cert build
+    return similarity.margin_topk(
+        emb, queries, k=3, knn=4, broadcast_queries=True
+    )
 
 
 def _srp_oracle(n_planes: int = 8, min_cos: float = 0.0) -> str:
@@ -2175,7 +2179,6 @@ def llm_curation_pipeline(spark, sf_dir):
 def llm_stream_ingest(spark, sf_dir):
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -2186,11 +2189,14 @@ def llm_stream_ingest(spark, sf_dir):
         stream_lake_table,
     )
 
+    from aave_etl_spark.io.scratch import session_scratch_dir
+
     # per-session root (applicationId) — the reset+drain+read sequence is
-    # not concurrency-safe across processes, so the root is never shared
-    root = os.path.join(
-        tempfile.gettempdir(), "aave_etl_spark_stream_ingest",
-        spark.sparkContext.applicationId, os.path.basename(sf_dir.rstrip("/")),
+    # not concurrency-safe across processes, so the root is never shared;
+    # the helper also sweeps dead sessions' roots (corpus + landing +
+    # checkpoint add up) so /tmp stays bounded across harness runs
+    root = session_scratch_dir(
+        spark, "aave_etl_spark_stream_ingest", os.path.basename(sf_dir.rstrip("/"))
     )
     landing = os.path.join(root, "landing")
     ckpt = os.path.join(root, "ckpt")
@@ -2223,7 +2229,14 @@ def llm_stream_ingest(spark, sf_dir):
     q1 = incremental_corpus_ingest(
         store, stream_lake_table(spark, landing, schema), ckpt
     )
-    q1.awaitTermination(300)
+    # awaitTermination returns False on timeout — a drain still in flight.
+    # Proceeding would start a second query on the same checkpoint (Spark
+    # raises) or, worse, let mark_complete stamp a corpus a live query is
+    # still appending to. Fail loudly instead; no marker is stamped, so
+    # the next invocation resets and re-drains from scratch.
+    if not q1.awaitTermination(300):
+        q1.stop()
+        raise RuntimeError("stream_ingest: drain 1 did not finish in 300s")
     # batch 2: odd-parity representatives + replicas of batch-1 content
     # under fresh ids (must be anti-joined away against the at-rest corpus)
     batch2 = keep.filter(F.col("doc_id") % 2 == 1).unionByName(
@@ -2235,6 +2248,8 @@ def llm_stream_ingest(spark, sf_dir):
     q2 = incremental_corpus_ingest(
         store, stream_lake_table(spark, landing, schema), ckpt
     )
-    q2.awaitTermination(300)
+    if not q2.awaitTermination(300):
+        q2.stop()
+        raise RuntimeError("stream_ingest: drain 2 did not finish in 300s")
     store.mark_complete("corpus")  # stamped LAST: both drains landed
     return store.read("corpus").select("doc_id", "digest")

@@ -317,20 +317,19 @@ _DEPTH_LATEST_COLS = (
 def liquidity_depth_append_store(spark, sf_dir):
     import os
     import shutil
-    import tempfile
 
     from aave_etl_spark.datamart.models import MODELS
     from aave_etl_spark.io.table_store import TableStore
 
+    from aave_etl_spark.io.scratch import session_scratch_dir
+
     # keyed by the Spark application id: the reset+append+read sequence is
     # NOT concurrency-safe across processes (one harness rmtree-ing while
     # another reads → flaky max-fetch_time rows), so each session gets a
-    # private store; same-session re-runs still reuse (and reset) one root
-    store_root = os.path.join(
-        tempfile.gettempdir(),
-        "aave_etl_spark_depth",
-        spark.sparkContext.applicationId,
-        os.path.basename(sf_dir.rstrip("/")),
+    # private store; same-session re-runs still reuse (and reset) one root,
+    # and the helper sweeps dead sessions' roots so /tmp stays bounded
+    store_root = session_scratch_dir(
+        spark, "aave_etl_spark_depth", os.path.basename(sf_dir.rstrip("/"))
     )
     store = TableStore(spark, store_root)
     # reset so repeat invocations (bench passes, driver cert) exercise the
@@ -2137,7 +2136,6 @@ def _hourly_oracle() -> str:
 )
 def connector_scan_hourly(spark, sf_dir):
     import os
-    import tempfile
     from datetime import datetime
     from functools import reduce
 
@@ -2194,10 +2192,9 @@ def connector_scan_hourly(spark, sf_dir):
     )
 
     # --- S13: CSV seed with quote='' (a leading literal double-quote) ------
-    seed_dir = os.path.join(
-        tempfile.gettempdir(), "aave_etl_spark_seed",
-        spark.sparkContext.applicationId,
-    )
+    from aave_etl_spark.io.scratch import session_scratch_dir
+
+    seed_dir = session_scratch_dir(spark, "aave_etl_spark_seed")
     os.makedirs(seed_dir, exist_ok=True)
     seed_path = os.path.join(seed_dir, "classification_seed.csv")
     with open(seed_path, "w") as fh:

@@ -53,6 +53,15 @@ def main() -> int:
         .save()
     )
 
+    def run_once(builder) -> float:
+        # Isolate queries from each other's heap garbage: without this,
+        # whichever query follows a heavy one pays its GC debt and the
+        # per-query numbers depend on registry order.
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     samples: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     pass_totals: list[float] = []
@@ -64,14 +73,8 @@ def main() -> int:
         for name, q in queries.items():
             if name in failures:
                 continue
-            # Isolate queries from each other's heap garbage: without this,
-            # whichever query follows a heavy one pays its GC debt and the
-            # per-query numbers depend on registry order.
-            spark._jvm.System.gc()
-            t0 = time.perf_counter()
             try:
-                q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.setdefault(name, []).append(time.perf_counter() - t0)
+                samples.setdefault(name, []).append(run_once(q.builder))
             except Exception as exc:  # noqa: BLE001
                 failures[name] = f"{type(exc).__name__}: {exc}"
                 # a query is either timed or failed, never both (earlier
@@ -91,20 +94,19 @@ def main() -> int:
 
     allq = all_queries()
     parts_out: dict[str, dict[str, float]] = {}
+    # attribution-only failures: recorded in the artifact but NOT in the
+    # exit code — the headline number is the 50 exported heads above, and
+    # a part hiccup in the extra single-shot pass doesn't invalidate it
+    part_failures: dict[str, str] = {}
     for head, parts in FAMILY_PARTS.items():
         if head in failures:
             continue
         breakdown: dict[str, float] = {}
         for tag, qname in parts:
-            spark._jvm.System.gc()
-            t0 = time.perf_counter()
             try:
-                allq[qname].builder(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                breakdown[tag] = round(time.perf_counter() - t0, 3)
+                breakdown[tag] = round(run_once(allq[qname].builder), 3)
             except Exception as exc:  # noqa: BLE001
-                failures[f"{head}.{tag}"] = f"{type(exc).__name__}: {exc}"
+                part_failures[f"{head}.{tag}"] = f"{type(exc).__name__}: {exc}"
         parts_out[head] = breakdown
 
     try:
@@ -133,6 +135,8 @@ def main() -> int:
     }
     if failures:
         out["failures"] = failures
+    if part_failures:
+        out["part_failures"] = part_failures
     print(json.dumps(out))
     return 1 if failures else 0
 

@@ -260,3 +260,32 @@ def test_full_refresh_overwrite_drops_absent_partitions(spark, tmp_path):
     store.write(v1.filter("part = 'a'"), "fr", partition_cols=["part"], full_refresh=True)
     rows = store.read("fr").collect()
     assert [r.part for r in rows] == ["a"]
+
+
+def test_session_scratch_dir_sweeps_only_stale_siblings(spark, tmp_path, monkeypatch):
+    """Per-session scratch roots: stale (dead-session) siblings older than
+    the age guard are reclaimed; fresh siblings (a possibly-live concurrent
+    session) and the current session's root are left alone."""
+    import os
+    import time as time_mod
+
+    import aave_etl_spark.io.scratch as scratch
+
+    monkeypatch.setattr(scratch.tempfile, "gettempdir", lambda: str(tmp_path))
+    family = "scratch_family"
+    root = tmp_path / family
+    app = spark.sparkContext.applicationId
+    stale = root / "app-dead-0001"
+    fresh = root / "app-live-0002"
+    mine = root / app
+    for d in (stale, fresh, mine):
+        (d / "sub").mkdir(parents=True)
+        (d / "sub" / "x").write_text("x")
+    old = time_mod.time() - scratch.STALE_AFTER_S - 60
+    os.utime(stale, (old, old))
+
+    got = scratch.session_scratch_dir(spark, family, "sf0.01")
+    assert got == str(mine / "sf0.01")
+    assert not stale.exists(), "stale sibling must be reclaimed"
+    assert fresh.exists(), "fresh sibling may be a live session - kept"
+    assert (mine / "sub" / "x").exists(), "own root untouched"

@@ -1108,6 +1108,16 @@ def test_dsir_approximate_matches_exact_and_has_no_window(spark):
     approx.collect()
     p = approx._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in p, f"approx DSIR must be window-free:\n{p[:1500]}"
+    # degenerate cuts agree with the exact form at BOTH ends:
+    # keep_frac=0 keeps nothing (percentile(key, 1.0) is the max key and
+    # `>= max` would keep a row — the short-circuit guards this), and
+    # keep_frac=1 keeps everything
+    for frac, want in ((0.0, 0), (1.0, len(rows))):
+        a0 = sampling.dsir_importance_resample(
+            docs, target_pred="lang = 'en'", m=64, keep_frac=frac,
+            approximate=True,
+        )
+        assert a0.filter("kept").count() == want, f"keep_frac={frac}"
 
 
 def test_margin_topk_suppresses_hubs(spark):
