@@ -95,6 +95,23 @@ def minhash_signatures(
     return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
 
 
+def band_keys(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH band keys from a long-form signature: (id, band, band_key),
+    band_key = md5 of the band's sorted signature rows. Shared by the
+    in-flight candidate join (`lsh_candidate_pairs`) and the at-rest
+    signature index (`minhash_index_build`/`minhash_index_match`) so both
+    paths band identically."""
+    return (
+        signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", F.col("h").cast("string"), F.col("minhash")))))).alias("band_key"))
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -105,11 +122,7 @@ def lsh_candidate_pairs(
     Band key = md5 of the concatenated signature rows in the band. The
     pair-generation join is per (band, band_key) bucket — bounded fan-out as
     long as bands are selective. Returns distinct (id_a < id_b) pairs."""
-    banded = (
-        signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", F.col("h").cast("string"), F.col("minhash")))))).alias("band_key"))
-    )
+    banded = band_keys(signatures, id_col, rows_per_band)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -433,4 +446,84 @@ def simhash_near_dup_pairs(
         .withColumn("hamming", F.bit_count(F.expr("_sa ^ _sb")).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def minhash_index_build(
+    store,
+    docs: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n_buckets: int = 32,
+) -> None:
+    """Materialize a corpus's MinHash band keys as an AT-REST signature
+    index, hash-bucketed on band_key through the TableStore.
+
+    The incremental-ingest complement of `lsh_candidate_pairs`: a
+    pretraining pipeline dedups every NEW batch against the existing
+    corpus, and rescanning 100 TB of text to re-shingle and re-hash it per
+    batch is the thing this index exists to avoid. Shingle→minhash→band
+    runs ONCE per corpus; the bucketed layout pre-shuffles the band keys
+    so every later match joins against it exchange-free on the corpus
+    side (the only shuffle left is the new batch — the small side, by
+    construction of incremental ingest)."""
+    banded = band_keys(
+        minhash_signatures(
+            word_shingles(docs, id_col, text_col, n=shingle_n),
+            id_col,
+            num_hashes=num_hashes,
+        ),
+        id_col,
+        rows_per_band,
+    )
+    store.write_bucketed(
+        banded, name, bucket_cols=["band_key"], n_buckets=n_buckets,
+        sort_cols=["band_key"],
+    )
+
+
+def minhash_index_match(
+    store,
+    new_docs: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Match a NEW batch against an at-rest MinHash index: distinct
+    (new_id, corpus_id) candidate pairs sharing any LSH band.
+
+    The new batch is banded with the SAME parameters the index was built
+    with (the caller owns that contract — a mismatched shingle_n silently
+    yields empty matches), then equi-joined on (band, band_key). The
+    corpus side reads pre-bucketed on band_key — no exchange, no corpus
+    re-scan of text; only the new batch's bands shuffle. Downstream:
+    verify candidates with `jaccard_verify` against just the matched
+    corpus docs, then append survivors and `minhash_index_build` their
+    bands into the index partition-incrementally."""
+    newb = band_keys(
+        minhash_signatures(
+            word_shingles(new_docs, id_col, text_col, n=shingle_n),
+            id_col,
+            num_hashes=num_hashes,
+        ),
+        id_col,
+        rows_per_band,
+    ).select(
+        F.col(id_col).alias("new_id"), "band", "band_key"
+    )
+    corpus = store.read_bucketed(name).select(
+        F.col(id_col).alias("corpus_id"), "band", "band_key"
+    )
+    return (
+        newb.join(corpus, ["band", "band_key"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
     )

@@ -462,3 +462,192 @@ def c4_line_filter(
         # surviving lines into downstream dedup / scoring stages
         cols.append(clean.alias("clean_text"))
     return df.select(*cols)
+
+
+# The eight Gopher "must contain 2 of" stop words (Rae et al. 2021, A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Appendix
+    A1.1): the doc-level heuristic gate MassiveWeb applied before dedup —
+    word-count bounds, mean word length, symbol-to-word ratio (# / …),
+    bullet- and ellipsis-line fractions, alphabetic-word fraction, a
+    stop-word presence floor, and the duplicate-LINE repetition pair
+    (fraction of lines, and of characters, inside repeated lines).
+    Thresholds are the paper's defaults, parameterized.
+
+    The duplicated-n-gram char fractions of A1.1 are intentionally NOT
+    here: positional char coverage of overlapping grams doesn't reduce to
+    an engine-portable expression — `repetition_stats` (distinct-bigram
+    ratio) and `span_duplicates` (window-hash spans) cover intra-doc
+    n-gram repetition with scalable plans.
+
+    Pure narrow map, shuffle-free, all JVM-side: per-doc arrays + HOFs;
+    the duplicate-line pair sorts the doc's OWN lines (array_sort) and
+    counts equal neighbors — O(L log L) per doc, never corpus-wide state.
+    Output: (id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+    dup_line_frac, dup_line_char_frac, gopher_kept)."""
+    bound = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        tokens(text_col).alias("_toks"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        F.array_sort(F.split(F.col(text_col), "\n")).alias("_sorted"),
+    )
+    toks = F.col("_toks")
+    lines = F.col("_lines")
+    srt = F.col("_sorted")
+    txt = F.col("_txt")
+
+    n_words = F.size(toks).cast("double")
+    word_chars = F.aggregate(
+        toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    )
+    # symbol counts via literal (non-regex) replace — identical semantics
+    # to DuckDB's replace(); '...' counts whole three-char runs
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_uell = F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+    n_dots = (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / 3
+    symbols = (n_hash + n_uell + n_dots).cast("double")
+
+    n_lines = F.size(lines).cast("double")
+    is_bullet = lambda x: F.substring(F.ltrim(x), 1, 1).isin("•", "-", "*")  # noqa: E731
+    ends_ellipsis = lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$")  # noqa: E731
+    n_bullet = F.size(F.filter(lines, is_bullet)).cast("double")
+    n_ell = F.size(F.filter(lines, ends_ellipsis)).cast("double")
+
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in stopwords]),
+            lambda w: F.array_contains(toks, w),
+        )
+    ).cast("long")
+
+    # duplicate lines: sort the doc's lines, then every element equal to
+    # its left neighbor is an instance beyond the first of its group
+    dup_idx = F.when(
+        F.size(lines) >= 2, F.sequence(F.lit(2), F.size(lines))
+    ).otherwise(F.array().cast("array<int>"))
+    dups = F.filter(
+        dup_idx, lambda i: F.element_at(srt, i) == F.element_at(srt, i - 1)
+    )
+    n_dup = F.size(dups).cast("double")
+    dup_chars = F.aggregate(
+        dups, F.lit(0.0), lambda acc, i: acc + F.length(F.element_at(srt, i)).cast("double")
+    )
+    line_chars = F.aggregate(
+        lines, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    )
+
+    mean_word_len = F.round(word_chars / n_words, 6)
+    symbol_ratio = F.round(symbols / n_words, 6)
+    bullet_frac = F.round(n_bullet / n_lines, 6)
+    ell_frac = F.round(n_ell / n_lines, 6)
+    alpha_frac = F.round(n_alpha / n_words, 6)
+    dup_line_frac = F.round(n_dup / n_lines, 6)
+    dup_char_frac = F.round(
+        F.when(line_chars > 0, dup_chars / line_chars).otherwise(F.lit(0.0)), 6
+    )
+    kept = (
+        n_words.between(min_words, max_words)
+        & mean_word_len.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ell_frac <= max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+        & (dup_line_frac <= max_dup_line_frac)
+        & (dup_char_frac <= max_dup_line_char_frac)
+    )
+    return bound.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"),
+        kept.alias("gopher_kept"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    head_frac: float = 0.3,
+    middle_frac: float = 0.3,
+    approximate: bool = False,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.4): per language, rank documents by LM score and
+    split into head / middle / tail — CCNet keeps head+middle for
+    pretraining and discards (or down-weights) the tail. The LM here is
+    the corpus-unigram proxy (`unigram_logprob`); lower avg NLL = more
+    stereotypical = head.
+
+    Exact form (default, the certification twin): percent_rank over a
+    per-language window ordered by (score, id) — deterministic under
+    ties. Per-language partitions parallelize, but ONE dominant language
+    funnels into one task chain; ``approximate=True`` is the 100 TB path:
+    two percentile_approx thresholds per language (one m-bounded agg,
+    broadcast back) and a narrow CASE — window-free, the same exact→approx
+    swap as top_fraction_by_group / DSIR.
+
+    Output: (id, lang, avg_neg_logprob, bucket)."""
+    scored = unigram_logprob(df, id_col, text_col).join(
+        df.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    # 0.3 + 0.3 is 0.6000000000000001 in IEEE doubles: a percent_rank
+    # landing exactly on 0.6 would then bucket differently from an engine
+    # that parsed the literal 0.6 — round the cut so both agree
+    cut2 = round(head_frac + middle_frac, 12)
+    if approximate:
+        thr = F.broadcast(
+            scored.groupBy(lang_col).agg(
+                F.percentile_approx("avg_neg_logprob", head_frac).alias("_t1"),
+                F.percentile_approx("avg_neg_logprob", cut2).alias("_t2"),
+            )
+        )
+        bucket = (
+            F.when(F.col("avg_neg_logprob") <= F.col("_t1"), "head")
+            .when(F.col("avg_neg_logprob") <= F.col("_t2"), "middle")
+            .otherwise("tail")
+        )
+        return scored.join(thr, lang_col).select(
+            F.col(id_col), F.col(lang_col), "avg_neg_logprob",
+            bucket.alias("bucket"),
+        )
+    w = Window.partitionBy(lang_col).orderBy("avg_neg_logprob", id_col)
+    pr = F.percent_rank().over(w)
+    bucket = (
+        F.when(pr < head_frac, "head")
+        .when(pr < cut2, "middle")
+        .otherwise("tail")
+    )
+    return scored.select(
+        F.col(id_col), F.col(lang_col), "avg_neg_logprob", bucket.alias("bucket")
+    )

@@ -158,6 +158,15 @@ family(
             ("part", "k1", "k2"),
             ("v1", "v2", "v3"),
         ),
+        (
+            "gopher",
+            "llm_gopher_quality",
+            ("doc_id",),
+            ("n_words", "mean_word_len", "symbol_word_ratio",
+             "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+             "n_stop_hits", "dup_line_frac", "dup_line_char_frac",
+             "CAST(gopher_kept AS DOUBLE)"),
+        ),
     ],
     doc=(
         "text-analysis family: rolling-hash fingerprint + token stats +"
@@ -171,7 +180,10 @@ family(
         " line-level cleaning with the kept-lines doc gate + the"
         " END-TO-END curation pipeline (C4 clean -> exact dedup ->"
         " near-dup keeper -> quality/lang gate -> DSIR -> domain mix ->"
-        " sequence pack) certified as one flow"
+        " sequence pack) certified as one flow + the Gopher quality rules"
+        " (symbol/bullet/ellipsis ratios, alpha-word + stop-word floors,"
+        " duplicate-line pair) with every arm exercised via planted"
+        " line-level defects"
     ),
 )
 
@@ -229,6 +241,12 @@ family(
              "tokens_out_external", "tokens_out_internal",
              "paraswap_fees_claimable"),
         ),
+        (
+            "ppx_buckets",
+            "llm_perplexity_buckets",
+            ("doc_id", "lang", "bucket"),
+            ("avg_neg_logprob",),
+        ),
     ],
     doc=(
         "§2.7 union family: UNION ALL with lit-0 padding + UNION DISTINCT +"
@@ -240,7 +258,8 @@ family(
         " atoken/non-atoken measure-join transforms (classify/quadrant/"
         " paraswap-stack, data_warehouse.py:84-335) + the cross-split"
         " decontamination gate built on that split + substring-level"
-        " duplicated-span fractions (window-hash span dedup)"
+        " duplicated-span fractions (window-hash span dedup) + CCNet-style"
+        " per-language head/middle/tail perplexity buckets"
     ),
 )
 
@@ -487,6 +506,12 @@ family(
             ("query_id", "candidate_id"),
             ("cos_sim", "margin", "rank"),
         ),
+        (
+            "mh_index",
+            "llm_minhash_index_match",
+            ("new_id", "corpus_id"),
+            (),
+        ),
     ],
     doc=(
         "§2.3 join-technique family: EXISTS semi-join + left-anti join +"
@@ -494,7 +519,9 @@ family(
         " banded SimHash hamming-radius join (pigeonhole-exact recall,"
         " popcount verify) + the ANN recall@3 gate (IVF index results"
         " intersection-joined against brute-force ground truth) + the"
-        " margin-based (CCMatrix) candidate re-ranker"
+        " margin-based (CCMatrix) candidate re-ranker + the new-batch"
+        " candidate match against the AT-REST band_key-bucketed MinHash"
+        " index (build-once/match-many, corpus side exchange-free)"
     ),
 )
 

@@ -2253,3 +2253,206 @@ def llm_stream_ingest(spark, sf_dir):
         raise RuntimeError("stream_ingest: drain 2 did not finish in 300s")
     store.mark_complete("corpus")  # stamped LAST: both drains landed
     return store.read("corpus").select("doc_id", "digest")
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, A1.1). The synthetic corpus is
+# single-line lowercase word salad, so the certification query derives
+# line structure the same way the C4 part does (' table ' → sentence
+# boundary) and then plants each line-level defect deterministically:
+# doc_id%3==0 duplicates every line (dup-line pair trips), %5==0 prepends
+# a bullet line and an ellipsis-terminated line, %7==0 appends symbol
+# noise (# / … / ...) — so every rule's kept AND dropped arm exercises.
+# ---------------------------------------------------------------------------
+_GOPHER_TXT_SQL = """
+    CASE WHEN doc_id % 5 = 0
+         THEN '- bullet item' || chr(10) || 'trailing dots...' || chr(10) || {lined}
+         ELSE {lined} END
+    || CASE WHEN doc_id % 7 = 0 THEN ' ## xx … yy ...' ELSE '' END
+""".format(
+    lined="""
+    (CASE WHEN doc_id % 3 = 0
+          THEN replace(text, ' table ', '.' || chr(10) || 'table ')
+               || chr(10)
+               || replace(text, ' table ', '.' || chr(10) || 'table ')
+          ELSE replace(text, ' table ', '.' || chr(10) || 'table ') END)
+"""
+)
+
+_GOPHER_STOPS = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+
+@register(
+    "llm_gopher_quality",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=f"""
+    WITH src AS (SELECT doc_id, {_GOPHER_TXT_SQL} AS t FROM documents),
+    b AS (
+      SELECT doc_id, t,
+        string_split(trim(regexp_replace(lower(t), '\\s+', ' ', 'g')), ' ') AS toks,
+        string_split(t, chr(10)) AS ls,
+        list_sort(string_split(t, chr(10))) AS ss
+      FROM src
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS DOUBLE) AS n_words,
+        COALESCE(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))), 0) AS word_chars,
+        CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE)
+          + CAST(length(t) - length(replace(t, '…', '')) AS DOUBLE)
+          + CAST(length(t) - length(replace(t, '...', '')) AS DOUBLE) / 3 AS symbols,
+        CAST(len(ls) AS DOUBLE) AS n_lines,
+        CAST(len(list_filter(ls, x -> substr(ltrim(x), 1, 1) IN ('•', '-', '*'))) AS DOUBLE) AS n_bullet,
+        CAST(len(list_filter(ls, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS DOUBLE) AS n_ell,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS n_alpha,
+        CAST(len(list_filter({_GOPHER_STOPS}, w -> list_contains(toks, w))) AS BIGINT) AS n_stop_hits,
+        CASE WHEN len(ls) >= 2
+             THEN list_filter(range(2, len(ls) + 1), i -> ss[i] = ss[i-1])
+             ELSE [] END AS dups,
+        ss,
+        COALESCE(list_sum(list_transform(ls, x -> CAST(length(x) AS DOUBLE))), 0) AS line_chars
+      FROM b
+    ),
+    r AS (
+      SELECT doc_id,
+        CAST(n_words AS BIGINT) AS n_words,
+        round(word_chars / n_words, 6) AS mean_word_len,
+        round(symbols / n_words, 6) AS symbol_word_ratio,
+        round(n_bullet / n_lines, 6) AS bullet_line_frac,
+        round(n_ell / n_lines, 6) AS ellipsis_line_frac,
+        round(n_alpha / n_words, 6) AS alpha_word_frac,
+        n_stop_hits,
+        round(CAST(len(dups) AS DOUBLE) / n_lines, 6) AS dup_line_frac,
+        round(CASE WHEN line_chars > 0
+              THEN COALESCE(list_sum(list_transform(dups, i -> CAST(length(ss[i]) AS DOUBLE))), 0) / line_chars
+              ELSE 0 END, 6) AS dup_line_char_frac
+      FROM m
+    )
+    SELECT *,
+      (n_words BETWEEN 20 AND 80)
+      AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      AND (symbol_word_ratio <= 0.1)
+      AND (bullet_line_frac <= 0.9)
+      AND (ellipsis_line_frac <= 0.3)
+      AND (alpha_word_frac >= 0.8)
+      AND (n_stop_hits >= 1)
+      AND (dup_line_frac <= 0.3)
+      AND (dup_line_char_frac <= 0.2) AS gopher_kept
+    FROM r
+    """,
+    doc=(
+        "LLM curation: Gopher quality rules (word/char bounds, symbol +"
+        " bullet + ellipsis ratios, alpha-word fraction, stop-word floor,"
+        " duplicate-line pair) — shuffle-free narrow map, every rule"
+        " exercising both arms via planted line-level defects"
+    ),
+)
+def llm_gopher_quality(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    lined = F.regexp_replace(F.col("text"), " table ", ".\ntable ")
+    lined = F.when(F.col("doc_id") % 3 == 0, F.concat_ws("\n", lined, lined)).otherwise(
+        lined
+    )
+    planted = F.concat(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("- bullet item\ntrailing dots...\n"), lined),
+        ).otherwise(lined),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" ## xx … yy ...")).otherwise(
+            F.lit("")
+        ),
+    )
+    return text.gopher_quality(
+        docs.select("doc_id", planted.alias("text")),
+        min_words=20,
+        max_words=80,
+        min_stop_hits=1,
+    )
+
+
+@register(
+    "llm_perplexity_buckets",
+    export=False,  # driver slot held by its family head (union_family)
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+    total AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM freq),
+    scored AS (
+      SELECT tok.doc_id, -ln(CAST(freq.tf AS DOUBLE) / total.t) AS nll
+      FROM tok JOIN freq USING (token) CROSS JOIN total
+    ),
+    per_doc AS (
+      SELECT doc_id, round(avg(nll), 6) AS avg_neg_logprob
+      FROM scored GROUP BY doc_id
+    ),
+    j AS (
+      SELECT p.doc_id, d.lang, p.avg_neg_logprob
+      FROM per_doc p JOIN documents d USING (doc_id)
+    ),
+    r AS (
+      SELECT *, percent_rank() OVER (
+        PARTITION BY lang ORDER BY avg_neg_logprob, doc_id) AS pr
+      FROM j
+    )
+    SELECT doc_id, lang, avg_neg_logprob,
+      CASE WHEN pr < 0.3 THEN 'head' WHEN pr < 0.6 THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM r
+    """,
+    doc=(
+        "LLM curation: CCNet-style per-language head/middle/tail"
+        " perplexity bucketing over the unigram-NLL proxy (exact"
+        " percent_rank certification twin; approximate=True is the"
+        " window-free percentile-threshold 100 TB path)"
+    ),
+)
+def llm_perplexity_buckets(spark, sf_dir):
+    return text.perplexity_buckets(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# At-rest MinHash signature index + incremental match: the corpus's band
+# keys are built ONCE (bucketed on band_key through the TableStore), then
+# each new batch dedups against the index with a join that reads the
+# corpus side exchange-free — the incremental-ingest complement of
+# llm_minhash_lsh, same banding, certified against the same md5-minhash
+# SQL derivation restricted to the two sides.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_minhash_index_match",
+    export=False,  # driver slot held by its family head (semi_anti_family)
+    oracle=f"""
+    WITH {_MH_CTES}
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n JOIN bands c ON n.band = c.band AND n.band_key = c.band_key
+    WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+    """,
+    doc=(
+        "LLM dedup at scale: new-batch candidate match against an AT-REST"
+        " band_key-bucketed MinHash index (build-once/match-many; corpus"
+        " side joins exchange-free, only the new batch shuffles)"
+    ),
+)
+def llm_minhash_index_match(spark, sf_dir):
+    import os
+    import re as re_mod
+
+    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    store = TableStore(spark, session_scratch_dir(spark, "aave_etl_spark_mhidx", base))
+    # catalog table names are session-global while the store root is
+    # session+sf keyed — embed the sf so two scale factors in one session
+    # (driver smoke at sf0.001 + certs at sf0.01) never collide
+    tbl = "mh_band_idx_" + re_mod.sub(r"[^0-9a-zA-Z]+", "_", base)
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+    # build-once/match-many (the at-rest IVF discipline): marker stamped
+    # LAST so an interrupted build is rebuilt from scratch next call
+    if not (store.is_complete(tbl) and store.exists(tbl)):
+        store.clear_complete(tbl)
+        dedup.minhash_index_build(store, corpus, tbl)
+        store.mark_complete(tbl)
+    return dedup.minhash_index_match(store, new_batch, tbl)

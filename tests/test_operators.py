@@ -1208,3 +1208,116 @@ def test_margin_topk_broadcast_guard_falls_back(spark):
     # the guarded plan carries no broadcast hint on the pair scan
     assert "ResolvedHint" not in guarded._jdf.queryExecution().analyzed().toString()
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, guarded.collect()))
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule trips on a purpose-built document and the clean
+    doc passes; the duplicate-line pair counts instances beyond the first."""
+    from aave_etl_spark.operators import text as text_ops
+
+    clean = "the quick brown fox jumps over the lazy dog and that is fine with everyone of us"
+    rows = [
+        (1, clean),                                     # passes everything
+        (2, "short text"),                              # word-count floor
+        (3, "a\n" + clean + "\na\na\nb"),               # dup lines: 'a' x3
+        (4, clean + " ### ## #"),                       # symbol ratio
+        (5, "- one\n- two\n- three\n" + clean),         # bullet lines
+        (6, "zz qq xx " * 4),                           # no stop words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in text_ops.gopher_quality(df, min_words=5, max_words=100).collect()
+    }
+    assert out[1].gopher_kept
+    assert not out[2].gopher_kept  # 2 words < 5
+    # doc 3: lines are [a, clean, a, a, b] -> sorted neighbors give two
+    # duplicate instances of 'a' (beyond the first) over 5 lines
+    assert out[3].dup_line_frac == pytest.approx(2 / 5)
+    assert out[3].dup_line_char_frac == pytest.approx(
+        2 / (len(clean) + 4), abs=1e-6  # line chars: a, clean, a, a, b
+    )
+    assert not out[4].gopher_kept and out[4].symbol_word_ratio > 0.1
+    assert out[5].bullet_line_frac == pytest.approx(3 / 4)
+    assert not out[6].gopher_kept and out[6].n_stop_hits == 0
+
+
+def test_perplexity_buckets_exact_vs_approximate(spark):
+    """CCNet bucketing: exact percent_rank splits each language ~30/30/40;
+    the approximate (window-free) form agrees up to boundary slop."""
+    from aave_etl_spark.operators import text as text_ops
+
+    words = ["alpha", "beta", "gamma", "delta", "common"]
+    rows = [
+        (i, " ".join(["common"] * (i % 7) + [words[i % 5]] * 3), "en" if i % 2 else "fr")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    exact = text_ops.perplexity_buckets(df)
+    approx = text_ops.perplexity_buckets(df, approximate=True)
+    e = {r.doc_id: r for r in exact.collect()}
+    a = {r.doc_id: r for r in approx.collect()}
+    assert set(e) == set(a) == set(range(60))
+    # per-language head fraction ~30% under the exact form
+    for lang in ("en", "fr"):
+        n = sum(1 for r in e.values() if r.lang == lang)
+        heads = sum(1 for r in e.values() if r.lang == lang and r.bucket == "head")
+        assert 0.15 <= heads / n <= 0.45
+    # ordering invariant in BOTH forms: within a language every head
+    # score <= every middle score <= every tail score
+    for rows_by in (e, a):
+        for lang in ("en", "fr"):
+            by_bucket = {"head": [], "middle": [], "tail": []}
+            for r in rows_by.values():
+                if r.lang == lang:
+                    by_bucket[r.bucket].append(r.avg_neg_logprob)
+            if by_bucket["head"] and by_bucket["middle"]:
+                assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+            if by_bucket["middle"] and by_bucket["tail"]:
+                assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    # the 100 TB path is window-free
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, f"approx buckets must be window-free:\n{plan[:1200]}"
+
+
+def test_minhash_index_match_equals_inflight_and_reads_bucketed(spark, tmp_path):
+    """The at-rest index match returns exactly the cross-side candidate
+    pairs the in-flight LSH would, and the corpus side scan honors the
+    bucket layout (no exchange on the indexed side)."""
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.operators import dedup as dd
+
+    base = "w x y z " * 6
+    rows = (
+        [(i, base + f"tail{i}") for i in range(0, 8, 2)]       # corpus: even
+        + [(i, base + f"tail{i - 1}") for i in range(1, 8, 2)]  # near-dups of i-1
+        + [(9, "completely different words entirely here now ok yes")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+
+    store = TableStore(spark, str(tmp_path))
+    dd.minhash_index_build(store, corpus, "mh_idx_t", n_buckets=4)
+    got = dd.minhash_index_match(store, new, "mh_idx_t")
+    got_pairs = {(r.new_id, r.corpus_id) for r in got.collect()}
+
+    # ground truth: in-flight banding over the union, restricted cross-side
+    sigs = dd.minhash_signatures(dd.word_shingles(docs))
+    allb = dd.band_keys(sigs)
+    nb = allb.filter("doc_id % 2 = 1").selectExpr("doc_id AS new_id", "band", "band_key")
+    cb = allb.filter("doc_id % 2 = 0").selectExpr("doc_id AS corpus_id", "band", "band_key")
+    want = {
+        (r.new_id, r.corpus_id)
+        for r in nb.join(cb, ["band", "band_key"]).select("new_id", "corpus_id")
+        .distinct().collect()
+    }
+    assert got_pairs == want
+    assert all(n % 2 == 1 and c % 2 == 0 for n, c in got_pairs)
+    assert (9, 8) not in got_pairs  # the unrelated doc matches nothing
+    # every near-dup found its source
+    assert {(i, i - 1) for i in range(1, 8, 2)} <= got_pairs
+    # plan: the corpus scan must honor the bucketed layout
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, f"index side must scan bucketed:\n{plan[:1500]}"
