@@ -516,13 +516,18 @@ def minhash_index_match(
         id_col,
         rows_per_band,
     ).select(
-        F.col(id_col).alias("new_id"), "band", "band_key"
+        F.col(id_col).alias("new_id"), "band_key"
     )
     corpus = store.read_bucketed(name).select(
-        F.col(id_col).alias("corpus_id"), "band", "band_key"
+        F.col(id_col).alias("corpus_id"), "band_key"
     )
+    # join on band_key ALONE: the key is md5 over the band's 'h:minhash'
+    # rows, so it already encodes WHICH band it came from — and a
+    # single-column join lets the bucketed-and-sorted-on-band_key layout
+    # satisfy both the join's distribution AND its ordering: the corpus
+    # side runs with zero exchange and zero per-task sort
     return (
-        newb.join(corpus, ["band", "band_key"])
+        newb.join(corpus, "band_key")
         .filter(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id")
         .distinct()

@@ -343,3 +343,46 @@ def dsir_importance_resample(
             (F.col("_rk") <= F.ceil(F.lit(keep_frac) * F.col("_n"))).alias("kept"),
         )
     )
+
+
+def epoch_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment: the step between
+    curation and the data loader. Every training run needs a reproducible
+    document order that (a) differs per epoch, (b) splits evenly across
+    N loader workers, and (c) never depends on file layout or engine
+    partitioning — so both are derived from a content hash, not from
+    row position.
+
+    shard    = md5(seed:id) mod n_shards  — uniform, seed-keyed
+    position = rank of md5(seed:id) WITHIN the shard — each worker reads
+               its shard in `position` order and the global order is
+               reproducible from (seed, n_shards) alone.
+
+    Output: (id, shard, position, sort_key).
+
+    Scale: one hash projection + n_shards-partitioned windows — there is
+    NO global order-by (the single-task funnel a naive global
+    row_number() would create); each shard's window parallelizes
+    independently, and shards are hash-uniform by construction so no
+    window partition is hot. Re-sharding for a new epoch is a new seed,
+    not a data move."""
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("sort_key"),
+        (
+            F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % n_shards
+        ).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return keyed.select(
+        F.col(id_col),
+        "shard",
+        F.row_number().over(w).cast("long").alias("position"),
+        "sort_key",
+    )

@@ -987,3 +987,150 @@ def margin_topk(
         )
         .withColumn("rank", F.row_number().over(wm).cast("long"))
     )
+
+
+def pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou, Douze & Schmid 2011, "Product Quantization for Nearest
+    Neighbor Search"): vectors are split into ``n_subspaces`` subvectors,
+    each encoded as its nearest of ``n_codes`` sub-centroids, and a query
+    scores a candidate as the SUM of per-subspace query→centroid
+    distances looked up by the candidate's codes — the candidate's
+    floats are never touched at query time.
+
+    Output: (query_id, candidate_id, approx_d2, rank) — top ``k`` per
+    query by approximate squared L2 (asc, candidate-id ties).
+
+    ``codebook`` is (code, cvec) with DENSE 0-based codes (position in
+    the sorted broadcast array IS the code); default is the first
+    ``n_codes`` candidates by id — the same deterministic seeding as the
+    IVF coarse quantizer, certifiable cross-engine. A k-means-trained
+    codebook (kmeans_fit per subspace) slots into the same plan.
+
+    Why this is THE 100 TB ANN shape: the codebook is K×d doubles
+    (broadcast at any corpus scale); encoding is one map-only pass
+    (M·K·(d/M) flops per row, done once — persist codes through the
+    TableStore exactly like the at-rest IVF index); and the query-time
+    scan reads M small ints per candidate instead of d floats — a
+    ~4d/M-byte → M-byte compression of the scan, which is the difference
+    between re-reading 100 TB of floats per query batch and reading the
+    ~1.5 TB code table. Per-subspace distances are rounded to
+    ``round_digits`` BEFORE the argmin/sum (ties → lowest code via
+    struct min) so encode and ADC agree bitwise with the SQL oracle."""
+    M = n_subspaces
+
+    cb = (
+        codebook
+        if codebook is not None
+        else candidates.filter(F.col(id_col) < n_codes).select(
+            F.col(id_col).cast("int").alias("code"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+    )
+    # one broadcast row, sorted so element position k+1 <=> code k
+    cbrow = cb.agg(F.sort_array(F.collect_list(F.struct("code", "cvec"))).alias("_cbs"))
+
+    def sub_d2(vec, cvec, m, s):
+        # squared L2 over subspace m (1-based positions m*s+1 .. (m+1)*s)
+        return F.aggregate(
+            F.sequence(m * s + 1, (m + F.lit(1)) * s),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + (F.element_at(vec, j) - F.element_at(cvec, j))
+            * (F.element_at(vec, j) - F.element_at(cvec, j)),
+        )
+
+    # --- encode: per row, per subspace, the code with the smallest rounded
+    # sub-distance; struct min = (d2 asc, code asc) — engine-portable ties
+    enc = (
+        candidates.select(
+            F.col(id_col).alias("candidate_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
+        .crossJoin(F.broadcast(cbrow))
+        .select(
+            "candidate_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(M - 1)),
+                lambda m: F.array_min(
+                    F.transform(
+                        F.col("_cbs"),
+                        lambda s: F.struct(
+                            F.round(
+                                sub_d2(
+                                    F.col("_cv"), s["cvec"], m,
+                                    (F.size(F.col("_cv")) / M).cast("int"),
+                                ),
+                                round_digits,
+                            ).alias("d2"),
+                            s["code"].alias("code"),
+                        ),
+                    )
+                )["code"],
+            ).alias("_codes"),
+        )
+    )
+
+    # --- ADC tables: per query, table[m+1][code+1] = rounded d2 of the
+    # query's subvector m to sub-centroid `code` — M×K doubles per query,
+    # computed once on the tiny side, broadcast into the code scan
+    qtab = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .crossJoin(F.broadcast(cbrow))
+        .select(
+            "query_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(M - 1)),
+                lambda m: F.transform(
+                    F.col("_cbs"),
+                    lambda s: F.round(
+                        sub_d2(
+                            F.col("_qv"), s["cvec"], m,
+                            (F.size(F.col("_qv")) / M).cast("int"),
+                        ),
+                        round_digits,
+                    ),
+                ),
+            ).alias("_tab"),
+        )
+    )
+
+    score = F.round(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(M)),
+            F.lit(0.0),
+            lambda acc, m: acc
+            + F.element_at(
+                F.element_at(F.col("_tab"), m),
+                F.element_at(F.col("_codes"), m) + 1,
+            ),
+        ),
+        round_digits,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("candidate_id")
+    )
+    return (
+        enc.crossJoin(F.broadcast(qtab))
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select("query_id", "candidate_id", score.alias("approx_d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "candidate_id", "approx_d2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

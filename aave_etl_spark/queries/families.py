@@ -512,6 +512,12 @@ family(
             ("new_id", "corpus_id"),
             (),
         ),
+        (
+            "pq",
+            "llm_pq_topk",
+            ("query_id", "candidate_id"),
+            ("approx_d2", "rank"),
+        ),
     ],
     doc=(
         "§2.3 join-technique family: EXISTS semi-join + left-anti join +"
@@ -521,7 +527,9 @@ family(
         " intersection-joined against brute-force ground truth) + the"
         " margin-based (CCMatrix) candidate re-ranker + the new-batch"
         " candidate match against the AT-REST band_key-bucketed MinHash"
-        " index (build-once/match-many, corpus side exchange-free)"
+        " index (build-once/match-many, corpus side exchange-free) +"
+        " product-quantization top-k with asymmetric distance (M-code"
+        " compressed scan)"
     ),
 )
 
@@ -545,6 +553,12 @@ family(
             ("n_tokens", "pack_id", "pack_offset"),
         ),
         (
+            "shards",
+            "llm_epoch_shards",
+            ("doc_id", "sort_key"),
+            ("shard", "position"),
+        ),
+        (
             "frames",
             "llm_frame_sample",
             ("media_id", "frame_digest"),
@@ -564,7 +578,9 @@ family(
         " first-fit sequence packing (grouped-map running-sum-with-reset;"
         " recursive-CTE oracle) + fixed-budget uniform video frame sampling"
         " (metadata-only explode grid) + the S10 incentives 3-level nested"
-        " flatten certified against a generate-series oracle"
+        " flatten certified against a generate-series oracle + the"
+        " deterministic epoch-shuffle shard assignment (seed-keyed md5"
+        " order, per-shard windows, no global sort)"
     ),
 )
 

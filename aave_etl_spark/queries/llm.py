@@ -2424,7 +2424,7 @@ def llm_perplexity_buckets(spark, sf_dir):
     oracle=f"""
     WITH {_MH_CTES}
     SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-    FROM bands n JOIN bands c ON n.band = c.band AND n.band_key = c.band_key
+    FROM bands n JOIN bands c ON n.band_key = c.band_key
     WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
     """,
     doc=(
@@ -2456,3 +2456,92 @@ def llm_minhash_index_match(spark, sf_dir):
         dedup.minhash_index_build(store, corpus, tbl)
         store.mark_complete(tbl)
     return dedup.minhash_index_match(store, new_batch, tbl)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): the compressed-domain ANN —
+# codes are M small ints per vector, query scoring is M table lookups
+# (asymmetric distance), and the corpus floats are never read at query
+# time. Completes the ANN ladder: cosine_topk (exact) → ivf_topk (probe
+# pruning) → pq_topk (scan compression); IVF-PQ composes the two.
+# ---------------------------------------------------------------------------
+_PQ_ORACLE = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cb AS (SELECT vec_id AS code, e AS ce FROM v WHERE vec_id < 16),
+    ms AS (SELECT unnest(range(0, 4)) AS m),
+    sd AS (
+      SELECT v.vec_id, ms.m, cb.code,
+             round(list_sum([ (v.e[ms.m * 16 + j] - cb.ce[ms.m * 16 + j])
+                              * (v.e[ms.m * 16 + j] - cb.ce[ms.m * 16 + j])
+                              for j in range(1, 17) ]), 6) AS d2
+      FROM v CROSS JOIN cb CROSS JOIN ms
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+        FROM sd) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT s.vec_id AS query_id, c.vec_id AS candidate_id,
+             round(sum(s.d2), 6) AS approx_d2
+      FROM codes c JOIN sd s ON s.m = c.m AND s.code = c.code
+      WHERE s.vec_id < 8 AND c.vec_id != s.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, candidate_id, approx_d2,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_d2, candidate_id) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d2, candidate_id) <= 3
+    """
+
+
+@register(
+    "llm_pq_topk",
+    export=False,  # driver slot held by its family head (semi_anti_family)
+    oracle=_PQ_ORACLE,
+    doc=(
+        "LLM similarity: product-quantization top-k with asymmetric"
+        " distance (M=4 subspaces x K=16 codes over 64-dim embeddings,"
+        " deterministic first-K codebook) — the compressed-domain ANN"
+        " whose query scan reads M codes per candidate, not d floats"
+    ),
+)
+def llm_pq_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.pq_topk(emb, queries, k=3, n_subspaces=4, n_codes=16)
+
+
+@register(
+    "llm_epoch_shards",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+             CAST(CAST('0x' || substring(
+                    md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 8 AS INT) AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY sort_key, doc_id) AS BIGINT)
+             AS position,
+           sort_key
+    FROM keyed
+    """,
+    doc=(
+        "LLM training order: deterministic epoch shuffle + shard"
+        " assignment (md5 seed-keyed; per-shard windows, NO global"
+        " order-by) — reproducible loader order from (seed, n_shards)"
+        " alone, re-sharding an epoch is a new seed not a data move"
+    ),
+)
+def llm_epoch_shards(spark, sf_dir):
+    from aave_etl_spark.operators import sampling
+
+    return sampling.epoch_shards(t(spark, sf_dir, "documents"), n_shards=8)
