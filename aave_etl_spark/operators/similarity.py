@@ -1134,3 +1134,201 @@ def pq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Σ (a_i - b_i)² in double, index order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivfpq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale ANN layout (FAISS's IVFPQ;
+    Jégou et al. 2011 §V) — a coarse quantizer prunes the scan to
+    ``n_probe`` of ``n_cells`` inverted lists, and within a probed list
+    candidates are scored from PQ codes of their RESIDUAL (vector minus
+    cell centroid) via asymmetric distance: the per-(query, cell)
+    residual lookup table is M×K doubles, and each candidate costs M
+    lookups.
+
+    Output: (query_id, candidate_id, cell_id, approx_d2, rank) — top
+    ``k`` per query among candidates in its probed cells, by approximate
+    squared L2 (asc, candidate-id ties).
+
+    Deterministic geometry (the certifiable twin of a trained index):
+    cell centroids = the first ``n_cells`` candidates by id; the residual
+    codebook = the residuals of the NEXT ``n_codes`` candidates w.r.t.
+    their own assigned cells (k-means for both slots into the same plan).
+    Every distance is rounded to ``round_digits`` before any argmin /
+    probe pick / sum, ties break on the smaller id — bitwise-equal to
+    the SQL oracle.
+
+    100 TB shape: centroids and codebook are broadcast rows at any
+    corpus scale; assignment + residual encode is ONE map-only pass over
+    the corpus (persist it cell-partitioned through the TableStore like
+    the at-rest IVF index and rebuilds are per-cell idempotent); the
+    query-time join is an equi-join on cell_id against the tiny probe
+    set — bytes read scale with n_probe/n_cells × M/(4d) of the raw
+    corpus: probe pruning multiplied by code compression."""
+    M = n_subspaces
+
+    cast_vec = F.col(vec_col).cast("array<double>")
+    cells = candidates.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell_id"), cast_vec.alias("cvec")
+    )
+    cells_row = cells.agg(
+        F.sort_array(F.collect_list(F.struct("cell_id", "cvec"))).alias("_cells")
+    )
+
+    def nearest_cell(vec):
+        # (rounded d2, cell) struct min — lowest d2, tie -> lowest cell
+        return F.array_min(
+            F.transform(
+                F.col("_cells"),
+                lambda c: F.struct(
+                    F.round(_l2sq(vec, c["cvec"]), round_digits).alias("d2"),
+                    c["cell_id"].alias("cell_id"),
+                ),
+            )
+        )["cell_id"]
+
+    def residual(vec, cell):
+        return F.zip_with(
+            vec, F.element_at(F.col("_cells"), cell + 1)["cvec"], lambda x, c: x - c
+        )
+
+    # --- residual codebook: residuals of candidates n_cells .. n_cells+K-1
+    # w.r.t. their own assigned cell (code = id - n_cells, dense 0-based)
+    cb = (
+        candidates.filter(
+            (F.col(id_col) >= n_cells) & (F.col(id_col) < n_cells + n_codes)
+        )
+        .select((F.col(id_col) - n_cells).cast("int").alias("code"), cast_vec.alias("_v"))
+        .crossJoin(F.broadcast(cells_row))
+        .select("code", residual(F.col("_v"), nearest_cell(F.col("_v"))).alias("cvec"))
+    )
+    cb_row = cb.agg(F.sort_array(F.collect_list(F.struct("code", "cvec"))).alias("_cbs"))
+
+    def sub_d2(vec, cvec, m, s):
+        return F.aggregate(
+            F.sequence(m * s + 1, (m + F.lit(1)) * s),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + (F.element_at(vec, j) - F.element_at(cvec, j))
+            * (F.element_at(vec, j) - F.element_at(cvec, j)),
+        )
+
+    def pq_codes(res_vec):
+        s = (F.size(res_vec) / M).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            lambda m: F.array_min(
+                F.transform(
+                    F.col("_cbs"),
+                    lambda cbs: F.struct(
+                        F.round(sub_d2(res_vec, cbs["cvec"], m, s), round_digits).alias("d2"),
+                        cbs["code"].alias("code"),
+                    ),
+                )
+            )["code"],
+        )
+
+    # --- corpus pass: assign cell, encode residual — one map-only pass
+    enc = (
+        candidates.select(F.col(id_col).alias("candidate_id"), cast_vec.alias("_cv"))
+        .crossJoin(F.broadcast(cells_row))
+        .select(
+            "candidate_id", "_cv", nearest_cell(F.col("_cv")).alias("cell_id"),
+            residual(F.col("_cv"), nearest_cell(F.col("_cv"))).alias("_res"),
+        )
+        .crossJoin(F.broadcast(cb_row))
+        .select("candidate_id", "cell_id", pq_codes(F.col("_res")).alias("_codes"))
+    )
+
+    # --- query pass: probe the n_probe nearest cells, build the
+    # per-(query, cell) residual ADC table
+    probed = (
+        queries.select(F.col(id_col).alias("query_id"), cast_vec.alias("_qv"))
+        .crossJoin(F.broadcast(cells_row))
+        .select(
+            "query_id", "_qv",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("_cells"),
+                        lambda c: F.struct(
+                            F.round(_l2sq(F.col("_qv"), c["cvec"]), round_digits).alias("d2"),
+                            c["cell_id"].alias("cell_id"),
+                        ),
+                    )
+                ),
+                1,
+                n_probe,
+            ).alias("_probes"),
+            F.col("_cells"),
+        )
+        .select("query_id", "_qv", F.explode("_probes").alias("_p"), "_cells")
+        .select("query_id", "_qv", F.col("_p")["cell_id"].alias("cell_id"), "_cells")
+        .select(
+            "query_id", "cell_id",
+            residual(F.col("_qv"), F.col("cell_id")).alias("_qres"),
+        )
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            "query_id", "cell_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(M - 1)),
+                lambda m: F.transform(
+                    F.col("_cbs"),
+                    lambda cbs: F.round(
+                        sub_d2(
+                            F.col("_qres"), cbs["cvec"], m,
+                            (F.size(F.col("_qres")) / M).cast("int"),
+                        ),
+                        round_digits,
+                    ),
+                ),
+            ).alias("_tab"),
+        )
+    )
+
+    score = F.round(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(M)),
+            F.lit(0.0),
+            lambda acc, m: acc
+            + F.element_at(
+                F.element_at(F.col("_tab"), m),
+                F.element_at(F.col("_codes"), m) + 1,
+            ),
+        ),
+        round_digits,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("candidate_id")
+    )
+    return (
+        enc.join(F.broadcast(probed), "cell_id")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select("query_id", "candidate_id", "cell_id", score.alias("approx_d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "candidate_id", "cell_id", "approx_d2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

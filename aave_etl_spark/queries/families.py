@@ -617,12 +617,20 @@ family(
             ("vec_id", "cell_id"),
             ("n_cell", "CAST(kept AS DOUBLE)"),
         ),
+        (
+            "ivfpq",
+            "llm_ivfpq_topk",
+            ("query_id", "candidate_id"),
+            ("cell_id", "approx_d2", "rank"),
+        ),
     ],
     doc=(
         "§2.8 inline array-of-struct buckets + §2.4 ordered collect-to-list"
         " md5 + the LSH candidates→exact-Jaccard verified dedup pipeline +"
         " its final connected-components cluster/keeper stage +"
         " deterministic sorted-fold embedding mean-pooling + SemDeDup"
-        " semantic near-dup pruning over broadcast-argmax clusters"
+        " semantic near-dup pruning over broadcast-argmax clusters +"
+        " IVF-PQ composed ANN (probe pruning × residual-PQ asymmetric"
+        " distance)"
     ),
 )

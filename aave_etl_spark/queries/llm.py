@@ -2545,3 +2545,99 @@ def llm_epoch_shards(spark, sf_dir):
     from aave_etl_spark.operators import sampling
 
     return sampling.epoch_shards(t(spark, sf_dir, "documents"), n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (FAISS's IVFPQ layout; Jégou et al. 2011 §V): coarse-cell probe
+# pruning × residual-PQ scan compression — the composed billion-scale ANN.
+# Deterministic geometry: cells = first 8 vectors, residual codebook =
+# residuals of vectors 8..15 w.r.t. their own assigned cells.
+# ---------------------------------------------------------------------------
+_IVFPQ_ORACLE = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cells AS (SELECT CAST(vec_id AS INT) AS cell_id, e AS ce FROM v WHERE vec_id < 8),
+    asg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 round(list_sum([ (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])
+                                  for i in range(1, 65) ]), 6), c.cell_id) AS rn
+        FROM v CROSS JOIN cells c) WHERE rn = 1
+    ),
+    res AS (
+      SELECT v.vec_id, a.cell_id,
+             [v.e[i] - c.ce[i] for i in range(1, 65)] AS r
+      FROM v JOIN asg a USING (vec_id) JOIN cells c ON c.cell_id = a.cell_id
+    ),
+    cb AS (SELECT CAST(vec_id - 8 AS INT) AS code, r AS cr
+           FROM res WHERE vec_id >= 8 AND vec_id < 16),
+    ms AS (SELECT unnest(range(0, 4)) AS m),
+    sdc AS (
+      SELECT res.vec_id, ms.m, cb.code,
+             round(list_sum([ (res.r[ms.m * 16 + j] - cb.cr[ms.m * 16 + j])
+                              * (res.r[ms.m * 16 + j] - cb.cr[ms.m * 16 + j])
+                              for j in range(1, 17) ]), 6) AS d2
+      FROM res CROSS JOIN cb CROSS JOIN ms
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+        FROM sdc) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8),
+    probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.query_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_sum([ (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])
+                                  for i in range(1, 65) ]), 6), c.cell_id) AS rn
+        FROM q CROSS JOIN cells c) WHERE rn <= 2
+    ),
+    qres AS (
+      SELECT p.query_id, p.cell_id,
+             [q.qe[i] - c.ce[i] for i in range(1, 65)] AS qr
+      FROM probes p JOIN q USING (query_id) JOIN cells c ON c.cell_id = p.cell_id
+    ),
+    qtab AS (
+      SELECT qres.query_id, qres.cell_id, ms.m, cb.code,
+             round(list_sum([ (qres.qr[ms.m * 16 + j] - cb.cr[ms.m * 16 + j])
+                              * (qres.qr[ms.m * 16 + j] - cb.cr[ms.m * 16 + j])
+                              for j in range(1, 17) ]), 6) AS d2
+      FROM qres CROSS JOIN cb CROSS JOIN ms
+    ),
+    pairs AS (
+      SELECT t.query_id, e.vec_id AS candidate_id, a.cell_id,
+             round(sum(t.d2), 6) AS approx_d2
+      FROM codes e
+      JOIN asg a USING (vec_id)
+      JOIN qtab t ON t.cell_id = a.cell_id AND t.m = e.m AND t.code = e.code
+      WHERE e.vec_id != t.query_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT query_id, candidate_id, cell_id, approx_d2,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_d2, candidate_id) AS BIGINT)
+             AS rank
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d2, candidate_id) <= 3
+    """
+
+
+@register(
+    "llm_ivfpq_topk",
+    export=False,  # driver slot held by its family head (collect_family)
+    oracle=_IVFPQ_ORACLE,
+    doc=(
+        "LLM similarity: IVF-PQ composed ANN — 2-of-8-cell probe pruning"
+        " times residual-PQ (M=4 x K=8) asymmetric-distance scoring; bytes"
+        " read scale with n_probe/n_cells x M/(4d) of the raw corpus"
+    ),
+)
+def llm_ivfpq_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivfpq_topk(
+        emb, queries, k=3, n_cells=8, n_probe=2, n_subspaces=4, n_codes=8
+    )

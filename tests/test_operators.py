@@ -1385,3 +1385,39 @@ def test_epoch_shards_deterministic_and_partition_invariant(spark):
     # a different epoch seed produces a different order
     c = {r.doc_id: (r.shard, r.position) for r in sampling.epoch_shards(df, n_shards=4, seed="epoch1").collect()}
     assert c != a
+
+
+def test_ivfpq_topk_probe_pruning_and_recall(spark):
+    """IVF-PQ: results only come from the query's probed cells, and on
+    well-separated clusters the composed index recovers same-cluster
+    neighbors (residual codes refine within the probed cell)."""
+    from aave_etl_spark.operators import similarity as sim
+
+    dim = 16
+
+    def vec(c, j):
+        return [20.0 * c + 0.01 * ((i * 5 + j * 3) % 7) for i in range(dim)]
+
+    # cells 0..3 = anchors; codebook seeds 4..7 (one per cluster, jittered);
+    # members 20.. (5 per cluster); queries are one member per cluster
+    rows = (
+        [(c, vec(c, 0)) for c in range(4)]
+        + [(4 + c, vec(c, 1)) for c in range(4)]
+        + [(20 + c * 5 + j, vec(c, j + 2)) for c in range(4) for j in range(5)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id IN (20, 25, 30, 35)")
+    out = sim.ivfpq_topk(
+        df, queries, k=3, n_cells=4, n_probe=1, n_subspaces=4, n_codes=4
+    ).collect()
+    assert len(out) == 12
+    cluster = lambda vid: vid if vid < 4 else (vid - 4 if vid < 8 else (vid - 20) // 5)  # noqa: E731
+    for r in out:
+        # n_probe=1 on separated clusters: every hit is from the query's
+        # own cluster's cell — probe pruning is doing the scan reduction
+        assert r.cell_id == cluster(r.query_id), r
+        assert cluster(r.candidate_id) == cluster(r.query_id), r
+    ranks = {}
+    for r in out:
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in ranks.values())
