@@ -1029,14 +1029,22 @@ def pq_topk(
     struct min) so encode and ADC agree bitwise with the SQL oracle."""
     M = n_subspaces
 
-    cb = (
-        codebook
-        if codebook is not None
-        else candidates.filter(F.col(id_col) < n_codes).select(
-            F.col(id_col).cast("int").alias("code"),
+    if codebook is not None:
+        cb = codebook
+    else:
+        # first n_codes by id, RE-CODED densely: the position<->code
+        # identity below (element position k+1 <=> code k) must hold even
+        # when ids are sparse or don't start at 0 (id<n_codes would then
+        # leave code gaps or an empty codebook — silently wrong lookups).
+        # orderBy+limit is TakeOrderedAndProject (distributed top-k, no
+        # global sort); the window runs over only n_codes rows after it.
+        seeds = candidates.orderBy(id_col).limit(n_codes)
+        cb = seeds.select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("int")
+            .alias("code"),
             F.col(vec_col).cast("array<double>").alias("cvec"),
         )
-    )
     # one broadcast row, sorted so element position k+1 <=> code k
     cbrow = cb.agg(F.sort_array(F.collect_list(F.struct("code", "cvec"))).alias("_cbs"))
 
@@ -1050,6 +1058,15 @@ def pq_topk(
             * (F.element_at(vec, j) - F.element_at(cvec, j)),
         )
 
+    # FAISS raises on d % M != 0 and so do we: a silent (d/M) truncation
+    # would quietly score over a prefix of the vector
+    def dim_guard(vec):
+        return F.when(F.size(vec) % M == 0, F.lit(True)).otherwise(
+            F.raise_error(
+                F.lit(f"pq_topk: vector dim not divisible by n_subspaces={M}")
+            )
+        )
+
     # --- encode: per row, per subspace, the code with the smallest rounded
     # sub-distance; struct min = (d2 asc, code asc) — engine-portable ties
     enc = (
@@ -1057,6 +1074,7 @@ def pq_topk(
             F.col(id_col).alias("candidate_id"),
             F.col(vec_col).cast("array<double>").alias("_cv"),
         )
+        .where(dim_guard(F.col("_cv")))
         .crossJoin(F.broadcast(cbrow))
         .select(
             "candidate_id",
@@ -1089,6 +1107,7 @@ def pq_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("_qv"),
         )
+        .where(dim_guard(F.col("_qv")))
         .crossJoin(F.broadcast(cbrow))
         .select(
             "query_id",
@@ -1187,8 +1206,23 @@ def ivfpq_topk(
     M = n_subspaces
 
     cast_vec = F.col(vec_col).cast("array<double>")
-    cells = candidates.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).cast("int").alias("cell_id"), cast_vec.alias("cvec")
+    # first n_cells+n_codes by id, RE-CODED densely (rank, not raw id):
+    # the position<->id identities below (_cells position c+1 <=> cell c,
+    # _cbs position k+1 <=> code k) must hold for sparse / non-zero-based
+    # ids too. orderBy+limit is a distributed top-k; the rank window runs
+    # over only the seed rows after it.
+    seeds = (
+        candidates.orderBy(id_col)
+        .limit(n_cells + n_codes)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("int")
+            .alias("_rk"),
+            cast_vec.alias("cvec"),
+        )
+    )
+    cells = seeds.filter(F.col("_rk") < n_cells).select(
+        F.col("_rk").alias("cell_id"), "cvec"
     )
     cells_row = cells.agg(
         F.sort_array(F.collect_list(F.struct("cell_id", "cvec"))).alias("_cells")
@@ -1211,15 +1245,21 @@ def ivfpq_topk(
             vec, F.element_at(F.col("_cells"), cell + 1)["cvec"], lambda x, c: x - c
         )
 
-    # --- residual codebook: residuals of candidates n_cells .. n_cells+K-1
-    # w.r.t. their own assigned cell (code = id - n_cells, dense 0-based)
+    # --- residual codebook: residuals of the NEXT n_codes seed vectors
+    # (rank n_cells .. n_cells+K-1) w.r.t. their own assigned cell
+    # (code = rank - n_cells, dense 0-based by construction)
     cb = (
-        candidates.filter(
-            (F.col(id_col) >= n_cells) & (F.col(id_col) < n_cells + n_codes)
+        seeds.filter(F.col("_rk") >= n_cells)
+        .select(
+            (F.col("_rk") - n_cells).cast("int").alias("code"),
+            F.col("cvec").alias("_v"),
         )
-        .select((F.col(id_col) - n_cells).cast("int").alias("code"), cast_vec.alias("_v"))
         .crossJoin(F.broadcast(cells_row))
-        .select("code", residual(F.col("_v"), nearest_cell(F.col("_v"))).alias("cvec"))
+        .select(
+            "code", F.col("_v").alias("_sv"),
+            nearest_cell(F.col("_v")).alias("_scell"), "_cells",
+        )
+        .select("code", residual(F.col("_sv"), F.col("_scell")).alias("cvec"))
     )
     cb_row = cb.agg(F.sort_array(F.collect_list(F.struct("code", "cvec"))).alias("_cbs"))
 
@@ -1247,13 +1287,32 @@ def ivfpq_topk(
             )["code"],
         )
 
-    # --- corpus pass: assign cell, encode residual — one map-only pass
+    def dim_guard(vec):
+        # FAISS raises on d % M != 0 and so do we: silent truncation would
+        # quietly score over a prefix of the vector
+        return F.when(F.size(vec) % M == 0, F.lit(True)).otherwise(
+            F.raise_error(
+                F.lit(f"ivfpq_topk: vector dim not divisible by n_subspaces={M}")
+            )
+        )
+
+    # --- corpus pass: assign cell, encode residual — one map-only pass.
+    # cell_id is materialized in its OWN projection before the residual
+    # references it: nearest_cell is an interpreted HOF (no CSE under
+    # CodegenFallback), so inlining it twice would double the dominant
+    # O(n_cells·d) per-row cost of the corpus pass (the word_shingles
+    # materialize-in-own-projection discipline)
     enc = (
         candidates.select(F.col(id_col).alias("candidate_id"), cast_vec.alias("_cv"))
+        .where(dim_guard(F.col("_cv")))
         .crossJoin(F.broadcast(cells_row))
         .select(
             "candidate_id", "_cv", nearest_cell(F.col("_cv")).alias("cell_id"),
-            residual(F.col("_cv"), nearest_cell(F.col("_cv"))).alias("_res"),
+            "_cells",
+        )
+        .select(
+            "candidate_id", "cell_id",
+            residual(F.col("_cv"), F.col("cell_id")).alias("_res"),
         )
         .crossJoin(F.broadcast(cb_row))
         .select("candidate_id", "cell_id", pq_codes(F.col("_res")).alias("_codes"))
@@ -1263,6 +1322,7 @@ def ivfpq_topk(
     # per-(query, cell) residual ADC table
     probed = (
         queries.select(F.col(id_col).alias("query_id"), cast_vec.alias("_qv"))
+        .where(dim_guard(F.col("_qv")))
         .crossJoin(F.broadcast(cells_row))
         .select(
             "query_id", "_qv",

@@ -626,8 +626,11 @@ def perplexity_buckets(
     # that parsed the literal 0.6 — round the cut so both agree
     cut2 = round(head_frac + middle_frac, 12)
     if approximate:
+        # null-safe join key: a NULL language (a normal classifier outcome)
+        # forms its own groupBy bucket, and a plain equi-join would drop
+        # those rows — the exact form's window KEEPS them, so the twin must
         thr = F.broadcast(
-            scored.groupBy(lang_col).agg(
+            scored.groupBy(F.col(lang_col).alias("_lang")).agg(
                 F.percentile_approx("avg_neg_logprob", head_frac).alias("_t1"),
                 F.percentile_approx("avg_neg_logprob", cut2).alias("_t2"),
             )
@@ -637,7 +640,7 @@ def perplexity_buckets(
             .when(F.col("avg_neg_logprob") <= F.col("_t2"), "middle")
             .otherwise("tail")
         )
-        return scored.join(thr, lang_col).select(
+        return scored.join(thr, F.col(lang_col).eqNullSafe(F.col("_lang"))).select(
             F.col(id_col), F.col(lang_col), "avg_neg_logprob",
             bucket.alias("bucket"),
         )

@@ -1421,3 +1421,57 @@ def test_ivfpq_topk_probe_pruning_and_recall(spark):
     for r in out:
         ranks.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3] for v in ranks.values())
+
+
+def test_pq_topk_sparse_nonzero_ids_and_dim_guard(spark):
+    """Review regression: codebook/cell seeding must re-code densely (ids
+    that are sparse or don't start at 0 previously broke the
+    position<->code identity), and a dimension not divisible by
+    n_subspaces must raise, not silently truncate."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from aave_etl_spark.operators import similarity as sim
+
+    dim = 8
+
+    def vec(c, j):
+        return [10.0 * c + 0.01 * ((i + j) % 3) for i in range(dim)]
+
+    # ids start at 1000 and stride 7 — the old id<n_codes filter would
+    # yield an EMPTY codebook and NULL scores
+    rows = [(1000 + (c * 3 + j) * 7, vec(c, j)) for c in range(2) for j in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.limit(1)
+    out = sim.pq_topk(df, queries, k=2, n_subspaces=2, n_codes=2).collect()
+    assert len(out) == 2
+    assert all(r.approx_d2 is not None for r in out)
+    out2 = sim.ivfpq_topk(
+        df, queries, k=2, n_cells=2, n_probe=2, n_subspaces=2, n_codes=2
+    ).collect()
+    assert len(out2) == 2
+    assert all(r.approx_d2 is not None for r in out2)
+
+    # 9-dim vectors with M=2: must raise, not truncate
+    bad = spark.createDataFrame(
+        [(1, [float(i) for i in range(9)]), (2, [float(i + 1) for i in range(9)])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(SparkRuntimeException, match="not divisible"):
+        sim.pq_topk(bad, bad.limit(1), k=1, n_subspaces=2, n_codes=2).collect()
+
+
+def test_perplexity_buckets_null_lang_kept_in_both_forms(spark):
+    """Review regression: a NULL language (normal classifier outcome) must
+    be bucketed by BOTH forms — the approximate path's equi-join used to
+    silently drop those rows."""
+    from aave_etl_spark.operators import text as text_ops
+
+    rows = [
+        (i, "word " * (3 + i % 5), "en" if i % 3 == 0 else None) for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    exact = text_ops.perplexity_buckets(df)
+    approx = text_ops.perplexity_buckets(df, approximate=True)
+    assert exact.count() == 24
+    assert approx.count() == 24, "approximate form must keep NULL-lang docs"
+    assert approx.filter("lang IS NULL").count() == 16
