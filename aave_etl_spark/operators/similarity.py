@@ -1164,6 +1164,253 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _ivfpq_seeds(
+    candidates: DataFrame, n_cells: int, n_codes: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """First n_cells+n_codes candidates by id, RE-CODED densely by rank:
+    the position<->id identities used everywhere below (_cells position
+    c+1 <=> cell c, _cbs position k+1 <=> code k) must hold for sparse /
+    non-zero-based ids too. orderBy+limit is a distributed top-k; the
+    rank window runs over only the seed rows after it."""
+    return (
+        candidates.orderBy(id_col)
+        .limit(n_cells + n_codes)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("int")
+            .alias("_rk"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+    )
+
+
+def _nearest_cell(vec: Column, round_digits: int) -> Column:
+    """Nearest cell by rounded squared L2 (tie -> lowest cell) against the
+    broadcast ``_cells`` column — struct min is engine-portable ties."""
+    return F.array_min(
+        F.transform(
+            F.col("_cells"),
+            lambda c: F.struct(
+                F.round(_l2sq(vec, c["cvec"]), round_digits).alias("d2"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+    )["cell_id"]
+
+
+def _cell_residual(vec: Column, cell: Column) -> Column:
+    """vec minus its cell's centroid (``_cells`` in scope)."""
+    return F.zip_with(
+        vec, F.element_at(F.col("_cells"), cell + 1)["cvec"], lambda x, c: x - c
+    )
+
+
+def _pq_sub_d2(vec: Column, cvec: Column, m: Column, s: Column) -> Column:
+    """Squared L2 over subspace m (1-based positions m*s+1 .. (m+1)*s)."""
+    return F.aggregate(
+        F.sequence(m * s + 1, (m + F.lit(1)) * s),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + (F.element_at(vec, j) - F.element_at(cvec, j))
+        * (F.element_at(vec, j) - F.element_at(cvec, j)),
+    )
+
+
+def _pq_codes(res_vec: Column, m_sub: int, round_digits: int) -> Column:
+    """Per-subspace nearest code (rounded d2, tie -> lowest code) against
+    the broadcast ``_cbs`` codebook column."""
+    s = (F.size(res_vec) / m_sub).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.array_min(
+            F.transform(
+                F.col("_cbs"),
+                lambda cbs: F.struct(
+                    F.round(_pq_sub_d2(res_vec, cbs["cvec"], m, s), round_digits).alias("d2"),
+                    cbs["code"].alias("code"),
+                ),
+            )
+        )["code"],
+    )
+
+
+def _adc_table(qres: Column, m_sub: int, round_digits: int) -> Column:
+    """table[m+1][code+1] = rounded d2 of the query residual's subvector m
+    to sub-centroid ``code`` (``_cbs`` in scope) — MxK doubles per row."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.transform(
+            F.col("_cbs"),
+            lambda cbs: F.round(
+                _pq_sub_d2(qres, cbs["cvec"], m, (F.size(qres) / m_sub).cast("int")),
+                round_digits,
+            ),
+        ),
+    )
+
+
+def _adc_score(m_sub: int, round_digits: int) -> Column:
+    """Σ_m table[m][codes[m]] over the pair's ``_tab``/``_codes`` columns."""
+    return F.round(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(m_sub)),
+            F.lit(0.0),
+            lambda acc, m: acc
+            + F.element_at(
+                F.element_at(F.col("_tab"), m),
+                F.element_at(F.col("_codes"), m) + 1,
+            ),
+        ),
+        round_digits,
+    )
+
+
+def _pq_dim_guard(vec: Column, m_sub: int, fname: str) -> Column:
+    """FAISS raises on d % M != 0 and so do we: a silent truncation would
+    quietly score over a prefix of the vector."""
+    return F.when(F.size(vec) % m_sub == 0, F.lit(True)).otherwise(
+        F.raise_error(
+            F.lit(f"{fname}: vector dim not divisible by n_subspaces={m_sub}")
+        )
+    )
+
+
+def _struct_row(df: DataFrame, key: str, alias: str) -> DataFrame:
+    """One broadcast row: (key, cvec) structs in key order, so element
+    position k+1 <=> key k for dense 0-based keys."""
+    return df.agg(F.sort_array(F.collect_list(F.struct(key, "cvec"))).alias(alias))
+
+
+def _ivfpq_residual_codebook(
+    seeds: DataFrame, cells_row: DataFrame, n_cells: int, round_digits: int = 6
+) -> DataFrame:
+    """Residuals of the seed vectors ranked n_cells.. w.r.t. their own
+    assigned cells (code = rank - n_cells, dense 0-based)."""
+    return (
+        seeds.filter(F.col("_rk") >= n_cells)
+        .select(
+            (F.col("_rk") - n_cells).cast("int").alias("code"),
+            F.col("cvec").alias("_sv"),
+        )
+        .crossJoin(F.broadcast(cells_row))
+        .select(
+            "code", "_sv",
+            # own projection: interpreted HOF, no CSE under CodegenFallback
+            _nearest_cell(F.col("_sv"), round_digits).alias("_scell"), "_cells",
+        )
+        .select("code", _cell_residual(F.col("_sv"), F.col("_scell")).alias("cvec"))
+    )
+
+
+def _ivfpq_encode(
+    candidates: DataFrame,
+    cells_row: DataFrame,
+    cb_row: DataFrame,
+    m_sub: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """One map-only corpus pass: (candidate_id, cell_id, _codes).
+
+    cell_id is materialized in its OWN projection before the residual
+    references it: nearest-cell is an interpreted HOF (no CSE under
+    CodegenFallback), so inlining it twice would double the dominant
+    O(n_cells·d) per-row cost (the word_shingles materialize-in-own-
+    projection discipline)."""
+    return (
+        candidates.select(
+            F.col(id_col).alias("candidate_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
+        .where(_pq_dim_guard(F.col("_cv"), m_sub, "ivfpq"))
+        .crossJoin(F.broadcast(cells_row))
+        .select(
+            "candidate_id", "_cv",
+            _nearest_cell(F.col("_cv"), round_digits).alias("cell_id"),
+            "_cells",
+        )
+        .select(
+            "candidate_id", "cell_id",
+            _cell_residual(F.col("_cv"), F.col("cell_id")).alias("_res"),
+        )
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            "candidate_id", "cell_id",
+            _pq_codes(F.col("_res"), m_sub, round_digits).alias("_codes"),
+        )
+    )
+
+
+def _ivfpq_probe_tables(
+    queries: DataFrame,
+    cells_row: DataFrame,
+    cb_row: DataFrame,
+    n_probe: int,
+    m_sub: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """(query_id, cell_id, _tab): the n_probe nearest cells per query and
+    the per-(query, cell) residual ADC table."""
+    return (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .where(_pq_dim_guard(F.col("_qv"), m_sub, "ivfpq"))
+        .crossJoin(F.broadcast(cells_row))
+        .select(
+            "query_id", "_qv",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("_cells"),
+                        lambda c: F.struct(
+                            F.round(_l2sq(F.col("_qv"), c["cvec"]), round_digits).alias("d2"),
+                            c["cell_id"].alias("cell_id"),
+                        ),
+                    )
+                ),
+                1,
+                n_probe,
+            ).alias("_probes"),
+            F.col("_cells"),
+        )
+        .select("query_id", "_qv", F.explode("_probes").alias("_p"), "_cells")
+        .select("query_id", "_qv", F.col("_p")["cell_id"].alias("cell_id"), "_cells")
+        .select(
+            "query_id", "cell_id",
+            _cell_residual(F.col("_qv"), F.col("cell_id")).alias("_qres"),
+        )
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            "query_id", "cell_id",
+            _adc_table(F.col("_qres"), m_sub, round_digits).alias("_tab"),
+        )
+    )
+
+
+def _ivfpq_rank(pairs: DataFrame, k: int, m_sub: int, round_digits: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("candidate_id")
+    )
+    return (
+        pairs.filter(F.col("candidate_id") != F.col("query_id"))
+        .select(
+            "query_id", "candidate_id", "cell_id",
+            _adc_score(m_sub, round_digits).alias("approx_d2"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "candidate_id", "cell_id", "approx_d2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def ivfpq_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -1189,206 +1436,145 @@ def ivfpq_topk(
     squared L2 (asc, candidate-id ties).
 
     Deterministic geometry (the certifiable twin of a trained index):
-    cell centroids = the first ``n_cells`` candidates by id; the residual
-    codebook = the residuals of the NEXT ``n_codes`` candidates w.r.t.
-    their own assigned cells (k-means for both slots into the same plan).
-    Every distance is rounded to ``round_digits`` before any argmin /
-    probe pick / sum, ties break on the smaller id — bitwise-equal to
-    the SQL oracle.
+    cell centroids = the first ``n_cells`` candidates by id (densely
+    re-coded); the residual codebook = the residuals of the NEXT
+    ``n_codes`` candidates w.r.t. their own assigned cells (k-means for
+    both slots into the same plan). Every distance is rounded to
+    ``round_digits`` before any argmin / probe pick / sum, ties break on
+    the smaller id — bitwise-equal to the SQL oracle.
 
-    100 TB shape: centroids and codebook are broadcast rows at any
-    corpus scale; assignment + residual encode is ONE map-only pass over
-    the corpus (persist it cell-partitioned through the TableStore like
-    the at-rest IVF index and rebuilds are per-cell idempotent); the
-    query-time join is an equi-join on cell_id against the tiny probe
-    set — bytes read scale with n_probe/n_cells × M/(4d) of the raw
-    corpus: probe pruning multiplied by code compression."""
+    This is the IN-FLIGHT form (re-encodes the corpus per call);
+    :func:`ivfpq_index_build` / :func:`ivfpq_index_search` are the
+    at-rest production shape — codes persisted partitioned BY cell_id,
+    searches read n_probe/n_cells of the directories and M ints per
+    candidate instead of d floats: probe pruning × code compression."""
     M = n_subspaces
-
-    cast_vec = F.col(vec_col).cast("array<double>")
-    # first n_cells+n_codes by id, RE-CODED densely (rank, not raw id):
-    # the position<->id identities below (_cells position c+1 <=> cell c,
-    # _cbs position k+1 <=> code k) must hold for sparse / non-zero-based
-    # ids too. orderBy+limit is a distributed top-k; the rank window runs
-    # over only the seed rows after it.
-    seeds = (
-        candidates.orderBy(id_col)
-        .limit(n_cells + n_codes)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1)
-            .cast("int")
-            .alias("_rk"),
-            cast_vec.alias("cvec"),
-        )
-    )
+    seeds = _ivfpq_seeds(candidates, n_cells, n_codes, id_col, vec_col)
     cells = seeds.filter(F.col("_rk") < n_cells).select(
         F.col("_rk").alias("cell_id"), "cvec"
     )
-    cells_row = cells.agg(
-        F.sort_array(F.collect_list(F.struct("cell_id", "cvec"))).alias("_cells")
+    cells_row = _struct_row(cells, "cell_id", "_cells")
+    cb_row = _struct_row(
+        _ivfpq_residual_codebook(seeds, cells_row, n_cells, round_digits),
+        "code", "_cbs",
     )
-
-    def nearest_cell(vec):
-        # (rounded d2, cell) struct min — lowest d2, tie -> lowest cell
-        return F.array_min(
-            F.transform(
-                F.col("_cells"),
-                lambda c: F.struct(
-                    F.round(_l2sq(vec, c["cvec"]), round_digits).alias("d2"),
-                    c["cell_id"].alias("cell_id"),
-                ),
-            )
-        )["cell_id"]
-
-    def residual(vec, cell):
-        return F.zip_with(
-            vec, F.element_at(F.col("_cells"), cell + 1)["cvec"], lambda x, c: x - c
-        )
-
-    # --- residual codebook: residuals of the NEXT n_codes seed vectors
-    # (rank n_cells .. n_cells+K-1) w.r.t. their own assigned cell
-    # (code = rank - n_cells, dense 0-based by construction)
-    cb = (
-        seeds.filter(F.col("_rk") >= n_cells)
-        .select(
-            (F.col("_rk") - n_cells).cast("int").alias("code"),
-            F.col("cvec").alias("_v"),
-        )
-        .crossJoin(F.broadcast(cells_row))
-        .select(
-            "code", F.col("_v").alias("_sv"),
-            nearest_cell(F.col("_v")).alias("_scell"), "_cells",
-        )
-        .select("code", residual(F.col("_sv"), F.col("_scell")).alias("cvec"))
+    enc = _ivfpq_encode(candidates, cells_row, cb_row, M, id_col, vec_col, round_digits)
+    probed = _ivfpq_probe_tables(
+        queries, cells_row, cb_row, n_probe, M, id_col, vec_col, round_digits
     )
-    cb_row = cb.agg(F.sort_array(F.collect_list(F.struct("code", "cvec"))).alias("_cbs"))
+    return _ivfpq_rank(enc.join(F.broadcast(probed), "cell_id"), k, M, round_digits)
 
-    def sub_d2(vec, cvec, m, s):
-        return F.aggregate(
-            F.sequence(m * s + 1, (m + F.lit(1)) * s),
-            F.lit(0.0),
-            lambda acc, j: acc
-            + (F.element_at(vec, j) - F.element_at(cvec, j))
-            * (F.element_at(vec, j) - F.element_at(cvec, j)),
-        )
 
-    def pq_codes(res_vec):
-        s = (F.size(res_vec) / M).cast("int")
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(M - 1)),
-            lambda m: F.array_min(
-                F.transform(
-                    F.col("_cbs"),
-                    lambda cbs: F.struct(
-                        F.round(sub_d2(res_vec, cbs["cvec"], m, s), round_digits).alias("d2"),
-                        cbs["code"].alias("code"),
-                    ),
-                )
-            )["code"],
-        )
+def ivfpq_index_build(
+    store,
+    candidates: DataFrame,
+    name: str = "ivfpq_index",
+    n_cells: int = 8,
+    n_codes: int = 8,
+    n_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> None:
+    """Materialize the IVF-PQ index AT REST through the TableStore: the
+    code table (candidate id, M small ints) lands partitioned BY
+    ``cell_id`` — one directory per inverted list — plus two tiny
+    sidecars, ``<name>_cells`` (coarse centroids) and ``<name>_codebook``
+    (residual sub-centroids).
 
-    def dim_guard(vec):
-        # FAISS raises on d % M != 0 and so do we: silent truncation would
-        # quietly score over a prefix of the vector
-        return F.when(F.size(vec) % M == 0, F.lit(True)).otherwise(
-            F.raise_error(
-                F.lit(f"ivfpq_topk: vector dim not divisible by n_subspaces={M}")
-            )
-        )
-
-    # --- corpus pass: assign cell, encode residual — one map-only pass.
-    # cell_id is materialized in its OWN projection before the residual
-    # references it: nearest_cell is an interpreted HOF (no CSE under
-    # CodegenFallback), so inlining it twice would double the dominant
-    # O(n_cells·d) per-row cost of the corpus pass (the word_shingles
-    # materialize-in-own-projection discipline)
-    enc = (
-        candidates.select(F.col(id_col).alias("candidate_id"), cast_vec.alias("_cv"))
-        .where(dim_guard(F.col("_cv")))
-        .crossJoin(F.broadcast(cells_row))
-        .select(
-            "candidate_id", "_cv", nearest_cell(F.col("_cv")).alias("cell_id"),
-            "_cells",
-        )
-        .select(
-            "candidate_id", "cell_id",
-            residual(F.col("_cv"), F.col("cell_id")).alias("_res"),
-        )
-        .crossJoin(F.broadcast(cb_row))
-        .select("candidate_id", "cell_id", pq_codes(F.col("_res")).alias("_codes"))
+    This moves BOTH compressions into the storage layout: a search that
+    probes 2 of 8 cells lists only those directories (partition pruning
+    at the file listing), and what it reads there is M ints per vector
+    instead of d floats — n_probe/n_cells × ~M/(4d) of the raw corpus
+    bytes, enforced before any task runs. The corpus pass here is the
+    ONE encode scan; rebuilds are full refreshes under the
+    clear-first/mark-last completion-marker protocol (a partial rebuild
+    can never serve a codes/sidecar pair from different runs)."""
+    M = n_subspaces
+    seeds = _ivfpq_seeds(candidates, n_cells, n_codes, id_col, vec_col)
+    cells = seeds.filter(F.col("_rk") < n_cells).select(
+        F.col("_rk").alias("cell_id"), "cvec"
     )
+    cells_row = _struct_row(cells, "cell_id", "_cells")
+    cb = _ivfpq_residual_codebook(seeds, cells_row, n_cells, round_digits)
+    cb_row = _struct_row(cb, "code", "_cbs")
+    enc = _ivfpq_encode(candidates, cells_row, cb_row, M, id_col, vec_col, round_digits)
+    store.clear_complete(name)
+    wrote_cells = store.write(
+        cells.select("cell_id", F.col("cvec").alias("centroid")), f"{name}_cells"
+    )
+    wrote_cb = store.write(
+        cb.select("code", F.col("cvec").alias("centroid")), f"{name}_codebook"
+    )
+    wrote_codes = store.write(
+        enc.select("cell_id", F.col("candidate_id").alias(id_col), F.col("_codes").alias("codes")),
+        name,
+        partition_cols=["cell_id"],
+        full_refresh=True,
+    )
+    # TableStore.write SKIPS empty frames — only mark when every member
+    # actually landed this run (stale-pair guard, same as ivf_index_build)
+    if wrote_cells and wrote_cb and wrote_codes:
+        store.mark_complete(name)
 
-    # --- query pass: probe the n_probe nearest cells, build the
-    # per-(query, cell) residual ADC table
-    probed = (
-        queries.select(F.col(id_col).alias("query_id"), cast_vec.alias("_qv"))
-        .where(dim_guard(F.col("_qv")))
-        .crossJoin(F.broadcast(cells_row))
-        .select(
-            "query_id", "_qv",
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        F.col("_cells"),
-                        lambda c: F.struct(
-                            F.round(_l2sq(F.col("_qv"), c["cvec"]), round_digits).alias("d2"),
-                            c["cell_id"].alias("cell_id"),
-                        ),
-                    )
-                ),
-                1,
-                n_probe,
-            ).alias("_probes"),
-            F.col("_cells"),
-        )
-        .select("query_id", "_qv", F.explode("_probes").alias("_p"), "_cells")
-        .select("query_id", "_qv", F.col("_p")["cell_id"].alias("cell_id"), "_cells")
-        .select(
-            "query_id", "cell_id",
-            residual(F.col("_qv"), F.col("cell_id")).alias("_qres"),
-        )
-        .crossJoin(F.broadcast(cb_row))
-        .select(
-            "query_id", "cell_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(M - 1)),
-                lambda m: F.transform(
-                    F.col("_cbs"),
-                    lambda cbs: F.round(
-                        sub_d2(
-                            F.col("_qres"), cbs["cvec"], m,
-                            (F.size(F.col("_qres")) / M).cast("int"),
-                        ),
-                        round_digits,
-                    ),
-                ),
-            ).alias("_tab"),
-        )
-    )
 
-    score = F.round(
-        F.aggregate(
-            F.sequence(F.lit(1), F.lit(M)),
-            F.lit(0.0),
-            lambda acc, m: acc
-            + F.element_at(
-                F.element_at(F.col("_tab"), m),
-                F.element_at(F.col("_codes"), m) + 1,
-            ),
-        ),
-        round_digits,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_d2").asc(), F.col("candidate_id")
-    )
-    return (
-        enc.join(F.broadcast(probed), "cell_id")
-        .filter(F.col("candidate_id") != F.col("query_id"))
-        .select("query_id", "candidate_id", "cell_id", score.alias("approx_d2"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "candidate_id", "cell_id", "approx_d2",
-            F.col("rank").cast("long").alias("rank"),
+def ivfpq_index_search(
+    store,
+    queries: DataFrame,
+    name: str = "ivfpq_index",
+    k: int = 3,
+    n_probe: int = 2,
+    n_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Search a materialized IVF-PQ index (:func:`ivfpq_index_build`):
+    produces exactly :func:`ivfpq_topk`'s output — (query_id,
+    candidate_id, cell_id, approx_d2, rank) — but the corpus side is the
+    partition-pruned at-rest CODE scan: only the probed cells'
+    directories are listed, and each candidate costs M int lookups, the
+    raw vectors never being read at all.
+
+    The probed cell ids are collected to the driver to build the literal
+    partition predicate — a bounded set (≤ n_cells), which is exactly
+    the static pruning a file listing needs; neither the corpus nor its
+    codes are ever collected."""
+    M = n_subspaces
+    cellsdf = store.read(f"{name}_cells")
+    cbdf = store.read(f"{name}_codebook")
+    if "cell_id" not in cellsdf.columns or "code" not in cbdf.columns:
+        raise ValueError(
+            f"IVF-PQ index {name!r} not found in store — run ivfpq_index_build first"
         )
+    cells_row = _struct_row(
+        cellsdf.select("cell_id", F.col("centroid").alias("cvec")), "cell_id", "_cells"
     )
+    cb_row = _struct_row(
+        cbdf.select("code", F.col("centroid").alias("cvec")), "code", "_cbs"
+    )
+    probed = _ivfpq_probe_tables(
+        queries, cells_row, cb_row, n_probe, M, id_col, vec_col, round_digits
+    # consumed twice (driver collect of probe cells + the scan join):
+    # cut the lineage so query scoring against the centroids runs once
+    ).localCheckpoint(eager=False)
+    probe_cells = sorted(
+        r.cell_id for r in probed.select("cell_id").distinct().collect()
+    )
+    if not probe_cells:  # empty query set: nothing to probe, nothing to scan
+        id_type = queries.schema[id_col].dataType
+        empty_schema = T.StructType(
+            [
+                T.StructField("query_id", id_type),
+                T.StructField("candidate_id", id_type),
+                T.StructField("cell_id", T.IntegerType()),
+                T.StructField("approx_d2", T.DoubleType()),
+                T.StructField("rank", T.LongType()),
+            ]
+        )
+        return queries.sparkSession.createDataFrame([], empty_schema)
+    cells_pred = f"cell_id IN ({', '.join(str(c) for c in probe_cells)})"
+    idx = store.read(name, where=cells_pred).select(
+        "cell_id", F.col(id_col).alias("candidate_id"), F.col("codes").alias("_codes")
+    )
+    return _ivfpq_rank(idx.join(F.broadcast(probed), "cell_id"), k, M, round_digits)

@@ -357,6 +357,12 @@ family(
             ("CAST(doc_id AS STRING)", "digest"),
             (),
         ),
+        (
+            "ivfpq_at_rest",
+            "llm_ivfpq_index_search",
+            ("CAST(query_id AS STRING)", "CAST(candidate_id AS STRING)"),
+            ("cell_id", "approx_d2", "rank"),
+        ),
     ],
     doc=(
         "time-rollup family: §2.9 date_trunc+interval day rollup + the"
@@ -371,7 +377,9 @@ family(
         " dedup, last-match-wins balance-group classification) + the"
         " availableNow streaming corpus ingest certified at rest (two"
         " checkpointed drains, foreachBatch content dedup, replicas"
-        " anti-joined away)"
+        " anti-joined away) + the AT-REST IVF-PQ index search (codes"
+        " partitioned by cell_id, partition-pruned probe scan, bitwise"
+        " equal to the in-flight form)"
     ),
 )
 

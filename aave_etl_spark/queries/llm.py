@@ -2641,3 +2641,52 @@ def llm_ivfpq_topk(spark, sf_dir):
     return similarity.ivfpq_topk(
         emb, queries, k=3, n_cells=8, n_probe=2, n_subspaces=4, n_codes=8
     )
+
+
+@register(
+    "llm_ivfpq_index_search",
+    export=False,  # driver slot held by its family head (time_rollup_family)
+    oracle=_IVFPQ_ORACLE,  # identical output contract to llm_ivfpq_topk
+    doc=(
+        "LLM similarity: the AT-REST IVF-PQ path — codes persisted"
+        " partitioned BY cell_id with centroid/codebook sidecars, searched"
+        " via a partition-PRUNED scan of only the probed cells reading M"
+        " ints per candidate; results bitwise-match the in-flight"
+        " llm_ivfpq_topk"
+    ),
+)
+def llm_ivfpq_index_search(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from aave_etl_spark.io.table_store import TableStore
+
+    emb = t(spark, sf_dir, "embeddings")
+    # deterministic per-sf store root, sha-keyed by the FULL resolved path
+    # (two corpora sharing a basename must never share a cached index);
+    # the version segment invalidates cached indexes on layout changes
+    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
+    store_root = os.path.join(
+        tempfile.gettempdir(),
+        "aave_etl_spark_ivfpq_v1",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
+    )
+    store = TableStore(spark, store_root)
+    # build-once/search-many, gated on the COMPLETION MARKER (cleared
+    # first / written last by ivfpq_index_build): an interrupted build or
+    # rebuild leaves no marker, so a codes/sidecar pair from different
+    # runs can never be served
+    if not (
+        store.is_complete("ivfpq_index")
+        and store.exists("ivfpq_index")
+        and store.exists("ivfpq_index_cells")
+        and store.exists("ivfpq_index_codebook")
+    ):
+        similarity.ivfpq_index_build(
+            store, emb, n_cells=8, n_codes=8, n_subspaces=4
+        )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivfpq_index_search(
+        store, queries, k=3, n_probe=2, n_subspaces=4
+    )

@@ -1475,3 +1475,51 @@ def test_perplexity_buckets_null_lang_kept_in_both_forms(spark):
     assert exact.count() == 24
     assert approx.count() == 24, "approximate form must keep NULL-lang docs"
     assert approx.filter("lang IS NULL").count() == 16
+
+
+def test_ivfpq_index_roundtrip_matches_in_flight(spark, tmp_path):
+    from aave_etl_spark.io.table_store import TableStore
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    store = TableStore(spark, str(tmp_path))
+    similarity.ivfpq_index_build(store, emb, n_cells=8, n_codes=8, n_subspaces=4)
+    queries = emb.filter(F.col("vec_id") < 8)
+    at_rest = similarity.ivfpq_index_search(
+        store, queries, k=3, n_probe=2, n_subspaces=4
+    ).collect()
+    in_flight = similarity.ivfpq_topk(
+        emb, queries, k=3, n_cells=8, n_probe=2, n_subspaces=4, n_codes=8
+    ).collect()
+    assert sorted(map(tuple, at_rest)) == sorted(map(tuple, in_flight))
+    assert len(at_rest) > 0
+
+
+def test_ivfpq_index_search_scans_only_probed_cells(spark, tmp_path):
+    import re as _re
+
+    from aave_etl_spark.io.table_store import TableStore
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13) % 7), float((i * 5) % 11), 1.0, 2.0]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    store = TableStore(spark, str(tmp_path))
+    similarity.ivfpq_index_build(store, emb, n_cells=8, n_codes=4, n_subspaces=2)
+    one_query = emb.filter(F.col("vec_id") == 20)
+    out = similarity.ivfpq_index_search(
+        store, one_query, k=3, n_probe=2, n_subspaces=2
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"cell_id#\d+ IN(?:SET)? \(?([\d, ]+)\)?", p)
+    assert m, f"no partition IN/INSET filter in plan:\n{p[:2000]}"
+    assert len([v for v in m.group(1).split(",") if v.strip()]) == 2
+    assert out.count() == 3
+    # empty query set: typed empty, no IN () predicate constructed
+    none = similarity.ivfpq_index_search(
+        store, emb.filter(F.col("vec_id") < 0), k=3, n_probe=2, n_subspaces=2
+    )
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == [
+        "query_id", "candidate_id", "cell_id", "approx_d2", "rank",
+    ]
