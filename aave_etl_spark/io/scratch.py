@@ -40,4 +40,13 @@ def session_scratch_dir(spark, family: str, *parts: str) -> str:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass  # raced with another sweeper; the loser just moves on
-    return os.path.join(root, app, *parts)
+    # heartbeat: a directory's mtime only moves when direct children
+    # change, so a long-lived session writing in nested subdirs would age
+    # past the cutoff and get swept by a concurrent sibling — touch the
+    # owning root on every call to keep it visibly alive
+    own = os.path.join(root, app)
+    try:
+        os.utime(own)
+    except OSError:
+        pass  # not created yet; the first writer stamps a fresh mtime
+    return os.path.join(own, *parts)

@@ -198,6 +198,7 @@ class TableStore:
         bucket_cols: list[str],
         n_buckets: int = 32,
         sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
     ) -> None:
         """Persist ``df`` hash-bucketed (CLUSTERED BY) on ``bucket_cols``.
 
@@ -208,10 +209,16 @@ class TableStore:
         joined repeatedly on the same key, the one-time bucketed write
         amortizes the shuffle out of every downstream join/agg on that
         key. Requires the session catalog (bucket metadata lives there,
-        not in parquet); read back with ``read_bucketed``."""
+        not in parquet); read back with ``read_bucketed``.
+
+        ``mode="append"`` adds files into the EXISTING bucketed table —
+        each new file still hash-routes rows by the bucket function, so
+        co-location survives incremental ingest (Spark validates the
+        bucket spec against the catalog and refuses a mismatch). The
+        caller must pass the ORIGINAL ``n_buckets``/``sort_cols``."""
         writer = (
             df.write.format("parquet")
-            .mode("overwrite")
+            .mode(mode)
             .bucketBy(n_buckets, *bucket_cols)
         )
         if sort_cols:

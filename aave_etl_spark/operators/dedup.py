@@ -484,6 +484,79 @@ def minhash_index_build(
         banded, name, bucket_cols=["band_key"], n_buckets=n_buckets,
         sort_cols=["band_key"],
     )
+    # persist the banding parameters as a one-row sidecar: a match run
+    # with different parameters would otherwise SILENTLY yield
+    # empty/wrong candidates (band keys simply never collide) —
+    # minhash_index_match/append validate against this and raise instead
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(int(shingle_n), int(num_hashes), int(rows_per_band), int(n_buckets))],
+        "shingle_n int, num_hashes int, rows_per_band int, n_buckets int",
+    ).write.mode("overwrite").parquet(store._path(name + "_params"))
+
+
+def _index_params(store, spark, name, shingle_n, num_hashes, rows_per_band):
+    """Read the index's build-params sidecar and raise on a banding
+    mismatch. Returns the sidecar row, or None for a pre-sidecar index
+    (caller-owned contract)."""
+    try:
+        built = spark.read.parquet(store._path(name + "_params")).head()
+    except Exception:
+        return None
+    want = (int(shingle_n), int(num_hashes), int(rows_per_band))
+    have = (built.shingle_n, built.num_hashes, built.rows_per_band)
+    if want != have:
+        raise ValueError(
+            f"minhash index params {want} != index build params"
+            f" {have} (shingle_n, num_hashes, rows_per_band) — a"
+            " mismatch silently yields empty/wrong matches"
+        )
+    return built
+
+
+def minhash_index_append(
+    store,
+    new_docs: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> None:
+    """Append a (verified-unique) batch's band keys into an existing
+    at-rest MinHash index, partition-incrementally.
+
+    The build-once/append-forever half of the incremental-ingest loop:
+    match a new batch (`minhash_index_match`) → verify → append the
+    SURVIVORS' bands here, so the next batch matches against the whole
+    corpus seen so far without ever re-scanning or re-banding it. The
+    append re-uses the catalog's bucket spec (validated by Spark) and the
+    sidecar's banding params (validated here — a drifted shingle_n would
+    silently produce never-colliding keys), so each appended file is
+    bucket-routed exactly like the original build and later matches stay
+    exchange-free on the corpus side. Cost tracks the batch, never the
+    corpus."""
+    spark = new_docs.sparkSession
+    built = _index_params(store, spark, name, shingle_n, num_hashes, rows_per_band)
+    if built is None:
+        raise ValueError(
+            f"minhash_index_append: no params sidecar for index {name!r} —"
+            " build it with minhash_index_build first"
+        )
+    banded = band_keys(
+        minhash_signatures(
+            word_shingles(new_docs, id_col, text_col, n=shingle_n),
+            id_col,
+            num_hashes=num_hashes,
+        ),
+        id_col,
+        rows_per_band,
+    )
+    store.write_bucketed(
+        banded, name, bucket_cols=["band_key"], n_buckets=built.n_buckets,
+        sort_cols=["band_key"], mode="append",
+    )
 
 
 def minhash_index_match(
@@ -500,13 +573,18 @@ def minhash_index_match(
     (new_id, corpus_id) candidate pairs sharing any LSH band.
 
     The new batch is banded with the SAME parameters the index was built
-    with (the caller owns that contract — a mismatched shingle_n silently
-    yields empty matches), then equi-joined on (band, band_key). The
+    with — enforced against the build's persisted params sidecar (a
+    mismatched shingle_n would otherwise silently yield empty matches;
+    here it raises) — then equi-joined on the band key. The
     corpus side reads pre-bucketed on band_key — no exchange, no corpus
     re-scan of text; only the new batch's bands shuffle. Downstream:
     verify candidates with `jaccard_verify` against just the matched
-    corpus docs, then append survivors and `minhash_index_build` their
-    bands into the index partition-incrementally."""
+    corpus docs, then `minhash_index_append` the survivors' bands into
+    the index partition-incrementally (proven equal to a from-scratch
+    rebuild in tests/test_operators.py)."""
+    _index_params(
+        store, new_docs.sparkSession, name, shingle_n, num_hashes, rows_per_band
+    )
     newb = band_keys(
         minhash_signatures(
             word_shingles(new_docs, id_col, text_col, n=shingle_n),

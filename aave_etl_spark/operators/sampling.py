@@ -350,6 +350,7 @@ def epoch_shards(
     n_shards: int = 8,
     seed: str = "epoch0",
     id_col: str = "doc_id",
+    sub_prefix_len: int = 2,
 ) -> DataFrame:
     """Deterministic epoch shuffle + shard assignment: the step between
     curation and the data loader. Every training run needs a reproducible
@@ -365,12 +366,24 @@ def epoch_shards(
 
     Output: (id, shard, position, sort_key).
 
-    Scale: one hash projection + n_shards-partitioned windows — there is
-    NO global order-by (the single-task funnel a naive global
-    row_number() would create); each shard's window parallelizes
-    independently, and shards are hash-uniform by construction so no
-    window partition is hot. Re-sharding for a new epoch is a new seed,
-    not a data move."""
+    Scale: one hash projection + a TWO-LEVEL rank — there is NO global
+    order-by, and (unlike a naive ``row_number() over (partition by
+    shard)``, which funnels |corpus|/n_shards rows through one task per
+    shard) no window partition is wider than a sub-bucket either.
+    Because ``sort_key`` is an md5 hex string, its leading
+    ``sub_prefix_len`` hex chars are a prefix of the sort order: ranking
+    within (shard, sub-bucket) and adding a broadcast count-prefix
+    offset over the tiny (shard, sub) grid reproduces the per-shard
+    rank exactly.  With the default ``sub_prefix_len=2`` each shard
+    splits into 256 hash-uniform sub-buckets, so window parallelism is
+    ``n_shards * 256`` tasks of |corpus|/(n_shards*256) rows — at 100 TB
+    and 8 shards that is ~50 GB per task instead of ~12.5 TB.  The grid
+    itself is ``n_shards * 16^sub_prefix_len`` rows (2 048 by default):
+    a map-side-combined count + a driver-trivial prefix sum, broadcast
+    back so the final join is exchange-free on the ranked side.
+    Re-sharding for a new epoch is a new seed, not a data move."""
+    if not 1 <= sub_prefix_len <= 4:
+        raise ValueError("sub_prefix_len must be in [1, 4]")
     key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
     keyed = df.select(
         F.col(id_col),
@@ -378,11 +391,26 @@ def epoch_shards(
         (
             F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % n_shards
         ).cast("int").alias("shard"),
+    ).withColumn("_sub", F.substring("sort_key", 1, sub_prefix_len))
+    # Level 1: rank within (shard, sub-bucket) — bounded-width windows.
+    w = Window.partitionBy("shard", "_sub").orderBy("sort_key", id_col)
+    ranked = keyed.withColumn("_rk", F.row_number().over(w).cast("long"))
+    # Level 2: broadcast count-prefix offsets over the (shard, sub) grid.
+    grid = Window.partitionBy("shard").orderBy("_sub").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
-    return keyed.select(
-        F.col(id_col),
-        "shard",
-        F.row_number().over(w).cast("long").alias("position"),
-        "sort_key",
+    offsets = (
+        keyed.groupBy("shard", "_sub")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(grid), F.lit(0)))
+        .select("shard", "_sub", "_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ["shard", "_sub"])
+        .select(
+            F.col(id_col),
+            "shard",
+            (F.col("_off") + F.col("_rk")).alias("position"),
+            "sort_key",
+        )
     )

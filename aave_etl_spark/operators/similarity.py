@@ -936,9 +936,11 @@ def margin_topk(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
     )
     if broadcast_queries is None:
-        # LIMIT-bounded probe: costs at most max+1 rows of the query side
+        # LIMIT-bounded probe over the id projection only (column pruning
+        # reaches the scan): costs at most max+1 ids of the query side
         small_q = (
-            queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
+            queries.select(id_col).limit(max_broadcast_queries + 1).count()
+            <= max_broadcast_queries
         )
     else:
         small_q = broadcast_queries
@@ -1281,6 +1283,70 @@ def _struct_row(df: DataFrame, key: str, alias: str) -> DataFrame:
     return df.agg(F.sort_array(F.collect_list(F.struct(key, "cvec"))).alias(alias))
 
 
+def _trained_geometry(df: DataFrame, key: str) -> DataFrame:
+    """Normalize a TRAINED geometry frame — (key, centroid|cvec), e.g.
+    :func:`kmeans_fit` output — to the dense-0-based (key, cvec) contract
+    the position<->key identities below require: keys are RE-CODED by
+    ascending key rank (the same discipline `_ivfpq_seeds` applies to
+    sparse candidate ids). The frame is codebook-sized, so the recode
+    window is trivially small."""
+    vec = "cvec" if "cvec" in df.columns else "centroid"
+    return (
+        df.select(F.col(key), F.col(vec).cast("array<double>").alias("cvec"))
+        .withColumn(key, (F.row_number().over(Window.orderBy(key)) - 1).cast("int"))
+        .select(key, "cvec")
+    )
+
+
+def ivfpq_train(
+    candidates: DataFrame,
+    n_cells: int = 8,
+    n_codes: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF-PQ geometry with Lloyd k-means — the production
+    counterpart of the deterministic first-N seeding: (1) coarse cells =
+    k-means over the corpus; (2) residual codebook = k-means over every
+    vector's residual w.r.t. its own trained cell (full-d sub-centroids;
+    subspace m of code c is the m-th slice, exactly how the deterministic
+    codebook is consumed). Returns ``(cells, codebook)`` frames that slot
+    directly into :func:`ivfpq_topk` / :func:`ivfpq_index_build`'s
+    ``cells=``/``codebook=`` parameters.
+
+    Deterministic end-to-end: `kmeans_fit` inits from the first-k vectors
+    by id and both outputs are densely re-coded by key rank, so the same
+    corpus always yields the same index (pinned by
+    tests/test_operators.py). Cost: 2×n_iter corpus scans (the two fits)
+    + one residual pass; all geometry stays broadcast-sized."""
+    cells = _trained_geometry(
+        kmeans_fit(candidates, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col),
+        "cell_id",
+    )
+    cells_row = _struct_row(cells, "cell_id", "_cells")
+    residuals = (
+        candidates.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+        )
+        .crossJoin(F.broadcast(cells_row))
+        .select(
+            id_col, "_cv",
+            # own projection: interpreted HOF, no CSE under CodegenFallback
+            _nearest_cell(F.col("_cv"), round_digits).alias("_cell"), "_cells",
+        )
+        .select(id_col, _cell_residual(F.col("_cv"), F.col("_cell")).alias("_res"))
+    )
+    codebook = _trained_geometry(
+        kmeans_fit(
+            residuals, k=n_codes, n_iter=n_iter, id_col=id_col, vec_col="_res"
+        ).withColumnRenamed("cell_id", "code"),
+        "code",
+    )
+    return cells, codebook
+
+
 def _ivfpq_residual_codebook(
     seeds: DataFrame, cells_row: DataFrame, n_cells: int, round_digits: int = 6
 ) -> DataFrame:
@@ -1411,6 +1477,32 @@ def _ivfpq_rank(pairs: DataFrame, k: int, m_sub: int, round_digits: int) -> Data
     )
 
 
+def _ivfpq_geometry(
+    candidates: DataFrame,
+    cells: DataFrame | None,
+    codebook: DataFrame | None,
+    n_cells: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Resolve the index geometry: the deterministic first-N seeding
+    (certifiable twin) unless the caller provides TRAINED (cells,
+    codebook) frames — both or neither; trained frames are normalized to
+    the dense (key, cvec) contract."""
+    if (cells is None) != (codebook is None):
+        raise ValueError("pass both cells= and codebook=, or neither")
+    if cells is not None:
+        return _trained_geometry(cells, "cell_id"), _trained_geometry(codebook, "code")
+    seeds = _ivfpq_seeds(candidates, n_cells, n_codes, id_col, vec_col)
+    det_cells = seeds.filter(F.col("_rk") < n_cells).select(
+        F.col("_rk").alias("cell_id"), "cvec"
+    )
+    cells_row = _struct_row(det_cells, "cell_id", "_cells")
+    return det_cells, _ivfpq_residual_codebook(seeds, cells_row, n_cells, round_digits)
+
+
 def ivfpq_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -1422,6 +1514,8 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    cells: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed billion-scale ANN layout (FAISS's IVFPQ;
     Jégou et al. 2011 §V) — a coarse quantizer prunes the scan to
@@ -1447,17 +1541,18 @@ def ivfpq_topk(
     :func:`ivfpq_index_build` / :func:`ivfpq_index_search` are the
     at-rest production shape — codes persisted partitioned BY cell_id,
     searches read n_probe/n_cells of the directories and M ints per
-    candidate instead of d floats: probe pruning × code compression."""
+    candidate instead of d floats: probe pruning × code compression.
+
+    ``cells=``/``codebook=`` (both or neither) override the deterministic
+    geometry with TRAINED frames — :func:`ivfpq_train`'s k-means output —
+    through the identical plan; ``n_cells``/``n_codes`` are then taken
+    from the frames themselves."""
     M = n_subspaces
-    seeds = _ivfpq_seeds(candidates, n_cells, n_codes, id_col, vec_col)
-    cells = seeds.filter(F.col("_rk") < n_cells).select(
-        F.col("_rk").alias("cell_id"), "cvec"
+    cells, cb = _ivfpq_geometry(
+        candidates, cells, codebook, n_cells, n_codes, id_col, vec_col, round_digits
     )
     cells_row = _struct_row(cells, "cell_id", "_cells")
-    cb_row = _struct_row(
-        _ivfpq_residual_codebook(seeds, cells_row, n_cells, round_digits),
-        "code", "_cbs",
-    )
+    cb_row = _struct_row(cb, "code", "_cbs")
     enc = _ivfpq_encode(candidates, cells_row, cb_row, M, id_col, vec_col, round_digits)
     probed = _ivfpq_probe_tables(
         queries, cells_row, cb_row, n_probe, M, id_col, vec_col, round_digits
@@ -1475,6 +1570,8 @@ def ivfpq_index_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    cells: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF-PQ index AT REST through the TableStore: the
     code table (candidate id, M small ints) lands partitioned BY
@@ -1489,14 +1586,17 @@ def ivfpq_index_build(
     bytes, enforced before any task runs. The corpus pass here is the
     ONE encode scan; rebuilds are full refreshes under the
     clear-first/mark-last completion-marker protocol (a partial rebuild
-    can never serve a codes/sidecar pair from different runs)."""
+    can never serve a codes/sidecar pair from different runs).
+
+    ``cells=``/``codebook=`` (both or neither) build the index from
+    TRAINED geometry — :func:`ivfpq_train` output — through the identical
+    layout; :func:`ivfpq_index_search` is geometry-agnostic (it reads the
+    sidecars), so the trained index serves the same searches."""
     M = n_subspaces
-    seeds = _ivfpq_seeds(candidates, n_cells, n_codes, id_col, vec_col)
-    cells = seeds.filter(F.col("_rk") < n_cells).select(
-        F.col("_rk").alias("cell_id"), "cvec"
+    cells, cb = _ivfpq_geometry(
+        candidates, cells, codebook, n_cells, n_codes, id_col, vec_col, round_digits
     )
     cells_row = _struct_row(cells, "cell_id", "_cells")
-    cb = _ivfpq_residual_codebook(seeds, cells_row, n_cells, round_digits)
     cb_row = _struct_row(cb, "code", "_cbs")
     enc = _ivfpq_encode(candidates, cells_row, cb_row, M, id_col, vec_col, round_digits)
     store.clear_complete(name)

@@ -1,0 +1,108 @@
+"""The end-to-end LLM pretraining curation composition.
+
+One callable chain — C4 clean → exact dedup → LSH/Jaccard/CC near-dup
+keeper → quality+language gate → DSIR resample → domain mix → greedy
+pack — shared by the certified query (``queries/llm.py
+llm_curation_pipeline``, exact forms, checkpointed) and the 100 TB twin
+(``approximate=True``: every global cut becomes a window-free
+percentile-threshold form, plan-asserted in
+tests/test_operators.py).
+
+Stage semantics mirror the curation literature, not any reference file
+(the reference engine has no LLM-data surface): C4 (Raffel 2020 §2.2)
+line filtering, MinHash/LSH near-dup (Broder 1997), DSIR importance
+resampling (Xie 2023, arXiv:2302.03169), greedy first-fit packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aave_etl_spark.operators import dedup, packing, sampling, text
+from aave_etl_spark.operators.graph import dedup_clusters
+
+#: the default target language mix (group -> keep rate)
+DEFAULT_MIX = [("en", 0.9), ("fr", 0.5), ("de", 0.5), ("es", 0.5), ("zh", 0.2)]
+
+
+def curate(
+    docs: DataFrame,
+    approximate: bool = False,
+    checkpoint: bool = True,
+    keep_frac: float = 0.5,
+    capacity: int = 256,
+    mix_weights: list[tuple[str, float]] | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full curation chain over ``docs`` (doc_id, text, lang).
+
+    Returns every stage's surviving frame keyed by stage name —
+    ``{"c4", "exact", "neardup", "gate", "dsir", "mix", "packed"}`` — so
+    callers can count survivors per stage (the certification shape) or
+    take just the packed output.
+
+    ``approximate=True`` swaps the one global-window cut (exact DSIR's
+    Gumbel-top-k rank) for the broadcast percentile-threshold form: the
+    whole chain is then free of partition-less windows (the remaining
+    windows partition by content hash / per-group keys, which shard by
+    construction). ``checkpoint=False`` keeps the lineage inspectable for
+    plan asserts; the default cuts it at the three multiply-consumed
+    frames."""
+    maybe_ckpt = (
+        (lambda df: df.localCheckpoint(eager=False)) if checkpoint else (lambda df: df)
+    )
+    spark = docs.sparkSession
+    # 1. C4 line-level clean, keeping the cleaned text for the chain
+    c4 = text.c4_line_filter(docs, keep_text=True)
+    c4k = (
+        c4.filter("doc_kept")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.col("clean_text").alias("ct"))
+    )
+    # 2. exact dedup on the cleaned text (C4's own order of operations);
+    # checkpoint: five downstream stage-count arms re-consume this frame.
+    # The window partitions by the content hash — sharded by construction.
+    ex = maybe_ckpt(
+        c4k.withColumn("_k0", F.min("doc_id").over(Window.partitionBy(F.md5("ct"))))
+        .filter(F.col("doc_id") == F.col("_k0"))
+        .drop("_k0")
+    )
+    # 3. near-dup keeper: LSH candidates -> exact-Jaccard verify -> CC
+    sh = dedup.word_shingles(ex, text_col="ct", n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
+    dups = dedup.jaccard_verify(sh, cand, threshold=0.5)
+    clusters = dedup_clusters(dups, ex.select("doc_id"))
+    surv3 = maybe_ckpt(
+        ex.join(clusters.filter("is_keeper = 1").select("doc_id"), "doc_id")
+    )
+    # 4. quality + language gate over the cleaned text
+    q = text.quality_score(surv3, text_col="ct")
+    lid = text.language_id(surv3, text_col="ct")
+    surv4 = (
+        surv3.join(q, "doc_id")
+        .join(lid.select("doc_id", "lang_guess"), "doc_id")
+        .filter("quality >= 0.5 AND lang_guess <> 'und'")
+        .select("doc_id", "lang", "ct")
+    )
+    # 5. DSIR importance resample toward the English target
+    ds = sampling.dsir_importance_resample(
+        surv4, target_pred="lang = 'en'", m=64, keep_frac=keep_frac,
+        text_col="ct", approximate=approximate,
+    )
+    surv5 = maybe_ckpt(surv4.join(ds.filter("kept").select("doc_id"), "doc_id"))
+    # 6. domain mixing to the target language distribution
+    weights = spark.createDataFrame(
+        mix_weights if mix_weights is not None else DEFAULT_MIX,
+        "lang string, keep_frac double",
+    )
+    surv6 = sampling.mix_corpus(surv5, weights)
+    # 7. greedy sequence packing of the final corpus
+    pin = surv6.select(
+        "lang", "doc_id", F.size(text.tokens("ct")).cast("long").alias("n_tokens")
+    )
+    packed = packing.greedy_pack(pin, capacity=capacity)
+    return {
+        "c4": c4k, "exact": ex, "neardup": surv3, "gate": surv4,
+        "dsir": surv5, "mix": surv6, "packed": packed,
+    }

@@ -2071,64 +2071,13 @@ FROM p
 def llm_curation_pipeline(spark, sf_dir):
     from functools import reduce
 
-    from aave_etl_spark.operators import packing, sampling
-    from aave_etl_spark.operators.graph import dedup_clusters
+    from aave_etl_spark.plans.curation import curate
 
     docs = t(spark, sf_dir, "documents").withColumn(
         "text",
         F.expr("replace(text, ' table ', concat('.', chr(10), 'table '))"),
     )
-    # 1. C4 line-level clean, keeping the cleaned text for the chain
-    c4 = text.c4_line_filter(docs, keep_text=True)
-    c4k = (
-        c4.filter("doc_kept")
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", F.col("clean_text").alias("ct"))
-    )
-    # 2. exact dedup on the cleaned text (C4's own order of operations);
-    # checkpoint: five downstream stage-count arms re-consume this frame
-    ex = (
-        c4k.withColumn("_k0", F.min("doc_id").over(Window.partitionBy(F.md5("ct"))))
-        .filter(F.col("doc_id") == F.col("_k0"))
-        .drop("_k0")
-        .localCheckpoint(eager=False)
-    )
-    # 3. near-dup keeper: LSH candidates -> exact-Jaccard verify -> CC
-    sh = dedup.word_shingles(ex, text_col="ct", n=3)
-    sigs = dedup.minhash_signatures(sh, num_hashes=8)
-    cand = dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
-    dups = dedup.jaccard_verify(sh, cand, threshold=0.5)
-    clusters = dedup_clusters(dups, ex.select("doc_id"))
-    surv3 = ex.join(
-        clusters.filter("is_keeper = 1").select("doc_id"), "doc_id"
-    ).localCheckpoint(eager=False)
-    # 4. quality + language gate over the cleaned text
-    q = text.quality_score(surv3, text_col="ct")
-    lid = text.language_id(surv3, text_col="ct")
-    surv4 = (
-        surv3.join(q, "doc_id")
-        .join(lid.select("doc_id", "lang_guess"), "doc_id")
-        .filter("quality >= 0.5 AND lang_guess <> 'und'")
-        .select("doc_id", "lang", "ct")
-    )
-    # 5. DSIR importance resample toward the English target
-    ds = sampling.dsir_importance_resample(
-        surv4, target_pred="lang = 'en'", m=64, keep_frac=0.5, text_col="ct"
-    )
-    surv5 = surv4.join(
-        ds.filter("kept").select("doc_id"), "doc_id"
-    ).localCheckpoint(eager=False)
-    # 6. domain mixing to the target language distribution
-    weights = spark.createDataFrame(
-        [("en", 0.9), ("fr", 0.5), ("de", 0.5), ("es", 0.5), ("zh", 0.2)],
-        "lang string, keep_frac double",
-    )
-    surv6 = sampling.mix_corpus(surv5, weights)
-    # 7. greedy sequence packing of the final corpus
-    pin = surv6.select(
-        "lang", "doc_id", F.size(text.tokens("ct")).cast("long").alias("n_tokens")
-    )
-    packed = packing.greedy_pack(pin, capacity=256)
+    stages = curate(docs)  # exact forms, checkpointed — the certified twin
 
     def cnt(df, name):
         return df.agg(F.count(F.lit(1)).cast("double").alias("v1")).selectExpr(
@@ -2137,9 +2086,10 @@ def llm_curation_pipeline(spark, sf_dir):
         )
 
     arms = [
-        cnt(c4k, "c4"), cnt(ex, "exact"), cnt(surv3, "neardup"),
-        cnt(surv4, "gate"), cnt(surv5, "dsir"), cnt(surv6, "mix"),
-        packed.selectExpr(
+        cnt(stages[name], name)
+        for name in ("c4", "exact", "neardup", "gate", "dsir", "mix")
+    ] + [
+        stages["packed"].selectExpr(
             "'packed' AS part", "lang AS k1", "CAST(doc_id AS STRING) AS k2",
             "CAST(n_tokens AS DOUBLE) AS v1", "CAST(pack_id AS DOUBLE) AS v2",
             "CAST(pack_offset AS DOUBLE) AS v3",
@@ -2434,6 +2384,7 @@ def llm_perplexity_buckets(spark, sf_dir):
     ),
 )
 def llm_minhash_index_match(spark, sf_dir):
+    import hashlib
     import os
     import re as re_mod
 
@@ -2441,11 +2392,17 @@ def llm_minhash_index_match(spark, sf_dir):
     from aave_etl_spark.io.table_store import TableStore
 
     base = os.path.basename(sf_dir.rstrip("/"))
-    store = TableStore(spark, session_scratch_dir(spark, "aave_etl_spark_mhidx", base))
+    # key by the FULL resolved path, not basename alone — two corpora
+    # sharing a basename in one session must never share a cached index
+    # (the discipline llm_ivfpq_index_search applies)
+    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
+    store = TableStore(
+        spark, session_scratch_dir(spark, "aave_etl_spark_mhidx", f"{base}-{sf_key}")
+    )
     # catalog table names are session-global while the store root is
     # session+sf keyed — embed the sf so two scale factors in one session
     # (driver smoke at sf0.001 + certs at sf0.01) never collide
-    tbl = "mh_band_idx_" + re_mod.sub(r"[^0-9a-zA-Z]+", "_", base)
+    tbl = "mh_band_idx_" + re_mod.sub(r"[^0-9a-zA-Z]+", "_", f"{base}_{sf_key}")
     docs = t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     new_batch = docs.filter(F.col("doc_id") % 2 == 1)
@@ -2658,21 +2615,27 @@ def llm_ivfpq_topk(spark, sf_dir):
 def llm_ivfpq_index_search(spark, sf_dir):
     import hashlib
     import os
-    import tempfile
 
+    from aave_etl_spark.io.scratch import session_scratch_dir
     from aave_etl_spark.io.table_store import TableStore
 
     emb = t(spark, sf_dir, "embeddings")
-    # deterministic per-sf store root, sha-keyed by the FULL resolved path
-    # (two corpora sharing a basename must never share a cached index);
-    # the version segment invalidates cached indexes on layout changes
+    # per-SESSION store root (the session_scratch_dir discipline every
+    # other at-rest cert store follows): two concurrent harness processes
+    # can never race clear_complete/rmtree on a shared index, and a
+    # regenerated fixture at the same path can't serve a stale one.
+    # Within the session the root is additionally sha-keyed by the FULL
+    # resolved sf path — two corpora sharing a basename never share a
+    # cached index.
     sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
-    store_root = os.path.join(
-        tempfile.gettempdir(),
-        "aave_etl_spark_ivfpq_v1",
-        f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
+    store = TableStore(
+        spark,
+        session_scratch_dir(
+            spark,
+            "aave_etl_spark_ivfpq",
+            f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
+        ),
     )
-    store = TableStore(spark, store_root)
     # build-once/search-many, gated on the COMPLETION MARKER (cleared
     # first / written last by ivfpq_index_build): an interrupted build or
     # rebuild leaves no marker, so a codes/sidecar pair from different

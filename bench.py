@@ -137,6 +137,25 @@ def main() -> int:
         out["failures"] = failures
     if part_failures:
         out["part_failures"] = part_failures
+    # The driver captures a byte-bounded TAIL of stdout; the r7 `parts`
+    # payload pushed the one-line JSON past that window and the round lost
+    # its headline medians (BENCH_r07 `parsed: null`) — a tail keeps the
+    # END of output, so an over-long line loses its FRONT, where metric /
+    # value / queries live.  Persist the FULL payload (incl. parts) to
+    # BENCH_LAST.json next to the script, and keep stdout's one JSON line
+    # compact: headline + medians only, with a pointer to the file.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST.json"),
+            "w",
+        ) as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+        out = {k: v for k, v in out.items() if k != "parts"}
+        out["parts_in"] = "BENCH_LAST.json"
+    except OSError:
+        pass  # a read-only checkout gets the full line on stdout instead
     print(json.dumps(out))
     return 1 if failures else 0
 

@@ -1321,6 +1321,75 @@ def test_minhash_index_match_equals_inflight_and_reads_bucketed(spark, tmp_path)
     got.collect()
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan, f"index side must scan bucketed:\n{plan[:1500]}"
+    # the build persisted its banding params; a mismatched match RAISES
+    # instead of silently returning empty/wrong candidates
+    import pytest
+
+    for bad in (dict(shingle_n=5), dict(num_hashes=16), dict(rows_per_band=4)):
+        with pytest.raises(ValueError, match="build params"):
+            dd.minhash_index_match(store, new, "mh_idx_t", **bad)
+
+
+def test_minhash_index_append_loop_matches_from_scratch_build(spark, tmp_path):
+    """The build-once/append-forever contract: build on batch A, match
+    batch B and APPEND its bands partition-incrementally, then batch C
+    must match against A∪B exactly as it would against a from-scratch
+    A∪B build — and the appended index still scans bucketed."""
+    import pytest
+
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.operators import dedup as dd
+
+    # each distinct doc uses its own disjoint vocabulary so only intended
+    # dup pairs can share shingles
+    text = lambda w: f"{w}1 {w}2 {w}3 {w}4 {w}5 {w}6 {w}7 {w}8"  # noqa: E731
+    batch_a = spark.createDataFrame(
+        [(i, text(f"alpha{i}")) for i in range(0, 6)], "doc_id long, text string"
+    )
+    # B: 10/11 duplicate docs 0/1, 12 fresh
+    batch_b = spark.createDataFrame(
+        [(10, text("alpha0")), (11, text("alpha1")), (12, text("bravo"))],
+        "doc_id long, text string",
+    )
+    # C: 20 dups doc 2 (from A), 21 dups doc 12 (from B), 22 fresh
+    batch_c = spark.createDataFrame(
+        [(20, text("alpha2")), (21, text("bravo")), (22, text("charlie"))],
+        "doc_id long, text string",
+    )
+
+    store = TableStore(spark, str(tmp_path / "inc"))
+    dd.minhash_index_build(store, batch_a, "mh_idx_inc", n_buckets=4)
+    b_pairs = {
+        (r.new_id, r.corpus_id)
+        for r in dd.minhash_index_match(store, batch_b, "mh_idx_inc").collect()
+    }
+    assert {(10, 0), (11, 1)} <= b_pairs and not any(n == 12 for n, _ in b_pairs)
+    # append B (all of it — verification keeps everything here) and match C
+    dd.minhash_index_append(store, batch_b, "mh_idx_inc")
+    got = dd.minhash_index_match(store, batch_c, "mh_idx_inc")
+    c_pairs = {(r.new_id, r.corpus_id) for r in got.collect()}
+    # from-scratch oracle: one build over A∪B
+    scratch = TableStore(spark, str(tmp_path / "scr"))
+    dd.minhash_index_build(
+        scratch, batch_a.unionByName(batch_b), "mh_idx_scr", n_buckets=4
+    )
+    want = {
+        (r.new_id, r.corpus_id)
+        for r in dd.minhash_index_match(scratch, batch_c, "mh_idx_scr").collect()
+    }
+    assert c_pairs == want
+    assert {(20, 2), (21, 12)} <= c_pairs  # hits in BOTH the base and appended halves
+    assert not any(n == 22 for n, _ in c_pairs)  # fresh doc matches nothing
+    # co-location survives the append: the corpus side still scans bucketed
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    # an append with drifted banding params refuses (sidecar validation)
+    with pytest.raises(ValueError, match="build params"):
+        dd.minhash_index_append(store, batch_c, "mh_idx_inc", shingle_n=5)
+    # an append into a never-built index refuses
+    with pytest.raises(ValueError, match="sidecar"):
+        dd.minhash_index_append(store, batch_c, "mh_idx_missing")
 
 
 def test_pq_topk_recall_on_clustered_vectors(spark):
@@ -1385,6 +1454,58 @@ def test_epoch_shards_deterministic_and_partition_invariant(spark):
     # a different epoch seed produces a different order
     c = {r.doc_id: (r.shard, r.position) for r in sampling.epoch_shards(df, n_shards=4, seed="epoch1").collect()}
     assert c != a
+
+
+def test_epoch_shards_two_level_rank_matches_global_and_is_bounded(spark):
+    """The scale form: position comes from a (shard, sub-bucket) window
+    plus broadcast prefix offsets, never from a per-shard-wide window.
+    Property-tested equal to the per-shard global rank computed
+    driver-side, invariant across sub_prefix_len, and plan-asserted:
+    the ranking row_number window partitions by BOTH shard and the
+    sub-bucket."""
+    import hashlib
+
+    from aave_etl_spark.operators import sampling
+
+    n_shards, seed = 4, "epoch0"
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    # driver-side oracle: md5 seed:id -> shard, rank within shard
+    keyed = []
+    for i in range(500):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        keyed.append((i, h, int(h[:15], 16) % n_shards))
+    expect = {}
+    for s in range(n_shards):
+        rows = sorted((h, i) for i, h, sh in keyed if sh == s)
+        for pos, (h, i) in enumerate(rows, start=1):
+            expect[i] = (s, pos)
+    out = sampling.epoch_shards(df, n_shards=n_shards, seed=seed)
+    got = {r.doc_id: (r.shard, r.position) for r in out.collect()}
+    assert got == expect, "two-level rank must equal the per-shard global rank"
+    # sub-bucket width must not change the answer
+    for plen in (1, 3):
+        alt = {
+            r.doc_id: (r.shard, r.position)
+            for r in sampling.epoch_shards(
+                df, n_shards=n_shards, seed=seed, sub_prefix_len=plen
+            ).collect()
+        }
+        assert alt == expect, f"sub_prefix_len={plen}"
+    # plan assert: the row_number window over the data partitions by
+    # (shard, _sub) — a shard-only row_number would funnel
+    # |corpus|/n_shards rows through one task
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, "expected a row_number window in the plan"
+    for ln in rn_lines:
+        assert "_sub" in ln, f"row_number must sub-bucket within shard:\n{ln}"
+    # and the offset join is a broadcast (the grid is tiny by construction)
+    assert "BroadcastHashJoin" in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        sampling.epoch_shards(df, sub_prefix_len=0)
 
 
 def test_ivfpq_topk_probe_pruning_and_recall(spark):
@@ -1475,6 +1596,137 @@ def test_perplexity_buckets_null_lang_kept_in_both_forms(spark):
     assert exact.count() == 24
     assert approx.count() == 24, "approximate form must keep NULL-lang docs"
     assert approx.filter("lang IS NULL").count() == 16
+
+
+def _window_partitions(plan: str) -> list[str]:
+    """First argument of every windowspecdefinition in an executed-plan
+    string. A partition-LESS window's first argument is an ORDER column
+    and carries an ASC/DESC direction; a partitioned window's first
+    argument is a bare partition expression."""
+    import re as _re
+
+    return [m.group(1) for m in _re.finditer(r"windowspecdefinition\(([^,]+),", plan)]
+
+
+def test_curation_pipeline_approximate_twin_is_window_free_at_scale(spark):
+    """The 100 TB composition, asserted — not inferred from per-stage
+    asserts: run the WHOLE curation chain with approximate=True
+    (window-free DSIR) and uncheckpointed lineage, then (a) walk every
+    stage's executed plan and require zero partition-less windows, and
+    (b) property-check the approximate chain's survivor counts against
+    the certified exact flow (identical through stage 4; the DSIR cut
+    differs by at most the percentile-boundary rows)."""
+    from tests.conftest import SF_SMOKE
+
+    from aave_etl_spark.plans.curation import curate
+
+    docs = (
+        spark.read.parquet(SF_SMOKE + "/documents.parquet")
+        .withColumn(
+            "text",
+            F.expr("replace(text, ' table ', concat('.', chr(10), 'table '))"),
+        )
+    )
+    exact = curate(docs)  # the certified flow (checkpointed, exact DSIR)
+    approx = curate(docs, approximate=True, checkpoint=False)
+    e_counts = {name: exact[name].count() for name in ("c4", "exact", "neardup", "gate", "dsir", "mix")}
+    a_counts = {name: approx[name].count() for name in e_counts}
+    # stages 1-4 are deterministic set operations: identical survivors
+    for name in ("c4", "exact", "neardup", "gate"):
+        assert a_counts[name] == e_counts[name], name
+    # the DSIR cut: percentile threshold vs exact rank — same target size
+    # within the boundary-tie slop (ties share one key value)
+    assert abs(a_counts["dsir"] - e_counts["dsir"]) <= max(
+        2, e_counts["gate"] // 20
+    ), (a_counts, e_counts)
+    # downstream of the cut the mix is a per-row hash filter: the approx
+    # mix can differ only by the docs the cuts disagreed on
+    assert abs(a_counts["mix"] - e_counts["mix"]) <= abs(
+        a_counts["dsir"] - e_counts["dsir"]
+    ) + 2
+    # plan walk: NO partition-less window in any stage of the approx chain
+    for name, frame in approx.items():
+        frame.count() if name != "packed" else frame.collect()
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        for first_arg in _window_partitions(plan):
+            assert " ASC" not in first_arg and " DESC" not in first_arg, (
+                f"stage {name!r} has a partition-less window"
+                f" (first spec arg {first_arg!r})"
+            )
+
+
+def test_ivfpq_trained_geometry_end_to_end_recall_and_determinism(spark, tmp_path):
+    """The PRODUCTION ANN shape: k-means-TRAINED cells + residual codebook
+    run through ivfpq_index_build/ivfpq_index_search end-to-end.
+    Gates: (a) recall@3 vs exact L2 >= the deterministic-geometry
+    baseline and >= 0.9 on separated clusters; (b) the at-rest trained
+    search bitwise-matches the trained in-flight ivfpq_topk (geometry
+    flows through the identical plan); (c) ivfpq_train is deterministic
+    (fixed init = first-N-by-id, densely re-coded)."""
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.operators import similarity as sim
+
+    dim = 16
+
+    def vec(c, j):
+        return [20.0 * c + 0.01 * ((i * 5 + j * 3) % 7) for i in range(dim)]
+
+    rows = (
+        [(c, vec(c, 0)) for c in range(4)]
+        + [(4 + c, vec(c, 1)) for c in range(4)]
+        + [(20 + c * 5 + j, vec(c, j + 2)) for c in range(4) for j in range(5)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id IN (20, 25, 30, 35)")
+
+    # exact top-3 by squared L2 (excluding self), driver-side
+    by_id = {r.vec_id: r.embedding for r in df.collect()}
+    exact = {}
+    for q in (20, 25, 30, 35):
+        d2 = sorted(
+            (sum((a - b) ** 2 for a, b in zip(by_id[q], v)), i)
+            for i, v in by_id.items()
+            if i != q
+        )
+        exact[q] = {i for _, i in d2[:3]}
+
+    def recall(rows_):
+        got = {}
+        for r in rows_:
+            got.setdefault(r.query_id, set()).add(r.candidate_id)
+        return sum(len(got.get(q, set()) & exact[q]) for q in exact) / (3 * len(exact))
+
+    cells, codebook = sim.ivfpq_train(df, n_cells=4, n_codes=4, n_iter=3)
+    store = TableStore(spark, str(tmp_path / "trained"))
+    sim.ivfpq_index_build(
+        store, df, n_subspaces=4, cells=cells, codebook=codebook
+    )
+    trained = sim.ivfpq_index_search(
+        store, queries, k=3, n_probe=1, n_subspaces=4
+    ).collect()
+
+    det_store = TableStore(spark, str(tmp_path / "det"))
+    sim.ivfpq_index_build(det_store, df, n_cells=4, n_codes=4, n_subspaces=4)
+    det = sim.ivfpq_index_search(
+        det_store, queries, k=3, n_probe=1, n_subspaces=4
+    ).collect()
+
+    assert recall(trained) >= recall(det)
+    assert recall(trained) >= 0.9
+    # trained at-rest == trained in-flight: same geometry, same plan shape
+    in_flight = sim.ivfpq_topk(
+        df, queries, k=3, n_probe=1, n_subspaces=4, cells=cells, codebook=codebook
+    ).collect()
+    assert sorted(map(tuple, trained)) == sorted(map(tuple, in_flight))
+    # determinism: retraining yields bit-identical geometry
+    cells2, codebook2 = sim.ivfpq_train(df, n_cells=4, n_codes=4, n_iter=3)
+    assert sorted(map(tuple, cells.collect())) == sorted(map(tuple, cells2.collect()))
+    assert sorted(map(tuple, codebook.collect())) == sorted(
+        map(tuple, codebook2.collect())
+    )
+    # half-provided geometry refuses
+    with pytest.raises(ValueError, match="both"):
+        sim.ivfpq_topk(df, queries, cells=cells)
 
 
 def test_ivfpq_index_roundtrip_matches_in_flight(spark, tmp_path):
