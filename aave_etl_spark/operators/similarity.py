@@ -78,6 +78,48 @@ def cosine_topk(
     )
 
 
+def rrf_fuse(
+    dense: DataFrame,
+    sparse: DataFrame,
+    k: int = 5,
+    k0: int = 60,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval arms (Cormack 2009): fused
+    score = Σ_arms 1/(k0 + rank), a candidate absent from an arm simply
+    contributes nothing. The standard hybrid dense+sparse combiner — rank-
+    space fusion needs no score calibration between BM25 and cosine.
+
+    Inputs: two (query_id, candidate_id, ..., rank) frames (e.g.
+    `cosine_topk` and `bm25_retrieve` outputs). Output: (query_id,
+    candidate_id, rrf_score, rank) — top-k per query, ties by candidate id.
+
+    Dataflow at 100 TB: both arms are already per-query top-k (bounded:
+    |queries| × k_arm rows), so the full-outer join and the final window
+    are tiny regardless of corpus size — all the scale lives inside the
+    arms, which prune before fusing."""
+    d = dense.select(
+        "query_id", "candidate_id", F.col(rank_col).alias("_rd")
+    )
+    s = sparse.select(
+        "query_id", "candidate_id", F.col(rank_col).alias("_rs")
+    )
+    both = d.join(s, ["query_id", "candidate_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(k0) + F.col("_rd")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(k0) + F.col("_rs")), F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("candidate_id")
+    )
+    return (
+        both.select("query_id", "candidate_id", rrf.alias("rrf_score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 _SRP_MAX_DIM = 256
 
 

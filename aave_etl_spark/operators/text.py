@@ -277,6 +277,203 @@ def scrub_pii(
     )
 
 
+def bm25_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The corpus postings table (id, term, tf, bm25) every BM25 consumer
+    shares: per-(doc, term) BM25 weight with corpus statistics (N, avgdl,
+    df) computed from ``df`` itself.
+
+    score(t, d) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    with the BM25+ idf = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Dataflow at 100 TB: token explode → one shuffle to (doc, term) counts →
+    one shuffle to term doc-frequencies (vocabulary-sized, joined back on
+    the term key) → corpus scalars (N, avgdl) via a 1-row aggregate
+    broadcast-crossjoined, never collected to the driver. Weights round to
+    6dp so downstream ranks are engine-reproducible. At rest this is the
+    inverted index a retrieval system materializes once per corpus."""
+    from aave_etl_spark.operators.dedup import normalize_text
+
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfv = F.col("tf").cast("double")
+    norm = tfv * (k1 + 1.0) / (
+        tfv + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(F.col(id_col), "term", "tf", F.round(idf * norm, 6).alias("bm25"))
+    )
+
+
+def bm25_retrieve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Query→document BM25 retrieval: each query document's DISTINCT terms
+    (the standard qtf=1 query model) probe the corpus postings table; a
+    candidate's score is the sum of its matched terms' BM25 weights.
+
+    Output: (query_id, candidate_id, bm25_score, rank), self-matches
+    excluded, ties broken by candidate id.
+
+    Dataflow at 100 TB: the postings side is the corpus-sized inverted
+    index (built by `bm25_postings`, or read at rest); the query-term set
+    is tiny (|queries| × ~doc terms) and BROADCAST, so the probe is a
+    map-side hash join on `term` over one postings scan — no corpus
+    shuffle. The per-(query, candidate) sum shuffles only matched pairs
+    (bounded by k candidates per query after the WindowGroupLimit-capped
+    top-k window)."""
+    postings = bm25_postings(corpus, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    return _bm25_probe(postings, queries, id_col=id_col, text_col=text_col, k=k)
+
+
+def _bm25_probe(
+    postings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Probe a postings table with query documents' distinct terms and
+    rank candidates by summed BM25 weight — the scoring core shared by
+    the in-flight `bm25_retrieve` and the at-rest `bm25_index_search`
+    (which must produce identical results by construction).
+
+    ``broadcast_queries=True`` (the incremental-retrieval default: query
+    batches are small) makes the probe a map-side hash join over one
+    postings scan. Pass False for a LARGE query set — the join falls back
+    to shuffle, and an index bucketed on `term` keeps the corpus side
+    exchange-free (only the query terms move)."""
+    from aave_etl_spark.operators.dedup import normalize_text
+
+    qterms = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(text_col), " "))
+        ).alias("term"),
+    ).distinct()
+    if broadcast_queries:
+        qterms = F.broadcast(qterms)
+    hits = postings.join(qterms, "term").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scores = hits.groupBy("query_id", F.col(id_col).alias("candidate_id")).agg(
+        F.round(F.sum("bm25"), 6).alias("bm25_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_score").desc(), F.col("candidate_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "bm25_score", "rank")
+    )
+
+
+def bm25_index_build(
+    store,
+    corpus: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 32,
+) -> None:
+    """Materialize a corpus's BM25 postings as an AT-REST inverted index,
+    hash-bucketed on `term` through the TableStore.
+
+    The sparse-retrieval sibling of `minhash_index_build` (dedup.py) and
+    the IVF-PQ code table: tokenize→tf→df→weight runs ONCE per corpus;
+    every later query batch probes the stored postings without re-scanning
+    any text. Bucketing on `term` pre-shuffles the join key, so a LARGE
+    query batch (shuffle-join regime) leaves the corpus side exchange-free
+    — small batches broadcast and never shuffle anything.
+
+    Corpus statistics (N, avgdl, df) are baked into the stored weights, so
+    the index is a snapshot: append-heavy corpora rebuild on a cadence
+    (weights drift slowly — df/N ratios move little per ingest batch), the
+    same trade every production BM25 index makes between freshness and
+    rebuild cost."""
+    posts = bm25_postings(corpus, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    store.write_bucketed(
+        posts, name, bucket_cols=["term"], n_buckets=n_buckets, sort_cols=["term"]
+    )
+    # one-row params sidecar: a probe scored under different (k1, b) than
+    # the stored weights would silently disagree with its in-flight twin —
+    # bm25_index_search validates and raises instead
+    corpus.sparkSession.createDataFrame(
+        [(float(k1), float(b), int(n_buckets))], "k1 double, b double, n_buckets int"
+    ).write.mode("overwrite").parquet(store._path(name + "_params"))
+
+
+def bm25_index_search(
+    store,
+    queries: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Retrieve top-k documents for each query doc from an at-rest BM25
+    postings index — identical results to the in-flight `bm25_retrieve`
+    over the same corpus (the weights ARE the build-time postings), with
+    zero corpus text re-scan at query time.
+
+    Raises on a (k1, b) mismatch against the index's build-params sidecar
+    — drifted parameters would silently score with stale norms."""
+    spark = queries.sparkSession
+    try:
+        built = spark.read.parquet(store._path(name + "_params")).head()
+    except Exception:
+        raise ValueError(
+            f"bm25_index_search: no params sidecar for index {name!r} —"
+            " build it with bm25_index_build first"
+        )
+    if (float(k1), float(b)) != (built.k1, built.b):
+        raise ValueError(
+            f"bm25 index params {(k1, b)} != build params"
+            f" {(built.k1, built.b)} (k1, b) — stored weights were scored"
+            " under the build's parameters"
+        )
+    return _bm25_probe(
+        store.read_bucketed(name),
+        queries,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        broadcast_queries=broadcast_queries,
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -297,31 +494,7 @@ def bm25_topk(
     broadcast-crossjoined, never collected to the driver → per-doc top-k
     window (WindowGroupLimit caps each map partition at k before the
     exchange). Scores round to 6dp so ranks are engine-reproducible."""
-    from aave_etl_spark.operators.dedup import normalize_text
-
-    tok = df.select(
-        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("term")
-    )
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scalars = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
-    )
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tfv = F.col("tf").cast("double")
-    norm = tfv * (k1 + 1.0) / (
-        tfv + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
-    )
-    scored = (
-        tf.join(dl, id_col)
-        .join(dfreq, "term")
-        .crossJoin(F.broadcast(scalars))
-        .select(F.col(id_col), "term", "tf", F.round(idf * norm, 6).alias("bm25"))
-    )
+    scored = bm25_postings(df, id_col=id_col, text_col=text_col, k1=k1, b=b)
     w = Window.partitionBy(id_col).orderBy(F.col("bm25").desc(), F.col("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -445,3 +445,130 @@ GROUP BY GROUPING SETS ((d), (m))
 def hypertable_rollup(spark, sf_dir):
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_HYPER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming sessionization certified AT REST: the session_window
+# aggregation (streaming/micro_batch.py sessionized_stream — watermark +
+# gap-merge, the stateful op the batch `sessionize_events` query twins)
+# runs as a REAL append-mode file-source stream drained into a parquet
+# store, and the certified read is the table the stream left behind.
+# Append mode only emits sessions the watermark has finalized, so after
+# the events drain a single far-future SENTINEL row (user_id -1) advances
+# the GLOBAL watermark past every real session end and a second
+# checkpointed drain flushes the remainder — the standard "close the
+# books" pattern for draining a watermarked stream to rest. The oracle is
+# the gap-session definition itself: Spark merges an event into a session
+# iff it lands strictly inside gap of the previous event (new session at
+# diff >= gap), at full microsecond precision.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_sessionize_store",
+    export=False,  # driver slot held by its family head (window_shift_family)
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS session_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    doc=(
+        "§2.10 stateful streaming certified at rest: session_window +"
+        " watermark drained append-mode to parquet (sentinel row closes the"
+        " watermark), the at-rest session table equals the batch gap-session"
+        " oracle at microsecond precision"
+    ),
+)
+def stream_sessionize_store(spark, sf_dir):
+    import os
+    import shutil
+
+    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.streaming.micro_batch import (
+        run_available_now,
+        sessionized_stream,
+        stream_lake_table,
+    )
+
+    root = session_scratch_dir(
+        spark, "aave_etl_spark_sessionize", os.path.basename(sf_dir.rstrip("/"))
+    )
+    store = TableStore(spark, os.path.join(root, "warehouse"))
+
+    def _at_rest():
+        return (
+            store.read("sessions")
+            .where(F.col("user_id") >= 0)  # drop the watermark sentinel's key
+            .select(
+                "user_id",
+                F.unix_micros("session_start").alias("session_start_us"),
+                F.col("n_events").cast("long").alias("n_events"),
+                F.round("session_value", 6).alias("session_value"),
+            )
+        )
+
+    # drain-once / read-many (at-rest discipline: marker cleared first,
+    # stamped last; an interrupted drain re-runs from scratch next call)
+    if store.is_complete("sessions") and store.exists("sessions"):
+        return _at_rest()
+    store.clear_complete("sessions")
+    shutil.rmtree(os.path.join(root, "lake"), ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+    shutil.rmtree(store._path("sessions"), ignore_errors=True)
+
+    lake = os.path.join(root, "lake")
+    # watermark requires TIMESTAMP (not NTZ); session tz is pinned UTC so
+    # the cast preserves the epoch-microsecond value exactly
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "value"
+    )
+    ev.write.parquet(lake)
+    schema = spark.read.parquet(lake).schema
+    sessions = sessionized_stream(
+        stream_lake_table(spark, lake, schema), gap="30 minutes", watermark="1 hour"
+    )
+    q1 = run_available_now(
+        sessions,
+        os.path.join(root, "ckpt"),
+        output_mode="append",
+        query_name="sessionize_drain",
+        fmt="parquet",
+        path=store._path("sessions"),
+    )
+    if not q1.awaitTermination(300):
+        q1.stop()
+        raise RuntimeError("stream_sessionize_store: drain 1 did not finish in 300s")
+    # sentinel: one far-future row advances the global watermark past every
+    # real session end so drain 2 flushes the still-open tail sessions
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    spark.createDataFrame([(-1, max_ts, -1, 0.0)], schema).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 2 DAYS")
+    ).write.mode("append").parquet(lake)
+    q2 = run_available_now(
+        sessions,
+        os.path.join(root, "ckpt"),
+        output_mode="append",
+        query_name="sessionize_flush",
+        fmt="parquet",
+        path=store._path("sessions"),
+    )
+    if not q2.awaitTermination(300):
+        q2.stop()
+        raise RuntimeError("stream_sessionize_store: drain 2 did not finish in 300s")
+    store.mark_complete("sessions")
+    return _at_rest()

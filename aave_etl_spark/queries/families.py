@@ -297,12 +297,20 @@ family(
             ("part", "k1", "k2"),
             ("v1",),
         ),
+        (
+            "stream_sessions",
+            "stream_sessionize_store",
+            ("user_id", "session_start_us"),
+            ("n_events", "session_value"),
+        ),
     ],
     doc=(
         "§2.5 window-shift family: LEAD pairing + LAG coalesce + ffill ignore"
         " nulls + as-of temporal join (sort-merge union+window form) + the"
         " REAL warehouse market state/config transforms (UI compounding"
-        " APYs, eMode left-join NULL arms)"
+        " APYs, eMode left-join NULL arms) + STATEFUL STREAMING certified at"
+        " rest (session_window + watermark drained append-mode to parquet,"
+        " sentinel-closed, equal to the batch gap-session oracle)"
     ),
 )
 
@@ -363,6 +371,18 @@ family(
             ("CAST(query_id AS STRING)", "CAST(candidate_id AS STRING)"),
             ("cell_id", "approx_d2", "rank"),
         ),
+        (
+            "clustered",
+            "clustered_scan_store",
+            ("l_returnflag",),
+            ("sum_qty", "sum_price", "n_rows"),
+        ),
+        (
+            "bm25_index",
+            "llm_bm25_index_search",
+            ("query_id", "candidate_id"),
+            ("bm25_score", "rank"),
+        ),
     ],
     doc=(
         "time-rollup family: §2.9 date_trunc+interval day rollup + the"
@@ -379,7 +399,11 @@ family(
         " checkpointed drains, foreachBatch content dedup, replicas"
         " anti-joined away) + the AT-REST IVF-PQ index search (codes"
         " partitioned by cell_id, partition-pruned probe scan, bitwise"
-        " equal to the in-flight form)"
+        " equal to the in-flight form) + the sort-clustered lineitem store"
+        " (cluster_by footer-range data skipping asserted from the files"
+        " the selective scan actually opens) + the AT-REST term-bucketed"
+        " BM25 inverted index search (build-once/search-many, no corpus"
+        " text re-scan at query time)"
     ),
 )
 
@@ -526,6 +550,12 @@ family(
             ("query_id", "candidate_id"),
             ("approx_d2", "rank"),
         ),
+        (
+            "rrf",
+            "llm_hybrid_rrf",
+            ("query_id", "candidate_id"),
+            ("rrf_score", "rank"),
+        ),
     ],
     doc=(
         "§2.3 join-technique family: EXISTS semi-join + left-anti join +"
@@ -537,7 +567,8 @@ family(
         " candidate match against the AT-REST band_key-bucketed MinHash"
         " index (build-once/match-many, corpus side exchange-free) +"
         " product-quantization top-k with asymmetric distance (M-code"
-        " compressed scan)"
+        " compressed scan) + hybrid dense+sparse retrieval fused by"
+        " reciprocal rank (BM25 postings probe x cosine top-k, RRF k0=60)"
     ),
 )
 

@@ -1099,6 +1099,153 @@ def llm_bm25_topk(spark, sf_dir):
     return text.bm25_topk(t(spark, sf_dir, "documents"), k=3)
 
 
+# The sparse-retrieval arm's CTE chain, shared verbatim by the in-flight
+# hybrid fusion and the at-rest index search (which must score identically
+# by construction): corpus postings with 6dp BM25 weights, query docs'
+# distinct terms (qtf=1 query model), summed per-(query, candidate).
+_BM25_SPARSE_CTES = f"""tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    post AS (
+      SELECT t.doc_id, t.term,
+             round(ln(1.0 + ((sc.n_docs - d.df) + 0.5) / (d.df + 0.5))
+                   * ((CAST(t.tf AS DOUBLE) * 2.2)
+                      / (CAST(t.tf AS DOUBLE)
+                         + 1.2 * (0.25 + ((0.75 * CAST(l.dl AS DOUBLE)) / sc.avgdl)))),
+                   6) AS bm25
+      FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term) CROSS JOIN sc
+    ),
+    qterms AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT doc_id AS query_id, unnest({_TOKS}) AS term
+        FROM documents WHERE doc_id < 8
+      )
+    ),
+    sarm AS (
+      SELECT q.query_id, p.doc_id AS candidate_id,
+             round(sum(p.bm25), 6) AS bm25_score
+      FROM post p JOIN qterms q USING (term)
+      WHERE p.doc_id <> q.query_id
+      GROUP BY q.query_id, p.doc_id
+    )"""
+
+
+@register(
+    "llm_hybrid_rrf",
+    export=False,  # driver slot held by its family head (semi_anti_family)
+    oracle=f"""
+    WITH {_BM25_SPARSE_CTES},
+    sr AS (
+      SELECT query_id, candidate_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25_score DESC, candidate_id) AS r
+      FROM sarm
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY bm25_score DESC, candidate_id) <= 10
+    ),
+    dq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 8),
+    dc AS (SELECT vec_id AS candidate_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    dscored AS (
+      SELECT dq.query_id, dc.candidate_id,
+             round(list_dot_product(dq.qv, dc.cv)
+                   / (sqrt(list_dot_product(dq.qv, dq.qv)) * sqrt(list_dot_product(dc.cv, dc.cv))),
+                   6) AS cos_sim
+      FROM dc CROSS JOIN dq
+      WHERE dc.candidate_id <> dq.query_id
+    ),
+    dr AS (
+      SELECT query_id, candidate_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, candidate_id) AS r
+      FROM dscored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, candidate_id) <= 10
+    ),
+    fused AS (
+      SELECT coalesce(dr.query_id, sr.query_id) AS query_id,
+             coalesce(dr.candidate_id, sr.candidate_id) AS candidate_id,
+             round(coalesce(1.0 / (60 + dr.r), 0.0)
+                   + coalesce(1.0 / (60 + sr.r), 0.0), 6) AS rrf_score
+      FROM dr FULL OUTER JOIN sr
+        ON dr.query_id = sr.query_id AND dr.candidate_id = sr.candidate_id
+    )
+    SELECT query_id, candidate_id, rrf_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, candidate_id) AS BIGINT) AS rank
+    FROM fused
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, candidate_id) <= 5
+    """,
+    doc=(
+        "LLM retrieval: HYBRID dense+sparse fusion — BM25 query-terms"
+        " probe the corpus postings (broadcast query-term set, map-side"
+        " join on term) and cosine top-k over embeddings (vec_id == doc_id"
+        " correspondence); the two per-query top-10 arms fuse by"
+        " reciprocal-rank (Cormack 2009, k0=60) into a top-5 — the"
+        " calibration-free hybrid retrieval every RAG/hard-negative-mining"
+        " pipeline runs; all scale stays inside the arms, the fusion join"
+        " is |queries|-bounded"
+    ),
+)
+def llm_hybrid_rrf(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    dense = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+    sparse = text.bm25_retrieve(docs, docs.filter(F.col("doc_id") < 8), k=10)
+    return similarity.rrf_fuse(dense, sparse, k=5)
+
+
+@register(
+    "llm_bm25_index_search",
+    export=False,  # driver slot held by its family head (time_rollup_family)
+    oracle=f"""
+    WITH {_BM25_SPARSE_CTES}
+    SELECT query_id, candidate_id, bm25_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25_score DESC, candidate_id) AS BIGINT) AS rank
+    FROM sarm
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY bm25_score DESC, candidate_id) <= 10
+    """,
+    doc=(
+        "LLM retrieval at scale: BM25 search against an AT-REST"
+        " term-bucketed inverted index (build-once/search-many; the"
+        " corpus text is never re-scanned at query time, large query"
+        " batches join the postings exchange-free) — identical scores to"
+        " the in-flight bm25_retrieve by construction"
+    ),
+)
+def llm_bm25_index_search(spark, sf_dir):
+    import hashlib
+    import os
+    import re as re_mod
+
+    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    # full-resolved-path key: two corpora sharing a basename in one
+    # session must never share a cached index (mhidx/ivfpq discipline)
+    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
+    store = TableStore(
+        spark, session_scratch_dir(spark, "aave_etl_spark_bm25idx", f"{base}-{sf_key}")
+    )
+    tbl = "bm25_post_idx_" + re_mod.sub(r"[^0-9a-zA-Z]+", "_", f"{base}_{sf_key}")
+    docs = t(spark, sf_dir, "documents")
+    # build-once/search-many: marker stamped LAST, interrupted builds
+    # rebuild from scratch on the next call
+    if not (store.is_complete(tbl) and store.exists(tbl)):
+        store.clear_complete(tbl)
+        text.bm25_index_build(store, docs, tbl)
+        store.mark_complete(tbl)
+    return text.bm25_index_search(store, docs.filter(F.col("doc_id") < 8), tbl, k=10)
+
+
 @register(
     "llm_sequence_pack",
     export=False,  # driver slot held by its family head (pivot_family)
@@ -1741,27 +1888,28 @@ def llm_dsir_resample(spark, sf_dir):
 def llm_ivf_index_search(spark, sf_dir):
     import hashlib
     import os
-    import tempfile
 
+    from aave_etl_spark.io.scratch import session_scratch_dir
     from aave_etl_spark.io.table_store import TableStore
 
     emb = t(spark, sf_dir, "embeddings")
-    # deterministic per-sf store root (same discipline as
-    # orchestration_backfill_run): re-runs overwrite idempotently.
-    # the version segment invalidates cached indexes when the assignment
-    # layout changes — bump it alongside any ivf_index_build semantics change.
-    # keyed by a digest of the FULL resolved sf_dir path (not its basename):
-    # two corpora whose dirs share a basename (parallel checkouts, regenerated
-    # fixtures under different parents) must never share a cached index.
+    # per-SESSION store root (the session_scratch_dir discipline the ivfpq
+    # sibling adopted): concurrent harness processes can never race one
+    # another's build/rmtree, and a regenerated fixture at the same path
+    # can't serve a prior session's stale index. Keyed additionally by a
+    # digest of the FULL resolved sf_dir (not its basename): two corpora
+    # whose dirs share a basename must never share a cached index.
     sf_key = hashlib.sha256(
         os.path.realpath(sf_dir).encode("utf-8")
     ).hexdigest()[:16]
-    store_root = os.path.join(
-        tempfile.gettempdir(),
-        "aave_etl_spark_ivf_v1",
-        f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
+    store = TableStore(
+        spark,
+        session_scratch_dir(
+            spark,
+            "aave_etl_spark_ivf",
+            f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
+        ),
     )
-    store = TableStore(spark, store_root)
     # build-once, search-many: the at-rest pattern's whole point. The index
     # is keyed by sf_dir, and the corpus at a given sf is immutable, so a
     # present index is current; repeat invocations (bench passes, driver

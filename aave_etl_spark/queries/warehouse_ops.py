@@ -348,6 +348,71 @@ def liquidity_depth_append_store(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sort-clustered storage certified from the store: lineitem lands through
+# TableStore cluster_by (range-repartition + in-task sort => tight disjoint
+# per-file min/max footers), then a selective predicate reads it back and
+# the query ASSERTS — from input_file_name(), i.e. the files actually
+# opened — that parquet data skipping pruned the file set. Previously this
+# layout was pytest-only (footer metadata asserts); this makes the
+# files-actually-read claim driver-visible.
+# ---------------------------------------------------------------------------
+@register(
+    "clustered_scan_store",
+    export=False,  # driver slot held by its family head (time_rollup_family)
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem WHERE l_orderkey <= 400
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "sort-clustered write certified at rest: lineitem cluster_by"
+        " l_orderkey through TableStore, selective read back must open"
+        " strictly fewer parquet files than the table holds (asserted from"
+        " input_file_name), aggregates match the raw-table oracle"
+    ),
+)
+def clustered_scan_store(spark, sf_dir):
+    import os
+
+    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+
+    store = TableStore(
+        spark,
+        session_scratch_dir(
+            spark, "aave_etl_spark_cluster", os.path.basename(sf_dir.rstrip("/"))
+        ),
+    )
+    tbl = "li_clustered"
+    # build-once per session (marker stamped last, at-rest discipline)
+    if not (store.is_complete(tbl) and store.exists(tbl)):
+        store.clear_complete(tbl)
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+        )
+        store.write(li, tbl, cluster_by=["l_orderkey"], cluster_files=8)
+        store.mark_complete(tbl)
+    filtered = store.read(tbl, where="l_orderkey <= 400")
+    # the data-skipping claim, from the engine itself: the selective scan
+    # must OPEN strictly fewer files than the clustered table holds
+    n_read = filtered.select(F.input_file_name()).distinct().count()
+    n_total = len(store._parquet_files(tbl))
+    if not 1 <= n_read < n_total:
+        raise RuntimeError(
+            f"clustered scan read {n_read} of {n_total} files — footer-range"
+            " data skipping did not prune the selective predicate"
+        )
+    return filtered.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # The REAL treasury measure-join transforms (warehouse/measures.py —
 # reference data_warehouse.py:84-227 atoken, :236-335 non-atoken) under the
 # driver gate: lake-level fixtures from `nation`, the Spark transform runs

@@ -522,6 +522,100 @@ def test_bm25_topk_ranks_rare_terms_highest(spark):
     assert all(r.rank <= 2 for r in out)
 
 
+def test_bm25_retrieve_scores_are_matched_posting_sums(spark):
+    from aave_etl_spark.operators.text import bm25_postings, bm25_retrieve
+
+    df = spark.createDataFrame(
+        [
+            (1, "zebra common"),
+            (2, "zebra common filler"),
+            (3, "filler other other"),
+            (4, "other unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_retrieve(df, df.filter("doc_id = 1"), k=10).collect()
+    got = {r.candidate_id: r.bm25_score for r in out}
+    # self-match excluded; doc 4 shares no term with doc 1
+    assert 1 not in got and 4 not in got
+    # score(1→2) = sum of doc 2's posting weights on the query's terms
+    posts = {
+        (r.doc_id, r.term): r.bm25
+        for r in bm25_postings(df).collect()
+        if r.term in ("zebra", "common")
+    }
+    expect_2 = round(posts[(2, "zebra")] + posts[(2, "common")], 6)
+    assert abs(got[2] - expect_2) < 1e-9
+    # doc 2 matches both query terms, doc 3 only 'filler'∉query terms → absent
+    assert set(got) == {2}
+
+
+def test_bm25_index_search_equals_inflight_and_reads_bucketed(spark, tmp_path):
+    """The at-rest postings index returns exactly what the in-flight
+    bm25_retrieve would (weights ARE the build-time postings), the
+    postings scan honors the bucket layout, and a params mismatch or a
+    missing sidecar raises instead of silently mis-scoring."""
+    import pytest
+
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.operators.text import (
+        bm25_index_build,
+        bm25_index_search,
+        bm25_retrieve,
+    )
+
+    rows = [
+        (1, "zebra common words here"),
+        (2, "zebra common filler words"),
+        (3, "filler other other words"),
+        (4, "other unrelated tokens entirely"),
+        (5, "zebra zebra common here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = docs.filter("doc_id <= 2")
+
+    store = TableStore(spark, str(tmp_path))
+    bm25_index_build(store, docs, "bm25_idx_t", n_buckets=4)
+    got = bm25_index_search(
+        store, queries, "bm25_idx_t", k=10, broadcast_queries=False
+    )
+    want = {
+        (r.query_id, r.candidate_id): (r.bm25_score, r.rank)
+        for r in bm25_retrieve(docs, queries, k=10).collect()
+    }
+    got_rows = {
+        (r.query_id, r.candidate_id): (r.bm25_score, r.rank) for r in got.collect()
+    }
+    assert got_rows == want and len(want) > 0
+    # plan: the postings scan must honor the bucketed layout (the large-
+    # query shuffle-join regime is where the bucketing pays)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, f"index side must scan bucketed:\n{plan[:1500]}"
+    # stored weights were scored under the build's (k1, b)
+    with pytest.raises(ValueError, match="build params"):
+        bm25_index_search(store, queries, "bm25_idx_t", k1=2.0)
+    with pytest.raises(ValueError, match="sidecar"):
+        bm25_index_search(store, queries, "no_such_index")
+
+
+def test_rrf_fuse_combines_and_handles_single_arm(spark):
+    from aave_etl_spark.operators.similarity import rrf_fuse
+
+    dense = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, candidate_id long, rank long"
+    )
+    sparse = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, candidate_id long, rank long"
+    )
+    out = {r.candidate_id: r for r in rrf_fuse(dense, sparse, k=5).collect()}
+    # candidate 11 is in both arms → 1/62 + 1/61; 10/12 single-arm
+    assert abs(out[11].rrf_score - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(out[10].rrf_score - round(1 / 61, 6)) < 1e-9
+    assert abs(out[12].rrf_score - round(1 / 62, 6)) < 1e-9
+    # two-arm candidate outranks either single-arm one
+    assert out[11].rank == 1
+
+
 # ---------------------------------------------------------------------------
 # greedy sequence packing.
 # ---------------------------------------------------------------------------
