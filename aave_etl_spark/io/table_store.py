@@ -35,6 +35,59 @@ from pyspark.sql.types import StructType
 META_COLS = ("_load_timestamp", "_partition_type", "_partition_key")
 
 
+def morton_zkey(
+    cols: list[str], mins: list[float], maxs: list[float], bits: int = 16
+) -> F.Column:
+    """Z-order (Morton) key over ``cols``: each column min-max scales to a
+    ``bits``-wide unsigned int, then the bits interleave — bit ``i`` of
+    dimension ``j`` lands at position ``i*d + j`` of the key.
+
+    Interleaving is what makes the key MULTI-dimensional: a contiguous
+    z-range is a small hyper-rectangle, so sort-clustering files by the
+    key gives every clustered dimension usable per-file min/max footers —
+    a selective predicate on ANY of them (not just the first sort column,
+    the lexicographic layout's limit) skips row groups. This is the
+    OPTIMIZE ZORDER pattern of the lakehouse formats, re-expressed as
+    plain Spark integer expressions over open parquet.
+
+    ``mins``/``maxs`` are the scaling anchors (computed once at write
+    time, 2·d scalars). NULL dimension values scale to 0 (cluster first);
+    a constant column (min == max) contributes zeros and costs layout
+    nothing. Pure JVM-side integer math — shiftleft/shiftright/AND/OR —
+    so the key is codegen-friendly and engine-reproducible."""
+    d = len(cols)
+    if d < 1:
+        raise ValueError("morton_zkey needs at least one column")
+    if bits * d > 62:
+        raise ValueError(f"bits*dims must fit a signed long: {bits}*{d} > 62")
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        span = float(max(hi - lo, 1))
+        # coalesce BEFORE the clamp: Spark's least/greatest skip NULLs
+        # (least(top, NULL) = top), so a NULL dim would clamp to the top
+        # bucket instead of 0. Multiply BEFORE dividing: (1/3)*3 floors
+        # to 0 in doubles, (1*3)/3 floors to 1 — exact small ratios must
+        # land on their bucket.
+        scaled = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.lit(top).cast("long"),
+                F.coalesce(
+                    F.floor(
+                        (F.col(c).cast("double") - float(lo)) * top / span
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                ),
+            ),
+        )
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(scaled, i).bitwiseAND(F.lit(1)), i * d + j)
+            )
+    return z
+
+
 class TableStore:
     """A directory-of-parquet-tables warehouse with idempotent partition
     overwrite."""
@@ -131,6 +184,8 @@ class TableStore:
         cluster_by: list[str] | None = None,
         cluster_files: int | None = None,
         full_refresh: bool = False,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 16,
     ) -> bool:
         """Write ``df``; idempotent per-partition overwrite unless
         ``append_only`` (K2). Empty outputs are skipped like the reference
@@ -156,9 +211,34 @@ class TableStore:
         incremental contract) to static (drop EVERY existing partition
         first) — required when the new snapshot is authoritative and a
         partition absent from ``df`` must disappear rather than survive
-        as a stale directory (e.g. a rebuilt index)."""
+        as a stale directory (e.g. a rebuilt index).
+
+        ``zorder_by`` is the MULTI-column form of ``cluster_by``: a Morton
+        key interleaves the named (numeric) columns' scaled bits (see
+        :func:`morton_zkey`) and the data clusters on that key, so a
+        selective predicate on ANY z-ordered column skips files/row-groups
+        — lexicographic ``cluster_by`` only serves its leading column.
+        Scaling anchors (2·d scalars) are computed in one aggregate at
+        write time; the key itself is dropped before the write (it is a
+        layout device, not data). Mutually exclusive with ``cluster_by``."""
         if df.isEmpty():
             return False
+        drop_after: list[str] = []
+        if zorder_by:
+            if cluster_by:
+                raise ValueError("pass cluster_by OR zorder_by, not both")
+            # one bounded job: 2·d scalars anchor the min-max scaling
+            anchors = df.agg(
+                *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(zorder_by)],
+                *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(zorder_by)],
+            ).first()
+            mins = [anchors[f"_lo{i}"] or 0.0 for i in range(len(zorder_by))]
+            maxs = [anchors[f"_hi{i}"] or 0.0 for i in range(len(zorder_by))]
+            df = df.withColumn(
+                "_zkey", morton_zkey(zorder_by, mins, maxs, bits=zorder_bits)
+            )
+            cluster_by = ["_zkey"]
+            drop_after = ["_zkey"]
         if cluster_by:
             rcols = [F.col(c) for c in [*(partition_cols or []), *cluster_by]]
             ranged = (
@@ -166,7 +246,9 @@ class TableStore:
                 if cluster_files
                 else df.repartitionByRange(*rcols)
             )
-            df = ranged.sortWithinPartitions(*rcols)
+            # the projection after the sort preserves partition-local order;
+            # the z-key never reaches the files
+            df = ranged.sortWithinPartitions(*rcols).drop(*drop_after)
         stamped = df.withColumn(
             "_load_timestamp",
             F.lit(datetime.now(timezone.utc).isoformat()),
@@ -244,6 +326,8 @@ class TableStore:
         partition_cols: list[str] | None = None,
         target_file_bytes: int = 128 * 1024 * 1024,
         sort_cols: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 16,
     ) -> tuple[int, int]:
         """Rewrite ``name`` with bounded file counts — the maintenance pass
         every incrementally-loaded table needs: daily partition overwrites
@@ -273,11 +357,19 @@ class TableStore:
         A table written with ``cluster_by`` must pass those columns as
         ``sort_cols`` — compaction re-sorts within the rewrite so the
         disjoint min/max footer ranges (the data-skipping contract)
-        survive the file-count change.
+        survive the file-count change. A table written with ``zorder_by``
+        must pass the same columns here as ``zorder_by``: the Morton key
+        is a layout device dropped before write, so the rewrite recomputes
+        it (fresh anchors over the current data) and re-clusters — without
+        it, compaction silently degrades the multi-dim skipping to
+        arrival order.
 
         Returns (files_before, files_after)."""
         import math
         import shutil
+
+        if zorder_by and sort_cols:
+            raise ValueError("pass sort_cols OR zorder_by, not both")
 
         # a bucketed table's co-location contract lives in the catalog; a
         # plain rewrite would leave bucket metadata pointing at files that
@@ -294,6 +386,23 @@ class TableStore:
         total = sum(os.path.getsize(f) for f in files)
         n_out = max(1, math.ceil(total / target_file_bytes))
         df = self.spark.read.parquet(self._path(name))
+        drop_after: list[str] = []
+        if zorder_by:
+            anchors = df.agg(
+                *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(zorder_by)],
+                *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(zorder_by)],
+            ).first()
+            df = df.withColumn(
+                "_zkey",
+                morton_zkey(
+                    zorder_by,
+                    [anchors[f"_lo{i}"] or 0.0 for i in range(len(zorder_by))],
+                    [anchors[f"_hi{i}"] or 0.0 for i in range(len(zorder_by))],
+                    bits=zorder_bits,
+                ),
+            )
+            sort_cols = ["_zkey"]
+            drop_after = ["_zkey"]
         tmp = self._path(name) + ".__compacting"
         if partition_cols:
             # hash-repartition on the partition cols: every partition value
@@ -309,9 +418,11 @@ class TableStore:
         else:
             out = df.coalesce(n_out)
         if sort_cols:
-            # replay the cluster_by ordering so footer min/max ranges stay
-            # tight after the rewrite
-            out = out.sortWithinPartitions(*[*(partition_cols or []), *sort_cols])
+            # replay the cluster_by / z-order layout so footer min/max
+            # ranges stay tight after the rewrite
+            out = out.sortWithinPartitions(
+                *[*(partition_cols or []), *sort_cols]
+            ).drop(*drop_after)
         writer = out.write.partitionBy(*partition_cols) if partition_cols else out.write
         writer.mode("overwrite").parquet(tmp)
         old = self._path(name) + ".__old"

@@ -498,11 +498,15 @@ def minhash_index_build(
 def _index_params(store, spark, name, shingle_n, num_hashes, rows_per_band):
     """Read the index's build-params sidecar and raise on a banding
     mismatch. Returns the sidecar row, or None for a pre-sidecar index
-    (caller-owned contract)."""
+    (caller-owned contract). Only a MISSING sidecar maps to None — a
+    corrupt/unreadable one must surface, not silently disable the
+    validation the sidecar exists to provide."""
+    from pyspark.errors import AnalysisException
+
     try:
         built = spark.read.parquet(store._path(name + "_params")).head()
-    except Exception:
-        return None
+    except AnalysisException:
+        return None  # path does not exist: genuinely pre-sidecar
     want = (int(shingle_n), int(num_hashes), int(rows_per_band))
     have = (built.shingle_n, built.num_hashes, built.rows_per_band)
     if want != have:

@@ -78,6 +78,49 @@ def cosine_topk(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding column — the
+    model-free classifier every curation pipeline reaches for first
+    (quality/domain labels propagated from a small annotated seed set to
+    the corpus by embedding similarity, the fastText-classifier pattern
+    without a trained model).
+
+    Each query's k nearest corpus vectors by cosine (self excluded) vote
+    with their labels; prediction = most votes, ties to the SMALLEST
+    label (deterministic). Output: (query_id, pred_label, n_votes).
+
+    Dataflow at 100 TB: the neighbor search is `cosine_topk` (broadcast
+    queries, one corpus pass, WindowGroupLimit-capped top-k), so the vote
+    aggregation runs over |queries| × k rows — driver- and shuffle-tiny
+    regardless of corpus size. Swap the exact arm for the IVF/IVF-PQ
+    searches when the corpus is indexed at rest; the vote logic is
+    identical over any (query_id, candidate_id, rank) frame."""
+    nn = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("candidate_id"), F.col(label_col).alias("_lbl")
+    )
+    votes = (
+        nn.join(labels, "candidate_id")
+        .groupBy("query_id", "_lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("_lbl").asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("_lbl").alias("pred_label"), "n_votes")
+    )
+
+
 def rrf_fuse(
     dense: DataFrame,
     sparse: DataFrame,
@@ -821,9 +864,10 @@ def kmeans_fit(
     """Lloyd k-means over an embedding column: returns (cell_id, centroid)
     for plugging into :func:`ivf_topk`'s ``centroids`` parameter.
 
-    Deterministic init — the first ``k`` vectors by id (k-means++ would add
-    a sequential dependency; with an IVF consumer the refinement matters
-    far more than the seed). Each iteration:
+    Deterministic init — the first ``k`` vectors by id via a distributed
+    orderBy+limit top-k (k-means++ would add a sequential dependency; with
+    an IVF consumer the refinement matters far more than the seed). Each
+    iteration:
 
     1. assign: centroids fold into ONE broadcast array row; nearest
        centroid by L2 is a per-row JVM expression (`array_min` over
@@ -842,13 +886,19 @@ def kmeans_fit(
     """
     if k < 1 or n_iter < 1:
         raise ValueError(f"need k >= 1 and n_iter >= 1, got k={k}, n_iter={n_iter}")
-    w = Window.orderBy(F.col(id_col))
+    # orderBy+limit is a distributed top-k (per-partition limit, then a
+    # k-row merge); the rank window runs over only the k seed rows after
+    # it — never a partition-less window over the corpus (_ivfpq_seeds
+    # discipline)
     cent = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
+        df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_sv"))
+        .orderBy("_sid")
+        .limit(k)
         .select(
-            (F.col("_rn") - 1).cast("long").alias("cell_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+            (F.row_number().over(Window.orderBy("_sid")) - 1)
+            .cast("long")
+            .alias("cell_id"),
+            F.transform(F.col("_sv"), lambda x: x.cast("double")).alias("centroid"),
         )
         .localCheckpoint(eager=True)
     )
@@ -1358,11 +1408,19 @@ def ivfpq_train(
     directly into :func:`ivfpq_topk` / :func:`ivfpq_index_build`'s
     ``cells=``/``codebook=`` parameters.
 
-    Deterministic end-to-end: `kmeans_fit` inits from the first-k vectors
-    by id and both outputs are densely re-coded by key rank, so the same
-    corpus always yields the same index (pinned by
-    tests/test_operators.py). Cost: 2×n_iter corpus scans (the two fits)
-    + one residual pass; all geometry stays broadcast-sized."""
+    Determinism: `kmeans_fit` inits from the first-k vectors by id and
+    both outputs are densely re-coded by key rank, so the same corpus in
+    the same session/partition layout yields the same index bit-for-bit
+    (pinned by tests/test_operators.py). Across DIFFERENT layouts
+    (executor count, AQE coalescing) the update step's posexplode+avg
+    partial sums can drift in the last ulp (see `mean_pool_embeddings` —
+    the order-free shape is the right trade for unbounded cells); the
+    6dp distance rounding downstream absorbs that drift except for
+    vectors sitting exactly on a rounded cell boundary. Cost: 2×n_iter
+    corpus scans (the two fits) + ONE residual pass — the residuals frame
+    is checkpointed so the fit's iterations re-read the materialized
+    residuals, not the nearest-cell encode lineage; all geometry stays
+    broadcast-sized."""
     cells = _trained_geometry(
         kmeans_fit(candidates, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col),
         "cell_id",
@@ -1379,6 +1437,10 @@ def ivfpq_train(
             _nearest_cell(F.col("_cv"), round_digits).alias("_cell"), "_cells",
         )
         .select(id_col, _cell_residual(F.col("_cv"), F.col("_cell")).alias("_res"))
+        # materialize: kmeans_fit re-reads its input n_iter+1 times (init
+        # + each assign step); without the cut every pass would re-run the
+        # corpus-wide interpreted nearest-cell encode above
+        .localCheckpoint(eager=True)
     )
     codebook = _trained_geometry(
         kmeans_fit(

@@ -450,10 +450,15 @@ def bm25_index_search(
 
     Raises on a (k1, b) mismatch against the index's build-params sidecar
     — drifted parameters would silently score with stale norms."""
+    from pyspark.errors import AnalysisException
+
     spark = queries.sparkSession
     try:
         built = spark.read.parquet(store._path(name + "_params")).head()
-    except Exception:
+    except AnalysisException:
+        # only a MISSING sidecar means "never built" — a corrupt or
+        # unreadable one must surface as its own error, not send the
+        # caller to rebuild over a live index
         raise ValueError(
             f"bm25_index_search: no params sidecar for index {name!r} —"
             " build it with bm25_index_build first"

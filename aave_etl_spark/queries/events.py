@@ -494,6 +494,7 @@ def hypertable_rollup(spark, sf_dir):
     ),
 )
 def stream_sessionize_store(spark, sf_dir):
+    import hashlib
     import os
     import shutil
 
@@ -505,8 +506,14 @@ def stream_sessionize_store(spark, sf_dir):
         stream_lake_table,
     )
 
+    # key by the FULL resolved path, not basename alone — two corpora
+    # sharing a basename in one session must never share a drained store
+    # (the mhidx/bm25idx/ivf/ivfpq discipline)
+    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
     root = session_scratch_dir(
-        spark, "aave_etl_spark_sessionize", os.path.basename(sf_dir.rstrip("/"))
+        spark,
+        "aave_etl_spark_sessionize",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
     )
     store = TableStore(spark, os.path.join(root, "warehouse"))
 

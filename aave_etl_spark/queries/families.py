@@ -303,6 +303,18 @@ family(
             ("user_id", "session_start_us"),
             ("n_events", "session_value"),
         ),
+        (
+            "scd2",
+            "scd2_orders_dim",
+            (
+                "o_custkey",
+                "o_orderstatus",
+                "o_orderpriority",
+                "effective_from",
+                "effective_to",
+            ),
+            ("CAST(is_current AS DOUBLE)", "version"),
+        ),
     ],
     doc=(
         "§2.5 window-shift family: LEAD pairing + LAG coalesce + ffill ignore"
@@ -310,7 +322,9 @@ family(
         " REAL warehouse market state/config transforms (UI compounding"
         " APYs, eMode left-join NULL arms) + STATEFUL STREAMING certified at"
         " rest (session_window + watermark drained append-mode to parquet,"
-        " sentinel-closed, equal to the batch gap-session oracle)"
+        " sentinel-closed, equal to the batch gap-session oracle) + the SCD"
+        " Type-2 dimension build (versioned rows, half-open validity"
+        " intervals, NULL-safe no-op collapse)"
     ),
 )
 
@@ -378,6 +392,12 @@ family(
             ("sum_qty", "sum_price", "n_rows"),
         ),
         (
+            "zorder",
+            "zorder_scan_store",
+            ("l_returnflag",),
+            ("sum_qty", "n_rows"),
+        ),
+        (
             "bm25_index",
             "llm_bm25_index_search",
             ("query_id", "candidate_id"),
@@ -400,8 +420,10 @@ family(
         " anti-joined away) + the AT-REST IVF-PQ index search (codes"
         " partitioned by cell_id, partition-pruned probe scan, bitwise"
         " equal to the in-flight form) + the sort-clustered lineitem store"
-        " (cluster_by footer-range data skipping asserted from the files"
-        " the selective scan actually opens) + the AT-REST term-bucketed"
+        " (cluster_by row concentration asserted from input_file_name —"
+        " the layout property row-group pruning exploits) + the Z-ORDER"
+        " (Morton-interleaved) twin where BOTH clustered dimensions'"
+        " predicates concentrate independently + the AT-REST term-bucketed"
         " BM25 inverted index search (build-once/search-many, no corpus"
         " text re-scan at query time)"
     ),
@@ -662,6 +684,12 @@ family(
             ("query_id", "candidate_id"),
             ("cell_id", "approx_d2", "rank"),
         ),
+        (
+            "knn",
+            "llm_knn_classify",
+            ("query_id", "pred_label"),
+            ("n_votes",),
+        ),
     ],
     doc=(
         "§2.8 inline array-of-struct buckets + §2.4 ordered collect-to-list"
@@ -670,6 +698,7 @@ family(
         " deterministic sorted-fold embedding mean-pooling + SemDeDup"
         " semantic near-dup pruning over broadcast-argmax clusters +"
         " IVF-PQ composed ANN (probe pruning × residual-PQ asymmetric"
-        " distance)"
+        " distance) + k-NN majority-vote label propagation (cosine top-5"
+        " vote, ties to smallest label)"
     ),
 )

@@ -1201,6 +1201,51 @@ def llm_hybrid_rrf(spark, sf_dir):
 
 
 @register(
+    "llm_knn_classify",
+    export=False,  # driver slot held by its family head (collect_family)
+    oracle="""
+    WITH dq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 8),
+    dc AS (SELECT vec_id AS candidate_id, label,
+                  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT dq.query_id, dc.candidate_id, dc.label,
+             round(list_dot_product(dq.qv, dc.cv)
+                   / (sqrt(list_dot_product(dq.qv, dq.qv))
+                      * sqrt(list_dot_product(dc.cv, dc.cv))), 6) AS cos_sim
+      FROM dc CROSS JOIN dq
+      WHERE dc.candidate_id <> dq.query_id
+    ),
+    nn AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, candidate_id) AS r
+        FROM scored) WHERE r <= 5
+    ),
+    votes AS (
+      SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM nn GROUP BY 1, 2
+    )
+    SELECT query_id, label AS pred_label, n_votes FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label ASC) AS rn
+      FROM votes) WHERE rn = 1
+    """,
+    doc=(
+        "LLM curation: k-NN majority-vote label propagation over the"
+        " embedding column (cosine top-5 neighbors vote, ties to the"
+        " smallest label) — the model-free quality/domain classifier"
+        " pattern; vote aggregation is |queries|x k rows regardless of"
+        " corpus size"
+    ),
+)
+def llm_knn_classify(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.knn_classify(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
     "llm_bm25_index_search",
     export=False,  # driver slot held by its family head (time_rollup_family)
     oracle=f"""

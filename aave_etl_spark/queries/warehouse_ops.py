@@ -351,10 +351,13 @@ def liquidity_depth_append_store(spark, sf_dir):
 # Sort-clustered storage certified from the store: lineitem lands through
 # TableStore cluster_by (range-repartition + in-task sort => tight disjoint
 # per-file min/max footers), then a selective predicate reads it back and
-# the query ASSERTS — from input_file_name(), i.e. the files actually
-# opened — that parquet data skipping pruned the file set. Previously this
-# layout was pytest-only (footer metadata asserts); this makes the
-# files-actually-read claim driver-visible.
+# the query ASSERTS — from input_file_name() over the surviving rows —
+# that the clustered layout CONCENTRATED the predicate's rows into a
+# strict subset of the files. That concentration (disjoint per-file
+# ranges) is precisely the property the parquet reader's row-group
+# min/max pruning exploits under the pushed-down filter; the pruning
+# itself is asserted from actual footer metadata in tests/test_io.py
+# (vanilla Spark exposes no per-file skip metric to assert from here).
 # ---------------------------------------------------------------------------
 @register(
     "clustered_scan_store",
@@ -369,21 +372,29 @@ def liquidity_depth_append_store(spark, sf_dir):
     """,
     doc=(
         "sort-clustered write certified at rest: lineitem cluster_by"
-        " l_orderkey through TableStore, selective read back must open"
-        " strictly fewer parquet files than the table holds (asserted from"
-        " input_file_name), aggregates match the raw-table oracle"
+        " l_orderkey through TableStore; a selective predicate's surviving"
+        " rows must come from a strict subset of the table's parquet files"
+        " (input_file_name) — the row concentration row-group pruning"
+        " exploits; aggregates match the raw-table oracle"
     ),
 )
 def clustered_scan_store(spark, sf_dir):
+    import hashlib
     import os
 
     from aave_etl_spark.io.scratch import session_scratch_dir
     from aave_etl_spark.io.table_store import TableStore
 
+    # key by the FULL resolved path, not basename alone — two corpora
+    # sharing a basename in one session must never share a cached table
+    # (the mhidx/bm25idx/ivf/ivfpq discipline)
+    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
     store = TableStore(
         spark,
         session_scratch_dir(
-            spark, "aave_etl_spark_cluster", os.path.basename(sf_dir.rstrip("/"))
+            spark,
+            "aave_etl_spark_cluster",
+            f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
         ),
     )
     tbl = "li_clustered"
@@ -396,19 +407,148 @@ def clustered_scan_store(spark, sf_dir):
         store.write(li, tbl, cluster_by=["l_orderkey"], cluster_files=8)
         store.mark_complete(tbl)
     filtered = store.read(tbl, where="l_orderkey <= 400")
-    # the data-skipping claim, from the engine itself: the selective scan
-    # must OPEN strictly fewer files than the clustered table holds
+    # the concentration claim, from the engine itself: every row the
+    # selective predicate keeps must live in a strict subset of the files
+    # (disjoint clustered ranges) — the layout property row-group pruning
+    # then exploits under the pushed-down filter
     n_read = filtered.select(F.input_file_name()).distinct().count()
     n_total = len(store._parquet_files(tbl))
     if not 1 <= n_read < n_total:
         raise RuntimeError(
-            f"clustered scan read {n_read} of {n_total} files — footer-range"
-            " data skipping did not prune the selective predicate"
+            f"selective predicate's rows span {n_read} of {n_total} files —"
+            " the cluster_by layout did not concentrate the key range"
         )
     return filtered.groupBy("l_returnflag").agg(
         F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-ORDER clustered storage certified from the store: lineitem lands
+# z-ordered on (l_partkey, l_suppkey) — a Morton key interleaves the two
+# dimensions' scaled bits, so contiguous key ranges are small rectangles
+# and EVERY z-ordered column gets usable per-file min/max footers. The
+# query asserts (from input_file_name over surviving rows) that a
+# selective predicate on EACH dimension INDEPENDENTLY concentrates into a
+# strict file subset — the multi-dimensional skipping a lexicographic
+# cluster_by cannot give its trailing columns — then certifies aggregates
+# under the first predicate against the raw-table oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "zorder_scan_store",
+    export=False,  # driver slot held by its family head (time_rollup_family)
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 6) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem WHERE l_partkey <= 40
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Z-order (Morton) clustered write certified at rest: lineitem"
+        " z-ordered on (l_partkey, l_suppkey) through TableStore; selective"
+        " predicates on EACH dimension independently land in a strict"
+        " subset of the files (the multi-dim skipping lexicographic"
+        " clustering can't give trailing columns); aggregates match the"
+        " raw-table oracle"
+    ),
+)
+def zorder_scan_store(spark, sf_dir):
+    import hashlib
+    import os
+
+    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+
+    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
+    store = TableStore(
+        spark,
+        session_scratch_dir(
+            spark,
+            "aave_etl_spark_zorder",
+            f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
+        ),
+    )
+    tbl = "li_zordered"
+    if not (store.is_complete(tbl) and store.exists(tbl)):
+        store.clear_complete(tbl)
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"
+        )
+        store.write(li, tbl, zorder_by=["l_partkey", "l_suppkey"], cluster_files=16)
+        store.mark_complete(tbl)
+    n_total = len(store._parquet_files(tbl))
+    # the z-order claim: BOTH dimensions' selective predicates concentrate
+    # (20% of the key space at sf0.001, 2% at sf0.01 — a 4x4 z-grid over
+    # 16 files puts either slab in ~4 of them)
+    by_part = store.read(tbl, where="l_partkey <= 40")
+    for tag, side in (
+        ("l_partkey", by_part),
+        ("l_suppkey", store.read(tbl, where="l_suppkey <= 2")),
+    ):
+        n_read = side.select(F.input_file_name()).distinct().count()
+        if not 1 <= n_read < n_total:
+            raise RuntimeError(
+                f"z-order: {tag} predicate's rows span {n_read} of {n_total}"
+                " files — the interleaved layout did not concentrate this"
+                " dimension"
+            )
+    return by_part.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build certified against a pure-window oracle: the
+# orders change log (one row per order, keyed by customer, ordered by
+# order date with the order key as the deterministic tie-break) collapses
+# into versioned rows with half-open validity intervals — the Kimball
+# Type-2 contract every dimensional warehouse needs, derived with two
+# key-partitioned windows (one shuffle, no iteration, no global window).
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_orders_dim",
+    export=False,  # driver slot held by its family head (window_shift_family)
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderdate, o_orderkey,
+             (o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w)
+             OR (o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w)
+             AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    v AS (SELECT * FROM c WHERE chg)
+    SELECT o_custkey, o_orderstatus, o_orderpriority,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER w2 AS effective_to,
+           (lead(o_orderdate) OVER w2 IS NULL) AS is_current,
+           CAST(row_number() OVER w2 AS BIGINT) AS version
+    FROM v
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc=(
+        "SCD Type-2 snapshot from a change log: per-customer order"
+        " status/priority versions with half-open validity intervals"
+        " (effective_from/effective_to/is_current/version), no-op changes"
+        " collapsed NULL-safely — two key-partitioned windows, one shuffle"
+    ),
+)
+def scd2_orders_dim(spark, sf_dir):
+    from aave_etl_spark.operators.scd import scd2_snapshot
+
+    return scd2_snapshot(
+        t(spark, sf_dir, "orders"),
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderstatus", "o_orderpriority"],
+        ts_col="o_orderdate",
+        seq_cols=["o_orderkey"],
+    ).select(
+        "o_custkey", "o_orderstatus", "o_orderpriority",
+        "effective_from", "effective_to", "is_current", "version",
     )
 
 

@@ -289,3 +289,112 @@ def test_session_scratch_dir_sweeps_only_stale_siblings(spark, tmp_path, monkeyp
     assert not stale.exists(), "stale sibling must be reclaimed"
     assert fresh.exists(), "fresh sibling may be a live session - kept"
     assert (mine / "sub" / "x").exists(), "own root untouched"
+
+
+def test_morton_zkey_interleaves_bits(spark):
+    """Known-value check of the Morton key: with 2 dims x 2 bits and an
+    identity scaling (values 0..3 over range 0..3), the key is the
+    textbook bit interleave (x bits at even positions, y at odd)."""
+    from aave_etl_spark.io.table_store import morton_zkey
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 3)], "x int, y int"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", morton_zkey(["x", "y"], [0, 0], [3, 3], bits=2).alias("z")
+        ).collect()
+    }
+    assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3, (2, 0): 4, (3, 3): 15}
+    # NULL dims scale to 0; out-of-anchor values clamp instead of wrapping
+    df2 = spark.createDataFrame([(None, 3), (99, 0)], "x int, y int")
+    got2 = [
+        r.z
+        for r in df2.select(
+            morton_zkey(["x", "y"], [0, 0], [3, 3], bits=2).alias("z")
+        ).collect()
+    ]
+    assert got2 == [10, 5]  # (0,3) -> y bits only; (3,0) clamped -> 5
+    with pytest.raises(ValueError, match="fit a signed long"):
+        morton_zkey(["x", "y"], [0, 0], [1, 1], bits=32)
+
+
+def test_zorder_write_concentrates_both_dimensions(spark, tmp_path):
+    """zorder_by must (a) keep the layout key out of the stored schema and
+    (b) give BOTH clustered dimensions per-file footer ranges far narrower
+    than the global range — the multi-dim concentration a lexicographic
+    cluster_by cannot give its trailing column."""
+    import pyarrow.parquet as pq
+
+    store = _store(spark, tmp_path)
+    df = (
+        spark.range(0, 10_000)
+        .select(
+            (F.col("id") % 100).cast("int").alias("x"),
+            F.pmod(F.hash("id"), F.lit(100)).cast("int").alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)  # scrambled input: every task sees the full ranges
+    )
+    store.write(df, "zed", zorder_by=["x", "y"], cluster_files=16)
+    out = store.read("zed")
+    assert "_zkey" not in out.columns  # layout device, not data
+    assert out.count() == 10_000
+    files = [str(p) for p in (tmp_path / "warehouse" / "zed").rglob("*.parquet")]
+    assert len(files) > 4
+    widths = {"x": [], "y": []}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        arrow = md.schema.to_arrow_schema()
+        for col in ("x", "y"):
+            cidx = arrow.get_field_index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(cidx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            widths[col].append(max(maxs) - min(mins))
+    for col in ("x", "y"):
+        mean_w = sum(widths[col]) / len(widths[col])
+        # a z-straddling file can span two grid cells; the MEAN stays
+        # well under half the global range (a lexicographic layout's
+        # trailing column would sit at ~the full range in every file)
+        assert mean_w < 50, f"{col}: mean per-file width {mean_w} not concentrated"
+    with pytest.raises(ValueError, match="not both"):
+        store.write(df, "zed2", cluster_by=["x"], zorder_by=["y"])
+
+
+def test_compact_zorder_reestablishes_layout(spark, tmp_path):
+    """Compacting a z-ordered table with zorder_by recomputes the dropped
+    Morton key and re-clusters, so both dimensions' footer concentration
+    survives the file-count change."""
+    import pyarrow.parquet as pq
+
+    store = _store(spark, tmp_path)
+    df = spark.range(0, 8_000).select(
+        (F.col("id") % 80).cast("int").alias("x"),
+        F.pmod(F.hash("id"), F.lit(80)).cast("int").alias("y"),
+    )
+    store.write(df, "zc", zorder_by=["x", "y"], cluster_files=16)
+    before, after = store.compact(
+        "zc", target_file_bytes=12 * 1024, zorder_by=["x", "y"]
+    )
+    assert after < before and after > 1
+    out = store.read("zc")
+    assert out.count() == 8_000 and "_zkey" not in out.columns
+    files = [str(p) for p in (tmp_path / "warehouse" / "zc").rglob("*.parquet")]
+    for col in ("x", "y"):
+        widths = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            cidx = md.schema.to_arrow_schema().get_field_index(col)
+            mins = [md.row_group(r).column(cidx).statistics.min for r in range(md.num_row_groups)]
+            maxs = [md.row_group(r).column(cidx).statistics.max for r in range(md.num_row_groups)]
+            widths.append(max(maxs) - min(mins))
+        # fewer files => coarser z-grid, so the bound is looser than the
+        # write-time test's; a layout lost to arrival order would sit at
+        # ~the full range (79) in every file
+        assert sum(widths) / len(widths) < 56, f"{col} lost concentration"
+    with pytest.raises(ValueError, match="not both"):
+        store.compact("zc", sort_cols=["x"], zorder_by=["y"])

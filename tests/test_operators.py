@@ -1869,3 +1869,86 @@ def test_ivfpq_index_search_scans_only_probed_cells(spark, tmp_path):
     assert [f.name for f in none.schema.fields] == [
         "query_id", "candidate_id", "cell_id", "approx_d2", "rank",
     ]
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 snapshots.
+# ---------------------------------------------------------------------------
+def test_scd2_snapshot_versions_and_intervals(spark):
+    from aave_etl_spark.operators.scd import scd2_as_of, scd2_snapshot
+
+    log = spark.createDataFrame(
+        [
+            # entity 1: A -> A (no-op, collapses) -> B -> A again
+            (1, 10, "A"),
+            (1, 20, "A"),
+            (1, 30, "B"),
+            (1, 40, "A"),
+            # entity 2: NULL attr first (kept), then NULL again (no-op),
+            # then a value
+            (2, 10, None),
+            (2, 20, None),
+            (2, 30, "X"),
+        ],
+        "k long, ts long, attr string",
+    )
+    dim = scd2_snapshot(log, ["k"], ["attr"], ts_col="ts").collect()
+    got = {
+        (r.k, r.version): (r.attr, r.effective_from, r.effective_to, r.is_current)
+        for r in dim
+    }
+    assert got == {
+        (1, 1): ("A", 10, 30, False),
+        (1, 2): ("B", 30, 40, False),
+        (1, 3): ("A", 40, None, True),
+        (2, 1): (None, 10, 30, False),
+        (2, 2): ("X", 30, None, True),
+    }
+    # half-open as-of contract: at ts=30 the NEW version is in force
+    dim_df = scd2_snapshot(log, ["k"], ["attr"], ts_col="ts")
+    at30 = {r.k: r.attr for r in scd2_as_of(dim_df, 30).collect()}
+    assert at30 == {1: "B", 2: "X"}
+    at10 = {r.k: r.attr for r in scd2_as_of(dim_df, 10).collect()}
+    assert at10 == {1: "A", 2: None}
+
+
+def test_scd2_snapshot_tie_break_and_validation(spark):
+    import pytest
+
+    from aave_etl_spark.operators.scd import scd2_snapshot
+
+    # same-timestamp changes order deterministically by the seq column
+    log = spark.createDataFrame(
+        [(1, 10, 2, "B"), (1, 10, 1, "A")], "k long, ts long, seq long, attr string"
+    )
+    rows = scd2_snapshot(log, ["k"], ["attr"], ts_col="ts", seq_cols=["seq"]).collect()
+    assert [(r.version, r.attr) for r in sorted(rows, key=lambda r: r.version)] == [
+        (1, "A"),
+        (2, "B"),
+    ]
+    with pytest.raises(ValueError, match="key_cols and attr_cols"):
+        scd2_snapshot(log, [], ["attr"])
+
+
+def test_knn_classify_majority_vote_and_ties(spark):
+    from aave_etl_spark.operators.similarity import knn_classify
+
+    # 2-D geometry around query [1,0]: neighbor ranks by cosine are
+    # 1 > 2 > 3 > 4 > 5 >> 6; labels interleave so k flips the vote
+    rows = [
+        (0, [1.0, 0.0], 9),      # the query (label ignored on query side)
+        (1, [0.99, 0.1], 1),
+        (2, [0.98, 0.12], 1),
+        (3, [0.97, 0.15], 2),
+        (4, [0.9, 0.3], 2),
+        (5, [0.88, 0.35], 2),
+        (6, [-1.0, 0.0], 1),     # far: never in the top-5
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    # k=5: labels {1,1,2,2,2} -> 2 wins with 3 votes
+    out = knn_classify(emb, emb.filter("vec_id = 0"), k=5).collect()
+    assert len(out) == 1
+    assert (out[0].pred_label, out[0].n_votes) == (2, 3)
+    # k=4: labels {1,1,2,2} tie -> smallest label wins
+    out2 = knn_classify(emb, emb.filter("vec_id = 0"), k=4).collect()
+    assert len(out2) == 1 and (out2[0].pred_label, out2[0].n_votes) == (1, 2)
