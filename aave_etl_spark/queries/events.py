@@ -579,3 +579,103 @@ def stream_sessionize_store(spark, sf_dir):
         raise RuntimeError("stream_sessionize_store: drain 2 did not finish in 300s")
     store.mark_complete("sessions")
     return _at_rest()
+
+
+# ---------------------------------------------------------------------------
+# At-least-once ingest dedup certified AT REST: every third event is
+# re-delivered with a +10-minute jittered timestamp (the retry shape that
+# defeats exact (key, ts) dedup), the stream drops the replays with
+# dropDuplicatesWithinWatermark on event_id, and the certified read is
+# the parquet table the drain left behind — one row per event_id with the
+# payload intact. Which physical copy survives is arrival-order-dependent,
+# so the certified projection carries only columns IDENTICAL across
+# copies (key + payload, never the jittered ts); the oracle is simply the
+# original events table, because a correct dedup returns exactly it.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_dedup_store",
+    export=False,  # driver slot held by its family head (window_shift_family)
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM events
+    """,
+    doc=(
+        "§2.10 streaming dedup certified at rest: replayed events with"
+        " jittered timestamps (the case exact (key,ts) dedup misses)"
+        " dropped by dropDuplicatesWithinWatermark, drained append-mode to"
+        " parquet; the at-rest table equals the original events exactly"
+    ),
+)
+def stream_dedup_store(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+
+    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.streaming.micro_batch import (
+        dedup_keys_within_watermark,
+        run_available_now,
+        stream_lake_table,
+    )
+
+    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
+    root = session_scratch_dir(
+        spark,
+        "aave_etl_spark_streamdedup",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
+    )
+    store = TableStore(spark, os.path.join(root, "warehouse"))
+
+    def _at_rest():
+        return store.read("deduped").select(
+            "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+        )
+
+    if store.is_complete("deduped") and store.exists("deduped"):
+        return _at_rest()
+    store.clear_complete("deduped")
+    for sub in ("lake", "ckpt"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    shutil.rmtree(store._path("deduped"), ignore_errors=True)
+
+    lake = os.path.join(root, "lake")
+    # watermark needs TIMESTAMP (session tz pinned UTC, epoch preserved)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    # the at-least-once fault: every 3rd event re-delivered 10 min later
+    # (same key and payload, different event time — inside the watermark
+    # delay, so the dedup operator MUST catch it)
+    replay = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES")
+    )
+    ev.unionByName(replay).write.parquet(lake)
+    schema = spark.read.parquet(lake).schema
+    deduped = dedup_keys_within_watermark(
+        stream_lake_table(spark, lake, schema), ["event_id"], watermark="1 hour"
+    ).drop("ts")  # survivor's ts is arrival-order-dependent; never certify it
+    q = run_available_now(
+        deduped,
+        os.path.join(root, "ckpt"),
+        output_mode="append",
+        query_name="dedup_drain",
+        fmt="parquet",
+        path=store._path("deduped"),
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_dedup_store: drain did not finish in 300s")
+    # the dedup claim, from the counts: replays landed in the lake and did
+    # NOT survive to rest
+    n_lake = spark.read.parquet(lake).count()
+    n_rest = spark.read.parquet(store._path("deduped")).count()
+    n_orig = ev.count()
+    if not (n_rest == n_orig < n_lake):
+        raise RuntimeError(
+            f"stream dedup: {n_rest} at rest vs {n_orig} originals"
+            f" ({n_lake} in the lake) — replays were not dropped"
+        )
+    store.mark_complete("deduped")
+    return _at_rest()

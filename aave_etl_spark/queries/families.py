@@ -304,6 +304,12 @@ family(
             ("n_events", "session_value"),
         ),
         (
+            "stream_dedup",
+            "stream_dedup_store",
+            ("event_id", "event_type"),
+            ("user_id", "value"),
+        ),
+        (
             "scd2",
             "scd2_orders_dim",
             (
@@ -322,7 +328,10 @@ family(
         " REAL warehouse market state/config transforms (UI compounding"
         " APYs, eMode left-join NULL arms) + STATEFUL STREAMING certified at"
         " rest (session_window + watermark drained append-mode to parquet,"
-        " sentinel-closed, equal to the batch gap-session oracle) + the SCD"
+        " sentinel-closed, equal to the batch gap-session oracle) +"
+        " STREAMING at-least-once dedup at rest (jitter-replayed events"
+        " dropped by dropDuplicatesWithinWatermark, table equals the"
+        " originals) + the SCD"
         " Type-2 dimension build (versioned rows, half-open validity"
         " intervals, NULL-safe no-op collapse)"
     ),

@@ -49,6 +49,29 @@ def dedup_snapshot_stream(
     )
 
 
+def dedup_keys_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once ingest dedup for REPLAYED events whose retries carry
+    DIFFERENT timestamps: ``dropDuplicatesWithinWatermark`` keeps one row
+    per key among arrivals whose event times fall within the watermark
+    delay of each other — the case ``dedup_snapshot_stream`` (exact
+    (key, ts) match) cannot catch, and the reason Spark 3.5 added the
+    operator.
+
+    State stays bounded: a key's entry ages out once the watermark passes
+    its first-arrival event time. Which physical copy survives is
+    arrival-order-dependent — downstream certification must project only
+    columns identical across copies (the key and its payload), never the
+    jittered timestamp."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def sessionized_stream(
     stream: DataFrame,
     ts_col: str = "ts",

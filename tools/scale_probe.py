@@ -17,8 +17,10 @@ inflates wall times 5-10x and the numbers stop being comparable; for A
 vs B claims, measure BOTH in the same session (historical rows from
 different sessions are not load-fair).
 
-Special names (approximate scale forms without registry entries):
+Special names (scale forms without registry entries):
     dsir_approx — dsir_importance_resample(approximate=True) at m=256
+    bm25_inflight — bm25_retrieve rebuilt-per-run (the at-rest index's
+                    in-flight twin, for index-vs-inflight comparisons)
 """
 
 from __future__ import annotations
@@ -58,6 +60,17 @@ def main() -> int:
                 df = sampling.dsir_importance_resample(
                     t(spark, sf_dir, "documents"), target_pred="lang = 'en'",
                     m=256, keep_frac=0.25, approximate=True,
+                )
+            elif name == "bm25_inflight":
+                # the in-flight twin of llm_bm25_index_search: same probe,
+                # but the postings rebuild from text EVERY run — the corpus
+                # re-scan the at-rest index amortizes away
+                from aave_etl_spark.operators import text as text_ops
+                from pyspark.sql import functions as F
+
+                docs = t(spark, sf_dir, "documents")
+                df = text_ops.bm25_retrieve(
+                    docs, docs.filter(F.col("doc_id") < 8), k=10
                 )
             else:
                 df = allq[name].builder(spark, sf_dir)
