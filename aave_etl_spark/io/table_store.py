@@ -273,6 +273,92 @@ class TableStore:
         writer.mode(mode).parquet(self._path(name))
         return True
 
+    def merge(
+        self,
+        changes: DataFrame,
+        name: str,
+        key_cols: list[str],
+        partition_cols: list[str] | None = None,
+        op_col: str | None = None,
+        delete_op: str = "D",
+        sequence_col: str | None = None,
+    ) -> bool:
+        """MERGE a change log into a keyed table — the Delta/Iceberg
+        ``MERGE INTO`` pattern on open parquet: inserts and updates upsert
+        by ``key_cols``, rows whose ``op_col`` equals ``delete_op`` are
+        removed, everything else in the table survives untouched.
+
+        Scale contract: with ``partition_cols`` the merge is PARTITION-
+        SCOPED — only the partitions present in ``changes`` are read
+        (partition-pruned semi join on a broadcast of the touched tuples)
+        and rewritten (dynamic partition overwrite); a daily change batch
+        against a years-deep table costs the touched days, not the
+        history. The partition columns must be STABLE per key (a key
+        cannot move between partitions — the same contract every
+        partition-scoped lakehouse merge imposes); date/entity partitions
+        satisfy it naturally. A touched partition whose rows are ALL
+        deleted cannot be expressed by dynamic overwrite (nothing to
+        write), so its directory is removed explicitly — partition values
+        must render to Spark's simple path encoding (ints/strings).
+
+        ``sequence_col``: when one batch carries several changes for a
+        key, keep the row with the highest sequence (ties undefined —
+        pass a total-order column). ``op_col=None`` means a pure upsert
+        feed (no deletes).
+
+        Returns whether a write landed (False = the merge produced an
+        empty table AND nothing pre-existed)."""
+        from pyspark.sql.window import Window
+
+        if sequence_col:
+            w = Window.partitionBy(*key_cols).orderBy(F.col(sequence_col).desc())
+            changes = (
+                changes.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                # changelog metadata, not data — like op_col, it must not
+                # land in (or be expected from) the stored schema
+                .drop("_rn", sequence_col)
+            )
+        if op_col:
+            upserts = changes.filter(F.col(op_col) != delete_op).drop(op_col)
+        else:
+            upserts = changes
+        if not self.exists(name):
+            return self.write(upserts, name, partition_cols=partition_cols)
+        existing = self.read(name)
+        touched_vals: list[tuple] = []
+        if partition_cols:
+            touched = changes.select(*partition_cols).distinct()
+            # bounded: one tuple per touched partition
+            touched_vals = [tuple(r) for r in touched.collect()]
+            existing = existing.join(
+                F.broadcast(touched), partition_cols, "left_semi"
+            )
+        changed_keys = changes.select(*key_cols).distinct()
+        survivors = existing.join(changed_keys, key_cols, "left_anti")
+        # materialize BEFORE overwriting: the plan reads the very files the
+        # write replaces, so every post-write action on the lazy lineage
+        # (including the vanished-partition sweep below) would hit deleted
+        # paths. The checkpoint holds only the TOUCHED partitions' rows —
+        # the merge's working set, not the table.
+        out = survivors.unionByName(upserts).localCheckpoint(eager=True)
+        landed = self.write(out, name, partition_cols=partition_cols)
+        if partition_cols:
+            # a touched partition with no output rows vanished entirely —
+            # dynamic overwrite can't delete it, so drop the directory
+            remaining = {
+                tuple(r) for r in out.select(*partition_cols).distinct().collect()
+            }
+            import shutil
+
+            for vals in set(touched_vals) - remaining:
+                p = os.path.join(
+                    self._path(name),
+                    *[f"{c}={v}" for c, v in zip(partition_cols, vals)],
+                )
+                shutil.rmtree(p, ignore_errors=True)
+        return landed or self.exists(name)
+
     def write_bucketed(
         self,
         df: DataFrame,

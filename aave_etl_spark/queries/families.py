@@ -642,6 +642,12 @@ family(
              "reward_price_feed", "emission_end_timestamp",
              "incentives_last_update_timestamp"),
         ),
+        (
+            "cdc",
+            "cdc_merge_store",
+            ("o_orderkey", "o_orderstatus"),
+            ("o_custkey", "o_totalprice"),
+        ),
     ],
     doc=(
         "§2.8 reshape family: UNPIVOT stack + PIVOT multi-agg + greedy"
@@ -650,7 +656,9 @@ family(
         " (metadata-only explode grid) + the S10 incentives 3-level nested"
         " flatten certified against a generate-series oracle + the"
         " deterministic epoch-shuffle shard assignment (seed-keyed md5"
-        " order, per-shard windows, no global sort)"
+        " order, per-shard windows, no global sort) + CDC MERGE INTO"
+        " certified at rest (partition-pruned anti-join + dynamic partition"
+        " overwrite, closed-form final-state oracle)"
     ),
 )
 

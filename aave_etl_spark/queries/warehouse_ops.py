@@ -502,6 +502,93 @@ def zorder_scan_store(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# CDC MERGE certified from the store: a change log (updates x2 price,
+# deletes, inserts of fresh keys) merges into the status-partitioned
+# orders snapshot through TableStore.merge — the Delta-style MERGE INTO
+# re-expressed as partition-pruned anti-join + dynamic partition
+# overwrite — and the certified read is the post-merge table, which must
+# equal the oracle's closed-form final state exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_merge_store",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(price, 6) AS o_totalprice
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 10 <> 1
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 = 2
+    ) x
+    """,
+    doc=(
+        "CDC MERGE INTO certified at rest: updates (price x2 on keys %10=0),"
+        " deletes (%10=1), inserts (fresh keys from %10=2) merged into the"
+        " status-partitioned orders snapshot via partition-pruned anti-join"
+        " + dynamic partition overwrite; the post-merge table equals the"
+        " closed-form final state"
+    ),
+)
+def cdc_merge_store(spark, sf_dir):
+    import hashlib
+    import os
+
+    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+
+    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
+    store = TableStore(
+        spark,
+        session_scratch_dir(
+            spark,
+            "aave_etl_spark_cdc",
+            f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
+        ),
+    )
+    tbl = "orders_snapshot"
+
+    def _at_rest():
+        return store.read(tbl).select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+        )
+
+    if store.is_complete(tbl) and store.exists(tbl):
+        return _at_rest()
+    store.clear_complete(tbl)
+    import shutil
+
+    shutil.rmtree(store._path(tbl), ignore_errors=True)
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    store.write(base, tbl, partition_cols=["o_orderstatus"])
+    key = F.col("o_orderkey")
+    changes = (
+        base.filter(key % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("U"))
+        .unionByName(base.filter(key % 10 == 1).withColumn("op", F.lit("D")))
+        .unionByName(
+            base.filter(key % 10 == 2)
+            .withColumn("o_orderkey", key + 10_000_000)
+            .withColumn("op", F.lit("I"))
+        )
+    )
+    store.merge(
+        changes, tbl, ["o_orderkey"],
+        partition_cols=["o_orderstatus"], op_col="op",
+    )
+    store.mark_complete(tbl)
+    return _at_rest()
+
+
+# ---------------------------------------------------------------------------
 # SCD Type-2 dimension build certified against a pure-window oracle: the
 # orders change log (one row per order, keyed by customer, ordered by
 # order date with the order key as the deterministic tie-break) collapses

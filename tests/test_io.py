@@ -398,3 +398,68 @@ def test_compact_zorder_reestablishes_layout(spark, tmp_path):
         assert sum(widths) / len(widths) < 56, f"{col} lost concentration"
     with pytest.raises(ValueError, match="not both"):
         store.compact("zc", sort_cols=["x"], zorder_by=["y"])
+
+
+def test_merge_upsert_delete_and_partition_scope(spark, tmp_path):
+    """MERGE semantics: updates replace by key, deletes remove, inserts
+    add; untouched PARTITIONS are not rewritten (their files' mtimes are
+    stable), and a touched partition whose rows all vanish is removed."""
+    import os
+    import time as time_mod
+
+    store = _store(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "k long, part string, v double",
+    )
+    store.write(base, "m", partition_cols=["part"])
+    files_c_before = {
+        f: os.path.getmtime(f)
+        for f in map(str, (tmp_path / "warehouse" / "m" / "part=c").rglob("*.parquet"))
+    }
+    assert files_c_before
+    time_mod.sleep(1.1)  # mtime granularity guard
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 11.0, "U"),   # update in partition a
+            (2, "a", 0.0, "D"),    # delete in partition a
+            (3, "b", 0.0, "D"),    # delete the ONLY row of partition b
+            (5, "a", 50.0, "I"),   # insert into partition a
+        ],
+        "k long, part string, v double, op string",
+    )
+    store.merge(changes, "m", ["k"], partition_cols=["part"], op_col="op")
+    got = {(r.k, r.part): r.v for r in store.read("m").collect()}
+    assert got == {(1, "a"): 11.0, (4, "c"): 40.0, (5, "a"): 50.0}
+    # partition b vanished entirely (all rows deleted)
+    assert not (tmp_path / "warehouse" / "m" / "part=b").exists()
+    # untouched partition c: same files, same mtimes
+    files_c_after = {
+        f: os.path.getmtime(f)
+        for f in map(str, (tmp_path / "warehouse" / "m" / "part=c").rglob("*.parquet"))
+    }
+    assert files_c_after == files_c_before
+
+
+def test_merge_sequence_keep_last_and_bootstrap(spark, tmp_path):
+    """sequence_col collapses multi-change batches to the highest-sequence
+    row per key; merging into a missing table bootstraps it from the
+    upserts (deletes ignored)."""
+    store = _store(spark, tmp_path)
+    changes = spark.createDataFrame(
+        [
+            (1, 100.0, "I", 1),
+            (1, 150.0, "U", 2),   # later change for the same key wins
+            (2, 200.0, "I", 1),
+            (3, 300.0, "D", 1),   # delete against nothing: ignored
+        ],
+        "k long, v double, op string, seq long",
+    )
+    store.merge(changes, "boot", ["k"], op_col="op", sequence_col="seq")
+    got = {r.k: r.v for r in store.read("boot").collect()}
+    assert got == {1: 150.0, 2: 200.0}
+    # pure-upsert feed (no op col): every change row upserts
+    more = spark.createDataFrame([(2, 222.0), (4, 444.0)], "k long, v double")
+    store.merge(more, "boot", ["k"])
+    got2 = {r.k: r.v for r in store.read("boot").collect()}
+    assert got2 == {1: 150.0, 2: 222.0, 4: 444.0}
