@@ -50,3 +50,20 @@ def session_scratch_dir(spark, family: str, *parts: str) -> str:
     except OSError:
         pass  # not created yet; the first writer stamps a fresh mtime
     return os.path.join(own, *parts)
+
+
+def corpus_key(sf_dir: str) -> str:
+    """Stable per-corpus key: ``<basename>-<sha256(realpath)[:16]>``.
+
+    The basename keeps scratch roots human-readable; the full-resolved-path
+    digest is the correctness part — two corpora sharing a basename
+    (parallel checkouts, regenerated fixtures under different parents)
+    must NEVER share a cached store/index. Every at-rest store and
+    catalog-table name keyed by a corpus goes through this one helper so
+    the discipline cannot silently diverge between queries.
+    """
+    import hashlib
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    digest = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
+    return f"{base}-{digest}"

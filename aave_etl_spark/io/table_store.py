@@ -63,7 +63,10 @@ def morton_zkey(
     top = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for j, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
-        span = float(max(hi - lo, 1))
+        # guard ONLY the degenerate hi == lo case — clamping small spans
+        # to 1 would collapse sub-unit ranges (ratio columns span [0, 1])
+        # to a constant 0 and silently drop the dimension from the layout
+        span = float(hi - lo) if hi > lo else 1.0
         # coalesce BEFORE the clamp: Spark's least/greatest skip NULLs
         # (least(top, NULL) = top), so a NULL dim would clamp to the top
         # bucket instead of 0. Multiply BEFORE dividing: (1/3)*3 floors
@@ -86,6 +89,19 @@ def morton_zkey(
                 F.shiftleft(F.shiftright(scaled, i).bitwiseAND(F.lit(1)), i * d + j)
             )
     return z
+
+
+def _zorder_anchors(df: DataFrame, cols: list[str]) -> tuple[list[float], list[float]]:
+    """One bounded job: the 2·d min/max scaling anchors for a Morton key —
+    shared by write() and compact() so write-time and maintenance-time
+    layouts can never disagree."""
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(cols)],
+    ).first()
+    mins = [row[f"_lo{i}"] if row[f"_lo{i}"] is not None else 0.0 for i in range(len(cols))]
+    maxs = [row[f"_hi{i}"] if row[f"_hi{i}"] is not None else 0.0 for i in range(len(cols))]
+    return mins, maxs
 
 
 class TableStore:
@@ -227,13 +243,7 @@ class TableStore:
         if zorder_by:
             if cluster_by:
                 raise ValueError("pass cluster_by OR zorder_by, not both")
-            # one bounded job: 2·d scalars anchor the min-max scaling
-            anchors = df.agg(
-                *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(zorder_by)],
-                *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(zorder_by)],
-            ).first()
-            mins = [anchors[f"_lo{i}"] or 0.0 for i in range(len(zorder_by))]
-            maxs = [anchors[f"_hi{i}"] or 0.0 for i in range(len(zorder_by))]
+            mins, maxs = _zorder_anchors(df, zorder_by)
             df = df.withColumn(
                 "_zkey", morton_zkey(zorder_by, mins, maxs, bits=zorder_bits)
             )
@@ -319,12 +329,21 @@ class TableStore:
                 # land in (or be expected from) the stored schema
                 .drop("_rn", sequence_col)
             )
+        if not self.exists(name):
+            upserts = (
+                changes.filter(F.col(op_col) != delete_op).drop(op_col)
+                if op_col
+                else changes
+            )
+            return self.write(upserts, name, partition_cols=partition_cols)
+        # materialize the change batch once: its lineage (often joins and
+        # the sequence window above) would otherwise re-run for the touched
+        # collect, the key distinct, AND the final union
+        changes = changes.localCheckpoint(eager=True)
         if op_col:
             upserts = changes.filter(F.col(op_col) != delete_op).drop(op_col)
         else:
             upserts = changes
-        if not self.exists(name):
-            return self.write(upserts, name, partition_cols=partition_cols)
         existing = self.read(name)
         touched_vals: list[tuple] = []
         if partition_cols:
@@ -342,6 +361,14 @@ class TableStore:
         # paths. The checkpoint holds only the TOUCHED partitions' rows —
         # the merge's working set, not the table.
         out = survivors.unionByName(upserts).localCheckpoint(eager=True)
+        if not partition_cols and out.isEmpty():
+            # the merge emptied an unpartitioned table: write() skips empty
+            # frames, so express the deletion directly — leaving the old
+            # files would silently resurrect every deleted row
+            import shutil
+
+            shutil.rmtree(self._path(name), ignore_errors=True)
+            return False
         landed = self.write(out, name, partition_cols=partition_cols)
         if partition_cols:
             # a touched partition with no output rows vanished entirely —
@@ -474,18 +501,9 @@ class TableStore:
         df = self.spark.read.parquet(self._path(name))
         drop_after: list[str] = []
         if zorder_by:
-            anchors = df.agg(
-                *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(zorder_by)],
-                *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(zorder_by)],
-            ).first()
+            mins, maxs = _zorder_anchors(df, zorder_by)
             df = df.withColumn(
-                "_zkey",
-                morton_zkey(
-                    zorder_by,
-                    [anchors[f"_lo{i}"] or 0.0 for i in range(len(zorder_by))],
-                    [anchors[f"_hi{i}"] or 0.0 for i in range(len(zorder_by))],
-                    bits=zorder_bits,
-                ),
+                "_zkey", morton_zkey(zorder_by, mins, maxs, bits=zorder_bits)
             )
             sort_cols = ["_zkey"]
             drop_after = ["_zkey"]

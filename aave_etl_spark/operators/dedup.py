@@ -499,14 +499,17 @@ def _index_params(store, spark, name, shingle_n, num_hashes, rows_per_band):
     """Read the index's build-params sidecar and raise on a banding
     mismatch. Returns the sidecar row, or None for a pre-sidecar index
     (caller-owned contract). Only a MISSING sidecar maps to None — a
-    corrupt/unreadable one must surface, not silently disable the
-    validation the sidecar exists to provide."""
-    from pyspark.errors import AnalysisException
+    present-but-unreadable one (half-written build, corruption) must
+    surface, not silently disable the validation the sidecar exists to
+    provide; exception-class filtering can't make that distinction
+    (a footerless directory raises AnalysisException too), so the
+    missing case is an explicit path check."""
+    import os
 
-    try:
-        built = spark.read.parquet(store._path(name + "_params")).head()
-    except AnalysisException:
-        return None  # path does not exist: genuinely pre-sidecar
+    path = store._path(name + "_params")
+    if not os.path.exists(path):
+        return None  # genuinely pre-sidecar
+    built = spark.read.parquet(path).head()
     want = (int(shingle_n), int(num_hashes), int(rows_per_band))
     have = (built.shingle_n, built.num_hashes, built.rows_per_band)
     if want != have:

@@ -450,19 +450,20 @@ def bm25_index_search(
 
     Raises on a (k1, b) mismatch against the index's build-params sidecar
     — drifted parameters would silently score with stale norms."""
-    from pyspark.errors import AnalysisException
+    import os
 
     spark = queries.sparkSession
-    try:
-        built = spark.read.parquet(store._path(name + "_params")).head()
-    except AnalysisException:
-        # only a MISSING sidecar means "never built" — a corrupt or
-        # unreadable one must surface as its own error, not send the
-        # caller to rebuild over a live index
+    # only a MISSING sidecar means "never built" — a present-but-unreadable
+    # one (half-written build, corruption) must surface as its own error,
+    # not send the caller to rebuild over a live index; an explicit path
+    # check makes the distinction exception classes can't
+    path = store._path(name + "_params")
+    if not os.path.exists(path):
         raise ValueError(
             f"bm25_index_search: no params sidecar for index {name!r} —"
             " build it with bm25_index_build first"
         )
+    built = spark.read.parquet(path).head()
     if (float(k1), float(b)) != (built.k1, built.b):
         raise ValueError(
             f"bm25 index params {(k1, b)} != build params"

@@ -494,11 +494,10 @@ def hypertable_rollup(spark, sf_dir):
     ),
 )
 def stream_sessionize_store(spark, sf_dir):
-    import hashlib
     import os
     import shutil
 
-    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
     from aave_etl_spark.io.table_store import TableStore
     from aave_etl_spark.streaming.micro_batch import (
         run_available_now,
@@ -506,14 +505,8 @@ def stream_sessionize_store(spark, sf_dir):
         stream_lake_table,
     )
 
-    # key by the FULL resolved path, not basename alone — two corpora
-    # sharing a basename in one session must never share a drained store
-    # (the mhidx/bm25idx/ivf/ivfpq discipline)
-    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
     root = session_scratch_dir(
-        spark,
-        "aave_etl_spark_sessionize",
-        f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
+        spark, "aave_etl_spark_sessionize", corpus_key(sf_dir)
     )
     store = TableStore(spark, os.path.join(root, "warehouse"))
 
@@ -607,11 +600,10 @@ def stream_sessionize_store(spark, sf_dir):
     ),
 )
 def stream_dedup_store(spark, sf_dir):
-    import hashlib
     import os
     import shutil
 
-    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
     from aave_etl_spark.io.table_store import TableStore
     from aave_etl_spark.streaming.micro_batch import (
         dedup_keys_within_watermark,
@@ -619,11 +611,8 @@ def stream_dedup_store(spark, sf_dir):
         stream_lake_table,
     )
 
-    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
     root = session_scratch_dir(
-        spark,
-        "aave_etl_spark_streamdedup",
-        f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
+        spark, "aave_etl_spark_streamdedup", corpus_key(sf_dir)
     )
     store = TableStore(spark, os.path.join(root, "warehouse"))
 

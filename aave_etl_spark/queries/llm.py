@@ -1266,21 +1266,17 @@ def llm_knn_classify(spark, sf_dir):
     ),
 )
 def llm_bm25_index_search(spark, sf_dir):
-    import hashlib
     import os
     import re as re_mod
 
-    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
     from aave_etl_spark.io.table_store import TableStore
 
-    base = os.path.basename(sf_dir.rstrip("/"))
-    # full-resolved-path key: two corpora sharing a basename in one
-    # session must never share a cached index (mhidx/ivfpq discipline)
-    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
+    ck = corpus_key(sf_dir)
     store = TableStore(
-        spark, session_scratch_dir(spark, "aave_etl_spark_bm25idx", f"{base}-{sf_key}")
+        spark, session_scratch_dir(spark, "aave_etl_spark_bm25idx", ck)
     )
-    tbl = "bm25_post_idx_" + re_mod.sub(r"[^0-9a-zA-Z]+", "_", f"{base}_{sf_key}")
+    tbl = "bm25_post_idx_" + re_mod.sub(r"[^0-9a-zA-Z]+", "_", ck)
     docs = t(spark, sf_dir, "documents")
     # build-once/search-many: marker stamped LAST, interrupted builds
     # rebuild from scratch on the next call
@@ -1931,10 +1927,9 @@ def llm_dsir_resample(spark, sf_dir):
     ),
 )
 def llm_ivf_index_search(spark, sf_dir):
-    import hashlib
     import os
 
-    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
     from aave_etl_spark.io.table_store import TableStore
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1944,16 +1939,9 @@ def llm_ivf_index_search(spark, sf_dir):
     # can't serve a prior session's stale index. Keyed additionally by a
     # digest of the FULL resolved sf_dir (not its basename): two corpora
     # whose dirs share a basename must never share a cached index.
-    sf_key = hashlib.sha256(
-        os.path.realpath(sf_dir).encode("utf-8")
-    ).hexdigest()[:16]
     store = TableStore(
         spark,
-        session_scratch_dir(
-            spark,
-            "aave_etl_spark_ivf",
-            f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
-        ),
+        session_scratch_dir(spark, "aave_etl_spark_ivf", corpus_key(sf_dir)),
     )
     # build-once, search-many: the at-rest pattern's whole point. The index
     # is keyed by sf_dir, and the corpus at a given sf is immutable, so a
@@ -2332,14 +2320,14 @@ def llm_stream_ingest(spark, sf_dir):
         stream_lake_table,
     )
 
-    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
 
     # per-session root (applicationId) — the reset+drain+read sequence is
     # not concurrency-safe across processes, so the root is never shared;
     # the helper also sweeps dead sessions' roots (corpus + landing +
     # checkpoint add up) so /tmp stays bounded across harness runs
     root = session_scratch_dir(
-        spark, "aave_etl_spark_stream_ingest", os.path.basename(sf_dir.rstrip("/"))
+        spark, "aave_etl_spark_stream_ingest", corpus_key(sf_dir)
     )
     landing = os.path.join(root, "landing")
     ckpt = os.path.join(root, "ckpt")
@@ -2577,25 +2565,20 @@ def llm_perplexity_buckets(spark, sf_dir):
     ),
 )
 def llm_minhash_index_match(spark, sf_dir):
-    import hashlib
     import os
     import re as re_mod
 
-    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
     from aave_etl_spark.io.table_store import TableStore
 
-    base = os.path.basename(sf_dir.rstrip("/"))
-    # key by the FULL resolved path, not basename alone — two corpora
-    # sharing a basename in one session must never share a cached index
-    # (the discipline llm_ivfpq_index_search applies)
-    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
+    ck = corpus_key(sf_dir)
     store = TableStore(
-        spark, session_scratch_dir(spark, "aave_etl_spark_mhidx", f"{base}-{sf_key}")
+        spark, session_scratch_dir(spark, "aave_etl_spark_mhidx", ck)
     )
     # catalog table names are session-global while the store root is
     # session+sf keyed — embed the sf so two scale factors in one session
     # (driver smoke at sf0.001 + certs at sf0.01) never collide
-    tbl = "mh_band_idx_" + re_mod.sub(r"[^0-9a-zA-Z]+", "_", f"{base}_{sf_key}")
+    tbl = "mh_band_idx_" + re_mod.sub(r"[^0-9a-zA-Z]+", "_", ck)
     docs = t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     new_batch = docs.filter(F.col("doc_id") % 2 == 1)
@@ -2806,10 +2789,9 @@ def llm_ivfpq_topk(spark, sf_dir):
     ),
 )
 def llm_ivfpq_index_search(spark, sf_dir):
-    import hashlib
     import os
 
-    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
     from aave_etl_spark.io.table_store import TableStore
 
     emb = t(spark, sf_dir, "embeddings")
@@ -2820,14 +2802,9 @@ def llm_ivfpq_index_search(spark, sf_dir):
     # Within the session the root is additionally sha-keyed by the FULL
     # resolved sf path — two corpora sharing a basename never share a
     # cached index.
-    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
     store = TableStore(
         spark,
-        session_scratch_dir(
-            spark,
-            "aave_etl_spark_ivfpq",
-            f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
-        ),
+        session_scratch_dir(spark, "aave_etl_spark_ivfpq", corpus_key(sf_dir)),
     )
     # build-once/search-many, gated on the COMPLETION MARKER (cleared
     # first / written last by ivfpq_index_build): an interrupted build or

@@ -379,23 +379,13 @@ def liquidity_depth_append_store(spark, sf_dir):
     ),
 )
 def clustered_scan_store(spark, sf_dir):
-    import hashlib
     import os
 
-    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
     from aave_etl_spark.io.table_store import TableStore
 
-    # key by the FULL resolved path, not basename alone — two corpora
-    # sharing a basename in one session must never share a cached table
-    # (the mhidx/bm25idx/ivf/ivfpq discipline)
-    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
     store = TableStore(
-        spark,
-        session_scratch_dir(
-            spark,
-            "aave_etl_spark_cluster",
-            f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
-        ),
+        spark, session_scratch_dir(spark, "aave_etl_spark_cluster", corpus_key(sf_dir))
     )
     tbl = "li_clustered"
     # build-once per session (marker stamped last, at-rest discipline)
@@ -456,20 +446,13 @@ def clustered_scan_store(spark, sf_dir):
     ),
 )
 def zorder_scan_store(spark, sf_dir):
-    import hashlib
     import os
 
-    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
     from aave_etl_spark.io.table_store import TableStore
 
-    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
     store = TableStore(
-        spark,
-        session_scratch_dir(
-            spark,
-            "aave_etl_spark_zorder",
-            f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
-        ),
+        spark, session_scratch_dir(spark, "aave_etl_spark_zorder", corpus_key(sf_dir))
     )
     tbl = "li_zordered"
     if not (store.is_complete(tbl) and store.exists(tbl)):
@@ -535,20 +518,13 @@ def zorder_scan_store(spark, sf_dir):
     ),
 )
 def cdc_merge_store(spark, sf_dir):
-    import hashlib
     import os
 
-    from aave_etl_spark.io.scratch import session_scratch_dir
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
     from aave_etl_spark.io.table_store import TableStore
 
-    sf_key = hashlib.sha256(os.path.realpath(sf_dir).encode("utf-8")).hexdigest()[:16]
     store = TableStore(
-        spark,
-        session_scratch_dir(
-            spark,
-            "aave_etl_spark_cdc",
-            f"{os.path.basename(sf_dir.rstrip('/'))}-{sf_key}",
-        ),
+        spark, session_scratch_dir(spark, "aave_etl_spark_cdc", corpus_key(sf_dir))
     )
     tbl = "orders_snapshot"
 

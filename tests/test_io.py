@@ -463,3 +463,35 @@ def test_merge_sequence_keep_last_and_bootstrap(spark, tmp_path):
     store.merge(more, "boot", ["k"])
     got2 = {r.k: r.v for r in store.read("boot").collect()}
     assert got2 == {1: 150.0, 2: 222.0, 4: 444.0}
+
+
+def test_merge_delete_all_unpartitioned_empties_table(spark, tmp_path):
+    """A delete-only batch that empties an unpartitioned table must remove
+    it (write() skips empty frames, so the deletion is expressed on the
+    directory) — not silently keep the old rows."""
+    store = _store(spark, tmp_path)
+    store.write(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"), "e")
+    changes = spark.createDataFrame(
+        [(1, 0.0, "D"), (2, 0.0, "D")], "k long, v double, op string"
+    )
+    assert store.merge(changes, "e", ["k"], op_col="op") is False
+    assert not store.exists("e")
+    assert store.read("e").count() == 0  # K3 typed-empty
+
+
+def test_morton_zkey_sub_unit_span_keeps_resolution(spark):
+    """A dimension spanning less than 1 (ratio columns) must still spread
+    across the key space — the span guard only protects hi == lo."""
+    from aave_etl_spark.io.table_store import morton_zkey
+
+    df = spark.createDataFrame(
+        [(0.0, 0), (0.5e-5, 0), (1e-5, 0)], "x double, y int"
+    )
+    zs = [
+        r.z
+        for r in df.select(
+            morton_zkey(["x", "y"], [0.0, 0], [1e-5, 0], bits=2).alias("z")
+        ).collect()
+    ]
+    # x scales to 0/1/3 (floor(0.5*3)=1), y constant contributes nothing
+    assert zs == [0, 1, 5]
