@@ -202,6 +202,8 @@ class TableStore:
         full_refresh: bool = False,
         zorder_by: list[str] | None = None,
         zorder_bits: int = 16,
+        bloom_cols: list[str] | None = None,
+        bloom_ndv: int = 100_000,
     ) -> bool:
         """Write ``df``; idempotent per-partition overwrite unless
         ``append_only`` (K2). Empty outputs are skipped like the reference
@@ -236,7 +238,18 @@ class TableStore:
         — lexicographic ``cluster_by`` only serves its leading column.
         Scaling anchors (2·d scalars) are computed in one aggregate at
         write time; the key itself is dropped before the write (it is a
-        layout device, not data). Mutually exclusive with ``cluster_by``."""
+        layout device, not data). Mutually exclusive with ``cluster_by``.
+
+        ``bloom_cols`` writes a parquet BLOOM FILTER per listed column —
+        the point-lookup complement of range clustering: min/max footers
+        prune RANGES, but an equality probe on a column the file is NOT
+        sorted by (`WHERE tx_hash = '0x…'`) still opens every row group
+        whose range happens to cover the value; the bloom filter answers
+        "definitely absent" per row group at the footer, so a needle
+        lookup over 100 TB touches only the groups that might hold it.
+        Size the filter with ``bloom_ndv`` (expected distinct values per
+        row group — overestimating costs bytes, underestimating costs
+        false positives)."""
         if df.isEmpty():
             return False
         drop_after: list[str] = []
@@ -280,6 +293,10 @@ class TableStore:
             )
             writer = stamped.write
         mode = "append" if append_only else "overwrite"
+        for c in bloom_cols or []:
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{c}", "true"
+            ).option(f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv))
         writer.mode(mode).parquet(self._path(name))
         return True
 

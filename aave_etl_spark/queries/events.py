@@ -668,3 +668,104 @@ def stream_dedup_store(spark, sf_dir):
         )
     store.mark_complete("deduped")
     return _at_rest()
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window rollup certified AT REST: the F.window("1 hour")
+# aggregation runs as a real watermarked append-mode stream drained into
+# a parquet store (sentinel row closes the books — same protocol as
+# stream_sessionize_store), and the certified read is the at-rest rollup
+# table. Epoch-aligned tumbling windows == date_trunc('hour'), so the
+# oracle is the plain batch GROUP BY.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_rollup_store",
+    export=False,  # driver slot held by its family head (window_shift_family)
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    doc=(
+        "§2.10 streaming tumbling-window rollup certified at rest:"
+        " watermarked F.window('1 hour') aggregation drained append-mode"
+        " to parquet (sentinel-closed), equal to the batch"
+        " date_trunc('hour') GROUP BY at microsecond window alignment"
+    ),
+)
+def stream_rollup_store(spark, sf_dir):
+    import os
+    import shutil
+
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.streaming.micro_batch import (
+        run_available_now,
+        stream_lake_table,
+        windowed_rollup_stream,
+    )
+
+    root = session_scratch_dir(spark, "aave_etl_spark_rollup", corpus_key(sf_dir))
+    store = TableStore(spark, os.path.join(root, "warehouse"))
+
+    def _at_rest():
+        return (
+            store.read("rollup")
+            .where(F.col("event_type") != "__SENTINEL__")
+            .select(
+                "event_type",
+                F.unix_micros("window_start").alias("window_start_us"),
+                F.col("n_events").cast("long").alias("n_events"),
+                F.round("total_value", 6).alias("total_value"),
+            )
+        )
+
+    if store.is_complete("rollup") and store.exists("rollup"):
+        return _at_rest()
+    store.clear_complete("rollup")
+    for sub in ("lake", "ckpt"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    shutil.rmtree(store._path("rollup"), ignore_errors=True)
+
+    lake = os.path.join(root, "lake")
+    ev = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    ev.write.parquet(lake)
+    schema = spark.read.parquet(lake).schema
+    rollup = windowed_rollup_stream(
+        stream_lake_table(spark, lake, schema), watermark="1 hour"
+    )
+    q1 = run_available_now(
+        rollup,
+        os.path.join(root, "ckpt"),
+        output_mode="append",
+        query_name="rollup_drain",
+        fmt="parquet",
+        path=store._path("rollup"),
+    )
+    if not q1.awaitTermination(300):
+        q1.stop()
+        raise RuntimeError("stream_rollup_store: drain 1 did not finish in 300s")
+    # close the books: a far-future sentinel advances the watermark past
+    # every real window end so drain 2 flushes the still-open tail windows
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    spark.createDataFrame([(max_ts, "__SENTINEL__", 0.0)], schema).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 2 DAYS")
+    ).write.mode("append").parquet(lake)
+    q2 = run_available_now(
+        rollup,
+        os.path.join(root, "ckpt"),
+        output_mode="append",
+        query_name="rollup_flush",
+        fmt="parquet",
+        path=store._path("rollup"),
+    )
+    if not q2.awaitTermination(300):
+        q2.stop()
+        raise RuntimeError("stream_rollup_store: drain 2 did not finish in 300s")
+    store.mark_complete("rollup")
+    return _at_rest()

@@ -310,6 +310,12 @@ family(
             ("user_id", "value"),
         ),
         (
+            "stream_rollup",
+            "stream_rollup_store",
+            ("event_type", "window_start_us"),
+            ("n_events", "total_value"),
+        ),
+        (
             "scd2",
             "scd2_orders_dim",
             (
@@ -331,7 +337,8 @@ family(
         " sentinel-closed, equal to the batch gap-session oracle) +"
         " STREAMING at-least-once dedup at rest (jitter-replayed events"
         " dropped by dropDuplicatesWithinWatermark, table equals the"
-        " originals) + the SCD"
+        " originals) + the STREAMING tumbling-window rollup at rest"
+        " (epoch-aligned F.window == date_trunc, sentinel-closed) + the SCD"
         " Type-2 dimension build (versioned rows, half-open validity"
         " intervals, NULL-safe no-op collapse)"
     ),

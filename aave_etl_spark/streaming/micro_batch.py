@@ -100,6 +100,36 @@ def sessionized_stream(
     )
 
 
+def windowed_rollup_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window rollup with late-data handling: one row per
+    (window, key) with event count and value sum — the streaming twin of
+    the batch ``date_trunc`` rollup (`hypertable_rollup`). Windows align
+    to the epoch, so `F.window(ts, '1 hour')` and `date_trunc('hour')`
+    agree exactly; append mode emits a window only once the watermark
+    passes its end (state stays bounded to the watermark horizon)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_available_now(
     df: DataFrame,
     checkpoint_dir: str,
