@@ -51,3 +51,110 @@ def kmv_distinct(
         ).alias("est_distinct"),
         "exact_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (DataSketches) — the MERGEABLE counterpart of KMV.
+# ---------------------------------------------------------------------------
+def hll_sketch_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group HLL sketch BYTES (Spark 4 `hll_sketch_agg`, Apache
+    DataSketches): (group_cols..., hll binary).
+
+    This is the re-aggregatable form KMV can't give: sketches UNION
+    losslessly (`hll_merge_estimate`), so a warehouse stores per-(day,
+    group) sketches once and answers distinct-counts for ANY date range
+    or group rollup by merging kilobyte states — never rescanning the
+    raw 100 TB. The estimate is order-independent (state depends only on
+    the hashed value multiset), so re-runs agree bit-for-bit; it is NOT
+    engine-portable (DuckDB's sketch differs), which is why the certified
+    distinct-count surface stays KMV and HLL is property-gated in pytest
+    (estimate within the published error bound; merge == direct)."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("hll")
+    )
+
+
+def hll_estimate(sketch_col: str = "hll") -> Column:
+    """Estimate column for a sketch column (wrap in select/agg)."""
+    return F.hll_sketch_estimate(F.col(sketch_col)).alias("est_distinct")
+
+
+def hll_merge_estimate(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "hll",
+    lgk: int = 12,
+) -> DataFrame:
+    """Roll finer-grained sketches up to ``group_cols`` by HLL union and
+    estimate: (group_cols..., est_distinct bigint). The union is exact
+    over sketch states — merging per-day sketches gives the SAME state as
+    sketching the concatenated days — so pre-aggregated sketch tables
+    re-roll to any coarser grain with zero approximation added."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(sketch_col), F.lit(True))
+        ).alias("est_distinct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable KMV — the engine-portable counterpart of the HLL pair above.
+# ---------------------------------------------------------------------------
+def kmv_sketch_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Per-group KMV sketch: (group_cols..., kmv array<string>) holding
+    the k smallest md5 hashes of the group's DISTINCT values (all of
+    them when the group has fewer than k).
+
+    KMV merges losslessly: the k smallest hashes of a union are always
+    among the per-part k smallest, so ``kmv_merge_estimate`` over stored
+    per-(day, group) sketches equals the direct sketch of the
+    concatenated data EXACTLY — and unlike HLL the state is plain md5
+    strings, bit-identical on any engine, so the whole store-then-merge
+    pipeline sits under the DuckDB value-hash gate."""
+    h = df.select(*group_cols, F.md5(F.col(value_col)).alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def kmv_merge_estimate(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "kmv",
+    k: int = 16,
+) -> DataFrame:
+    """Union finer-grained KMV sketches up to ``group_cols`` and estimate:
+    (group_cols..., est_distinct double). Explode → distinct hashes →
+    kth smallest → (k-1)/fraction(kth), exact-count fallback when the
+    union holds fewer than k hashes (then every member sketch was
+    untruncated, so the union IS the full distinct hash set)."""
+    ex = df.select(*group_cols, F.explode(F.col(sketch_col)).alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    kth = (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == k)
+        .select(
+            *group_cols, (F.lit(k - 1) / _hash_fraction(F.col("_h"))).alias("_est")
+        )
+    )
+    n = ex.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return n.join(kth, group_cols, "left").select(
+        *group_cols,
+        F.round(F.coalesce(F.col("_est"), F.col("_n").cast("double")), 6).alias(
+            "est_distinct"
+        ),
+    )

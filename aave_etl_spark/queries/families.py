@@ -97,6 +97,7 @@ family(
         ),
         ("ngram_topk", "llm_ngram_topk", ("ngram",), ("doc_freq", "rank")),
         ("kmv", "llm_kmv_distinct", ("lang",), ("est_distinct", "exact_distinct")),
+        ("kmv_merge", "llm_kmv_merge", ("lang",), ("est_distinct",)),
         (
             "repetition",
             "llm_repetition",
@@ -171,7 +172,9 @@ family(
     doc=(
         "text-analysis family: rolling-hash fingerprint + token stats +"
         " quality features + corpus top-k bigram document frequencies +"
-        " KMV distinct-text sketch per language + Gopher-style repetition"
+        " KMV distinct-text sketch per language + MERGEABLE per-(lang,"
+        " source) KMV sketches rolled up by union (merge == direct,"
+        " exactly) + Gopher-style repetition"
         " signal + sliding-window context chunking + PII/URL scrubbing +"
         " per-doc top-3 BM25 terms + the composed per-doc curation gate"
         " (quality x repetition x language x exact-dup keeper) +"

@@ -816,6 +816,52 @@ def llm_kmv_distinct(spark, sf_dir):
 
 
 @register(
+    "llm_kmv_merge",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle="""
+    WITH h AS (SELECT DISTINCT lang, source, md5(text) AS h FROM documents),
+    topk AS (
+      SELECT lang, source, h FROM (
+        SELECT lang, source, h,
+               row_number() OVER (PARTITION BY lang, source ORDER BY h) AS rn
+        FROM h) WHERE rn <= 16
+    ),
+    u AS (SELECT DISTINCT lang, h FROM topk),
+    kth AS (
+      SELECT lang,
+             15 / (CAST('0x' || substring(h, 1, 15) AS BIGINT)
+                   / 1152921504606846976.0) AS est
+      FROM (SELECT lang, h,
+                   row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+            FROM u) WHERE rn = 16
+    ),
+    n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY lang)
+    SELECT n.lang,
+           round(coalesce(k.est, CAST(n.n AS DOUBLE)), 6) AS est_distinct
+    FROM n LEFT JOIN kth k USING (lang)
+    """,
+    doc=(
+        "LLM corpus stats: MERGEABLE KMV — per-(lang, source) bottom-k"
+        " sketches union up to per-lang estimates (k-min of a union lives"
+        " inside the per-part k-mins, so merge == direct EXACTLY); the"
+        " engine-portable pre-aggregated-sketch-table pattern: store"
+        " per-slice sketches once, answer any coarser distinct-count"
+        " rollup from kilobyte states without rescanning the corpus"
+    ),
+)
+def llm_kmv_merge(spark, sf_dir):
+    from aave_etl_spark.operators.sketch import (
+        kmv_merge_estimate,
+        kmv_sketch_by_group,
+    )
+
+    fine = kmv_sketch_by_group(
+        t(spark, sf_dir, "documents"), ["lang", "source"], "text", k=16
+    )
+    return kmv_merge_estimate(fine, ["lang"], k=16)
+
+
+@register(
     "llm_lsh_verified_dups",
     export=False,  # driver slot held by its family head (queries/families.py)
     oracle=f"""

@@ -1952,3 +1952,73 @@ def test_knn_classify_majority_vote_and_ties(spark):
     # k=4: labels {1,1,2,2} tie -> smallest label wins
     out2 = knn_classify(emb, emb.filter("vec_id = 0"), k=4).collect()
     assert len(out2) == 1 and (out2[0].pred_label, out2[0].n_votes) == (1, 2)
+
+
+def test_hll_sketches_merge_losslessly_and_estimate_accurately(spark):
+    """Per-(lang, bucket) HLL sketches union up to per-lang estimates that
+    (a) EQUAL the direct per-lang sketch estimate — the merge adds zero
+    approximation — and (b) sit within the published error bound of the
+    exact distinct count."""
+    from aave_etl_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge_estimate,
+        hll_sketch_by_group,
+    )
+
+    df = spark.range(0, 60_000).select(
+        (F.col("id") % 3).alias("lang"),
+        (F.col("id") % 7).alias("bucket"),
+        # ~20k distinct values per lang, overlapping across buckets
+        F.concat(F.lit("v"), (F.col("id") % 20_011).cast("string")).alias("v"),
+    )
+    fine = hll_sketch_by_group(df, ["lang", "bucket"], "v")
+    merged = {r.lang: r.est_distinct for r in hll_merge_estimate(fine, ["lang"]).collect()}
+    direct = {
+        r.lang: r.est_distinct
+        for r in hll_sketch_by_group(df, ["lang"], "v").select("lang", hll_estimate()).collect()
+    }
+    assert merged == direct  # union of states == state of union
+    exact = {
+        r.lang: r.x
+        for r in df.groupBy("lang").agg(F.countDistinct("v").alias("x")).collect()
+    }
+    for lang, est in merged.items():
+        assert abs(est - exact[lang]) / exact[lang] < 0.05, (lang, est, exact[lang])
+    # determinism: the estimate depends only on the value multiset
+    again = {
+        r.lang: r.est_distinct
+        for r in hll_merge_estimate(fine.repartition(7), ["lang"]).collect()
+    }
+    assert again == merged
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    """k-min of a union lives inside the per-part k-mins, so merging
+    per-(lang, bucket) KMV sketches must equal the direct per-lang
+    estimate EXACTLY — including the exact-fallback regime below k."""
+    from aave_etl_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_merge_estimate,
+        kmv_sketch_by_group,
+    )
+
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 2).alias("lang"),
+        (F.col("id") % 5).alias("bucket"),
+        F.concat(F.lit("v"), (F.col("id") % 997).cast("string")).alias("v"),
+    )
+    # small-lang arm: below k -> exact fallback through the merge too
+    small = spark.createDataFrame(
+        [(9, b, f"s{i}") for b in range(2) for i in range(4)],
+        "lang long, bucket long, v string",
+    )
+    full = df.unionByName(small)
+    merged = {
+        r.lang: r.est_distinct
+        for r in kmv_merge_estimate(
+            kmv_sketch_by_group(full, ["lang", "bucket"], "v"), ["lang"]
+        ).collect()
+    }
+    direct = {r.lang: r.est_distinct for r in kmv_distinct(full, ["lang"], "v").collect()}
+    assert merged == direct
+    assert merged[9] == 4.0  # exact below k
