@@ -330,3 +330,38 @@ def test_semantic_dedup_subsplit_keyed_join(spark):
     p = plan(spark, "llm_semantic_dedup")
     assert "CartesianProduct" not in p
     assert "sub_cell" in p
+
+
+def test_bm25_retrieve_broadcast_probe_no_cartesian(spark):
+    """The query-term probe joins the postings on `term` with the tiny
+    query-term set BROADCAST — one corpus pass, no cartesian pairing."""
+    p = plan(spark, "llm_hybrid_rrf")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # the term probe (and the label join)
+
+
+def test_knn_classify_vote_is_bounded_no_cartesian(spark):
+    """kNN label voting: the corpus scan is the cosine arm's broadcast
+    nested-loop (queries tiny); the vote agg runs over |queries|x k rows —
+    no cartesian product anywhere."""
+    p = plan(spark, "llm_knn_classify")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_scd2_windows_are_key_partitioned(spark):
+    """Both SCD2 windows partition by the entity key — a partition-less
+    window here would funnel the whole change log through one task."""
+    p = plan(spark, "scd2_orders_dim")
+    assert "CartesianProduct" not in p
+    for m in re.finditer(r"Window \[", p):
+        frag = p[m.start():m.start() + 400]
+        assert "o_custkey" in frag, f"window not keyed by entity:\n{frag}"
+
+
+def test_cdc_merge_final_read_prunes_meta(spark):
+    """The CDC-certified read comes straight off the merged store —
+    filters/projection reach the parquet scan of the merged table."""
+    p = plan(spark, "cdc_merge_store")
+    assert "CartesianProduct" not in p
+    assert "ReadSchema" in p

@@ -60,6 +60,10 @@ def main() -> int:
             )
             n = duckdb.sql(f"SELECT count(*) FROM '{dst_file}'").fetchone()[0]
             print(f"{tbl}: replicated x{factor} -> {n} rows", flush=True)
+        elif os.path.exists(dst_file):
+            # a restricted run (explicit table list) must never clobber a
+            # table the dest already holds — it may be a prior replication
+            print(f"{tbl}: already at dest, left untouched", flush=True)
         else:
             shutil.copyfile(src_file, dst_file)
             print(f"{tbl}: copied", flush=True)
