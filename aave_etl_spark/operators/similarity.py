@@ -100,14 +100,23 @@ def knn_classify(
     queries, one corpus pass, WindowGroupLimit-capped top-k), so the vote
     aggregation runs over |queries| × k rows — driver- and shuffle-tiny
     regardless of corpus size. Swap the exact arm for the IVF/IVF-PQ
-    searches when the corpus is indexed at rest; the vote logic is
-    identical over any (query_id, candidate_id, rank) frame."""
+    searches when the corpus is indexed at rest: `knn_vote` runs the
+    identical vote logic over any (query_id, candidate_id) frame
+    (composability pinned in tests/test_operators.py)."""
     nn = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
     labels = corpus.select(
         F.col(id_col).alias("candidate_id"), F.col(label_col).alias("_lbl")
     )
+    return knn_vote(nn, labels)
+
+
+def knn_vote(neighbors: DataFrame, labels: DataFrame) -> DataFrame:
+    """Majority-vote over ANY neighbor frame (query_id, candidate_id, ...)
+    joined to a (candidate_id, _lbl) label table — the arm-agnostic vote
+    shared by the exact, IVF, PQ, and IVF-PQ searches. Ties to the
+    smallest label; output (query_id, pred_label, n_votes)."""
     votes = (
-        nn.join(labels, "candidate_id")
+        neighbors.join(labels, "candidate_id")
         .groupBy("query_id", "_lbl")
         .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
     )

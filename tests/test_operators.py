@@ -2022,3 +2022,40 @@ def test_kmv_merge_equals_direct_sketch(spark):
     direct = {r.lang: r.est_distinct for r in kmv_distinct(full, ["lang"], "v").collect()}
     assert merged == direct
     assert merged[9] == 4.0  # exact below k
+
+
+def test_knn_vote_composes_with_ivf_arm(spark):
+    """The vote logic is arm-agnostic: on a well-clustered fixture the
+    IVF search feeding knn_vote yields the same predictions as the exact
+    cosine arm — the swap the 100 TB path performs against the at-rest
+    indexes."""
+    import numpy as np
+
+    from aave_etl_spark.operators.similarity import (
+        ivf_topk,
+        knn_classify,
+        knn_vote,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # two tight clusters of 20 vectors each, labels follow the cluster
+    for i in range(40):
+        c = i % 2
+        base = np.array([3.0, 0.0] if c == 0 else [0.0, 3.0])
+        rows.append((i, (base + rng.normal(0, 0.05, 2)).tolist(), c + 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = emb.filter("vec_id < 4")
+    labels = emb.selectExpr("vec_id AS candidate_id", "label AS _lbl")
+    ivf_arm = ivf_topk(emb, queries, k=5, n_cells=4, n_probe=2)
+    via_ivf = {
+        r.query_id: r.pred_label for r in knn_vote(ivf_arm, labels).collect()
+    }
+    exact = {
+        r.query_id: r.pred_label for r in knn_classify(emb, queries, k=5).collect()
+    }
+    assert via_ivf == exact and len(exact) == 4
+    # and the labels are the cluster identities
+    assert all(via_ivf[q] == (q % 2) + 1 for q in via_ivf)
