@@ -27,6 +27,31 @@ def _hash_fraction(h: Column) -> Column:
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(_HASH_SPACE)
 
 
+def _bottom_k_estimate(
+    hashes: DataFrame, group_cols: list[str], k: int, n_alias: str
+) -> DataFrame:
+    """Shared estimator tail over a distinct (group_cols..., _h) frame:
+    kth-smallest-hash estimate with the exact-count fallback below k —
+    used by BOTH the direct sketch and the merged-sketch path so the two
+    can never diverge. Output: (group_cols..., est_distinct, <n_alias>)."""
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    kth = (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == k)
+        .select(
+            *group_cols, (F.lit(k - 1) / _hash_fraction(F.col("_h"))).alias("_est")
+        )
+    )
+    n = hashes.groupBy(*group_cols).agg(F.count(F.lit(1)).alias(n_alias))
+    return n.join(kth, group_cols, "left").select(
+        *group_cols,
+        F.round(
+            F.coalesce(F.col("_est"), F.col(n_alias).cast("double")), 6
+        ).alias("est_distinct"),
+        n_alias,
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: list[str],
@@ -37,20 +62,7 @@ def kmv_distinct(
     exact_distinct bigint). exact_distinct is returned alongside so tests
     and oracles can gate the estimator's inputs, not just its output."""
     h = df.select(*group_cols, F.md5(F.col(value_col)).alias("_h")).distinct()
-    w = Window.partitionBy(*group_cols).orderBy("_h")
-    kth = (
-        h.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == k)
-        .select(*group_cols, (F.lit(k - 1) / _hash_fraction(F.col("_h"))).alias("_est"))
-    )
-    exact = h.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("exact_distinct"))
-    return exact.join(kth, group_cols, "left").select(
-        *group_cols,
-        F.round(
-            F.coalesce(F.col("_est"), F.col("exact_distinct").cast("double")), 6
-        ).alias("est_distinct"),
-        "exact_distinct",
-    )
+    return _bottom_k_estimate(h, group_cols, k, "exact_distinct")
 
 
 # ---------------------------------------------------------------------------
@@ -88,7 +100,6 @@ def hll_merge_estimate(
     df: DataFrame,
     group_cols: list[str],
     sketch_col: str = "hll",
-    lgk: int = 12,
 ) -> DataFrame:
     """Roll finer-grained sketches up to ``group_cols`` by HLL union and
     estimate: (group_cols..., est_distinct bigint). The union is exact
@@ -120,7 +131,10 @@ def kmv_sketch_by_group(
     per-(day, group) sketches equals the direct sketch of the
     concatenated data EXACTLY — and unlike HLL the state is plain md5
     strings, bit-identical on any engine, so the whole store-then-merge
-    pipeline sits under the DuckDB value-hash gate."""
+    pipeline sits under the DuckDB value-hash gate. The build k rides
+    along as a `kmv_k` column (the params-sidecar discipline) so a merge
+    with a LARGER k — which would silently bias the estimate, the union
+    not being the true bottom-k' — raises instead."""
     h = df.select(*group_cols, F.md5(F.col(value_col)).alias("_h")).distinct()
     w = Window.partitionBy(*group_cols).orderBy("_h")
     return (
@@ -128,6 +142,7 @@ def kmv_sketch_by_group(
         .filter(F.col("_rn") <= k)
         .groupBy(*group_cols)
         .agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+        .withColumn("kmv_k", F.lit(int(k)))
     )
 
 
@@ -139,22 +154,23 @@ def kmv_merge_estimate(
 ) -> DataFrame:
     """Union finer-grained KMV sketches up to ``group_cols`` and estimate:
     (group_cols..., est_distinct double). Explode → distinct hashes →
-    kth smallest → (k-1)/fraction(kth), exact-count fallback when the
-    union holds fewer than k hashes (then every member sketch was
-    untruncated, so the union IS the full distinct hash set)."""
+    the shared `_bottom_k_estimate` tail (kth-smallest estimate,
+    exact-count fallback when the union holds fewer than k hashes — then
+    every member sketch was untruncated, so the union IS the full
+    distinct hash set).
+
+    ``k`` must be ≤ the sketches' build k (validated against the `kmv_k`
+    column when present): estimating with a larger k would read the kth
+    pooled hash as the true kth-smallest when each part was truncated
+    earlier — a silent downward bias. A smaller k is fine (the union
+    contains the true bottom-k for every k ≤ build k)."""
+    if "kmv_k" in df.columns:
+        built = df.agg(F.min("kmv_k")).first()[0]
+        if built is not None and k > built:
+            raise ValueError(
+                f"kmv_merge_estimate: merge k={k} > sketch build k={built} —"
+                " the pooled union is not the true bottom-{k}, the estimate"
+                " would be silently biased"
+            )
     ex = df.select(*group_cols, F.explode(F.col(sketch_col)).alias("_h")).distinct()
-    w = Window.partitionBy(*group_cols).orderBy("_h")
-    kth = (
-        ex.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == k)
-        .select(
-            *group_cols, (F.lit(k - 1) / _hash_fraction(F.col("_h"))).alias("_est")
-        )
-    )
-    n = ex.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
-    return n.join(kth, group_cols, "left").select(
-        *group_cols,
-        F.round(F.coalesce(F.col("_est"), F.col("_n").cast("double")), 6).alias(
-            "est_distinct"
-        ),
-    )
+    return _bottom_k_estimate(ex, group_cols, k, "_n").drop("_n")

@@ -2022,6 +2022,14 @@ def test_kmv_merge_equals_direct_sketch(spark):
     direct = {r.lang: r.est_distinct for r in kmv_distinct(full, ["lang"], "v").collect()}
     assert merged == direct
     assert merged[9] == 4.0  # exact below k
+    # merging with a k LARGER than the build k would be silently biased —
+    # the kmv_k sidecar column makes it raise instead
+    import pytest
+
+    with pytest.raises(ValueError, match="build k"):
+        kmv_merge_estimate(
+            kmv_sketch_by_group(full, ["lang", "bucket"], "v", k=16), ["lang"], k=32
+        )
 
 
 def test_knn_vote_composes_with_ivf_arm(spark):

@@ -354,14 +354,22 @@ def test_scd2_windows_are_key_partitioned(spark):
     window here would funnel the whole change log through one task."""
     p = plan(spark, "scd2_orders_dim")
     assert "CartesianProduct" not in p
-    for m in re.finditer(r"Window \[", p):
+    wins = list(re.finditer(r"Window \[", p))
+    # both windows must be present — zero matches would make the keyed
+    # check below pass vacuously (the documented localCheckpoint hazard)
+    assert len(wins) >= 2, f"expected both SCD2 windows in the plan:\n{p[:800]}"
+    for m in wins:
         frag = p[m.start():m.start() + 400]
         assert "o_custkey" in frag, f"window not keyed by entity:\n{frag}"
 
 
 def test_cdc_merge_final_read_prunes_meta(spark):
-    """The CDC-certified read comes straight off the merged store —
-    filters/projection reach the parquet scan of the merged table."""
+    """The CDC-certified read comes straight off the merged store — the
+    provenance/meta columns are pruned OUT of the parquet read, not
+    carried and dropped later."""
     p = plan(spark, "cdc_merge_store")
     assert "CartesianProduct" not in p
     assert "ReadSchema" in p
+    assert "_load_timestamp" not in p and "_partition_type" not in p, (
+        "store meta columns must be pruned at the scan"
+    )

@@ -60,11 +60,16 @@ def main() -> int:
             )
             n = duckdb.sql(f"SELECT count(*) FROM '{dst_file}'").fetchone()[0]
             print(f"{tbl}: replicated x{factor} -> {n} rows", flush=True)
-        elif os.path.exists(dst_file):
-            # a restricted run (explicit table list) must never clobber a
-            # table the dest already holds — it may be a prior replication
-            print(f"{tbl}: already at dest, left untouched", flush=True)
+        elif len(sys.argv) > 4 and os.path.exists(dst_file):
+            # ONLY a restricted run (explicit table list) preserves what
+            # the dest already holds — it may be a prior replication. A
+            # full run refreshes every copy so a regenerated source can't
+            # leave the dest an inconsistent fresh/stale mix.
+            print(f"{tbl}: already at dest, left untouched (restricted run)", flush=True)
         else:
+            if os.path.exists(dst_file) and os.path.samefile(src_file, dst_file):
+                print(f"{tbl}: dest is the same file, skipped", flush=True)
+                continue
             shutil.copyfile(src_file, dst_file)
             print(f"{tbl}: copied", flush=True)
     return 0
