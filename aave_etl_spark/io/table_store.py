@@ -300,6 +300,78 @@ class TableStore:
         writer.mode(mode).parquet(self._path(name))
         return True
 
+    # -- snapshots: poor-man's time travel ---------------------------------
+    def snapshot(self, name: str, keep: int = 3) -> str:
+        """Snapshot ``name``'s current state under
+        ``<name>.__snapshots/<utc-stamp>`` and prune to the newest
+        ``keep``. Returns the snapshot id (the stamp).
+
+        Snapshots are HARDLINK trees: parquet writers never mutate a file
+        in place (overwrites create new files and remove old names), so
+        linked snapshots stay immutable while costing zero data copy and
+        zero extra bytes until the live table diverges — the same
+        copy-on-write economics a lakehouse format gets from its manifest
+        versions, expressed on a plain filesystem. Call before a risky
+        overwrite/merge; ``read_snapshot`` serves any kept version,
+        ``restore_snapshot`` rolls the live table back."""
+        src = self._path(name)
+        if not self.exists(name):
+            raise ValueError(f"snapshot: table {name!r} does not exist")
+        stamp = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%S_%f")
+        dst = os.path.join(self.root, f"{name}.__snapshots", stamp)
+        for dirpath, _dirs, files in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            tgt = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(tgt, exist_ok=True)
+            for f in files:
+                os.link(os.path.join(dirpath, f), os.path.join(tgt, f))
+        for old in self.snapshots(name)[:-keep]:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.root, f"{name}.__snapshots", old),
+                ignore_errors=True,
+            )
+        return stamp
+
+    def snapshots(self, name: str) -> list[str]:
+        """Kept snapshot ids for ``name``, oldest first."""
+        root = os.path.join(self.root, f"{name}.__snapshots")
+        if not os.path.isdir(root):
+            return []
+        return sorted(e for e in os.listdir(root) if not e.startswith("."))
+
+    def read_snapshot(self, name: str, snapshot_id: str) -> DataFrame:
+        """Read a kept snapshot (meta columns stripped, like ``read``)."""
+        p = os.path.join(self.root, f"{name}.__snapshots", snapshot_id)
+        if not os.path.isdir(p):
+            raise ValueError(f"no snapshot {snapshot_id!r} for table {name!r}")
+        df = self.spark.read.parquet(p)
+        return df.drop(*[c for c in META_COLS if c in df.columns])
+
+    def restore_snapshot(self, name: str, snapshot_id: str) -> None:
+        """Roll the live table back to ``snapshot_id``. The current state
+        is snapshotted first (a restore must never be the operation that
+        loses data), then the live directory is replaced by a hardlink
+        tree of the target snapshot — the snapshot itself stays kept."""
+        src = os.path.join(self.root, f"{name}.__snapshots", snapshot_id)
+        if not os.path.isdir(src):
+            raise ValueError(f"no snapshot {snapshot_id!r} for table {name!r}")
+        import shutil
+
+        if self.exists(name):
+            # keep wide enough that this bookkeeping snapshot can never
+            # prune the snapshot being restored from
+            self.snapshot(name, keep=len(self.snapshots(name)) + 1)
+        live = self._path(name)
+        shutil.rmtree(live, ignore_errors=True)
+        for dirpath, _dirs, files in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            tgt = os.path.join(live, rel) if rel != "." else live
+            os.makedirs(tgt, exist_ok=True)
+            for f in files:
+                os.link(os.path.join(dirpath, f), os.path.join(tgt, f))
+
     def merge(
         self,
         changes: DataFrame,

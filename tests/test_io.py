@@ -524,3 +524,44 @@ def test_bloom_filter_write_adds_footer_bytes_and_keeps_lookups(spark, tmp_path)
     needle = df.limit(1).collect()[0]
     got = store.read("bloomed", where=f"h = '{needle.h}'").collect()
     assert [(r.h, r.v) for r in got] == [(needle.h, needle.v)]
+
+
+def test_snapshot_time_travel_and_restore(spark, tmp_path):
+    """Hardlink snapshots: overwrites don't disturb kept versions, any
+    version reads back exactly, restore rolls the live table back (and
+    itself snapshots first, never losing the pre-restore state)."""
+    store = _store(spark, tmp_path)
+    v1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    v2 = spark.createDataFrame([(1, "b"), (2, "c")], "k long, v string")
+    store.write(v1, "tt")
+    s1 = store.snapshot("tt")
+    store.write(v2, "tt")  # full overwrite of the live table
+    assert {(r.k, r.v) for r in store.read("tt").collect()} == {(1, "b"), (2, "c")}
+    assert {(r.k, r.v) for r in store.read_snapshot("tt", s1).collect()} == {(1, "a")}
+    store.restore_snapshot("tt", s1)
+    assert {(r.k, r.v) for r in store.read("tt").collect()} == {(1, "a")}
+    # the pre-restore state was snapshotted by the restore itself
+    snaps = store.snapshots("tt")
+    assert s1 in snaps and len(snaps) == 2
+    latest = store.read_snapshot("tt", snaps[-1])
+    assert {(r.k, r.v) for r in latest.collect()} == {(1, "b"), (2, "c")}
+    # prune: keep=1 retains only the newest
+    store.snapshot("tt", keep=1)
+    assert len(store.snapshots("tt")) == 1
+    with pytest.raises(ValueError, match="no snapshot"):
+        store.read_snapshot("tt", s1)
+
+
+def test_snapshot_restore_prune_never_drops_restore_target(spark, tmp_path):
+    """The bookkeeping snapshot inside restore must not prune the target:
+    restoring the OLDEST of >3 snapshots still works."""
+    store = _store(spark, tmp_path)
+    ids = []
+    for i in range(4):
+        store.write(
+            spark.createDataFrame([(i,)], "k long"), "pp"
+        )
+        ids.append(store.snapshot("pp", keep=10))
+    oldest = ids[0]
+    store.restore_snapshot("pp", oldest)
+    assert [r.k for r in store.read("pp").collect()] == [0]
