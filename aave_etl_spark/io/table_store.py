@@ -301,6 +301,17 @@ class TableStore:
         return True
 
     # -- snapshots: poor-man's time travel ---------------------------------
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        """Mirror ``src`` at ``dst`` as a hardlink tree (shared by
+        snapshot and restore so a future walk fix lands once)."""
+        for dirpath, _dirs, files in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            tgt = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(tgt, exist_ok=True)
+            for f in files:
+                os.link(os.path.join(dirpath, f), os.path.join(tgt, f))
+
     def snapshot(self, name: str, keep: int = 3) -> str:
         """Snapshot ``name``'s current state under
         ``<name>.__snapshots/<utc-stamp>`` and prune to the newest
@@ -314,20 +325,19 @@ class TableStore:
         versions, expressed on a plain filesystem. Call before a risky
         overwrite/merge; ``read_snapshot`` serves any kept version,
         ``restore_snapshot`` rolls the live table back."""
+        import shutil
+
         src = self._path(name)
         if not self.exists(name):
             raise ValueError(f"snapshot: table {name!r} does not exist")
+        if keep < 1:
+            # snapshots[:-0] is the EMPTY slice — keep<=0 would silently
+            # invert the prune into "keep everything"
+            raise ValueError(f"snapshot: keep must be >= 1, got {keep}")
         stamp = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%S_%f")
         dst = os.path.join(self.root, f"{name}.__snapshots", stamp)
-        for dirpath, _dirs, files in os.walk(src):
-            rel = os.path.relpath(dirpath, src)
-            tgt = os.path.join(dst, rel) if rel != "." else dst
-            os.makedirs(tgt, exist_ok=True)
-            for f in files:
-                os.link(os.path.join(dirpath, f), os.path.join(tgt, f))
+        self._link_tree(src, dst)
         for old in self.snapshots(name)[:-keep]:
-            import shutil
-
             shutil.rmtree(
                 os.path.join(self.root, f"{name}.__snapshots", old),
                 ignore_errors=True,
@@ -364,13 +374,22 @@ class TableStore:
             # prune the snapshot being restored from
             self.snapshot(name, keep=len(self.snapshots(name)) + 1)
         live = self._path(name)
-        shutil.rmtree(live, ignore_errors=True)
-        for dirpath, _dirs, files in os.walk(src):
-            rel = os.path.relpath(dirpath, src)
-            tgt = os.path.join(live, rel) if rel != "." else live
-            os.makedirs(tgt, exist_ok=True)
-            for f in files:
-                os.link(os.path.join(dirpath, f), os.path.join(tgt, f))
+        # build the restored tree at a sibling, then swap — a crash can
+        # never leave a PARTIAL live directory for read() to serve
+        # silently (the compact() two-rename discipline); the only
+        # vulnerable window is between the two atomic renames, and the
+        # pre-restore state is already snapshotted above
+        tmp = live + ".__restoring"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._link_tree(src, tmp)
+        if os.path.exists(live):
+            old = live + ".__pre_restore"
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(live, old)
+            os.replace(tmp, live)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(tmp, live)
 
     def merge(
         self,

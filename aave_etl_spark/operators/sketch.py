@@ -163,14 +163,23 @@ def kmv_merge_estimate(
     column when present): estimating with a larger k would read the kth
     pooled hash as the true kth-smallest when each part was truncated
     earlier — a silent downward bias. A smaller k is fine (the union
-    contains the true bottom-k for every k ≤ build k)."""
+    contains the true bottom-k for every k ≤ build k). The check is LAZY
+    — folded into the explode projection so building the plan stays free
+    (no extra lineage execution); a violation surfaces as a
+    SparkRuntimeException when the merge actually runs."""
+    sk = F.col(sketch_col)
     if "kmv_k" in df.columns:
-        built = df.agg(F.min("kmv_k")).first()[0]
-        if built is not None and k > built:
-            raise ValueError(
-                f"kmv_merge_estimate: merge k={k} > sketch build k={built} —"
-                " the pooled union is not the true bottom-{k}, the estimate"
-                " would be silently biased"
+        sk = F.when(F.col("kmv_k") >= F.lit(int(k)), sk).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"kmv_merge_estimate: merge k={k} > sketch build k="),
+                    F.col("kmv_k").cast("string"),
+                    F.lit(
+                        " — the pooled union is not the true bottom-k at"
+                        " this k, the estimate would be silently biased"
+                    ),
+                )
             )
-    ex = df.select(*group_cols, F.explode(F.col(sketch_col)).alias("_h")).distinct()
+        )
+    ex = df.select(*group_cols, F.explode(sk).alias("_h")).distinct()
     return _bottom_k_estimate(ex, group_cols, k, "_n").drop("_n")

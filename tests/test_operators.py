@@ -2023,13 +2023,15 @@ def test_kmv_merge_equals_direct_sketch(spark):
     assert merged == direct
     assert merged[9] == 4.0  # exact below k
     # merging with a k LARGER than the build k would be silently biased —
-    # the kmv_k sidecar column makes it raise instead
+    # the kmv_k sidecar column makes it raise at execution (the guard is
+    # lazy: plan-building must stay free; F.raise_error surfaces as a
+    # SparkRuntimeException, the repo-wide guard discipline)
     import pytest
 
-    with pytest.raises(ValueError, match="build k"):
+    with pytest.raises(Exception, match="build k"):
         kmv_merge_estimate(
             kmv_sketch_by_group(full, ["lang", "bucket"], "v", k=16), ["lang"], k=32
-        )
+        ).collect()
 
 
 def test_knn_vote_composes_with_ivf_arm(spark):

@@ -34,7 +34,13 @@ def main() -> int:
         print(__doc__)
         return 2
     src, dest, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    replicate = sys.argv[4].split(",") if len(sys.argv) > 4 else list(ID_COLS)
+    restricted = len(sys.argv) > 4
+    replicate = sys.argv[4].split(",") if restricted else list(ID_COLS)
+    if os.path.realpath(src) == os.path.realpath(dest):
+        # the replicate branch would COPY a table over the very file it
+        # is scanning, destroying the source fixture
+        print("src and dest are the same directory — refusing", file=sys.stderr)
+        return 2
     os.makedirs(dest, exist_ok=True)
 
     import duckdb  # column-level replication without a Spark session
@@ -60,7 +66,7 @@ def main() -> int:
             )
             n = duckdb.sql(f"SELECT count(*) FROM '{dst_file}'").fetchone()[0]
             print(f"{tbl}: replicated x{factor} -> {n} rows", flush=True)
-        elif len(sys.argv) > 4 and os.path.exists(dst_file):
+        elif restricted and os.path.exists(dst_file):
             # ONLY a restricted run (explicit table list) preserves what
             # the dest already holds — it may be a prior replication. A
             # full run refreshes every copy so a regenerated source can't
