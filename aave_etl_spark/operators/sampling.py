@@ -414,3 +414,49 @@ def epoch_shards(
             "sort_key",
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "lang",
+    mass_col: str = "n_chars",
+    alpha: float = 0.7,
+    budget: float | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture planning (the mC4 / XLM-R recipe,
+    Conneau et al. 2020): group shares ∝ mass^alpha, so low-resource
+    groups are up-weighted relative to their raw share (alpha=1 is
+    proportional, alpha→0 is uniform). Output per group:
+    (group, n_units, mix_share[, sample_rate, expected_units]).
+
+    With ``budget`` (target total units), sample_rate = min(1,
+    budget·share / mass) — the per-group hash-sampling rate that hits the
+    budget at the temperature mixture, capped at full take for groups too
+    small to fill their slot (expected_units then reports the shortfall
+    honestly; redistribute by re-planning on the uncapped groups if the
+    budget is hard). Feed the rates straight into `mix_corpus` /
+    `hash_fraction_sample`.
+
+    Dataflow at 100 TB: one map-side-combined aggregate to per-group
+    masses (group cardinality rows), a 1-row total broadcast — the plan
+    is corpus-scan bound, the planning math is free."""
+    m = df.groupBy(group_col).agg(
+        F.sum(F.col(mass_col).cast("double")).alias("_t")
+    )
+    powed = F.pow(F.col("_t"), F.lit(float(alpha)))
+    g = m.select(group_col, "_t", powed.alias("_p"))
+    tot = g.agg(F.sum("_p").alias("_tp"))
+    out = g.crossJoin(F.broadcast(tot))
+    share = F.col("_p") / F.col("_tp")
+    cols = [
+        F.col(group_col),
+        F.round(F.col("_t"), 6).alias("n_units"),
+        F.round(share, 6).alias("mix_share"),
+    ]
+    if budget is not None:
+        rate = F.least(F.lit(1.0), F.lit(float(budget)) * share / F.col("_t"))
+        cols += [
+            F.round(rate, 6).alias("sample_rate"),
+            F.round(F.col("_t") * rate, 6).alias("expected_units"),
+        ]
+    return out.select(*cols)

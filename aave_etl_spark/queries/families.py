@@ -236,6 +236,12 @@ family(
             ("n_grams", "weight", "sample_key", "CAST(kept AS DOUBLE)"),
         ),
         (
+            "mix_plan",
+            "llm_mix_plan",
+            ("lang",),
+            ("n_units", "mix_share", "sample_rate", "expected_units"),
+        ),
+        (
             "non_atoken_measures",
             "warehouse_non_atoken_measures",
             ("market", "chain", "contract_address", "token", "symbol",
@@ -257,7 +263,8 @@ family(
         " deterministic hash-sampling partition of the corpus (stratified"
         " exact-k sample + train/test split) + DSIR importance resampling"
         " (hashed-ngram log-likelihood-ratio weights, Gumbel-top-k) +"
-        " the REAL warehouse"
+        " temperature-scaled mixture planning (mC4 share ∝ mass^0.7,"
+        " budget-capped sampling rates) + the REAL warehouse"
         " atoken/non-atoken measure-join transforms (classify/quadrant/"
         " paraswap-stack, data_warehouse.py:84-335) + the cross-split"
         " decontamination gate built on that split + substring-level"

@@ -1586,6 +1586,40 @@ _MIX_WEIGHTS = [("en", 0.9), ("fr", 0.5), ("de", 0.5), ("es", 0.5), ("zh", 0.2)]
 
 
 @register(
+    "llm_mix_plan",
+    export=False,  # driver slot held by its family head (union_family)
+    oracle="""
+    WITH m AS (
+      SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS t
+      FROM documents GROUP BY lang
+    ),
+    s AS (SELECT sum(pow(t, 0.7)) AS tp FROM m)
+    SELECT lang,
+           round(t, 6) AS n_units,
+           round(pow(t, 0.7) / s.tp, 6) AS mix_share,
+           round(least(1.0, 1000000.0 * (pow(t, 0.7) / s.tp) / t), 6)
+             AS sample_rate,
+           round(t * least(1.0, 1000000.0 * (pow(t, 0.7) / s.tp) / t), 6)
+             AS expected_units
+    FROM m CROSS JOIN s
+    """,
+    doc=(
+        "LLM mixing: temperature-scaled mixture plan (mC4/XLM-R, share ∝"
+        " mass^0.7 — low-resource languages up-weighted) with per-group"
+        " budget sampling rates capped at full take; one group-cardinality"
+        " aggregate + a 1-row broadcast, the planning math is free at any"
+        " corpus size"
+    ),
+)
+def llm_mix_plan(spark, sf_dir):
+    from aave_etl_spark.operators.sampling import temperature_mixture
+
+    return temperature_mixture(
+        t(spark, sf_dir, "documents"), alpha=0.7, budget=1_000_000.0
+    )
+
+
+@register(
     "llm_data_mix",
     export=False,  # driver slot held by its family head (union_family)
     oracle=f"""

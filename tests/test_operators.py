@@ -2069,3 +2069,25 @@ def test_knn_vote_composes_with_ivf_arm(spark):
     assert via_ivf == exact and len(exact) == 4
     # and the labels are the cluster identities
     assert all(via_ivf[q] == (q % 2) + 1 for q in via_ivf)
+
+
+def test_temperature_mixture_upweights_low_resource_and_caps_rates(spark):
+    from aave_etl_spark.operators.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [("en", 9000), ("fr", 900), ("sw", 100)], "lang string, n_chars long"
+    )
+    out = {r.lang: r for r in temperature_mixture(df, budget=2000.0).collect()}
+    # shares sum to 1, alpha<1 lifts the tail above its raw share
+    assert abs(sum(r.mix_share for r in out.values()) - 1.0) < 1e-5
+    assert out["sw"].mix_share > 100 / 10000  # raw share 1%
+    assert out["en"].mix_share < 9000 / 10000  # raw share 90%
+    # ordering preserved (alpha > 0 is monotone in mass)
+    assert out["en"].mix_share > out["fr"].mix_share > out["sw"].mix_share
+    # budget rates: expected = mass * rate, capped at full take
+    for r in out.values():
+        assert 0 < r.sample_rate <= 1.0
+        assert abs(r.expected_units - round(r.n_units * r.sample_rate, 4)) < 0.01
+    # alpha=1 is exactly proportional
+    prop = {r.lang: r.mix_share for r in temperature_mixture(df, alpha=1.0).collect()}
+    assert abs(prop["en"] - 0.9) < 1e-6
