@@ -617,3 +617,61 @@ def minhash_index_match(
         .select("new_id", "corpus_id")
         .distinct()
     )
+
+
+def line_dedup_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_re: str = "\\n",
+    join_str: str = "\n",
+    min_chars: int = 15,
+) -> DataFrame:
+    """GLOBAL line-level exact dedup with document reconstruction — the
+    RefinedWeb/C4 boilerplate remover: a line (nav bar, cookie banner,
+    footer) that recurs ACROSS documents survives only in its first
+    occurrence (smallest (doc, position)); every other copy is cut and
+    the documents are rebuilt without them. Lines shorter than
+    ``min_chars`` are exempt (short strings recur legitimately).
+
+    Output: (id, clean_text, n_lines, n_kept) — n_lines counts the doc's
+    non-empty lines before the cut.
+
+    Dataflow at 100 TB: explode to (doc, line_no, line) → ONE shuffle on
+    md5(line) for the first-occurrence window (key-partitioned; hot
+    boilerplate lines are exactly the skew AQE's skew-join split handles)
+    → per-doc ordered rebuild via the sorted-struct collect (bounded by
+    document length). Nothing is corpus×corpus; the only global state is
+    the line-hash key space itself."""
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), split_re)).alias(
+                "_ln", "_line"
+            ),
+        )
+        .withColumn("_line", F.trim("_line"))
+        .filter(F.length("_line") > 0)
+    )
+    w = Window.partitionBy(F.md5(F.col("_line"))).orderBy(F.col(id_col), F.col("_ln"))
+    flagged = lines.withColumn("_rn", F.row_number().over(w))
+    kept = flagged.filter(
+        (F.length("_line") < min_chars) | (F.col("_rn") == 1)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ln", "_line"))),
+                lambda s: s["_line"],
+            ),
+            join_str,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

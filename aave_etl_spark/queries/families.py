@@ -99,6 +99,12 @@ family(
         ("kmv", "llm_kmv_distinct", ("lang",), ("est_distinct", "exact_distinct")),
         ("kmv_merge", "llm_kmv_merge", ("lang",), ("est_distinct",)),
         (
+            "line_dedup",
+            "llm_line_dedup",
+            ("doc_id", "clean_md5"),
+            ("n_lines", "n_kept"),
+        ),
+        (
             "repetition",
             "llm_repetition",
             ("doc_id",),
@@ -174,7 +180,9 @@ family(
         " quality features + corpus top-k bigram document frequencies +"
         " KMV distinct-text sketch per language + MERGEABLE per-(lang,"
         " source) KMV sketches rolled up by union (merge == direct,"
-        " exactly) + Gopher-style repetition"
+        " exactly) + GLOBAL line-level dedup with document reconstruction"
+        " (RefinedWeb boilerplate removal, planted cross-doc newsletter"
+        " lines) + Gopher-style repetition"
         " signal + sliding-window context chunking + PII/URL scrubbing +"
         " per-doc top-3 BM25 terms + the composed per-doc curation gate"
         " (quality x repetition x language x exact-dup keeper) +"

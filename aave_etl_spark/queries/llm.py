@@ -1586,6 +1586,70 @@ _MIX_WEIGHTS = [("en", 0.9), ("fr", 0.5), ("de", 0.5), ("es", 0.5), ("zh", 0.2)]
 
 
 @register(
+    "llm_line_dedup",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 4 = 0
+               THEN '. Subscribe to our newsletter for updates today'
+               ELSE '' END AS text
+      FROM documents
+    ),
+    l0 AS (SELECT doc_id, string_split(text, '. ') AS l FROM planted),
+    lines AS (
+      SELECT doc_id, i AS ln, trim(l[i]) AS line
+      FROM l0, unnest(range(1, len(l) + 1)) AS r(i)
+      WHERE length(trim(l[i])) > 0
+    ),
+    flagged AS (
+      SELECT doc_id, ln, line,
+             row_number() OVER (PARTITION BY md5(line)
+                                ORDER BY doc_id, ln) AS rn
+      FROM lines
+    ),
+    kept AS (SELECT * FROM flagged WHERE length(line) < 15 OR rn = 1),
+    reb AS (
+      SELECT doc_id, md5(string_agg(line, '. ' ORDER BY ln)) AS clean_md5,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+            FROM lines GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(r.clean_md5, md5('')) AS clean_md5,
+           t.n_lines, coalesce(r.n_kept, 0) AS n_kept
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+    doc=(
+        "LLM curation: GLOBAL line-level exact dedup with document"
+        " reconstruction (RefinedWeb boilerplate removal) — a sentence"
+        " recurring across documents survives only at its first"
+        " (doc, position) occurrence; planted newsletter boilerplate on"
+        " every 4th doc exercises the cross-doc cut; one shuffle on the"
+        " line hash + per-doc ordered rebuild"
+    ),
+)
+def llm_line_dedup(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(". Subscribe to our newsletter for updates today"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = dedup.line_dedup_global(docs, split_re="\\. ", join_str=". ")
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines",
+        "n_kept",
+    )
+
+
+@register(
     "llm_mix_plan",
     export=False,  # driver slot held by its family head (union_family)
     oracle="""

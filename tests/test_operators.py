@@ -2091,3 +2091,30 @@ def test_temperature_mixture_upweights_low_resource_and_caps_rates(spark):
     # alpha=1 is exactly proportional
     prop = {r.lang: r.mix_share for r in temperature_mixture(df, alpha=1.0).collect()}
     assert abs(prop["en"] - 0.9) < 1e-6
+
+
+def test_line_dedup_global_cuts_cross_doc_boilerplate_keeps_first(spark):
+    from aave_etl_spark.operators.dedup import line_dedup_global
+
+    boiler = "subscribe to our newsletter for all the updates"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique opening sentence one\n{boiler}\nclosing remark number one"),
+            (2, f"{boiler}\nunique second document body text"),
+            (3, "no duplicates here at all\nok"),  # 'ok' < min_chars: exempt
+            (4, "no duplicates here at all\nok"),  # long line dups doc 3's
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup_global(docs).collect()}
+    # doc 1 holds the first occurrence of the boilerplate; doc 2 loses it
+    assert out[1].n_kept == 3 and boiler in out[1].clean_text
+    assert out[2].n_kept == 1 and boiler not in out[2].clean_text
+    assert out[2].clean_text == "unique second document body text"
+    # cross-doc long-line dup cut in doc 4, short 'ok' exempt in BOTH
+    assert out[3].n_kept == 2
+    assert out[4].clean_text == "ok" and out[4].n_kept == 1
+    # n_lines counts pre-cut non-empty lines
+    assert (out[1].n_lines, out[2].n_lines, out[4].n_lines) == (3, 2, 2)
+    # rebuild preserves original line order
+    assert out[1].clean_text.split("\n")[0] == "unique opening sentence one"
