@@ -635,14 +635,19 @@ def line_dedup_global(
     ``min_chars`` are exempt (short strings recur legitimately).
 
     Output: (id, clean_text, n_lines, n_kept) — n_lines counts the doc's
-    non-empty lines before the cut.
+    non-empty lines before the cut. EVERY input document gets a row —
+    empty/whitespace-only docs (and docs that lose every line) come back
+    with clean_text='' and zero counts, so corpus joins never silently
+    lose documents.
 
     Dataflow at 100 TB: explode to (doc, line_no, line) → ONE shuffle on
     md5(line) for the first-occurrence window (key-partitioned; hot
     boilerplate lines are exactly the skew AQE's skew-join split handles)
-    → per-doc ordered rebuild via the sorted-struct collect (bounded by
-    document length). Nothing is corpus×corpus; the only global state is
-    the line-hash key space itself."""
+    → ONE per-doc aggregation computing counts AND the ordered rebuild
+    together (collect_list skips the NULLed-out dropped lines) — the
+    corpus is exploded once. The id-spine join reads only the pruned id
+    column. Nothing is corpus×corpus; the only global state is the
+    line-hash key space itself."""
     lines = (
         df.select(
             F.col(id_col),
@@ -655,23 +660,24 @@ def line_dedup_global(
     )
     w = Window.partitionBy(F.md5(F.col("_line"))).orderBy(F.col(id_col), F.col("_ln"))
     flagged = lines.withColumn("_rn", F.row_number().over(w))
-    kept = flagged.filter(
-        (F.length("_line") < min_chars) | (F.col("_rn") == 1)
-    )
-    rebuilt = kept.groupBy(id_col).agg(
+    keep = (F.length("_line") < min_chars) | (F.col("_rn") == 1)
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(keep.cast("long")).cast("long").alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_ln", "_line"))),
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("_ln", "_line")))
+                ),
                 lambda s: s["_line"],
             ),
             join_str,
         ).alias("clean_text"),
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
-    return totals.join(rebuilt, id_col, "left").select(
+    spine = df.select(id_col).distinct()
+    return spine.join(agg, id_col, "left").select(
         id_col,
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        "n_lines",
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )

@@ -454,7 +454,14 @@ def temperature_mixture(
         F.round(share, 6).alias("mix_share"),
     ]
     if budget is not None:
-        rate = F.least(F.lit(1.0), F.lit(float(budget)) * share / F.col("_t"))
+        # a zero-mass group has share 0 and NOTHING to sample — guard the
+        # 0/0 explicitly: ANSI mode raises DIVIDE_BY_ZERO, non-ANSI yields
+        # NULL which least() would skip, silently promoting the group to
+        # sample_rate=1.0
+        rate = F.when(
+            F.col("_t") > 0,
+            F.least(F.lit(1.0), F.lit(float(budget)) * share / F.col("_t")),
+        ).otherwise(F.lit(0.0))
         cols += [
             F.round(rate, 6).alias("sample_rate"),
             F.round(F.col("_t") * rate, 6).alias("expected_units"),

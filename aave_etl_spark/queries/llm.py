@@ -1616,9 +1616,11 @@ _MIX_WEIGHTS = [("en", 0.9), ("fr", 0.5), ("de", 0.5), ("es", 0.5), ("zh", 0.2)]
     ),
     tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
             FROM lines GROUP BY doc_id)
-    SELECT t.doc_id, coalesce(r.clean_md5, md5('')) AS clean_md5,
-           t.n_lines, coalesce(r.n_kept, 0) AS n_kept
-    FROM tot t LEFT JOIN reb r USING (doc_id)
+    SELECT p.doc_id, coalesce(r.clean_md5, md5('')) AS clean_md5,
+           coalesce(t.n_lines, 0) AS n_lines, coalesce(r.n_kept, 0) AS n_kept
+    FROM planted p
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN reb r USING (doc_id)
     """,
     doc=(
         "LLM curation: GLOBAL line-level exact dedup with document"

@@ -2118,3 +2118,12 @@ def test_line_dedup_global_cuts_cross_doc_boilerplate_keeps_first(spark):
     assert (out[1].n_lines, out[2].n_lines, out[4].n_lines) == (3, 2, 2)
     # rebuild preserves original line order
     assert out[1].clean_text.split("\n")[0] == "unique opening sentence one"
+    # empty / whitespace-only docs keep their row (no silent corpus loss)
+    empties = spark.createDataFrame(
+        [(1, "hello there world wide"), (2, ""), (3, "\n \n")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup_global(empties).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[2].clean_text, got[2].n_lines, got[2].n_kept) == ("", 0, 0)
+    assert (got[3].clean_text, got[3].n_lines, got[3].n_kept) == ("", 0, 0)
