@@ -438,8 +438,12 @@ class TableStore:
                 .drop("_rn", sequence_col)
             )
         if not self.exists(name):
+            # eqNullSafe: a NULL op must mean "upsert", not "silently drop
+            # the row" (plain != is NULL-valued on NULL and filters it out)
             upserts = (
-                changes.filter(F.col(op_col) != delete_op).drop(op_col)
+                changes.filter(
+                    ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+                ).drop(op_col)
                 if op_col
                 else changes
             )
@@ -449,7 +453,9 @@ class TableStore:
         # collect, the key distinct, AND the final union
         changes = changes.localCheckpoint(eager=True)
         if op_col:
-            upserts = changes.filter(F.col(op_col) != delete_op).drop(op_col)
+            upserts = changes.filter(
+                ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+            ).drop(op_col)
         else:
             upserts = changes
         existing = self.read(name)
@@ -480,19 +486,64 @@ class TableStore:
         landed = self.write(out, name, partition_cols=partition_cols)
         if partition_cols:
             # a touched partition with no output rows vanished entirely —
-            # dynamic overwrite can't delete it, so drop the directory
+            # dynamic overwrite can't delete it, so drop the directory.
+            # The directories are resolved from the FILESYSTEM (a fresh
+            # read of the stale files, semi-joined to the vanished value
+            # tuples, input_file_name → dirname), never re-formatted from
+            # Python values: Spark escapes special characters in partition
+            # paths (':', '%', '#', …) and renders NULL as
+            # __HIVE_DEFAULT_PARTITION__, so an f"{c}={v}" reconstruction
+            # silently misses those partitions and resurrects deleted rows.
             remaining = {
                 tuple(r) for r in out.select(*partition_cols).distinct().collect()
             }
-            import shutil
-
-            for vals in set(touched_vals) - remaining:
-                p = os.path.join(
-                    self._path(name),
-                    *[f"{c}={v}" for c, v in zip(partition_cols, vals)],
-                )
-                shutil.rmtree(p, ignore_errors=True)
+            vanished = set(touched_vals) - remaining
+            if vanished:
+                self._drop_partition_dirs(name, partition_cols, touched, vanished)
         return landed or self.exists(name)
+
+    def _drop_partition_dirs(
+        self,
+        name: str,
+        partition_cols: list[str],
+        touched: DataFrame,
+        vanished: set[tuple],
+    ) -> None:
+        """Remove the on-disk directories of the ``vanished`` partition
+        value tuples. Value comparison happens typed in Spark (semi join),
+        directory names come from ``input_file_name`` — robust to Spark's
+        partition-path escaping. A vanished tuple with no files is legal
+        (a brand-new partition whose rows were all deleted in the same
+        batch never hit disk); a failing rmtree raises (no silent no-op)."""
+        import shutil
+        from urllib.parse import unquote, urlparse
+
+        vdf = self.spark.createDataFrame(
+            [tuple(v) for v in vanished], schema=touched.schema
+        ).select([F.col(c).alias(f"_v_{c}") for c in partition_cols])
+        # eqNullSafe: a NULL partition value reads back as NULL from its
+        # __HIVE_DEFAULT_PARTITION__ directory and must still match
+        cond = None
+        for c in partition_cols:
+            eq = F.col(c).eqNullSafe(F.col(f"_v_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        stale_files = (
+            self.spark.read.parquet(self._path(name))
+            .join(F.broadcast(vdf), cond, "left_semi")
+            .select(F.input_file_name().alias("_f"))
+            .distinct()
+            .collect()  # bounded: the vanished partitions' file list
+        )
+        dirs = {
+            os.path.dirname(unquote(urlparse(r["_f"]).path)) for r in stale_files
+        }
+        root = os.path.realpath(self._path(name))
+        for d in sorted(dirs):
+            if not os.path.realpath(d).startswith(root + os.sep):
+                raise RuntimeError(
+                    f"merge: refusing to remove {d!r} outside table root {root!r}"
+                )
+            shutil.rmtree(d)
 
     def write_bucketed(
         self,

@@ -120,8 +120,11 @@ def knn_vote(neighbors: DataFrame, labels: DataFrame) -> DataFrame:
         .groupBy("query_id", "_lbl")
         .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
     )
+    # asc_nulls_last: a NULL corpus label must never win a tie (Spark's
+    # plain asc sorts NULLs FIRST, which would return pred_label=NULL and
+    # break the smallest-label contract)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("n_votes").desc(), F.col("_lbl").asc()
+        F.col("n_votes").desc(), F.col("_lbl").asc_nulls_last()
     )
     return (
         votes.withColumn("_rn", F.row_number().over(w))

@@ -640,7 +640,12 @@ def stream_dedup_store(spark, sf_dir):
     replay = ev.filter(F.col("event_id") % 3 == 0).withColumn(
         "ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES")
     )
-    ev.unionByName(replay).write.parquet(lake)
+    # ONE file ⇒ ONE availableNow micro-batch, by construction. The drain's
+    # correctness needs originals and replays processed together: if the
+    # file source ever split them across batches (ambient maxFilesPerTrigger,
+    # future source changes), the watermark advancing between batches could
+    # evict dropDuplicatesWithinWatermark state and let replays through.
+    ev.unionByName(replay).coalesce(1).write.parquet(lake)
     schema = spark.read.parquet(lake).schema
     deduped = dedup_keys_within_watermark(
         stream_lake_table(spark, lake, schema), ["event_id"], watermark="1 hour"
