@@ -640,11 +640,17 @@ def line_dedup_global(
     with clean_text='' and zero counts, so corpus joins never silently
     lose documents.
 
-    Dataflow at 100 TB: explode to (doc, line_no, line) → ONE shuffle on
-    md5(line) for the first-occurrence window (key-partitioned; hot
-    boilerplate lines are exactly the skew AQE's skew-join split handles)
-    → ONE per-doc aggregation computing counts AND the ordered rebuild
-    together (collect_list skips the NULLed-out dropped lines) — the
+    Dataflow at 100 TB: explode to (doc, line_no, line) → first occurrence
+    per line hash via groupBy(md5(line)).agg(min(struct(doc, pos))) — a
+    PARTIAL-aggregatable reduction, deliberately NOT a row_number window:
+    min(struct) combines map-side, so a cookie banner recurring in 10⁹
+    docs collapses to one row per map task before the shuffle ever sees
+    it (hot boilerplate lines are hot BY DEFINITION here, and a window
+    would funnel every copy of a line into one reducer task — AQE splits
+    skewed JOINS, not window partitions). The join back to flag keepers
+    is a plain equi-join on the line hash, which AQE's skew-join split
+    DOES handle. Then ONE per-doc aggregation computes counts AND the
+    ordered rebuild together (collect_list skips the dropped lines) — the
     corpus is exploded once. The id-spine join reads only the pruned id
     column. Nothing is corpus×corpus; the only global state is the
     line-hash key space itself."""
@@ -657,10 +663,24 @@ def line_dedup_global(
         )
         .withColumn("_line", F.trim("_line"))
         .filter(F.length("_line") > 0)
+        .withColumn("_lh", F.md5("_line"))
     )
-    w = Window.partitionBy(F.md5(F.col("_line"))).orderBy(F.col(id_col), F.col("_ln"))
-    flagged = lines.withColumn("_rn", F.row_number().over(w))
-    keep = (F.length("_line") < min_chars) | (F.col("_rn") == 1)
+    # short lines are exempt from dedup, so they need no first-occurrence
+    # row at all — the aggregate runs over dedup-eligible lines only
+    firsts = (
+        lines.filter(F.length("_line") >= min_chars)
+        .groupBy("_lh")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("_fid"), F.col("_ln").alias("_fln"))
+            ).alias("_first")
+        )
+    )
+    flagged = lines.join(firsts, "_lh", "left")
+    keep = (F.length("_line") < min_chars) | (
+        (F.col(id_col) == F.col("_first._fid"))
+        & (F.col("_ln") == F.col("_first._fln"))
+    )
     agg = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(keep.cast("long")).cast("long").alias("n_kept"),

@@ -320,7 +320,16 @@ def bm25_postings(
         tf.join(dl, id_col)
         .join(dfreq, "term")
         .crossJoin(F.broadcast(scalars))
-        .select(F.col(id_col), "term", "tf", F.round(idf * norm, 6).alias("bm25"))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            # df rides along so probes can apply a max_df stop-term cap as
+            # a SCAN-side predicate (at rest it reaches the parquet footer:
+            # whole row groups of hot-term postings are skipped)
+            F.col("df").cast("long").alias("df"),
+            F.round(idf * norm, 6).alias("bm25"),
+        )
     )
 
 
@@ -332,6 +341,7 @@ def bm25_retrieve(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Query→document BM25 retrieval: each query document's DISTINCT terms
     (the standard qtf=1 query model) probe the corpus postings table; a
@@ -339,6 +349,12 @@ def bm25_retrieve(
 
     Output: (query_id, candidate_id, bm25_score, rank), self-matches
     excluded, ties broken by candidate id.
+
+    ``max_df``: optional stop-term cap — postings of terms appearing in
+    more than ``max_df`` documents are excluded from scoring (the standard
+    lossy stop-term handling; such terms carry near-zero idf anyway).
+    Without it, one query containing "the" drags that term's FULL postings
+    list through the hits join — ~|corpus| rows for a stop word.
 
     Dataflow at 100 TB: the postings side is the corpus-sized inverted
     index (built by `bm25_postings`, or read at rest); the query-term set
@@ -348,7 +364,9 @@ def bm25_retrieve(
     (bounded by k candidates per query after the WindowGroupLimit-capped
     top-k window)."""
     postings = bm25_postings(corpus, id_col=id_col, text_col=text_col, k1=k1, b=b)
-    return _bm25_probe(postings, queries, id_col=id_col, text_col=text_col, k=k)
+    return _bm25_probe(
+        postings, queries, id_col=id_col, text_col=text_col, k=k, max_df=max_df
+    )
 
 
 def _bm25_probe(
@@ -358,6 +376,7 @@ def _bm25_probe(
     text_col: str = "text",
     k: int = 10,
     broadcast_queries: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Probe a postings table with query documents' distinct terms and
     rank candidates by summed BM25 weight — the scoring core shared by
@@ -368,9 +387,17 @@ def _bm25_probe(
     batches are small) makes the probe a map-side hash join over one
     postings scan. Pass False for a LARGE query set — the join falls back
     to shuffle, and an index bucketed on `term` keeps the corpus side
-    exchange-free (only the query terms move)."""
+    exchange-free (only the query terms move).
+
+    ``max_df`` prunes stop-term postings BEFORE the hits join, mirroring
+    the df-based hot-shingle prune in `ngram_jaccard` (dedup.py): the
+    filter sits on the postings scan, so against an at-rest index it
+    pushes down to parquet (PushedFilters on df) and hot-term row groups
+    are never read."""
     from aave_etl_spark.operators.dedup import normalize_text
 
+    if max_df is not None:
+        postings = postings.filter(F.col("df") <= int(max_df))
     qterms = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(
@@ -442,11 +469,16 @@ def bm25_index_search(
     k1: float = 1.2,
     b: float = 0.75,
     broadcast_queries: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Retrieve top-k documents for each query doc from an at-rest BM25
     postings index — identical results to the in-flight `bm25_retrieve`
     over the same corpus (the weights ARE the build-time postings), with
     zero corpus text re-scan at query time.
+
+    ``max_df`` (stop-term cap) filters the stored postings scan itself —
+    the predicate pushes down to the parquet footers, so hot-term row
+    groups are skipped, not read-and-dropped.
 
     Raises on a (k1, b) mismatch against the index's build-params sidecar
     — drifted parameters would silently score with stale norms."""
@@ -477,6 +509,7 @@ def bm25_index_search(
         text_col=text_col,
         k=k,
         broadcast_queries=broadcast_queries,
+        max_df=max_df,
     )
 
 

@@ -33,6 +33,8 @@ def curate(
     keep_frac: float = 0.5,
     capacity: int = 256,
     mix_weights: list[tuple[str, float]] | None = None,
+    mix_temperature: float | None = None,
+    mix_budget: float | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation chain over ``docs`` (doc_id, text, lang).
 
@@ -40,6 +42,14 @@ def curate(
     ``{"c4", "exact", "neardup", "gate", "dsir", "mix", "packed"}`` — so
     callers can count survivors per stage (the certification shape) or
     take just the packed output.
+
+    ``mix_temperature`` (with ``mix_budget``) switches stage 6 from the
+    static ``mix_weights`` table to PLANNED rates — the production shape:
+    `temperature_mixture` plans per-language sampling rates from the gated
+    corpus itself (share ∝ char-mass^alpha, budget-capped), and those
+    rates feed `mix_corpus`. The plan frame is returned under
+    ``"mix_plan"``. Planning is one group-cardinality aggregate over the
+    DSIR survivors — free at any corpus size.
 
     ``approximate=True`` swaps the one global-window cut (exact DSIR's
     Gumbel-top-k rank) for the broadcast percentile-threshold form: the
@@ -91,18 +101,38 @@ def curate(
         text_col="ct", approximate=approximate,
     )
     surv5 = maybe_ckpt(surv4.join(ds.filter("kept").select("doc_id"), "doc_id"))
-    # 6. domain mixing to the target language distribution
-    weights = spark.createDataFrame(
-        mix_weights if mix_weights is not None else DEFAULT_MIX,
-        "lang string, keep_frac double",
-    )
+    # 6. domain mixing to the target language distribution: static target
+    # rates, or rates PLANNED from the gated corpus (temperature mixture)
+    mix_plan = None
+    if mix_temperature is not None:
+        if mix_budget is None:
+            raise ValueError(
+                "curate: mix_temperature needs mix_budget (the planned"
+                " sample_rate is budget-relative)"
+            )
+        mix_plan = sampling.temperature_mixture(
+            surv5.select("lang", F.length("ct").alias("n_chars")),
+            group_col="lang",
+            mass_col="n_chars",
+            alpha=mix_temperature,
+            budget=mix_budget,
+        )
+        weights = mix_plan.select("lang", F.col("sample_rate").alias("keep_frac"))
+    else:
+        weights = spark.createDataFrame(
+            mix_weights if mix_weights is not None else DEFAULT_MIX,
+            "lang string, keep_frac double",
+        )
     surv6 = sampling.mix_corpus(surv5, weights)
     # 7. greedy sequence packing of the final corpus
     pin = surv6.select(
         "lang", "doc_id", F.size(text.tokens("ct")).cast("long").alias("n_tokens")
     )
     packed = packing.greedy_pack(pin, capacity=capacity)
-    return {
+    out = {
         "c4": c4k, "exact": ex, "neardup": surv3, "gate": surv4,
         "dsir": surv5, "mix": surv6, "packed": packed,
     }
+    if mix_plan is not None:
+        out["mix_plan"] = mix_plan
+    return out

@@ -124,6 +124,12 @@ family(
         ),
         ("bm25", "llm_bm25_topk", ("doc_id", "term"), ("tf", "bm25", "rank")),
         (
+            "bm25_capped",
+            "llm_bm25_capped",
+            ("query_id", "candidate_id"),
+            ("bm25_score", "rank"),
+        ),
+        (
             "gate",
             "llm_curation_gate",
             ("doc_id",),
@@ -166,6 +172,12 @@ family(
             ("v1", "v2", "v3"),
         ),
         (
+            "tempmix",
+            "llm_curation_tempmix",
+            ("part", "k1"),
+            ("v1", "v2", "v3"),
+        ),
+        (
             "gopher",
             "llm_gopher_quality",
             ("doc_id",),
@@ -184,14 +196,18 @@ family(
         " (RefinedWeb boilerplate removal, planted cross-doc newsletter"
         " lines) + Gopher-style repetition"
         " signal + sliding-window context chunking + PII/URL scrubbing +"
-        " per-doc top-3 BM25 terms + the composed per-doc curation gate"
+        " per-doc top-3 BM25 terms + max_df stop-term-capped BM25 index"
+        " search (postings-scan predicate pushdown)"
+        " + the composed per-doc curation gate"
         " (quality x repetition x language x exact-dup keeper) +"
         " per-language quality-percentile top-50% gate + vocabulary"
         " coverage curve + unigram-NLL perplexity proxy + C4-style"
         " line-level cleaning with the kept-lines doc gate + the"
         " END-TO-END curation pipeline (C4 clean -> exact dedup ->"
         " near-dup keeper -> quality/lang gate -> DSIR -> domain mix ->"
-        " sequence pack) certified as one flow + the Gopher quality rules"
+        " sequence pack) certified as one flow + the PLANNED-mix pipeline"
+        " (temperature mixture rates planned from the gated corpus feeding"
+        " the domain mixer) + the Gopher quality rules"
         " (symbol/bullet/ellipsis ratios, alpha-word + stop-word floors,"
         " duplicate-line pair) with every arm exercised via planted"
         " line-level defects"
@@ -609,6 +625,12 @@ family(
         (
             "rrf",
             "llm_hybrid_rrf",
+            ("query_id", "candidate_id"),
+            ("rrf_score", "rank"),
+        ),
+        (
+            "rrf_atrest",
+            "llm_hybrid_rrf_atrest",
             ("query_id", "candidate_id"),
             ("rrf_score", "rank"),
         ),

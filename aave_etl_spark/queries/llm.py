@@ -1157,7 +1157,7 @@ _BM25_SPARSE_CTES = f"""tok AS (
     dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
     sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
     post AS (
-      SELECT t.doc_id, t.term,
+      SELECT t.doc_id, t.term, d.df,
              round(ln(1.0 + ((sc.n_docs - d.df) + 0.5) / (d.df + 0.5))
                    * ((CAST(t.tf AS DOUBLE) * 2.2)
                       / (CAST(t.tf AS DOUBLE)
@@ -1312,7 +1312,46 @@ def llm_knn_classify(spark, sf_dir):
     ),
 )
 def llm_bm25_index_search(spark, sf_dir):
-    import os
+    return _bm25_index_arm(spark, sf_dir, k=10)
+
+
+@register(
+    "llm_bm25_capped",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=f"""
+    WITH {_BM25_SPARSE_CTES},
+    capped AS (
+      SELECT q.query_id, p.doc_id AS candidate_id,
+             round(sum(p.bm25), 6) AS bm25_score
+      FROM post p JOIN qterms q USING (term)
+      WHERE p.doc_id <> q.query_id AND p.df <= 300
+      GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id, candidate_id, bm25_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25_score DESC, candidate_id) AS BIGINT) AS rank
+    FROM capped
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY bm25_score DESC, candidate_id) <= 10
+    """,
+    doc=(
+        "LLM retrieval: BM25 search with a max_df STOP-TERM cap against"
+        " the at-rest postings index — terms in more than 300 docs are"
+        " excluded from scoring by a predicate ON THE POSTINGS SCAN"
+        " (pushed down to the parquet footers: hot-term row groups are"
+        " skipped, never read), the standard lossy stop-term handling"
+        " that bounds a stop-word query's join at |postings(df<=cap)|"
+        " instead of ~|corpus|"
+    ),
+)
+def llm_bm25_capped(spark, sf_dir):
+    return _bm25_index_arm(spark, sf_dir, k=10, max_df=300)
+
+
+def _bm25_index_arm(spark, sf_dir, k, max_df=None):
+    """The at-rest sparse arm: build-once/search-many against the
+    term-bucketed postings index (store shared with every other caller on
+    the same corpus — the hybrid fusion reuses the build for free)."""
     import re as re_mod
 
     from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
@@ -1330,7 +1369,9 @@ def llm_bm25_index_search(spark, sf_dir):
         store.clear_complete(tbl)
         text.bm25_index_build(store, docs, tbl)
         store.mark_complete(tbl)
-    return text.bm25_index_search(store, docs.filter(F.col("doc_id") < 8), tbl, k=10)
+    return text.bm25_index_search(
+        store, docs.filter(F.col("doc_id") < 8), tbl, k=k, max_df=max_df
+    )
 
 
 @register(
@@ -2382,6 +2423,82 @@ FROM p
 """
 
 
+# The pipeline CTE chain through surv5 (the DSIR survivors), reused by the
+# temperature-planned mixing twin below — split at the static-mix CTE.
+_CURATION_CTES_TO_SURV5 = _CURATION_PIPELINE_ORACLE.split(",\nmixw AS MATERIALIZED")[0]
+assert _CURATION_CTES_TO_SURV5.rstrip().endswith(
+    "surv5 AS MATERIALIZED (SELECT surv4.* FROM surv4 JOIN dkept"
+    " ON surv4.doc_id = dkept.doc_id)"
+), "curation oracle split drifted — fix the split marker"
+
+_CURATION_TEMPMIX_ORACLE = (
+    _CURATION_CTES_TO_SURV5
+    + f""",
+tm AS MATERIALIZED (
+  SELECT lang, sum(CAST(length(ct) AS DOUBLE)) AS t FROM surv5 GROUP BY lang
+),
+ts AS MATERIALIZED (SELECT sum(pow(t, 0.7)) AS tp FROM tm),
+tplan AS MATERIALIZED (
+  SELECT lang,
+         round(t, 6) AS n_units,
+         round(pow(t, 0.7) / ts.tp, 6) AS mix_share,
+         round(CASE WHEN t > 0
+               THEN least(1.0, 10000.0 * (pow(t, 0.7) / ts.tp) / t)
+               ELSE 0.0 END, 6) AS sample_rate
+  FROM tm CROSS JOIN ts
+),
+tsurv AS MATERIALIZED (
+  SELECT surv5.doc_id, surv5.lang
+  FROM surv5 LEFT JOIN tplan USING (lang)
+  WHERE {_UHASH.format(salt="mix")} < coalesce(sample_rate, 0.0)
+)
+SELECT 'plan' AS part, lang AS k1,
+       n_units AS v1, mix_share AS v2, sample_rate AS v3
+FROM tplan
+UNION ALL
+SELECT 'mixed', lang, CAST(count(*) AS DOUBLE), NULL, NULL
+FROM tsurv GROUP BY lang
+"""
+)
+
+
+@register(
+    "llm_curation_tempmix",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=_CURATION_TEMPMIX_ORACLE,
+    doc=(
+        "LLM curation: the PLANNED-mix pipeline shape — temperature"
+        " mixture rates (share ∝ char-mass^0.7, budget 10k chars) planned"
+        " FROM the gated corpus itself (DSIR survivors) and fed straight"
+        " into the deterministic-hash domain mixer; certifies both the"
+        " plan rows and the per-language mixed survivor counts against the"
+        " chained-CTE oracle of the full upstream pipeline"
+    ),
+)
+def llm_curation_tempmix(spark, sf_dir):
+    from aave_etl_spark.plans.curation import curate
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.expr("replace(text, ' table ', concat('.', chr(10), 'table '))"),
+    )
+    stages = curate(docs, mix_temperature=0.7, mix_budget=10000.0)
+    plan = stages["mix_plan"].selectExpr(
+        "'plan' AS part", "lang AS k1",
+        "n_units AS v1", "mix_share AS v2", "sample_rate AS v3",
+    )
+    mixed = (
+        stages["mix"]
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("v1"))
+        .selectExpr(
+            "'mixed' AS part", "lang AS k1", "v1",
+            "CAST(NULL AS DOUBLE) AS v2", "CAST(NULL AS DOUBLE) AS v3",
+        )
+    )
+    return plan.unionByName(mixed)
+
+
 @register(
     "llm_curation_pipeline",
     export=False,  # driver slot held by its family head (llm_text_stats)
@@ -2832,8 +2949,11 @@ def llm_epoch_shards(spark, sf_dir):
 # Deterministic geometry: cells = first 8 vectors, residual codebook =
 # residuals of vectors 8..15 w.r.t. their own assigned cells.
 # ---------------------------------------------------------------------------
-_IVFPQ_ORACLE = """
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+# The IVF-PQ CTE chain (ends at `pairs`: per-(query, candidate) 6dp ADC
+# distances over the probed cells) — shared by the standalone IVF-PQ
+# oracles and the at-rest hybrid fusion oracle, which re-ranks `pairs`
+# at a different k before fusing with the BM25 arm.
+_IVFPQ_CTES = """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cells AS (SELECT CAST(vec_id AS INT) AS cell_id, e AS ce FROM v WHERE vec_id < 8),
     asg AS (
       SELECT vec_id, cell_id FROM (
@@ -2893,7 +3013,10 @@ _IVFPQ_ORACLE = """
       JOIN qtab t ON t.cell_id = a.cell_id AND t.m = e.m AND t.code = e.code
       WHERE e.vec_id != t.query_id
       GROUP BY 1, 2, 3
-    )
+    )"""
+
+_IVFPQ_ORACLE = f"""
+    WITH {_IVFPQ_CTES}
     SELECT query_id, candidate_id, cell_id, approx_d2,
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY approx_d2, candidate_id) AS BIGINT)
@@ -2935,8 +3058,13 @@ def llm_ivfpq_topk(spark, sf_dir):
     ),
 )
 def llm_ivfpq_index_search(spark, sf_dir):
-    import os
+    return _ivfpq_index_arm(spark, sf_dir, k=3)
 
+
+def _ivfpq_index_arm(spark, sf_dir, k):
+    """The at-rest dense arm: partition-pruned IVF-PQ search against the
+    persisted codes + sidecars (store shared across callers on the same
+    corpus; the hybrid fusion reuses the build)."""
     from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
     from aave_etl_spark.io.table_store import TableStore
 
@@ -2967,5 +3095,59 @@ def llm_ivfpq_index_search(spark, sf_dir):
         )
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.ivfpq_index_search(
-        store, queries, k=3, n_probe=2, n_subspaces=4
+        store, queries, k=k, n_probe=2, n_subspaces=4
     )
+
+
+@register(
+    "llm_hybrid_rrf_atrest",
+    export=False,  # driver slot held by its family head (semi_anti_family)
+    oracle=f"""
+    WITH {_BM25_SPARSE_CTES},
+    {_IVFPQ_CTES},
+    sr AS (
+      SELECT query_id, candidate_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25_score DESC, candidate_id) AS r
+      FROM sarm
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY bm25_score DESC, candidate_id) <= 10
+    ),
+    dr AS (
+      SELECT query_id, candidate_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_d2, candidate_id) AS r
+      FROM pairs
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_d2, candidate_id) <= 10
+    ),
+    fused AS (
+      SELECT coalesce(dr.query_id, sr.query_id) AS query_id,
+             coalesce(dr.candidate_id, sr.candidate_id) AS candidate_id,
+             round(coalesce(1.0 / (60 + dr.r), 0.0)
+                   + coalesce(1.0 / (60 + sr.r), 0.0), 6) AS rrf_score
+      FROM dr FULL OUTER JOIN sr
+        ON dr.query_id = sr.query_id AND dr.candidate_id = sr.candidate_id
+    )
+    SELECT query_id, candidate_id, rrf_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, candidate_id) AS BIGINT) AS rank
+    FROM fused
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, candidate_id) <= 5
+    """,
+    doc=(
+        "LLM retrieval: the AT-REST hybrid composition — the 100 TB shape"
+        " SCALE.md names: rrf_fuse over bm25_index_search (term-bucketed"
+        " postings store) x ivfpq_index_search (cell-partition-pruned"
+        " codes store); both arms are bitwise twins of their in-flight"
+        " forms, so the fusion is certified end-to-end against the same"
+        " dual-engine oracle shape as llm_hybrid_rrf; all corpus scale"
+        " stays inside the at-rest arms, the fusion join is"
+        " |queries|-bounded"
+    ),
+)
+def llm_hybrid_rrf_atrest(spark, sf_dir):
+    dense = _ivfpq_index_arm(spark, sf_dir, k=10)
+    sparse = _bm25_index_arm(spark, sf_dir, k=10)
+    return similarity.rrf_fuse(dense, sparse, k=5)

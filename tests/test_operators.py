@@ -1952,6 +1952,14 @@ def test_knn_classify_majority_vote_and_ties(spark):
     # k=4: labels {1,1,2,2} tie -> smallest label wins
     out2 = knn_classify(emb, emb.filter("vec_id = 0"), k=4).collect()
     assert len(out2) == 1 and (out2[0].pred_label, out2[0].n_votes) == (1, 2)
+    # NULL corpus labels must never win a tie (plain asc sorts NULLs
+    # FIRST): with labels {1,1,NULL,NULL} at k=4, pred_label is 1, not NULL
+    nulled = spark.createDataFrame(
+        [(i, v, None if lbl == 2 else lbl) for i, v, lbl in rows],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out3 = knn_classify(nulled, nulled.filter("vec_id = 0"), k=4).collect()
+    assert len(out3) == 1 and (out3[0].pred_label, out3[0].n_votes) == (1, 2)
 
 
 def test_hll_sketches_merge_losslessly_and_estimate_accurately(spark):
@@ -2071,6 +2079,75 @@ def test_knn_vote_composes_with_ivf_arm(spark):
     assert all(via_ivf[q] == (q % 2) + 1 for q in via_ivf)
 
 
+def test_bm25_max_df_caps_stop_terms_and_pushes_down(spark, tmp_path):
+    """max_df drops stop-term postings BEFORE the hits join: scores equal
+    the uncapped retrieve over a corpus whose stop terms were never there,
+    and against the at-rest index the df predicate reaches the parquet
+    scan (PushedFilters) — hot-term row groups are skipped, not read."""
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.operators.text import (
+        bm25_index_build,
+        bm25_index_search,
+        bm25_retrieve,
+    )
+
+    # 'the' appears in every doc (df=6, a stop term); content terms are rare
+    df = spark.createDataFrame(
+        [
+            (1, "the zebra common"),
+            (2, "the zebra common filler"),
+            (3, "the filler other"),
+            (4, "the other unrelated"),
+            (5, "the words unrelated"),
+            (6, "the zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = bm25_retrieve(df, df.filter("doc_id = 1"), k=10, max_df=5).collect()
+    # 'the' (df=6 > 5) contributes nothing: doc 4/5 share only 'the' with
+    # the query and must be absent entirely
+    got = {r.candidate_id for r in capped}
+    assert got == {2, 6}
+    uncapped = {
+        r.candidate_id
+        for r in bm25_retrieve(df, df.filter("doc_id = 1"), k=10).collect()
+    }
+    assert uncapped == {2, 3, 4, 5, 6}  # everything matches via 'the'
+    # at-rest: identical results AND the df filter is pushed to the scan
+    store = TableStore(spark, str(tmp_path))
+    bm25_index_build(store, df, "bm25_cap_idx")
+    at_rest = bm25_index_search(
+        store, df.filter("doc_id = 1"), "bm25_cap_idx", k=10, max_df=5
+    )
+    assert sorted(map(tuple, at_rest.collect())) == sorted(map(tuple, capped))
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(df,5)" in plan, plan
+
+
+def test_hybrid_rrf_atrest_composition_matches_inflight(spark):
+    """The at-rest hybrid retrieval composition — rrf_fuse over
+    bm25_index_search × ivfpq_index_search, the shape SCALE.md names as
+    the 100 TB path — equals the fusion of the arms' IN-FLIGHT twins
+    exactly: each at-rest arm is a bitwise twin of its in-flight form, so
+    the fused (query, candidate, score, rank) sets must match row-for-row."""
+    from tests.conftest import SF_SMOKE
+
+    from aave_etl_spark.operators import similarity, text
+    from aave_etl_spark.queries.llm import llm_hybrid_rrf_atrest
+
+    at_rest = sorted(map(tuple, llm_hybrid_rrf_atrest(spark, SF_SMOKE).collect()))
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet")
+    dense = similarity.ivfpq_topk(
+        emb, emb.filter("vec_id < 8"), k=10,
+        n_cells=8, n_probe=2, n_subspaces=4, n_codes=8,
+    )
+    sparse = text.bm25_retrieve(docs, docs.filter("doc_id < 8"), k=10)
+    in_flight = sorted(map(tuple, similarity.rrf_fuse(dense, sparse, k=5).collect()))
+    assert at_rest == in_flight
+    assert len(at_rest) > 0
+
+
 def test_temperature_mixture_upweights_low_resource_and_caps_rates(spark):
     from aave_etl_spark.operators.sampling import temperature_mixture
 
@@ -2127,3 +2204,80 @@ def test_line_dedup_global_cuts_cross_doc_boilerplate_keeps_first(spark):
     assert set(got) == {1, 2, 3}
     assert (got[2].clean_text, got[2].n_lines, got[2].n_kept) == ("", 0, 0)
     assert (got[3].clean_text, got[3].n_lines, got[3].n_kept) == ("", 0, 0)
+
+
+def test_line_dedup_global_agg_form_equals_window_form_and_skew_immune(spark):
+    """Property: the skew-immune groupBy(line_hash).agg(min(struct)) + join
+    first-occurrence (what line_dedup_global ships) is row-for-row equal to
+    the literal row_number-window form on a HOSTILE corpus — one boilerplate
+    line recurring in most documents (the window form funnels every copy of
+    that line into a single reducer task at scale; the agg form combines
+    map-side). Also pins the plan: no Window operator anywhere."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from aave_etl_spark.operators.dedup import line_dedup_global
+
+    rng = random.Random(9)
+    banner = "accept all cookies to continue reading this site"
+    footer = "copyright example corporation all rights reserved"
+    rows = []
+    for d in range(120):
+        body = [f"unique sentence {d} token {rng.randint(0, 9999)}"]
+        if d % 10 != 3:
+            body.insert(rng.randint(0, len(body)), banner)  # hot: ~90% of docs
+        if d % 4 == 0:
+            body.append(footer)
+        if d % 7 == 0:
+            body.append("ok")  # short, exempt
+        rng.shuffle(body)
+        rows.append((d, "\n".join(body)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = line_dedup_global(docs)
+
+    # literal window twin (the r8 form the rewrite replaced)
+    min_chars = 15
+    lines = (
+        docs.select(
+            F.col("doc_id"),
+            F.posexplode(F.split(F.col("text"), "\\n")).alias("_ln", "_line"),
+        )
+        .withColumn("_line", F.trim("_line"))
+        .filter(F.length("_line") > 0)
+    )
+    w = W.partitionBy(F.md5(F.col("_line"))).orderBy("doc_id", "_ln")
+    flagged = lines.withColumn("_rn", F.row_number().over(w))
+    keep = (F.length("_line") < min_chars) | (F.col("_rn") == 1)
+    twin_agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(keep, F.struct("_ln", "_line")))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    twin = (
+        docs.select("doc_id")
+        .distinct()
+        .join(twin_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+    got = sorted(out.collect())
+    exp = sorted(twin.collect())
+    assert got == exp
+    # the hot banner survives exactly once across the whole corpus
+    n_banner = sum(r.clean_text.split("\n").count(banner) for r in got)
+    assert n_banner == 1
+    # plan pin: first-occurrence is an aggregate+join, NOT a window —
+    # no Window operator may appear anywhere in the shipped plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
