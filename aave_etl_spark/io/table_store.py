@@ -416,8 +416,12 @@ class TableStore:
         partition-scoped lakehouse merge imposes); date/entity partitions
         satisfy it naturally. A touched partition whose rows are ALL
         deleted cannot be expressed by dynamic overwrite (nothing to
-        write), so its directory is removed explicitly — partition values
-        must render to Spark's simple path encoding (ints/strings).
+        write), so its directory is removed explicitly — resolved from the
+        filesystem via a partition-pruned ``input_file_name`` scan with
+        the partition column types PINNED to the change batch's schema
+        (escaped path characters, NULL partitions, and inference-hostile
+        values like zero-padded ints or minute-precision strings all
+        round-trip correctly).
 
         ``sequence_col``: when one batch carries several changes for a
         key, keep the row with the highest sequence (ties undefined —
@@ -458,15 +462,33 @@ class TableStore:
             ).drop(op_col)
         else:
             upserts = changes
-        existing = self.read(name)
         touched_vals: list[tuple] = []
         if partition_cols:
+            # partition-column types PINNED to the change batch's schema:
+            # a plain read INFERS types from the directory strings, and a
+            # re-rendered value ('2024-01-01 10:00' → timestamp →
+            # '2024-01-01 10:00:00', '0123' → 123) would make the same
+            # partition compare unequal between the batch and the table —
+            # falsely marking live partitions vanished (data loss) or
+            # vanished ones live (resurrection)
+            existing = self._read_pinned(name, changes.schema, partition_cols)
             touched = changes.select(*partition_cols).distinct()
             # bounded: one tuple per touched partition
             touched_vals = [tuple(r) for r in touched.collect()]
-            existing = existing.join(
-                F.broadcast(touched), partition_cols, "left_semi"
+            # eqNullSafe semi join: a NULL partition value is a real
+            # partition (__HIVE_DEFAULT_PARTITION__) — plain equality
+            # would skip its existing rows and the overwrite would drop
+            # every untouched key in it
+            tj = touched.select(
+                [F.col(c).alias(f"_t_{c}") for c in partition_cols]
             )
+            cond = None
+            for c in partition_cols:
+                eq = F.col(c).eqNullSafe(F.col(f"_t_{c}"))
+                cond = eq if cond is None else (cond & eq)
+            existing = existing.join(F.broadcast(tj), cond, "left_semi")
+        else:
+            existing = self.read(name)
         changed_keys = changes.select(*key_cols).distinct()
         survivors = existing.join(changed_keys, key_cols, "left_anti")
         # materialize BEFORE overwriting: the plan reads the very files the
@@ -499,37 +521,65 @@ class TableStore:
             }
             vanished = set(touched_vals) - remaining
             if vanished:
-                self._drop_partition_dirs(name, partition_cols, touched, vanished)
+                self._drop_partition_dirs(
+                    name, partition_cols, changes.schema, vanished
+                )
         return landed or self.exists(name)
+
+    def _read_pinned(self, name: str, batch_schema, partition_cols: list[str]):
+        """Read ``name`` with partition-column TYPES pinned to the change
+        batch's schema instead of directory-string inference. Data columns
+        keep the file schema (one inferred read supplies it); partition
+        columns parse from the directory strings into exactly the types
+        the batch rendered them from, so batch↔table comparisons are an
+        exact round trip (write renders, pinned read parses back — no
+        inference re-typing '0123' to 123 or minute-precision strings to
+        timestamps). Meta columns are stripped like ``read``."""
+        from pyspark.sql.types import StructField, StructType
+
+        path = self._path(name)
+        inferred = self.spark.read.parquet(path).schema
+        batch = {f.name: f for f in batch_schema.fields}
+        fields = [
+            StructField(f.name, batch[f.name].dataType, True)
+            if f.name in partition_cols
+            else f
+            for f in inferred.fields
+        ]
+        df = self.spark.read.schema(StructType(fields)).parquet(path)
+        return df.drop(*[c for c in META_COLS if c in df.columns])
 
     def _drop_partition_dirs(
         self,
         name: str,
         partition_cols: list[str],
-        touched: DataFrame,
+        batch_schema,
         vanished: set[tuple],
     ) -> None:
         """Remove the on-disk directories of the ``vanished`` partition
-        value tuples. Value comparison happens typed in Spark (semi join),
-        directory names come from ``input_file_name`` — robust to Spark's
-        partition-path escaping. A vanished tuple with no files is legal
-        (a brand-new partition whose rows were all deleted in the same
-        batch never hit disk); a failing rmtree raises (no silent no-op)."""
+        value tuples. The scan is partition-PRUNED: the vanished values
+        become literal predicates on the pinned-type partition columns,
+        so only those directories' files are listed and read; directory
+        names come from ``input_file_name`` — robust to Spark's
+        partition-path escaping (':' → %3A, NULL →
+        __HIVE_DEFAULT_PARTITION__), which an f"{c}={v}" reconstruction
+        silently misses. A vanished tuple with no files is legal (a
+        brand-new partition whose rows were all deleted in the same batch
+        never hit disk); a failing rmtree raises (no silent no-op)."""
         import shutil
+        from functools import reduce
         from urllib.parse import unquote, urlparse
 
-        vdf = self.spark.createDataFrame(
-            [tuple(v) for v in vanished], schema=touched.schema
-        ).select([F.col(c).alias(f"_v_{c}") for c in partition_cols])
-        # eqNullSafe: a NULL partition value reads back as NULL from its
-        # __HIVE_DEFAULT_PARTITION__ directory and must still match
-        cond = None
-        for c in partition_cols:
-            eq = F.col(c).eqNullSafe(F.col(f"_v_{c}"))
-            cond = eq if cond is None else (cond & eq)
+        pinned = self._read_pinned(name, batch_schema, partition_cols)
+        clauses = []
+        for vals in vanished:
+            conj = None
+            for c, v in zip(partition_cols, vals):
+                e = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                conj = e if conj is None else (conj & e)
+            clauses.append(conj)
         stale_files = (
-            self.spark.read.parquet(self._path(name))
-            .join(F.broadcast(vdf), cond, "left_semi")
+            pinned.filter(reduce(lambda a, b: a | b, clauses))
             .select(F.input_file_name().alias("_f"))
             .distinct()
             .collect()  # bounded: the vanished partitions' file list

@@ -648,8 +648,17 @@ def line_dedup_global(
     it (hot boilerplate lines are hot BY DEFINITION here, and a window
     would funnel every copy of a line into one reducer task — AQE splits
     skewed JOINS, not window partitions). The join back to flag keepers
-    is a plain equi-join on the line hash, which AQE's skew-join split
-    DOES handle. Then ONE per-doc aggregation computes counts AND the
+    is a plain equi-join on the line hash: the firsts side is
+    vocabulary-sized (one row per distinct line), so AQE broadcasts it
+    when it fits (measured: BroadcastHashJoin at 10M hot copies — the
+    hot line never shuffles at all) and past that it is a sort-merge
+    join AQE's skew split can section. The premium over the window form
+    is one extra pass over the exploded lines (scan-twice vs
+    shuffle-once, measured 1.3–1.6× at single-node scale — SCALE.md
+    round-9 rows);
+    what it buys is per-task state bounded at ANY skew, where the window
+    form must sort every copy of the hottest line in one task.
+    Then ONE per-doc aggregation computes counts AND the
     ordered rebuild together (collect_list skips the dropped lines) — the
     corpus is exploded once. The id-spine join reads only the pruned id
     column. Nothing is corpus×corpus; the only global state is the

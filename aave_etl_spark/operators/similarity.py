@@ -114,15 +114,19 @@ def knn_vote(neighbors: DataFrame, labels: DataFrame) -> DataFrame:
     """Majority-vote over ANY neighbor frame (query_id, candidate_id, ...)
     joined to a (candidate_id, _lbl) label table — the arm-agnostic vote
     shared by the exact, IVF, PQ, and IVF-PQ searches. Ties to the
-    smallest label; output (query_id, pred_label, n_votes)."""
+    smallest label; output (query_id, pred_label, n_votes).
+
+    UNLABELED neighbors (NULL _lbl) do not vote at all: on a partially
+    annotated corpus — the seed-set propagation use case — a plurality of
+    unlabeled neighbors must not out-vote the labeled ones and predict
+    NULL. A query whose neighbors are ALL unlabeled gets no row (nothing
+    to propagate)."""
     votes = (
-        neighbors.join(labels, "candidate_id")
+        neighbors.join(labels.filter(F.col("_lbl").isNotNull()), "candidate_id")
         .groupBy("query_id", "_lbl")
         .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
     )
-    # asc_nulls_last: a NULL corpus label must never win a tie (Spark's
-    # plain asc sorts NULLs FIRST, which would return pred_label=NULL and
-    # break the smallest-label contract)
+    # asc_nulls_last is belt-and-braces under the NULL filter above
     w = Window.partitionBy("query_id").orderBy(
         F.col("n_votes").desc(), F.col("_lbl").asc_nulls_last()
     )

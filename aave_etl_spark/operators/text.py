@@ -502,8 +502,16 @@ def bm25_index_search(
             f" {(built.k1, built.b)} (k1, b) — stored weights were scored"
             " under the build's parameters"
         )
+    postings = store.read_bucketed(name)
+    if max_df is not None and "df" not in postings.columns:
+        # indexes built before the df column existed can't serve a capped
+        # probe — fail with the rebuild hint, not an unresolved-column error
+        raise ValueError(
+            f"bm25 index {name!r} predates the df column — rebuild it with"
+            " bm25_index_build to use max_df"
+        )
     return _bm25_probe(
-        store.read_bucketed(name),
+        postings,
         queries,
         id_col=id_col,
         text_col=text_col,

@@ -58,6 +58,18 @@ def curate(
     construction). ``checkpoint=False`` keeps the lineage inspectable for
     plan asserts; the default cuts it at the three multiply-consumed
     frames."""
+    # contradictory/incomplete mixing configs fail loudly, never silently
+    # pick one: explicit weights vs planned rates is a real fork
+    if mix_temperature is not None and mix_weights is not None:
+        raise ValueError(
+            "curate: pass mix_weights OR mix_temperature, not both —"
+            " planned rates would silently override the explicit table"
+        )
+    if mix_budget is not None and mix_temperature is None:
+        raise ValueError(
+            "curate: mix_budget only applies to temperature planning —"
+            " pass mix_temperature (or drop the budget)"
+        )
     maybe_ckpt = (
         (lambda df: df.localCheckpoint(eager=False)) if checkpoint else (lambda df: df)
     )

@@ -537,7 +537,10 @@ def stream_sessionize_store(spark, sf_dir):
     ev = t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "value"
     )
-    ev.write.parquet(lake)
+    # ONE file => drain 1 is ONE micro-batch: unordered events split across
+    # batches would let the watermark advance past rows arriving in a later
+    # batch and drop them as late (same hardening as stream_dedup_store)
+    ev.coalesce(1).write.parquet(lake)
     schema = spark.read.parquet(lake).schema
     sessions = sessionized_stream(
         stream_lake_table(spark, lake, schema), gap="30 minutes", watermark="1 hour"
@@ -739,7 +742,9 @@ def stream_rollup_store(spark, sf_dir):
     ev = t(spark, sf_dir, "events").select(
         F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
-    ev.write.parquet(lake)
+    # ONE file => one micro-batch per drain (see stream_dedup_store): no
+    # cross-batch watermark eviction of unordered rows
+    ev.coalesce(1).write.parquet(lake)
     schema = spark.read.parquet(lake).schema
     rollup = windowed_rollup_stream(
         stream_lake_table(spark, lake, schema), watermark="1 hour"

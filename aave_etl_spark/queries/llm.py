@@ -1180,19 +1180,43 @@ _BM25_SPARSE_CTES = f"""tok AS (
     )"""
 
 
-@register(
-    "llm_hybrid_rrf",
-    export=False,  # driver slot held by its family head (semi_anti_family)
-    oracle=f"""
-    WITH {_BM25_SPARSE_CTES},
-    sr AS (
+# The RRF fusion oracle fragments, shared VERBATIM by the in-flight
+# hybrid (llm_hybrid_rrf) and the at-rest composition
+# (llm_hybrid_rrf_atrest): the sparse-arm top-10 rank over `sarm`, and
+# the k0=60 reciprocal-rank full-outer fusion + final top-5 over a `dr`
+# CTE each query supplies. One copy — the certified twins cannot drift.
+_RRF_SR_CTE = """sr AS (
       SELECT query_id, candidate_id,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY bm25_score DESC, candidate_id) AS r
       FROM sarm
       QUALIFY row_number() OVER (PARTITION BY query_id
                                  ORDER BY bm25_score DESC, candidate_id) <= 10
-    ),
+    )"""
+
+_RRF_FUSE_TAIL = """fused AS (
+      SELECT coalesce(dr.query_id, sr.query_id) AS query_id,
+             coalesce(dr.candidate_id, sr.candidate_id) AS candidate_id,
+             round(coalesce(1.0 / (60 + dr.r), 0.0)
+                   + coalesce(1.0 / (60 + sr.r), 0.0), 6) AS rrf_score
+      FROM dr FULL OUTER JOIN sr
+        ON dr.query_id = sr.query_id AND dr.candidate_id = sr.candidate_id
+    )
+    SELECT query_id, candidate_id, rrf_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, candidate_id) AS BIGINT) AS rank
+    FROM fused
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, candidate_id) <= 5
+    """
+
+
+@register(
+    "llm_hybrid_rrf",
+    export=False,  # driver slot held by its family head (semi_anti_family)
+    oracle=f"""
+    WITH {_BM25_SPARSE_CTES},
+    {_RRF_SR_CTE},
     dq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 8),
     dc AS (SELECT vec_id AS candidate_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
@@ -1212,21 +1236,7 @@ _BM25_SPARSE_CTES = f"""tok AS (
       QUALIFY row_number() OVER (PARTITION BY query_id
                                  ORDER BY cos_sim DESC, candidate_id) <= 10
     ),
-    fused AS (
-      SELECT coalesce(dr.query_id, sr.query_id) AS query_id,
-             coalesce(dr.candidate_id, sr.candidate_id) AS candidate_id,
-             round(coalesce(1.0 / (60 + dr.r), 0.0)
-                   + coalesce(1.0 / (60 + sr.r), 0.0), 6) AS rrf_score
-      FROM dr FULL OUTER JOIN sr
-        ON dr.query_id = sr.query_id AND dr.candidate_id = sr.candidate_id
-    )
-    SELECT query_id, candidate_id, rrf_score,
-           CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY rrf_score DESC, candidate_id) AS BIGINT) AS rank
-    FROM fused
-    QUALIFY row_number() OVER (PARTITION BY query_id
-                               ORDER BY rrf_score DESC, candidate_id) <= 5
-    """,
+    {_RRF_FUSE_TAIL}""",
     doc=(
         "LLM retrieval: HYBRID dense+sparse fusion — BM25 query-terms"
         " probe the corpus postings (broadcast query-term set, map-side"
@@ -3105,14 +3115,7 @@ def _ivfpq_index_arm(spark, sf_dir, k):
     oracle=f"""
     WITH {_BM25_SPARSE_CTES},
     {_IVFPQ_CTES},
-    sr AS (
-      SELECT query_id, candidate_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY bm25_score DESC, candidate_id) AS r
-      FROM sarm
-      QUALIFY row_number() OVER (PARTITION BY query_id
-                                 ORDER BY bm25_score DESC, candidate_id) <= 10
-    ),
+    {_RRF_SR_CTE},
     dr AS (
       SELECT query_id, candidate_id,
              row_number() OVER (PARTITION BY query_id
@@ -3121,21 +3124,7 @@ def _ivfpq_index_arm(spark, sf_dir, k):
       QUALIFY row_number() OVER (PARTITION BY query_id
                                  ORDER BY approx_d2, candidate_id) <= 10
     ),
-    fused AS (
-      SELECT coalesce(dr.query_id, sr.query_id) AS query_id,
-             coalesce(dr.candidate_id, sr.candidate_id) AS candidate_id,
-             round(coalesce(1.0 / (60 + dr.r), 0.0)
-                   + coalesce(1.0 / (60 + sr.r), 0.0), 6) AS rrf_score
-      FROM dr FULL OUTER JOIN sr
-        ON dr.query_id = sr.query_id AND dr.candidate_id = sr.candidate_id
-    )
-    SELECT query_id, candidate_id, rrf_score,
-           CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY rrf_score DESC, candidate_id) AS BIGINT) AS rank
-    FROM fused
-    QUALIFY row_number() OVER (PARTITION BY query_id
-                               ORDER BY rrf_score DESC, candidate_id) <= 5
-    """,
+    {_RRF_FUSE_TAIL}""",
     doc=(
         "LLM retrieval: the AT-REST hybrid composition — the 100 TB shape"
         " SCALE.md names: rrf_fuse over bm25_index_search (term-bucketed"

@@ -499,6 +499,62 @@ def test_merge_vanished_partition_with_escaped_path_chars(spark, tmp_path):
     ).exists()
 
 
+def test_merge_inference_hostile_partition_values_round_trip(spark, tmp_path):
+    """Partition-column types are pinned to the change batch's schema:
+    values that directory-string INFERENCE would re-type and re-render —
+    minute-precision timestamps ('2024-01-01 10:00' → timestamp →
+    '...10:00:00'), zero-padded ints ('0123' → 123) — must compare equal
+    between batch and table. Under inference they don't, so a live
+    partition is falsely marked vanished and the sweep DELETES it."""
+    store = _store(spark, tmp_path)
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00", 1.0),  # minute precision: re-renders
+            (2, "2024-01-01 10:00", 2.0),
+            (3, "0123", 3.0),  # zero-padded: re-types to int 123
+        ],
+        "k long, hr string, v double",
+    )
+    store.write(base, "inf", partition_cols=["hr"])
+    # delete only k=1: its partition keeps k=2 and must SURVIVE the sweep
+    ch = spark.createDataFrame(
+        [(1, "2024-01-01 10:00", 0.0, "D")], "k long, hr string, v double, op string"
+    )
+    store.merge(ch, "inf", ["k"], partition_cols=["hr"], op_col="op")
+    got = {(r.k, str(r.hr)) for r in store.read("inf").collect()}
+    assert got == {(2, "2024-01-01 10:00"), (3, "0123")}
+    # now empty that partition for real: it must vanish, others intact
+    ch2 = spark.createDataFrame(
+        [(2, "2024-01-01 10:00", 0.0, "D")], "k long, hr string, v double, op string"
+    )
+    store.merge(ch2, "inf", ["k"], partition_cols=["hr"], op_col="op")
+    # (a plain read now infers the lone 'hr=0123' directory as int — the
+    # display type is inference's business; the DIRECTORY is the truth)
+    assert {r.k for r in store.read("inf").collect()} == {3}
+    dirs = {
+        d.name for d in (tmp_path / "warehouse" / "inf").iterdir() if d.is_dir()
+    }
+    assert dirs == {"hr=0123"}
+
+
+def test_merge_null_partition_keeps_untouched_keys(spark, tmp_path):
+    """Touching the NULL partition (__HIVE_DEFAULT_PARTITION__) must not
+    drop its untouched keys: the touched semi join is NULL-safe, so the
+    partition's surviving rows are carried through the overwrite."""
+    store = _store(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, "a", 3.0)],
+        "k long, part string, v double",
+    )
+    store.write(base, "np", partition_cols=["part"])
+    ch = spark.createDataFrame(
+        [(1, None, 11.0, "U")], "k long, part string, v double, op string"
+    )
+    store.merge(ch, "np", ["k"], partition_cols=["part"], op_col="op")
+    got = {(r.k, r.part): r.v for r in store.read("np").collect()}
+    assert got == {(1, None): 11.0, (2, None): 2.0, (3, "a"): 3.0}
+
+
 def test_merge_null_op_is_upsert_not_silent_drop(spark, tmp_path):
     """A NULL op value must behave as an upsert (eqNullSafe), not vanish
     from the batch: plain `op != 'D'` is NULL on NULL and silently drops

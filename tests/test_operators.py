@@ -1952,14 +1952,19 @@ def test_knn_classify_majority_vote_and_ties(spark):
     # k=4: labels {1,1,2,2} tie -> smallest label wins
     out2 = knn_classify(emb, emb.filter("vec_id = 0"), k=4).collect()
     assert len(out2) == 1 and (out2[0].pred_label, out2[0].n_votes) == (1, 2)
-    # NULL corpus labels must never win a tie (plain asc sorts NULLs
-    # FIRST): with labels {1,1,NULL,NULL} at k=4, pred_label is 1, not NULL
+    # UNLABELED (NULL) corpus rows must not vote at all: with labels
+    # {1,1,NULL,NULL} at k=4 pred is 1, and even when NULLs hold an
+    # outright plurality — {1,1,NULL,NULL,NULL} at k=5 — the labeled
+    # neighbors still decide (seed-set propagation on a mostly-unlabeled
+    # corpus must never predict NULL)
     nulled = spark.createDataFrame(
         [(i, v, None if lbl == 2 else lbl) for i, v, lbl in rows],
         "vec_id long, embedding array<double>, label int",
     )
     out3 = knn_classify(nulled, nulled.filter("vec_id = 0"), k=4).collect()
     assert len(out3) == 1 and (out3[0].pred_label, out3[0].n_votes) == (1, 2)
+    out4 = knn_classify(nulled, nulled.filter("vec_id = 0"), k=5).collect()
+    assert len(out4) == 1 and (out4[0].pred_label, out4[0].n_votes) == (1, 2)
 
 
 def test_hll_sketches_merge_losslessly_and_estimate_accurately(spark):
