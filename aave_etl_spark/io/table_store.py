@@ -463,6 +463,7 @@ class TableStore:
         else:
             upserts = changes
         touched_vals: list[tuple] = []
+        pinned_schema = None
         if partition_cols:
             # partition-column types PINNED to the change batch's schema:
             # a plain read INFERS types from the directory strings, and a
@@ -470,8 +471,11 @@ class TableStore:
             # '2024-01-01 10:00:00', '0123' → 123) would make the same
             # partition compare unequal between the batch and the table —
             # falsely marking live partitions vanished (data loss) or
-            # vanished ones live (resurrection)
-            existing = self._read_pinned(name, changes.schema, partition_cols)
+            # vanished ones live (resurrection). Computed ONCE — the
+            # vanished-dir sweep reuses it (schema inference lists the
+            # whole table; twice per merge would be pure waste).
+            pinned_schema = self._pinned_schema(name, changes.schema, partition_cols)
+            existing = self._read_pinned(name, pinned_schema)
             touched = changes.select(*partition_cols).distinct()
             # bounded: one tuple per touched partition
             touched_vals = [tuple(r) for r in touched.collect()]
@@ -522,38 +526,53 @@ class TableStore:
             vanished = set(touched_vals) - remaining
             if vanished:
                 self._drop_partition_dirs(
-                    name, partition_cols, changes.schema, vanished
+                    name, partition_cols, pinned_schema, vanished
                 )
+            if out.isEmpty() and not self._parquet_files(name):
+                # every partition of the table was touched AND emptied: the
+                # sweep removed all partition dirs, leaving a bare root that
+                # read() cannot infer a schema from and a later merge would
+                # crash on — express the full deletion like the
+                # unpartitioned branch does
+                import shutil
+
+                shutil.rmtree(self._path(name), ignore_errors=True)
+                return False
         return landed or self.exists(name)
 
-    def _read_pinned(self, name: str, batch_schema, partition_cols: list[str]):
-        """Read ``name`` with partition-column TYPES pinned to the change
-        batch's schema instead of directory-string inference. Data columns
-        keep the file schema (one inferred read supplies it); partition
-        columns parse from the directory strings into exactly the types
-        the batch rendered them from, so batch↔table comparisons are an
-        exact round trip (write renders, pinned read parses back — no
-        inference re-typing '0123' to 123 or minute-precision strings to
-        timestamps). Meta columns are stripped like ``read``."""
+    def _pinned_schema(self, name: str, batch_schema, partition_cols: list[str]):
+        """The read schema for ``name`` with partition-column TYPES pinned
+        to the change batch's schema instead of directory-string inference:
+        data columns keep the file schema (one inferred read supplies it);
+        partition columns parse from the directory strings into exactly
+        the types the batch rendered them from, so batch↔table comparisons
+        are an exact round trip (write renders, pinned read parses back —
+        no inference re-typing '0123' to 123 or minute-precision strings
+        to timestamps)."""
         from pyspark.sql.types import StructField, StructType
 
-        path = self._path(name)
-        inferred = self.spark.read.parquet(path).schema
+        inferred = self.spark.read.parquet(self._path(name)).schema
         batch = {f.name: f for f in batch_schema.fields}
-        fields = [
-            StructField(f.name, batch[f.name].dataType, True)
-            if f.name in partition_cols
-            else f
-            for f in inferred.fields
-        ]
-        df = self.spark.read.schema(StructType(fields)).parquet(path)
+        return StructType(
+            [
+                StructField(f.name, batch[f.name].dataType, True)
+                if f.name in partition_cols
+                else f
+                for f in inferred.fields
+            ]
+        )
+
+    def _read_pinned(self, name: str, pinned_schema):
+        """Read ``name`` under a :meth:`_pinned_schema`; meta columns are
+        stripped like ``read``."""
+        df = self.spark.read.schema(pinned_schema).parquet(self._path(name))
         return df.drop(*[c for c in META_COLS if c in df.columns])
 
     def _drop_partition_dirs(
         self,
         name: str,
         partition_cols: list[str],
-        batch_schema,
+        pinned_schema,
         vanished: set[tuple],
     ) -> None:
         """Remove the on-disk directories of the ``vanished`` partition
@@ -570,7 +589,7 @@ class TableStore:
         from functools import reduce
         from urllib.parse import unquote, urlparse
 
-        pinned = self._read_pinned(name, batch_schema, partition_cols)
+        pinned = self._read_pinned(name, pinned_schema)
         clauses = []
         for vals in vanished:
             conj = None

@@ -145,6 +145,59 @@ def top_fraction_by_group(
     )
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows (per group): the
+    Efraimidis–Spirakis A-ES one-pass scheme — each row draws a
+    deterministic uniform u from its id hash and races with an
+    exponential clock ``sample_key = -ln(u) / w``; the k SMALLEST keys
+    win, which is exactly weight-proportional sampling without
+    replacement (Efraimidis & Spirakis 2006). The quality-weighted corpus
+    draw every curation pipeline wants once documents carry scores:
+    P(row among the k) follows its weight, no two-pass normalization, no
+    global weight sum.
+
+    Deterministic and engine-portable: u comes from `uniform_hash`
+    (md5-based), the key rounds to 9dp before ranking and ties break by
+    id — re-runs, engine swaps, and repartitions never flip a draw; like
+    the other hash samplers, a row's clock never changes as the corpus
+    grows, so samples stay stable under ingest (only genuine competition
+    evicts a row). Rows with NULL or non-positive weight cannot win a
+    weighted draw and are excluded.
+
+    Output: the winning rows + (sample_key, sample_rank). Dataflow at
+    100 TB: grouped form = one shuffle on the group key with the per-group
+    top-k window capped map-side (WindowGroupLimit); global form = sort +
+    LIMIT k, which Spark executes as a distributed TakeOrdered (per-
+    partition top-k, never a full global sort)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    key = F.round(-F.log(uniform_hash(id_col, salt)) / w, 9)
+    scored = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("sample_key", key)
+    )
+    if group_cols:
+        win = Window.partitionBy(*group_cols).orderBy(
+            F.col("sample_key"), F.col(id_col)
+        )
+        return (
+            scored.withColumn("sample_rank", F.row_number().over(win).cast("long"))
+            .filter(F.col("sample_rank") <= k)
+        )
+    ordered = scored.orderBy(F.col("sample_key"), F.col(id_col)).limit(k)
+    rw = Window.orderBy(F.col("sample_key"), F.col(id_col))
+    # rank assigned AFTER the limit: the window sees k rows, not the corpus
+    return ordered.withColumn("sample_rank", F.row_number().over(rw).cast("long"))
+
+
 def mix_corpus(
     df: DataFrame,
     weights: DataFrame,

@@ -183,3 +183,85 @@ def kmv_merge_estimate(
         )
     ex = df.select(*group_cols, F.explode(sk).alias("_h")).distinct()
     return _bottom_k_estimate(ex, group_cols, k, "_n").drop("_n")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable row-sample QUANTILE sketch — the percentile counterpart of the
+# KMV distinct pair: bottom-k rows by a deterministic id hash ARE a uniform
+# k-sample, and the bottom-k of a union of bottom-k parts is exactly the
+# bottom-k of the union — so per-(day, group) samples stored once re-roll
+# to any coarser grain with merge == direct, bit-identically on any engine.
+# ---------------------------------------------------------------------------
+def rowsample_sketch_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "rsq",
+) -> DataFrame:
+    """Per-group mergeable uniform-row-sample sketch: (group_cols...,
+    rsq array<struct<_h,_v>>, rsq_k) holding the k rows with the smallest
+    md5(salt:id) hashes and their values.
+
+    ``id_col`` must be row-unique ACROSS every part that will ever merge
+    (a fact id, not a day-local counter): the hash race is the sampling
+    mechanism, and a repeated id would enter the pool once per part.
+    State per group is k (hash, value) pairs regardless of row count; the
+    per-partition top-k (WindowGroupLimit) bounds the shuffle at k rows
+    per partition per group."""
+    h = df.select(
+        *group_cols,
+        F.md5(
+            F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+        ).alias("_h"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(F.struct("_h", "_v"))).alias("rsq"))
+        .withColumn("rsq_k", F.lit(int(k)))
+    )
+
+
+def rowsample_merge_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    qs: tuple = (0.5, 0.9, 0.99),
+    sketch_col: str = "rsq",
+    k: int = 64,
+) -> DataFrame:
+    """Union finer-grained row-sample sketches up to ``group_cols`` and
+    estimate quantiles from the pooled sample: (group_cols..., n_sample,
+    p50, p90, ... — one 6dp column per entry of ``qs``, linear
+    interpolation, the percentile/quantile_cont definition both engines
+    share). Bottom-k of the union restores a true uniform k-sample of the
+    concatenated rows, so merging stored per-day sketches equals
+    sketching the concatenated days EXACTLY — groups whose pooled sample
+    holds fewer than k rows were never truncated, and their quantiles are
+    exact. ``k`` must be ≤ the sketches' build k (validated lazily
+    against ``rsq_k`` like `kmv_merge_estimate`): pooling parts truncated
+    earlier than the merge k would bias the sample toward small hashes
+    unevenly across parts."""
+    sk = F.col(sketch_col)
+    if "rsq_k" in df.columns:
+        sk = F.when(F.col("rsq_k") >= F.lit(int(k)), sk).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"rowsample_merge_quantiles: merge k={k} > build k="),
+                    F.col("rsq_k").cast("string"),
+                    F.lit(" — the pooled union is not a uniform k-sample"),
+                )
+            )
+        )
+    ex = df.select(*group_cols, F.explode(sk).alias("_s"))
+    w = Window.partitionBy(*group_cols).orderBy("_s._h")
+    samp = ex.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_sample")] + [
+        F.round(F.expr(f"percentile(_s._v, {q})"), 6).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return samp.groupBy(*group_cols).agg(*aggs)

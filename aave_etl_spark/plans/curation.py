@@ -70,6 +70,11 @@ def curate(
             "curate: mix_budget only applies to temperature planning —"
             " pass mix_temperature (or drop the budget)"
         )
+    if mix_temperature is not None and mix_budget is None:
+        raise ValueError(
+            "curate: mix_temperature needs mix_budget (the planned"
+            " sample_rate is budget-relative)"
+        )
     maybe_ckpt = (
         (lambda df: df.localCheckpoint(eager=False)) if checkpoint else (lambda df: df)
     )
@@ -117,11 +122,6 @@ def curate(
     # rates, or rates PLANNED from the gated corpus (temperature mixture)
     mix_plan = None
     if mix_temperature is not None:
-        if mix_budget is None:
-            raise ValueError(
-                "curate: mix_temperature needs mix_budget (the planned"
-                " sample_rate is budget-relative)"
-            )
         mix_plan = sampling.temperature_mixture(
             surv5.select("lang", F.length("ct").alias("n_chars")),
             group_col="lang",

@@ -99,6 +99,12 @@ family(
         ("kmv", "llm_kmv_distinct", ("lang",), ("est_distinct", "exact_distinct")),
         ("kmv_merge", "llm_kmv_merge", ("lang",), ("est_distinct",)),
         (
+            "rsq",
+            "llm_rowsample_quantiles",
+            ("lang",),
+            ("n_sample", "p50", "p90"),
+        ),
+        (
             "line_dedup",
             "llm_line_dedup",
             ("doc_id", "clean_md5"),
@@ -192,7 +198,10 @@ family(
         " quality features + corpus top-k bigram document frequencies +"
         " KMV distinct-text sketch per language + MERGEABLE per-(lang,"
         " source) KMV sketches rolled up by union (merge == direct,"
-        " exactly) + GLOBAL line-level dedup with document reconstruction"
+        " exactly) + MERGEABLE row-sample quantile sketches (bottom-k"
+        " uniform samples pooled by re-taking the bottom-k, percentiles"
+        " from the pooled sample) + GLOBAL line-level dedup with document"
+        " reconstruction"
         " (RefinedWeb boilerplate removal, planted cross-doc newsletter"
         " lines) + Gopher-style repetition"
         " signal + sliding-window context chunking + PII/URL scrubbing +"
@@ -237,6 +246,12 @@ family(
             ("n_shingles", "n_overlap", "contamination_ratio"),
         ),
         ("mix", "llm_data_mix", ("lang",), ("keep_frac", "n_docs", "n_kept")),
+        (
+            "wsample",
+            "llm_weighted_sample",
+            ("lang", "doc_id"),
+            ("sample_key", "sample_rank"),
+        ),
         (
             "span",
             "llm_span_dedup",
@@ -285,7 +300,9 @@ family(
         "§2.7 union family: UNION ALL with lit-0 padding + UNION DISTINCT +"
         " bucketized range join (plain-BETWEEN oracle identity) + the"
         " deterministic hash-sampling partition of the corpus (stratified"
-        " exact-k sample + train/test split) + DSIR importance resampling"
+        " exact-k sample + train/test split) + WEIGHTED sampling without"
+        " replacement (Efraimidis-Spirakis exponential-clock keys,"
+        " weight-proportional, deterministic) + DSIR importance resampling"
         " (hashed-ngram log-likelihood-ratio weights, Gumbel-top-k) +"
         " temperature-scaled mixture planning (mC4 share ∝ mass^0.7,"
         " budget-capped sampling rates) + the REAL warehouse"

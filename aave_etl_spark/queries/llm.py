@@ -862,6 +862,58 @@ def llm_kmv_merge(spark, sf_dir):
 
 
 @register(
+    "llm_rowsample_quantiles",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle="""
+    WITH h AS (
+      SELECT lang, doc_id % 4 AS shard,
+             md5('rsq:' || CAST(doc_id AS VARCHAR)) AS _h,
+             CAST(n_chars AS DOUBLE) AS _v
+      FROM documents
+    ),
+    part AS (
+      SELECT lang, shard, _h, _v FROM (
+        SELECT lang, shard, _h, _v,
+               row_number() OVER (PARTITION BY lang, shard ORDER BY _h) AS rn
+        FROM h) WHERE rn <= 16
+    ),
+    pooled AS (
+      SELECT lang, _h, _v FROM (
+        SELECT lang, _h, _v,
+               row_number() OVER (PARTITION BY lang ORDER BY _h) AS rn
+        FROM part) WHERE rn <= 16
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sample,
+           round(quantile_cont(_v, 0.5), 6) AS p50,
+           round(quantile_cont(_v, 0.9), 6) AS p90
+    FROM pooled GROUP BY lang
+    """,
+    doc=(
+        "LLM corpus stats: MERGEABLE row-sample QUANTILE sketch — the"
+        " percentile counterpart of the KMV distinct pair: per-(lang,"
+        " shard) bottom-k uniform row samples by deterministic id hash,"
+        " pooled to per-lang by re-taking the bottom-k of the union"
+        " (merge == direct EXACTLY), quantiles interpolated from the"
+        " pooled sample; store per-slice samples once, answer any coarser"
+        " percentile rollup from k-row states without rescanning raw data"
+    ),
+)
+def llm_rowsample_quantiles(spark, sf_dir):
+    from aave_etl_spark.operators.sketch import (
+        rowsample_merge_quantiles,
+        rowsample_sketch_by_group,
+    )
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "shard", F.col("doc_id") % 4
+    )
+    fine = rowsample_sketch_by_group(
+        docs, ["lang", "shard"], "doc_id", "n_chars", k=16
+    )
+    return rowsample_merge_quantiles(fine, ["lang"], qs=(0.5, 0.9), k=16)
+
+
+@register(
     "llm_lsh_verified_dups",
     export=False,  # driver slot held by its family head (queries/families.py)
     oracle=f"""
@@ -1737,6 +1789,44 @@ def llm_mix_plan(spark, sf_dir):
 
 
 @register(
+    "llm_weighted_sample",
+    export=False,  # driver slot held by its family head (union_family)
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang, doc_id,
+             round(-ln({_UHASH.format(salt="wsample")})
+                   / CAST(n_chars AS DOUBLE), 9) AS sample_key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT lang, doc_id, sample_key,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY sample_key, doc_id) AS BIGINT)
+             AS sample_rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY lang
+                               ORDER BY sample_key, doc_id) <= 5
+    """,
+    doc=(
+        "LLM sampling: weighted sampling WITHOUT replacement (Efraimidis-"
+        "Spirakis 2006) — per-language top-5 by the exponential-clock key"
+        " -ln(u)/w with u from the deterministic id hash and w = n_chars;"
+        " weight-proportional draws with no normalization pass, stable"
+        " under corpus growth, one WindowGroupLimit-capped window"
+    ),
+)
+def llm_weighted_sample(spark, sf_dir):
+    from aave_etl_spark.operators.sampling import weighted_sample_k
+
+    return weighted_sample_k(
+        t(spark, sf_dir, "documents"),
+        k=5,
+        weight_col="n_chars",
+        group_cols=["lang"],
+    ).select("lang", "doc_id", "sample_key", "sample_rank")
+
+
+@register(
     "llm_data_mix",
     export=False,  # driver slot held by its family head (union_family)
     oracle=f"""
@@ -2436,10 +2526,13 @@ FROM p
 # The pipeline CTE chain through surv5 (the DSIR survivors), reused by the
 # temperature-planned mixing twin below — split at the static-mix CTE.
 _CURATION_CTES_TO_SURV5 = _CURATION_PIPELINE_ORACLE.split(",\nmixw AS MATERIALIZED")[0]
-assert _CURATION_CTES_TO_SURV5.rstrip().endswith(
+if not _CURATION_CTES_TO_SURV5.rstrip().endswith(
     "surv5 AS MATERIALIZED (SELECT surv4.* FROM surv4 JOIN dkept"
     " ON surv4.doc_id = dkept.doc_id)"
-), "curation oracle split drifted — fix the split marker"
+):
+    # explicit raise, not assert: python -O would strip an assert and let a
+    # drifted split marker surface as an opaque DuckDB parse error instead
+    raise RuntimeError("curation oracle split drifted — fix the split marker")
 
 _CURATION_TEMPMIX_ORACLE = (
     _CURATION_CTES_TO_SURV5

@@ -573,6 +573,36 @@ def test_merge_null_op_is_upsert_not_silent_drop(spark, tmp_path):
     assert {r.k: r.v for r in store.read("nullop").collect()} == {1: 11.0, 3: 30.0}
 
 
+def test_merge_delete_all_partitioned_removes_table_not_husk(spark, tmp_path):
+    """A partitioned merge that empties EVERY partition must remove the
+    table, not leave a bare root (an unreadable husk that breaks read()'s
+    schema inference and crashes the next merge); a later upsert merge
+    bootstraps cleanly."""
+    store = _store(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, part string, v double"
+    )
+    store.write(base, "husk", partition_cols=["part"])
+    ch = spark.createDataFrame(
+        [(1, "a", 0.0, "D"), (2, "b", 0.0, "D")],
+        "k long, part string, v double, op string",
+    )
+    assert (
+        store.merge(ch, "husk", ["k"], partition_cols=["part"], op_col="op")
+        is False
+    )
+    assert not store.exists("husk")
+    assert store.read("husk").count() == 0  # K3 typed-empty, no crash
+    # the next merge bootstraps instead of crashing on the husk
+    more = spark.createDataFrame(
+        [(3, "c", 3.0, "I")], "k long, part string, v double, op string"
+    )
+    store.merge(more, "husk", ["k"], partition_cols=["part"], op_col="op")
+    assert {(r.k, r.part, r.v) for r in store.read("husk").collect()} == {
+        (3, "c", 3.0)
+    }
+
+
 def test_merge_delete_all_unpartitioned_empties_table(spark, tmp_path):
     """A delete-only batch that empties an unpartitioned table must remove
     it (write() skips empty frames, so the deletion is expressed on the

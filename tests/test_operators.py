@@ -2153,6 +2153,87 @@ def test_hybrid_rrf_atrest_composition_matches_inflight(spark):
     assert len(at_rest) > 0
 
 
+def test_rowsample_quantile_sketch_merge_equals_direct(spark):
+    """The mergeable row-sample quantile sketch: pooling per-part bottom-k
+    samples and re-taking the bottom-k equals sketching the concatenated
+    rows directly — EXACTLY (same hash race); below-k groups are exact
+    quantiles; merging at k larger than the build k raises."""
+    import pytest
+    from pyspark.sql.utils import CapturedException
+
+    from aave_etl_spark.operators.sketch import (
+        rowsample_merge_quantiles,
+        rowsample_sketch_by_group,
+    )
+
+    rows = [(i, "g", float((i * 37) % 1000)) for i in range(500)]
+    rows += [(1000 + i, "tiny", float(i)) for i in range(5)]  # below k: exact
+    df = spark.createDataFrame(rows, "rid long, g string, v double")
+    parts = df.withColumn("part", F.col("rid") % 7)
+    fine = rowsample_sketch_by_group(parts, ["g", "part"], "rid", "v", k=32)
+    merged = sorted(
+        map(tuple, rowsample_merge_quantiles(fine, ["g"], k=32).collect())
+    )
+    direct_sk = rowsample_sketch_by_group(df, ["g"], "rid", "v", k=32)
+    direct = sorted(
+        map(tuple, rowsample_merge_quantiles(direct_sk, ["g"], k=32).collect())
+    )
+    assert merged == direct and len(merged) == 2
+    by_g = {t[0]: t for t in merged}
+    assert by_g["g"][1] == 32  # n_sample capped at k
+    # tiny group: sample is the WHOLE group, so quantiles are exact
+    assert by_g["tiny"][1] == 5
+    assert by_g["tiny"][2] == 2.0 and by_g["tiny"][3] == pytest.approx(3.6)
+    # merge k > build k is a silent-bias trap: must raise
+    with pytest.raises(CapturedException, match="build k"):
+        rowsample_merge_quantiles(fine, ["g"], k=64).collect()
+
+
+def test_weighted_sample_k_is_weight_proportional_and_deterministic(spark):
+    """Efraimidis-Spirakis A-ES: heavier rows win proportionally more
+    often across independent salts; draws are deterministic per salt;
+    NULL/non-positive weights never win; the global form returns exactly
+    k with a TakeOrdered plan (no full sort, no corpus-wide window)."""
+    from aave_etl_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, 100.0 if i < 10 else 1.0) for i in range(110)]
+    rows += [(900, None), (901, 0.0), (902, -5.0)]  # can never win
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy_wins = 0
+    for s in range(8):
+        got = {
+            r.doc_id
+            for r in weighted_sample_k(df, k=10, weight_col="w", salt=f"s{s}").collect()
+        }
+        assert len(got) == 10 and got.isdisjoint({900, 901, 902})
+        heavy_wins += len(got & set(range(10)))
+    # 10 heavy rows at weight 100 vs 100 light at weight 1: heavy holds
+    # ~10/11 of total mass, so heavy wins should dominate (>=6/10 per draw
+    # on average; across 8 salts demand a clear majority, not a coin flip)
+    assert heavy_wins >= 48, heavy_wins
+    # determinism: same salt, same draw, any partitioning
+    a = sorted(map(tuple, weighted_sample_k(df, k=10, weight_col="w").collect()))
+    b = sorted(
+        map(tuple, weighted_sample_k(df.repartition(7), k=10, weight_col="w").collect())
+    )
+    assert a == b
+    # grouped form: exactly k per group, ranks 1..k
+    gdf = df.withColumn("g", (F.col("doc_id") % 2).cast("string"))
+    gout = weighted_sample_k(gdf, k=3, weight_col="w", group_cols=["g"]).collect()
+    per = {}
+    for r in gout:
+        per.setdefault(r.g, []).append(r.sample_rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per.values())
+    # global plan: TakeOrdered (distributed per-partition top-k), no Sort-all
+    plan = (
+        weighted_sample_k(df, k=10, weight_col="w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_temperature_mixture_upweights_low_resource_and_caps_rates(spark):
     from aave_etl_spark.operators.sampling import temperature_mixture
 
