@@ -2153,6 +2153,65 @@ def test_hybrid_rrf_atrest_composition_matches_inflight(spark):
     assert len(at_rest) > 0
 
 
+def test_scd2_point_in_time_enrichment_asof_equals_interval(spark):
+    """The two point-in-time enrichment paths must agree: facts enriched
+    via asof_join against the SCD2 dimension's effective_from == facts
+    joined by half-open interval containment (from <= ts < to). Pins the
+    SCD2 interval contract to the as-of semantics with two independent
+    operators — the fact-to-dimension temporal join every warehouse runs."""
+    from datetime import datetime
+
+    from aave_etl_spark.operators.asof import asof_join
+    from aave_etl_spark.operators.scd import scd2_snapshot
+
+    T = lambda d: datetime(2024, 1, d)  # noqa: E731
+    log = spark.createDataFrame(
+        [
+            (1, "A", T(1)), (1, "A", T(3)), (1, "B", T(5)),  # no-op at d3
+            (2, "X", T(2)), (2, "Y", T(4)),
+        ],
+        "k long, attr string, ts timestamp",
+    )
+    dim = scd2_snapshot(log, ["k"], ["attr"], ts_col="ts")
+    facts = spark.createDataFrame(
+        [
+            (1, T(1), 10.0),   # exactly at a version start: that version
+            (1, T(4), 11.0),   # between versions
+            (1, T(9), 12.0),   # after the last: current version
+            (2, T(1), 20.0),   # before any version: NULL
+            (2, T(4), 21.0),   # exactly at the switch: the NEW version
+        ],
+        "k long, ts timestamp, x double",
+    )
+    via_asof = {
+        (r.k, r.ts, r.x): r.asof_attr
+        for r in asof_join(
+            facts,
+            dim.selectExpr("k", "effective_from AS ts", "attr"),
+            ["k"],
+            "ts",
+            ["attr"],
+        ).collect()
+    }
+    via_interval = {
+        (r.k, r.ts, r.x): r.attr
+        for r in facts.join(
+            dim,
+            (facts.k == dim.k)
+            & (dim.effective_from <= facts.ts)
+            & (dim.effective_to.isNull() | (facts.ts < dim.effective_to)),
+            "left",
+        )
+        .select(facts.k, facts.ts, facts.x, dim.attr)
+        .collect()
+    }
+    assert via_asof == via_interval and len(via_asof) == 5
+    assert via_asof[(1, T(1), 10.0)] == "A"
+    assert via_asof[(1, T(9), 12.0)] == "B"
+    assert via_asof[(2, T(1), 20.0)] is None
+    assert via_asof[(2, T(4), 21.0)] == "Y"
+
+
 def test_rowsample_quantile_sketch_merge_equals_direct(spark):
     """The mergeable row-sample quantile sketch: pooling per-part bottom-k
     samples and re-taking the bottom-k equals sketching the concatenated
