@@ -428,8 +428,12 @@ class TableStore:
         pass a total-order column). ``op_col=None`` means a pure upsert
         feed (no deletes).
 
-        Returns whether a write landed (False = the merge produced an
-        empty table AND nothing pre-existed)."""
+        Returns whether the table exists after the merge (False = the
+        merge left NO table: either nothing pre-existed and the batch had
+        no upserts, or the batch deleted every remaining row — the
+        full-deletion paths remove the table directory outright, since
+        write() skips empty frames and a leftover directory would either
+        resurrect the deleted rows or be an unreadable husk)."""
         from pyspark.sql.window import Window
 
         if sequence_col:
@@ -505,10 +509,7 @@ class TableStore:
             # the merge emptied an unpartitioned table: write() skips empty
             # frames, so express the deletion directly — leaving the old
             # files would silently resurrect every deleted row
-            import shutil
-
-            shutil.rmtree(self._path(name), ignore_errors=True)
-            return False
+            return self._remove_table(name)
         landed = self.write(out, name, partition_cols=partition_cols)
         if partition_cols:
             # a touched partition with no output rows vanished entirely —
@@ -534,11 +535,16 @@ class TableStore:
                 # read() cannot infer a schema from and a later merge would
                 # crash on — express the full deletion like the
                 # unpartitioned branch does
-                import shutil
-
-                shutil.rmtree(self._path(name), ignore_errors=True)
-                return False
+                return self._remove_table(name)
         return landed or self.exists(name)
+
+    def _remove_table(self, name: str) -> bool:
+        """Delete ``name``'s directory outright (the full-deletion tail of
+        both merge branches). Returns False — the merge left no table."""
+        import shutil
+
+        shutil.rmtree(self._path(name), ignore_errors=True)
+        return False
 
     def _pinned_schema(self, name: str, batch_schema, partition_cols: list[str]):
         """The read schema for ``name`` with partition-column TYPES pinned

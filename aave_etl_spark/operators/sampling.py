@@ -163,9 +163,10 @@ def weighted_sample_k(
     P(row among the k) follows its weight, no two-pass normalization, no
     global weight sum.
 
-    Deterministic and engine-portable: u comes from `uniform_hash`
-    (md5-based), the key rounds to 9dp before ranking and ties break by
-    id — re-runs, engine swaps, and repartitions never flip a draw; like
+    Deterministic and engine-portable: u = (md5-prefix + 0.5) / 16^15
+    (half-up so u is never exactly 0 — ln(0) is NULL in Spark and would
+    silently win every draw), the key rounds to 9dp before ranking and
+    ties break by id — re-runs, engine swaps, and repartitions never flip a draw; like
     the other hash samplers, a row's clock never changes as the corpus
     grows, so samples stay stable under ingest (only genuine competition
     evicts a row). Rows with NULL or non-positive weight cannot win a
@@ -179,7 +180,14 @@ def weighted_sample_k(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = F.col(weight_col).cast("double")
-    key = F.round(-F.log(uniform_hash(id_col, salt)) / w, 9)
+    # u = (h + 0.5) / 16^15, never exactly 0: ln(0) is NULL in Spark (a
+    # NULL key would sort FIRST and silently win every draw) and a finite
+    # value in DuckDB — the same half-up guard the DSIR sampler uses
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    u = (F.conv(F.substring(h, 1, 15), 16, 10).cast("double") + F.lit(0.5)) / F.lit(
+        float(2**60)
+    )
+    key = F.round(-F.log(u) / w, 9)
     scored = (
         df.filter(w.isNotNull() & (w > 0))
         .withColumn("sample_key", key)

@@ -167,22 +167,34 @@ def kmv_merge_estimate(
     — folded into the explode projection so building the plan stays free
     (no extra lineage execution); a violation surfaces as a
     SparkRuntimeException when the merge actually runs."""
-    sk = F.col(sketch_col)
-    if "kmv_k" in df.columns:
-        sk = F.when(F.col("kmv_k") >= F.lit(int(k)), sk).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"kmv_merge_estimate: merge k={k} > sketch build k="),
-                    F.col("kmv_k").cast("string"),
-                    F.lit(
-                        " — the pooled union is not the true bottom-k at"
-                        " this k, the estimate would be silently biased"
-                    ),
-                )
-            )
-        )
+    sk = _guard_merge_k(df, sketch_col, "kmv_k", k, "kmv_merge_estimate")
     ex = df.select(*group_cols, F.explode(sk).alias("_h")).distinct()
     return _bottom_k_estimate(ex, group_cols, k, "_n").drop("_n")
+
+
+def _guard_merge_k(
+    df: DataFrame, sketch_col: str, k_col: str, k: int, label: str
+) -> Column:
+    """The merge-k ≤ build-k gate shared by every bottom-k sketch (KMV,
+    row-sample): merging at a k LARGER than the parts were truncated to
+    silently biases the pooled bottom-k, so the guard raises instead. LAZY
+    (folded into the projection, raise_error at run time) so plan-building
+    stays free."""
+    sk = F.col(sketch_col)
+    if k_col not in df.columns:
+        return sk
+    return F.when(F.col(k_col) >= F.lit(int(k)), sk).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{label}: merge k={k} > sketch build k="),
+                F.col(k_col).cast("string"),
+                F.lit(
+                    " — the pooled union is not the true bottom-k at"
+                    " this k, the result would be silently biased"
+                ),
+            )
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -246,22 +258,17 @@ def rowsample_merge_quantiles(
     against ``rsq_k`` like `kmv_merge_estimate`): pooling parts truncated
     earlier than the merge k would bias the sample toward small hashes
     unevenly across parts."""
-    sk = F.col(sketch_col)
-    if "rsq_k" in df.columns:
-        sk = F.when(F.col("rsq_k") >= F.lit(int(k)), sk).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"rowsample_merge_quantiles: merge k={k} > build k="),
-                    F.col("rsq_k").cast("string"),
-                    F.lit(" — the pooled union is not a uniform k-sample"),
-                )
-            )
-        )
+    sk = _guard_merge_k(df, sketch_col, "rsq_k", k, "rowsample_merge_quantiles")
     ex = df.select(*group_cols, F.explode(sk).alias("_s"))
     w = Window.partitionBy(*group_cols).orderBy("_s._h")
     samp = ex.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    # %g, not int(q*100): truncation would mislabel sub-percent quantiles
+    # (0.975 -> 'p97') and collide names (0.97 and 0.975 both 'p97')
+    names = [("p" + ("%g" % (q * 100)).replace(".", "_")) for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"rowsample_merge_quantiles: duplicate qs {qs}")
     aggs = [F.count(F.lit(1)).cast("long").alias("n_sample")] + [
-        F.round(F.expr(f"percentile(_s._v, {q})"), 6).alias(f"p{int(q * 100)}")
-        for q in qs
+        F.round(F.expr(f"percentile(_s._v, {q})"), 6).alias(n)
+        for q, n in zip(qs, names)
     ]
     return samp.groupBy(*group_cols).agg(*aggs)

@@ -1794,7 +1794,8 @@ def llm_mix_plan(spark, sf_dir):
     oracle=f"""
     WITH scored AS (
       SELECT lang, doc_id,
-             round(-ln({_UHASH.format(salt="wsample")})
+             round(-ln((CAST('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) + 0.5) / 1152921504606846976.0)
                    / CAST(n_chars AS DOUBLE), 9) AS sample_key
       FROM documents
       WHERE n_chars IS NOT NULL AND n_chars > 0
