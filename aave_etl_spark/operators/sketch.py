@@ -172,6 +172,98 @@ def kmv_merge_estimate(
     return _bottom_k_estimate(ex, group_cols, k, "_n").drop("_n")
 
 
+def topk_sketch_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    m: int = 32,
+) -> DataFrame:
+    """Per-group mergeable HEAVY-HITTERS summary: (group_cols..., hh
+    array<struct<_v,_c>>, rest_max, hh_m) — the part's EXACT per-value
+    counts truncated to the top ``m`` by (count desc, value), plus
+    ``rest_max`` = the largest DROPPED count (0 when nothing dropped).
+
+    Unlike Misra–Gries/SpaceSaving (whose state depends on arrival order
+    and is not engine-portable), this summary is a pure deterministic
+    function of the value multiset, so it sits under the dual-engine
+    value-hash gate. rest_max is the undercount bound `topk_merge` needs:
+    a value absent from this part's top-m occurred at most rest_max times
+    here. State per part is m pairs + one bound; the per-value count is a
+    map-side-combined aggregate, so hot values never skew a task."""
+    cnt = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_c").desc(), F.col(value_col)
+    )
+    ranked = cnt.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("_rn") <= m,
+                    F.struct(F.col(value_col).alias("_v"), F.col("_c")),
+                )
+            )
+        ).alias("hh"),
+        F.coalesce(
+            F.max(F.when(F.col("_rn") > m, F.col("_c"))), F.lit(0)
+        ).cast("long").alias("rest_max"),
+        F.lit(int(m)).alias("hh_m"),
+    )
+
+
+def topk_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int = 10,
+    sketch_col: str = "hh",
+    rest_col: str = "rest_max",
+) -> DataFrame:
+    """Union per-part heavy-hitters summaries up to ``group_cols`` and
+    rank: (group_cols..., value, count_lb, count_ub, rank, exact) — top-k
+    by lower-bound count, ties by value.
+
+    Bounds: ``count_lb`` sums the value's counts over the parts whose
+    top-m it made (every count stored is exact, so lb ≤ true count);
+    ``count_ub`` adds each ABSENT part's rest_max (the value occurred at
+    most that often there), so true count ≤ ub always. ``exact`` marks
+    values whose bounds coincide (present in every part, or absent only
+    from parts that dropped nothing): lb == ub == true count — for
+    genuinely heavy values across slices this is the common case, so the
+    rollup usually returns exact counts without rescanning anything. Store
+    per-(day, group) summaries once; answer any coarser top-k with
+    honest bounds from m-row states."""
+    part_tot = df.groupBy(*group_cols).agg(
+        F.sum(rest_col).cast("long").alias("_all_rest"),
+        F.count(F.lit(1)).cast("long").alias("_n_parts"),
+    )
+    ex = df.select(
+        *group_cols, F.col(rest_col).alias("_rm"), F.explode(sketch_col).alias("_s")
+    )
+    per_val = ex.groupBy(*group_cols, F.col("_s._v").alias("value")).agg(
+        F.sum("_s._c").cast("long").alias("count_lb"),
+        F.sum("_rm").cast("long").alias("_present_rest"),
+    )
+    ub = (F.col("count_lb") + F.col("_all_rest") - F.col("_present_rest")).cast(
+        "long"
+    )
+    bounded = per_val.join(F.broadcast(part_tot), group_cols).select(
+        *group_cols,
+        "value",
+        "count_lb",
+        ub.alias("count_ub"),
+        (ub == F.col("count_lb")).alias("exact"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("count_lb").desc(), F.col("value")
+    )
+    return (
+        bounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _guard_merge_k(
     df: DataFrame, sketch_col: str, k_col: str, k: int, label: str
 ) -> Column:

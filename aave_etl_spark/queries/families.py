@@ -105,6 +105,12 @@ family(
             ("n_sample", "p50", "p90"),
         ),
         (
+            "hh",
+            "llm_topk_merge",
+            ("lang", "value"),
+            ("count_lb", "count_ub", "CAST(exact AS DOUBLE)", "rank"),
+        ),
+        (
             "line_dedup",
             "llm_line_dedup",
             ("doc_id", "clean_md5"),
@@ -200,8 +206,10 @@ family(
         " source) KMV sketches rolled up by union (merge == direct,"
         " exactly) + MERGEABLE row-sample quantile sketches (bottom-k"
         " uniform samples pooled by re-taking the bottom-k, percentiles"
-        " from the pooled sample) + GLOBAL line-level dedup with document"
-        " reconstruction"
+        " from the pooled sample) + MERGEABLE heavy hitters (deterministic"
+        " per-part exact top-m with rest_max undercount bounds, pooled"
+        " top-k with honest [lb, ub]) + GLOBAL line-level dedup with"
+        " document reconstruction"
         " (RefinedWeb boilerplate removal, planted cross-doc newsletter"
         " lines) + Gopher-style repetition"
         " signal + sliding-window context chunking + PII/URL scrubbing +"

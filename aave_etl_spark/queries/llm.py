@@ -862,6 +862,71 @@ def llm_kmv_merge(spark, sf_dir):
 
 
 @register(
+    "llm_topk_merge",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, doc_id % 4 AS shard, unnest({_TOKS}) AS w FROM documents
+    ),
+    cnt AS (
+      SELECT lang, shard, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT lang, shard, w, c,
+             row_number() OVER (PARTITION BY lang, shard
+                                ORDER BY c DESC, w) AS rn
+      FROM cnt
+    ),
+    parts AS (
+      SELECT lang, shard,
+             coalesce(max(CASE WHEN rn > 16 THEN c END), 0) AS rest_max
+      FROM ranked GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, sum(rest_max) AS all_rest FROM parts GROUP BY 1),
+    pv AS (
+      SELECT k.lang, k.w AS value,
+             CAST(sum(k.c) AS BIGINT) AS count_lb,
+             sum(p.rest_max) AS present_rest
+      FROM ranked k
+      JOIN parts p ON p.lang = k.lang AND p.shard = k.shard
+      WHERE k.rn <= 16
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT pv.lang, pv.value, pv.count_lb,
+             CAST(pv.count_lb + t.all_rest - pv.present_rest AS BIGINT)
+               AS count_ub
+      FROM pv JOIN tot t ON t.lang = pv.lang
+    )
+    SELECT lang, value, count_lb, count_ub,
+           (count_ub = count_lb) AS exact,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY count_lb DESC, value) AS BIGINT)
+             AS rank
+    FROM b
+    QUALIFY row_number() OVER (PARTITION BY lang
+                               ORDER BY count_lb DESC, value) <= 5
+    """,
+    doc=(
+        "LLM corpus stats: MERGEABLE heavy hitters — per-(lang, shard)"
+        " exact top-16 word counts with a rest_max undercount bound"
+        " (deterministic, unlike arrival-order Misra-Gries), pooled to"
+        " per-lang top-5 with honest [lb, ub] bounds; values present in"
+        " every part come back EXACT — store per-slice summaries once,"
+        " answer any coarser top-k from m-row states"
+    ),
+)
+def llm_topk_merge(spark, sf_dir):
+    from aave_etl_spark.operators.sketch import topk_merge, topk_sketch_by_group
+
+    docs = t(spark, sf_dir, "documents").withColumn("shard", F.col("doc_id") % 4)
+    toks = docs.select("lang", "shard", F.explode(text.tokens("text")).alias("w"))
+    fine = topk_sketch_by_group(toks, ["lang", "shard"], "w", m=16)
+    return topk_merge(fine, ["lang"], k=5)
+
+
+@register(
     "llm_rowsample_quantiles",
     export=False,  # driver slot held by its family head (llm_text_stats)
     oracle="""

@@ -759,6 +759,78 @@ def test_scd2_cdc_snapshot_share_one_lineage(spark, tmp_path):
     assert len(cur1) == 1 and cur1[0].effective_from == T(2)
 
 
+def test_sketch_tables_store_once_roll_up_anywhere(spark, tmp_path):
+    """The store-once/roll-anywhere warehouse story across all three
+    mergeable sketches: per-day KMV (distinct), row-sample (quantiles),
+    and heavy-hitters summaries written through the TableStore, read back,
+    and rolled up — each equal to (or bounding) the direct computation
+    over the concatenated days, without re-reading the raw rows."""
+    from aave_etl_spark.operators.sketch import (
+        kmv_merge_estimate,
+        kmv_sketch_by_group,
+        rowsample_merge_quantiles,
+        rowsample_sketch_by_group,
+        topk_merge,
+        topk_sketch_by_group,
+    )
+
+    store = _store(spark, tmp_path)
+    rows = [
+        (d * 10_000 + i, d, f"u{(d * 37 + i) % 500}", float((i * 13) % 997))
+        for d in range(10)
+        for i in range(800)
+    ]
+    raw = spark.createDataFrame(rows, "rid long, day int, uid string, v double")
+
+    store.write(kmv_sketch_by_group(raw, ["day"], "uid", k=64), "kmv_day")
+    store.write(
+        rowsample_sketch_by_group(raw, ["day"], "rid", "v", k=64), "rsq_day"
+    )
+    store.write(topk_sketch_by_group(raw, ["day"], "uid", m=32), "hh_day")
+
+    # KMV rollup from stored states == direct sketch of all days
+    tot = raw.withColumn("g", F.lit("all"))
+    merged_kmv = (
+        kmv_merge_estimate(
+            store.read("kmv_day").withColumn("g", F.lit("all")), ["g"], k=64
+        )
+        .collect()[0]
+        .est_distinct
+    )
+    direct_kmv = (
+        kmv_merge_estimate(kmv_sketch_by_group(tot, ["g"], "uid", k=64), ["g"], k=64)
+        .collect()[0]
+        .est_distinct
+    )
+    assert merged_kmv == direct_kmv
+    # row-sample quantiles from stored states == direct sketch quantiles
+    merged_q = sorted(
+        map(
+            tuple,
+            rowsample_merge_quantiles(
+                store.read("rsq_day").withColumn("g", F.lit("all")), ["g"], k=64
+            ).collect(),
+        )
+    )
+    direct_q = sorted(
+        map(
+            tuple,
+            rowsample_merge_quantiles(
+                rowsample_sketch_by_group(tot, ["g"], "rid", "v", k=64), ["g"], k=64
+            ).collect(),
+        )
+    )
+    assert merged_q == direct_q
+    # heavy hitters: stored rollup bounds contain the true counts
+    truth = {r.uid: r.c for r in raw.groupBy("uid").agg(F.count("*").alias("c")).collect()}
+    hh = topk_merge(
+        store.read("hh_day").withColumn("g", F.lit("all")), ["g"], k=10
+    ).collect()
+    assert len(hh) == 10
+    for r in hh:
+        assert r.count_lb <= truth[r.value] <= r.count_ub
+
+
 def test_snapshot_restore_prune_never_drops_restore_target(spark, tmp_path):
     """The bookkeeping snapshot inside restore must not prune the target:
     restoring the OLDEST of >3 snapshots still works."""

@@ -2153,6 +2153,45 @@ def test_hybrid_rrf_atrest_composition_matches_inflight(spark):
     assert len(at_rest) > 0
 
 
+def test_topk_sketch_merge_bounds_contain_truth(spark):
+    """Mergeable heavy hitters: [count_lb, count_ub] always contains the
+    true count; values present in every part's top-m come back EXACT; with
+    m large enough to never truncate, the merged top-k IS the exact top-k."""
+    import random
+
+    from aave_etl_spark.operators.sketch import topk_merge, topk_sketch_by_group
+
+    rng = random.Random(11)
+    rows = []
+    # zipf-ish: value v_i appears ~ 600/i times, scattered over 5 parts
+    for i in range(1, 40):
+        for _ in range(600 // i):
+            rows.append(("g", rng.randint(0, 4), f"v{i:02d}"))
+    df = spark.createDataFrame(rows, "g string, part int, w string")
+    truth = {
+        r.w: r.c
+        for r in df.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    fine = topk_sketch_by_group(df, ["g", "part"], "w", m=8)
+    got = topk_merge(fine, ["g"], k=10).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r.count_lb <= truth[r.value] <= r.count_ub, (r, truth[r.value])
+        if r.exact:
+            assert r.count_lb == truth[r.value] == r.count_ub
+    # the heaviest values survive every part's top-8 -> exact at the top
+    assert got[0].value == "v01" and got[0].exact and got[0].count_lb == 600
+    # untruncated sketches (m >= distinct values) merge to the exact top-k
+    wide = topk_sketch_by_group(df, ["g", "part"], "w", m=100)
+    exact_topk = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    merged = [
+        (r.value, r.count_lb)
+        for r in topk_merge(wide, ["g"], k=10).orderBy("rank").collect()
+    ]
+    assert merged == exact_topk
+    assert all(r.exact for r in topk_merge(wide, ["g"], k=10).collect())
+
+
 def test_scd2_point_in_time_enrichment_asof_equals_interval(spark):
     """The two point-in-time enrichment paths must agree: facts enriched
     via asof_join against the SCD2 dimension's effective_from == facts
