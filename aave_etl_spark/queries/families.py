@@ -111,6 +111,12 @@ family(
             ("count_lb", "count_ub", "CAST(exact AS DOUBLE)", "rank"),
         ),
         (
+            "hh_atrest",
+            "llm_hh_atrest",
+            ("lang", "value"),
+            ("count_lb", "count_ub", "CAST(exact AS DOUBLE)", "rank"),
+        ),
+        (
             "line_dedup",
             "llm_line_dedup",
             ("doc_id", "clean_md5"),

@@ -861,10 +861,11 @@ def llm_kmv_merge(spark, sf_dir):
     return kmv_merge_estimate(fine, ["lang"], k=16)
 
 
-@register(
-    "llm_topk_merge",
-    export=False,  # driver slot held by its family head (llm_text_stats)
-    oracle=f"""
+# Shared by the in-flight rollup (llm_topk_merge) and its at-rest twin
+# (llm_hh_atrest): the store hop changes no values, so one oracle
+# certifies both — any divergence is a storage bug, exactly what the
+# at-rest certification exists to catch.
+_TOPK_MERGE_ORACLE = f"""
     WITH tok AS (
       SELECT lang, doc_id % 4 AS shard, unnest({_TOKS}) AS w FROM documents
     ),
@@ -907,7 +908,22 @@ def llm_kmv_merge(spark, sf_dir):
     FROM b
     QUALIFY row_number() OVER (PARTITION BY lang
                                ORDER BY count_lb DESC, value) <= 5
-    """,
+    """
+
+
+def _hh_fine_sketches(spark, sf_dir):
+    """The per-(lang, shard) word summaries both rollup twins build."""
+    from aave_etl_spark.operators.sketch import topk_sketch_by_group
+
+    docs = t(spark, sf_dir, "documents").withColumn("shard", F.col("doc_id") % 4)
+    toks = docs.select("lang", "shard", F.explode(text.tokens("text")).alias("w"))
+    return topk_sketch_by_group(toks, ["lang", "shard"], "w", m=16)
+
+
+@register(
+    "llm_topk_merge",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=_TOPK_MERGE_ORACLE,
     doc=(
         "LLM corpus stats: MERGEABLE heavy hitters — per-(lang, shard)"
         " exact top-16 word counts with a rest_max undercount bound"
@@ -918,12 +934,38 @@ def llm_kmv_merge(spark, sf_dir):
     ),
 )
 def llm_topk_merge(spark, sf_dir):
-    from aave_etl_spark.operators.sketch import topk_merge, topk_sketch_by_group
+    from aave_etl_spark.operators.sketch import topk_merge
 
-    docs = t(spark, sf_dir, "documents").withColumn("shard", F.col("doc_id") % 4)
-    toks = docs.select("lang", "shard", F.explode(text.tokens("text")).alias("w"))
-    fine = topk_sketch_by_group(toks, ["lang", "shard"], "w", m=16)
-    return topk_merge(fine, ["lang"], k=5)
+    return topk_merge(_hh_fine_sketches(spark, sf_dir), ["lang"], k=5)
+
+
+@register(
+    "llm_hh_atrest",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=_TOPK_MERGE_ORACLE,  # identical output contract to llm_topk_merge
+    doc=(
+        "LLM corpus stats: the AT-REST heavy-hitters rollup — the"
+        " per-(lang, shard) summaries are PERSISTED through the TableStore"
+        " (build-once/roll-many, completion-marker discipline) and the"
+        " top-k merge reads the stored m-row states, never the corpus;"
+        " results identical to the in-flight llm_topk_merge by"
+        " construction — the store-once/roll-anywhere sketch-table shape"
+        " at driver certification"
+    ),
+)
+def llm_hh_atrest(spark, sf_dir):
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.operators.sketch import topk_merge
+
+    store = TableStore(
+        spark, session_scratch_dir(spark, "aave_etl_spark_hh", corpus_key(sf_dir))
+    )
+    if not (store.is_complete("hh_day") and store.exists("hh_day")):
+        store.clear_complete("hh_day")
+        store.write(_hh_fine_sketches(spark, sf_dir), "hh_day")
+        store.mark_complete("hh_day")
+    return topk_merge(store.read("hh_day"), ["lang"], k=5)
 
 
 @register(
