@@ -196,7 +196,14 @@ def topk_sketch_by_group(
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("_c").desc(), F.col(value_col)
     )
-    ranked = cnt.withColumn("_rn", F.row_number().over(w))
+    # rank m+1 is EXACTLY rest_max (counts descend), so cutting there is
+    # lossless — and the row_number filter right above the window triggers
+    # WindowGroupLimit: each map partition pre-trims to m+1 rows per group
+    # before the shuffle, so a million-term vocabulary never sorts whole
+    # in one task (the module's bounded-shuffle discipline)
+    ranked = cnt.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= m + 1
+    )
     return ranked.groupBy(*group_cols).agg(
         F.sort_array(
             F.collect_list(
@@ -235,8 +242,7 @@ def topk_merge(
     per-(day, group) summaries once; answer any coarser top-k with
     honest bounds from m-row states."""
     part_tot = df.groupBy(*group_cols).agg(
-        F.sum(rest_col).cast("long").alias("_all_rest"),
-        F.count(F.lit(1)).cast("long").alias("_n_parts"),
+        F.sum(rest_col).cast("long").alias("_all_rest")
     )
     ex = df.select(
         *group_cols, F.col(rest_col).alias("_rm"), F.explode(sketch_col).alias("_s")
@@ -245,10 +251,20 @@ def topk_merge(
         F.sum("_s._c").cast("long").alias("count_lb"),
         F.sum("_rm").cast("long").alias("_present_rest"),
     )
+    # eqNullSafe join: a NULL group value (a NULL partition slice) is a
+    # real group in both aggregates — plain equality would silently drop
+    # its heavy hitters from the rollup
+    tj = part_tot.select(
+        *[F.col(c).alias(f"_t_{c}") for c in group_cols], "_all_rest"
+    )
+    cond = None
+    for c in group_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_t_{c}"))
+        cond = eq if cond is None else (cond & eq)
     ub = (F.col("count_lb") + F.col("_all_rest") - F.col("_present_rest")).cast(
         "long"
     )
-    bounded = per_val.join(F.broadcast(part_tot), group_cols).select(
+    bounded = per_val.join(F.broadcast(tj), cond).select(
         *group_cols,
         "value",
         "count_lb",

@@ -963,7 +963,11 @@ def llm_hh_atrest(spark, sf_dir):
     )
     if not (store.is_complete("hh_day") and store.exists("hh_day")):
         store.clear_complete("hh_day")
-        store.write(_hh_fine_sketches(spark, sf_dir), "hh_day")
+        if not store.write(_hh_fine_sketches(spark, sf_dir), "hh_day"):
+            # empty corpus → write() lands nothing: serve the in-flight
+            # twin's (empty) result rather than stamping a marker for a
+            # table that does not exist
+            return topk_merge(_hh_fine_sketches(spark, sf_dir), ["lang"], k=5)
         store.mark_complete("hh_day")
     return topk_merge(store.read("hh_day"), ["lang"], k=5)
 

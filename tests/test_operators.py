@@ -2190,6 +2190,10 @@ def test_topk_sketch_merge_bounds_contain_truth(spark):
     ]
     assert merged == exact_topk
     assert all(r.exact for r in topk_merge(wide, ["g"], k=10).collect())
+    # bounded-shuffle pin: the m+1 row_number cut compiles to a
+    # WindowGroupLimit, so a huge vocabulary pre-trims per map partition
+    plan = fine._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
 
 
 def test_scd2_point_in_time_enrichment_asof_equals_interval(spark):
