@@ -559,6 +559,17 @@ class TableStore:
 
         inferred = self.spark.read.parquet(self._path(name)).schema
         batch = {f.name: f for f in batch_schema.fields}
+        # contract check up front: a change batch missing a partition
+        # column would otherwise surface as an opaque KeyError below
+        # (this runs before the touched-partition select that would name
+        # the column in a resolvable error)
+        missing = [c for c in partition_cols if c not in batch]
+        if missing:
+            raise ValueError(
+                f"merge: change batch is missing partition column(s)"
+                f" {missing} required by table {name!r} — every merge"
+                " batch must carry the table's full partition key"
+            )
         return StructType(
             [
                 StructField(f.name, batch[f.name].dataType, True)
@@ -619,6 +630,15 @@ class TableStore:
                     f"merge: refusing to remove {d!r} outside table root {root!r}"
                 )
             shutil.rmtree(d)
+            # multi-column partition layouts nest (a=1/b=2/...): removing
+            # every leaf under an outer value leaves empty ancestor dirs
+            # that accumulate forever and re-surface as phantom partition
+            # values on some filesystems — walk up removing now-empty
+            # parents, stopping at the table root
+            parent = os.path.realpath(os.path.dirname(d))
+            while parent.startswith(root + os.sep) and not os.listdir(parent):
+                os.rmdir(parent)
+                parent = os.path.realpath(os.path.dirname(parent))
 
     def write_bucketed(
         self,

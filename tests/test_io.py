@@ -621,6 +621,45 @@ def test_merge_delete_all_unpartitioned_empties_table(spark, tmp_path):
     assert store.read("e").count() == 0  # K3 typed-empty
 
 
+def test_merge_vanished_nested_partition_removes_empty_ancestors(spark, tmp_path):
+    """Multi-column partition layouts nest: deleting every row under an
+    outer partition value must remove the now-empty ANCESTOR directory
+    too, not leave a husk of empty day=.../ dirs accumulating forever
+    (and other outer values' trees must be untouched)."""
+    store = _store(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, "d1", "h1", 1.0), (2, "d1", "h2", 2.0), (3, "d2", "h1", 3.0)],
+        "k long, day string, hr string, v double",
+    )
+    store.write(base, "nest", partition_cols=["day", "hr"])
+    ch = spark.createDataFrame(
+        [(1, "d1", "h1", 0.0, "D"), (2, "d1", "h2", 0.0, "D")],
+        "k long, day string, hr string, v double, op string",
+    )
+    store.merge(ch, "nest", ["k"], partition_cols=["day", "hr"], op_col="op")
+    assert {r.k for r in store.read("nest").collect()} == {3}
+    # both leaves AND the emptied outer dir are gone; d2's tree survives
+    assert not (tmp_path / "warehouse" / "nest" / "day=d1").exists()
+    assert (tmp_path / "warehouse" / "nest" / "day=d2" / "hr=h1").exists()
+
+
+def test_merge_batch_missing_partition_column_raises_contract_error(spark, tmp_path):
+    """A change batch that lacks one of the table's partition columns must
+    fail with a ValueError NAMING the column — not an opaque KeyError from
+    schema pinning."""
+    import pytest as _pytest
+
+    store = _store(spark, tmp_path)
+    store.write(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, part string, v double"),
+        "mp",
+        partition_cols=["part"],
+    )
+    bad = spark.createDataFrame([(1, 9.0, "U")], "k long, v double, op string")
+    with _pytest.raises(ValueError, match="partition column.*part"):
+        store.merge(bad, "mp", ["k"], partition_cols=["part"], op_col="op")
+
+
 def test_morton_zkey_sub_unit_span_keeps_resolution(spark):
     """A dimension spanning less than 1 (ratio columns) must still spread
     across the key space — the span guard only protects hi == lo."""
