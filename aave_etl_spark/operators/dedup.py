@@ -636,9 +636,17 @@ def line_dedup_global(
 
     Output: (id, clean_text, n_lines, n_kept) — n_lines counts the doc's
     non-empty lines before the cut. EVERY input document gets a row —
-    empty/whitespace-only docs (and docs that lose every line) come back
-    with clean_text='' and zero counts, so corpus joins never silently
-    lose documents.
+    empty/whitespace-only/NULL-text docs (and docs that lose every line)
+    come back with clean_text='' and zero counts, so corpus joins never
+    silently lose documents.
+
+    PRECONDITION: ``id_col`` must be non-NULL and unique per document —
+    it IS document identity here (the per-doc rebuild groups by it, and
+    the first-occurrence pick compares against it), and NULL ids would
+    collapse every NULL-id document into one group in ANY groupBy-based
+    formulation. The line-hash join key itself (`_lh` = md5 of a trimmed
+    non-empty line) is non-NULL by construction, so the join needs no
+    NULL-safe form.
 
     Dataflow at 100 TB: explode to (doc, line_no, line) → first occurrence
     per line hash via groupBy(md5(line)).agg(min(struct(doc, pos))) — a

@@ -172,11 +172,29 @@ def weighted_sample_k(
     evicts a row). Rows with NULL or non-positive weight cannot win a
     weighted draw and are excluded.
 
+    SCALE-FREE WEIGHTS: the clock divides by w NORMALIZED to the
+    (group's/global) max weight, w' = w / max(w) <= 1, so sample_key >=
+    -ln(u) regardless of the caller's weight units. Without this, the
+    9 ABSOLUTE-decimal-place rounding the engine-parity contract needs
+    would collapse keys of heavy rows (w >~ 1e8 relative to -ln(u)) to
+    0.000000000 and the "draw" would degrade to ascending id; normalized,
+    a key rounds to zero only with probability ~5e-10 per row.
+    Normalization is order-preserving per group (a positive constant
+    scale), so the sampling distribution is untouched — only the rounding
+    robustness changes. Any SQL twin must normalize identically.
+
     Output: the winning rows + (sample_key, sample_rank). Dataflow at
-    100 TB: grouped form = one shuffle on the group key with the per-group
-    top-k window capped map-side (WindowGroupLimit); global form = sort +
-    LIMIT k, which Spark executes as a distributed TakeOrdered (per-
-    partition top-k, never a full global sort)."""
+    100 TB: the max-weight normalizer is one map-side-combined aggregate
+    (group-cardinality rows) BROADCAST back — deliberately not a window
+    max, which would sit on the rank window's exchange and destroy its
+    map-side WindowGroupLimit trim; grouped form = one shuffle on the
+    group key with the per-group top-k window capped map-side
+    (WindowGroupLimit); global form = sort + LIMIT k, which Spark
+    executes as a distributed TakeOrdered (per-partition top-k, never a
+    full global sort). NULL-valued groups keep their draws: the
+    normalizer joins back NULL-safely."""
+    from functools import reduce
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = F.col(weight_col).cast("double")
@@ -187,11 +205,24 @@ def weighted_sample_k(
     u = (F.conv(F.substring(h, 1, 15), 16, 10).cast("double") + F.lit(0.5)) / F.lit(
         float(2**60)
     )
-    key = F.round(-F.log(u) / w, 9)
-    scored = (
-        df.filter(w.isNotNull() & (w > 0))
-        .withColumn("sample_key", key)
-    )
+    eligible = df.filter(w.isNotNull() & (w > 0))
+    if group_cols:
+        wmax = eligible.groupBy(*group_cols).agg(F.max(w).alias("_wmax")).select(
+            *[F.col(c).alias(f"_g_{c}") for c in group_cols], "_wmax"
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(c).eqNullSafe(F.col(f"_g_{c}")) for c in group_cols],
+        )
+        base = eligible.join(F.broadcast(wmax), cond).drop(
+            *[f"_g_{c}" for c in group_cols]
+        )
+    else:
+        base = eligible.crossJoin(
+            F.broadcast(eligible.agg(F.max(w).alias("_wmax")))
+        )
+    key = F.round(-F.log(u) / (w / F.col("_wmax")), 9)
+    scored = base.withColumn("sample_key", key).drop("_wmax")
     if group_cols:
         win = Window.partitionBy(*group_cols).orderBy(
             F.col("sample_key"), F.col(id_col)
@@ -225,19 +256,28 @@ def mix_corpus(
     swaps, and corpus growth never flip it — and per-group subsets nest
     as rates increase. Plan: one broadcast left join on the group key
     (weights are domain-cardinality, tiny by definition) + a narrow
-    filter; no shuffle of the corpus."""
+    filter; no shuffle of the corpus.
+
+    NULL-group rows are first-class (the eqNullSafe group-join
+    discipline): an un-identified-language slice is exactly the slice a
+    mixing policy most needs to rate explicitly, so a NULL group in
+    ``weights`` matches the corpus's NULL-group rows; a NULL-group
+    corpus row with NO NULL weights row falls to ``default_frac`` like
+    any other unlisted group — never silently mis-bucketed."""
     if "keep_frac" not in weights.columns:
         raise ValueError("weights must have a keep_frac column")
     # project the weights table to (group, keep_frac) so stray columns on a
-    # caller's weights frame never leak into the mixed corpus's schema
+    # caller's weights frame never leak into the mixed corpus's schema;
+    # alias the key so the NULL-safe join condition is unambiguous
+    w = weights.select(F.col(group_col).alias("_mix_g"), "keep_frac")
     joined = df.join(
-        F.broadcast(weights.select(group_col, "keep_frac")), group_col, "left"
+        F.broadcast(w), F.col(group_col).eqNullSafe(F.col("_mix_g")), "left"
     )
     kept = joined.filter(
         uniform_hash(id_col, salt)
         < F.coalesce(F.col("keep_frac"), F.lit(float(default_frac)))
     )
-    # restore the caller's column order (the join moved the group key first)
+    # restore the caller's columns (dropping _mix_g / keep_frac)
     return kept.select(*df.columns)
 
 

@@ -284,9 +284,10 @@ def bm25_postings(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """The corpus postings table (id, term, tf, bm25) every BM25 consumer
-    shares: per-(doc, term) BM25 weight with corpus statistics (N, avgdl,
-    df) computed from ``df`` itself.
+    """The corpus postings table (id, term, tf, df, bm25) every BM25
+    consumer shares: per-(doc, term) BM25 weight with corpus statistics
+    (N, avgdl, df) computed from ``df`` itself — df rides along per row
+    so probes can apply the max_df stop-term cap as a scan predicate.
 
     score(t, d) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
     with the BM25+ idf = ln(1 + (N - df + 0.5) / (df + 0.5)).
@@ -331,6 +332,48 @@ def bm25_postings(
             F.round(idf * norm, 6).alias("bm25"),
         )
     )
+
+
+def discover_stop_terms(
+    postings: DataFrame,
+    m: int = 16,
+    k: int = 5,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DATA-PLANNED stop-term discovery: the mergeable heavy-hitters
+    sketch (operators/sketch.py topk_sketch_by_group / topk_merge) run
+    over the postings table's per-shard partial document frequencies —
+    so the `max_df`-style stop handling's term list comes from the corpus
+    itself, not a hand-picked threshold.
+
+    Each postings row is one (doc, term) incidence, so per-(shard, term)
+    row counts ARE partial dfs (docs shard by id; a doc's incidences land
+    in exactly one shard). Per-shard exact top-m summaries merge to the
+    global top-k hot terms with honest [count_lb, count_ub] df bounds and
+    an `exact` flag — the same store-once/roll-anywhere states the HH
+    rollup certifies, so at rest the discovery reads m-row sketches, not
+    the postings.
+
+    Output: (value=term, count_lb, count_ub, exact, rank), rank 1..k by
+    (count_lb DESC, term). Compose by ANTI-JOINING the probe's postings
+    against it — `postings.join(stop.select(col("value").alias("term")),
+    "term", "left_anti")` — which keeps the whole plan lazy and
+    distributed (no driver-side threshold collect; the list is k rows,
+    so the anti-join broadcasts).
+
+    Dataflow at 100 TB: one map-side-combined (shard, term) count, a
+    WindowGroupLimit-trimmed per-shard rank, and a k-row merge — nothing
+    scales past vocabulary size."""
+    from aave_etl_spark.operators.sketch import topk_merge, topk_sketch_by_group
+
+    toks = postings.select(
+        F.lit("all").alias("_corpus"),
+        (F.col(id_col) % int(n_shards)).alias("_shard"),
+        "term",
+    )
+    fine = topk_sketch_by_group(toks, ["_corpus", "_shard"], "term", m=m)
+    return topk_merge(fine, ["_corpus"], k=k).drop("_corpus")
 
 
 def bm25_retrieve(

@@ -98,9 +98,16 @@ family(
         ("ngram_topk", "llm_ngram_topk", ("ngram",), ("doc_freq", "rank")),
         ("kmv", "llm_kmv_distinct", ("lang",), ("est_distinct", "exact_distinct")),
         ("kmv_merge", "llm_kmv_merge", ("lang",), ("est_distinct",)),
+        ("kmv_atrest", "llm_kmv_atrest", ("lang",), ("est_distinct",)),
         (
             "rsq",
             "llm_rowsample_quantiles",
+            ("lang",),
+            ("n_sample", "p50", "p90"),
+        ),
+        (
+            "rsq_atrest",
+            "llm_rsq_atrest",
             ("lang",),
             ("n_sample", "p50", "p90"),
         ),
@@ -146,6 +153,12 @@ family(
             "llm_bm25_capped",
             ("query_id", "candidate_id"),
             ("bm25_score", "rank"),
+        ),
+        (
+            "bm25_stopterms",
+            "llm_bm25_stopterms",
+            ("part", "k1", "k2"),
+            ("v1", "v2", "v3"),
         ),
         (
             "gate",
@@ -196,6 +209,12 @@ family(
             ("v1", "v2", "v3"),
         ),
         (
+            "wdraw",
+            "llm_curation_wdraw",
+            ("part", "k1", "k2"),
+            ("v1", "v2", "v3"),
+        ),
+        (
             "gopher",
             "llm_gopher_quality",
             ("doc_id",),
@@ -210,9 +229,11 @@ family(
         " quality features + corpus top-k bigram document frequencies +"
         " KMV distinct-text sketch per language + MERGEABLE per-(lang,"
         " source) KMV sketches rolled up by union (merge == direct,"
-        " exactly) + MERGEABLE row-sample quantile sketches (bottom-k"
+        " exactly; in-flight AND at-rest through the TableStore) +"
+        " MERGEABLE row-sample quantile sketches (bottom-k"
         " uniform samples pooled by re-taking the bottom-k, percentiles"
-        " from the pooled sample) + MERGEABLE heavy hitters (deterministic"
+        " from the pooled sample; in-flight AND at-rest) +"
+        " MERGEABLE heavy hitters (deterministic"
         " per-part exact top-m with rest_max undercount bounds, pooled"
         " top-k with honest [lb, ub]) + GLOBAL line-level dedup with"
         " document reconstruction"
@@ -230,7 +251,10 @@ family(
         " near-dup keeper -> quality/lang gate -> DSIR -> domain mix ->"
         " sequence pack) certified as one flow + the PLANNED-mix pipeline"
         " (temperature mixture rates planned from the gated corpus feeding"
-        " the domain mixer) + the Gopher quality rules"
+        " the domain mixer) + the QUALITY-WEIGHTED budget draw (A-ES"
+        " sample of the mixed corpus by the gate stage's quality score,"
+        " packed) — all three tails certified off ONE shared stage-1..5"
+        " chain (chain-once/certify-many) + the Gopher quality rules"
         " (symbol/bullet/ellipsis ratios, alpha-word + stop-word floors,"
         " duplicate-line pair) with every arm exercised via planted"
         " line-level defects"

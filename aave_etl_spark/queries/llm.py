@@ -815,10 +815,11 @@ def llm_kmv_distinct(spark, sf_dir):
     return kmv_distinct(t(spark, sf_dir, "documents"), ["lang"], "text", k=16)
 
 
-@register(
-    "llm_kmv_merge",
-    export=False,  # driver slot held by its family head (llm_text_stats)
-    oracle="""
+# Shared by the in-flight KMV rollup (llm_kmv_merge) and its at-rest twin
+# (llm_kmv_atrest): the store hop changes no values, so one oracle
+# certifies both — the llm_hh_atrest pattern applied to the distinct-count
+# sketch.
+_KMV_MERGE_ORACLE = """
     WITH h AS (SELECT DISTINCT lang, source, md5(text) AS h FROM documents),
     topk AS (
       SELECT lang, source, h FROM (
@@ -839,7 +840,22 @@ def llm_kmv_distinct(spark, sf_dir):
     SELECT n.lang,
            round(coalesce(k.est, CAST(n.n AS DOUBLE)), 6) AS est_distinct
     FROM n LEFT JOIN kth k USING (lang)
-    """,
+    """
+
+
+def _kmv_fine_sketches(spark, sf_dir):
+    """The per-(lang, source) KMV states both rollup twins build."""
+    from aave_etl_spark.operators.sketch import kmv_sketch_by_group
+
+    return kmv_sketch_by_group(
+        t(spark, sf_dir, "documents"), ["lang", "source"], "text", k=16
+    )
+
+
+@register(
+    "llm_kmv_merge",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=_KMV_MERGE_ORACLE,
     doc=(
         "LLM corpus stats: MERGEABLE KMV — per-(lang, source) bottom-k"
         " sketches union up to per-lang estimates (k-min of a union lives"
@@ -850,15 +866,41 @@ def llm_kmv_distinct(spark, sf_dir):
     ),
 )
 def llm_kmv_merge(spark, sf_dir):
-    from aave_etl_spark.operators.sketch import (
-        kmv_merge_estimate,
-        kmv_sketch_by_group,
-    )
+    from aave_etl_spark.operators.sketch import kmv_merge_estimate
 
-    fine = kmv_sketch_by_group(
-        t(spark, sf_dir, "documents"), ["lang", "source"], "text", k=16
+    return kmv_merge_estimate(_kmv_fine_sketches(spark, sf_dir), ["lang"], k=16)
+
+
+@register(
+    "llm_kmv_atrest",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=_KMV_MERGE_ORACLE,  # identical output contract to llm_kmv_merge
+    doc=(
+        "LLM corpus stats: the AT-REST KMV rollup — per-(lang, source)"
+        " bottom-k states PERSISTED through the TableStore (build-once/"
+        "roll-many, completion-marker discipline) and the distinct-count"
+        " merge reads the stored kilobyte states, never the corpus;"
+        " results identical to the in-flight llm_kmv_merge by construction"
+        " — the store hop proven value-neutral under the shared oracle"
+    ),
+)
+def llm_kmv_atrest(spark, sf_dir):
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.operators.sketch import kmv_merge_estimate
+
+    store = TableStore(
+        spark, session_scratch_dir(spark, "aave_etl_spark_kmv", corpus_key(sf_dir))
     )
-    return kmv_merge_estimate(fine, ["lang"], k=16)
+    if not (store.is_complete("kmv_day") and store.exists("kmv_day")):
+        store.clear_complete("kmv_day")
+        if not store.write(_kmv_fine_sketches(spark, sf_dir), "kmv_day"):
+            # empty corpus → write() lands nothing: serve the in-flight
+            # twin's (empty) result rather than stamping a marker for a
+            # table that does not exist
+            return kmv_merge_estimate(_kmv_fine_sketches(spark, sf_dir), ["lang"], k=16)
+        store.mark_complete("kmv_day")
+    return kmv_merge_estimate(store.read("kmv_day"), ["lang"], k=16)
 
 
 # Shared by the in-flight rollup (llm_topk_merge) and its at-rest twin
@@ -972,10 +1014,9 @@ def llm_hh_atrest(spark, sf_dir):
     return topk_merge(store.read("hh_day"), ["lang"], k=5)
 
 
-@register(
-    "llm_rowsample_quantiles",
-    export=False,  # driver slot held by its family head (llm_text_stats)
-    oracle="""
+# Shared by the in-flight row-sample quantile rollup and its at-rest twin
+# (llm_rsq_atrest): one oracle, the store hop changes no values.
+_RSQ_ORACLE = """
     WITH h AS (
       SELECT lang, doc_id % 4 AS shard,
              md5('rsq:' || CAST(doc_id AS VARCHAR)) AS _h,
@@ -998,7 +1039,21 @@ def llm_hh_atrest(spark, sf_dir):
            round(quantile_cont(_v, 0.5), 6) AS p50,
            round(quantile_cont(_v, 0.9), 6) AS p90
     FROM pooled GROUP BY lang
-    """,
+    """
+
+
+def _rsq_fine_sketches(spark, sf_dir):
+    """The per-(lang, shard) row-sample states both rollup twins build."""
+    from aave_etl_spark.operators.sketch import rowsample_sketch_by_group
+
+    docs = t(spark, sf_dir, "documents").withColumn("shard", F.col("doc_id") % 4)
+    return rowsample_sketch_by_group(docs, ["lang", "shard"], "doc_id", "n_chars", k=16)
+
+
+@register(
+    "llm_rowsample_quantiles",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=_RSQ_ORACLE,
     doc=(
         "LLM corpus stats: MERGEABLE row-sample QUANTILE sketch — the"
         " percentile counterpart of the KMV distinct pair: per-(lang,"
@@ -1010,18 +1065,44 @@ def llm_hh_atrest(spark, sf_dir):
     ),
 )
 def llm_rowsample_quantiles(spark, sf_dir):
-    from aave_etl_spark.operators.sketch import (
-        rowsample_merge_quantiles,
-        rowsample_sketch_by_group,
+    from aave_etl_spark.operators.sketch import rowsample_merge_quantiles
+
+    return rowsample_merge_quantiles(
+        _rsq_fine_sketches(spark, sf_dir), ["lang"], qs=(0.5, 0.9), k=16
     )
 
-    docs = t(spark, sf_dir, "documents").withColumn(
-        "shard", F.col("doc_id") % 4
+
+@register(
+    "llm_rsq_atrest",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=_RSQ_ORACLE,  # identical output contract to llm_rowsample_quantiles
+    doc=(
+        "LLM corpus stats: the AT-REST row-sample quantile rollup —"
+        " per-(lang, shard) bottom-k sample states PERSISTED through the"
+        " TableStore (build-once/roll-many, completion-marker discipline)"
+        " and the percentile merge reads the stored k-row states, never"
+        " the corpus; results identical to the in-flight twin by"
+        " construction — store hop proven value-neutral, shared oracle"
+    ),
+)
+def llm_rsq_atrest(spark, sf_dir):
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.operators.sketch import rowsample_merge_quantiles
+
+    store = TableStore(
+        spark, session_scratch_dir(spark, "aave_etl_spark_rsq", corpus_key(sf_dir))
     )
-    fine = rowsample_sketch_by_group(
-        docs, ["lang", "shard"], "doc_id", "n_chars", k=16
+    if not (store.is_complete("rsq_day") and store.exists("rsq_day")):
+        store.clear_complete("rsq_day")
+        if not store.write(_rsq_fine_sketches(spark, sf_dir), "rsq_day"):
+            return rowsample_merge_quantiles(
+                _rsq_fine_sketches(spark, sf_dir), ["lang"], qs=(0.5, 0.9), k=16
+            )
+        store.mark_complete("rsq_day")
+    return rowsample_merge_quantiles(
+        store.read("rsq_day"), ["lang"], qs=(0.5, 0.9), k=16
     )
-    return rowsample_merge_quantiles(fine, ["lang"], qs=(0.5, 0.9), k=16)
 
 
 @register(
@@ -1521,10 +1602,12 @@ def llm_bm25_capped(spark, sf_dir):
     return _bm25_index_arm(spark, sf_dir, k=10, max_df=300)
 
 
-def _bm25_index_arm(spark, sf_dir, k, max_df=None):
-    """The at-rest sparse arm: build-once/search-many against the
-    term-bucketed postings index (store shared with every other caller on
-    the same corpus — the hybrid fusion reuses the build for free)."""
+def _bm25_index_store(spark, sf_dir):
+    """The session's at-rest BM25 index for this corpus, built once
+    (marker stamped LAST; interrupted builds rebuild on the next call).
+    Returns (store, tbl, docs) — shared by every at-rest sparse consumer
+    on the same corpus (plain search, capped search, hybrid fusion,
+    stop-term discovery), so the build cost is paid once per session."""
     import re as re_mod
 
     from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
@@ -1536,15 +1619,120 @@ def _bm25_index_arm(spark, sf_dir, k, max_df=None):
     )
     tbl = "bm25_post_idx_" + re_mod.sub(r"[^0-9a-zA-Z]+", "_", ck)
     docs = t(spark, sf_dir, "documents")
-    # build-once/search-many: marker stamped LAST, interrupted builds
-    # rebuild from scratch on the next call
     if not (store.is_complete(tbl) and store.exists(tbl)):
         store.clear_complete(tbl)
         text.bm25_index_build(store, docs, tbl)
         store.mark_complete(tbl)
+    return store, tbl, docs
+
+
+def _bm25_index_arm(spark, sf_dir, k, max_df=None):
+    """The at-rest sparse arm: build-once/search-many against the
+    term-bucketed postings index."""
+    store, tbl, docs = _bm25_index_store(spark, sf_dir)
     return text.bm25_index_search(
         store, docs.filter(F.col("doc_id") < 8), tbl, k=k, max_df=max_df
     )
+
+
+@register(
+    "llm_bm25_stopterms",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=f"""
+    WITH {_BM25_SPARSE_CTES},
+    hhcnt AS (
+      SELECT doc_id % 4 AS shard, term, CAST(count(*) AS BIGINT) AS c
+      FROM tf GROUP BY 1, 2
+    ),
+    hhrk AS (
+      SELECT shard, term, c,
+             row_number() OVER (PARTITION BY shard ORDER BY c DESC, term) AS rn
+      FROM hhcnt
+    ),
+    hhparts AS (
+      SELECT shard, coalesce(max(CASE WHEN rn > 16 THEN c END), 0) AS rest_max
+      FROM hhrk GROUP BY 1
+    ),
+    hhtot AS (SELECT sum(rest_max) AS all_rest FROM hhparts),
+    hhpv AS (
+      SELECT k.term, CAST(sum(k.c) AS BIGINT) AS count_lb,
+             sum(p.rest_max) AS present_rest
+      FROM hhrk k JOIN hhparts p ON p.shard = k.shard
+      WHERE k.rn <= 16 GROUP BY 1
+    ),
+    hhb AS (
+      SELECT pv.term, pv.count_lb,
+             CAST(pv.count_lb + t.all_rest - pv.present_rest AS BIGINT)
+               AS count_ub
+      FROM hhpv pv CROSS JOIN hhtot t
+    ),
+    stoplist AS (
+      SELECT term, count_lb, count_ub,
+             CAST(row_number() OVER (ORDER BY count_lb DESC, term) AS BIGINT)
+               AS rank
+      FROM hhb
+      QUALIFY row_number() OVER (ORDER BY count_lb DESC, term) <= 5
+    ),
+    cprobe AS (
+      SELECT q.query_id, p.doc_id AS candidate_id,
+             round(sum(p.bm25), 6) AS bm25_score
+      FROM post p JOIN qterms q USING (term)
+      WHERE p.doc_id <> q.query_id
+        AND p.term NOT IN (SELECT term FROM stoplist)
+      GROUP BY 1, 2
+    ),
+    pranked AS (
+      SELECT query_id, candidate_id, bm25_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY bm25_score DESC, candidate_id)
+                  AS BIGINT) AS rank
+      FROM cprobe
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY bm25_score DESC, candidate_id) <= 10
+    )
+    SELECT 'stop' AS part, term AS k1, CAST(NULL AS VARCHAR) AS k2,
+           CAST(count_lb AS DOUBLE) AS v1, CAST(count_ub AS DOUBLE) AS v2,
+           CAST(rank AS DOUBLE) AS v3
+    FROM stoplist
+    UNION ALL
+    SELECT 'probe', CAST(query_id AS VARCHAR), CAST(candidate_id AS VARCHAR),
+           bm25_score, CAST(rank AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM pranked
+    """,
+    doc=(
+        "LLM retrieval: DATA-PLANNED stop terms — the mergeable heavy-"
+        "hitters sketch over the at-rest postings' per-shard partial dfs"
+        " discovers the corpus's hot terms (top-5 by df lower bound, with"
+        " honest [lb, ub]), and the discovered list feeds the BM25 probe"
+        " as a postings ANTI-JOIN (lazy and distributed — no hand-picked"
+        " max_df literal, no driver-side threshold collect); certifies the"
+        " discovered stop list AND the stop-term-free retrieval in one"
+        " composition — the planned counterpart of llm_bm25_capped's"
+        " fixed cap, the way temperature_mixture plans the mix rates"
+    ),
+)
+def llm_bm25_stopterms(spark, sf_dir):
+    from aave_etl_spark.operators.text import _bm25_probe, discover_stop_terms
+
+    store, tbl, docs = _bm25_index_store(spark, sf_dir)
+    posts = store.read_bucketed(tbl)
+    stop = discover_stop_terms(posts, m=16, k=5, n_shards=4)
+    clean = posts.join(
+        F.broadcast(stop.select(F.col("value").alias("term"))), "term", "left_anti"
+    )
+    probe = _bm25_probe(clean, docs.filter(F.col("doc_id") < 8), k=10)
+    stop_arm = stop.selectExpr(
+        "'stop' AS part", "value AS k1", "CAST(NULL AS STRING) AS k2",
+        "CAST(count_lb AS DOUBLE) AS v1", "CAST(count_ub AS DOUBLE) AS v2",
+        "CAST(rank AS DOUBLE) AS v3",
+    )
+    probe_arm = probe.selectExpr(
+        "'probe' AS part", "CAST(query_id AS STRING) AS k1",
+        "CAST(candidate_id AS STRING) AS k2",
+        "bm25_score AS v1", "CAST(rank AS DOUBLE) AS v2",
+        "CAST(NULL AS DOUBLE) AS v3",
+    )
+    return stop_arm.unionByName(probe_arm)
 
 
 @register(
@@ -1903,12 +2091,18 @@ def llm_mix_plan(spark, sf_dir):
     "llm_weighted_sample",
     export=False,  # driver slot held by its family head (union_family)
     oracle=f"""
-    WITH scored AS (
-      SELECT lang, doc_id,
+    WITH wm AS (
+      SELECT lang, max(CAST(n_chars AS DOUBLE)) AS wmax
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+      GROUP BY lang
+    ),
+    scored AS (
+      SELECT d.lang, doc_id,
              round(-ln((CAST('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15)
                             AS BIGINT) + 0.5) / 1152921504606846976.0)
-                   / CAST(n_chars AS DOUBLE), 9) AS sample_key
-      FROM documents
+                   / (CAST(n_chars AS DOUBLE) / wm.wmax), 9) AS sample_key
+      FROM documents d JOIN wm ON d.lang IS NOT DISTINCT FROM wm.lang
       WHERE n_chars IS NOT NULL AND n_chars > 0
     )
     SELECT lang, doc_id, sample_key,
@@ -1922,9 +2116,11 @@ def llm_mix_plan(spark, sf_dir):
     doc=(
         "LLM sampling: weighted sampling WITHOUT replacement (Efraimidis-"
         "Spirakis 2006) — per-language top-5 by the exponential-clock key"
-        " -ln(u)/w with u from the deterministic id hash and w = n_chars;"
-        " weight-proportional draws with no normalization pass, stable"
-        " under corpus growth, one WindowGroupLimit-capped window"
+        " -ln(u)/w' with u from the deterministic id hash and w = n_chars"
+        " normalized per group to max(w) (scale-free keys: raw weights"
+        " >~1e8 would collapse under the 9dp engine-parity rounding);"
+        " weight-proportional draws with no replacement, stable under"
+        " corpus growth, one WindowGroupLimit-capped window"
     ),
 )
 def llm_weighted_sample(spark, sf_dir):
@@ -2646,7 +2842,10 @@ if not _CURATION_CTES_TO_SURV5.rstrip().endswith(
     # drifted split marker surface as an opaque DuckDB parse error instead
     raise RuntimeError("curation oracle split drifted — fix the split marker")
 
-_CURATION_TEMPMIX_ORACLE = (
+# The planned-mix CTE chain (core chain + temperature plan + planned-rate
+# mix), shared by the tempmix certification and the weighted-draw twin
+# that extends it further.
+_TEMPMIX_CTES = (
     _CURATION_CTES_TO_SURV5
     + f""",
 tm AS MATERIALIZED (
@@ -2663,10 +2862,15 @@ tplan AS MATERIALIZED (
   FROM tm CROSS JOIN ts
 ),
 tsurv AS MATERIALIZED (
-  SELECT surv5.doc_id, surv5.lang
+  SELECT surv5.doc_id, surv5.lang, surv5.ct
   FROM surv5 LEFT JOIN tplan USING (lang)
   WHERE {_UHASH.format(salt="mix")} < coalesce(sample_rate, 0.0)
+)"""
 )
+
+_CURATION_TEMPMIX_ORACLE = (
+    _TEMPMIX_CTES
+    + """
 SELECT 'plan' AS part, lang AS k1,
        n_units AS v1, mix_share AS v2, sample_rate AS v3
 FROM tplan
@@ -2675,6 +2879,95 @@ SELECT 'mixed', lang, CAST(count(*) AS DOUBLE), NULL, NULL
 FROM tsurv GROUP BY lang
 """
 )
+
+# The weighted-budget-draw tail: Efraimidis–Spirakis A-ES over the
+# planned-mix survivors, weight = the gate stage's 6dp quality score
+# normalized to its global max (sampling.weighted_sample_k's scale-free
+# contract), then greedy first-fit packing of the DRAWN corpus — the
+# final token-budgeted training set. Mirrors mix_and_pack(sample_k=32).
+_CURATION_WDRAW_ORACLE = (
+    _TEMPMIX_CTES
+    + f""",
+wbase AS MATERIALIZED (
+  SELECT t.doc_id, t.lang, t.ct, gq.quality
+  FROM tsurv t JOIN gq ON t.doc_id = gq.doc_id
+  WHERE gq.quality IS NOT NULL AND gq.quality > 0
+),
+wmaxq AS MATERIALIZED (SELECT max(quality) AS wm FROM wbase),
+wkey AS MATERIALIZED (
+  SELECT doc_id, lang, ct,
+         round(-ln((CAST('0x' || substring(md5('wdraw:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) + 0.5) / 1152921504606846976.0)
+               / (quality / wmaxq.wm), 9) AS sample_key
+  FROM wbase CROSS JOIN wmaxq
+),
+wdrawn AS MATERIALIZED (
+  SELECT doc_id, lang, ct, sample_key,
+         CAST(row_number() OVER (ORDER BY sample_key, doc_id) AS BIGINT)
+           AS sample_rank
+  FROM wkey
+  QUALIFY row_number() OVER (ORDER BY sample_key, doc_id) <= 32
+),
+wpbase AS MATERIALIZED (
+  SELECT lang, doc_id, CAST(len({_CT_TOKS}) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM wdrawn
+),
+wp AS (
+  SELECT lang, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id,
+         CAST(0 AS BIGINT) AS pack_offset,
+         n_tokens AS cum
+  FROM wpbase WHERE rn = 1
+  UNION ALL
+  SELECT b.lang, b.doc_id, b.n_tokens, b.rn,
+         CASE WHEN pp.cum + b.n_tokens > 256 THEN pp.pack_id + 1 ELSE pp.pack_id END,
+         CASE WHEN pp.cum + b.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE pp.cum END,
+         CASE WHEN pp.cum + b.n_tokens > 256 THEN b.n_tokens ELSE pp.cum + b.n_tokens END
+  FROM wp pp JOIN wpbase b ON b.lang = pp.lang AND b.rn = pp.rn + 1
+)
+SELECT 'draw' AS part, lang AS k1, CAST(doc_id AS VARCHAR) AS k2,
+       sample_key AS v1, CAST(sample_rank AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM wdrawn
+UNION ALL
+SELECT 'packed', lang, CAST(doc_id AS VARCHAR),
+       CAST(n_tokens AS DOUBLE), CAST(pack_id AS DOUBLE), CAST(pack_offset AS DOUBLE)
+FROM wp
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# CHAIN-ONCE / CERTIFY-MANY: the three curation certifications (static mix,
+# planned temperature mix, weighted budget draw) differ only in their
+# stage-6/7 TAIL — the expensive stage-1..5 chain (C4 → exact dedup →
+# LSH/Jaccard/CC near-dup → quality/lang gate → DSIR) is byte-identical
+# across them. Each used to re-run the whole chain (r9 bench: ~6.5 s of
+# duplicated certified work PER tail inside one family head); now the
+# checkpointed core is built once per (session, corpus) and every tail
+# reads the same materialized stage frames — the same build-once/
+# read-many discipline as the at-rest sketch/index certifications
+# (llm_hh_atrest, llm_stream_ingest). Value-neutral by construction: the
+# tails consume the identical frames the per-tail chains produced.
+# ---------------------------------------------------------------------------
+_CURATION_CORE_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _shared_curation_core(spark, sf_dir):
+    import os as _os
+
+    from aave_etl_spark.plans.curation import curate_core
+
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    if key not in _CURATION_CORE_CACHE:
+        _CURATION_CORE_CACHE.clear()  # hold ONE corpus chain per session
+        docs = t(spark, sf_dir, "documents").withColumn(
+            "text",
+            F.expr("replace(text, ' table ', concat('.', chr(10), 'table '))"),
+        )
+        _CURATION_CORE_CACHE[key] = curate_core(docs)
+    return _CURATION_CORE_CACHE[key]
 
 
 @register(
@@ -2687,17 +2980,16 @@ FROM tsurv GROUP BY lang
         " FROM the gated corpus itself (DSIR survivors) and fed straight"
         " into the deterministic-hash domain mixer; certifies both the"
         " plan rows and the per-language mixed survivor counts against the"
-        " chained-CTE oracle of the full upstream pipeline"
+        " chained-CTE oracle of the full upstream pipeline (stages 1-5"
+        " shared with the static-mix and weighted-draw certifications —"
+        " chain-once/certify-many)"
     ),
 )
 def llm_curation_tempmix(spark, sf_dir):
-    from aave_etl_spark.plans.curation import curate
+    from aave_etl_spark.plans.curation import mix_and_pack
 
-    docs = t(spark, sf_dir, "documents").withColumn(
-        "text",
-        F.expr("replace(text, ' table ', concat('.', chr(10), 'table '))"),
-    )
-    stages = curate(docs, mix_temperature=0.7, mix_budget=10000.0)
+    core = _shared_curation_core(spark, sf_dir)
+    stages = mix_and_pack(core, spark, mix_temperature=0.7, mix_budget=10000.0)
     plan = stages["mix_plan"].selectExpr(
         "'plan' AS part", "lang AS k1",
         "n_units AS v1", "mix_share AS v2", "sample_rate AS v3",
@@ -2724,19 +3016,18 @@ def llm_curation_tempmix(spark, sf_dir):
         " language gate -> DSIR importance resample -> domain mixing ->"
         " greedy sequence packing, certified as one flow (per-stage"
         " survivor counts + the final packed assignment) against the"
-        " chained-CTE composition of every stage's certified oracle"
+        " chained-CTE composition of every stage's certified oracle;"
+        " stages 1-5 shared with the planned-mix and weighted-draw"
+        " certifications (chain-once/certify-many)"
     ),
 )
 def llm_curation_pipeline(spark, sf_dir):
     from functools import reduce
 
-    from aave_etl_spark.plans.curation import curate
+    from aave_etl_spark.plans.curation import mix_and_pack
 
-    docs = t(spark, sf_dir, "documents").withColumn(
-        "text",
-        F.expr("replace(text, ' table ', concat('.', chr(10), 'table '))"),
-    )
-    stages = curate(docs)  # exact forms, checkpointed — the certified twin
+    core = _shared_curation_core(spark, sf_dir)
+    stages = {**core, **mix_and_pack(core, spark)}  # static DEFAULT_MIX tail
 
     def cnt(df, name):
         return df.agg(F.count(F.lit(1)).cast("double").alias("v1")).selectExpr(
@@ -2755,6 +3046,41 @@ def llm_curation_pipeline(spark, sf_dir):
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), arms)
+
+
+@register(
+    "llm_curation_wdraw",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=_CURATION_WDRAW_ORACLE,
+    doc=(
+        "LLM curation: the QUALITY-WEIGHTED budget draw wired into the"
+        " pipeline — plan (temperature mixture) -> mix -> Efraimidis-"
+        "Spirakis draw of exactly 32 docs weight-proportional to the gate"
+        " stage's quality score (carried through the chain; scale-free"
+        " max-normalized clock keys) -> greedy packing of the DRAWN"
+        " corpus; certifies the drawn set (keys + ranks) AND its packed"
+        " assignment against the chained-CTE oracle — the production"
+        " sampling story: curate to a token budget, weighted by quality"
+    ),
+)
+def llm_curation_wdraw(spark, sf_dir):
+    from aave_etl_spark.plans.curation import mix_and_pack
+
+    core = _shared_curation_core(spark, sf_dir)
+    stages = mix_and_pack(
+        core, spark, mix_temperature=0.7, mix_budget=10000.0, sample_k=32
+    )
+    drawn = stages["draw"].selectExpr(
+        "'draw' AS part", "lang AS k1", "CAST(doc_id AS STRING) AS k2",
+        "sample_key AS v1", "CAST(sample_rank AS DOUBLE) AS v2",
+        "CAST(NULL AS DOUBLE) AS v3",
+    )
+    packed = stages["packed"].selectExpr(
+        "'packed' AS part", "lang AS k1", "CAST(doc_id AS STRING) AS k2",
+        "CAST(n_tokens AS DOUBLE) AS v1", "CAST(pack_id AS DOUBLE) AS v2",
+        "CAST(pack_offset AS DOUBLE) AS v3",
+    )
+    return drawn.unionByName(packed)
 
 
 # ---------------------------------------------------------------------------

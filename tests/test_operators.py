@@ -782,6 +782,57 @@ def test_mix_corpus_rates_and_nesting(spark):
     assert mix_corpus(df.union(extra), w_lo).filter("lang = 'zz'").count() == 0
 
 
+def test_mix_corpus_null_group_rows_are_first_class(spark):
+    """The eqNullSafe group-join discipline: a NULL group in the weights
+    table matches NULL-group corpus rows (the un-identified-language
+    slice a mixing policy most needs to rate); NULL-group rows with no
+    NULL weights row fall to default_frac like any other unlisted
+    group."""
+    from aave_etl_spark.operators.sampling import mix_corpus
+
+    df = spark.createDataFrame(
+        [(i, None if i < 50 else "en") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    # no NULL row in weights: NULL-lang docs take default_frac
+    w = spark.createDataFrame([("en", 1.0)], "lang string, keep_frac double")
+    assert mix_corpus(df, w).filter("lang IS NULL").count() == 0
+    assert (
+        mix_corpus(df, w, default_frac=1.0).filter("lang IS NULL").count() == 50
+    )
+    # an explicit NULL-group rate applies to exactly the NULL slice
+    wn = spark.createDataFrame(
+        [("en", 0.0), (None, 1.0)], "lang string, keep_frac double"
+    )
+    got = mix_corpus(df, wn)
+    assert got.filter("lang IS NULL").count() == 50
+    assert got.filter("lang = 'en'").count() == 0
+
+
+def test_line_dedup_global_null_and_empty_text_docs_keep_their_rows(spark):
+    """NULL-text and whitespace-only docs must come back as ('', 0, 0)
+    rows (the id spine), and their presence must not disturb the
+    cross-doc first-occurrence pick."""
+    from aave_etl_spark.operators.dedup import line_dedup_global
+
+    boiler = "subscribe to our newsletter for all the updates"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique opening line for document\n{boiler}"),
+            (2, f"{boiler}\nanother unique body line here"),
+            (3, None),
+            (4, "   \n  "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup_global(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[3].clean_text, got[3].n_lines, got[3].n_kept) == ("", 0, 0)
+    assert (got[4].clean_text, got[4].n_lines, got[4].n_kept) == ("", 0, 0)
+    # the boilerplate survives only in its first occurrence (doc 1)
+    assert boiler in got[1].clean_text and boiler not in got[2].clean_text
+
+
 def test_simhash_near_dup_exact_recall_within_radius(spark):
     from aave_etl_spark.operators.dedup import simhash, simhash_near_dup_pairs
 
@@ -1749,6 +1800,83 @@ def test_curation_pipeline_approximate_twin_is_window_free_at_scale(spark):
             )
 
 
+def test_discover_stop_terms_matches_max_df_cap_on_separated_corpus(spark):
+    """The HH-discovered stop list IS the df-cap exclusion set when the
+    df distribution separates: on a corpus with 3 ubiquitous terms and a
+    long rare tail, discovery returns exactly the hot terms (exact
+    bounds, lb == ub == true df), and the anti-join probe equals the
+    max_df-capped probe for any cap between the tail's max df and the
+    hot terms' df — the planned and hand-picked stop handling coincide."""
+    from aave_etl_spark.operators.text import (
+        _bm25_probe,
+        bm25_postings,
+        discover_stop_terms,
+    )
+
+    n_docs = 40
+    rows = [
+        (i, f"hota hotb hotc rare{i % 20} rare{(i + 7) % 20}x")
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    posts = bm25_postings(docs)
+    stop = discover_stop_terms(posts, m=16, k=3, n_shards=4)
+    got = {r.value: r for r in stop.collect()}
+    assert set(got) == {"hota", "hotb", "hotc"}
+    for r in got.values():
+        assert r.exact and r.count_lb == r.count_ub == n_docs
+    # anti-join composition == max_df cap for a cap separating the tail
+    tail_max_df = max(
+        r.df for r in posts.filter(~F.col("term").startswith("hot")).collect()
+    )
+    assert tail_max_df < n_docs
+    clean = posts.join(
+        stop.select(F.col("value").alias("term")), "term", "left_anti"
+    )
+    queries = docs.filter(F.col("doc_id") < 4)
+    via_anti = sorted(
+        map(tuple, _bm25_probe(clean, queries, k=10).collect())
+    )
+    via_cap = sorted(
+        map(tuple, _bm25_probe(posts, queries, k=10, max_df=tail_max_df).collect())
+    )
+    assert via_anti == via_cap and via_anti
+
+
+def test_curate_weighted_budget_draw_and_tail_validation(spark):
+    """sample_k wires the quality-weighted A-ES draw into the pipeline:
+    exactly k docs drawn from the mixed corpus (ranks 1..k, a subset of
+    the mix), the packed output packs the DRAWN set, and the tail
+    options are mutually validated like the mixing fork is."""
+    import pytest as _pytest
+
+    from tests.conftest import SF_SMOKE
+
+    from aave_etl_spark.plans.curation import curate
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet").withColumn(
+        "text",
+        F.expr("replace(text, ' table ', concat('.', chr(10), 'table '))"),
+    )
+    k = 5
+    stages = curate(docs, mix_temperature=0.7, mix_budget=10000.0, sample_k=k)
+    drawn = stages["draw"].collect()
+    assert sorted(r.sample_rank for r in drawn) == list(range(1, k + 1))
+    mix_ids = {r.doc_id for r in stages["mix"].select("doc_id").collect()}
+    assert {r.doc_id for r in drawn} <= mix_ids
+    # the packed corpus is the drawn set, not the full mix
+    assert {r.doc_id for r in stages["packed"].collect()} == {
+        r.doc_id for r in drawn
+    }
+    # tail-option contract errors are loud and specific
+    with _pytest.raises(ValueError, match="sample_weight_col"):
+        curate(docs, sample_weight_col="quality")
+    with _pytest.raises(ValueError, match="sample_k"):
+        curate(docs, sample_k=0)
+    with _pytest.raises(ValueError, match="not a column"):
+        curate(docs, sample_k=3, sample_weight_col="no_such_col")
+
+
 def test_ivfpq_trained_geometry_end_to_end_recall_and_determinism(spark, tmp_path):
     """The PRODUCTION ANN shape: k-means-TRAINED cells + residual codebook
     run through ivfpq_index_build/ivfpq_index_search end-to-end.
@@ -2334,6 +2462,37 @@ def test_weighted_sample_k_is_weight_proportional_and_deterministic(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_k_is_scale_free_in_weights(spark):
+    """The max-normalization contract: scaling every weight by a positive
+    constant leaves the draw BIT-IDENTICAL (keys divide by the group max
+    before the 9dp rounding), so heavy absolute weights (~1e12) can no
+    longer collapse keys to 0.000000000 and degrade the draw to
+    ascending id — the ADVICE r9 failure mode."""
+    from aave_etl_spark.operators.sampling import weighted_sample_k
+
+    def draw(res):  # compare the DRAW (ids, keys, ranks), not the raw w
+        return sorted((r.doc_id, r.sample_key, r.sample_rank) for r in res)
+
+    rows = [(i, float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    big = df.withColumn("w", F.col("w") * F.lit(1e12))
+    a = draw(weighted_sample_k(df, k=20, weight_col="w").collect())
+    b = draw(weighted_sample_k(big, k=20, weight_col="w").collect())
+    assert a == b
+    # grouped form too (per-group max normalizer, NULL-safe join back)
+    g = df.withColumn("g", (F.col("doc_id") % 3).cast("string"))
+    gbig = big.withColumn("g", (F.col("doc_id") % 3).cast("string"))
+    ga = draw(weighted_sample_k(g, k=4, weight_col="w", group_cols=["g"]).collect())
+    gb = draw(weighted_sample_k(gbig, k=4, weight_col="w", group_cols=["g"]).collect())
+    assert ga == gb
+    # NULL group keeps its draws (eqNullSafe normalizer join)
+    gn = df.withColumn(
+        "g", F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.lit("x"))
+    )
+    got = weighted_sample_k(gn, k=4, weight_col="w", group_cols=["g"]).collect()
+    assert sum(1 for r in got if r.g is None) == 4
 
 
 def test_temperature_mixture_upweights_low_resource_and_caps_rates(spark):
