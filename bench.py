@@ -144,13 +144,18 @@ def main() -> int:
     # value / queries live.  Persist the FULL payload (incl. parts) to
     # BENCH_LAST.json next to the script, and keep stdout's one JSON line
     # compact: headline + medians only, with a pointer to the file.
+    # BENCH_LAST.json is overwritten per run, so cross-round per-part
+    # attribution used to need git archaeology (VERDICT r9 #7): every run
+    # ALSO appends its full payload to BENCH_HISTORY.jsonl — one line per
+    # run, timestamped, committed with the repo — so round-over-round part
+    # breakdowns are a `jq` away.
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LAST.json"),
-            "w",
-        ) as fh:
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(repo_dir, "BENCH_LAST.json"), "w") as fh:
             json.dump(out, fh, indent=1)
+            fh.write("\n")
+        with open(os.path.join(repo_dir, "BENCH_HISTORY.jsonl"), "a") as fh:
+            json.dump({"ts": int(time.time()), **out}, fh)
             fh.write("\n")
         out = {k: v for k, v in out.items() if k != "parts"}
         out["parts_in"] = "BENCH_LAST.json"
