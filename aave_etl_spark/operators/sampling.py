@@ -166,11 +166,15 @@ def weighted_sample_k(
     Deterministic and engine-portable: u = (md5-prefix + 0.5) / 16^15
     (half-up so u is never exactly 0 — ln(0) is NULL in Spark and would
     silently win every draw), the key rounds to 9dp before ranking and
-    ties break by id — re-runs, engine swaps, and repartitions never flip a draw; like
-    the other hash samplers, a row's clock never changes as the corpus
-    grows, so samples stay stable under ingest (only genuine competition
-    evicts a row). Rows with NULL or non-positive weight cannot win a
-    weighted draw and are excluded.
+    ties break by id — re-runs, engine swaps, and repartitions never
+    flip a draw. Under ingest, a row's RELATIVE clock order within its
+    group is preserved (the normalizer rescales every key by the same
+    positive constant), so evictions come from genuine competition —
+    with one caveat: if ingest changes the group's max weight, the
+    rescale can create or break ties at the 9th decimal place, where the
+    id tie-break decides; exact bit-stability under ingest holds only
+    while the group max is unchanged. Rows with NULL or non-positive
+    weight cannot win a weighted draw and are excluded.
 
     SCALE-FREE WEIGHTS: the clock divides by w NORMALIZED to the
     (group's/global) max weight, w' = w / max(w) <= 1, so sample_key >=
@@ -187,16 +191,28 @@ def weighted_sample_k(
     100 TB: the max-weight normalizer is one map-side-combined aggregate
     (group-cardinality rows) BROADCAST back — deliberately not a window
     max, which would sit on the rank window's exchange and destroy its
-    map-side WindowGroupLimit trim; grouped form = one shuffle on the
-    group key with the per-group top-k window capped map-side
-    (WindowGroupLimit); global form = sort + LIMIT k, which Spark
-    executes as a distributed TakeOrdered (per-partition top-k, never a
-    full global sort). NULL-valued groups keep their draws: the
-    normalizer joins back NULL-safely."""
+    map-side WindowGroupLimit trim. The normalizer is a SECOND scan of
+    the input lineage (cache/checkpoint upstream if that lineage is
+    expensive), and the broadcast is group-cardinality rows — fine for
+    domain-like groups (languages, sources), not for high-cardinality
+    group keys (the same contract as every weights-broadcast in this
+    module). Grouped form = one shuffle on the group key with the
+    per-group top-k window capped map-side (WindowGroupLimit); global
+    form = sort + LIMIT k, which Spark executes as a distributed
+    TakeOrdered (per-partition top-k, never a full global sort).
+    NULL-valued groups keep their draws: the normalizer joins back
+    NULL-safely."""
     from functools import reduce
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    reserved = {"_wmax"} | {f"_g_{c}" for c in (group_cols or [])}
+    clashes = sorted(reserved & set(df.columns))
+    if clashes:
+        raise ValueError(
+            f"weighted_sample_k: input columns {clashes} collide with the"
+            " operator's internal normalizer names — rename them first"
+        )
     w = F.col(weight_col).cast("double")
     # u = (h + 0.5) / 16^15, never exactly 0: ln(0) is NULL in Spark (a
     # NULL key would sort FIRST and silently win every draw) and a finite
@@ -266,6 +282,11 @@ def mix_corpus(
     any other unlisted group — never silently mis-bucketed."""
     if "keep_frac" not in weights.columns:
         raise ValueError("weights must have a keep_frac column")
+    if "_mix_g" in df.columns:
+        raise ValueError(
+            "mix_corpus: input column '_mix_g' collides with the"
+            " operator's internal join alias — rename it first"
+        )
     # project the weights table to (group, keep_frac) so stray columns on a
     # caller's weights frame never leak into the mixed corpus's schema;
     # alias the key so the NULL-safe join condition is unambiguous

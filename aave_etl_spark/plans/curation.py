@@ -49,26 +49,26 @@ def _validate_mix_options(
     weight column without a draw budget (or vice versa) is a typo."""
     if mix_temperature is not None and mix_weights is not None:
         raise ValueError(
-            "curate: pass mix_weights OR mix_temperature, not both —"
+            "curation tail: pass mix_weights OR mix_temperature, not both —"
             " planned rates would silently override the explicit table"
         )
     if mix_budget is not None and mix_temperature is None:
         raise ValueError(
-            "curate: mix_budget only applies to temperature planning —"
+            "curation tail: mix_budget only applies to temperature planning —"
             " pass mix_temperature (or drop the budget)"
         )
     if mix_temperature is not None and mix_budget is None:
         raise ValueError(
-            "curate: mix_temperature needs mix_budget (the planned"
+            "curation tail: mix_temperature needs mix_budget (the planned"
             " sample_rate is budget-relative)"
         )
     if sample_weight_col is not None and sample_k is None:
         raise ValueError(
-            "curate: sample_weight_col only applies to the weighted budget"
+            "curation tail: sample_weight_col only applies to the weighted budget"
             " draw — pass sample_k (or drop the weight column)"
         )
     if sample_k is not None and sample_k < 1:
-        raise ValueError(f"curate: sample_k must be >= 1, got {sample_k}")
+        raise ValueError(f"curation tail: sample_k must be >= 1, got {sample_k}")
 
 
 def curate_core(
@@ -199,8 +199,8 @@ def mix_and_pack(
         wcol = sample_weight_col or "quality"
         if wcol not in surv6.columns:
             raise ValueError(
-                f"curate: sample_weight_col {wcol!r} is not a column of the"
-                f" mixed corpus (have {surv6.columns}) — the default"
+                f"curation tail: sample_weight_col {wcol!r} is not a column of"
+                f" the mixed corpus (have {surv6.columns}) — the default"
                 " 'quality' requires a curate_core-built core"
             )
         draw = sampling.weighted_sample_k(

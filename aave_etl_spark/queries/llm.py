@@ -2146,7 +2146,7 @@ def llm_weighted_sample(spark, sf_dir):
       SELECT d.doc_id, d.lang,
              coalesce(w.keep_frac, 0.0) AS keep_frac,
              {_UHASH.format(salt="mix")} AS u
-      FROM documents d LEFT JOIN w USING (lang)
+      FROM documents d LEFT JOIN w ON d.lang IS NOT DISTINCT FROM w.lang
     )
     SELECT lang, CAST(keep_frac AS DOUBLE) AS keep_frac,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -2789,7 +2789,7 @@ mixw AS MATERIALIZED (
 ),
 surv6 AS MATERIALIZED (
   SELECT surv5.doc_id, surv5.lang, surv5.ct
-  FROM surv5 LEFT JOIN mixw USING (lang)
+  FROM surv5 LEFT JOIN mixw ON surv5.lang IS NOT DISTINCT FROM mixw.lang
   WHERE {_UHASH.format(salt="mix")} < coalesce(keep_frac, 0.0)
 ),
 pbase AS MATERIALIZED (
@@ -2863,7 +2863,7 @@ tplan AS MATERIALIZED (
 ),
 tsurv AS MATERIALIZED (
   SELECT surv5.doc_id, surv5.lang, surv5.ct
-  FROM surv5 LEFT JOIN tplan USING (lang)
+  FROM surv5 LEFT JOIN tplan ON surv5.lang IS NOT DISTINCT FROM tplan.lang
   WHERE {_UHASH.format(salt="mix")} < coalesce(sample_rate, 0.0)
 )"""
 )
@@ -2955,6 +2955,15 @@ _CURATION_CORE_CACHE: dict[tuple[str, str], dict] = {}
 
 
 def _shared_curation_core(spark, sf_dir):
+    """One cached checkpointed stage-1..5 chain per (session, corpus).
+
+    Contract (shared with every at-rest store in this module): the corpus
+    under ``sf_dir`` is immutable within a Spark session — regenerating
+    the parquet in place mid-session would serve stale checkpointed
+    stages, exactly as it would serve a stale hh/kmv/bm25 store. The
+    cache holds ONE corpus (cleared on miss): alternating corpora
+    query-by-query re-pays the chain per switch, which certification and
+    bench never do."""
     import os as _os
 
     from aave_etl_spark.plans.curation import curate_core
