@@ -334,6 +334,39 @@ def bm25_postings(
     )
 
 
+def stop_term_sketches(
+    postings: DataFrame,
+    m: int = 16,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The per-shard partial-df heavy-hitter summaries stop-term
+    discovery is built from: (_corpus, _shard, hh, rest_max, hh_m) — m
+    (term, partial df) pairs + an undercount bound per shard, kilobytes
+    regardless of corpus size. Store these once through the TableStore
+    and roll the stop list up from the stored states with
+    :func:`stop_terms_from_sketches` — the store-once/roll-anywhere
+    sketch-table shape, so re-planning the list after ingest reads m-row
+    states, not the postings."""
+    from aave_etl_spark.operators.sketch import topk_sketch_by_group
+
+    toks = postings.select(
+        F.lit("all").alias("_corpus"),
+        (F.col(id_col) % int(n_shards)).alias("_shard"),
+        "term",
+    )
+    return topk_sketch_by_group(toks, ["_corpus", "_shard"], "term", m=m)
+
+
+def stop_terms_from_sketches(sketches: DataFrame, k: int = 5) -> DataFrame:
+    """Roll per-shard :func:`stop_term_sketches` states (in-flight or
+    read back from a store) up to the global top-k stop list:
+    (value=term, count_lb, count_ub, exact, rank)."""
+    from aave_etl_spark.operators.sketch import topk_merge
+
+    return topk_merge(sketches, ["_corpus"], k=k).drop("_corpus")
+
+
 def discover_stop_terms(
     postings: DataFrame,
     m: int = 16,
@@ -364,16 +397,13 @@ def discover_stop_terms(
 
     Dataflow at 100 TB: one map-side-combined (shard, term) count, a
     WindowGroupLimit-trimmed per-shard rank, and a k-row merge — nothing
-    scales past vocabulary size."""
-    from aave_etl_spark.operators.sketch import topk_merge, topk_sketch_by_group
-
-    toks = postings.select(
-        F.lit("all").alias("_corpus"),
-        (F.col(id_col) % int(n_shards)).alias("_shard"),
-        "term",
+    scales past vocabulary size. The postings scan per call is the
+    corpus-linear term (SCALE.md round-10 row); persist
+    :func:`stop_term_sketches` and roll up with
+    :func:`stop_terms_from_sketches` to pin the list at rest instead."""
+    return stop_terms_from_sketches(
+        stop_term_sketches(postings, m=m, n_shards=n_shards, id_col=id_col), k=k
     )
-    fine = topk_sketch_by_group(toks, ["_corpus", "_shard"], "term", m=m)
-    return topk_merge(fine, ["_corpus"], k=k).drop("_corpus")
 
 
 def bm25_retrieve(

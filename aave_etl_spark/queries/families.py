@@ -161,6 +161,12 @@ family(
             ("v1", "v2", "v3"),
         ),
         (
+            "stopterms_atrest",
+            "llm_bm25_stopterms_atrest",
+            ("part", "k1", "k2"),
+            ("v1", "v2", "v3"),
+        ),
+        (
             "gate",
             "llm_curation_gate",
             ("doc_id",),
@@ -241,7 +247,10 @@ family(
         " lines) + Gopher-style repetition"
         " signal + sliding-window context chunking + PII/URL scrubbing +"
         " per-doc top-3 BM25 terms + max_df stop-term-capped BM25 index"
-        " search (postings-scan predicate pushdown)"
+        " search (postings-scan predicate pushdown) + DATA-PLANNED stop"
+        " terms (heavy-hitters discovery over per-shard partial dfs"
+        " anti-joined into the probe; in-flight AND at-rest from stored"
+        " m-row HH states)"
         " + the composed per-doc curation gate"
         " (quality x repetition x language x exact-dup keeper) +"
         " per-language quality-percentile top-50% gate + vocabulary"

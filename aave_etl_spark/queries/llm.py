@@ -1635,10 +1635,10 @@ def _bm25_index_arm(spark, sf_dir, k, max_df=None):
     )
 
 
-@register(
-    "llm_bm25_stopterms",
-    export=False,  # driver slot held by its family head (llm_text_stats)
-    oracle=f"""
+# Shared by the in-flight stop-term discovery (llm_bm25_stopterms) and
+# its at-rest twin (llm_bm25_stopterms_atrest): the HH-state store hop
+# changes no values, so one oracle certifies both.
+_BM25_STOPTERMS_ORACLE = f"""
     WITH {_BM25_SPARSE_CTES},
     hhcnt AS (
       SELECT doc_id % 4 AS shard, term, CAST(count(*) AS BIGINT) AS c
@@ -1698,25 +1698,14 @@ def _bm25_index_arm(spark, sf_dir, k, max_df=None):
     SELECT 'probe', CAST(query_id AS VARCHAR), CAST(candidate_id AS VARCHAR),
            bm25_score, CAST(rank AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM pranked
-    """,
-    doc=(
-        "LLM retrieval: DATA-PLANNED stop terms — the mergeable heavy-"
-        "hitters sketch over the at-rest postings' per-shard partial dfs"
-        " discovers the corpus's hot terms (top-5 by df lower bound, with"
-        " honest [lb, ub]), and the discovered list feeds the BM25 probe"
-        " as a postings ANTI-JOIN (lazy and distributed — no hand-picked"
-        " max_df literal, no driver-side threshold collect); certifies the"
-        " discovered stop list AND the stop-term-free retrieval in one"
-        " composition — the planned counterpart of llm_bm25_capped's"
-        " fixed cap, the way temperature_mixture plans the mix rates"
-    ),
-)
-def llm_bm25_stopterms(spark, sf_dir):
-    from aave_etl_spark.operators.text import _bm25_probe, discover_stop_terms
+    """
 
-    store, tbl, docs = _bm25_index_store(spark, sf_dir)
-    posts = store.read_bucketed(tbl)
-    stop = discover_stop_terms(posts, m=16, k=5, n_shards=4)
+
+def _stopterms_result(stop, posts, docs):
+    """Anti-join the discovered stop list into the probe and align both
+    arms — shared by the in-flight and at-rest discovery twins."""
+    from aave_etl_spark.operators.text import _bm25_probe
+
     clean = posts.join(
         F.broadcast(stop.select(F.col("value").alias("term"))), "term", "left_anti"
     )
@@ -1733,6 +1722,77 @@ def llm_bm25_stopterms(spark, sf_dir):
         "CAST(NULL AS DOUBLE) AS v3",
     )
     return stop_arm.unionByName(probe_arm)
+
+
+@register(
+    "llm_bm25_stopterms",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=_BM25_STOPTERMS_ORACLE,
+    doc=(
+        "LLM retrieval: DATA-PLANNED stop terms — the mergeable heavy-"
+        "hitters sketch over the at-rest postings' per-shard partial dfs"
+        " discovers the corpus's hot terms (top-5 by df lower bound, with"
+        " honest [lb, ub]), and the discovered list feeds the BM25 probe"
+        " as a postings ANTI-JOIN (lazy and distributed — no hand-picked"
+        " max_df literal, no driver-side threshold collect); certifies the"
+        " discovered stop list AND the stop-term-free retrieval in one"
+        " composition — the planned counterpart of llm_bm25_capped's"
+        " fixed cap, the way temperature_mixture plans the mix rates"
+    ),
+)
+def llm_bm25_stopterms(spark, sf_dir):
+    from aave_etl_spark.operators.text import discover_stop_terms
+
+    store, tbl, docs = _bm25_index_store(spark, sf_dir)
+    posts = store.read_bucketed(tbl)
+    return _stopterms_result(
+        discover_stop_terms(posts, m=16, k=5, n_shards=4), posts, docs
+    )
+
+
+@register(
+    "llm_bm25_stopterms_atrest",
+    export=False,  # driver slot held by its family head (llm_text_stats)
+    oracle=_BM25_STOPTERMS_ORACLE,  # identical contract to the in-flight twin
+    doc=(
+        "LLM retrieval: the AT-REST stop-term discovery — the per-shard"
+        " partial-df heavy-hitter states are PERSISTED through the"
+        " TableStore (build-once/roll-many, completion-marker discipline)"
+        " and the stop list rolls up from the stored m-row states, never"
+        " the postings (the corpus-linear term in the in-flight"
+        " discovery's decade row); the pinned list feeds the same"
+        " anti-joined probe — results identical to llm_bm25_stopterms by"
+        " construction, store hop proven value-neutral under one oracle"
+    ),
+)
+def llm_bm25_stopterms_atrest(spark, sf_dir):
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.operators.text import (
+        discover_stop_terms,
+        stop_term_sketches,
+        stop_terms_from_sketches,
+    )
+
+    store, tbl, docs = _bm25_index_store(spark, sf_dir)
+    posts = store.read_bucketed(tbl)
+    hh_store = TableStore(
+        spark, session_scratch_dir(spark, "aave_etl_spark_stophh", corpus_key(sf_dir))
+    )
+    if not (hh_store.is_complete("stop_hh") and hh_store.exists("stop_hh")):
+        hh_store.clear_complete("stop_hh")
+        if not hh_store.write(
+            stop_term_sketches(posts, m=16, n_shards=4), "stop_hh"
+        ):
+            # empty corpus → nothing landed: serve the in-flight twin's
+            # (empty) result rather than stamping a marker for a missing
+            # table
+            return _stopterms_result(
+                discover_stop_terms(posts, m=16, k=5, n_shards=4), posts, docs
+            )
+        hh_store.mark_complete("stop_hh")
+    stop = stop_terms_from_sketches(hh_store.read("stop_hh"), k=5)
+    return _stopterms_result(stop, posts, docs)
 
 
 @register(

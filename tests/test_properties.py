@@ -297,3 +297,72 @@ def test_random_projection_jl_properties(spark):
     got = {r.vec_id: r.rproj for r in similarity.random_projection(pair, r=16).collect()}
     for a, b, s in zip(got[0], got[1], got[2]):
         assert abs((a + b) - s) < 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 3)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_topk_merge_bounds_contain_truth(spark, pairs):
+    """Mergeable heavy hitters: on ANY multiset split into ANY parts, the
+    merged [count_lb, count_ub] contains the true count for every emitted
+    value, exact==True implies lb == truth == ub, and the true overall
+    top-1 value is always emitted (it makes its parts' top-m by
+    definition when m >= 1 — here m=3 with up to 10 distinct values, so
+    truncation is exercised)."""
+    from collections import Counter
+
+    from aave_etl_spark.operators.sketch import topk_merge, topk_sketch_by_group
+
+    df = spark.createDataFrame(
+        [(f"v{v}", p) for v, p in pairs], "val string, part int"
+    ).withColumn("g", F.lit("g"))
+    fine = topk_sketch_by_group(df, ["g", "part"], "val", m=3)
+    merged = topk_merge(fine, ["g"], k=100).collect()
+    true = Counter(f"v{v}" for v, _ in pairs)
+    assert merged
+    for r in merged:
+        assert r.count_lb <= true[r.value] <= r.count_ub, (r, true[r.value])
+        if r.exact:
+            assert r.count_lb == true[r.value] == r.count_ub
+    top_true = max(sorted(true), key=lambda v: (true[v], ))
+    top_vals = {v for v in true if true[v] == true[top_true]}
+    assert top_vals & {r.value for r in merged}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 99), st.integers(0, 3)),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_rowsample_merge_equals_direct_sketch_of_union(spark, rows):
+    """Row-sample quantile sketch: pooling per-part bottom-k samples and
+    re-taking the bottom-k equals the direct sketch of the concatenated
+    data EXACTLY, for any partitioning — so do the quantiles read off
+    the pooled sample."""
+    from aave_etl_spark.operators.sketch import (
+        rowsample_merge_quantiles,
+        rowsample_sketch_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [(rid, p, float(rid % 13)) for rid, p in rows],
+        "rid long, part int, v double",
+    ).withColumn("g", F.lit("g"))
+    fine = rowsample_sketch_by_group(df, ["g", "part"], "rid", "v", k=8)
+    via_merge = sorted(
+        map(tuple, rowsample_merge_quantiles(fine, ["g"], k=8).collect())
+    )
+    direct = rowsample_sketch_by_group(df, ["g"], "rid", "v", k=8)
+    via_direct = sorted(
+        map(tuple, rowsample_merge_quantiles(direct, ["g"], k=8).collect())
+    )
+    assert via_merge == via_direct
