@@ -1,0 +1,260 @@
+"""The daily TRAINING-CORPUS asset graph: the LLM-side twin of the
+financial events pipeline (plans/events_pipeline.py), run entirely
+through the orchestration layer (plans/orchestration.py) and the
+TableStore.
+
+Each day's batch flows landing → dedup-against-the-corpus → quality/
+language gate → greedy packing, with the corpus STATE (content digests,
+document texts, and the at-rest MinHash band index) maintained
+incrementally per day — the daily-ingest shape a 100 TB pretraining
+corpus actually runs, where re-scanning the accumulated corpus per batch
+is the thing the at-rest state exists to avoid:
+
+- ``corpus_landing``   (DAILY, day-partitioned): the day's raw batch.
+- ``corpus_clean``     (DAILY, day-partitioned): within-batch exact
+  dedup (min doc_id per content digest), cross-CORPUS exact dedup
+  (anti-join against the at-rest digest table), cross-CORPUS near-dup
+  (minhash_index_match against the at-rest band index → exact-Jaccard
+  verify against only the MATCHED corpus docs → drop verified dups).
+  The corpus side of the match reads bucketed on band_key — zero
+  exchange, zero re-shingle of history; only the day's batch hashes.
+- ``corpus_state``     (DAILY, side-effect): appends the day's
+  survivors to ``corpus_digests`` + ``corpus_docs`` (day-partitioned —
+  re-running a day dynamic-overwrites exactly its slice) and
+  incrementally appends their bands into the ``corpus_mh`` index
+  (built on the first day; append proven equal to a from-scratch
+  rebuild in tests/test_operators.py). A re-run appends duplicate band
+  rows — harmless for matching (candidates are DISTINCT pairs) but
+  documented: rebuild the index to reclaim storage after heavy re-runs.
+- ``corpus_gated``     (DAILY, day-partitioned): quality_score +
+  language_id gate over the day's clean slice (quality >= 0.5 and a
+  confident language guess), token counts attached.
+- ``corpus_packed``    (DAILY, day-partitioned): greedy first-fit
+  packing of the day's gated docs into 256-token budgets per language.
+- ``corpus_stats``     (UNPARTITIONED): per-(day, lang) doc/token/pack
+  rollup over every day written so far — the datamart head.
+
+Certified end-to-end (two days, planted cross-day exact replicas and
+near-dup variants) against one chained-CTE DuckDB oracle in
+queries/llm.py ``llm_corpus_pipeline_run``.
+
+Scale: every per-day asset reads only its partition's slice
+(partition-pruned — K3); the corpus-sized state is touched only through
+the digest anti-join (broadcast of the BATCH side against the stored
+digests scan) and the bucketed band join (exchange-free corpus side);
+nothing re-shingles or re-reads accumulated text except the verify
+stage's equi-join on exactly the matched candidate ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, LongType, StringType, StructField, StructType
+
+from aave_etl_spark.operators import dedup, packing
+from aave_etl_spark.operators import text as text_ops
+from aave_etl_spark.plans.orchestration import (
+    DAILY,
+    UNPARTITIONED,
+    Asset,
+    AssetContext,
+    AssetGraph,
+)
+
+
+def _corpus_landing(ctx: AssetContext) -> DataFrame:
+    """The day's raw batch from the injected landing feed (the transport
+    resource, like the events pipeline's injected ``events``)."""
+    feed = ctx.resources["landing"]
+    return feed.where(F.col("day") == F.lit(ctx.partition.date).cast("date"))
+
+
+# typed-empty schemas for upstream reads: a day whose asset produced no
+# rows was never written (TableStore.write skips empties), and a plain
+# read of a missing table is a ZERO-COLUMN frame — downstream selects
+# must still resolve (plans/orchestration.py upstream() contract)
+def _schema(*fields: tuple[str, object]) -> StructType:
+    return StructType([StructField(n, t(), True) for n, t in fields])
+
+
+_LANDING_SCHEMA = _schema(
+    ("doc_id", LongType), ("lang", StringType), ("text", StringType),
+    ("day", DateType),
+)
+_CLEAN_SCHEMA = _schema(
+    ("day", DateType), ("doc_id", LongType), ("lang", StringType),
+    ("text", StringType),
+)
+_GATED_SCHEMA = _schema(
+    ("day", DateType), ("doc_id", LongType), ("lang", StringType),
+    ("n_tokens", LongType),
+)
+_PACKED_SCHEMA = _schema(
+    ("day", DateType), ("lang", StringType), ("doc_id", LongType),
+    ("n_tokens", LongType), ("pack_id", LongType), ("pack_offset", LongType),
+)
+
+
+def _corpus_clean(ctx: AssetContext) -> DataFrame:
+    """Dedup the day's batch within itself and against the CORPUS state."""
+    batch = ctx.upstream(
+        "corpus_landing", this_partition_only=True, date_col="day",
+        schema=_LANDING_SCHEMA,
+    )
+    digest = F.md5(dedup.normalize_text("text"))
+    # within-batch exact: first occurrence (min doc_id) per content digest
+    w = Window.partitionBy(digest)
+    batch = (
+        batch.withColumn("_k0", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_k0"))
+        .drop("_k0")
+    )
+    store = ctx.store
+    # cross-corpus exact: content already accepted on an earlier day loses
+    if store.exists("corpus_digests"):
+        seen = store.read("corpus_digests").select("digest")
+        batch = batch.join(seen, digest == F.col("digest"), "left_anti")
+    # cross-corpus near-dup: LSH match against the at-rest band index,
+    # exact-Jaccard verify restricted to the matched corpus docs only
+    if store.exists("corpus_mh"):
+        pairs = dedup.minhash_index_match(store, batch, "corpus_mh")
+        corpus_docs = store.read("corpus_docs").select("doc_id", "text")
+        # batch ids and corpus ids are disjoint by construction (fresh ids
+        # per day), so one shingle frame serves both sides of the verify
+        sh = dedup.word_shingles(
+            batch.select("doc_id", "text").unionByName(corpus_docs), n=3
+        )
+        dups = dedup.jaccard_verify(
+            sh,
+            pairs.selectExpr("new_id AS id_a", "corpus_id AS id_b"),
+            threshold=0.5,
+        )
+        batch = batch.join(
+            dups.select(F.col("id_a").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    return batch.select("day", "doc_id", "lang", "text")
+
+
+def _corpus_state(ctx: AssetContext) -> DataFrame:
+    """Side-effect asset: fold the day's survivors into the corpus state
+    (digest table, document table, MinHash band index)."""
+    clean = ctx.upstream(
+        "corpus_clean", this_partition_only=True, date_col="day",
+        schema=_CLEAN_SCHEMA,
+    )
+    store = ctx.store
+    digests = clean.select(
+        "day", "doc_id", F.md5(dedup.normalize_text("text")).alias("digest")
+    )
+    store.write(digests, "corpus_digests", partition_cols=["day"])
+    store.write(
+        clean.select("day", "doc_id", "lang", "text"),
+        "corpus_docs",
+        partition_cols=["day"],
+    )
+    if store.exists("corpus_mh"):
+        dedup.minhash_index_append(store, clean, "corpus_mh")
+    else:
+        dedup.minhash_index_build(store, clean, "corpus_mh")
+    return digests
+
+
+def _corpus_gated(ctx: AssetContext) -> DataFrame:
+    """Quality + language gate over the day's clean slice."""
+    clean = ctx.upstream(
+        "corpus_clean", this_partition_only=True, date_col="day",
+        schema=_CLEAN_SCHEMA,
+    )
+    q = text_ops.quality_score(clean, text_col="text")
+    lid = text_ops.language_id(clean, text_col="text")
+    return (
+        clean.join(q, "doc_id")
+        .join(lid.select("doc_id", "lang_guess"), "doc_id")
+        .filter("quality >= 0.5 AND lang_guess <> 'und'")
+        .select(
+            "day",
+            "doc_id",
+            "lang",
+            F.size(text_ops.tokens("text")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def _corpus_packed(ctx: AssetContext) -> DataFrame:
+    """Greedy first-fit packing of the day's gated docs per language."""
+    gated = ctx.upstream(
+        "corpus_gated", this_partition_only=True, date_col="day",
+        schema=_GATED_SCHEMA,
+    )
+    packed = packing.greedy_pack(
+        gated.select("lang", "doc_id", "n_tokens"), capacity=256
+    )
+    return packed.withColumn(
+        "day", F.lit(ctx.partition.date).cast("date")
+    ).select("day", "lang", "doc_id", "n_tokens", "pack_id", "pack_offset")
+
+
+def _corpus_stats(ctx: AssetContext) -> DataFrame:
+    """Datamart rollup over every packed day written so far."""
+    packed = ctx.upstream("corpus_packed", schema=_PACKED_SCHEMA)
+    return packed.groupBy("day", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        (F.max("pack_id") + 1).cast("long").alias("n_packs"),
+    )
+
+
+def corpus_pipeline_graph() -> AssetGraph:
+    return AssetGraph(
+        [
+            Asset(
+                name="corpus_landing",
+                fn=_corpus_landing,
+                group="corpus_lake",
+                partitioning=DAILY,
+                partition_cols=("day",),
+            ),
+            Asset(
+                name="corpus_clean",
+                fn=_corpus_clean,
+                deps=("corpus_landing",),
+                group="corpus_lake",
+                partitioning=DAILY,
+                partition_cols=("day",),
+            ),
+            Asset(
+                name="corpus_state",
+                fn=_corpus_state,
+                deps=("corpus_clean",),
+                group="corpus_lake",
+                partitioning=DAILY,
+                write_output=False,
+            ),
+            Asset(
+                name="corpus_gated",
+                fn=_corpus_gated,
+                deps=("corpus_clean",),
+                group="corpus_curate",
+                partitioning=DAILY,
+                partition_cols=("day",),
+            ),
+            Asset(
+                name="corpus_packed",
+                fn=_corpus_packed,
+                deps=("corpus_gated",),
+                group="corpus_curate",
+                partitioning=DAILY,
+                partition_cols=("day",),
+            ),
+            Asset(
+                name="corpus_stats",
+                fn=_corpus_stats,
+                deps=("corpus_packed",),
+                group="corpus_curate",
+                partitioning=UNPARTITIONED,
+            ),
+        ]
+    )

@@ -494,6 +494,12 @@ family(
             (),
         ),
         (
+            "corpus_run",
+            "llm_corpus_pipeline_run",
+            ("part", "k1", "k2", "k3"),
+            ("v1", "v2", "v3"),
+        ),
+        (
             "ivfpq_at_rest",
             "llm_ivfpq_index_search",
             ("CAST(query_id AS STRING)", "CAST(candidate_id AS STRING)"),

@@ -3260,6 +3260,270 @@ def llm_stream_ingest(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# The DAILY TRAINING-CORPUS pipeline (plans/corpus_pipeline.py) certified
+# END-TO-END through the orchestration layer: two days of batches where
+# day 2 plants exact replicas of day-1 content (fresh ids, +10M) and
+# near-dup variants (one trailer sentence appended, +20M); day 2's clean
+# asset must drop the replicas via the at-rest digest anti-join and the
+# variants via minhash_index_match → exact-Jaccard verify against the
+# at-rest band index day 1's state asset built. The oracle chains the
+# certified fragments: digest-min exact dedup, the MinHash/LSH banding
+# CTEs (cross-side new×corpus), the quality/language gate, the recursive
+# greedy pack, and the per-(day, lang) stats rollup.
+# ---------------------------------------------------------------------------
+_CORPUS_RUN_ORACLE = f"""
+WITH RECURSIVE
+b1 AS (
+  SELECT doc_id, lang, text, CAST('2024-01-01' AS DATE) AS day
+  FROM documents WHERE doc_id % 2 = 0
+),
+b2 AS (
+  SELECT doc_id, lang, text, CAST('2024-01-02' AS DATE) AS day
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 10000000, lang, text, CAST('2024-01-02' AS DATE)
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, lang,
+         text || ' shared boilerplate trailer appended here',
+         CAST('2024-01-02' AS DATE)
+  FROM documents WHERE doc_id % 4 = 2
+),
+c1 AS MATERIALIZED (
+  SELECT day, doc_id, lang, text FROM (
+    SELECT b1.*, min(doc_id) OVER (PARTITION BY md5({_NORM})) AS k0 FROM b1
+  ) WHERE doc_id = k0
+),
+d2w AS MATERIALIZED (
+  SELECT day, doc_id, lang, text FROM (
+    SELECT b2.*, min(doc_id) OVER (PARTITION BY md5({_NORM})) AS k0 FROM b2
+  ) WHERE doc_id = k0
+),
+d2x AS MATERIALIZED (
+  SELECT * FROM d2w
+  WHERE md5({_NORM}) NOT IN (SELECT md5({_NORM}) FROM c1)
+),
+cnorm AS (
+  SELECT 'new' AS side, doc_id, {_TOKS} AS toks FROM d2x
+  UNION ALL
+  SELECT 'corpus', doc_id, {_TOKS} FROM c1
+),
+csh AS MATERIALIZED (
+  SELECT DISTINCT side, doc_id, shingle FROM (
+    SELECT side, doc_id,
+           unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)]) AS shingle
+    FROM cnorm WHERE len(toks) >= 3
+  )
+),
+cmh AS MATERIALIZED (
+  SELECT side, doc_id, h,
+         min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM csh CROSS JOIN (SELECT unnest(range(0, 8)) AS h) hs
+  GROUP BY side, doc_id, h
+),
+cb AS MATERIALIZED (
+  SELECT side, doc_id, CAST(floor(h / 2) AS INT) AS band,
+         md5(string_agg(CAST(h AS VARCHAR) || ':' || minhash, '|'
+                        ORDER BY CAST(h AS VARCHAR) || ':' || minhash)) AS band_key
+  FROM cmh GROUP BY side, doc_id, CAST(floor(h / 2) AS INT)
+),
+ccand AS MATERIALIZED (
+  SELECT DISTINCT n.doc_id AS id_a, c.doc_id AS id_b
+  FROM cb n JOIN cb c ON n.band_key = c.band_key
+  WHERE n.side = 'new' AND c.side = 'corpus' AND n.doc_id <> c.doc_id
+),
+csz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM csh GROUP BY doc_id),
+cinter AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM ccand p
+  JOIN csh a ON a.doc_id = p.id_a
+  JOIN csh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b
+),
+cdup AS MATERIALIZED (
+  SELECT DISTINCT i.id_a AS doc_id
+  FROM cinter i
+  JOIN csz sa ON i.id_a = sa.doc_id
+  JOIN csz sb ON i.id_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE)
+        / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
+),
+c2 AS MATERIALIZED (
+  SELECT * FROM d2x WHERE doc_id NOT IN (SELECT doc_id FROM cdup)
+),
+cclean AS MATERIALIZED (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+pgbase AS (SELECT day, doc_id, lang, text, {_TOKS} AS toks FROM cclean),
+pgfeat AS MATERIALIZED (
+  SELECT day, doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','and','in','is','it','for'))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         (CAST(length(text) AS DOUBLE)
+            - CAST(length(regexp_replace(text, '[.,!?;:''"-]', '', 'g')) AS DOUBLE))
+           / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+  FROM pgbase
+),
+pgq AS (
+  SELECT day, doc_id, lang,
+         round(CASE WHEN n_words < 5 THEN 0.0 ELSE
+           least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.3
+           + least(stopword_ratio * 10.0, 1.0) * 0.3
+           + distinct_ratio * 0.3
+           + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.1 END, 6) AS quality,
+         n_words
+  FROM pgfeat
+),
+pgscore AS (
+  SELECT day, doc_id,
+    CAST(len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS DOUBLE) / len(toks) AS score_en,
+    CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS DOUBLE) / len(toks) AS score_fr,
+    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS DOUBLE) / len(toks) AS score_de,
+    CAST(len(list_filter(toks, x -> x IN ('el','la','y','los'))) AS DOUBLE) / len(toks) AS score_es
+  FROM pgbase
+),
+pgguess AS (
+  SELECT day, doc_id,
+    CASE
+      WHEN greatest(score_en, score_fr, score_de, score_es) <= 0.0 THEN 'und'
+      WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+      WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+      WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+      ELSE 'es'
+    END AS lang_guess
+  FROM pgscore
+),
+pgated AS MATERIALIZED (
+  SELECT q.day, q.doc_id, q.lang, CAST(q.n_words AS BIGINT) AS n_tokens
+  FROM pgq q JOIN pgguess g ON q.day = g.day AND q.doc_id = g.doc_id
+  WHERE q.quality >= 0.5 AND g.lang_guess <> 'und'
+),
+ppb AS MATERIALIZED (
+  SELECT day, lang, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY day, lang ORDER BY doc_id) AS rn
+  FROM pgated
+),
+pp AS (
+  SELECT day, lang, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id,
+         CAST(0 AS BIGINT) AS pack_offset,
+         n_tokens AS cum
+  FROM ppb WHERE rn = 1
+  UNION ALL
+  SELECT b.day, b.lang, b.doc_id, b.n_tokens, b.rn,
+         CASE WHEN pp.cum + b.n_tokens > 256 THEN pp.pack_id + 1 ELSE pp.pack_id END,
+         CASE WHEN pp.cum + b.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE pp.cum END,
+         CASE WHEN pp.cum + b.n_tokens > 256 THEN b.n_tokens ELSE pp.cum + b.n_tokens END
+  FROM pp JOIN ppb b ON b.day = pp.day AND b.lang = pp.lang AND b.rn = pp.rn + 1
+)
+SELECT 'clean' AS part, CAST(day AS VARCHAR) AS k1,
+       CAST(doc_id AS VARCHAR) AS k2, CAST(NULL AS VARCHAR) AS k3,
+       CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM cclean
+UNION ALL
+SELECT 'packed', CAST(day AS VARCHAR), lang, CAST(doc_id AS VARCHAR),
+       CAST(n_tokens AS DOUBLE), CAST(pack_id AS DOUBLE),
+       CAST(pack_offset AS DOUBLE)
+FROM pp
+UNION ALL
+SELECT 'stats', CAST(day AS VARCHAR), lang, NULL,
+       CAST(count(*) AS DOUBLE), CAST(sum(n_tokens) AS DOUBLE),
+       CAST(max(pack_id) + 1 AS DOUBLE)
+FROM pp GROUP BY day, lang
+"""
+
+
+@register(
+    "llm_corpus_pipeline_run",
+    export=False,  # driver slot held by its family head (time_rollup_family)
+    oracle=_CORPUS_RUN_ORACLE,
+    doc=(
+        "the DAILY training-corpus pipeline run END-TO-END through the"
+        " orchestration layer (plans/corpus_pipeline.py): two days of"
+        " batches — day 2 plants exact replicas and near-dup variants of"
+        " day-1 content under fresh ids — flow landing -> within-batch +"
+        " cross-corpus dedup (at-rest digest anti-join; minhash index"
+        " match -> exact-Jaccard verify against the band index day 1"
+        " built) -> quality/language gate -> per-(day, lang) greedy"
+        " packing -> stats rollup, every table read back FROM THE STORE"
+        " and certified against one chained-CTE oracle — entry point 1"
+        " for the LLM-data side, the financial events pipeline's twin"
+    ),
+)
+def llm_corpus_pipeline_run(spark, sf_dir):
+    import shutil
+
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.plans.corpus_pipeline import corpus_pipeline_graph
+    from aave_etl_spark.plans.orchestration import run_day
+
+    root = session_scratch_dir(spark, "aave_etl_spark_corpus_run", corpus_key(sf_dir))
+    store = TableStore(spark, root)
+    done = (
+        store.is_complete("corpus_packed")
+        and store.exists("corpus_packed")
+        and store.exists("corpus_clean")
+        and store.exists("corpus_stats")
+    )
+    if not done:
+        # run-once/read-many: reset the whole scratch root (the state
+        # tables chain across days, so a partial prior run must not leak)
+        store.clear_complete("corpus_packed")
+        shutil.rmtree(root, ignore_errors=True)
+        base = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        d1 = base.filter("doc_id % 2 = 0").withColumn(
+            "day", F.to_date(F.lit("2024-01-01"))
+        )
+        d2 = (
+            base.filter("doc_id % 2 = 1")
+            .unionByName(
+                base.filter("doc_id % 4 = 0").select(
+                    (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "text"
+                )
+            )
+            .unionByName(
+                base.filter("doc_id % 4 = 2").select(
+                    (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                    "lang",
+                    F.concat(
+                        "text", F.lit(" shared boilerplate trailer appended here")
+                    ).alias("text"),
+                )
+            )
+            .withColumn("day", F.to_date(F.lit("2024-01-02")))
+        )
+        landing = d1.unionByName(d2)
+        graph = corpus_pipeline_graph()
+        for day in ("2024-01-01", "2024-01-02"):
+            run_day(
+                spark, store, graph, day, markets=[], resources={"landing": landing}
+            )
+        store.mark_complete("corpus_packed")
+    clean = store.read("corpus_clean").selectExpr(
+        "'clean' AS part", "CAST(day AS STRING) AS k1",
+        "CAST(doc_id AS STRING) AS k2", "CAST(NULL AS STRING) AS k3",
+        "CAST(NULL AS DOUBLE) AS v1", "CAST(NULL AS DOUBLE) AS v2",
+        "CAST(NULL AS DOUBLE) AS v3",
+    )
+    packed = store.read("corpus_packed").selectExpr(
+        "'packed' AS part", "CAST(day AS STRING) AS k1", "lang AS k2",
+        "CAST(doc_id AS STRING) AS k3",
+        "CAST(n_tokens AS DOUBLE) AS v1", "CAST(pack_id AS DOUBLE) AS v2",
+        "CAST(pack_offset AS DOUBLE) AS v3",
+    )
+    stats = store.read("corpus_stats").selectExpr(
+        "'stats' AS part", "CAST(day AS STRING) AS k1", "lang AS k2",
+        "CAST(NULL AS STRING) AS k3",
+        "CAST(n_docs AS DOUBLE) AS v1", "CAST(sum_tokens AS DOUBLE) AS v2",
+        "CAST(n_packs AS DOUBLE) AS v3",
+    )
+    return clean.unionByName(packed).unionByName(stats)
+
+
+# ---------------------------------------------------------------------------
 # Gopher quality rules (Rae et al. 2021, A1.1). The synthetic corpus is
 # single-line lowercase word salad, so the certification query derives
 # line structure the same way the C4 part does (' table ' → sentence

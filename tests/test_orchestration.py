@@ -316,3 +316,65 @@ def test_run_hour_market_hour_chain(spark, tmp_path):
 
     roll = {r.chain: r.latest_height for r in store.read("hourly_latest_blocks").collect()}
     assert roll == {"ethereum": 17_002_100, "polygon": 17_002_100}
+
+
+def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
+    """The daily training-corpus graph (plans/corpus_pipeline.py) run for
+    two days: day 2's exact replica of day-1 content is dropped by the
+    at-rest digest anti-join, its near-dup variant by the MinHash index
+    match + Jaccard verify against day 1's band index, and a genuinely
+    new doc survives; re-running day 2 dynamic-overwrites its own slice
+    (stored clean table identical after the re-run)."""
+    from aave_etl_spark.plans.corpus_pipeline import corpus_pipeline_graph
+
+    store = TableStore(spark, str(tmp_path / "corpus_wh"))
+    # texts carry stopwords + variety so the quality gate keeps them
+    long_a = (
+        "the alpha of beta and gamma is a delta the epsilon of zeta and"
+        " eta is a theta the iota of kappa and lambda is a sigma"
+    )
+    long_b = (
+        "the one of two and three is a four the five of six and seven"
+        " is an eight the nine of ten and eleven is a twelve"
+    )
+    landing = spark.createDataFrame(
+        [
+            (1, "en", long_a, "2024-01-01"),
+            (2, "en", long_b, "2024-01-01"),
+            # day 2: exact replica of doc 1, near-dup of doc 2, fresh doc
+            (11, "en", long_a, "2024-01-02"),
+            (12, "en", long_b + "extra trailing words appended", "2024-01-02"),
+            (
+                13,
+                "en",
+                "the fresh of content and words is a story the new of"
+                " material and prose is a record entirely different here",
+                "2024-01-02",
+            ),
+        ],
+        "doc_id long, lang string, text string, day string",
+    ).withColumn("day", F.to_date("day"))
+    graph = corpus_pipeline_graph()
+    for day in ("2024-01-01", "2024-01-02"):
+        orch.run_day(
+            spark, store, graph, day, markets=[], resources={"landing": landing}
+        )
+    clean = {
+        (str(r.day), r.doc_id) for r in store.read("corpus_clean").collect()
+    }
+    assert ("2024-01-01", 1) in clean and ("2024-01-01", 2) in clean
+    assert ("2024-01-02", 13) in clean  # fresh doc survives
+    assert ("2024-01-02", 11) not in clean  # exact replica dropped
+    assert ("2024-01-02", 12) not in clean  # near-dup variant dropped
+    # stats cover both days and only surviving docs
+    stats = {(str(r.day), r.lang): r for r in store.read("corpus_stats").collect()}
+    assert stats[("2024-01-01", "en")].n_docs == 2
+    assert stats[("2024-01-02", "en")].n_docs == 1
+    # re-run day 2: dynamic overwrite of exactly its slice, same result
+    orch.run_day(
+        spark, store, graph, "2024-01-02", markets=[], resources={"landing": landing}
+    )
+    clean2 = {
+        (str(r.day), r.doc_id) for r in store.read("corpus_clean").collect()
+    }
+    assert clean2 == clean
