@@ -65,9 +65,15 @@ from aave_etl_spark.plans.orchestration import (
 
 def _corpus_landing(ctx: AssetContext) -> DataFrame:
     """The day's raw batch from the injected landing feed (the transport
-    resource, like the events pipeline's injected ``events``)."""
+    resource, like the events pipeline's injected ``events``). A landing
+    row without text is not a document — NULL texts are dropped here so
+    every downstream digest/shingle is non-NULL (a NULL digest would
+    silently escape the anti-join dedup forever)."""
     feed = ctx.resources["landing"]
-    return feed.where(F.col("day") == F.lit(ctx.partition.date).cast("date"))
+    return feed.where(
+        (F.col("day") == F.lit(ctx.partition.date).cast("date"))
+        & F.col("text").isNotNull()
+    )
 
 
 # typed-empty schemas for upstream reads: a day whose asset produced no
@@ -111,15 +117,34 @@ def _corpus_clean(ctx: AssetContext) -> DataFrame:
         .drop("_k0")
     )
     store = ctx.store
+    # state reads are scoped to STRICTLY EARLIER days (partition-pruned):
+    # a day's batch must never dedup against the day's OWN previous run —
+    # re-running a corrected batch would otherwise anti-join every
+    # unchanged doc against its own stored digest and silently empty the
+    # slice (the backfill case the module exists to support)
+    prior = f"day < DATE '{ctx.partition.date}'"
     # cross-corpus exact: content already accepted on an earlier day loses
     if store.exists("corpus_digests"):
-        seen = store.read("corpus_digests").select("digest")
+        seen = store.read("corpus_digests", where=prior).select("digest")
         batch = batch.join(seen, digest == F.col("digest"), "left_anti")
     # cross-corpus near-dup: LSH match against the at-rest band index,
     # exact-Jaccard verify restricted to the matched corpus docs only
     if store.exists("corpus_mh"):
         pairs = dedup.minhash_index_match(store, batch, "corpus_mh")
-        corpus_docs = store.read("corpus_docs").select("doc_id", "text")
+        # shingle ONLY the matched corpus docs (semi-join on the candidate
+        # ids), never the accumulated corpus — the verify cost is
+        # |candidates| x avg-shingles, not corpus-linear. Restricting the
+        # docs to earlier days also neutralizes the band index's stale
+        # rows (re-runs append duplicate/same-day bands: a same-day or
+        # evicted corpus_id finds no text here, its pair verifies at
+        # jaccard 0 and drops nothing — jaccard_verify's missing-side
+        # convention)
+        matched = pairs.select(F.col("corpus_id").alias("doc_id")).distinct()
+        corpus_docs = (
+            store.read("corpus_docs", where=prior)
+            .select("doc_id", "text")
+            .join(matched, "doc_id")
+        )
         # batch ids and corpus ids are disjoint by construction (fresh ids
         # per day), so one shingle frame serves both sides of the verify
         sh = dedup.word_shingles(

@@ -3275,19 +3275,19 @@ _CORPUS_RUN_ORACLE = f"""
 WITH RECURSIVE
 b1 AS (
   SELECT doc_id, lang, text, CAST('2024-01-01' AS DATE) AS day
-  FROM documents WHERE doc_id % 2 = 0
+  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
 ),
 b2 AS (
   SELECT doc_id, lang, text, CAST('2024-01-02' AS DATE) AS day
-  FROM documents WHERE doc_id % 2 = 1
+  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
   UNION ALL
   SELECT doc_id + 10000000, lang, text, CAST('2024-01-02' AS DATE)
-  FROM documents WHERE doc_id % 4 = 0
+  FROM documents WHERE doc_id % 4 = 0 AND text IS NOT NULL
   UNION ALL
   SELECT doc_id + 20000000, lang,
          text || ' shared boilerplate trailer appended here',
          CAST('2024-01-02' AS DATE)
-  FROM documents WHERE doc_id % 4 = 2
+  FROM documents WHERE doc_id % 4 = 2 AND text IS NOT NULL
 ),
 c1 AS MATERIALIZED (
   SELECT day, doc_id, lang, text FROM (

@@ -370,7 +370,9 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
     stats = {(str(r.day), r.lang): r for r in store.read("corpus_stats").collect()}
     assert stats[("2024-01-01", "en")].n_docs == 2
     assert stats[("2024-01-02", "en")].n_docs == 1
-    # re-run day 2: dynamic overwrite of exactly its slice, same result
+    # re-run day 2: dynamic overwrite of exactly its slice, same result —
+    # state reads are scoped to EARLIER days, so the day's docs must not
+    # dedup against their own previously-stored digests/bands
     orch.run_day(
         spark, store, graph, "2024-01-02", markets=[], resources={"landing": landing}
     )
@@ -378,3 +380,26 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
         (str(r.day), r.doc_id) for r in store.read("corpus_clean").collect()
     }
     assert clean2 == clean
+    # the backfill case: re-run day 2 with a CORRECTED batch (doc 13's
+    # text amended) — the unchanged dedup verdicts hold and the corrected
+    # doc replaces its old version instead of being self-dedup'd away
+    landing_fixed = landing.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 13,
+            F.concat(F.col("text"), F.lit(" and the corrected of tail is a fix")),
+        ).otherwise(F.col("text")),
+    )
+    orch.run_day(
+        spark, store, graph, "2024-01-02", markets=[],
+        resources={"landing": landing_fixed},
+    )
+    clean3 = {
+        (str(r.day), r.doc_id) for r in store.read("corpus_clean").collect()
+    }
+    assert clean3 == clean  # same ids survive, including the corrected 13
+    fixed_text = {
+        r.doc_id: r.text
+        for r in store.read("corpus_docs", where="day = DATE '2024-01-02'").collect()
+    }
+    assert fixed_text[13].endswith("is a fix")  # state holds the correction

@@ -310,10 +310,14 @@ def test_random_projection_jl_properties(spark):
 def test_topk_merge_bounds_contain_truth(spark, pairs):
     """Mergeable heavy hitters: on ANY multiset split into ANY parts, the
     merged [count_lb, count_ub] contains the true count for every emitted
-    value, exact==True implies lb == truth == ub, and the true overall
-    top-1 value is always emitted (it makes its parts' top-m by
-    definition when m >= 1 — here m=3 with up to 10 distinct values, so
-    truncation is exercised)."""
+    value, exact==True implies lb == truth == ub, and the true maximum
+    count never escapes the bounds: max(count_ub) >= max true count.
+    (The true top value itself is NOT guaranteed to be emitted — it can
+    rank below m in every part — but if it hides, its total is <= the
+    sum of rest_max bounds, and every emitted value's ub includes the
+    rest_max of each part it missed, so the max ub still covers it;
+    values present in a part's top-m count at least that part's
+    rest_max, which closes the present-everywhere case.)"""
     from collections import Counter
 
     from aave_etl_spark.operators.sketch import topk_merge, topk_sketch_by_group
@@ -324,14 +328,12 @@ def test_topk_merge_bounds_contain_truth(spark, pairs):
     fine = topk_sketch_by_group(df, ["g", "part"], "val", m=3)
     merged = topk_merge(fine, ["g"], k=100).collect()
     true = Counter(f"v{v}" for v, _ in pairs)
-    assert merged
+    assert merged  # m >= 1 and >= 1 row: every part emits a top-m
     for r in merged:
         assert r.count_lb <= true[r.value] <= r.count_ub, (r, true[r.value])
         if r.exact:
             assert r.count_lb == true[r.value] == r.count_ub
-    top_true = max(sorted(true), key=lambda v: (true[v], ))
-    top_vals = {v for v in true if true[v] == true[top_true]}
-    assert top_vals & {r.value for r in merged}
+    assert max(r.count_ub for r in merged) >= max(true.values())
 
 
 @given(
