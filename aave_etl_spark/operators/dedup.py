@@ -51,6 +51,31 @@ def exact_duplicates(
     )
 
 
+def keep_first_by_digest(
+    df: DataFrame, digest: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the first occurrence (min ``id_col``) per content digest —
+    the within-batch exact-dedup step, in the SKEW-SAFE agg+join form.
+
+    Semantically identical to the window form
+    ``min(id).over(Window.partitionBy(digest))`` (property-pinned in
+    tests/test_operators.py), but duplicate content is the hot key BY
+    DEFINITION here: a dup-storm batch (one viral page, a crawler loop
+    emitting 10⁶–10⁹ copies) shares ONE digest, and a window would funnel
+    every copy into a single task — AQE splits skewed joins, not window
+    partitions (the round-9 line_dedup_global lesson, dedup.py:622).
+    Instead: ``groupBy(digest).agg(min(id))`` — a PARTIAL-aggregatable
+    reduction that collapses each map task's copies before the shuffle
+    ever sees them — then a plain equi-join back on (digest, id). The
+    keeper side is distinct-content-sized, so AQE broadcasts it when it
+    fits and its skew split can section it past that; the hot digest's
+    10⁹ copies never gather anywhere. Returns ``df``'s columns unchanged.
+    """
+    hashed = df.withColumn("_dg", digest)
+    keepers = hashed.groupBy("_dg").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keepers, ["_dg", id_col]).select(*df.columns)
+
+
 def word_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -530,6 +555,7 @@ def minhash_index_append(
     shingle_n: int = 3,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    if_absent: bool = False,
 ) -> None:
     """Append a (verified-unique) batch's band keys into an existing
     at-rest MinHash index, partition-incrementally.
@@ -543,7 +569,18 @@ def minhash_index_append(
     silently produce never-colliding keys), so each appended file is
     bucket-routed exactly like the original build and later matches stay
     exchange-free on the corpus side. Cost tracks the batch, never the
-    corpus."""
+    corpus.
+
+    ``if_absent=True`` makes the append IDEMPOTENT: the batch's band rows
+    are anti-joined against the index on (band_key, id) first, so
+    re-appending an already-ingested batch (a backfill re-run of the same
+    day) adds zero rows and N re-runs leave the index row count fixed —
+    without it, every re-run appends a duplicate copy of the day's bands
+    and storage grows unboundedly under repeated corrections. The
+    anti-join keys lead with band_key, so the bucketed index side
+    satisfies the join's distribution with ZERO exchange (bucket cols ⊆
+    join keys); the cost is one index scan per append — pay it on
+    re-run-prone ingest paths, skip it on build-once bulk loads."""
     spark = new_docs.sparkSession
     built = _index_params(store, spark, name, shingle_n, num_hashes, rows_per_band)
     if built is None:
@@ -560,6 +597,9 @@ def minhash_index_append(
         id_col,
         rows_per_band,
     )
+    if if_absent:
+        existing = store.read_bucketed(name).select(id_col, "band_key")
+        banded = banded.join(existing, ["band_key", id_col], "left_anti")
     store.write_bucketed(
         banded, name, bucket_cols=["band_key"], n_buckets=built.n_buckets,
         sort_cols=["band_key"], mode="append",

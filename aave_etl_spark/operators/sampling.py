@@ -282,11 +282,16 @@ def mix_corpus(
     any other unlisted group — never silently mis-bucketed."""
     if "keep_frac" not in weights.columns:
         raise ValueError("weights must have a keep_frac column")
-    if "_mix_g" in df.columns:
-        raise ValueError(
-            "mix_corpus: input column '_mix_g' collides with the"
-            " operator's internal join alias — rename it first"
-        )
+    # both internal join columns get the loud contract error: a df that
+    # already carries keep_frac would otherwise make the filter's
+    # F.col("keep_frac") ambiguous after the join and die with an opaque
+    # AnalysisException deep in the plan
+    for clash in ("_mix_g", "keep_frac"):
+        if clash in df.columns:
+            raise ValueError(
+                f"mix_corpus: input column {clash!r} collides with the"
+                " operator's internal join alias — rename it first"
+            )
     # project the weights table to (group, keep_frac) so stray columns on a
     # caller's weights frame never leak into the mixed corpus's schema;
     # alias the key so the NULL-safe join condition is unambiguous

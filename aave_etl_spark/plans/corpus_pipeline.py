@@ -23,9 +23,9 @@ is the thing the at-rest state exists to avoid:
   re-running a day dynamic-overwrites exactly its slice) and
   incrementally appends their bands into the ``corpus_mh`` index
   (built on the first day; append proven equal to a from-scratch
-  rebuild in tests/test_operators.py). A re-run appends duplicate band
-  rows — harmless for matching (candidates are DISTINCT pairs) but
-  documented: rebuild the index to reclaim storage after heavy re-runs.
+  rebuild in tests/test_operators.py; ``if_absent`` anti-join makes
+  re-run appends a no-op, so the index row count is fixed under
+  backfill re-runs).
 - ``corpus_gated``     (DAILY, day-partitioned): quality_score +
   language_id gate over the day's clean slice (quality >= 0.5 and a
   confident language guess), token counts attached.
@@ -48,7 +48,7 @@ stage's equi-join on exactly the matched candidate ids.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DateType, LongType, StringType, StructField, StructType
 
@@ -110,12 +110,9 @@ def _corpus_clean(ctx: AssetContext) -> DataFrame:
     )
     digest = F.md5(dedup.normalize_text("text"))
     # within-batch exact: first occurrence (min doc_id) per content digest
-    w = Window.partitionBy(digest)
-    batch = (
-        batch.withColumn("_k0", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("_k0"))
-        .drop("_k0")
-    )
+    # — agg+join, NOT a window over the digest: a dup-storm day would
+    # funnel every copy into one window task (dedup.keep_first_by_digest)
+    batch = dedup.keep_first_by_digest(batch, digest)
     store = ctx.store
     # state reads are scoped to STRICTLY EARLIER days (partition-pruned):
     # a day's batch must never dedup against the day's OWN previous run —
@@ -131,14 +128,23 @@ def _corpus_clean(ctx: AssetContext) -> DataFrame:
     # exact-Jaccard verify restricted to the matched corpus docs only
     if store.exists("corpus_mh"):
         pairs = dedup.minhash_index_match(store, batch, "corpus_mh")
+        # scope the CANDIDATE PAIRS themselves to prior-day corpus ids —
+        # not just the verify text. The band index can carry same-day
+        # rows from a prior run of this day (under the SAME ids as the
+        # current batch), and the verify shingle frame below unions the
+        # batch's texts: an unscoped same-day pair would borrow batch-side
+        # text for its "corpus" id and verify at the TRUE jaccard, so two
+        # near-dup batch docs that both survived the first run would drop
+        # EACH OTHER on a re-run (round-10 ADVICE; re-run idempotence with
+        # planted in-batch near-dups is pytest-gated in
+        # tests/test_orchestration.py)
+        prior_ids = store.read("corpus_docs", where=prior).select(
+            F.col("doc_id").alias("corpus_id")
+        )
+        pairs = pairs.join(prior_ids, "corpus_id", "left_semi")
         # shingle ONLY the matched corpus docs (semi-join on the candidate
         # ids), never the accumulated corpus — the verify cost is
-        # |candidates| x avg-shingles, not corpus-linear. Restricting the
-        # docs to earlier days also neutralizes the band index's stale
-        # rows (re-runs append duplicate/same-day bands: a same-day or
-        # evicted corpus_id finds no text here, its pair verifies at
-        # jaccard 0 and drops nothing — jaccard_verify's missing-side
-        # convention)
+        # |candidates| x avg-shingles, not corpus-linear
         matched = pairs.select(F.col("corpus_id").alias("doc_id")).distinct()
         corpus_docs = (
             store.read("corpus_docs", where=prior)
@@ -181,7 +187,11 @@ def _corpus_state(ctx: AssetContext) -> DataFrame:
         partition_cols=["day"],
     )
     if store.exists("corpus_mh"):
-        dedup.minhash_index_append(store, clean, "corpus_mh")
+        # if_absent: a backfill re-run of this day re-appends the same
+        # survivors' bands — the anti-join makes that a no-op, so N
+        # re-runs leave the index row count FIXED (pytest-gated in
+        # tests/test_orchestration.py) instead of accreting stale rows
+        dedup.minhash_index_append(store, clean, "corpus_mh", if_absent=True)
     else:
         dedup.minhash_index_build(store, clean, "corpus_mh")
     return digests

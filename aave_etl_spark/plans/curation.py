@@ -27,7 +27,7 @@ sampling (2006), greedy first-fit packing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aave_etl_spark.operators import dedup, packing, sampling, text
@@ -104,12 +104,9 @@ def curate_core(
     )
     # 2. exact dedup on the cleaned text (C4's own order of operations);
     # checkpoint: five downstream stage-count arms re-consume this frame.
-    # The window partitions by the content hash — sharded by construction.
-    ex = maybe_ckpt(
-        c4k.withColumn("_k0", F.min("doc_id").over(Window.partitionBy(F.md5("ct"))))
-        .filter(F.col("doc_id") == F.col("_k0"))
-        .drop("_k0")
-    )
+    # Agg+join, NOT a window over the digest: duplicate content is the hot
+    # key by definition here (see dedup.keep_first_by_digest).
+    ex = maybe_ckpt(dedup.keep_first_by_digest(c4k, F.md5("ct")))
     # 3. near-dup keeper: LSH candidates -> exact-Jaccard verify -> CC
     sh = dedup.word_shingles(ex, text_col="ct", n=3)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)

@@ -1014,6 +1014,56 @@ def test_mix_corpus_no_weight_column_leak(spark):
     assert out.count() == 20
 
 
+def test_mix_corpus_rejects_keep_frac_column_on_input(spark):
+    """A caller df already carrying keep_frac would make the operator's
+    post-join F.col('keep_frac') ambiguous — the contract error must fire,
+    not an opaque AnalysisException (round-10 ADVICE)."""
+    import pytest
+
+    from aave_etl_spark.operators.sampling import mix_corpus
+
+    df = spark.createDataFrame(
+        [(1, "en", 0.5)], "doc_id long, lang string, keep_frac double"
+    )
+    weights = spark.createDataFrame([("en", 1.0)], "lang string, keep_frac double")
+    with pytest.raises(ValueError, match="keep_frac"):
+        mix_corpus(df, weights)
+
+
+def test_keep_first_by_digest_equals_window_form_and_window_free(spark):
+    """Property: the skew-safe groupBy(digest).agg(min(id)) + join-back
+    first-occurrence pick (dedup.keep_first_by_digest — what the curation
+    and corpus-pipeline exact-dedup stages ship) is row-for-row equal to
+    the window form min(id).over(partitionBy(digest)) on a HOSTILE batch:
+    one viral document repeated across most of the batch (exact duplicates
+    share ONE digest, so duplicate content is the hot window key by
+    definition — the round-9 line_dedup_global scale killer, document
+    level). Also pins the plan: no Window operator anywhere."""
+    from pyspark.sql.window import Window as W
+
+    from aave_etl_spark.operators.dedup import keep_first_by_digest
+
+    viral = "breaking story everyone crawled a million times"
+    rows = [(i, "en", viral) for i in range(0, 500, 2)]  # hot digest, min id 0
+    rows += [(i, "en", f"unique doc {i} body") for i in range(1, 500, 2)]
+    rows += [(900, "fr", "unique doc 1 body")]  # tie content, larger id loses
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    digest = F.md5("text")
+    out = keep_first_by_digest(df, digest)
+    twin = (
+        df.withColumn("_k0", F.min("doc_id").over(W.partitionBy(digest)))
+        .filter(F.col("doc_id") == F.col("_k0"))
+        .select(*df.columns)
+    )
+    got = sorted(out.collect())
+    assert got == sorted(twin.collect())
+    assert out.columns == df.columns
+    ids = {r.doc_id for r in got}
+    assert 0 in ids and 900 not in ids and 1 in ids
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+
 def test_uniform_frame_sample_fractional_duration(spark):
     from aave_etl_spark.operators import multimodal
 

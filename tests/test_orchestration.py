@@ -21,6 +21,7 @@ from aave_etl_spark.plans.orchestration import (
     MARKET_DAY,
     UNPARTITIONED,
     Asset,
+    AssetContext,
     AssetGraph,
     PartitionKey,
     Schedule,
@@ -337,6 +338,15 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
         "the one of two and three is a four the five of six and seven"
         " is an eight the nine of ten and eleven is a twelve"
     )
+    # docs 14/15: near-dups OF EACH OTHER within day 2's batch (unrelated
+    # to day-1 content) — the pipeline dedups near-dups only ACROSS the
+    # corpus, so BOTH survive; a re-run of the day must keep them both
+    # (the round-10 ADVICE bug: stale same-day band rows under the same
+    # ids borrowed batch-side text in the verify and dropped the pair)
+    nd_base = (
+        "the quick of brown and foxes is a jumper the lazy of dogs and"
+        " cats is a sleeper the tiny of mice and birds is a runner"
+    )
     landing = spark.createDataFrame(
         [
             (1, "en", long_a, "2024-01-01"),
@@ -351,6 +361,8 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
                 " material and prose is a record entirely different here",
                 "2024-01-02",
             ),
+            (14, "en", nd_base, "2024-01-02"),
+            (15, "en", nd_base + " extra appended tail words here", "2024-01-02"),
         ],
         "doc_id long, lang string, text string, day string",
     ).withColumn("day", F.to_date("day"))
@@ -366,20 +378,29 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
     assert ("2024-01-02", 13) in clean  # fresh doc survives
     assert ("2024-01-02", 11) not in clean  # exact replica dropped
     assert ("2024-01-02", 12) not in clean  # near-dup variant dropped
+    # within-batch near-dups both survive (dedup is cross-corpus only)
+    assert ("2024-01-02", 14) in clean and ("2024-01-02", 15) in clean
     # stats cover both days and only surviving docs
     stats = {(str(r.day), r.lang): r for r in store.read("corpus_stats").collect()}
     assert stats[("2024-01-01", "en")].n_docs == 2
-    assert stats[("2024-01-02", "en")].n_docs == 1
-    # re-run day 2: dynamic overwrite of exactly its slice, same result —
-    # state reads are scoped to EARLIER days, so the day's docs must not
-    # dedup against their own previously-stored digests/bands
-    orch.run_day(
-        spark, store, graph, "2024-01-02", markets=[], resources={"landing": landing}
-    )
-    clean2 = {
-        (str(r.day), r.doc_id) for r in store.read("corpus_clean").collect()
-    }
-    assert clean2 == clean
+    assert stats[("2024-01-02", "en")].n_docs == 3
+    mh_rows = store.read("corpus_mh").count()
+    # re-run day 2 TWICE: dynamic overwrite of exactly its slice, same
+    # result — state reads AND candidate pairs are scoped to EARLIER days,
+    # so the day's docs must not dedup against their own previously-stored
+    # digests/bands (in particular, the in-batch near-dup pair 14/15 must
+    # not drop against its own stale same-day band rows), and the
+    # if_absent index append leaves the band-index row count FIXED
+    for _ in range(2):
+        orch.run_day(
+            spark, store, graph, "2024-01-02", markets=[],
+            resources={"landing": landing},
+        )
+        clean2 = {
+            (str(r.day), r.doc_id) for r in store.read("corpus_clean").collect()
+        }
+        assert clean2 == clean
+        assert store.read("corpus_mh").count() == mh_rows
     # the backfill case: re-run day 2 with a CORRECTED batch (doc 13's
     # text amended) — the unchanged dedup verdicts hold and the corrected
     # doc replaces its old version instead of being self-dedup'd away
@@ -403,3 +424,14 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
         for r in store.read("corpus_docs", where="day = DATE '2024-01-02'").collect()
     }
     assert fixed_text[13].endswith("is a fix")  # state holds the correction
+    # plan pin: the clean asset's within-batch exact dedup is the skew-safe
+    # agg+join form — no Window operator anywhere in the asset's plan (a
+    # dup-storm day's copies all share ONE digest, the hot window key)
+    from aave_etl_spark.plans.corpus_pipeline import _corpus_clean
+
+    ctx = AssetContext(
+        spark=spark, store=store, partition=PartitionKey(date="2024-01-02"),
+        resources={"landing": landing},
+    )
+    plan = _corpus_clean(ctx)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
