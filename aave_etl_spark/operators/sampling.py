@@ -307,6 +307,103 @@ def mix_corpus(
     return kept.select(*df.columns)
 
 
+def hashed_ngram_buckets(
+    df: DataFrame,
+    m: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document hashed-n-gram bucket counts — the DSIR feature state:
+    ``(id, *extra_cols, _b, _c)`` where ``_b`` hashes each unigram+bigram
+    (WITH multiplicity) into ``m`` buckets via the repo's engine-portable
+    md5-prefix hash and ``_c`` counts the doc's grams in that bucket.
+
+    This is the MERGEABLE half of DSIR (Xie 2023, arXiv:2302.03169): a
+    corpus distribution is just ``sum(_c) GROUP BY _b`` — an m-row table —
+    and sums over per-day slices equal the sum over the union, so a daily
+    pipeline can persist per-day bucket counts through the TableStore and
+    importance-weight any batch against the ACCUMULATED distribution
+    without rescanning the corpus (the sketch-state pattern the HH/KMV
+    rollups certify, applied to DSIR). One gram explode + one m-bounded
+    map-side-combined shuffle; nothing scales past |docs| x avg-grams."""
+    toked = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+        ).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    uni = toks
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toked.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(F.concat(uni, bi)).alias("_gram"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_gram")), 1, 15), 16, 10).cast("long")
+        % F.lit(m)
+    )
+    return (
+        grams.select(F.col(id_col), *[F.col(c) for c in extra_cols], bucket.alias("_b"))
+        .groupBy(id_col, *extra_cols, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+
+def dsir_log_ratio(tgt: DataFrame, raw: DataFrame, m: int) -> DataFrame:
+    """The Laplace-smoothed per-bucket log-likelihood ratio table
+    ``(_b, _lr)`` from two aggregated bucket-count frames — ``tgt``
+    ``(_b, _ct)`` and ``raw`` ``(_b, _cr)``. The counts may come from an
+    in-flight aggregate over doc buckets OR from rolled-up at-rest per-day
+    states (sums commute); both totals are one-row broadcasts, so the
+    ratio table is m rows regardless of corpus size."""
+    tot_t = F.broadcast(tgt.agg(F.sum("_ct").cast("double").alias("_nt")))
+    tot_r = F.broadcast(raw.agg(F.sum("_cr").cast("double").alias("_nr")))
+    return (
+        raw.join(tgt, "_b", "left")
+        .crossJoin(tot_t)
+        .crossJoin(tot_r)
+        .select(
+            "_b",
+            (
+                F.log((F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + 1.0)
+                      / (F.col("_nt") + float(m)))
+                - F.log((F.col("_cr").cast("double") + 1.0) / (F.col("_nr") + float(m)))
+            ).alias("_lr"),
+        )
+    )
+
+
+def dsir_scores(
+    doc_buckets: DataFrame, ratio: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document DSIR importance weights from bucket counts and a
+    log-ratio table: ``(id, n_grams, _w)`` — ``_w`` UNROUNDED so callers
+    that derive further keys from it (the Gumbel-top-k sample key) don't
+    compound rounding; round to 6dp at the output boundary (the repo's
+    float-hash parity discipline). The ratio side broadcasts (m rows);
+    one map-side-combined aggregate per doc."""
+    return (
+        doc_buckets.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_grams"),
+            F.sum(F.col("_c").cast("double") * F.col("_lr")).alias("_w"),
+        )
+    )
+
+
 def dsir_importance_resample(
     df: DataFrame,
     target_pred: str = "lang = 'en'",
@@ -344,76 +441,28 @@ def dsir_importance_resample(
     single-task window, at the cost of epsilon slop around the boundary
     (the same exact→approx swap as top_fraction_by_group; property-tested
     against the exact form in tests/test_operators.py)."""
-    toked = df.select(
-        F.col(id_col),
-        F.split(
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
-        ).alias("_toks"),
-        F.expr(target_pred).alias("_is_target"),
-    )
-    toks = F.col("_toks")
-    uni = toks
-    bi = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = toked.select(
-        F.col(id_col),
-        "_is_target",
-        F.explode(F.concat(uni, bi)).alias("_gram"),
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("_gram")), 1, 15), 16, 10).cast("long")
-        % F.lit(m)
+    pre = df.select(
+        F.col(id_col), F.col(text_col), F.expr(target_pred).alias("_is_target")
     )
     # the bucket table feeds the target distribution, the raw distribution
     # AND the scorer — cut the lineage so the corpus-wide gram explode (the
     # dominant cost) runs once, not once per consumer
-    doc_buckets = (
-        grams.select(F.col(id_col), "_is_target", bucket.alias("_b"))
-        .groupBy(id_col, "_is_target", "_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=False)
-    )
+    doc_buckets = hashed_ngram_buckets(
+        pre, m=m, id_col=id_col, text_col=text_col, extra_cols=("_is_target",)
+    ).localCheckpoint(eager=False)
 
-    # m-row Laplace-smoothed distributions; ln-ratio per bucket
+    # m-row Laplace-smoothed distributions; ln-ratio per bucket. Every
+    # bucket 0..m-1 participates via the smoothing prior, so the ratio
+    # table is built over the raw buckets (superset of target's) with
+    # target counts coalesced to 0 (dsir_log_ratio's LEFT join).
     tgt = (
         doc_buckets.filter("_is_target")
         .groupBy("_b")
         .agg(F.sum("_c").alias("_ct"))
     )
     raw = doc_buckets.groupBy("_b").agg(F.sum("_c").alias("_cr"))
-    # every bucket 0..m-1 participates via the smoothing prior, so the
-    # ratio table is built over the raw buckets (superset of target's)
-    # with target counts coalesced to 0
-    tot_t = F.broadcast(tgt.agg(F.sum("_ct").cast("double").alias("_nt")))
-    tot_r = F.broadcast(raw.agg(F.sum("_cr").cast("double").alias("_nr")))
-    ratio = (
-        raw.join(tgt, "_b", "left")
-        .crossJoin(tot_t)
-        .crossJoin(tot_r)
-        .select(
-            "_b",
-            (
-                F.log((F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + 1.0)
-                      / (F.col("_nt") + float(m)))
-                - F.log((F.col("_cr").cast("double") + 1.0) / (F.col("_nr") + float(m)))
-            ).alias("_lr"),
-        )
-    )
-    scored = (
-        doc_buckets.join(F.broadcast(ratio), "_b")
-        .groupBy(id_col)
-        .agg(
-            F.sum("_c").cast("long").alias("n_grams"),
-            F.sum(F.col("_c").cast("double") * F.col("_lr")).alias("_w"),
-        )
-    )
+    ratio = dsir_log_ratio(tgt, raw, m)
+    scored = dsir_scores(doc_buckets, ratio, id_col=id_col)
     # u = (h + 0.5) / 16^15 — the half-shift keeps u strictly inside (0,1)
     # so neither log blows up, and the expression STRUCTURE mirrors the
     # oracle's (h + 0.5)/S exactly (h/S + 0.5/S differs in the last ulp)

@@ -26,9 +26,21 @@ is the thing the at-rest state exists to avoid:
   rebuild in tests/test_operators.py; ``if_absent`` anti-join makes
   re-run appends a no-op, so the index row count is fixed under
   backfill re-runs).
+- ``corpus_dsir_state`` (DAILY, day-partitioned): the day's MERGEABLE
+  DSIR distribution state — hashed-ngram bucket counts (target + raw),
+  at most ``DSIR_M`` rows/day. Sums over days == a from-scratch count
+  over the accumulated corpus (certified: llm_corpus_dsir_state).
+- ``corpus_postings_hh`` (DAILY, day-partitioned): per-(day, shard)
+  document-frequency heavy-hitter states over the day's clean slice —
+  kilobytes/day, mergeable to the corpus stop list with honest bounds.
+- ``corpus_stopterms`` (UNPARTITIONED): the data-planned stop-term
+  list rolled up at rest from every stored df sketch — retrieval over
+  the growing corpus plans its stop terms from state, never postings.
 - ``corpus_gated``     (DAILY, day-partitioned): quality_score +
   language_id gate over the day's clean slice (quality >= 0.5 and a
-  confident language guess), token counts attached.
+  confident language guess), token counts attached, plus each doc's
+  DSIR importance weight against the corpus-so-far distribution rolled
+  up from the stored per-day states (no text rescan).
 - ``corpus_packed``    (DAILY, day-partitioned): greedy first-fit
   packing of the day's gated docs into 256-token budgets per language.
 - ``corpus_stats``     (UNPARTITIONED): per-(day, lang) doc/token/pack
@@ -50,9 +62,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DateType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DateType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
-from aave_etl_spark.operators import dedup, packing
+from aave_etl_spark.operators import dedup, packing, sampling
 from aave_etl_spark.operators import text as text_ops
 from aave_etl_spark.plans.orchestration import (
     DAILY,
@@ -61,6 +82,13 @@ from aave_etl_spark.plans.orchestration import (
     AssetContext,
     AssetGraph,
 )
+
+#: DSIR hashed-ngram bucket count (the mergeable distribution state)
+DSIR_M = 64
+#: the importance-weighting target slice of the corpus
+DSIR_TARGET = "lang = 'en'"
+#: per-(day, shard) heavy-hitter width / rolled-up stop-list length
+STOP_M, STOP_K, STOP_SHARDS = 16, 5, 2
 
 
 def _corpus_landing(ctx: AssetContext) -> DataFrame:
@@ -94,7 +122,32 @@ _CLEAN_SCHEMA = _schema(
 )
 _GATED_SCHEMA = _schema(
     ("day", DateType), ("doc_id", LongType), ("lang", StringType),
-    ("n_tokens", LongType),
+    ("n_tokens", LongType), ("dsir_weight", DoubleType),
+)
+_DSIR_STATE_SCHEMA = _schema(
+    ("day", DateType), ("b", LongType), ("n_target", LongType),
+    ("n_raw", LongType),
+)
+_HH_STATE_SCHEMA = StructType(
+    [
+        StructField("_corpus", StringType(), True),
+        StructField("_shard", StringType(), True),
+        StructField(
+            "hh",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("_v", StringType(), True),
+                        StructField("_c", LongType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        StructField("rest_max", LongType(), True),
+        StructField("hh_m", IntegerType(), True),
+        StructField("day", DateType(), True),
+    ]
 )
 _PACKED_SCHEMA = _schema(
     ("day", DateType), ("lang", StringType), ("doc_id", LongType),
@@ -197,23 +250,79 @@ def _corpus_state(ctx: AssetContext) -> DataFrame:
     return digests
 
 
+def _corpus_dsir_state(ctx: AssetContext) -> DataFrame:
+    """Per-day MERGEABLE DSIR distribution state: hashed unigram+bigram
+    bucket counts over the day's clean slice, target (``DSIR_TARGET``)
+    and raw — ``(day, b, n_target, n_raw)``, at most ``DSIR_M`` rows per
+    day. Bucket counts are sums, so rolling stored per-day states up
+    (``sum GROUP BY b``) equals a from-scratch count over the accumulated
+    corpus: the gate importance-weights any day's batch against the whole
+    corpus distribution by reading kilobytes of state, never rescanning
+    text (the HH/KMV at-rest sketch pattern applied to DSIR)."""
+    clean = ctx.upstream(
+        "corpus_clean", this_partition_only=True, date_col="day",
+        schema=_CLEAN_SCHEMA,
+    )
+    pre = clean.select(
+        "day", "doc_id", "text", F.expr(DSIR_TARGET).alias("_is_target")
+    )
+    buckets = sampling.hashed_ngram_buckets(
+        pre, m=DSIR_M, extra_cols=("day", "_is_target")
+    )
+    return (
+        buckets.groupBy("day", "_b")
+        .agg(
+            F.sum(F.when(F.col("_is_target"), F.col("_c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_target"),
+            F.sum("_c").cast("long").alias("n_raw"),
+        )
+        .select("day", F.col("_b").cast("long").alias("b"), "n_target", "n_raw")
+    )
+
+
 def _corpus_gated(ctx: AssetContext) -> DataFrame:
-    """Quality + language gate over the day's clean slice."""
+    """Quality + language gate over the day's clean slice, with the DSIR
+    importance weight of every surviving doc attached — computed against
+    the ACCUMULATED corpus distribution (days <= current) rolled up from
+    the stored per-day bucket-count states, so the gate is
+    distribution-aware without rescanning a byte of prior text. The
+    weight is informational by default (selection semantics unchanged);
+    rolled-state == from-scratch-rescan equality is certified in
+    queries/llm.py ``llm_corpus_dsir_state``."""
     clean = ctx.upstream(
         "corpus_clean", this_partition_only=True, date_col="day",
         schema=_CLEAN_SCHEMA,
     )
     q = text_ops.quality_score(clean, text_col="text")
     lid = text_ops.language_id(clean, text_col="text")
+    # corpus-so-far distribution: m-row rollup of the stored day states
+    # (the current day's state is written upstream of this asset)
+    state = ctx.store.read(
+        "corpus_dsir_state",
+        where=f"day <= DATE '{ctx.partition.date}'",
+        schema=_DSIR_STATE_SCHEMA,
+    )
+    dist = state.groupBy(F.col("b").alias("_b")).agg(
+        F.sum("n_target").alias("_ct"), F.sum("n_raw").alias("_cr")
+    )
+    ratio = sampling.dsir_log_ratio(
+        dist.select("_b", "_ct"), dist.select("_b", "_cr"), DSIR_M
+    )
+    scores = sampling.dsir_scores(
+        sampling.hashed_ngram_buckets(clean, m=DSIR_M), ratio
+    ).select("doc_id", F.round("_w", 6).alias("dsir_weight"))
     return (
         clean.join(q, "doc_id")
         .join(lid.select("doc_id", "lang_guess"), "doc_id")
+        .join(scores, "doc_id", "left")
         .filter("quality >= 0.5 AND lang_guess <> 'und'")
         .select(
             "day",
             "doc_id",
             "lang",
             F.size(text_ops.tokens("text")).cast("long").alias("n_tokens"),
+            "dsir_weight",
         )
     )
 
@@ -230,6 +339,54 @@ def _corpus_packed(ctx: AssetContext) -> DataFrame:
     return packed.withColumn(
         "day", F.lit(ctx.partition.date).cast("date")
     ).select("day", "lang", "doc_id", "n_tokens", "pack_id", "pack_offset")
+
+
+def _corpus_postings_hh(ctx: AssetContext) -> DataFrame:
+    """Per-day document-frequency heavy-hitter states over the day's
+    clean slice — the retrieval-planning half of the corpus state. A
+    distinct (doc, term) incidence is one postings row, so per-(day,
+    shard) term counts ARE partial dfs; the exact top-``STOP_M`` summary
+    plus its rest_max undercount bound (operators/sketch.py
+    topk_sketch_by_group) is kilobytes per day and MERGEABLE: the rolled
+    stop list (``corpus_stopterms``) reads stored m-row states, never the
+    postings — retrieval over the growing corpus plans its stop terms
+    from state, the way the gate plans its DSIR weights."""
+    clean = ctx.upstream(
+        "corpus_clean", this_partition_only=True, date_col="day",
+        schema=_CLEAN_SCHEMA,
+    )
+    from aave_etl_spark.operators.sketch import topk_sketch_by_group
+
+    toks = clean.select(
+        F.lit("all").alias("_corpus"),
+        # the day is part of the shard key: per-day states are just more
+        # (smaller) parts to the merge, with the same honest bounds
+        F.concat_ws(
+            ":",
+            F.col("day").cast("string"),
+            (F.col("doc_id") % STOP_SHARDS).cast("string"),
+        ).alias("_shard"),
+        F.explode(
+            F.array_distinct(F.split(dedup.normalize_text("text"), " "))
+        ).alias("term"),
+    )
+    state = topk_sketch_by_group(toks, ["_corpus", "_shard"], "term", m=STOP_M)
+    return state.withColumn("day", F.lit(ctx.partition.date).cast("date"))
+
+
+def _corpus_stopterms(ctx: AssetContext) -> DataFrame:
+    """The corpus's data-planned stop-term list, rolled up AT REST from
+    every stored per-(day, shard) df sketch: (value, count_lb, count_ub,
+    exact, rank) — top-``STOP_K`` terms by df lower bound. Cost is
+    |days x shards| m-row states, independent of corpus size; compose by
+    anti-joining a probe's postings against it (operators/text.py
+    discover_stop_terms contract)."""
+    states = ctx.upstream("corpus_postings_hh", schema=_HH_STATE_SCHEMA)
+    from aave_etl_spark.operators.text import stop_terms_from_sketches
+
+    return stop_terms_from_sketches(
+        states.select("_corpus", "_shard", "hh", "rest_max", "hh_m"), k=STOP_K
+    )
 
 
 def _corpus_stats(ctx: AssetContext) -> DataFrame:
@@ -269,9 +426,32 @@ def corpus_pipeline_graph() -> AssetGraph:
                 write_output=False,
             ),
             Asset(
+                name="corpus_dsir_state",
+                fn=_corpus_dsir_state,
+                deps=("corpus_clean",),
+                group="corpus_lake",
+                partitioning=DAILY,
+                partition_cols=("day",),
+            ),
+            Asset(
+                name="corpus_postings_hh",
+                fn=_corpus_postings_hh,
+                deps=("corpus_clean",),
+                group="corpus_lake",
+                partitioning=DAILY,
+                partition_cols=("day",),
+            ),
+            Asset(
+                name="corpus_stopterms",
+                fn=_corpus_stopterms,
+                deps=("corpus_postings_hh",),
+                group="corpus_curate",
+                partitioning=UNPARTITIONED,
+            ),
+            Asset(
                 name="corpus_gated",
                 fn=_corpus_gated,
-                deps=("corpus_clean",),
+                deps=("corpus_clean", "corpus_dsir_state"),
                 group="corpus_curate",
                 partitioning=DAILY,
                 partition_cols=("day",),

@@ -500,6 +500,18 @@ family(
             ("v1", "v2", "v3"),
         ),
         (
+            "corpus_dsir",
+            "llm_corpus_dsir_state",
+            ("doc_id",),
+            ("n_grams", "weight"),
+        ),
+        (
+            "corpus_stopterms",
+            "llm_corpus_stopterms",
+            ("value",),
+            ("count_lb", "count_ub", "CAST(exact AS DOUBLE)", "rank"),
+        ),
+        (
             "ivfpq_at_rest",
             "llm_ivfpq_index_search",
             ("CAST(query_id AS STRING)", "CAST(candidate_id AS STRING)"),
@@ -545,7 +557,11 @@ family(
         " (Morton-interleaved) twin where BOTH clustered dimensions'"
         " predicates concentrate independently + the AT-REST term-bucketed"
         " BM25 inverted index search (build-once/search-many, no corpus"
-        " text re-scan at query time)"
+        " text re-scan at query time) + the corpus pipeline's INCREMENTAL"
+        " DSIR distribution state (day 2 weighted against rolled-up"
+        " per-day bucket-count states == a from-scratch corpus rescan)"
+        " + its stop-term state (per-day df HH sketches rolled up at rest"
+        " to the data-planned stop list through the orchestrated store)"
     ),
 )
 

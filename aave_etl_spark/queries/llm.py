@@ -3271,9 +3271,11 @@ def llm_stream_ingest(spark, sf_dir):
 # CTEs (cross-side new×corpus), the quality/language gate, the recursive
 # greedy pack, and the per-(day, lang) stats rollup.
 # ---------------------------------------------------------------------------
-_CORPUS_RUN_ORACLE = f"""
-WITH RECURSIVE
-b1 AS (
+# the landing → within-batch exact → cross-corpus exact → cross-corpus
+# near-dup chain, factored so every corpus-state certification (the run
+# itself, the DSIR distribution state, the stop-term state) derives its
+# expected CLEAN corpus from the same CTEs
+_CORPUS_CLEAN_CTES = f"""b1 AS (
   SELECT doc_id, lang, text, CAST('2024-01-01' AS DATE) AS day
   FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
 ),
@@ -3352,7 +3354,11 @@ cdup AS MATERIALIZED (
 c2 AS MATERIALIZED (
   SELECT * FROM d2x WHERE doc_id NOT IN (SELECT doc_id FROM cdup)
 ),
-cclean AS MATERIALIZED (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+cclean AS MATERIALIZED (SELECT * FROM c1 UNION ALL SELECT * FROM c2)"""
+
+_CORPUS_RUN_ORACLE = f"""
+WITH RECURSIVE
+{_CORPUS_CLEAN_CTES},
 pgbase AS (SELECT day, doc_id, lang, text, {_TOKS} AS toks FROM cclean),
 pgfeat AS MATERIALIZED (
   SELECT day, doc_id, lang,
@@ -3435,24 +3441,12 @@ FROM pp GROUP BY day, lang
 """
 
 
-@register(
-    "llm_corpus_pipeline_run",
-    export=False,  # driver slot held by its family head (time_rollup_family)
-    oracle=_CORPUS_RUN_ORACLE,
-    doc=(
-        "the DAILY training-corpus pipeline run END-TO-END through the"
-        " orchestration layer (plans/corpus_pipeline.py): two days of"
-        " batches — day 2 plants exact replicas and near-dup variants of"
-        " day-1 content under fresh ids — flow landing -> within-batch +"
-        " cross-corpus dedup (at-rest digest anti-join; minhash index"
-        " match -> exact-Jaccard verify against the band index day 1"
-        " built) -> quality/language gate -> per-(day, lang) greedy"
-        " packing -> stats rollup, every table read back FROM THE STORE"
-        " and certified against one chained-CTE oracle — entry point 1"
-        " for the LLM-data side, the financial events pipeline's twin"
-    ),
-)
-def llm_corpus_pipeline_run(spark, sf_dir):
+def _corpus_run_store(spark, sf_dir):
+    """Run the 2-day corpus pipeline (plans/corpus_pipeline.py) through
+    the orchestration layer into a session-scoped scratch store ONCE per
+    (session, corpus), and return the store — shared by every corpus-state
+    certification (the e2e run, the DSIR distribution state, the stop-term
+    state), so the driver pays the build exactly once per round."""
     import shutil
 
     from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
@@ -3462,11 +3456,16 @@ def llm_corpus_pipeline_run(spark, sf_dir):
 
     root = session_scratch_dir(spark, "aave_etl_spark_corpus_run", corpus_key(sf_dir))
     store = TableStore(spark, root)
-    done = (
-        store.is_complete("corpus_packed")
-        and store.exists("corpus_packed")
-        and store.exists("corpus_clean")
-        and store.exists("corpus_stats")
+    done = store.is_complete("corpus_packed") and all(
+        store.exists(n)
+        for n in (
+            "corpus_packed",
+            "corpus_clean",
+            "corpus_stats",
+            "corpus_dsir_state",
+            "corpus_postings_hh",
+            "corpus_stopterms",
+        )
     )
     if not done:
         # run-once/read-many: reset the whole scratch root (the state
@@ -3502,6 +3501,28 @@ def llm_corpus_pipeline_run(spark, sf_dir):
                 spark, store, graph, day, markets=[], resources={"landing": landing}
             )
         store.mark_complete("corpus_packed")
+    return store
+
+
+@register(
+    "llm_corpus_pipeline_run",
+    export=False,  # driver slot held by its family head (time_rollup_family)
+    oracle=_CORPUS_RUN_ORACLE,
+    doc=(
+        "the DAILY training-corpus pipeline run END-TO-END through the"
+        " orchestration layer (plans/corpus_pipeline.py): two days of"
+        " batches — day 2 plants exact replicas and near-dup variants of"
+        " day-1 content under fresh ids — flow landing -> within-batch +"
+        " cross-corpus dedup (at-rest digest anti-join; minhash index"
+        " match -> exact-Jaccard verify against the band index day 1"
+        " built) -> quality/language gate -> per-(day, lang) greedy"
+        " packing -> stats rollup, every table read back FROM THE STORE"
+        " and certified against one chained-CTE oracle — entry point 1"
+        " for the LLM-data side, the financial events pipeline's twin"
+    ),
+)
+def llm_corpus_pipeline_run(spark, sf_dir):
+    store = _corpus_run_store(spark, sf_dir)
     clean = store.read("corpus_clean").selectExpr(
         "'clean' AS part", "CAST(day AS STRING) AS k1",
         "CAST(doc_id AS STRING) AS k2", "CAST(NULL AS STRING) AS k3",
@@ -3521,6 +3542,154 @@ def llm_corpus_pipeline_run(spark, sf_dir):
         "CAST(n_packs AS DOUBLE) AS v3",
     )
     return clean.unionByName(packed).unionByName(stats)
+
+
+# ---------------------------------------------------------------------------
+# Incremental DSIR state (plans/corpus_pipeline.py corpus_dsir_state):
+# per-day hashed-ngram bucket counts are MERGEABLE (sums commute), so
+# importance-weighting a day's batch against the rolled-up stored states
+# must hash-match weighting it against a from-scratch rescan of the
+# accumulated corpus — the hh/kmv/rsq at-rest pattern applied to DSIR.
+# The oracle recomputes everything from first principles over the shared
+# clean-chain CTEs; the Spark arm reads ONLY the stored per-day states
+# (plus the day-2 batch text it would hold in hand anyway).
+# ---------------------------------------------------------------------------
+@register(
+    "llm_corpus_dsir_state",
+    export=False,  # driver slot held by its family head (time_rollup_family)
+    oracle=f"""
+    WITH RECURSIVE
+    {_CORPUS_CLEAN_CTES},
+    dl AS (SELECT doc_id, day, lang, {_TOKS} AS l FROM cclean),
+    dgrams AS (
+      SELECT doc_id, day, lang,
+             unnest(list_concat(
+               l,
+               CASE WHEN len(l) >= 2
+                    THEN list_transform(l[1:len(l) - 1], (x, i) -> x || ' ' || l[i + 1])
+                    ELSE CAST([] AS VARCHAR[]) END
+             )) AS g
+      FROM dl
+    ),
+    db AS (
+      SELECT doc_id, day, lang,
+             CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % 64 AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM dgrams GROUP BY 1, 2, 3, 4
+    ),
+    dtgt AS (SELECT b, sum(c) AS ct FROM db WHERE lang = 'en' GROUP BY b),
+    draw AS (SELECT b, sum(c) AS cr FROM db GROUP BY b),
+    dtots AS (SELECT (SELECT CAST(sum(ct) AS DOUBLE) FROM dtgt) AS nt,
+                     (SELECT CAST(sum(cr) AS DOUBLE) FROM draw) AS nr),
+    dratio AS (
+      SELECT draw.b,
+             ln((coalesce(dtgt.ct, 0) + 1.0) / (dtots.nt + 64.0))
+             - ln((draw.cr + 1.0) / (dtots.nr + 64.0)) AS lr
+      FROM draw LEFT JOIN dtgt USING (b) CROSS JOIN dtots
+    )
+    SELECT db.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           round(sum(c * lr), 6) AS weight
+    FROM db JOIN dratio USING (b)
+    WHERE db.day = DATE '2024-01-02'
+    GROUP BY db.doc_id
+    """,
+    doc=(
+        "LLM corpus state: the daily pipeline's INCREMENTAL DSIR"
+        " distribution state — per-day hashed-ngram bucket counts"
+        " persisted through the TableStore, rolled up (m-row sums) into"
+        " the corpus-so-far target/raw distributions, and day 2's batch"
+        " importance-weighted against the rollup; certified equal to a"
+        " from-scratch rescan of the accumulated corpus (counts are"
+        " mergeable by construction), so the gate is distribution-aware"
+        " while reading kilobytes of state instead of the corpus"
+    ),
+)
+def llm_corpus_dsir_state(spark, sf_dir):
+    from aave_etl_spark.operators import sampling
+    from aave_etl_spark.plans.corpus_pipeline import DSIR_M
+
+    store = _corpus_run_store(spark, sf_dir)
+    state = store.read("corpus_dsir_state", where="day <= DATE '2024-01-02'")
+    dist = state.groupBy(F.col("b").alias("_b")).agg(
+        F.sum("n_target").alias("_ct"), F.sum("n_raw").alias("_cr")
+    )
+    ratio = sampling.dsir_log_ratio(
+        dist.select("_b", "_ct"), dist.select("_b", "_cr"), DSIR_M
+    )
+    day2 = store.read("corpus_clean", where="day = DATE '2024-01-02'")
+    return sampling.dsir_scores(
+        sampling.hashed_ngram_buckets(day2, m=DSIR_M), ratio
+    ).select("doc_id", "n_grams", F.round("_w", 6).alias("weight"))
+
+
+# ---------------------------------------------------------------------------
+# Stop-term state as a pipeline ASSET (plans/corpus_pipeline.py
+# corpus_postings_hh / corpus_stopterms): the per-(day, shard) df heavy-
+# hitter sketches the daily run persists roll up — at rest, via the
+# orchestrated store — to the corpus's data-planned stop list with honest
+# [lb, ub] bounds. The oracle rebuilds the same per-shard partial states
+# and merge from the clean-chain CTEs; the Spark arm reads the stored
+# rollup TABLE the pipeline maintains.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_corpus_stopterms",
+    export=False,  # driver slot held by its family head (time_rollup_family)
+    oracle=f"""
+    WITH RECURSIVE
+    {_CORPUS_CLEAN_CTES},
+    ptoks AS (
+      SELECT CAST(day AS VARCHAR) || ':' || CAST(doc_id % 2 AS VARCHAR)
+               AS shard,
+             unnest(list_distinct({_TOKS})) AS term
+      FROM cclean
+    ),
+    scnt AS (
+      SELECT shard, term, CAST(count(*) AS BIGINT) AS c
+      FROM ptoks GROUP BY 1, 2
+    ),
+    srk AS (
+      SELECT shard, term, c,
+             row_number() OVER (PARTITION BY shard ORDER BY c DESC, term) AS rn
+      FROM scnt
+    ),
+    sparts AS (
+      SELECT shard, coalesce(max(CASE WHEN rn > 16 THEN c END), 0) AS rest_max
+      FROM srk GROUP BY 1
+    ),
+    stot AS (SELECT sum(rest_max) AS all_rest FROM sparts),
+    spv AS (
+      SELECT k.term, CAST(sum(k.c) AS BIGINT) AS count_lb,
+             sum(p.rest_max) AS present_rest
+      FROM srk k JOIN sparts p ON p.shard = k.shard
+      WHERE k.rn <= 16 GROUP BY 1
+    ),
+    sb AS (
+      SELECT pv.term AS value, pv.count_lb,
+             CAST(pv.count_lb + t.all_rest - pv.present_rest AS BIGINT)
+               AS count_ub
+      FROM spv pv CROSS JOIN stot t
+    )
+    SELECT value, count_lb, count_ub, (count_ub = count_lb) AS exact,
+           CAST(row_number() OVER (ORDER BY count_lb DESC, value) AS BIGINT)
+             AS rank
+    FROM sb
+    QUALIFY row_number() OVER (ORDER BY count_lb DESC, value) <= 5
+    """,
+    doc=(
+        "LLM corpus state: the daily pipeline's stop-term/postings state"
+        " — per-(day, shard) document-frequency heavy-hitter sketches"
+        " maintained as a day-partitioned pipeline asset, rolled up AT"
+        " REST through the orchestrated store into the corpus stop list"
+        " (top-5 by df lower bound, honest [lb, ub] + exact flag);"
+        " retrieval over the growing corpus plans its stop terms from"
+        " kilobytes of state, never rescanning postings or text"
+    ),
+)
+def llm_corpus_stopterms(spark, sf_dir):
+    store = _corpus_run_store(spark, sf_dir)
+    return store.read("corpus_stopterms").select(
+        "value", "count_lb", "count_ub", "exact", "rank"
+    )
 
 
 # ---------------------------------------------------------------------------

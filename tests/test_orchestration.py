@@ -351,6 +351,16 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
         [
             (1, "en", long_a, "2024-01-01"),
             (2, "en", long_b, "2024-01-01"),
+            # NULL source-label lang: the gate keys on lang_GUESS, so the
+            # doc must flow through gating/packing/stats as its own NULL
+            # group (eqNullSafe discipline), never silently dropped
+            (
+                3,
+                None,
+                "the null of labels and sources is a case the meta of"
+                " data and tags is a blank entirely novel words here",
+                "2024-01-01",
+            ),
             # day 2: exact replica of doc 1, near-dup of doc 2, fresh doc
             (11, "en", long_a, "2024-01-02"),
             (12, "en", long_b + "extra trailing words appended", "2024-01-02"),
@@ -380,10 +390,24 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
     assert ("2024-01-02", 12) not in clean  # near-dup variant dropped
     # within-batch near-dups both survive (dedup is cross-corpus only)
     assert ("2024-01-02", 14) in clean and ("2024-01-02", 15) in clean
-    # stats cover both days and only surviving docs
+    # stats cover both days and only surviving docs; the NULL-lang doc
+    # packs and rolls up as its own group (not dropped, not mis-bucketed)
     stats = {(str(r.day), r.lang): r for r in store.read("corpus_stats").collect()}
     assert stats[("2024-01-01", "en")].n_docs == 2
+    assert stats[("2024-01-01", None)].n_docs == 1
     assert stats[("2024-01-02", "en")].n_docs == 3
+    packed_null = store.read("corpus_packed", where="lang IS NULL").collect()
+    assert [r.doc_id for r in packed_null] == [3]
+    # the distribution-aware gate attached a DSIR weight from the stored
+    # rolled-up states to every gated doc (NULL lang included — the
+    # target predicate treats NULL as non-target, never errors)
+    gated = store.read("corpus_gated").collect()
+    assert all(r.dsir_weight is not None for r in gated)
+    # the stop-term rollup asset exists and carries honest bounds
+    stop = store.read("corpus_stopterms").collect()
+    assert 0 < len(stop) <= 5
+    assert all(r.count_lb <= r.count_ub for r in stop)
+    assert {r.rank for r in stop} == set(range(1, len(stop) + 1))
     mh_rows = store.read("corpus_mh").count()
     # re-run day 2 TWICE: dynamic overwrite of exactly its slice, same
     # result — state reads AND candidate pairs are scoped to EARLIER days,
