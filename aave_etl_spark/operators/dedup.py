@@ -484,6 +484,7 @@ def minhash_index_build(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     n_buckets: int = 32,
+    carry_cols: tuple[str, ...] = (),
 ) -> None:
     """Materialize a corpus's MinHash band keys as an AT-REST signature
     index, hash-bucketed on band_key through the TableStore.
@@ -495,7 +496,14 @@ def minhash_index_build(
     runs ONCE per corpus; the bucketed layout pre-shuffles the band keys
     so every later match joins against it exchange-free on the corpus
     side (the only shuffle left is the new batch — the small side, by
-    construction of incremental ingest)."""
+    construction of incremental ingest).
+
+    ``carry_cols``: extra per-doc columns (e.g. an ingest ``day``) joined
+    onto the band rows — matching ignores them, but they give later
+    maintenance passes a pruning handle: each append's files carry one
+    constant value, so a predicate on the carry column skips every other
+    file via parquet row-group stats (see ``minhash_index_append``
+    ``if_absent_where``)."""
     banded = band_keys(
         minhash_signatures(
             word_shingles(docs, id_col, text_col, n=shingle_n),
@@ -505,6 +513,8 @@ def minhash_index_build(
         id_col,
         rows_per_band,
     )
+    if carry_cols:
+        banded = banded.join(docs.select(id_col, *carry_cols), id_col)
     store.write_bucketed(
         banded, name, bucket_cols=["band_key"], n_buckets=n_buckets,
         sort_cols=["band_key"],
@@ -555,7 +565,9 @@ def minhash_index_append(
     shingle_n: int = 3,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    carry_cols: tuple[str, ...] = (),
     if_absent: bool = False,
+    if_absent_where: str | None = None,
 ) -> None:
     """Append a (verified-unique) batch's band keys into an existing
     at-rest MinHash index, partition-incrementally.
@@ -579,8 +591,16 @@ def minhash_index_append(
     and storage grows unboundedly under repeated corrections. The
     anti-join keys lead with band_key, so the bucketed index side
     satisfies the join's distribution with ZERO exchange (bucket cols ⊆
-    join keys); the cost is one index scan per append — pay it on
-    re-run-prone ingest paths, skip it on build-once bulk loads."""
+    join keys). Unscoped, the anti-join still SCANS the whole index —
+    a corpus-linear daily term. ``if_absent_where`` kills it: a stale
+    duplicate can only come from a prior run of the SAME slice (ids are
+    slice-fresh by the ingest contract), so a predicate on a
+    ``carry_cols`` column (``"day = DATE '...'"``) restricts the read to
+    that slice — each append's files hold one constant carry value, so
+    parquet row-group stats skip every other day's files and the
+    anti-join cost tracks the slice, never the corpus (plan-checked in
+    tests/test_orchestration.py via the fixed row count; scan-metric
+    proof in SCALE.md)."""
     spark = new_docs.sparkSession
     built = _index_params(store, spark, name, shingle_n, num_hashes, rows_per_band)
     if built is None:
@@ -597,9 +617,15 @@ def minhash_index_append(
         id_col,
         rows_per_band,
     )
+    if carry_cols:
+        banded = banded.join(new_docs.select(id_col, *carry_cols), id_col)
     if if_absent:
-        existing = store.read_bucketed(name).select(id_col, "band_key")
-        banded = banded.join(existing, ["band_key", id_col], "left_anti")
+        existing = store.read_bucketed(name)
+        if if_absent_where is not None:
+            existing = existing.filter(if_absent_where)
+        banded = banded.join(
+            existing.select(id_col, "band_key"), ["band_key", id_col], "left_anti"
+        )
     store.write_bucketed(
         banded, name, bucket_cols=["band_key"], n_buckets=built.n_buckets,
         sort_cols=["band_key"], mode="append",

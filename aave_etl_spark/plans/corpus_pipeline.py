@@ -243,10 +243,18 @@ def _corpus_state(ctx: AssetContext) -> DataFrame:
         # if_absent: a backfill re-run of this day re-appends the same
         # survivors' bands — the anti-join makes that a no-op, so N
         # re-runs leave the index row count FIXED (pytest-gated in
-        # tests/test_orchestration.py) instead of accreting stale rows
-        dedup.minhash_index_append(store, clean, "corpus_mh", if_absent=True)
+        # tests/test_orchestration.py) instead of accreting stale rows.
+        # The day predicate scopes the anti-join's index read to THIS
+        # day's slice (stale rows can only come from a prior run of the
+        # same day — ids are day-fresh), so the idempotence check costs
+        # the batch, never the accumulated index
+        dedup.minhash_index_append(
+            store, clean, "corpus_mh", carry_cols=("day",),
+            if_absent=True,
+            if_absent_where=f"day = DATE '{ctx.partition.date}'",
+        )
     else:
-        dedup.minhash_index_build(store, clean, "corpus_mh")
+        dedup.minhash_index_build(store, clean, "corpus_mh", carry_cols=("day",))
     return digests
 
 
