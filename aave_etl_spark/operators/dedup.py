@@ -66,14 +66,28 @@ def keep_first_by_digest(
     partitions (the round-9 line_dedup_global lesson, dedup.py:622).
     Instead: ``groupBy(digest).agg(min(id))`` — a PARTIAL-aggregatable
     reduction that collapses each map task's copies before the shuffle
-    ever sees them — then a plain equi-join back on (digest, id). The
+    ever sees them — then a null-safe equi-join back on (digest, id). The
     keeper side is distinct-content-sized, so AQE broadcasts it when it
     fits and its skew split can section it past that; the hot digest's
     10⁹ copies never gather anywhere. Returns ``df``'s columns unchanged.
-    """
+
+    A NULL digest (NULL text through md5) is one group like any other —
+    the join is eqNullSafe on the digest, so the window form's
+    one-survivor-per-NULL-group behavior is preserved exactly (a plain
+    equi-join would silently drop every NULL-digest row)."""
+    if "_dg" in df.columns:
+        raise ValueError(
+            "keep_first_by_digest: input column '_dg' collides with the"
+            " operator's internal digest alias — rename it first"
+        )
     hashed = df.withColumn("_dg", digest)
-    keepers = hashed.groupBy("_dg").agg(F.min(id_col).alias(id_col))
-    return hashed.join(keepers, ["_dg", id_col]).select(*df.columns)
+    keepers = hashed.groupBy("_dg").agg(F.min(id_col).alias(id_col)).select(
+        F.col("_dg").alias("_kdg"), F.col(id_col).alias("_kid")
+    )
+    return hashed.join(
+        keepers,
+        F.col("_dg").eqNullSafe(F.col("_kdg")) & (F.col(id_col) == F.col("_kid")),
+    ).select(*df.columns)
 
 
 def word_shingles(

@@ -367,11 +367,22 @@ def dsir_log_ratio(tgt: DataFrame, raw: DataFrame, m: int) -> DataFrame:
     ``(_b, _ct)`` and ``raw`` ``(_b, _cr)``. The counts may come from an
     in-flight aggregate over doc buckets OR from rolled-up at-rest per-day
     states (sums commute); both totals are one-row broadcasts, so the
-    ratio table is m rows regardless of corpus size."""
+    ratio table is m rows regardless of corpus size.
+
+    The table covers the FULL bucket domain 0..m-1 (counts coalesced to
+    0 = the smoothing prior), not just the buckets the distributions
+    happened to hit — so scoring a batch against a distribution that has
+    never seen one of the batch's buckets applies the prior's nonzero
+    log-ratio instead of silently dropping the bucket from the weight (a
+    batch scored against a rolled-up state that hasn't ingested it yet
+    is exactly the accumulated-distribution use case)."""
+    spark = raw.sparkSession
+    domain = spark.range(int(m)).select(F.col("id").cast("long").alias("_b"))
     tot_t = F.broadcast(tgt.agg(F.sum("_ct").cast("double").alias("_nt")))
     tot_r = F.broadcast(raw.agg(F.sum("_cr").cast("double").alias("_nr")))
     return (
-        raw.join(tgt, "_b", "left")
+        domain.join(raw, "_b", "left")
+        .join(tgt, "_b", "left")
         .crossJoin(tot_t)
         .crossJoin(tot_r)
         .select(
@@ -379,7 +390,8 @@ def dsir_log_ratio(tgt: DataFrame, raw: DataFrame, m: int) -> DataFrame:
             (
                 F.log((F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + 1.0)
                       / (F.col("_nt") + float(m)))
-                - F.log((F.col("_cr").cast("double") + 1.0) / (F.col("_nr") + float(m)))
+                - F.log((F.coalesce(F.col("_cr"), F.lit(0)).cast("double") + 1.0)
+                        / (F.col("_nr") + float(m)))
             ).alias("_lr"),
         )
     )

@@ -22,12 +22,21 @@ is the thing the at-rest state exists to avoid:
   survivors to ``corpus_digests`` + ``corpus_docs`` (day-partitioned —
   re-running a day dynamic-overwrites exactly its slice) and
   incrementally appends their bands into the ``corpus_mh`` index
-  (built on the first day; append proven equal to a from-scratch
-  rebuild in tests/test_operators.py; ``if_absent`` anti-join makes
-  re-run appends a no-op, so the index row count is fixed under
-  backfill re-runs).
+  (built on the first non-empty day; append proven equal to a
+  from-scratch rebuild in tests/test_operators.py; ``if_absent``
+  anti-join makes BYTE-IDENTICAL re-run appends a no-op, so the index
+  row count is fixed under plain backfill re-runs. A CORRECTED re-run
+  appends the corrected docs' new bands while their old-text bands stay
+  — stale bands are harmless for matching (candidate pairs are scoped
+  to prior-day corpus ids and the verify reads current text), but
+  storage grows under repeated corrections: rebuild the index with
+  ``minhash_index_build`` over ``corpus_docs`` to reclaim it).
+- ``corpus_doc_buckets`` (DAILY, day-partitioned): the day's per-doc
+  hashed-ngram bucket counts — the one gram-explode pass per day,
+  materialized because both the distribution state and the gate's
+  scoring consume it.
 - ``corpus_dsir_state`` (DAILY, day-partitioned): the day's MERGEABLE
-  DSIR distribution state — hashed-ngram bucket counts (target + raw),
+  DSIR distribution state — bucket counts rolled to target + raw,
   at most ``DSIR_M`` rows/day. Sums over days == a from-scratch count
   over the accumulated corpus (certified: llm_corpus_dsir_state).
 - ``corpus_postings_hh`` (DAILY, day-partitioned): per-(day, shard)
@@ -124,6 +133,10 @@ _GATED_SCHEMA = _schema(
     ("day", DateType), ("doc_id", LongType), ("lang", StringType),
     ("n_tokens", LongType), ("dsir_weight", DoubleType),
 )
+_DOCB_SCHEMA = _schema(
+    ("day", DateType), ("doc_id", LongType), ("lang", StringType),
+    ("b", LongType), ("c", LongType),
+)
 _DSIR_STATE_SCHEMA = _schema(
     ("day", DateType), ("b", LongType), ("n_target", LongType),
     ("n_raw", LongType),
@@ -191,19 +204,24 @@ def _corpus_clean(ctx: AssetContext) -> DataFrame:
         # EACH OTHER on a re-run (round-10 ADVICE; re-run idempotence with
         # planted in-batch near-dups is pytest-gated in
         # tests/test_orchestration.py)
-        prior_ids = store.read("corpus_docs", where=prior).select(
-            F.col("doc_id").alias("corpus_id")
+        # schema-guarded: corpus_mh can exist while corpus_docs was never
+        # written (an empty first day builds the index table but the
+        # empty-skip in TableStore.write skips the docs table) — a
+        # schema-less read would come back zero-column and crash the
+        # select, wedging every later day
+        prior_docs = store.read(
+            "corpus_docs", where=prior, schema=_CLEAN_SCHEMA
+        ).select("doc_id", "text")
+        pairs = pairs.join(
+            prior_docs.select(F.col("doc_id").alias("corpus_id")),
+            "corpus_id",
+            "left_semi",
         )
-        pairs = pairs.join(prior_ids, "corpus_id", "left_semi")
         # shingle ONLY the matched corpus docs (semi-join on the candidate
         # ids), never the accumulated corpus — the verify cost is
         # |candidates| x avg-shingles, not corpus-linear
         matched = pairs.select(F.col("corpus_id").alias("doc_id")).distinct()
-        corpus_docs = (
-            store.read("corpus_docs", where=prior)
-            .select("doc_id", "text")
-            .join(matched, "doc_id")
-        )
+        corpus_docs = prior_docs.join(matched, "doc_id")
         # batch ids and corpus ids are disjoint by construction (fresh ids
         # per day), so one shingle frame serves both sides of the verify
         sh = dedup.word_shingles(
@@ -233,12 +251,18 @@ def _corpus_state(ctx: AssetContext) -> DataFrame:
     digests = clean.select(
         "day", "doc_id", F.md5(dedup.normalize_text("text")).alias("digest")
     )
-    store.write(digests, "corpus_digests", partition_cols=["day"])
+    wrote = store.write(digests, "corpus_digests", partition_cols=["day"])
     store.write(
         clean.select("day", "doc_id", "lang", "text"),
         "corpus_docs",
         partition_cols=["day"],
     )
+    if not wrote:
+        # empty day: nothing to fold. In particular, do NOT create the
+        # band index for an empty batch — write_bucketed has no empty-skip
+        # and a phantom index table (with no corpus_docs beside it) is a
+        # trap for every later day's reads
+        return digests
     if store.exists("corpus_mh"):
         # if_absent: a backfill re-run of this day re-appends the same
         # survivors' bands — the anti-join makes that a no-op, so N
@@ -258,34 +282,49 @@ def _corpus_state(ctx: AssetContext) -> DataFrame:
     return digests
 
 
-def _corpus_dsir_state(ctx: AssetContext) -> DataFrame:
-    """Per-day MERGEABLE DSIR distribution state: hashed unigram+bigram
-    bucket counts over the day's clean slice, target (``DSIR_TARGET``)
-    and raw — ``(day, b, n_target, n_raw)``, at most ``DSIR_M`` rows per
-    day. Bucket counts are sums, so rolling stored per-day states up
-    (``sum GROUP BY b``) equals a from-scratch count over the accumulated
-    corpus: the gate importance-weights any day's batch against the whole
-    corpus distribution by reading kilobytes of state, never rescanning
-    text (the HH/KMV at-rest sketch pattern applied to DSIR)."""
+def _corpus_doc_buckets(ctx: AssetContext) -> DataFrame:
+    """Per-doc hashed unigram+bigram bucket counts for the day's clean
+    slice — ``(day, doc_id, lang, b, c)``. The gram explode is the
+    heaviest per-day text pass, and BOTH the day's distribution state and
+    the gate's importance scoring need the same frame: materializing it
+    once as a (batch-sized, day-partitioned) asset runs the explode once
+    per day instead of once per consumer (the localCheckpoint discipline
+    from dsir_importance_resample, asset-shaped)."""
     clean = ctx.upstream(
         "corpus_clean", this_partition_only=True, date_col="day",
         schema=_CLEAN_SCHEMA,
     )
-    pre = clean.select(
-        "day", "doc_id", "text", F.expr(DSIR_TARGET).alias("_is_target")
-    )
     buckets = sampling.hashed_ngram_buckets(
-        pre, m=DSIR_M, extra_cols=("day", "_is_target")
+        clean, m=DSIR_M, extra_cols=("day", "lang")
+    )
+    return buckets.select(
+        "day", "doc_id", "lang",
+        F.col("_b").cast("long").alias("b"), F.col("_c").cast("long").alias("c"),
+    )
+
+
+def _corpus_dsir_state(ctx: AssetContext) -> DataFrame:
+    """Per-day MERGEABLE DSIR distribution state: the day's bucket counts
+    rolled to target (``DSIR_TARGET``) and raw — ``(day, b, n_target,
+    n_raw)``, at most ``DSIR_M`` rows per day. Bucket counts are sums, so
+    rolling stored per-day states up (``sum GROUP BY b``) equals a
+    from-scratch count over the accumulated corpus: the gate importance-
+    weights any day's batch against the whole corpus distribution by
+    reading kilobytes of state, never rescanning text (the HH/KMV at-rest
+    sketch pattern applied to DSIR)."""
+    buckets = ctx.upstream(
+        "corpus_doc_buckets", this_partition_only=True, date_col="day",
+        schema=_DOCB_SCHEMA,
     )
     return (
-        buckets.groupBy("day", "_b")
+        buckets.groupBy("day", "b")
         .agg(
-            F.sum(F.when(F.col("_is_target"), F.col("_c")).otherwise(F.lit(0)))
+            F.sum(F.when(F.expr(DSIR_TARGET), F.col("c")).otherwise(F.lit(0)))
             .cast("long")
             .alias("n_target"),
-            F.sum("_c").cast("long").alias("n_raw"),
+            F.sum("c").cast("long").alias("n_raw"),
         )
-        .select("day", F.col("_b").cast("long").alias("b"), "n_target", "n_raw")
+        .select("day", "b", "n_target", "n_raw")
     )
 
 
@@ -317,9 +356,15 @@ def _corpus_gated(ctx: AssetContext) -> DataFrame:
     ratio = sampling.dsir_log_ratio(
         dist.select("_b", "_ct"), dist.select("_b", "_cr"), DSIR_M
     )
-    scores = sampling.dsir_scores(
-        sampling.hashed_ngram_buckets(clean, m=DSIR_M), ratio
-    ).select("doc_id", F.round("_w", 6).alias("dsir_weight"))
+    # the day's per-doc buckets come from the materialized asset — the
+    # gram explode already ran once for the state; never re-run it here
+    doc_buckets = ctx.upstream(
+        "corpus_doc_buckets", this_partition_only=True, date_col="day",
+        schema=_DOCB_SCHEMA,
+    ).select("doc_id", F.col("b").alias("_b"), F.col("c").alias("_c"))
+    scores = sampling.dsir_scores(doc_buckets, ratio).select(
+        "doc_id", F.round("_w", 6).alias("dsir_weight")
+    )
     return (
         clean.join(q, "doc_id")
         .join(lid.select("doc_id", "lang_guess"), "doc_id")
@@ -434,9 +479,17 @@ def corpus_pipeline_graph() -> AssetGraph:
                 write_output=False,
             ),
             Asset(
+                name="corpus_doc_buckets",
+                fn=_corpus_doc_buckets,
+                deps=("corpus_clean",),
+                group="corpus_lake",
+                partitioning=DAILY,
+                partition_cols=("day",),
+            ),
+            Asset(
                 name="corpus_dsir_state",
                 fn=_corpus_dsir_state,
-                deps=("corpus_clean",),
+                deps=("corpus_doc_buckets",),
                 group="corpus_lake",
                 partitioning=DAILY,
                 partition_cols=("day",),
@@ -459,7 +512,7 @@ def corpus_pipeline_graph() -> AssetGraph:
             Asset(
                 name="corpus_gated",
                 fn=_corpus_gated,
-                deps=("corpus_clean", "corpus_dsir_state"),
+                deps=("corpus_clean", "corpus_doc_buckets", "corpus_dsir_state"),
                 group="corpus_curate",
                 partitioning=DAILY,
                 partition_cols=("day",),

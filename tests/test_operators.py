@@ -1043,10 +1043,15 @@ def test_keep_first_by_digest_equals_window_form_and_window_free(spark):
 
     from aave_etl_spark.operators.dedup import keep_first_by_digest
 
+    import pytest
+
     viral = "breaking story everyone crawled a million times"
     rows = [(i, "en", viral) for i in range(0, 500, 2)]  # hot digest, min id 0
     rows += [(i, "en", f"unique doc {i} body") for i in range(1, 500, 2)]
     rows += [(900, "fr", "unique doc 1 body")]  # tie content, larger id loses
+    # NULL text -> NULL digest: one group like any other (the window form
+    # kept exactly one NULL-group row; a null-unsafe join would drop both)
+    rows += [(950, "en", None), (951, "en", None)]
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     digest = F.md5("text")
     out = keep_first_by_digest(df, digest)
@@ -1055,13 +1060,17 @@ def test_keep_first_by_digest_equals_window_form_and_window_free(spark):
         .filter(F.col("doc_id") == F.col("_k0"))
         .select(*df.columns)
     )
-    got = sorted(out.collect())
-    assert got == sorted(twin.collect())
+    got = sorted(out.collect(), key=lambda r: r.doc_id)
+    assert got == sorted(twin.collect(), key=lambda r: r.doc_id)
     assert out.columns == df.columns
     ids = {r.doc_id for r in got}
     assert 0 in ids and 900 not in ids and 1 in ids
+    assert 950 in ids and 951 not in ids  # NULL digest: min id survives
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+    # internal alias collision fails loudly (the mix_corpus discipline)
+    with pytest.raises(ValueError, match="_dg"):
+        keep_first_by_digest(df.withColumn("_dg", F.lit(1)), digest)
 
 
 def test_uniform_frame_sample_fractional_duration(spark):

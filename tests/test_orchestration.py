@@ -459,3 +459,56 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
     )
     plan = _corpus_clean(ctx)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_corpus_pipeline_survives_empty_first_day(spark, tmp_path):
+    """A day whose batch is empty must not wedge the pipeline: the
+    empty-skip in TableStore.write means corpus_docs is never written,
+    and _corpus_state must then NOT create a phantom band index (a
+    schema-less read of the missing docs table on later days would
+    come back zero-column and crash). Day 2's docs flow through
+    normally and build the state tables fresh."""
+    from aave_etl_spark.plans.corpus_pipeline import corpus_pipeline_graph
+
+    store = TableStore(spark, str(tmp_path / "corpus_wh"))
+    landing = spark.createDataFrame(
+        [
+            (
+                21,
+                "en",
+                "the alpha of beta and gamma is a delta the epsilon of"
+                " zeta and eta is a theta entirely fresh words",
+                "2024-01-02",
+            ),
+        ],
+        "doc_id long, lang string, text string, day string",
+    ).withColumn("day", F.to_date("day"))
+    graph = corpus_pipeline_graph()
+    # day 1 has no landing rows; day 2 has one doc
+    for day in ("2024-01-01", "2024-01-02"):
+        orch.run_day(
+            spark, store, graph, day, markets=[], resources={"landing": landing}
+        )
+    assert not store.exists("corpus_mh") or store.read("corpus_mh").count() > 0
+    clean = {(str(r.day), r.doc_id) for r in store.read("corpus_clean").collect()}
+    assert clean == {("2024-01-02", 21)}
+    # a third day against the day-2 state exercises the match path
+    landing3 = landing.unionByName(
+        spark.createDataFrame(
+            [
+                (
+                    31,
+                    "en",
+                    "the brand of new and prose is a record the other of"
+                    " words and text is a story nothing shared here",
+                    "2024-01-03",
+                ),
+            ],
+            "doc_id long, lang string, text string, day string",
+        ).withColumn("day", F.to_date("day"))
+    )
+    orch.run_day(
+        spark, store, graph, "2024-01-03", markets=[], resources={"landing": landing3}
+    )
+    clean3 = {(str(r.day), r.doc_id) for r in store.read("corpus_clean").collect()}
+    assert ("2024-01-03", 31) in clean3
