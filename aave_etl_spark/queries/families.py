@@ -720,6 +720,12 @@ family(
             ("query_id", "candidate_id"),
             ("rrf_score", "rank"),
         ),
+        (
+            "corpus_retrieval",
+            "llm_corpus_retrieval",
+            ("query_id", "candidate_id"),
+            ("bm25_score", "rank"),
+        ),
     ],
     doc=(
         "§2.3 join-technique family: EXISTS semi-join + left-anti join +"
@@ -733,6 +739,9 @@ family(
         " product-quantization top-k with asymmetric distance (M-code"
         " compressed scan) + hybrid dense+sparse retrieval fused by"
         " reciprocal rank (BM25 postings probe x cosine top-k, RRF k0=60)"
+        " + SELF-PLANNING retrieval over the daily corpus pipeline's"
+        " store (postings from corpus_docs, the maintained corpus_stopterms"
+        " asset anti-joined into the probe — no hand-picked stop config)"
     ),
 )
 

@@ -3693,6 +3693,102 @@ def llm_corpus_stopterms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Retrieval over the GROWING corpus, self-planning: the pipeline's
+# maintained state tables compose end-to-end — postings from the stored
+# corpus_docs, the stored corpus_stopterms list anti-joined in, BM25
+# probe ranked. Nothing is hand-configured: the stop list came from the
+# per-day df sketches the daily run maintains. The oracle rebuilds the
+# whole chain (clean corpus → postings → per-(day, shard) HH stop list →
+# stop-free probe) from first principles.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_corpus_retrieval",
+    export=False,  # driver slot held by its family head (semi_anti_family)
+    oracle=f"""
+    WITH RECURSIVE
+    {_CORPUS_CLEAN_CTES},
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM cclean),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    post AS (
+      SELECT t.doc_id, t.term,
+             round(ln(1.0 + ((sc.n_docs - d.df) + 0.5) / (d.df + 0.5))
+                   * ((CAST(t.tf AS DOUBLE) * 2.2)
+                      / (CAST(t.tf AS DOUBLE)
+                         + 1.2 * (0.25 + ((0.75 * CAST(l.dl AS DOUBLE)) / sc.avgdl)))),
+                   6) AS bm25
+      FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term) CROSS JOIN sc
+    ),
+    ptoks AS (
+      SELECT CAST(day AS VARCHAR) || ':' || CAST(doc_id % 2 AS VARCHAR)
+               AS shard,
+             unnest(list_distinct({_TOKS})) AS term
+      FROM cclean
+    ),
+    scnt AS (
+      SELECT shard, term, CAST(count(*) AS BIGINT) AS c
+      FROM ptoks GROUP BY 1, 2
+    ),
+    srk AS (
+      SELECT shard, term, c,
+             row_number() OVER (PARTITION BY shard ORDER BY c DESC, term) AS rn
+      FROM scnt
+    ),
+    stoplist AS (
+      SELECT term FROM (
+        SELECT k.term, CAST(sum(k.c) AS BIGINT) AS count_lb
+        FROM srk k WHERE k.rn <= 16 GROUP BY 1
+      )
+      QUALIFY row_number() OVER (ORDER BY count_lb DESC, term) <= 5
+    ),
+    qterms AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT doc_id AS query_id, unnest({_TOKS}) AS term
+        FROM cclean WHERE doc_id < 8
+      )
+    ),
+    cprobe AS (
+      SELECT q.query_id, p.doc_id AS candidate_id,
+             round(sum(p.bm25), 6) AS bm25_score
+      FROM post p JOIN qterms q USING (term)
+      WHERE p.doc_id <> q.query_id
+        AND p.term NOT IN (SELECT term FROM stoplist)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, candidate_id, bm25_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25_score DESC, candidate_id)
+                AS BIGINT) AS rank
+    FROM cprobe
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY bm25_score DESC, candidate_id) <= 10
+    """,
+    doc=(
+        "LLM retrieval over the GROWING corpus, self-planning end-to-end:"
+        " BM25 postings built from the daily pipeline's stored corpus_docs,"
+        " the stored corpus_stopterms asset (rolled up from the per-day df"
+        " sketches the run maintains) anti-joined into the probe, top-10"
+        " per query — no hand-picked stop list or max_df literal anywhere;"
+        " the composition the state assets exist for, certified against a"
+        " from-first-principles oracle over the same clean chain"
+    ),
+)
+def llm_corpus_retrieval(spark, sf_dir):
+    from aave_etl_spark.operators.text import _bm25_probe, bm25_postings
+
+    store = _corpus_run_store(spark, sf_dir)
+    docs = store.read("corpus_docs")
+    posts = bm25_postings(docs)
+    stop = store.read("corpus_stopterms").select(F.col("value").alias("term"))
+    clean_posts = posts.join(F.broadcast(stop), "term", "left_anti")
+    return _bm25_probe(clean_posts, docs.filter("doc_id < 8"), k=10)
+
+
+# ---------------------------------------------------------------------------
 # Gopher quality rules (Rae et al. 2021, A1.1). The synthetic corpus is
 # single-line lowercase word salad, so the certification query derives
 # line structure the same way the C4 part does (' table ' → sentence

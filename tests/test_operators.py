@@ -1596,6 +1596,54 @@ def test_minhash_index_append_loop_matches_from_scratch_build(spark, tmp_path):
         dd.minhash_index_append(store, batch_c, "mh_idx_missing")
 
 
+def test_minhash_index_if_absent_scoped_append(spark, tmp_path):
+    """The idempotent append contract with a carry column: re-appending a
+    slice is a no-op (row count fixed), the slice predicate reaches the
+    index scan as a pushed-down filter (each append's files hold one
+    constant carry value, so parquet stats skip other slices' files), and
+    a DIFFERENT slice with the same content still appends (the scope
+    means same-slice stale rows, not global content dedup)."""
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.operators import dedup as dd
+
+    text = lambda w: f"{w}1 {w}2 {w}3 {w}4 {w}5 {w}6 {w}7 {w}8"  # noqa: E731
+
+    def batch(ids, day):
+        return spark.createDataFrame(
+            [(i, text(f"word{i}"), day) for i in ids],
+            "doc_id long, text string, day string",
+        ).withColumn("day", F.to_date("day"))
+
+    store = TableStore(spark, str(tmp_path / "scoped"))
+    dd.minhash_index_build(
+        store, batch(range(4), "2024-01-01"), "mh_idx_sc", n_buckets=4,
+        carry_cols=("day",),
+    )
+    d2 = batch(range(10, 14), "2024-01-02")
+    kw = dict(
+        carry_cols=("day",), if_absent=True,
+        if_absent_where="day = DATE '2024-01-02'",
+    )
+    dd.minhash_index_append(store, d2, "mh_idx_sc", **kw)
+    n = store.read("mh_idx_sc").count()
+    for _ in range(2):  # N re-runs of the slice: row count fixed
+        dd.minhash_index_append(store, d2, "mh_idx_sc", **kw)
+        assert store.read("mh_idx_sc").count() == n
+    # the scope predicate reaches the parquet scan (pushed down, prunable)
+    scoped = store.read_bucketed("mh_idx_sc").filter("day = DATE '2024-01-02'")
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "day" in plan.split("PushedFilters")[1][:120]
+    assert scoped.count() * 2 == n  # the slice is half the index
+    # same CONTENT under a new slice still appends — the scope dedups
+    # re-runs of a slice, it is not global content dedup
+    d3 = batch(range(10, 14), "2024-01-03").withColumn("doc_id", F.col("doc_id") + 10)
+    dd.minhash_index_append(
+        store, d3, "mh_idx_sc", carry_cols=("day",), if_absent=True,
+        if_absent_where="day = DATE '2024-01-03'",
+    )
+    assert store.read("mh_idx_sc").count() > n
+
+
 def test_pq_topk_recall_on_clustered_vectors(spark):
     """PQ/ADC: on well-separated clusters the compressed-domain top-k must
     recover the same cluster memberships as exact L2 — the codes quantize
