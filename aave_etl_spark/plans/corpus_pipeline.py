@@ -452,6 +452,56 @@ def _corpus_stats(ctx: AssetContext) -> DataFrame:
     )
 
 
+#: the day-partitioned corpus tables the maintenance pass compacts
+_COMPACTABLE = (
+    "corpus_digests",
+    "corpus_docs",
+    "corpus_doc_buckets",
+    "corpus_dsir_state",
+    "corpus_postings_hh",
+    "corpus_clean",
+    "corpus_gated",
+    "corpus_packed",
+)
+
+
+def corpus_maintenance(
+    store, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict[str, tuple[int, int]]:
+    """Periodic maintenance for the corpus store — the pass every
+    incrementally-loaded lakehouse runs on a cadence:
+
+    - COMPACT each day-partitioned table's accreted small files (every
+      daily run writes one file-set per partition; re-runs add more) to
+      bounded counts via ``TableStore.compact`` — content-preserving,
+      same partition layout.
+    - REBUILD the MinHash band index from ``corpus_docs`` — the reclaim
+      path for stale bands: corrected backfills append the corrected
+      docs' new bands while the old-text bands stay (harmless for
+      matching — candidate pairs are prior-day-scoped and the verify
+      reads current text — but storage and candidate noise grow under
+      repeated corrections). A rebuild over the current docs is exactly
+      the from-scratch build the append path is certified equal to.
+
+    Returns ``{table: (before, after)}`` — file counts for compacted
+    tables, row counts for the index rebuild. Run it off the daily path
+    (weekly, or after a heavy backfill); cost is one scan+rewrite of the
+    state tables, never the raw landing data."""
+    out: dict[str, tuple[int, int]] = {}
+    for name in _COMPACTABLE:
+        if store.exists(name):
+            out[name] = store.compact(
+                name, partition_cols=["day"], target_file_bytes=target_file_bytes
+            )
+    if store.exists("corpus_mh") and store.exists("corpus_docs"):
+        before = store.read("corpus_mh").count()
+        dedup.minhash_index_build(
+            store, store.read("corpus_docs"), "corpus_mh", carry_cols=("day",)
+        )
+        out["corpus_mh"] = (before, store.read("corpus_mh").count())
+    return out
+
+
 def corpus_pipeline_graph() -> AssetGraph:
     return AssetGraph(
         [

@@ -3616,10 +3616,16 @@ def llm_corpus_dsir_state(spark, sf_dir):
     ratio = sampling.dsir_log_ratio(
         dist.select("_b", "_ct"), dist.select("_b", "_cr"), DSIR_M
     )
-    day2 = store.read("corpus_clean", where="day = DATE '2024-01-02'")
-    return sampling.dsir_scores(
-        sampling.hashed_ngram_buckets(day2, m=DSIR_M), ratio
-    ).select("doc_id", "n_grams", F.round("_w", 6).alias("weight"))
+    # the day's per-doc buckets come from the STORED corpus_doc_buckets
+    # asset (the one gram explode the pipeline ran), so this cert covers
+    # the materialized per-doc state too — the oracle recomputes the
+    # buckets from raw text, proving the stored frame == a fresh explode
+    day2 = store.read(
+        "corpus_doc_buckets", where="day = DATE '2024-01-02'"
+    ).select("doc_id", F.col("b").alias("_b"), F.col("c").alias("_c"))
+    return sampling.dsir_scores(day2, ratio).select(
+        "doc_id", "n_grams", F.round("_w", 6).alias("weight")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -461,6 +461,95 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
     assert "Window" not in plan, plan
 
 
+def test_corpus_maintenance_compacts_and_reclaims_stale_bands(spark, tmp_path):
+    """The off-path maintenance pass: after two days plus a CORRECTED
+    re-run of day 2 (which leaves the corrected doc's old-text bands in
+    the index — the documented storage leak), corpus_maintenance must
+    rebuild the index down to exactly the from-scratch size over the
+    current docs, compact the day tables without changing a value, and
+    the next day's run must work unchanged on the maintained store."""
+    from aave_etl_spark.plans.corpus_pipeline import (
+        corpus_maintenance,
+        corpus_pipeline_graph,
+    )
+
+    store = TableStore(spark, str(tmp_path / "corpus_wh"))
+    mk = lambda i, t, d: (i, "en", t, d)  # noqa: E731
+
+    # per-doc disjoint vocabulary around an en-stopword skeleton: every
+    # 3-gram carries a doc-unique token, so docs never near-dup each
+    # other, while the gate's language/quality checks still pass
+    def text(i):
+        w = [f"w{i}{c}" for c in "abcdefgh"]
+        return (
+            f"the {w[0]} of {w[1]} and {w[2]} is {w[3]}"
+            f" a {w[4]} {w[5]} {w[6]} {w[7]}"
+        )
+
+    rows = [mk(i, text(i), "2024-01-01") for i in range(4)]
+    rows += [mk(10 + i, text(10 + i), "2024-01-02") for i in range(3)]
+    landing = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, day string"
+    ).withColumn("day", F.to_date("day"))
+    graph = corpus_pipeline_graph()
+    for day in ("2024-01-01", "2024-01-02"):
+        orch.run_day(
+            spark, store, graph, day, markets=[], resources={"landing": landing}
+        )
+    # corrected re-run of day 2: doc 11's text changes -> its OLD bands
+    # go stale in the index (appends are scoped-idempotent, not deleting)
+    landing_fixed = landing.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 11,
+            F.concat(F.col("text"), F.lit(" corrected tail of words")),
+        ).otherwise(F.col("text")),
+    )
+    orch.run_day(
+        spark, store, graph, "2024-01-02", markets=[],
+        resources={"landing": landing_fixed},
+    )
+    stats_before = {
+        (str(r.day), r.lang, r.n_docs, r.sum_tokens)
+        for r in store.read("corpus_stats").collect()
+    }
+    n_stale = store.read("corpus_mh").count()
+    report = corpus_maintenance(store, target_file_bytes=1 << 20)
+    # the rebuild reclaimed doc 11's stale old-text bands (4 bands/doc)
+    before, after = report["corpus_mh"]
+    assert before == n_stale and after < before
+    # from-scratch size: bands for exactly the current 7 docs
+    assert after == store.read("corpus_docs").count() * 4
+    # compaction is content-preserving: stats recompute identically and
+    # every compacted table still reads
+    for name, (fb, fa) in report.items():
+        if name != "corpus_mh":
+            assert fa <= fb
+            assert store.read(name).count() > 0
+    # day 3 against the maintained store: match path works off the
+    # rebuilt index (doc 30 duplicates doc 0's day-1 content -> dropped)
+    landing3 = landing_fixed.unionByName(
+        spark.createDataFrame(
+            [mk(30, text(0), "2024-01-03"), mk(31, text(31), "2024-01-03")],
+            "doc_id long, lang string, text string, day string",
+        ).withColumn("day", F.to_date("day"))
+    )
+    orch.run_day(
+        spark, store, graph, "2024-01-03", markets=[], resources={"landing": landing3}
+    )
+    clean3 = {
+        (str(r.day), r.doc_id)
+        for r in store.read("corpus_clean", where="day = DATE '2024-01-03'").collect()
+    }
+    assert clean3 == {("2024-01-03", 31)}  # 30 dropped as an exact replica
+    stats_after = {
+        (str(r.day), r.lang, r.n_docs, r.sum_tokens)
+        for r in store.read("corpus_stats").collect()
+        if str(r.day) != "2024-01-03"
+    }
+    assert stats_after == stats_before
+
+
 def test_corpus_pipeline_survives_empty_first_day(spark, tmp_path):
     """A day whose batch is empty must not wedge the pipeline: the
     empty-skip in TableStore.write means corpus_docs is never written,
