@@ -599,6 +599,7 @@ def ivf_index_build(
     vec_col: str = "embedding",
     round_digits: int = 6,
     centroids: DataFrame | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> None:
     """Materialize an IVF index AT REST through the TableStore: the cell
     assignments land partitioned BY ``cell_id`` (one directory per cell)
@@ -611,12 +612,26 @@ def ivf_index_build(
     n_probe/n_cells of the corpus bytes, enforced before any task runs.
     Rebuilds are FULL refreshes (static partition overwrite): a cell with
     no vectors in the new corpus must disappear, not survive as a stale
-    directory a probe could still scan."""
+    directory a probe could still scan.
+
+    ``carry_cols``: extra per-vector columns (e.g. an ingest ``day``)
+    carried through the assignment and appended as SUB-partition levels
+    under ``cell_id``. Searches still prune on the leading ``cell_id``
+    level exactly as before; the carry levels give the incremental path
+    (:func:`ivf_index_append`) a dynamic-overwrite handle, so re-running
+    a slice replaces exactly that slice inside each touched cell."""
     cent = _centroid_frame(df, centroids, n_cells, id_col, vec_col)
+    if centroids is not None:
+        # a REBUILD passes centroids read from this very store (frozen
+        # geometry, e.g. embeddings_maintenance) — materialize the tiny
+        # frame before the overwrite below deletes the files it lazily
+        # reads, or the write fails mid-job with FILE_NOT_EXIST
+        cent = cent.localCheckpoint(eager=True)
     cent_arr = _centroid_array(cent)
     c = df.select(
         F.col(id_col),
         F.col(vec_col),
+        *[F.col(cc) for cc in carry_cols],
         norm(F.col(vec_col)).alias("_cvn"),
     )
     assign = (
@@ -625,7 +640,10 @@ def ivf_index_build(
             "_best", F.array_max(_cell_sims(F.col(vec_col), F.col("_cvn"), round_digits))
         )
         .select(
-            (-F.col("_best.neg_id")).alias("cell_id"), F.col(id_col), F.col(vec_col)
+            (-F.col("_best.neg_id")).alias("cell_id"),
+            F.col(id_col),
+            F.col(vec_col),
+            *[F.col(cc) for cc in carry_cols],
         )
     )
     # completion-marker protocol: clear FIRST, mark LAST (atomic rename).
@@ -638,12 +656,85 @@ def ivf_index_build(
     wrote_cent = store.write(
         cent.select("cell_id", F.col("_ce").alias("centroid")), f"{name}_centroids"
     )
-    wrote_assign = store.write(assign, name, partition_cols=["cell_id"], full_refresh=True)
+    wrote_assign = store.write(
+        assign, name, partition_cols=["cell_id", *carry_cols], full_refresh=True
+    )
     # TableStore.write SKIPS empty frames — marking completeness then would
     # stamp a PREVIOUS run's (stale) tables as this corpus's index; only
     # mark when both members actually landed this run
     if wrote_cent and wrote_assign:
         store.mark_complete(name)
+
+
+def ivf_index_append(
+    store,
+    new_vecs: DataFrame,
+    name: str = "ivf_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    carry_cols: tuple[str, ...] = (),
+) -> None:
+    """Append a batch of vectors into an existing at-rest IVF index,
+    partition-incrementally — the daily-ingest path that makes the index
+    a maintainable ASSET instead of a build-once artifact.
+
+    The coarse quantizer is FROZEN: assignments use the STORED centroids
+    (``<name>_centroids``), never re-trained — so an incremental index is
+    bit-identical to :func:`ivf_index_build` over the accumulated corpus
+    with ``centroids=`` the same stored frame (certified in
+    queries/llm.py ``llm_emb_index_state``; the quantizer drifting from
+    the data distribution is the REBUILD trigger, see
+    plans/embeddings_pipeline.py ``embeddings_maintenance``). Assignment
+    is the same broadcast-centroid argmax as the build: one map-side pass
+    over the BATCH, the accumulated index is never read.
+
+    The write is a DYNAMIC partition overwrite of exactly the
+    (cell_id, *carry_cols) slices present in the batch: with a slice key
+    in ``carry_cols`` (the ingest ``day``), re-running a slice replaces
+    its own files inside each touched cell — N byte-identical re-runs
+    leave the index row count FIXED (pytest-gated in
+    tests/test_orchestration.py) with no anti-join against the index at
+    all (cheaper than the MinHash append's if_absent path: vector
+    assignments are single rows keyed by partition values, so overwrite
+    semantics alone give idempotence). A CORRECTED re-run whose vectors
+    moved cells can leave a stale (old_cell, slice) directory behind —
+    the rebuild in ``embeddings_maintenance`` is the reclaim path, same
+    contract as the MinHash index.
+
+    Without ``carry_cols`` the write degrades to a plain append (no slice
+    key to overwrite by) — fine for strictly-once ingest, not for
+    backfills."""
+    centroids = store.read(f"{name}_centroids")
+    if "cell_id" not in centroids.columns:
+        raise ValueError(
+            f"IVF index {name!r} not found in store — run ivf_index_build first"
+        )
+    cent = _centroid_frame(new_vecs, centroids, 0, id_col, vec_col)
+    cent_arr = _centroid_array(cent)
+    c = new_vecs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[F.col(cc) for cc in carry_cols],
+        norm(F.col(vec_col)).alias("_cvn"),
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "_best", F.array_max(_cell_sims(F.col(vec_col), F.col("_cvn"), round_digits))
+        )
+        .select(
+            (-F.col("_best.neg_id")).alias("cell_id"),
+            F.col(id_col),
+            F.col(vec_col),
+            *[F.col(cc) for cc in carry_cols],
+        )
+    )
+    if carry_cols:
+        # dynamic overwrite of the touched (cell, slice) partitions only
+        store.write(assign, name, partition_cols=["cell_id", *carry_cols])
+    else:
+        store.write(assign, name, partition_cols=["cell_id"], append_only=True)
 
 
 def ivf_index_search(
@@ -655,6 +746,7 @@ def ivf_index_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    extra_where: str | None = None,
 ) -> DataFrame:
     """Search a materialized IVF index (:func:`ivf_index_build`): produces
     exactly :func:`ivf_topk`'s output — (query_id, candidate_id, cos_sim,
@@ -664,7 +756,15 @@ def ivf_index_search(
     The probed cell ids are collected to the driver to build the literal
     partition predicate — a bounded set (≤ n_cells, the centroid
     cardinality), which is exactly the static pruning a file listing
-    needs; the corpus itself is never collected."""
+    needs; the corpus itself is never collected.
+
+    ``extra_where`` ANDs an additional predicate into the index scan —
+    when the index carries a slice partition level (``carry_cols`` at
+    build/append time, e.g. the ingest ``day``), a predicate on it prunes
+    at the file listing too. The incremental semantic-dedup path needs
+    exactly this: a day's batch must match against STRICTLY EARLIER
+    days' vectors, never a prior run of its own slice (the corpus
+    pipeline's prior-day discipline, plans/embeddings_pipeline.py)."""
     centroids = store.read(f"{name}_centroids")
     if "cell_id" not in centroids.columns:
         raise ValueError(
@@ -712,6 +812,8 @@ def ivf_index_search(
         )
         return queries.sparkSession.createDataFrame([], empty_schema)
     cells_pred = f"cell_id IN ({', '.join(str(c) for c in probe_cells)})"
+    if extra_where is not None:
+        cells_pred = f"({cells_pred}) AND ({extra_where})"
     idx = store.read(name, where=cells_pred).select(
         "cell_id", F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
     )

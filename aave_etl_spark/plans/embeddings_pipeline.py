@@ -1,0 +1,261 @@
+"""The daily EMBEDDINGS asset graph: the ANN twin of the training-corpus
+pipeline (plans/corpus_pipeline.py), run through the same orchestration
+layer and TableStore.
+
+Each day's vector batch flows landing → dedup-against-the-corpus →
+index-state maintenance, with the at-rest IVF index maintained
+INCREMENTALLY per day — the shape a 100 TB embedding corpus actually
+runs: the index is an asset with a daily append path, not a build-once
+artifact that re-trains over the accumulated corpus per batch.
+
+- ``emb_landing``    (DAILY, day-partitioned): the day's raw vectors from
+  the injected feed. A landing row without an embedding is not a vector —
+  NULL embeddings are dropped here (they can be neither assigned nor
+  matched and would poison every cosine downstream).
+- ``emb_clean``      (DAILY, day-partitioned): within-batch exact-vector
+  dedup (min vec_id per identical vector — the skew-safe agg+join form,
+  operators/dedup.py keep_first_by_digest with the vector itself as the
+  digest), then cross-CORPUS semantic dedup: the batch probes the at-rest
+  IVF index scoped to STRICTLY EARLIER days (``extra_where`` — a prior
+  run of the day's own slice must never dedup the batch against itself,
+  the corpus pipeline's backfill discipline) and drops any vector whose
+  nearest prior neighbor has rounded cosine >= ``EMB_DUP_COSINE``. An
+  exact or rescaled copy scores cosine 1.0 regardless of scale, and its
+  cell ranking is IDENTICAL to its original's (cosine is what ranks
+  cells), so the original's cell is always the copy's first probe — the
+  planted-dup recall argument, certified end-to-end in queries/llm.py.
+- ``emb_state``      (DAILY, side-effect): first non-empty day trains the
+  coarse quantizer (deterministic first-``EMB_N_CELLS``-by-id; a
+  kmeans_fit frame slots into the same ``centroids=`` seam) and builds
+  the index with ``day`` as a sub-partition level; every later day
+  ``ivf_index_append``s under the FROZEN stored centroids — a dynamic
+  overwrite of exactly the day's (cell, day) slices, so byte-identical
+  re-runs leave the index row count fixed with no anti-join at all. A
+  CORRECTED re-run whose vectors moved cells leaves a stale
+  (old_cell, day) slice — ``embeddings_maintenance`` rebuilds to reclaim
+  (same contract as the corpus MinHash index).
+- ``emb_cell_stats`` (UNPARTITIONED): per-(day, cell) vector counts over
+  the whole index — the balance monitor every IVF deployment watches
+  (a hot cell is a probe-cost hotspot; sustained skew or drift in the
+  day-over-day assignment mix is the re-TRAIN trigger).
+
+Certified end-to-end (two days; day 2 plants exact replicas, rescaled
+replicas, and a within-batch duplicate pair) against chained-CTE DuckDB
+oracles in queries/llm.py: ``llm_emb_pipeline_run`` (clean + stats),
+``llm_emb_index_state`` (per-vector assignments == a from-scratch build
+under the same frozen centroids), ``llm_emb_search_atrest`` (search over
+the accumulated incremental index).
+
+Scale: the batch is the only thing ever shingle^W assigned — one
+broadcast-centroid argmax pass per day; the accumulated index is touched
+only through the probed-cell partition listing (n_probe/n_cells of the
+stored bytes, day-pruned further by ``extra_where``), and the dedup
+verify is candidate-bound (k=1 nearest per batch vector). Nothing
+re-reads or re-assigns history; per-day cost is history-independent
+(SCALE.md row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DateType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from aave_etl_spark.operators import dedup, similarity
+from aave_etl_spark.plans.orchestration import (
+    DAILY,
+    UNPARTITIONED,
+    Asset,
+    AssetContext,
+    AssetGraph,
+)
+
+#: deterministic coarse quantizer: first vectors with vec_id < EMB_N_CELLS
+EMB_N_CELLS = 16
+#: cells probed per query in the dedup match (and the default search)
+EMB_N_PROBE = 4
+#: rounded-cosine threshold above which a batch vector is a semantic dup
+#: of a prior corpus vector (exact/rescaled copies score 1.0; the testdata
+#: corpus's max genuine pairwise cosine is ~0.51 — wide margin)
+EMB_DUP_COSINE = 0.999
+#: the at-rest index table name (centroids sidecar: emb_ivf_centroids)
+EMB_INDEX = "emb_ivf"
+
+
+def _schema(*fields: tuple[str, object]) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+_VEC = ArrayType(DoubleType())
+_LANDING_SCHEMA = _schema(
+    ("vec_id", LongType()), ("embedding", _VEC), ("day", DateType())
+)
+_CLEAN_SCHEMA = _LANDING_SCHEMA
+
+
+def _emb_landing(ctx: AssetContext) -> DataFrame:
+    feed = ctx.resources["vectors"]
+    return feed.where(
+        (F.col("day") == F.lit(ctx.partition.date).cast("date"))
+        & F.col("embedding").isNotNull()
+    ).select("vec_id", "embedding", "day")
+
+
+def _emb_clean(ctx: AssetContext) -> DataFrame:
+    """Dedup the day's vectors within the batch and against the CORPUS."""
+    batch = ctx.upstream(
+        "emb_landing", this_partition_only=True, date_col="day",
+        schema=_LANDING_SCHEMA,
+    )
+    # within-batch exact-vector dedup: the vector IS the digest (agg+join,
+    # skew-safe — a storm of identical vectors collapses map-side)
+    batch = dedup.keep_first_by_digest(batch, F.col("embedding"), id_col="vec_id")
+    store = ctx.store
+    # both index members must exist: an interrupted first build can leave
+    # the centroid sidecar without the assignments table, and a search
+    # over the missing table would read back zero-column and crash — the
+    # next emb_state run self-heals the pair
+    if store.exists(f"{EMB_INDEX}_centroids") and store.exists(EMB_INDEX):
+        # cross-corpus semantic dedup: nearest prior-day neighbor via the
+        # at-rest index; the day predicate keeps a re-run from matching
+        # the day's own prior slice (backfill discipline)
+        nn = similarity.ivf_index_search(
+            store,
+            batch,
+            name=EMB_INDEX,
+            k=1,
+            n_probe=EMB_N_PROBE,
+            extra_where=f"day < DATE '{ctx.partition.date}'",
+        )
+        dups = nn.filter(F.col("cos_sim") >= EMB_DUP_COSINE).select(
+            F.col("query_id").alias("vec_id")
+        ).distinct()
+        batch = batch.join(dups, "vec_id", "left_anti")
+    return batch.select("day", "vec_id", "embedding")
+
+
+def _emb_state(ctx: AssetContext) -> DataFrame:
+    """Side-effect asset: fold the day's survivors into the at-rest IVF
+    index — build with frozen-forever centroids on the first non-empty
+    day, append under them on every later day."""
+    clean = ctx.upstream(
+        "emb_clean", this_partition_only=True, date_col="day",
+        schema=_CLEAN_SCHEMA,
+    )
+    store = ctx.store
+    if clean.isEmpty():
+        # nothing to fold; in particular never train the quantizer on an
+        # empty day (a phantom centroid table would wedge later appends)
+        return clean
+    if store.exists(f"{EMB_INDEX}_centroids"):
+        similarity.ivf_index_append(
+            store, clean, name=EMB_INDEX, carry_cols=("day",)
+        )
+    else:
+        similarity.ivf_index_build(
+            store, clean, name=EMB_INDEX, n_cells=EMB_N_CELLS,
+            carry_cols=("day",),
+        )
+    return clean
+
+
+def _emb_cell_stats(ctx: AssetContext) -> DataFrame:
+    idx = ctx.store.read(
+        EMB_INDEX,
+        schema=_schema(
+            ("cell_id", LongType()), ("vec_id", LongType()),
+            ("embedding", _VEC), ("day", DateType()),
+        ),
+    )
+    return idx.groupBy("day", "cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+
+
+#: the day-partitioned embedding tables the maintenance pass compacts
+_COMPACTABLE = ("emb_landing", "emb_clean")
+
+
+def embeddings_maintenance(
+    store, retrain: bool = False, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict[str, tuple[int, int]]:
+    """Periodic maintenance for the embeddings store:
+
+    - COMPACT the day-partitioned tables' accreted small files.
+    - REBUILD the IVF index from the accumulated ``emb_clean`` — under
+      the STORED centroids by default (reclaims stale (cell, day) slices
+      a corrected backfill left behind; assignments unchanged by the
+      append==build certification), or with ``retrain=True`` under a
+      fresh deterministic quantizer (the drift path: when the daily
+      assignment mix in ``emb_cell_stats`` skews, the centroids no
+      longer represent the corpus — retraining is a FULL refresh, which
+      is exactly why it lives here and not on the daily path).
+
+    Returns ``{table: (before, after)}`` file counts (rows for the
+    index). Run off the daily path; cost is one scan+rewrite of the
+    state, never the landing history."""
+    out: dict[str, tuple[int, int]] = {}
+    for name in _COMPACTABLE:
+        if store.exists(name):
+            out[name] = store.compact(
+                name, partition_cols=["day"], target_file_bytes=target_file_bytes
+            )
+    if store.exists(EMB_INDEX) and store.exists("emb_clean"):
+        before = store.read(EMB_INDEX).count()
+        centroids = (
+            None if retrain else store.read(f"{EMB_INDEX}_centroids")
+        )
+        similarity.ivf_index_build(
+            store,
+            store.read("emb_clean"),
+            name=EMB_INDEX,
+            n_cells=EMB_N_CELLS,
+            centroids=centroids,
+            carry_cols=("day",),
+        )
+        out[EMB_INDEX] = (before, store.read(EMB_INDEX).count())
+    return out
+
+
+def embeddings_pipeline_graph() -> AssetGraph:
+    return AssetGraph(
+        [
+            Asset(
+                name="emb_landing",
+                fn=_emb_landing,
+                group="emb_lake",
+                partitioning=DAILY,
+                partition_cols=("day",),
+            ),
+            Asset(
+                name="emb_clean",
+                fn=_emb_clean,
+                deps=("emb_landing",),
+                group="emb_lake",
+                partitioning=DAILY,
+                partition_cols=("day",),
+            ),
+            Asset(
+                name="emb_state",
+                fn=_emb_state,
+                deps=("emb_clean",),
+                group="emb_lake",
+                partitioning=DAILY,
+                write_output=False,
+            ),
+            Asset(
+                name="emb_cell_stats",
+                fn=_emb_cell_stats,
+                deps=("emb_state",),
+                group="emb_lake",
+                partitioning=UNPARTITIONED,
+            ),
+        ]
+    )

@@ -790,6 +790,24 @@ family(
             ("o_orderkey", "o_orderstatus"),
             ("o_custkey", "o_totalprice"),
         ),
+        (
+            "emb_run",
+            "llm_emb_pipeline_run",
+            ("part", "k1", "k2"),
+            ("v1",),
+        ),
+        (
+            "emb_index",
+            "llm_emb_index_state",
+            ("day", "vec_id"),
+            ("cell_id",),
+        ),
+        (
+            "emb_search",
+            "llm_emb_search_atrest",
+            ("query_id", "candidate_id"),
+            ("cos_sim", "rank"),
+        ),
     ],
     doc=(
         "§2.8 reshape family: UNPIVOT stack + PIVOT multi-agg + greedy"
@@ -800,7 +818,12 @@ family(
         " deterministic epoch-shuffle shard assignment (seed-keyed md5"
         " order, per-shard windows, no global sort) + CDC MERGE INTO"
         " certified at rest (partition-pruned anti-join + dynamic partition"
-        " overwrite, closed-form final-state oracle)"
+        " overwrite, closed-form final-state oracle) + the daily EMBEDDINGS"
+        " pipeline trio (plans/embeddings_pipeline.py: e2e run with planted"
+        " exact/rescaled/within-batch replicas, the incrementally-appended"
+        " at-rest IVF index certified per-vector equal to a from-scratch"
+        " build under the same frozen centroids, and search over the"
+        " accumulated index)"
     ),
 )
 

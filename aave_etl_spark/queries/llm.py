@@ -4275,3 +4275,258 @@ def llm_hybrid_rrf_atrest(spark, sf_dir):
     dense = _ivfpq_index_arm(spark, sf_dir, k=10)
     sparse = _bm25_index_arm(spark, sf_dir, k=10)
     return similarity.rrf_fuse(dense, sparse, k=5)
+
+
+# ---------------------------------------------------------------------------
+# The daily EMBEDDINGS pipeline (plans/embeddings_pipeline.py): the ANN twin
+# of the corpus pipeline. Two days of vector batches — day 2 plants exact
+# replicas (+10M ids, copies of day-1 vectors), RESCALED replicas (+20M ids,
+# 2x day-1 vectors: cosine is scale-invariant, so they score 1.0 without
+# being bitwise equal), and a within-batch duplicate pair (+30M ids, copies
+# of same-day odd vectors) — flow landing -> within-batch exact-vector dedup
+# (agg+join, the vector is the digest) -> cross-corpus semantic dedup (IVF
+# probe of the at-rest index scoped to prior days, drop at rounded cosine >=
+# 0.999) -> incremental index maintenance (day 1 builds under a frozen
+# deterministic quantizer, day 2 ivf_index_append's under the STORED
+# centroids). The oracles recompute the whole chain from first principles:
+# the same argmax-cell assignment, the same top-4 probe ranking (rounded
+# cosine DESC, cell_id ASC), the same threshold.
+# ---------------------------------------------------------------------------
+_EMB_CTES = f"""ev AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    ed1 AS (
+      SELECT vec_id, e, DATE '2024-01-01' AS day FROM ev WHERE vec_id % 2 = 0
+    ),
+    ed2raw AS (
+      SELECT vec_id, e FROM ev WHERE vec_id % 2 = 1
+      UNION ALL
+      SELECT vec_id + 10000000 AS vec_id, e FROM ev WHERE vec_id % 4 = 0
+      UNION ALL
+      SELECT vec_id + 20000000 AS vec_id,
+             list_transform(e, x -> x * 2.0) AS e
+      FROM ev WHERE vec_id % 4 = 2
+      UNION ALL
+      SELECT vec_id + 30000000 AS vec_id, e FROM ev WHERE vec_id % 4 = 1
+    ),
+    ed2w AS (
+      SELECT min(vec_id) AS vec_id, e, DATE '2024-01-02' AS day
+      FROM ed2raw GROUP BY e
+    ),
+    ecent AS (SELECT vec_id AS cell_id, e AS ce FROM ed1 WHERE vec_id < 16),
+    ea1 AS (
+      SELECT vec_id, e, day, cell_id FROM (
+        SELECT d.vec_id, d.e, d.day, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY {_IVF_COS.format(a="d.e", b="c.ce")} DESC, c.cell_id) AS rn
+        FROM ed1 d CROSS JOIN ecent c)
+      WHERE rn = 1
+    ),
+    eprobe AS (
+      SELECT vec_id, e, cell_id FROM (
+        SELECT d.vec_id, d.e, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY {_IVF_COS.format(a="d.e", b="c.ce")} DESC, c.cell_id) AS rn
+        FROM ed2w d CROSS JOIN ecent c)
+      WHERE rn <= 4
+    ),
+    edup AS (
+      SELECT DISTINCT p.vec_id
+      FROM eprobe p JOIN ea1 a USING (cell_id)
+      WHERE a.vec_id <> p.vec_id
+        AND {_IVF_COS.format(a="p.e", b="a.e")} >= 0.999
+    ),
+    ed2c AS (
+      SELECT vec_id, e, day FROM ed2w
+      WHERE vec_id NOT IN (SELECT vec_id FROM edup)
+    ),
+    eclean AS (
+      SELECT vec_id, e, day FROM ed1
+      UNION ALL SELECT vec_id, e, day FROM ed2c
+    ),
+    ea2 AS (
+      SELECT vec_id, e, day, cell_id FROM (
+        SELECT d.vec_id, d.e, d.day, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY {_IVF_COS.format(a="d.e", b="c.ce")} DESC, c.cell_id) AS rn
+        FROM ed2c d CROSS JOIN ecent c)
+      WHERE rn = 1
+    ),
+    eassign AS (
+      SELECT vec_id, e, day, cell_id FROM ea1
+      UNION ALL SELECT vec_id, e, day, cell_id FROM ea2
+    )"""
+
+
+def _emb_run_store(spark, sf_dir):
+    """Run the 2-day embeddings pipeline through the orchestration layer
+    into a session-scoped scratch store ONCE per (session, corpus) — the
+    _corpus_run_store pattern for the ANN side."""
+    import shutil
+
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.plans.embeddings_pipeline import embeddings_pipeline_graph
+    from aave_etl_spark.plans.orchestration import run_day
+
+    root = session_scratch_dir(spark, "aave_etl_spark_emb_run", corpus_key(sf_dir))
+    store = TableStore(spark, root)
+    done = store.is_complete("emb_cell_stats") and all(
+        store.exists(n)
+        for n in ("emb_clean", "emb_ivf", "emb_ivf_centroids", "emb_cell_stats")
+    )
+    if not done:
+        store.clear_complete("emb_cell_stats")
+        shutil.rmtree(root, ignore_errors=True)
+        base = t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        d1 = base.filter("vec_id % 2 = 0").withColumn(
+            "day", F.to_date(F.lit("2024-01-01"))
+        )
+        d2 = (
+            base.filter("vec_id % 2 = 1")
+            .unionByName(
+                base.filter("vec_id % 4 = 0").select(
+                    (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+                )
+            )
+            .unionByName(
+                base.filter("vec_id % 4 = 2").select(
+                    (F.col("vec_id") + 20_000_000).alias("vec_id"),
+                    F.transform("embedding", lambda x: x * F.lit(2.0)).alias(
+                        "embedding"
+                    ),
+                )
+            )
+            .unionByName(
+                base.filter("vec_id % 4 = 1").select(
+                    (F.col("vec_id") + 30_000_000).alias("vec_id"), "embedding"
+                )
+            )
+            .withColumn("day", F.to_date(F.lit("2024-01-02")))
+        )
+        landing = d1.unionByName(d2)
+        graph = embeddings_pipeline_graph()
+        for day in ("2024-01-01", "2024-01-02"):
+            run_day(
+                spark, store, graph, day, markets=[], resources={"vectors": landing}
+            )
+        store.mark_complete("emb_cell_stats")
+    return store
+
+
+@register(
+    "llm_emb_pipeline_run",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle=f"""
+    WITH {_EMB_CTES}
+    SELECT 'clean' AS part, CAST(day AS STRING) AS k1,
+           CAST(vec_id AS STRING) AS k2,
+           round(sqrt(list_dot_product(e, e)), 6) AS v1
+    FROM eclean
+    UNION ALL
+    SELECT 'cells' AS part, CAST(day AS STRING) AS k1,
+           CAST(cell_id AS STRING) AS k2,
+           CAST(count(*) AS DOUBLE) AS v1
+    FROM eassign GROUP BY day, cell_id
+    """,
+    doc=(
+        "the DAILY embeddings pipeline run END-TO-END through the"
+        " orchestration layer (plans/embeddings_pipeline.py): two days of"
+        " vector batches — day 2 plants exact replicas, RESCALED replicas"
+        " (cosine scale-invariance), and a within-batch duplicate pair —"
+        " flow landing -> within-batch exact-vector dedup -> cross-corpus"
+        " semantic dedup against the at-rest IVF index (prior-day-scoped"
+        " probe, rounded-cosine threshold) -> per-(day, cell) balance"
+        " stats, every table read back FROM THE STORE; the ANN twin of"
+        " llm_corpus_pipeline_run"
+    ),
+)
+def llm_emb_pipeline_run(spark, sf_dir):
+    store = _emb_run_store(spark, sf_dir)
+    clean = store.read("emb_clean").select(
+        F.lit("clean").alias("part"),
+        F.col("day").cast("string").alias("k1"),
+        F.col("vec_id").cast("string").alias("k2"),
+        F.round(similarity.norm(F.col("embedding")), 6).alias("v1"),
+    )
+    cells = store.read("emb_cell_stats").selectExpr(
+        "'cells' AS part", "CAST(day AS STRING) AS k1",
+        "CAST(cell_id AS STRING) AS k2", "CAST(n_vecs AS DOUBLE) AS v1",
+    )
+    return clean.unionByName(cells)
+
+
+@register(
+    "llm_emb_index_state",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle=f"""
+    WITH {_EMB_CTES}
+    SELECT CAST(day AS STRING) AS day, vec_id, CAST(cell_id AS BIGINT) AS cell_id
+    FROM eassign
+    """,
+    doc=(
+        "LLM ANN state: the INCREMENTALLY-maintained at-rest IVF index —"
+        " day 1 built under a frozen deterministic coarse quantizer, day 2"
+        " ivf_index_append'ed under the STORED centroids (a broadcast"
+        " argmax over the batch only; dynamic (cell, day) slice overwrite"
+        " makes re-runs idempotent) — certified per-VECTOR equal to a"
+        " from-scratch assignment of the accumulated survivors under the"
+        " same centroids: the append path never drifts from the build path"
+    ),
+)
+def llm_emb_index_state(spark, sf_dir):
+    store = _emb_run_store(spark, sf_dir)
+    return store.read("emb_ivf").select(
+        F.col("day").cast("string").alias("day"),
+        "vec_id",
+        F.col("cell_id").cast("long").alias("cell_id"),
+    )
+
+
+@register(
+    "llm_emb_search_atrest",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle=f"""
+    WITH {_EMB_CTES},
+    eq AS (SELECT vec_id AS query_id, e AS qv FROM ev WHERE vec_id < 8),
+    eqprobe AS (
+      SELECT query_id, qv, cell_id FROM (
+        SELECT q.query_id, q.qv, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_IVF_COS.format(a="q.qv", b="c.ce")} DESC, c.cell_id) AS rn
+        FROM eq q CROSS JOIN ecent c)
+      WHERE rn <= 4
+    ),
+    escored AS (
+      SELECT p.query_id, a.vec_id AS candidate_id,
+             {_IVF_COS.format(a="p.qv", b="a.e")} AS cos_sim
+      FROM eqprobe p JOIN eassign a USING (cell_id)
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, candidate_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, candidate_id) AS BIGINT) AS rank
+    FROM escored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, candidate_id) <= 3
+    """,
+    doc=(
+        "LLM ANN retrieval over the PIPELINE's index: top-3 neighbors of a"
+        " fixed probe set against the 2-day incrementally-maintained"
+        " at-rest IVF index — the search plan lists only the probed cell"
+        " directories of an index no single build produced, certifying"
+        " that incremental maintenance leaves search semantics identical"
+    ),
+)
+def llm_emb_search_atrest(spark, sf_dir):
+    store = _emb_run_store(spark, sf_dir)
+    q = t(spark, sf_dir, "embeddings").filter("vec_id < 8").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.ivf_index_search(store, q, name="emb_ivf", k=3, n_probe=4)

@@ -601,3 +601,111 @@ def test_corpus_pipeline_survives_empty_first_day(spark, tmp_path):
     )
     clean3 = {(str(r.day), r.doc_id) for r in store.read("corpus_clean").collect()}
     assert ("2024-01-03", 31) in clean3
+
+
+def test_embeddings_pipeline_dedup_append_and_maintenance(spark, tmp_path):
+    """The daily embeddings graph (plans/embeddings_pipeline.py) run for
+    two days: day 2's exact replica of a day-1 vector is dropped by the
+    prior-day-scoped IVF probe, a RESCALED replica is dropped too (cosine
+    is scale-invariant), a within-batch duplicate pair keeps only its min
+    id, and a genuinely new vector survives; re-running day 2 leaves the
+    index row count fixed (dynamic (cell, day) slice overwrite); the
+    incremental index equals a from-scratch build under the same frozen
+    centroids; a CORRECTED re-run that moves a vector across cells leaves
+    a stale slice which embeddings_maintenance reclaims."""
+    from aave_etl_spark.operators import similarity
+    from aave_etl_spark.plans.embeddings_pipeline import (
+        embeddings_maintenance,
+        embeddings_pipeline_graph,
+    )
+
+    store = TableStore(spark, str(tmp_path / "emb_wh"))
+    # 4-d unit-ish vectors: ids 0..3 are day 1 (ids < EMB_N_CELLS so they
+    # all train the quantizer); day 2 plants copies/rescales/new
+    e0, e1, e2, e3 = (
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.6, 0.64, 0.0, 0.0],
+    )
+    new_a = [0.0, 0.0, 0.5, 0.8]  # far from everything on day 1
+    new_b = [0.5, -0.5, 0.5, -0.5]
+    rows = [
+        (0, e0, "2024-01-01"),
+        (1, e1, "2024-01-01"),
+        (2, e2, "2024-01-01"),
+        (3, e3, "2024-01-01"),
+        (10, e1, "2024-01-02"),  # exact replica of day-1 vec 1 -> dropped
+        (11, [x * 3.0 for x in e2], "2024-01-02"),  # rescaled replica -> dropped
+        (12, new_a, "2024-01-02"),  # survives
+        (13, new_b, "2024-01-02"),  # survives
+        (14, new_b, "2024-01-02"),  # within-batch copy of 13 -> dropped
+        (15, None, "2024-01-02"),  # NULL embedding: dropped at landing
+    ]
+    landing = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, day string"
+    ).withColumn("day", F.to_date("day"))
+    graph = embeddings_pipeline_graph()
+    for day in ("2024-01-01", "2024-01-02"):
+        orch.run_day(spark, store, graph, day, markets=[], resources={"vectors": landing})
+
+    clean = store.read("emb_clean")
+    d2_ids = {r.vec_id for r in clean.filter("day = DATE '2024-01-02'").collect()}
+    assert d2_ids == {12, 13}
+    assert clean.count() == 6
+
+    idx = store.read("emb_ivf")
+    n0 = idx.count()
+    assert n0 == 6
+    rows0 = {(r.day, r.vec_id, r.cell_id) for r in idx.collect()}
+
+    # re-run day 2: byte-identical dynamic overwrite — index fixed, the
+    # surviving pair must NOT dedup against its own prior slice
+    orch.run_day(spark, store, graph, "2024-01-02", markets=[], resources={"vectors": landing})
+    idx1 = store.read("emb_ivf")
+    assert idx1.count() == n0
+    assert {(r.day, r.vec_id, r.cell_id) for r in idx1.collect()} == rows0
+    assert {
+        r.vec_id
+        for r in store.read("emb_clean").filter("day = DATE '2024-01-02'").collect()
+    } == {12, 13}
+
+    # incremental == from-scratch build under the SAME frozen centroids
+    scratch = TableStore(spark, str(tmp_path / "emb_scratch"))
+    similarity.ivf_index_build(
+        scratch,
+        store.read("emb_clean"),
+        name="emb_ivf",
+        centroids=store.read("emb_ivf_centroids"),
+        carry_cols=("day",),
+    )
+    rebuilt = {
+        (r.day, r.vec_id, r.cell_id) for r in scratch.read("emb_ivf").collect()
+    }
+    assert rebuilt == rows0
+
+    # cell stats cover both days over the incremental index
+    stats = store.read("emb_cell_stats")
+    assert stats.agg(F.sum("n_vecs")).collect()[0][0] == n0
+
+    # corrected re-run: vec 12's corrected vector is an exact copy of
+    # day-1 vec 0 — the prior-day-scoped probe now drops it, so day 2's
+    # slice shrinks AND the dropped vector's old (cell, day) files go
+    # stale; maintenance reclaims the index to the surviving rows
+    # (cell stats refresh on the NEXT daily run, not in maintenance)
+    corrected = landing.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 12, F.array(*[F.lit(x) for x in e0])).otherwise(
+            F.col("embedding")
+        ),
+    )
+    orch.run_day(
+        spark, store, graph, "2024-01-02", markets=[], resources={"vectors": corrected}
+    )
+    n_clean = store.read("emb_clean").count()
+    assert n_clean == 5  # vec 12 now dedups away against day-1 vec 0
+    stale = store.read("emb_ivf").count()
+    assert stale > n_clean  # the dropped vector's old slice survived the overwrite
+    out = embeddings_maintenance(store)
+    assert out["emb_ivf"][1] == n_clean
+    assert store.read("emb_ivf").count() == n_clean
