@@ -45,11 +45,22 @@ is the thing the at-rest state exists to avoid:
 - ``corpus_stopterms`` (UNPARTITIONED): the data-planned stop-term
   list rolled up at rest from every stored df sketch — retrieval over
   the growing corpus plans its stop terms from state, never postings.
+- ``corpus_eval_shingles`` (DAILY cadence, unpartitioned full-refresh
+  table): the benchmark-decontamination state — distinct shingle
+  digests of the injected ``benchmarks`` eval set (skinny, text never
+  stored); empty when no eval set is injected. Runs in the DAILY phase
+  so the day's contamination check reads this run's eval version.
+- ``corpus_contam``    (DAILY, day-partitioned): per-doc shingle-set
+  overlap of the day's clean slice against the stored eval digests,
+  with ``flagged`` = ratio >= ``CONTAM_MAX_RATIO`` — GPT-3/Pile-style
+  n-gram decontamination run AT INGEST; only the batch is ever
+  shingled, the digest state broadcasts.
 - ``corpus_gated``     (DAILY, day-partitioned): quality_score +
   language_id gate over the day's clean slice (quality >= 0.5 and a
-  confident language guess), token counts attached, plus each doc's
-  DSIR importance weight against the corpus-so-far distribution rolled
-  up from the stored per-day states (no text rescan).
+  confident language guess, contamination-flagged docs barred), token
+  counts attached, plus each doc's DSIR importance weight against the
+  corpus-so-far distribution rolled up from the stored per-day states
+  (no text rescan).
 - ``corpus_packed``    (DAILY, day-partitioned): greedy first-fit
   packing of the day's gated docs into 256-token budgets per language.
 - ``corpus_stats``     (UNPARTITIONED): per-(day, lang) doc/token/pack
@@ -73,6 +84,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DateType,
     DoubleType,
     IntegerType,
@@ -98,6 +110,9 @@ DSIR_M = 64
 DSIR_TARGET = "lang = 'en'"
 #: per-(day, shard) heavy-hitter width / rolled-up stop-list length
 STOP_M, STOP_K, STOP_SHARDS = 16, 5, 2
+#: a doc whose shingle-set overlap with the eval set reaches this ratio
+#: is benchmark-contaminated and barred from the training corpus
+CONTAM_MAX_RATIO = 0.2
 
 
 def _corpus_landing(ctx: AssetContext) -> DataFrame:
@@ -165,6 +180,17 @@ _HH_STATE_SCHEMA = StructType(
 _PACKED_SCHEMA = _schema(
     ("day", DateType), ("lang", StringType), ("doc_id", LongType),
     ("n_tokens", LongType), ("pack_id", LongType), ("pack_offset", LongType),
+)
+_EVAL_SCHEMA = _schema(("shingle_digest", StringType))
+_CONTAM_SCHEMA = StructType(
+    [
+        StructField("day", DateType(), True),
+        StructField("doc_id", LongType(), True),
+        StructField("n_shingles", LongType(), True),
+        StructField("n_overlap", LongType(), True),
+        StructField("contamination_ratio", DoubleType(), True),
+        StructField("flagged", BooleanType(), True),
+    ]
 )
 
 
@@ -328,6 +354,70 @@ def _corpus_dsir_state(ctx: AssetContext) -> DataFrame:
     )
 
 
+def _corpus_eval_shingles(ctx: AssetContext) -> DataFrame:
+    """The benchmark-decontamination state: distinct shingle DIGESTS of
+    the injected eval set (``benchmarks`` resource — (doc_id, text) rows
+    of every benchmark the lab evaluates on). Digests, not text: the
+    state table is skinny (16 bytes/shingle), benchmark text never lands
+    in the training store, and the probe side joins on a fixed-width
+    key. Eval sets are small and versioned — the asset full-refreshes
+    (UNPARTITIONED) each run; with no ``benchmarks`` resource the asset
+    is empty and the contamination gate passes everything (the
+    certification harness's default)."""
+    bench = ctx.resources.get("benchmarks")
+    if bench is None:
+        return ctx.spark.createDataFrame([], _EVAL_SCHEMA)
+    return (
+        dedup.word_shingles(bench.select("doc_id", "text"), n=3)
+        .select(F.md5("shingle").alias("shingle_digest"))
+        .distinct()
+    )
+
+
+def _corpus_contam(ctx: AssetContext) -> DataFrame:
+    """Per-doc benchmark contamination of the day's clean slice: how much
+    of each doc's shingle SET appears in the stored eval digests —
+    (day, doc_id, n_shingles, n_overlap, contamination_ratio, flagged).
+    The GPT-3/Pile-style n-gram decontamination gate, run AT INGEST so a
+    leaked benchmark never enters the corpus (instead of an after-the-
+    fact audit over 100 TB).
+
+    Scale shape: only the DAY'S BATCH is ever shingled; the eval state is
+    a distinct-digest table (vocabulary-of-the-benchmarks-sized) that
+    broadcasts into a semi-join — no doc x doc pairs, immune to
+    hot-shingle fan-out (the cross_split_contamination shape,
+    operators/dedup.py:380, with the train side replaced by at-rest
+    state)."""
+    clean = ctx.upstream(
+        "corpus_clean", this_partition_only=True, date_col="day",
+        schema=_CLEAN_SCHEMA,
+    )
+    eval_sh = ctx.store.read("corpus_eval_shingles", schema=_EVAL_SCHEMA)
+    sh = dedup.word_shingles(clean.select("doc_id", "text"), n=3).select(
+        "doc_id", F.md5("shingle").alias("shingle_digest")
+    )
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ov = (
+        sh.join(F.broadcast(eval_sh), "shingle_digest", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_overlap"))
+    )
+    ratio = F.coalesce("_n_overlap", F.lit(0)).cast("double") / F.col(
+        "n_shingles"
+    ).cast("double")
+    return (
+        tot.join(ov, "doc_id", "left")
+        .select(
+            F.lit(ctx.partition.date).cast("date").alias("day"),
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("_n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(ratio, 6).alias("contamination_ratio"),
+            (ratio >= F.lit(CONTAM_MAX_RATIO)).alias("flagged"),
+        )
+    )
+
+
 def _corpus_gated(ctx: AssetContext) -> DataFrame:
     """Quality + language gate over the day's clean slice, with the DSIR
     importance weight of every surviving doc attached — computed against
@@ -365,10 +455,18 @@ def _corpus_gated(ctx: AssetContext) -> DataFrame:
     scores = sampling.dsir_scores(doc_buckets, ratio).select(
         "doc_id", F.round("_w", 6).alias("dsir_weight")
     )
+    # benchmark decontamination: a doc the contam asset flagged (shingle
+    # overlap with the stored eval digests >= CONTAM_MAX_RATIO) is barred
+    # from the corpus — the flag side is batch-sized, AQE broadcasts it
+    flagged = ctx.upstream(
+        "corpus_contam", this_partition_only=True, date_col="day",
+        schema=_CONTAM_SCHEMA,
+    ).filter("flagged").select("doc_id")
     return (
         clean.join(q, "doc_id")
         .join(lid.select("doc_id", "lang_guess"), "doc_id")
         .join(scores, "doc_id", "left")
+        .join(flagged, "doc_id", "left_anti")
         .filter("quality >= 0.5 AND lang_guess <> 'und'")
         .select(
             "day",
@@ -460,6 +558,7 @@ _COMPACTABLE = (
     "corpus_dsir_state",
     "corpus_postings_hh",
     "corpus_clean",
+    "corpus_contam",
     "corpus_gated",
     "corpus_packed",
 )
@@ -560,9 +659,34 @@ def corpus_pipeline_graph() -> AssetGraph:
                 partitioning=UNPARTITIONED,
             ),
             Asset(
+                name="corpus_eval_shingles",
+                fn=_corpus_eval_shingles,
+                group="corpus_lake",
+                # DAILY cadence (no partition cols — the table is a plain
+                # full refresh): run_day phases DAILY assets before
+                # UNPARTITIONED ones, and this state must land BEFORE the
+                # day's corpus_contam reads it — an UNPARTITIONED kind
+                # would run in the later phase and day 1's contamination
+                # would silently see an empty eval set
+                partitioning=DAILY,
+            ),
+            Asset(
+                name="corpus_contam",
+                fn=_corpus_contam,
+                deps=("corpus_clean", "corpus_eval_shingles"),
+                group="corpus_lake",
+                partitioning=DAILY,
+                partition_cols=("day",),
+            ),
+            Asset(
                 name="corpus_gated",
                 fn=_corpus_gated,
-                deps=("corpus_clean", "corpus_doc_buckets", "corpus_dsir_state"),
+                deps=(
+                    "corpus_clean",
+                    "corpus_doc_buckets",
+                    "corpus_dsir_state",
+                    "corpus_contam",
+                ),
                 group="corpus_curate",
                 partitioning=DAILY,
                 partition_cols=("day",),

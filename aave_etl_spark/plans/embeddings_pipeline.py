@@ -184,7 +184,10 @@ _COMPACTABLE = ("emb_landing", "emb_clean")
 
 
 def embeddings_maintenance(
-    store, retrain: bool = False, target_file_bytes: int = 128 * 1024 * 1024
+    store,
+    retrain: bool = False,
+    n_cells: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict[str, tuple[int, int]]:
     """Periodic maintenance for the embeddings store:
 
@@ -194,9 +197,16 @@ def embeddings_maintenance(
       a corrected backfill left behind; assignments unchanged by the
       append==build certification), or with ``retrain=True`` under a
       fresh deterministic quantizer (the drift path: when the daily
-      assignment mix in ``emb_cell_stats`` skews, the centroids no
-      longer represent the corpus — retraining is a FULL refresh, which
-      is exactly why it lives here and not on the daily path).
+      assignment mix in ``emb_cell_stats`` skews — or the cells simply
+      OUTGROW the quantizer — the centroids no longer bound probe cost;
+      retraining is a FULL refresh, which is exactly why it lives here
+      and not on the daily path).
+
+    ``n_cells`` (with ``retrain=True``) resizes the quantizer: IVF probe
+    cost per query is ~|corpus| x n_probe / n_cells, so a corpus that
+    grew 100x needs ~10x the cells (the classic sqrt(N) sizing) to keep
+    the daily dedup probe flat — the SCALE.md day-vs-history row
+    measures exactly this remedy.
 
     Returns ``{table: (before, after)}`` file counts (rows for the
     index). Run off the daily path; cost is one scan+rewrite of the
@@ -216,7 +226,7 @@ def embeddings_maintenance(
             store,
             store.read("emb_clean"),
             name=EMB_INDEX,
-            n_cells=EMB_N_CELLS,
+            n_cells=n_cells if n_cells is not None else EMB_N_CELLS,
             centroids=centroids,
             carry_cols=("day",),
         )

@@ -506,6 +506,13 @@ family(
             ("n_grams", "weight"),
         ),
         (
+            "corpus_decontam",
+            "llm_corpus_decontam",
+            ("day", "CAST(doc_id AS STRING)"),
+            ("n_shingles", "n_overlap", "contamination_ratio",
+             "CAST(flagged AS DOUBLE)"),
+        ),
+        (
             "corpus_stopterms",
             "llm_corpus_stopterms",
             ("value",),
@@ -562,6 +569,9 @@ family(
         " per-day bucket-count states == a from-scratch corpus rescan)"
         " + its stop-term state (per-day df HH sketches rolled up at rest"
         " to the data-planned stop list through the orchestrated store)"
+        " + its benchmark-decontamination gate (eval-set shingle digests"
+        " as skinny store state, each day's batch semi-joined against the"
+        " broadcast digests, flagged docs barred from gating/packing)"
     ),
 )
 

@@ -3354,7 +3354,28 @@ cdup AS MATERIALIZED (
 c2 AS MATERIALIZED (
   SELECT * FROM d2x WHERE doc_id NOT IN (SELECT doc_id FROM cdup)
 ),
-cclean AS MATERIALIZED (SELECT * FROM c1 UNION ALL SELECT * FROM c2)"""
+cclean AS MATERIALIZED (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+evsh AS MATERIALIZED (
+  SELECT DISTINCT md5(shingle) AS sd FROM (
+    SELECT unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)]) AS shingle
+    FROM (SELECT {_TOKS} AS toks FROM documents
+          WHERE doc_id % 16 = 0 AND text IS NOT NULL)
+    WHERE len(toks) >= 3)
+),
+ccont AS MATERIALIZED (
+  SELECT day, doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(coalesce(sum(CASE WHEN sd IN (SELECT sd FROM evsh)
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_overlap
+  FROM (SELECT cl.day, s.doc_id, md5(s.shingle) AS sd
+        FROM csh s JOIN cclean cl USING (doc_id))
+  GROUP BY day, doc_id
+),
+cflag AS MATERIALIZED (
+  SELECT doc_id FROM ccont
+  WHERE CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.2
+)"""
 
 _CORPUS_RUN_ORACLE = f"""
 WITH RECURSIVE
@@ -3404,6 +3425,7 @@ pgated AS MATERIALIZED (
   SELECT q.day, q.doc_id, q.lang, CAST(q.n_words AS BIGINT) AS n_tokens
   FROM pgq q JOIN pgguess g ON q.day = g.day AND q.doc_id = g.doc_id
   WHERE q.quality >= 0.5 AND g.lang_guess <> 'und'
+    AND q.doc_id NOT IN (SELECT doc_id FROM cflag)
 ),
 ppb AS MATERIALIZED (
   SELECT day, lang, doc_id, n_tokens,
@@ -3465,6 +3487,8 @@ def _corpus_run_store(spark, sf_dir):
             "corpus_dsir_state",
             "corpus_postings_hh",
             "corpus_stopterms",
+            "corpus_eval_shingles",
+            "corpus_contam",
         )
     )
     if not done:
@@ -3495,10 +3519,19 @@ def _corpus_run_store(spark, sf_dir):
             .withColumn("day", F.to_date(F.lit("2024-01-02")))
         )
         landing = d1.unionByName(d2)
+        # the eval set the decontamination gate protects: every %16 doc —
+        # their day-1 originals are fully contaminated (ratio 1.0) and
+        # must be barred from gating/packing on both engines
+        bench = base.filter("doc_id % 16 = 0").select("doc_id", "text")
         graph = corpus_pipeline_graph()
         for day in ("2024-01-01", "2024-01-02"):
             run_day(
-                spark, store, graph, day, markets=[], resources={"landing": landing}
+                spark,
+                store,
+                graph,
+                day,
+                markets=[],
+                resources={"landing": landing, "benchmarks": bench},
             )
         store.mark_complete("corpus_packed")
     return store
@@ -4530,3 +4563,41 @@ def llm_emb_search_atrest(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return similarity.ivf_index_search(store, q, name="emb_ivf", k=3, n_probe=4)
+
+
+@register(
+    "llm_corpus_decontam",
+    export=False,  # driver slot held by its family head (time_rollup_family)
+    oracle=f"""
+    WITH {_CORPUS_CLEAN_CTES}
+    SELECT CAST(day AS VARCHAR) AS day, doc_id, n_shingles, n_overlap,
+           round(CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+             AS contamination_ratio,
+           CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.2
+             AS flagged
+    FROM ccont
+    """,
+    doc=(
+        "LLM corpus state: benchmark decontamination AT INGEST"
+        " (plans/corpus_pipeline.py corpus_eval_shingles/corpus_contam) —"
+        " the eval set's distinct shingle DIGESTS are maintained as a"
+        " skinny store asset, each day's clean slice is shingled (batch"
+        " only, never history) and semi-joined against the broadcast"
+        " digest state, and any doc whose shingle-set overlap reaches the"
+        " threshold is flagged and barred from gating/packing (the"
+        " GPT-3/Pile n-gram decontamination, run as a pipeline gate"
+        " instead of an after-the-fact audit); per-doc overlap stats"
+        " certified against a from-first-principles oracle, the flag's"
+        " exclusion certified through the e2e run oracle's gated chain"
+    ),
+)
+def llm_corpus_decontam(spark, sf_dir):
+    store = _corpus_run_store(spark, sf_dir)
+    return store.read("corpus_contam").select(
+        F.col("day").cast("string").alias("day"),
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        "contamination_ratio",
+        "flagged",
+    )

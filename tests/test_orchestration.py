@@ -709,3 +709,52 @@ def test_embeddings_pipeline_dedup_append_and_maintenance(spark, tmp_path):
     out = embeddings_maintenance(store)
     assert out["emb_ivf"][1] == n_clean
     assert store.read("emb_ivf").count() == n_clean
+
+
+def test_corpus_decontamination_gate_bars_eval_overlap(spark, tmp_path):
+    """Benchmark decontamination at ingest: a doc that substantially
+    overlaps the injected eval set survives CLEAN (it is not a duplicate
+    of anything) but is flagged by corpus_contam and barred from
+    corpus_gated/packed; an untainted doc flows through; with no
+    benchmarks resource nothing is flagged."""
+    from aave_etl_spark.plans.corpus_pipeline import corpus_pipeline_graph
+
+    leak = (
+        "the capital of france is a paris the capital of spain is a"
+        " madrid the capital of italy is a rome and the capital of"
+        " germany is a berlin"
+    )
+    fresh = (
+        "the one of two and three is a four the five of six and seven"
+        " is an eight the nine of ten and eleven is a twelve"
+    )
+    landing = spark.createDataFrame(
+        [(1, "en", leak, "2024-01-01"), (2, "en", fresh, "2024-01-01")],
+        "doc_id long, lang string, text string, day string",
+    ).withColumn("day", F.to_date("day"))
+    bench = spark.createDataFrame(
+        [(100, leak + " extra eval trailer words here")],
+        "doc_id long, text string",
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    graph = corpus_pipeline_graph()
+    orch.run_day(
+        spark, store, graph, "2024-01-01", markets=[],
+        resources={"landing": landing, "benchmarks": bench},
+    )
+    assert {r.doc_id for r in store.read("corpus_clean").collect()} == {1, 2}
+    contam = {r.doc_id: r for r in store.read("corpus_contam").collect()}
+    assert contam[1].flagged and contam[1].contamination_ratio == 1.0
+    assert not contam[2].flagged and contam[2].n_overlap == 0
+    assert {r.doc_id for r in store.read("corpus_gated").collect()} == {2}
+    assert {r.doc_id for r in store.read("corpus_packed").collect()} == {2}
+
+    # no benchmarks resource: the eval state is empty, nothing is barred
+    store2 = TableStore(spark, str(tmp_path / "wh2"))
+    orch.run_day(
+        spark, store2, graph, "2024-01-01", markets=[],
+        resources={"landing": landing},
+    )
+    assert {r.doc_id for r in store2.read("corpus_gated").collect()} == {1, 2}
+    assert store2.read("corpus_contam").filter("flagged").count() == 0
