@@ -1794,12 +1794,20 @@ def ivfpq_index_build(
     round_digits: int = 6,
     cells: DataFrame | None = None,
     codebook: DataFrame | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> None:
     """Materialize the IVF-PQ index AT REST through the TableStore: the
     code table (candidate id, M small ints) lands partitioned BY
-    ``cell_id`` — one directory per inverted list — plus two tiny
-    sidecars, ``<name>_cells`` (coarse centroids) and ``<name>_codebook``
-    (residual sub-centroids).
+    ``cell_id`` — one directory per inverted list — plus three tiny
+    sidecars, ``<name>_cells`` (coarse centroids), ``<name>_codebook``
+    (residual sub-centroids) and ``<name>_meta`` (n_subspaces /
+    round_digits, validated by :func:`ivfpq_index_append` so an append
+    can never encode under a different PQ split than the build).
+
+    ``carry_cols``: extra per-vector columns (e.g. an ingest ``day``)
+    appended as SUB-partition levels under ``cell_id`` — searches still
+    prune on the leading level; the carry levels give the incremental
+    path its dynamic-overwrite handle (see :func:`ivf_index_append`).
 
     This moves BOTH compressions into the storage layout: a search that
     probes 2 of 8 cells lists only those directories (partition pruning
@@ -1818,9 +1826,19 @@ def ivfpq_index_build(
     cells, cb = _ivfpq_geometry(
         candidates, cells, codebook, n_cells, n_codes, id_col, vec_col, round_digits
     )
+    if codebook is not None:
+        # a REBUILD can pass geometry read from this very store — cut the
+        # lazy lineage before the overwrites below delete the source files
+        cells = cells.localCheckpoint(eager=True)
+        cb = cb.localCheckpoint(eager=True)
     cells_row = _struct_row(cells, "cell_id", "_cells")
     cb_row = _struct_row(cb, "code", "_cbs")
     enc = _ivfpq_encode(candidates, cells_row, cb_row, M, id_col, vec_col, round_digits)
+    if carry_cols:
+        enc = enc.join(
+            candidates.select(F.col(id_col).alias("candidate_id"), *carry_cols),
+            "candidate_id",
+        )
     store.clear_complete(name)
     wrote_cells = store.write(
         cells.select("cell_id", F.col("cvec").alias("centroid")), f"{name}_cells"
@@ -1828,16 +1846,104 @@ def ivfpq_index_build(
     wrote_cb = store.write(
         cb.select("code", F.col("cvec").alias("centroid")), f"{name}_codebook"
     )
+    spark = candidates.sparkSession
+    store.write(
+        spark.createDataFrame(
+            [(int(M), int(round_digits))], "n_subspaces int, round_digits int"
+        ),
+        f"{name}_meta",
+    )
     wrote_codes = store.write(
-        enc.select("cell_id", F.col("candidate_id").alias(id_col), F.col("_codes").alias("codes")),
+        enc.select(
+            "cell_id",
+            F.col("candidate_id").alias(id_col),
+            F.col("_codes").alias("codes"),
+            *carry_cols,
+        ),
         name,
-        partition_cols=["cell_id"],
+        partition_cols=["cell_id", *carry_cols],
         full_refresh=True,
     )
     # TableStore.write SKIPS empty frames — only mark when every member
     # actually landed this run (stale-pair guard, same as ivf_index_build)
     if wrote_cells and wrote_cb and wrote_codes:
         store.mark_complete(name)
+
+
+def ivfpq_index_append(
+    store,
+    new_vecs: DataFrame,
+    name: str = "ivfpq_index",
+    n_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    carry_cols: tuple[str, ...] = (),
+) -> None:
+    """Append a batch of vectors into an existing at-rest IVF-PQ index —
+    the incremental path for the true 100 TB ANN layout (codes, not raw
+    vectors): the batch is encoded under the FROZEN stored geometry
+    (``<name>_cells`` + ``<name>_codebook``, never re-trained) in one
+    broadcast pass, and the resulting M-int codes land as a dynamic
+    overwrite of exactly the (cell_id, *carry_cols) slices present — the
+    same idempotence contract as :func:`ivf_index_append` (byte-identical
+    re-runs leave the code table fixed; a corrected re-run whose vectors
+    moved cells leaves a stale slice that a maintenance rebuild under the
+    stored geometry reclaims).
+
+    ``n_subspaces`` must match the build's PQ split — it is validated
+    against the ``<name>_meta`` sidecar (an append encoding 4-subspace
+    codes into an 8-subspace index would corrupt every ADC lookup
+    silently; the minhash-append parameter discipline applied to PQ)."""
+    cellsdf = store.read(f"{name}_cells")
+    cbdf = store.read(f"{name}_codebook")
+    if "cell_id" not in cellsdf.columns or "code" not in cbdf.columns:
+        raise ValueError(
+            f"IVF-PQ index {name!r} not found in store — run ivfpq_index_build first"
+        )
+    meta = store.read(f"{name}_meta")
+    if "n_subspaces" in meta.columns:
+        stored = meta.select("n_subspaces", "round_digits").first()
+        if stored.n_subspaces != n_subspaces or stored.round_digits != round_digits:
+            raise ValueError(
+                f"IVF-PQ index {name!r} was built with n_subspaces="
+                f"{stored.n_subspaces}, round_digits={stored.round_digits}; "
+                f"append got n_subspaces={n_subspaces}, "
+                f"round_digits={round_digits} — codes would be incompatible"
+            )
+    cells_row = _struct_row(
+        cellsdf.select("cell_id", F.col("centroid").alias("cvec")), "cell_id", "_cells"
+    )
+    cb_row = _struct_row(
+        cbdf.select("code", F.col("centroid").alias("cvec")), "code", "_cbs"
+    )
+    enc = _ivfpq_encode(
+        new_vecs, cells_row, cb_row, n_subspaces, id_col, vec_col, round_digits
+    )
+    if carry_cols:
+        enc = enc.join(
+            new_vecs.select(F.col(id_col).alias("candidate_id"), *carry_cols),
+            "candidate_id",
+        )
+        store.write(
+            enc.select(
+                "cell_id",
+                F.col("candidate_id").alias(id_col),
+                F.col("_codes").alias("codes"),
+                *carry_cols,
+            ),
+            name,
+            partition_cols=["cell_id", *carry_cols],
+        )
+    else:
+        store.write(
+            enc.select(
+                "cell_id", F.col("candidate_id").alias(id_col), F.col("_codes").alias("codes")
+            ),
+            name,
+            partition_cols=["cell_id"],
+            append_only=True,
+        )
 
 
 def ivfpq_index_search(
@@ -1850,6 +1956,7 @@ def ivfpq_index_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    extra_where: str | None = None,
 ) -> DataFrame:
     """Search a materialized IVF-PQ index (:func:`ivfpq_index_build`):
     produces exactly :func:`ivfpq_topk`'s output — (query_id,
@@ -1896,6 +2003,10 @@ def ivfpq_index_search(
         )
         return queries.sparkSession.createDataFrame([], empty_schema)
     cells_pred = f"cell_id IN ({', '.join(str(c) for c in probe_cells)})"
+    if extra_where is not None:
+        # a carry-partitioned index (carry_cols at build/append) prunes on
+        # this predicate at the file listing too — e.g. prior-day scoping
+        cells_pred = f"({cells_pred}) AND ({extra_where})"
     idx = store.read(name, where=cells_pred).select(
         "cell_id", F.col(id_col).alias("candidate_id"), F.col("codes").alias("_codes")
     )

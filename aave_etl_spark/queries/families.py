@@ -818,6 +818,12 @@ family(
             ("query_id", "candidate_id"),
             ("cos_sim", "rank"),
         ),
+        (
+            "emb_pq",
+            "llm_emb_pq_state",
+            ("day", "CAST(vec_id AS STRING)", "CAST(m AS STRING)"),
+            ("cell_id", "code"),
+        ),
     ],
     doc=(
         "§2.8 reshape family: UNPIVOT stack + PIVOT multi-agg + greedy"
@@ -833,7 +839,9 @@ family(
         " exact/rescaled/within-batch replicas, the incrementally-appended"
         " at-rest IVF index certified per-vector equal to a from-scratch"
         " build under the same frozen centroids, and search over the"
-        " accumulated index)"
+        " accumulated index) + the incremental IVF-PQ code store (day 2"
+        " ivfpq_index_append'ed under the frozen cells+codebook, certified"
+        " per-(vector, subspace) code-level against a from-scratch encode)"
     ),
 )
 

@@ -4325,8 +4325,17 @@ def llm_hybrid_rrf_atrest(spark, sf_dir):
 # the same argmax-cell assignment, the same top-4 probe ranking (rounded
 # cosine DESC, cell_id ASC), the same threshold.
 # ---------------------------------------------------------------------------
+# certification corpus cap: the pipeline's frozen 16-cell quantizer is
+# sized for corpora in this envelope (SCALE.md measures the cost curve
+# past it and the retrain remedy); the cap keeps the bench-scale (sf0.1,
+# 50k vectors) store build from paying the out-of-envelope probe the
+# SCALE row exists to document — correctness certifies at sf0.01 over
+# the full 2000 (sf0.001's 500 vectors are untouched)
+_EMB_CAP = 2000
+
 _EMB_CTES = f"""ev AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id < {_EMB_CAP}
     ),
     ed1 AS (
       SELECT vec_id, e, DATE '2024-01-01' AS day FROM ev WHERE vec_id % 2 = 0
@@ -4414,8 +4423,12 @@ def _emb_run_store(spark, sf_dir):
     if not done:
         store.clear_complete("emb_cell_stats")
         shutil.rmtree(root, ignore_errors=True)
-        base = t(spark, sf_dir, "embeddings").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        base = (
+            t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < _EMB_CAP)
+            .select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+            )
         )
         d1 = base.filter("vec_id % 2 = 0").withColumn(
             "day", F.to_date(F.lit("2024-01-01"))
@@ -4600,4 +4613,126 @@ def llm_corpus_decontam(spark, sf_dir):
         "n_overlap",
         "contamination_ratio",
         "flagged",
+    )
+
+
+def _emb_pq_store(spark, sf_dir):
+    """Build-once/read-many for the INCREMENTAL IVF-PQ code store: day 1
+    of the embeddings pipeline's clean survivors builds the PQ index
+    (deterministic first-16-by-id geometry from the day-1 slice), day 2
+    is ivfpq_index_append'ed under the FROZEN stored geometry."""
+    import shutil
+
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+
+    store = _emb_run_store(spark, sf_dir)
+    root = session_scratch_dir(spark, "aave_etl_spark_emb_pq", corpus_key(sf_dir))
+    pq = TableStore(spark, root)
+    # own chain marker: is_complete('emb_pq') alone would accept a store
+    # where the build landed but the append crashed
+    if not (pq.is_complete("emb_pq_chain") and pq.exists("emb_pq")):
+        pq.clear_complete("emb_pq_chain")
+        shutil.rmtree(root, ignore_errors=True)
+        clean = store.read("emb_clean")
+        similarity.ivfpq_index_build(
+            pq,
+            clean.filter("day = DATE '2024-01-01'"),
+            name="emb_pq",
+            n_cells=8,
+            n_codes=8,
+            n_subspaces=4,
+            carry_cols=("day",),
+        )
+        similarity.ivfpq_index_append(
+            pq,
+            clean.filter("day = DATE '2024-01-02'"),
+            name="emb_pq",
+            n_subspaces=4,
+            carry_cols=("day",),
+        )
+        pq.mark_complete("emb_pq_chain")
+    return pq
+
+
+@register(
+    "llm_emb_pq_state",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle=f"""
+    WITH {_EMB_CTES},
+    pqsd AS (
+      SELECT rk, e FROM (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rk, e FROM ed1)
+      WHERE rk < 16
+    ),
+    pqc AS (SELECT CAST(rk AS INT) AS cell_id, e AS ce FROM pqsd WHERE rk < 8),
+    pqsa AS (
+      SELECT rk, e, cell_id FROM (
+        SELECT s.rk, s.e, c.cell_id,
+               row_number() OVER (PARTITION BY s.rk ORDER BY
+                 round(list_sum([ (s.e[i] - c.ce[i]) * (s.e[i] - c.ce[i])
+                                  for i in range(1, 65) ]), 6), c.cell_id) AS rn
+        FROM pqsd s CROSS JOIN pqc c)
+      WHERE rn = 1
+    ),
+    pqcb AS (
+      SELECT CAST(sa.rk - 8 AS INT) AS code,
+             [sa.e[i] - c.ce[i] for i in range(1, 65)] AS cr
+      FROM pqsa sa JOIN pqc c USING (cell_id) WHERE sa.rk >= 8
+    ),
+    pqasg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 round(list_sum([ (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])
+                                  for i in range(1, 65) ]), 6), c.cell_id) AS rn
+        FROM eclean v CROSS JOIN pqc c)
+      WHERE rn = 1
+    ),
+    pqres AS (
+      SELECT v.vec_id, v.day, a.cell_id,
+             [v.e[i] - c.ce[i] for i in range(1, 65)] AS r
+      FROM eclean v JOIN pqasg a USING (vec_id)
+      JOIN pqc c ON c.cell_id = a.cell_id
+    ),
+    pqms AS (SELECT unnest(range(0, 4)) AS m),
+    pqsdc AS (
+      SELECT r.vec_id, r.day, r.cell_id, pqms.m, cb.code,
+             round(list_sum([ (r.r[pqms.m * 16 + j] - cb.cr[pqms.m * 16 + j])
+                              * (r.r[pqms.m * 16 + j] - cb.cr[pqms.m * 16 + j])
+                              for j in range(1, 17) ]), 6) AS d2
+      FROM pqres r CROSS JOIN pqcb cb CROSS JOIN pqms
+    )
+    SELECT CAST(day AS VARCHAR) AS day, vec_id,
+           CAST(cell_id AS BIGINT) AS cell_id,
+           CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                       ORDER BY d2, code) AS rn
+          FROM pqsdc)
+    WHERE rn = 1
+    """,
+    doc=(
+        "LLM ANN state: the INCREMENTALLY-maintained at-rest IVF-PQ code"
+        " store — day 1 of the embeddings pipeline's survivors builds the"
+        " index (M=4 x K=8 residual PQ under the deterministic first-16"
+        " geometry), day 2 ivfpq_index_append's under the FROZEN stored"
+        " cells+codebook (one broadcast encode pass over the batch,"
+        " dynamic (cell, day) slice overwrite, n_subspaces validated"
+        " against the meta sidecar) — certified per-(vector, subspace)"
+        " CODE-level equal to a from-scratch encode of the accumulated"
+        " survivors: the append path never drifts from the build path,"
+        " down to every stored int"
+    ),
+)
+def llm_emb_pq_state(spark, sf_dir):
+    pq = _emb_pq_store(spark, sf_dir)
+    return pq.read("emb_pq").select(
+        F.col("day").cast("string").alias("day"),
+        "vec_id",
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.posexplode("codes").alias("m", "code"),
+    ).select(
+        "day", "vec_id", "cell_id",
+        F.col("m").cast("long").alias("m"),
+        F.col("code").cast("long").alias("code"),
     )

@@ -2735,3 +2735,76 @@ def test_line_dedup_global_agg_form_equals_window_form_and_skew_immune(spark):
     # no Window operator may appear anywhere in the shipped plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_ivfpq_index_append_frozen_geometry_and_idempotent(spark, tmp_path):
+    """ivfpq_index_append encodes the batch under the STORED geometry:
+    the incremental index equals a from-scratch build of the union under
+    the same (cells, codebook); a byte-identical re-append dynamic-
+    overwrites its own (cell, day) slices so the row count stays fixed;
+    a mismatched n_subspaces is rejected against the meta sidecar."""
+    import pytest as _pytest
+
+    from aave_etl_spark.io.table_store import TableStore
+
+    mk = lambda lo, hi, day: spark.createDataFrame(
+        [
+            (i, [float((i * 13 + d) % 7) for d in range(8)], day)
+            for i in range(lo, hi)
+        ],
+        "vec_id long, embedding array<double>, day string",
+    ).withColumn("day", F.to_date("day"))
+    d1 = mk(0, 40, "2024-01-01")
+    d2 = mk(100, 130, "2024-01-02")
+
+    store = TableStore(spark, str(tmp_path / "inc"))
+    similarity.ivfpq_index_build(
+        store, d1, name="pq", n_cells=4, n_codes=4, n_subspaces=2,
+        carry_cols=("day",),
+    )
+    similarity.ivfpq_index_append(
+        store, d2, name="pq", n_subspaces=2, carry_cols=("day",)
+    )
+    inc = {
+        (r.day, r.vec_id, r.cell_id, tuple(r.codes))
+        for r in store.read("pq").collect()
+    }
+    assert len(inc) == 70
+
+    # from-scratch build of the union under the SAME stored geometry
+    scratch = TableStore(spark, str(tmp_path / "scratch"))
+    similarity.ivfpq_index_build(
+        scratch,
+        d1.unionByName(d2),
+        name="pq",
+        n_subspaces=2,
+        cells=store.read("pq_cells"),
+        codebook=store.read("pq_codebook"),
+        carry_cols=("day",),
+    )
+    full = {
+        (r.day, r.vec_id, r.cell_id, tuple(r.codes))
+        for r in scratch.read("pq").collect()
+    }
+    assert full == inc
+
+    # idempotence: re-appending the same day leaves the table fixed
+    similarity.ivfpq_index_append(
+        store, d2, name="pq", n_subspaces=2, carry_cols=("day",)
+    )
+    assert {
+        (r.day, r.vec_id, r.cell_id, tuple(r.codes))
+        for r in store.read("pq").collect()
+    } == inc
+
+    # PQ-split drift is rejected loudly
+    with _pytest.raises(ValueError, match="n_subspaces"):
+        similarity.ivfpq_index_append(
+            store, d2, name="pq", n_subspaces=4, carry_cols=("day",)
+        )
+    # missing index is rejected loudly
+    with _pytest.raises(ValueError, match="not found"):
+        similarity.ivfpq_index_append(
+            TableStore(spark, str(tmp_path / "empty")), d2, name="pq",
+            n_subspaces=2,
+        )
