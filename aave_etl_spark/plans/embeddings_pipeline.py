@@ -183,10 +183,47 @@ def _emb_cell_stats(ctx: AssetContext) -> DataFrame:
 _COMPACTABLE = ("emb_landing", "emb_clean")
 
 
+def quantizer_outgrown(
+    store, factor: float = 4.0, name: str = EMB_INDEX
+) -> tuple[bool, int, dict]:
+    """The executable form of the SCALE.md drift trigger: has the corpus
+    OUTGROWN the frozen coarse quantizer?
+
+    IVF probe cost per query is ~N x n_probe / n_cells, balanced when
+    n_cells ~ sqrt(N); a frozen quantizer lets cells fatten linearly as
+    the corpus accumulates (the measured 7.3 -> 246 s day-cost curve).
+    This predicate fires when N > ``factor`` x n_cells² — i.e. the mean
+    cell is ``factor`` x past the sqrt(N) balance point — and recommends
+    n_cells' = ceil(sqrt(N)) for the retrain.
+
+    Cost: two bounded aggregates (index row count + centroid count) —
+    safe to evaluate after every daily run; act on it off the daily path
+    via ``embeddings_maintenance(retrain=True, n_cells=recommended)`` or
+    ``auto_retrain=True``. Returns (outgrown, recommended_n_cells,
+    details)."""
+    import math
+
+    if not (store.exists(name) and store.exists(f"{name}_centroids")):
+        return False, 0, {"reason": "index not built"}
+    n = store.read(name).count()
+    n_cells = store.read(f"{name}_centroids").count()
+    recommended = max(n_cells, int(math.ceil(math.sqrt(max(n, 1)))))
+    outgrown = n > factor * n_cells * n_cells
+    return outgrown, recommended, {
+        "n_vectors": n,
+        "n_cells": n_cells,
+        "mean_cell_size": n / max(n_cells, 1),
+        "balance_point": n_cells * n_cells,
+        "factor": factor,
+    }
+
+
 def embeddings_maintenance(
     store,
     retrain: bool = False,
     n_cells: int | None = None,
+    auto_retrain: bool = False,
+    outgrow_factor: float = 4.0,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict[str, tuple[int, int]]:
     """Periodic maintenance for the embeddings store:
@@ -206,11 +243,20 @@ def embeddings_maintenance(
     cost per query is ~|corpus| x n_probe / n_cells, so a corpus that
     grew 100x needs ~10x the cells (the classic sqrt(N) sizing) to keep
     the daily dedup probe flat — the SCALE.md day-vs-history row
-    measures exactly this remedy.
+    measures exactly this remedy. ``auto_retrain=True`` delegates the
+    decision to :func:`quantizer_outgrown`: retrain fires (at its
+    recommended sqrt(N) cell count) only when the corpus is past
+    ``outgrow_factor`` x the quantizer's balance point, so the hook can
+    sit unconditionally on a weekly cadence.
 
     Returns ``{table: (before, after)}`` file counts (rows for the
     index). Run off the daily path; cost is one scan+rewrite of the
     state, never the landing history."""
+    if auto_retrain and not retrain:
+        outgrown, recommended, _ = quantizer_outgrown(store, outgrow_factor)
+        if outgrown:
+            retrain = True
+            n_cells = recommended if n_cells is None else n_cells
     out: dict[str, tuple[int, int]] = {}
     for name in _COMPACTABLE:
         if store.exists(name):

@@ -758,3 +758,53 @@ def test_corpus_decontamination_gate_bars_eval_overlap(spark, tmp_path):
     )
     assert {r.doc_id for r in store2.read("corpus_gated").collect()} == {1, 2}
     assert store2.read("corpus_contam").filter("flagged").count() == 0
+
+
+def test_quantizer_outgrowth_trigger_and_auto_retrain(spark, tmp_path):
+    """quantizer_outgrown is the executable drift trigger: with a 2-cell
+    quantizer and a corpus past factor x n_cells^2 it fires and
+    recommends ~sqrt(N) cells; embeddings_maintenance(auto_retrain=True)
+    acts on it, and under the balance point it leaves the quantizer
+    alone."""
+    from aave_etl_spark.plans.embeddings_pipeline import (
+        embeddings_maintenance,
+        embeddings_pipeline_graph,
+        quantizer_outgrown,
+    )
+
+    # 40 spread-out 4-d vectors, ids 0..39: ids < EMB_N_CELLS(16) exist
+    # but we rebuild with a tiny quantizer to force outgrowth
+    rows = [
+        (i, [float((i * 13) % 7), float((i * 5) % 11), 1.0, float(i % 3)], "2024-01-01")
+        for i in range(40)
+    ]
+    landing = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, day string"
+    ).withColumn("day", F.to_date("day"))
+    store = TableStore(spark, str(tmp_path / "wh"))
+    graph = embeddings_pipeline_graph()
+    orch.run_day(spark, store, graph, "2024-01-01", markets=[], resources={"vectors": landing})
+
+    # 16-cell quantizer over 40 vectors: inside the balance envelope
+    outgrown, rec, details = quantizer_outgrown(store, factor=4.0)
+    assert not outgrown and details["n_vectors"] == 40
+
+    # shrink the quantizer to 2 cells: 40 > 4 * 2^2 -> outgrown
+    embeddings_maintenance(store, retrain=True, n_cells=2)
+    outgrown, rec, details = quantizer_outgrown(store, factor=4.0)
+    assert outgrown and details["n_cells"] == 2
+    assert rec == 7  # ceil(sqrt(40))
+
+    # auto_retrain acts on the trigger at the recommended count
+    embeddings_maintenance(store, auto_retrain=True)
+    import math
+    n_cells_after = store.read("emb_ivf_centroids").count()
+    assert n_cells_after == 7
+    outgrown, _, _ = quantizer_outgrown(store, factor=4.0)
+    assert not outgrown
+    # the index row count is untouched by retrains (same corpus)
+    assert store.read("emb_ivf").count() == 40
+
+    # an unbuilt store reports not-outgrown instead of crashing
+    empty = TableStore(spark, str(tmp_path / "empty"))
+    assert quantizer_outgrown(empty) == (False, 0, {"reason": "index not built"})
