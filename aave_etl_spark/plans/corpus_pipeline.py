@@ -388,6 +388,11 @@ def _corpus_contam(ctx: AssetContext) -> DataFrame:
     hot-shingle fan-out (the cross_split_contamination shape,
     operators/dedup.py:380, with the train side replaced by at-rest
     state)."""
+    # no eval state (no benchmarks injected -> the empty write skipped the
+    # table): decontamination is disabled — return a typed empty instead
+    # of paying a per-day shingle pass to compute all-zero stats
+    if not ctx.store.exists("corpus_eval_shingles"):
+        return ctx.spark.createDataFrame([], _CONTAM_SCHEMA)
     clean = ctx.upstream(
         "corpus_clean", this_partition_only=True, date_col="day",
         schema=_CLEAN_SCHEMA,

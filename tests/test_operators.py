@@ -2808,3 +2808,32 @@ def test_ivfpq_index_append_frozen_geometry_and_idempotent(spark, tmp_path):
             TableStore(spark, str(tmp_path / "empty")), d2, name="pq",
             n_subspaces=2,
         )
+
+
+def test_ivf_index_append_day_scope_prunes_at_file_listing(spark, tmp_path):
+    """An extra_where day predicate on a carry-partitioned IVF index
+    reaches the PARTITION filters (file-listing pruning), and the
+    prior-day-scoped search never returns same-day rows — the
+    embeddings pipeline's backfill discipline, asserted at the plan."""
+    from aave_etl_spark.io.table_store import TableStore
+
+    mk = lambda lo, hi, day: spark.createDataFrame(
+        [(i, [float((i * 13) % 7), float((i * 5) % 11), 1.0], day) for i in range(lo, hi)],
+        "vec_id long, embedding array<double>, day string",
+    ).withColumn("day", F.to_date("day"))
+    d1, d2 = mk(0, 32, "2024-01-01"), mk(100, 120, "2024-01-02")
+
+    store = TableStore(spark, str(tmp_path))
+    similarity.ivf_index_build(store, d1, n_cells=8, carry_cols=("day",))
+    similarity.ivf_index_append(store, d2, carry_cols=("day",))
+
+    q = mk(500, 502, "2024-01-02").drop("day")
+    out = similarity.ivf_index_search(
+        store, q, k=50, n_probe=8, extra_where="day < DATE '2024-01-02'"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:400], plan[:3000]
+    # only day-1 candidates survive the scoped scan
+    assert {r.candidate_id for r in out.collect()} <= set(range(32))
+    unscoped = similarity.ivf_index_search(store, q, k=50, n_probe=8)
+    assert {r.candidate_id for r in unscoped.collect()} & set(range(100, 120))

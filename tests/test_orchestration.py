@@ -750,14 +750,16 @@ def test_corpus_decontamination_gate_bars_eval_overlap(spark, tmp_path):
     assert {r.doc_id for r in store.read("corpus_gated").collect()} == {2}
     assert {r.doc_id for r in store.read("corpus_packed").collect()} == {2}
 
-    # no benchmarks resource: the eval state is empty, nothing is barred
+    # no benchmarks resource: decontamination is disabled — nothing is
+    # barred, and the day never pays a shingle pass for all-zero stats
+    # (the contam table is never even written)
     store2 = TableStore(spark, str(tmp_path / "wh2"))
     orch.run_day(
         spark, store2, graph, "2024-01-01", markets=[],
         resources={"landing": landing},
     )
     assert {r.doc_id for r in store2.read("corpus_gated").collect()} == {1, 2}
-    assert store2.read("corpus_contam").filter("flagged").count() == 0
+    assert not store2.exists("corpus_contam")
 
 
 def test_quantizer_outgrowth_trigger_and_auto_retrain(spark, tmp_path):
