@@ -263,6 +263,10 @@ def embeddings_maintenance(
             out[name] = store.compact(
                 name, partition_cols=["day"], target_file_bytes=target_file_bytes
             )
+    # NOTE: no separate compaction pass for the index itself — the
+    # rebuild below is a full static refresh, so it already lands
+    # freshly-compacted files (the appends' per-(cell, day) file accretion
+    # is reclaimed every maintenance run as a side effect)
     if store.exists(EMB_INDEX) and store.exists("emb_clean"):
         before = store.read(EMB_INDEX).count()
         centroids = (
