@@ -65,6 +65,10 @@ is the thing the at-rest state exists to avoid:
   packing of the day's gated docs into 256-token budgets per language.
 - ``corpus_stats``     (UNPARTITIONED): per-(day, lang) doc/token/pack
   rollup over every day written so far — the datamart head.
+- ``corpus_shards``    (UNPARTITIONED): the training-shard MANIFEST —
+  every packed doc's reproducible (shard, position) under the seed-keyed
+  epoch shuffle with loader metadata; the artifact the data loaders
+  read, derived from (seed, n_shards) alone.
 
 Certified end-to-end (two days, planted cross-day exact replicas and
 near-dup variants) against one chained-CTE DuckDB oracle in
@@ -113,6 +117,9 @@ STOP_M, STOP_K, STOP_SHARDS = 16, 5, 2
 #: a doc whose shingle-set overlap with the eval set reaches this ratio
 #: is benchmark-contaminated and barred from the training corpus
 CONTAM_MAX_RATIO = 0.2
+#: training-shard emission: loader worker count and the epoch seed
+#: (re-sharding an epoch is a new seed, never a data move)
+SHARD_N, SHARD_SEED = 4, "epoch0"
 
 
 def _corpus_landing(ctx: AssetContext) -> DataFrame:
@@ -555,6 +562,31 @@ def _corpus_stats(ctx: AssetContext) -> DataFrame:
     )
 
 
+def _corpus_shards(ctx: AssetContext) -> DataFrame:
+    """The training-shard MANIFEST — the artifact a trainer's data
+    loaders actually consume: every packed doc assigned a reproducible
+    (shard, position) by the seed-keyed epoch shuffle
+    (operators/sampling.py epoch_shards: md5(seed:id) shard + two-level
+    rank, no global sort, no corpus-wide window), carrying the loader's
+    metadata (day, lang, n_tokens, pack_id). Derived entirely from
+    (SHARD_SEED, SHARD_N) and the packed corpus — identical on every
+    re-run over the same corpus, a new epoch is a new seed, and each of
+    the SHARD_N workers reads its shard in `position` order for a
+    reproducible global order with no coordination."""
+    from aave_etl_spark.operators import sampling
+
+    packed = ctx.upstream("corpus_packed", schema=_PACKED_SCHEMA)
+    shards = sampling.epoch_shards(
+        packed.select("doc_id"), n_shards=SHARD_N, seed=SHARD_SEED
+    )
+    return shards.join(
+        packed.select("doc_id", "day", "lang", "n_tokens", "pack_id"), "doc_id"
+    ).select(
+        "shard", "position", "doc_id", "day", "lang", "n_tokens", "pack_id",
+        "sort_key",
+    )
+
+
 #: the day-partitioned corpus tables the maintenance pass compacts
 _COMPACTABLE = (
     "corpus_digests",
@@ -707,6 +739,13 @@ def corpus_pipeline_graph() -> AssetGraph:
             Asset(
                 name="corpus_stats",
                 fn=_corpus_stats,
+                deps=("corpus_packed",),
+                group="corpus_curate",
+                partitioning=UNPARTITIONED,
+            ),
+            Asset(
+                name="corpus_shards",
+                fn=_corpus_shards,
                 deps=("corpus_packed",),
                 group="corpus_curate",
                 partitioning=UNPARTITIONED,

@@ -824,6 +824,12 @@ family(
             ("day", "CAST(vec_id AS STRING)", "CAST(m AS STRING)"),
             ("cell_id", "code"),
         ),
+        (
+            "corpus_shards",
+            "llm_corpus_shards",
+            ("CAST(doc_id AS STRING)", "day", "lang", "sort_key"),
+            ("shard", "position", "n_tokens", "pack_id"),
+        ),
     ],
     doc=(
         "§2.8 reshape family: UNPIVOT stack + PIVOT multi-agg + greedy"
@@ -842,6 +848,9 @@ family(
         " accumulated index) + the incremental IVF-PQ code store (day 2"
         " ivfpq_index_append'ed under the frozen cells+codebook, certified"
         " per-(vector, subspace) code-level against a from-scratch encode)"
+        " + the corpus pipeline's training-shard MANIFEST asset (seed-keyed"
+        " epoch shuffle over the packed corpus with loader metadata,"
+        " certified against the full landing-to-shards chained oracle)"
     ),
 )
 

@@ -3377,10 +3377,7 @@ cflag AS MATERIALIZED (
   WHERE CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.2
 )"""
 
-_CORPUS_RUN_ORACLE = f"""
-WITH RECURSIVE
-{_CORPUS_CLEAN_CTES},
-pgbase AS (SELECT day, doc_id, lang, text, {_TOKS} AS toks FROM cclean),
+_CORPUS_PACK_CTES = f"""pgbase AS (SELECT day, doc_id, lang, text, {_TOKS} AS toks FROM cclean),
 pgfeat AS MATERIALIZED (
   SELECT day, doc_id, lang,
          CAST(len(toks) AS BIGINT) AS n_words,
@@ -3444,7 +3441,12 @@ pp AS (
          CASE WHEN pp.cum + b.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE pp.cum END,
          CASE WHEN pp.cum + b.n_tokens > 256 THEN b.n_tokens ELSE pp.cum + b.n_tokens END
   FROM pp JOIN ppb b ON b.day = pp.day AND b.lang = pp.lang AND b.rn = pp.rn + 1
-)
+)"""
+
+_CORPUS_RUN_ORACLE = f"""
+WITH RECURSIVE
+{_CORPUS_CLEAN_CTES},
+{_CORPUS_PACK_CTES}
 SELECT 'clean' AS part, CAST(day AS VARCHAR) AS k1,
        CAST(doc_id AS VARCHAR) AS k2, CAST(NULL AS VARCHAR) AS k3,
        CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
@@ -3489,6 +3491,7 @@ def _corpus_run_store(spark, sf_dir):
             "corpus_stopterms",
             "corpus_eval_shingles",
             "corpus_contam",
+            "corpus_shards",
         )
     )
     if not done:
@@ -4735,4 +4738,52 @@ def llm_emb_pq_state(spark, sf_dir):
         "day", "vec_id", "cell_id",
         F.col("m").cast("long").alias("m"),
         F.col("code").cast("long").alias("code"),
+    )
+
+
+@register(
+    "llm_corpus_shards",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle=f"""
+    WITH RECURSIVE
+    {_CORPUS_CLEAN_CTES},
+    {_CORPUS_PACK_CTES},
+    skeyed AS (
+      SELECT doc_id, day, lang, n_tokens, pack_id,
+             md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+             CAST(CAST('0x' || substring(
+                    md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 4 AS INT) AS shard
+      FROM pp
+    )
+    SELECT shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY sort_key, doc_id) AS BIGINT)
+             AS position,
+           doc_id, CAST(day AS VARCHAR) AS day, lang, n_tokens, pack_id,
+           sort_key
+    FROM skeyed
+    """,
+    doc=(
+        "LLM corpus pipeline: the TRAINING-SHARD MANIFEST asset"
+        " (plans/corpus_pipeline.py corpus_shards) — every packed doc"
+        " assigned a reproducible (shard, position) by the seed-keyed"
+        " epoch shuffle (two-level rank, no global sort, no corpus-wide"
+        " window) with the loader's metadata attached; the artifact the"
+        " trainer's data loaders actually read, derived from (seed,"
+        " n_shards) alone and certified against the full chained oracle"
+        " from landing through dedup/decontam/gate/pack to shards"
+    ),
+)
+def llm_corpus_shards(spark, sf_dir):
+    store = _corpus_run_store(spark, sf_dir)
+    return store.read("corpus_shards").select(
+        "shard",
+        "position",
+        "doc_id",
+        F.col("day").cast("string").alias("day"),
+        "lang",
+        "n_tokens",
+        "pack_id",
+        "sort_key",
     )

@@ -810,3 +810,45 @@ def test_quantizer_outgrowth_trigger_and_auto_retrain(spark, tmp_path):
     # an unbuilt store reports not-outgrown instead of crashing
     empty = TableStore(spark, str(tmp_path / "empty"))
     assert quantizer_outgrown(empty) == (False, 0, {"reason": "index not built"})
+
+
+def test_corpus_shards_manifest_reproducible_and_complete(spark, tmp_path):
+    """The training-shard manifest covers every packed doc exactly once,
+    positions are dense per shard, and a re-run over the same corpus is
+    byte-identical (the loader order derives from (seed, n_shards)
+    alone, never from engine partitioning or file layout)."""
+    from aave_etl_spark.plans.corpus_pipeline import SHARD_N, corpus_pipeline_graph
+
+    docs = [
+        (
+            i,
+            "en",
+            f"the number {i} of alpha and beta is a gamma the delta of"
+            f" epsilon and zeta is an eta the theta of iota and kappa"
+            f" is a lambda",
+            "2024-01-01",
+        )
+        for i in range(30)
+    ]
+    landing = spark.createDataFrame(
+        docs, "doc_id long, lang string, text string, day string"
+    ).withColumn("day", F.to_date("day"))
+    store = TableStore(spark, str(tmp_path / "wh"))
+    graph = corpus_pipeline_graph()
+    orch.run_day(spark, store, graph, "2024-01-01", markets=[], resources={"landing": landing})
+
+    packed_ids = {r.doc_id for r in store.read("corpus_packed").collect()}
+    manifest = store.read("corpus_shards").collect()
+    assert {r.doc_id for r in manifest} == packed_ids
+    assert len(manifest) == len(packed_ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in manifest:
+        assert 0 <= r.shard < SHARD_N
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+    first = sorted(tuple(r) for r in manifest)
+    orch.run_day(spark, store, graph, "2024-01-01", markets=[], resources={"landing": landing})
+    again = sorted(tuple(r) for r in store.read("corpus_shards").collect())
+    assert again == first
