@@ -425,6 +425,12 @@ family(
             ),
             ("CAST(is_current AS DOUBLE)", "version"),
         ),
+        (
+            "stream_emb",
+            "llm_emb_stream_ingest",
+            ("CAST(vec_id AS STRING)",),
+            ("cell_id",),
+        ),
     ],
     doc=(
         "§2.5 window-shift family: LEAD pairing + LAG coalesce + ffill ignore"
@@ -438,7 +444,12 @@ family(
         " originals) + the STREAMING tumbling-window rollup at rest"
         " (epoch-aligned F.window == date_trunc, sentinel-closed) + the SCD"
         " Type-2 dimension build (versioned rows, half-open validity"
-        " intervals, NULL-safe no-op collapse)"
+        " intervals, NULL-safe no-op collapse) + STREAMING ANN-index"
+        " maintenance at rest (foreachBatch vector ingest: batch 1 builds"
+        " the frozen-quantizer IVF index, batch 2's exact/rescaled/"
+        " within-batch replicas drop via the semantic anti-join — the"
+        " at-least-once replay idempotence mechanism — and the final index"
+        " equals the daily pipeline's assignment oracle)"
     ),
 )
 

@@ -4787,3 +4787,108 @@ def llm_corpus_shards(spark, sf_dir):
         "pack_id",
         "sort_key",
     )
+
+
+@register(
+    "llm_emb_stream_ingest",
+    export=False,  # driver slot held by its family head (window_shift_family)
+    oracle=f"""
+    WITH {_EMB_CTES}
+    SELECT vec_id, CAST(cell_id AS BIGINT) AS cell_id FROM eassign
+    """,
+    doc=(
+        "STREAMING maintenance of an ANN index, certified at rest: two"
+        " availableNow drains of a file-source vector stream through"
+        " foreachBatch (streaming/micro_batch.py"
+        " incremental_embedding_ingest) — batch 1 trains the frozen"
+        " quantizer and builds the at-rest IVF index, batch 2's exact"
+        " replicas, RESCALED replicas, and within-batch duplicate pair"
+        " are dropped by the semantic anti-join against the accumulated"
+        " index (which doubles as the at-least-once replay idempotence"
+        " mechanism) and its survivors append under the stored centroids;"
+        " the final index equals the daily pipeline's 2-day assignment"
+        " oracle exactly — stream and batch converge to the same state"
+    ),
+)
+def llm_emb_stream_ingest(spark, sf_dir):
+    import os
+    import shutil
+
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.streaming.micro_batch import (
+        incremental_embedding_ingest,
+        stream_lake_table,
+    )
+
+    root = session_scratch_dir(
+        spark, "aave_etl_spark_emb_stream", corpus_key(sf_dir)
+    )
+    landing = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+    store = TableStore(spark, os.path.join(root, "warehouse"))
+    # drain-once / read-many with the completion-marker protocol (the
+    # llm_stream_ingest discipline): repeat invocations certify the
+    # at-rest index the stream left behind
+    if store.is_complete("emb_ivf") and store.exists("emb_ivf"):
+        return store.read("emb_ivf").select(
+            "vec_id", F.col("cell_id").cast("long").alias("cell_id")
+        )
+    store.clear_complete("emb_ivf")
+    shutil.rmtree(root, ignore_errors=True)
+
+    base = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _EMB_CAP)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    # batch 1: even-parity vectors (vec_id < 16 among them train the
+    # frozen quantizer — the daily pipeline's day-1 geometry exactly)
+    base.filter("vec_id % 2 = 0").write.mode("append").parquet(landing)
+    q1 = incremental_embedding_ingest(
+        store, stream_lake_table(spark, landing, schema), ckpt
+    )
+    if not q1.awaitTermination(300):
+        q1.stop()
+        raise RuntimeError("emb_stream_ingest: drain 1 did not finish in 300s")
+    # batch 2: odd-parity vectors + exact replicas (+10M), rescaled
+    # replicas (+20M, cosine scale-invariance), and a within-batch
+    # duplicate pair (+30M copies of the odds)
+    batch2 = (
+        base.filter("vec_id % 2 = 1")
+        .unionByName(
+            base.filter("vec_id % 4 = 0").select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            base.filter("vec_id % 4 = 2").select(
+                (F.col("vec_id") + 20_000_000).alias("vec_id"),
+                F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+            )
+        )
+        .unionByName(
+            base.filter("vec_id % 4 = 1").select(
+                (F.col("vec_id") + 30_000_000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    batch2.write.mode("append").parquet(landing)
+    q2 = incremental_embedding_ingest(
+        store, stream_lake_table(spark, landing, schema), ckpt
+    )
+    if not q2.awaitTermination(300):
+        q2.stop()
+        raise RuntimeError("emb_stream_ingest: drain 2 did not finish in 300s")
+    store.mark_complete("emb_ivf")
+    return store.read("emb_ivf").select(
+        "vec_id", F.col("cell_id").cast("long").alias("cell_id")
+    )

@@ -256,3 +256,81 @@ def incremental_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_embedding_ingest(
+    store,
+    incoming: DataFrame,
+    checkpoint_dir: str,
+    name: str = "emb_ivf",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dup_cosine: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous VECTOR ingest maintaining an at-rest IVF index — the
+    streaming form of the daily embeddings pipeline
+    (plans/embeddings_pipeline.py): new vectors stream in, anything
+    semantically duplicating the accumulated corpus is dropped, the
+    remainder is assigned under the index's FROZEN centroids and
+    appended into its cell layout.
+
+    Per micro-batch (foreachBatch): within-batch exact-vector dedup (the
+    vector IS the digest — skew-safe agg+join), then the batch probes
+    the CURRENT index (re-read each batch, so batch N+1 sees batch N's
+    appends) and drops vectors whose nearest accumulated neighbor scores
+    rounded cosine >= ``dup_cosine``; the first non-empty batch trains
+    the deterministic quantizer and builds the index, every later batch
+    ``ivf_index_append``s under the stored centroids.
+
+    The semantic anti-join IS the at-least-once idempotence mechanism:
+    a REPLAYED batch finds its own vectors already in the index (cosine
+    1.0 with themselves), drops everything, and appends nothing —
+    content-level idempotency with no sink transactions, exactly the
+    digest-anti-join contract of ``incremental_corpus_ingest`` lifted to
+    vector space. (Contrast the DAILY pipeline, whose dynamic slice
+    overwrite must NOT self-dedup a re-run — append-only streaming wants
+    the opposite, and gets it for free.)
+
+    At 100 TB: per batch, one broadcast-centroid argmax over the batch +
+    a probe scan of n_probe/n_cells of the index partitions; the
+    quantizer-outgrowth economics and the retrain remedy are the daily
+    pipeline's (plans/embeddings_pipeline.py quantizer_outgrown).
+    Returns the started availableNow StreamingQuery."""
+    from aave_etl_spark.operators import similarity
+    from aave_etl_spark.operators.dedup import keep_first_by_digest
+
+    def _ingest(bdf: DataFrame, _batch_id: int) -> None:
+        fresh = keep_first_by_digest(
+            bdf.where(F.col(vec_col).isNotNull()), F.col(vec_col), id_col=id_col
+        )
+        if store.exists(f"{name}_centroids") and store.exists(name):
+            nn = similarity.ivf_index_search(
+                store, fresh, name=name, k=1, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col,
+            )
+            dups = (
+                nn.filter(F.col("cos_sim") >= dup_cosine)
+                .select(F.col("query_id").alias(id_col))
+                .distinct()
+            )
+            fresh = fresh.join(dups, id_col, "left_anti")
+            similarity.ivf_index_append(
+                store, fresh, name=name, id_col=id_col, vec_col=vec_col
+            )
+        elif not fresh.isEmpty():
+            # never train the quantizer on an empty batch (a phantom
+            # centroid table would wedge every later batch)
+            similarity.ivf_index_build(
+                store, fresh, name=name, n_cells=n_cells,
+                id_col=id_col, vec_col=vec_col,
+            )
+
+    return (
+        incoming.writeStream.foreachBatch(_ingest)
+        .queryName("embedding_ingest")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -177,3 +177,67 @@ def test_incremental_corpus_ingest_dedups_against_store(spark, tmp_path):
         "doc delta",
         "doc gamma",
     ]
+
+
+def test_incremental_embedding_ingest_dedups_and_redelivery_noop(spark, tmp_path):
+    """Streaming ANN-index maintenance: batch 1 builds the frozen-
+    quantizer index; batch 2's exact replica, rescaled replica, and
+    within-batch duplicate are dropped (semantic anti-join against the
+    accumulated index) while genuinely new vectors append under the
+    stored centroids; RE-DELIVERING already-ingested content appends
+    nothing (the anti-join is the at-least-once idempotence mechanism)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.streaming.micro_batch import (
+        incremental_embedding_ingest,
+        stream_lake_table,
+    )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    e = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+        3: [0.6, 0.64, 0.0, 0.0],
+    }
+    new_a, new_b = [0.0, 0.0, 0.5, 0.8], [0.5, -0.5, 0.5, -0.5]
+
+    def drain(rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).write.mode("append").parquet(landing)
+        q = incremental_embedding_ingest(
+            store, stream_lake_table(spark, landing, schema), ckpt, n_cells=4
+        )
+        assert q.awaitTermination(120)
+
+    drain([(i, e[i]) for i in range(4)])
+    assert store.read("emb_ivf").count() == 4
+
+    drain(
+        [
+            (10, e[1]),                      # exact replica -> dropped
+            (11, [x * 3.0 for x in e[2]]),   # rescaled replica -> dropped
+            (12, new_a),                     # survives
+            (13, new_b),                     # survives
+            (14, new_b),                     # within-batch copy -> dropped
+            (15, None),                      # NULL embedding -> dropped
+        ]
+    )
+    idx = store.read("emb_ivf")
+    assert {r.vec_id for r in idx.collect()} == {0, 1, 2, 3, 12, 13}
+
+    # re-delivery of already-ingested content (fresh files, fresh ids the
+    # sink has under OTHER ids) appends nothing
+    drain([(20, e[0]), (21, new_a), (22, [x * 0.5 for x in new_b])])
+    assert {r.vec_id for r in store.read("emb_ivf").collect()} == {0, 1, 2, 3, 12, 13}
