@@ -852,3 +852,65 @@ def test_corpus_shards_manifest_reproducible_and_complete(spark, tmp_path):
     orch.run_day(spark, store, graph, "2024-01-01", markets=[], resources={"landing": landing})
     again = sorted(tuple(r) for r in store.read("corpus_shards").collect())
     assert again == first
+
+
+def test_corpus_pipeline_backfill_range_and_rerun(spark, tmp_path):
+    """backfill() over a 3-day range drives the corpus graph exactly like
+    three daily runs: cross-day content planted on day 3 dedups against
+    day 1's state, per-day slices land once each, the deferred
+    unpartitioned layer (stats, shard manifest) converges over the whole
+    range, and re-backfilling a sub-range leaves every table unchanged
+    (the slice-overwrite + prior-day-scoped-state contract at range
+    level)."""
+    from aave_etl_spark.plans.corpus_pipeline import corpus_pipeline_graph
+
+    t1 = (
+        "the alpha of beta and gamma is a delta the epsilon of zeta and"
+        " eta is a theta the iota of kappa and lambda is a sigma"
+    )
+    t2 = (
+        "the one of two and three is a four the five of six and seven"
+        " is an eight the nine of ten and eleven is a twelve"
+    )
+    t3 = (
+        "the red of blue and green is a yellow the black of white and"
+        " grey is a purple the pink of brown and orange is a teal"
+    )
+    landing = spark.createDataFrame(
+        [
+            (1, "en", t1, "2024-01-01"),
+            (2, "en", t2, "2024-01-02"),
+            (3, "en", t3, "2024-01-03"),
+            (30, "en", t1, "2024-01-03"),  # exact replica of day-1 content
+        ],
+        "doc_id long, lang string, text string, day string",
+    ).withColumn("day", F.to_date("day"))
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    graph = corpus_pipeline_graph()
+    orch.backfill(
+        spark, store, graph, "2024-01-01", "2024-01-03", markets=[],
+        resources={"landing": landing},
+    )
+    clean = store.read("corpus_clean")
+    assert {r.doc_id for r in clean.collect()} == {1, 2, 3}  # 30 deduped
+    assert clean.select("day").distinct().count() == 3
+    stats = store.read("corpus_stats")
+    assert stats.count() == 3  # one (day, lang) row per day
+    manifest_before = sorted(
+        tuple(r) for r in store.read("corpus_shards").collect()
+    )
+    assert {r[2] for r in manifest_before} == {1, 2, 3}
+    idx_before = store.read("corpus_mh").count()
+
+    # re-backfill days 2-3 only: slices overwrite themselves, state reads
+    # stay prior-day-scoped, the manifest converges to the same rows
+    orch.backfill(
+        spark, store, graph, "2024-01-02", "2024-01-03", markets=[],
+        resources={"landing": landing},
+    )
+    assert {r.doc_id for r in store.read("corpus_clean").collect()} == {1, 2, 3}
+    assert store.read("corpus_mh").count() == idx_before
+    assert sorted(
+        tuple(r) for r in store.read("corpus_shards").collect()
+    ) == manifest_before

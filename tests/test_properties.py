@@ -368,3 +368,29 @@ def test_rowsample_merge_equals_direct_sketch_of_union(spark, rows):
         map(tuple, rowsample_merge_quantiles(direct, ["g"], k=8).collect())
     )
     assert via_merge == via_direct
+
+
+VEC = st.lists(
+    st.sampled_from([0.0, 1.0, -1.0, 0.5, 2.0]), min_size=3, max_size=3
+)
+VECS_WITH_DUPS = st.lists(VEC, min_size=1, max_size=10)
+
+
+@given(VECS_WITH_DUPS)
+@settings(**SETTINGS)
+def test_keep_first_by_digest_on_vectors_keeps_min_id_per_group(spark, vecs):
+    """keep_first_by_digest with the VECTOR as the digest (the embeddings
+    pipeline's within-batch dedup) keeps exactly min(id) per identical
+    vector on any input — including NULL vectors as their own group —
+    and never invents or reorders columns."""
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(len(vecs), None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.keep_first_by_digest(df, F.col("embedding"), id_col="vec_id")
+    got = {r.vec_id for r in out.collect()}
+    expected = {}
+    for i, v in enumerate(vecs):
+        k = tuple(v)
+        expected.setdefault(k, i)
+    want = set(expected.values()) | {len(vecs)}  # NULL row always survives
+    assert got == want
+    assert out.columns == df.columns
