@@ -841,6 +841,13 @@ family(
             ("CAST(doc_id AS STRING)", "day", "lang", "sort_key"),
             ("shard", "position", "n_tokens", "pack_id"),
         ),
+        (
+            "dedup_recall",
+            "llm_emb_dedup_recall",
+            ("CAST(query_id AS STRING)", "CAST(truth_id AS STRING)",
+             "CAST(probe_id AS STRING)"),
+            ("truth_cos", "probe_cos", "found"),
+        ),
     ],
     doc=(
         "§2.8 reshape family: UNPIVOT stack + PIVOT multi-agg + greedy"

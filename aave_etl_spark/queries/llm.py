@@ -4892,3 +4892,122 @@ def llm_emb_stream_ingest(spark, sf_dir):
     return store.read("emb_ivf").select(
         "vec_id", F.col("cell_id").cast("long").alias("cell_id")
     )
+
+
+@register(
+    "llm_emb_dedup_recall",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle=f"""
+    WITH ev AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id < {_EMB_CAP}
+    ),
+    ecorp AS (SELECT vec_id, e FROM ev WHERE vec_id % 2 = 0),
+    rcent AS (SELECT vec_id AS cell_id, e AS ce FROM ecorp WHERE vec_id < 16),
+    mixq AS (
+      SELECT a.vec_id + 50000000 AS query_id,
+             list_transform(a.e, (x, i) -> x + 0.35 * b.e[i]) AS qv
+      FROM ev a JOIN ev b ON b.vec_id = a.vec_id + 2
+      WHERE a.vec_id % 4 = 0
+    ),
+    rtruth AS (
+      SELECT query_id, truth_id, truth_cos FROM (
+        SELECT q.query_id, c.vec_id AS truth_id,
+               {_IVF_COS.format(a="q.qv", b="c.e")} AS truth_cos,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_IVF_COS.format(a="q.qv", b="c.e")} DESC, c.vec_id) AS rn
+        FROM mixq q CROSS JOIN ecorp c)
+      WHERE rn = 1
+    ),
+    rprobes AS (
+      SELECT query_id, qv, cell_id FROM (
+        SELECT q.query_id, q.qv, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_IVF_COS.format(a="q.qv", b="c.ce")} DESC, c.cell_id) AS rn
+        FROM mixq q CROSS JOIN rcent c)
+      WHERE rn <= 2
+    ),
+    rassigned AS (
+      SELECT vec_id, e, cell_id FROM (
+        SELECT v.vec_id, v.e, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_IVF_COS.format(a="v.e", b="c.ce")} DESC, c.cell_id) AS rn
+        FROM ecorp v CROSS JOIN rcent c)
+      WHERE rn = 1
+    ),
+    rprobe_top AS (
+      SELECT query_id, probe_id, probe_cos FROM (
+        SELECT p.query_id, a.vec_id AS probe_id,
+               {_IVF_COS.format(a="p.qv", b="a.e")} AS probe_cos,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {_IVF_COS.format(a="p.qv", b="a.e")} DESC, a.vec_id) AS rn
+        FROM rprobes p JOIN rassigned a USING (cell_id)
+        WHERE a.vec_id <> p.query_id)
+      WHERE rn = 1
+    )
+    SELECT t.query_id, t.truth_id, t.truth_cos, p.probe_id, p.probe_cos,
+           CAST(CASE WHEN p.probe_id = t.truth_id AND p.probe_cos >= 0.8
+                     THEN 1 ELSE 0 END AS BIGINT) AS found
+    FROM rtruth t JOIN rprobe_top p USING (query_id)
+    """,
+    doc=(
+        "LLM ANN instrumentation: DEDUP-probe recall — the measurement a"
+        " semantic-dedup rollout gates on before trusting an IVF probe to"
+        " find near-duplicates. Planted ~0.94-cosine near-dups (a day-1"
+        " vector plus 0.35x another — paraphrase-grade, NOT scale"
+        " copies, so the copy's argmax cell CAN differ from its"
+        " original's and the 2-probe search can genuinely miss) are"
+        " searched both brute-force (truth) and via the 2-of-16-cell"
+        " probe; per-query found flags certified on both engines — the"
+        " llm_ann_recall pattern specialized to the dedup threshold"
+    ),
+)
+def llm_emb_dedup_recall(spark, sf_dir):
+    base = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _EMB_CAP)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    corpus = base.filter("vec_id % 2 = 0")
+    nxt = base.select(
+        (F.col("vec_id") - 2).alias("vec_id"), F.col("embedding").alias("_e2")
+    )
+    mixed = (
+        base.filter("vec_id % 4 = 0")
+        .join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + 50_000_000).alias("vec_id"),
+            F.zip_with(
+                "embedding", "_e2", lambda x, y: x + F.lit(0.35) * y
+            ).alias("embedding"),
+        )
+    )
+    truth = similarity.cosine_topk(corpus, mixed, k=1).select(
+        "query_id",
+        F.col("candidate_id").alias("truth_id"),
+        F.col("cos_sim").alias("truth_cos"),
+    )
+    probe = similarity.ivf_topk(
+        corpus, mixed, k=1, n_cells=16, n_probe=2
+    ).select(
+        "query_id",
+        F.col("candidate_id").alias("probe_id"),
+        F.col("cos_sim").alias("probe_cos"),
+    )
+    return truth.join(probe, "query_id").select(
+        "query_id",
+        "truth_id",
+        "truth_cos",
+        "probe_id",
+        "probe_cos",
+        (
+            (F.col("probe_id") == F.col("truth_id"))
+            & (F.col("probe_cos") >= 0.8)
+        )
+        .cast("long")
+        .alias("found"),
+    )
