@@ -4908,7 +4908,7 @@ def llm_emb_stream_ingest(spark, sf_dir):
       SELECT a.vec_id + 50000000 AS query_id,
              list_transform(a.e, (x, i) -> x + 0.35 * b.e[i]) AS qv
       FROM ev a JOIN ev b ON b.vec_id = a.vec_id + 2
-      WHERE a.vec_id % 4 = 0
+      WHERE a.vec_id % 8 = 0
     ),
     rtruth AS (
       SELECT query_id, truth_id, truth_cos FROM (
@@ -4976,8 +4976,11 @@ def llm_emb_dedup_recall(spark, sf_dir):
     nxt = base.select(
         (F.col("vec_id") - 2).alias("vec_id"), F.col("embedding").alias("_e2")
     )
+    # %8 keeps the planted-query population large enough for a meaningful
+    # recall statistic while bounding the brute-force truth arm's
+    # |queries| x |corpus| interpreted dot products at bench scale
     mixed = (
-        base.filter("vec_id % 4 = 0")
+        base.filter("vec_id % 8 = 0")
         .join(nxt, "vec_id")
         .select(
             (F.col("vec_id") + 50_000_000).alias("vec_id"),
