@@ -914,3 +914,42 @@ def test_corpus_pipeline_backfill_range_and_rerun(spark, tmp_path):
     assert sorted(
         tuple(r) for r in store.read("corpus_shards").collect()
     ) == manifest_before
+
+
+def test_corpus_contam_plan_broadcasts_eval_digests(spark, tmp_path):
+    """The contamination probe's scale claim, pinned at the plan: the
+    eval-digest state joins as a BROADCAST semi-join (no shuffle of the
+    batch's shingles against the benchmark-sized state)."""
+    from aave_etl_spark.plans.corpus_pipeline import (
+        _corpus_contam,
+        corpus_pipeline_graph,
+    )
+    from aave_etl_spark.plans.orchestration import AssetContext, PartitionKey
+
+    landing = spark.createDataFrame(
+        [
+            (
+                1,
+                "en",
+                "the alpha of beta and gamma is a delta the epsilon of"
+                " zeta and eta is a theta",
+                "2024-01-01",
+            )
+        ],
+        "doc_id long, lang string, text string, day string",
+    ).withColumn("day", F.to_date("day"))
+    bench = spark.createDataFrame(
+        [(9, "the quick of brown and foxes is a jumper today")],
+        "doc_id long, text string",
+    )
+    store = TableStore(spark, str(tmp_path / "wh"))
+    orch.run_day(
+        spark, store, corpus_pipeline_graph(), "2024-01-01", markets=[],
+        resources={"landing": landing, "benchmarks": bench},
+    )
+    ctx = AssetContext(
+        spark=spark, store=store, partition=PartitionKey("2024-01-01"),
+        resources={},
+    )
+    plan = _corpus_contam(ctx)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:3000]
