@@ -546,6 +546,21 @@ class TableStore:
         shutil.rmtree(self._path(name), ignore_errors=True)
         return False
 
+    def drop(self, name: str) -> bool:
+        """Explicitly delete table ``name`` (no-op when absent). Returns
+        True when a table was actually removed.
+
+        This is the EMPTY-STATE writer's tool: ``write`` skips empty
+        frames, so a state table whose new version is "no rows" (e.g. the
+        decontamination digests after the benchmarks resource is removed,
+        plans/corpus_pipeline.py) would otherwise silently keep serving
+        the PREVIOUS run's rows — drop expresses "the state is now empty"
+        where the skip cannot."""
+        if not self.exists(name):
+            return False
+        self._remove_table(name)
+        return True
+
     def _pinned_schema(self, name: str, batch_schema, partition_cols: list[str]):
         """The read schema for ``name`` with partition-column TYPES pinned
         to the change batch's schema instead of directory-string inference:

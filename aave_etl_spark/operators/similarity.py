@@ -666,6 +666,18 @@ def ivf_index_build(
     wrote_cent = store.write(
         cent.select("cell_id", F.col("_ce").alias("centroid")), f"{name}_centroids"
     )
+    # geometry sidecar, the ivfpq_index_build discipline: an append under a
+    # different rounding would assign borderline vectors to different cells
+    # than the build did, and a different carry layout would write a
+    # mismatched partition tree — both silent until a search misses;
+    # ivf_index_append validates against this row
+    store.write(
+        df.sparkSession.createDataFrame(
+            [(int(round_digits), ",".join(carry_cols))],
+            "round_digits int, carry_cols string",
+        ),
+        f"{name}_meta",
+    )
     wrote_assign = store.write(
         assign, name, partition_cols=["cell_id", *carry_cols], full_refresh=True
     )
@@ -714,12 +726,35 @@ def ivf_index_append(
 
     Without ``carry_cols`` the write degrades to a plain append (no slice
     key to overwrite by) — fine for strictly-once ingest, not for
-    backfills."""
+    backfills.
+
+    ``round_digits``/``carry_cols`` are validated against the
+    ``<name>_meta`` sidecar the build wrote (when present — pre-sidecar
+    stores skip the check): an append rounding differently would assign
+    borderline vectors to different cells than the certified
+    append==build contract, and a different carry layout would write a
+    mismatched partition tree (round-11 ADVICE; the ivfpq_index_append
+    ``n_subspaces`` discipline applied to IVF)."""
     centroids = store.read(f"{name}_centroids")
     if "cell_id" not in centroids.columns:
         raise ValueError(
             f"IVF index {name!r} not found in store — run ivf_index_build first"
         )
+    if store.exists(f"{name}_meta"):
+        meta = store.read(f"{name}_meta")
+        if "round_digits" in meta.columns:
+            stored = meta.select("round_digits", "carry_cols").first()
+            if stored.round_digits != round_digits or stored.carry_cols != ",".join(
+                carry_cols
+            ):
+                raise ValueError(
+                    f"IVF index {name!r} was built with round_digits="
+                    f"{stored.round_digits}, carry_cols="
+                    f"[{stored.carry_cols}]; append got round_digits="
+                    f"{round_digits}, carry_cols=[{','.join(carry_cols)}] — "
+                    "cell assignment / partition layout would drift from "
+                    "the build"
+                )
     cent = _centroid_frame(new_vecs, centroids, 0, id_col, vec_col)
     cent_arr = _centroid_array(cent)
     c = new_vecs.select(
@@ -757,11 +792,22 @@ def ivf_index_search(
     vec_col: str = "embedding",
     round_digits: int = 6,
     extra_where: str | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Search a materialized IVF index (:func:`ivf_index_build`): produces
     exactly :func:`ivf_topk`'s output — (query_id, candidate_id, cos_sim,
     rank) — but the corpus side is the partition-pruned at-rest index
     scan instead of a full-corpus assignment pass.
+
+    ``exclude_self=True`` (the default, :func:`ivf_topk` parity) drops
+    candidates whose id equals the query id. Pass ``False`` when the
+    query ids may legitimately BE in the index — the streaming replay
+    case (streaming/micro_batch.py incremental_embedding_ingest): a
+    redelivered batch carries the SAME vec_ids it already appended, and
+    only the self-match's cosine-1.0 row tells the dedup anti-join the
+    vector is already present; excluding it would re-append every
+    replayed vector whose nearest OTHER neighbor sits under the
+    threshold (round-11 ADVICE).
 
     The probed cell ids are collected to the driver to build the literal
     partition predicate — a bounded set (≤ n_cells, the centroid
@@ -830,9 +876,11 @@ def ivf_index_search(
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("candidate_id")
     )
+    scored = idx.join(F.broadcast(probes), "cell_id")
+    if exclude_self:
+        scored = scored.filter(F.col("candidate_id") != F.col("query_id"))
     return (
-        idx.join(F.broadcast(probes), "cell_id")
-        .filter(F.col("candidate_id") != F.col("query_id"))
+        scored
         .select(
             "query_id",
             "candidate_id",

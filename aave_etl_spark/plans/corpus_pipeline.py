@@ -12,12 +12,17 @@ is the thing the at-rest state exists to avoid:
 
 - ``corpus_landing``   (DAILY, day-partitioned): the day's raw batch.
 - ``corpus_clean``     (DAILY, day-partitioned): within-batch exact
-  dedup (min doc_id per content digest), cross-CORPUS exact dedup
-  (anti-join against the at-rest digest table), cross-CORPUS near-dup
+  dedup (min doc_id per content digest), WITHIN-BATCH near-dup (the
+  day's batch banded against itself, exact-Jaccard verify, keep the
+  lowest id of every verified pair — two same-day paraphrases must not
+  both survive; round-12), cross-CORPUS exact dedup (anti-join against
+  the at-rest digest table), cross-CORPUS near-dup
   (minhash_index_match against the at-rest band index → exact-Jaccard
   verify against only the MATCHED corpus docs → drop verified dups).
   The corpus side of the match reads bucketed on band_key — zero
-  exchange, zero re-shingle of history; only the day's batch hashes.
+  exchange, zero re-shingle of history; only the day's batch hashes
+  (once — the within-batch and cross-corpus verifies share one batch
+  shingle frame).
 - ``corpus_state``     (DAILY, side-effect): appends the day's
   survivors to ``corpus_digests`` + ``corpus_docs`` (day-partitioned —
   re-running a day dynamic-overwrites exactly its slice) and
@@ -212,6 +217,28 @@ def _corpus_clean(ctx: AssetContext) -> DataFrame:
     # — agg+join, NOT a window over the digest: a dup-storm day would
     # funnel every copy into one window task (dedup.keep_first_by_digest)
     batch = dedup.keep_first_by_digest(batch, digest)
+    # within-batch NEAR-dup: band the day's batch against itself (same
+    # minhash geometry as the at-rest index: 3-shingles, 8 hashes, 2 rows
+    # per band) and drop the HIGHER id of every exact-Jaccard-verified
+    # pair — two same-day paraphrases must not BOTH enter corpus state
+    # and packing, the hole the cross-corpus band index (prior days only)
+    # cannot close. Deterministic keep-lowest: a doc is dropped iff SOME
+    # lower-id batch doc verifies against it, the same rule the DuckDB
+    # oracle states as `id IN (SELECT id_b FROM verified)`. Scale shape:
+    # a storm of IDENTICAL docs already collapsed in the exact pass
+    # upstream; paraphrase storms fan out in the band-bucket self-join —
+    # a JOIN, so AQE skew-split applies, never a window over the band key
+    # consumed twice (the within-batch verify here, the cross-corpus
+    # verify below reuses it as the batch side): cut the lineage so the
+    # batch shingles once per day
+    sh_b = dedup.word_shingles(
+        batch.select("doc_id", "text"), n=3
+    ).localCheckpoint(eager=False)
+    cand_b = dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh_b))
+    wdups = dedup.jaccard_verify(sh_b, cand_b, threshold=0.5).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    batch = batch.join(wdups, "doc_id", "left_anti")
     store = ctx.store
     # state reads are scoped to STRICTLY EARLIER days (partition-pruned):
     # a day's batch must never dedup against the day's OWN previous run —
@@ -256,10 +283,11 @@ def _corpus_clean(ctx: AssetContext) -> DataFrame:
         matched = pairs.select(F.col("corpus_id").alias("doc_id")).distinct()
         corpus_docs = prior_docs.join(matched, "doc_id")
         # batch ids and corpus ids are disjoint by construction (fresh ids
-        # per day), so one shingle frame serves both sides of the verify
-        sh = dedup.word_shingles(
-            batch.select("doc_id", "text").unionByName(corpus_docs), n=3
-        )
+        # per day), so one shingle frame serves both sides of the verify.
+        # The batch side reuses sh_b (shingled once above): it carries the
+        # within-batch-dropped ids too, but the verify equi-joins on the
+        # PAIRS' ids and pairs come from the surviving batch only
+        sh = sh_b.unionByName(dedup.word_shingles(corpus_docs, n=3))
         dups = dedup.jaccard_verify(
             sh,
             pairs.selectExpr("new_id AS id_a", "corpus_id AS id_b"),
@@ -368,11 +396,25 @@ def _corpus_eval_shingles(ctx: AssetContext) -> DataFrame:
     state table is skinny (16 bytes/shingle), benchmark text never lands
     in the training store, and the probe side joins on a fixed-width
     key. Eval sets are small and versioned — the asset full-refreshes
-    (UNPARTITIONED) each run; with no ``benchmarks`` resource the asset
-    is empty and the contamination gate passes everything (the
-    certification harness's default)."""
+    each run; with no ``benchmarks`` resource the asset is empty and the
+    contamination gate passes everything (the certification harness's
+    default). Because ``TableStore.write`` SKIPS empty frames, "empty"
+    must be expressed as an explicit DROP of the stored table: on an
+    existing store whose earlier runs had a benchmarks resource, the
+    empty-write skip alone would leave the PRIOR eval digests in place
+    and ``corpus_contam`` would keep flagging against STALE benchmarks
+    (round-11 ADVICE; pytest-gated in tests/test_orchestration.py)."""
     bench = ctx.resources.get("benchmarks")
     if bench is None:
+        ctx.store.drop("corpus_eval_shingles")
+        # the per-doc stats table goes with it: its rows are overlap
+        # ratios against the now-retired eval set, and a re-run day's
+        # empty contam frame is skipped by write — leaving a stale
+        # flagged=true slice that would keep barring docs from the gate.
+        # The stats are recomputable from corpus_clean + a future eval
+        # set; "no benchmarks" means NO contamination state, not frozen
+        # old state
+        ctx.store.drop("corpus_contam")
         return ctx.spark.createDataFrame([], _EVAL_SCHEMA)
     return (
         dedup.word_shingles(bench.select("doc_id", "text"), n=3)

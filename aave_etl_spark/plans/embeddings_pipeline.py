@@ -15,7 +15,11 @@ artifact that re-trains over the accumulated corpus per batch.
 - ``emb_clean``      (DAILY, day-partitioned): within-batch exact-vector
   dedup (min vec_id per identical vector — the skew-safe agg+join form,
   operators/dedup.py keep_first_by_digest with the vector itself as the
-  digest), then cross-CORPUS semantic dedup: the batch probes the at-rest
+  digest), then WITHIN-BATCH semantic dedup (SRP-bucketed cosine self-
+  join over the batch, keep the lowest vec_id of every >= ``EMB_DUP_
+  COSINE`` pair — two same-day rescaled/near copies must not both enter
+  the index; round 12), then cross-CORPUS semantic dedup: the batch
+  probes the at-rest
   IVF index scoped to STRICTLY EARLIER days (``extra_where`` — a prior
   run of the day's own slice must never dedup the batch against itself,
   the corpus pipeline's backfill discipline) and drops any vector whose
@@ -38,6 +42,11 @@ artifact that re-trains over the accumulated corpus per batch.
   the whole index — the balance monitor every IVF deployment watches
   (a hot cell is a probe-cost hotspot; sustained skew or drift in the
   day-over-day assignment mix is the re-TRAIN trigger).
+- ``emb_index_health`` (UNPARTITIONED, round 12): the quantizer-drift
+  trigger as stored state — ``quantizer_outgrown``'s tuple refreshed by
+  every run, so the frozen quantizer's linear probe-cost degradation is
+  observable in the store (``outgrown=true`` is the documented signal to
+  run ``embeddings_maintenance(auto_retrain=True)``), never silent.
 
 Certified end-to-end (two days; day 2 plants exact replicas, rescaled
 replicas, and a within-batch duplicate pair) against chained-CTE DuckDB
@@ -57,10 +66,11 @@ re-reads or re-assigns history; per-day cost is history-independent
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DateType,
     DoubleType,
     LongType,
@@ -87,6 +97,10 @@ EMB_N_PROBE = 4
 EMB_DUP_COSINE = 0.999
 #: the at-rest index table name (centroids sidecar: emb_ivf_centroids)
 EMB_INDEX = "emb_ivf"
+#: outgrowth factor: the quantizer is OUTGROWN when N > factor x n_cells²
+#: (shared by the graph's emb_index_health asset, the quantizer_outgrown
+#: predicate, and embeddings_maintenance's auto_retrain default)
+EMB_OUTGROW_FACTOR = 4.0
 
 
 def _schema(*fields: tuple[str, object]) -> StructType:
@@ -117,6 +131,21 @@ def _emb_clean(ctx: AssetContext) -> DataFrame:
     # within-batch exact-vector dedup: the vector IS the digest (agg+join,
     # skew-safe — a storm of identical vectors collapses map-side)
     batch = dedup.keep_first_by_digest(batch, F.col("embedding"), id_col="vec_id")
+    # within-batch SEMANTIC dedup: SRP-bucket the batch against itself
+    # (similarity.bucketed_cosine_pairs — bucket join + one Arrow dot per
+    # pair on pre-normalized vectors) and keep the LOWEST vec_id of every
+    # pair at rounded cosine >= EMB_DUP_COSINE — two ~1.0-cosine same-day
+    # vectors must not BOTH enter the index, the hole the prior-day-scoped
+    # corpus probe cannot close (round 12; the corpus pipeline's
+    # within-batch banding pass in vector space). Rescaled same-day copies
+    # share the bucket deterministically: positive scaling preserves every
+    # projection sign, and cosine is scale-invariant.
+    wpairs = similarity.bucketed_cosine_pairs(batch, min_cos=EMB_DUP_COSINE)
+    batch = batch.join(
+        wpairs.select(F.col("id_b").alias("vec_id")).distinct(),
+        "vec_id",
+        "left_anti",
+    )
     store = ctx.store
     # both index members must exist: an interrupted first build can leave
     # the centroid sidecar without the assignments table, and a search
@@ -166,6 +195,67 @@ def _emb_state(ctx: AssetContext) -> DataFrame:
     return clean
 
 
+_HEALTH_SCHEMA = StructType(
+    [
+        StructField("n_vectors", LongType(), True),
+        StructField("n_cells", LongType(), True),
+        StructField("mean_cell_size", DoubleType(), True),
+        StructField("balance_point", LongType(), True),
+        StructField("factor", DoubleType(), True),
+        StructField("outgrown", BooleanType(), True),
+        StructField("recommended_n_cells", LongType(), True),
+    ]
+)
+
+
+def _emb_index_health(ctx: AssetContext) -> DataFrame:
+    """The quantizer-drift trigger AS STORED STATE: one row per run with
+    :func:`quantizer_outgrown`'s tuple — (n_vectors, n_cells,
+    mean_cell_size, balance_point, factor, outgrown, recommended_n_cells).
+
+    IVF probe cost per query is ~N x n_probe / n_cells; a frozen
+    quantizer lets cells fatten linearly as the corpus accumulates (the
+    SCALE.md 7.3 -> 246 s day-cost curve), and before round 12 the only
+    way to notice was an OFF-path call to ``quantizer_outgrown`` — a
+    deployment that never ran the hook degraded silently, linearly,
+    forever. As a graph asset the signal refreshes with every daily run:
+    ``outgrown=true`` in the store IS the retrain contract's trigger
+    (act via ``embeddings_maintenance(auto_retrain=True)`` on the
+    maintenance cadence; the asset costs two index-metadata aggregates).
+    Certified against a closed-form oracle over the same accumulated
+    corpus (queries/llm.py ``llm_emb_index_health``)."""
+    store = ctx.store
+    if not (store.exists(EMB_INDEX) and store.exists(f"{EMB_INDEX}_centroids")):
+        return ctx.spark.createDataFrame([], _HEALTH_SCHEMA)
+    idx = store.read(
+        EMB_INDEX,
+        schema=_schema(
+            ("cell_id", LongType()), ("vec_id", LongType()),
+            ("embedding", _VEC), ("day", DateType()),
+        ),
+    )
+    cent = store.read(f"{EMB_INDEX}_centroids")
+    nvec = idx.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    ncell = cent.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    return nvec.crossJoin(ncell).select(
+        "n_vectors",
+        "n_cells",
+        (F.col("n_vectors").cast("double") / F.col("n_cells").cast("double")).alias(
+            "mean_cell_size"
+        ),
+        (F.col("n_cells") * F.col("n_cells")).cast("long").alias("balance_point"),
+        F.lit(EMB_OUTGROW_FACTOR).alias("factor"),
+        (
+            F.col("n_vectors").cast("double")
+            > EMB_OUTGROW_FACTOR * (F.col("n_cells") * F.col("n_cells")).cast("double")
+        ).alias("outgrown"),
+        F.greatest(
+            F.col("n_cells"),
+            F.ceil(F.sqrt(F.col("n_vectors").cast("double"))).cast("long"),
+        ).alias("recommended_n_cells"),
+    )
+
+
 def _emb_cell_stats(ctx: AssetContext) -> DataFrame:
     idx = ctx.store.read(
         EMB_INDEX,
@@ -184,7 +274,7 @@ _COMPACTABLE = ("emb_landing", "emb_clean")
 
 
 def quantizer_outgrown(
-    store, factor: float = 4.0, name: str = EMB_INDEX
+    store, factor: float = EMB_OUTGROW_FACTOR, name: str = EMB_INDEX
 ) -> tuple[bool, int, dict]:
     """The executable form of the SCALE.md drift trigger: has the corpus
     OUTGROWN the frozen coarse quantizer?
@@ -223,7 +313,7 @@ def embeddings_maintenance(
     retrain: bool = False,
     n_cells: int | None = None,
     auto_retrain: bool = False,
-    outgrow_factor: float = 4.0,
+    outgrow_factor: float = EMB_OUTGROW_FACTOR,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict[str, tuple[int, int]]:
     """Periodic maintenance for the embeddings store:
@@ -269,12 +359,43 @@ def embeddings_maintenance(
     # is reclaimed every maintenance run as a side effect)
     if store.exists(EMB_INDEX) and store.exists("emb_clean"):
         before = store.read(EMB_INDEX).count()
-        centroids = (
-            None if retrain else store.read(f"{EMB_INDEX}_centroids")
-        )
+        clean = store.read("emb_clean")
+        if retrain:
+            # rank-based deterministic quantizer: first n_cells vectors BY
+            # RANK over vec_id — not the `vec_id < n_cells` ID-THRESHOLD
+            # the default quantizer uses, which under sparse / non-zero-
+            # based ids (the pipeline's own +10M planted ids) yields fewer
+            # — possibly zero — centroids than requested, leaving the
+            # retrain silently undersized (round-11 ADVICE). A kmeans_fit
+            # frame slots into the same seam for a data-driven retrain.
+            want = n_cells if n_cells is not None else EMB_N_CELLS
+            # orderBy+limit plans as TakeOrderedAndProject (per-partition
+            # top-K, no full-corpus sort shuffle); the row_number window
+            # then runs over the K-row frame only
+            first_k = (
+                clean.select("vec_id", "embedding")
+                .orderBy("vec_id")
+                .limit(want)
+                .localCheckpoint(eager=True)
+            )
+            centroids = first_k.select(
+                (F.row_number().over(Window.orderBy("vec_id")) - 1)
+                .cast("long")
+                .alias("cell_id"),
+                F.col("embedding").alias("centroid"),
+            ).localCheckpoint(eager=True)
+            got = centroids.count()
+            if got < min(want, before):
+                raise RuntimeError(
+                    f"embeddings_maintenance: retrain asked for {want} "
+                    f"centroids but ranked selection produced {got} — "
+                    "quantizer would be undersized"
+                )
+        else:
+            centroids = store.read(f"{EMB_INDEX}_centroids")
         similarity.ivf_index_build(
             store,
-            store.read("emb_clean"),
+            clean,
             name=EMB_INDEX,
             n_cells=n_cells if n_cells is not None else EMB_N_CELLS,
             centroids=centroids,
@@ -313,6 +434,13 @@ def embeddings_pipeline_graph() -> AssetGraph:
             Asset(
                 name="emb_cell_stats",
                 fn=_emb_cell_stats,
+                deps=("emb_state",),
+                group="emb_lake",
+                partitioning=UNPARTITIONED,
+            ),
+            Asset(
+                name="emb_index_health",
+                fn=_emb_index_health,
                 deps=("emb_state",),
                 group="emb_lake",
                 partitioning=UNPARTITIONED,

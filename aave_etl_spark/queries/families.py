@@ -848,6 +848,13 @@ family(
              "CAST(probe_id AS STRING)"),
             ("truth_cos", "probe_cos", "found"),
         ),
+        (
+            "emb_health",
+            "llm_emb_index_health",
+            (),
+            ("n_vectors", "n_cells", "mean_cell_size", "balance_point",
+             "factor", "CAST(outgrown AS DOUBLE)", "recommended_n_cells"),
+        ),
     ],
     doc=(
         "§2.8 reshape family: UNPIVOT stack + PIVOT multi-agg + greedy"
@@ -869,6 +876,9 @@ family(
         " + the corpus pipeline's training-shard MANIFEST asset (seed-keyed"
         " epoch shuffle over the packed corpus with loader metadata,"
         " certified against the full landing-to-shards chained oracle)"
+        " + the quantizer-HEALTH asset (the IVF drift trigger as stored"
+        " state: outgrown flag + sqrt(N) recommendation refreshed per run,"
+        " closed-form oracle)"
     ),
 )
 

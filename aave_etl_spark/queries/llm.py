@@ -398,24 +398,31 @@ def llm_margin_topk(spark, sf_dir):
     )
 
 
-def _srp_oracle(n_planes: int = 8, min_cos: float = 0.0) -> str:
-    """DuckDB mirror of the SRP plane derivation (operators/similarity.py
-    `_srp_plane`/`srp_buckets`): the ±1 sign for (plane p, dim i) is the
-    parity of the integer formed by the first 15 hex chars of md5('p:i') —
-    i.e. whether the 15th hex digit is odd. DuckDB's 1-based lambda index
-    maps to Spark's 0-based sequence via i-1."""
+def _srp_bucket_expr(n_planes: int = 8, var: str = "e") -> str:
+    """The SRP bucket id of vector column ``var`` as one SQL expression —
+    DuckDB mirror of the plane derivation (operators/similarity.py
+    `_srp_signs`/`srp_buckets`): the ±1 sign for (plane p, dim i) is the
+    parity of the integer formed by the first 15 hex chars of md5('p:i')
+    — i.e. whether the 15th hex digit is odd. DuckDB's 1-based lambda
+    index maps to Spark's 0-based sequence via i-1."""
     sign = (
         "CASE WHEN strpos('13579bdf', "
         "substring(md5('{p}:' || CAST(i - 1 AS VARCHAR)), 15, 1)) > 0 "
         "THEN 1.0 ELSE -1.0 END"
     )
     projs = [
-        f"list_sum(list_transform(e, (x, i) -> x * {sign.format(p=p)}))"
+        f"list_sum(list_transform({var}, (x, i) -> x * {sign.format(p=p)}))"
         for p in range(n_planes)
     ]
-    bucket = " + ".join(
+    return " + ".join(
         f"CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END" for p, proj in enumerate(projs)
     )
+
+
+def _srp_oracle(n_planes: int = 8, min_cos: float = 0.0) -> str:
+    """Full SRP bucketed-pairs oracle over the embeddings table (see
+    `_srp_bucket_expr` for the plane derivation)."""
+    bucket = _srp_bucket_expr(n_planes)
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     b AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
@@ -3290,8 +3297,13 @@ b2 AS (
          text || ' shared boilerplate trailer appended here',
          CAST('2024-01-02' AS DATE)
   FROM documents WHERE doc_id % 4 = 2 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 30000000, lang,
+         text || ' same day paraphrase trailer appended',
+         CAST('2024-01-02' AS DATE)
+  FROM documents WHERE doc_id % 8 = 1 AND text IS NOT NULL
 ),
-c1 AS MATERIALIZED (
+c1e AS MATERIALIZED (
   SELECT day, doc_id, lang, text FROM (
     SELECT b1.*, min(doc_id) OVER (PARTITION BY md5({_NORM})) AS k0 FROM b1
   ) WHERE doc_id = k0
@@ -3301,8 +3313,60 @@ d2w AS MATERIALIZED (
     SELECT b2.*, min(doc_id) OVER (PARTITION BY md5({_NORM})) AS k0 FROM b2
   ) WHERE doc_id = k0
 ),
+wnorm AS (
+  SELECT day, doc_id, {_TOKS} AS toks FROM (
+    SELECT day, doc_id, text FROM c1e
+    UNION ALL SELECT day, doc_id, text FROM d2w) u
+),
+wsh AS MATERIALIZED (
+  SELECT DISTINCT day, doc_id, shingle FROM (
+    SELECT day, doc_id,
+           unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)]) AS shingle
+    FROM wnorm WHERE len(toks) >= 3)
+),
+wmh AS MATERIALIZED (
+  SELECT day, doc_id, h,
+         min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM wsh CROSS JOIN (SELECT unnest(range(0, 8)) AS h) hs
+  GROUP BY day, doc_id, h
+),
+wbk AS MATERIALIZED (
+  SELECT day, doc_id, CAST(floor(h / 2) AS INT) AS band,
+         md5(string_agg(CAST(h AS VARCHAR) || ':' || minhash, '|'
+                        ORDER BY CAST(h AS VARCHAR) || ':' || minhash)) AS band_key
+  FROM wmh GROUP BY day, doc_id, CAST(floor(h / 2) AS INT)
+),
+wcand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM wbk a JOIN wbk b
+    ON a.day = b.day AND a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+wsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM wsh GROUP BY doc_id),
+winter AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM wcand p
+  JOIN wsh a ON a.doc_id = p.id_a
+  JOIN wsh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b
+),
+wdup AS MATERIALIZED (
+  SELECT DISTINCT i.id_b AS doc_id
+  FROM winter i
+  JOIN wsz sa ON i.id_a = sa.doc_id
+  JOIN wsz sb ON i.id_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE)
+        / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
+),
+c1 AS MATERIALIZED (
+  SELECT * FROM c1e WHERE doc_id NOT IN (SELECT doc_id FROM wdup)
+),
+d2n AS MATERIALIZED (
+  SELECT * FROM d2w WHERE doc_id NOT IN (SELECT doc_id FROM wdup)
+),
 d2x AS MATERIALIZED (
-  SELECT * FROM d2w
+  SELECT * FROM d2n
   WHERE md5({_NORM}) NOT IN (SELECT md5({_NORM}) FROM c1)
 ),
 cnorm AS (
@@ -3516,6 +3580,19 @@ def _corpus_run_store(spark, sf_dir):
                     "lang",
                     F.concat(
                         "text", F.lit(" shared boilerplate trailer appended here")
+                    ).alias("text"),
+                )
+            )
+            .unionByName(
+                # SAME-DAY paraphrase near-dups of day-2's own odd docs:
+                # the within-batch banding pass must keep only the lower
+                # (original) id of every pair whose bands collide and whose
+                # exact Jaccard verifies (round 12)
+                base.filter("doc_id % 8 = 1").select(
+                    (F.col("doc_id") + 30_000_000).alias("doc_id"),
+                    "lang",
+                    F.concat(
+                        "text", F.lit(" same day paraphrase trailer appended")
                     ).alias("text"),
                 )
             )
@@ -4318,15 +4395,19 @@ def llm_hybrid_rrf_atrest(spark, sf_dir):
 # of the corpus pipeline. Two days of vector batches — day 2 plants exact
 # replicas (+10M ids, copies of day-1 vectors), RESCALED replicas (+20M ids,
 # 2x day-1 vectors: cosine is scale-invariant, so they score 1.0 without
-# being bitwise equal), and a within-batch duplicate pair (+30M ids, copies
-# of same-day odd vectors) — flow landing -> within-batch exact-vector dedup
-# (agg+join, the vector is the digest) -> cross-corpus semantic dedup (IVF
-# probe of the at-rest index scoped to prior days, drop at rounded cosine >=
-# 0.999) -> incremental index maintenance (day 1 builds under a frozen
-# deterministic quantizer, day 2 ivf_index_append's under the STORED
-# centroids). The oracles recompute the whole chain from first principles:
-# the same argmax-cell assignment, the same top-4 probe ranking (rounded
-# cosine DESC, cell_id ASC), the same threshold.
+# being bitwise equal), a within-batch EXACT duplicate pair (+30M ids,
+# copies of same-day odd vectors), and a within-batch NEAR-dup pair (+40M
+# ids, 3x same-day odd vectors: not bitwise equal, so only the round-12
+# within-batch SEMANTIC pass can drop them) — flow landing -> within-batch
+# exact-vector dedup (agg+join, the vector is the digest) -> WITHIN-BATCH
+# semantic dedup (SRP-bucketed cosine self-join, keep the lowest id per
+# >= 0.999 pair) -> cross-corpus semantic dedup (IVF probe of the at-rest
+# index scoped to prior days, drop at rounded cosine >= 0.999) ->
+# incremental index maintenance (day 1 builds under a frozen deterministic
+# quantizer, day 2 ivf_index_append's under the STORED centroids). The
+# oracles recompute the whole chain from first principles: the same SRP
+# plane derivation, the same argmax-cell assignment, the same top-4 probe
+# ranking (rounded cosine DESC, cell_id ASC), the same threshold.
 # ---------------------------------------------------------------------------
 # certification corpus cap: the pipeline's frozen 16-cell quantizer is
 # sized for corpora in this envelope (SCALE.md measures the cost curve
@@ -4353,19 +4434,45 @@ _EMB_CTES = f"""ev AS (
       FROM ev WHERE vec_id % 4 = 2
       UNION ALL
       SELECT vec_id + 30000000 AS vec_id, e FROM ev WHERE vec_id % 4 = 1
+      UNION ALL
+      SELECT vec_id + 40000000 AS vec_id,
+             list_transform(e, x -> x * 3.0) AS e
+      FROM ev WHERE vec_id % 8 = 5
     ),
     ed2w AS (
       SELECT min(vec_id) AS vec_id, e, DATE '2024-01-02' AS day
       FROM ed2raw GROUP BY e
     ),
-    ecent AS (SELECT vec_id AS cell_id, e AS ce FROM ed1 WHERE vec_id < 16),
+    ewb AS (
+      SELECT day, vec_id, e, CAST({_srp_bucket_expr(8)} AS BIGINT) AS bucket
+      FROM (SELECT day, vec_id, e FROM ed1
+            UNION ALL SELECT day, vec_id, e FROM ed2w)
+    ),
+    ewdup AS (
+      SELECT DISTINCT hi.vec_id
+      FROM ewb lo JOIN ewb hi
+        ON lo.day = hi.day AND lo.bucket = hi.bucket
+       AND lo.vec_id < hi.vec_id
+      WHERE round(list_dot_product(lo.e, hi.e)
+            / (sqrt(list_dot_product(lo.e, lo.e))
+               * sqrt(list_dot_product(hi.e, hi.e))), 6) >= 0.999
+    ),
+    ed1c AS (
+      SELECT vec_id, e, day FROM ed1
+      WHERE vec_id NOT IN (SELECT vec_id FROM ewdup)
+    ),
+    ed2b AS (
+      SELECT vec_id, e, day FROM ed2w
+      WHERE vec_id NOT IN (SELECT vec_id FROM ewdup)
+    ),
+    ecent AS (SELECT vec_id AS cell_id, e AS ce FROM ed1c WHERE vec_id < 16),
     ea1 AS (
       SELECT vec_id, e, day, cell_id FROM (
         SELECT d.vec_id, d.e, d.day, c.cell_id,
                row_number() OVER (
                  PARTITION BY d.vec_id
                  ORDER BY {_IVF_COS.format(a="d.e", b="c.ce")} DESC, c.cell_id) AS rn
-        FROM ed1 d CROSS JOIN ecent c)
+        FROM ed1c d CROSS JOIN ecent c)
       WHERE rn = 1
     ),
     eprobe AS (
@@ -4374,7 +4481,7 @@ _EMB_CTES = f"""ev AS (
                row_number() OVER (
                  PARTITION BY d.vec_id
                  ORDER BY {_IVF_COS.format(a="d.e", b="c.ce")} DESC, c.cell_id) AS rn
-        FROM ed2w d CROSS JOIN ecent c)
+        FROM ed2b d CROSS JOIN ecent c)
       WHERE rn <= 4
     ),
     edup AS (
@@ -4384,11 +4491,11 @@ _EMB_CTES = f"""ev AS (
         AND {_IVF_COS.format(a="p.e", b="a.e")} >= 0.999
     ),
     ed2c AS (
-      SELECT vec_id, e, day FROM ed2w
+      SELECT vec_id, e, day FROM ed2b
       WHERE vec_id NOT IN (SELECT vec_id FROM edup)
     ),
     eclean AS (
-      SELECT vec_id, e, day FROM ed1
+      SELECT vec_id, e, day FROM ed1c
       UNION ALL SELECT vec_id, e, day FROM ed2c
     ),
     ea2 AS (
@@ -4421,7 +4528,13 @@ def _emb_run_store(spark, sf_dir):
     store = TableStore(spark, root)
     done = store.is_complete("emb_cell_stats") and all(
         store.exists(n)
-        for n in ("emb_clean", "emb_ivf", "emb_ivf_centroids", "emb_cell_stats")
+        for n in (
+            "emb_clean",
+            "emb_ivf",
+            "emb_ivf_centroids",
+            "emb_cell_stats",
+            "emb_index_health",
+        )
     )
     if not done:
         store.clear_complete("emb_cell_stats")
@@ -4456,6 +4569,18 @@ def _emb_run_store(spark, sf_dir):
                     (F.col("vec_id") + 30_000_000).alias("vec_id"), "embedding"
                 )
             )
+            .unionByName(
+                # same-day NEAR-dup pair: 3x-rescaled copies of day-2's own
+                # odd vectors — invisible to the exact pass (different
+                # bytes) and to the prior-day probe (originals are in the
+                # SAME batch); only the within-batch SRP pass drops them
+                base.filter("vec_id % 8 = 5").select(
+                    (F.col("vec_id") + 40_000_000).alias("vec_id"),
+                    F.transform("embedding", lambda x: x * F.lit(3.0)).alias(
+                        "embedding"
+                    ),
+                )
+            )
             .withColumn("day", F.to_date(F.lit("2024-01-02")))
         )
         landing = d1.unionByName(d2)
@@ -4487,12 +4612,14 @@ def _emb_run_store(spark, sf_dir):
         "the DAILY embeddings pipeline run END-TO-END through the"
         " orchestration layer (plans/embeddings_pipeline.py): two days of"
         " vector batches — day 2 plants exact replicas, RESCALED replicas"
-        " (cosine scale-invariance), and a within-batch duplicate pair —"
-        " flow landing -> within-batch exact-vector dedup -> cross-corpus"
-        " semantic dedup against the at-rest IVF index (prior-day-scoped"
-        " probe, rounded-cosine threshold) -> per-(day, cell) balance"
-        " stats, every table read back FROM THE STORE; the ANN twin of"
-        " llm_corpus_pipeline_run"
+        " (cosine scale-invariance), a within-batch EXACT duplicate pair,"
+        " and a within-batch NEAR-dup pair (3x same-day rescales) — flow"
+        " landing -> within-batch exact-vector dedup -> within-batch"
+        " SEMANTIC dedup (SRP-bucketed cosine self-join; round 12) ->"
+        " cross-corpus semantic dedup against the at-rest IVF index"
+        " (prior-day-scoped probe, rounded-cosine threshold) -> per-(day,"
+        " cell) balance stats, every table read back FROM THE STORE; the"
+        " ANN twin of llm_corpus_pipeline_run"
     ),
 )
 def llm_emb_pipeline_run(spark, sf_dir):
@@ -4579,6 +4706,52 @@ def llm_emb_search_atrest(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return similarity.ivf_index_search(store, q, name="emb_ivf", k=3, n_probe=4)
+
+
+@register(
+    "llm_emb_index_health",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle=f"""
+    WITH {_EMB_CTES}
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST((SELECT count(*) FROM ecent) AS BIGINT) AS n_cells,
+           CAST(count(*) AS DOUBLE)
+             / CAST((SELECT count(*) FROM ecent) AS DOUBLE) AS mean_cell_size,
+           CAST((SELECT count(*) FROM ecent)
+                * (SELECT count(*) FROM ecent) AS BIGINT) AS balance_point,
+           4.0 AS factor,
+           CAST(count(*) AS DOUBLE)
+             > 4.0 * CAST((SELECT count(*) FROM ecent) AS DOUBLE)
+                   * CAST((SELECT count(*) FROM ecent) AS DOUBLE) AS outgrown,
+           greatest(
+             CAST((SELECT count(*) FROM ecent) AS BIGINT),
+             CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+           ) AS recommended_n_cells
+    FROM eassign
+    """,
+    doc=(
+        "LLM ANN state: the embeddings pipeline's QUANTIZER-HEALTH asset"
+        " (plans/embeddings_pipeline.py emb_index_health) — the"
+        " quantizer-drift trigger (n_vectors, n_cells, mean_cell_size,"
+        " balance point, outgrown flag, sqrt(N) recommended cell count)"
+        " refreshed into the store by every daily run, so the frozen"
+        " quantizer's linear probe-cost degradation is observable state"
+        " with a documented retrain contract instead of an off-path hook"
+        " a deployment might never call; certified against a closed-form"
+        " oracle over the accumulated 2-day corpus"
+    ),
+)
+def llm_emb_index_health(spark, sf_dir):
+    store = _emb_run_store(spark, sf_dir)
+    return store.read("emb_index_health").select(
+        "n_vectors",
+        "n_cells",
+        "mean_cell_size",
+        "balance_point",
+        "factor",
+        "outgrown",
+        "recommended_n_cells",
+    )
 
 
 @register(
@@ -4801,13 +4974,16 @@ def llm_corpus_shards(spark, sf_dir):
         " availableNow drains of a file-source vector stream through"
         " foreachBatch (streaming/micro_batch.py"
         " incremental_embedding_ingest) — batch 1 trains the frozen"
-        " quantizer and builds the at-rest IVF index, batch 2's exact"
-        " replicas, RESCALED replicas, and within-batch duplicate pair"
-        " are dropped by the semantic anti-join against the accumulated"
-        " index (which doubles as the at-least-once replay idempotence"
-        " mechanism) and its survivors append under the stored centroids;"
-        " the final index equals the daily pipeline's 2-day assignment"
-        " oracle exactly — stream and batch converge to the same state"
+        " quantizer and builds the at-rest IVF index; batch 2's exact"
+        " replicas and RESCALED replicas are dropped by the semantic"
+        " anti-join against the accumulated index (which doubles as the"
+        " at-least-once replay idempotence mechanism — same-id replays"
+        " match THEMSELVES, exclude_self=False), its within-batch exact"
+        " pair by the vector-digest dedup and its within-batch NEAR pair"
+        " (3x rescales of same-batch vectors, invisible to the index) by"
+        " the SRP-bucketed self-join, and the survivors append under the"
+        " stored centroids; the final index equals the daily pipeline's"
+        " 2-day assignment oracle exactly — stream and batch converge"
     ),
 )
 def llm_emb_stream_ingest(spark, sf_dir):
@@ -4878,6 +5054,17 @@ def llm_emb_stream_ingest(spark, sf_dir):
         .unionByName(
             base.filter("vec_id % 4 = 1").select(
                 (F.col("vec_id") + 30_000_000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            # same-day NEAR-dup pair (3x rescale of odd vectors): only the
+            # ingest's within-batch SRP pass can drop these — the index
+            # anti-join can't see them (originals arrive in the same batch)
+            base.filter("vec_id % 8 = 5").select(
+                (F.col("vec_id") + 40_000_000).alias("vec_id"),
+                F.transform("embedding", lambda x: x * F.lit(3.0)).alias(
+                    "embedding"
+                ),
             )
         )
     )

@@ -277,21 +277,31 @@ def incremental_embedding_ingest(
     appended into its cell layout.
 
     Per micro-batch (foreachBatch): within-batch exact-vector dedup (the
-    vector IS the digest — skew-safe agg+join), then the batch probes
-    the CURRENT index (re-read each batch, so batch N+1 sees batch N's
-    appends) and drops vectors whose nearest accumulated neighbor scores
-    rounded cosine >= ``dup_cosine``; the first non-empty batch trains
-    the deterministic quantizer and builds the index, every later batch
+    vector IS the digest — skew-safe agg+join), within-batch SEMANTIC
+    dedup (SRP-bucketed cosine self-join, keep the lowest id per
+    >= ``dup_cosine`` pair — same-batch near-copies are invisible to the
+    index anti-join), then the batch probes the CURRENT index (re-read
+    each batch, so batch N+1 sees batch N's appends) and drops vectors
+    whose nearest accumulated neighbor scores rounded cosine >=
+    ``dup_cosine``; the first non-empty batch trains the deterministic
+    quantizer and builds the index, every later batch
     ``ivf_index_append``s under the stored centroids.
 
     The semantic anti-join IS the at-least-once idempotence mechanism:
-    a REPLAYED batch finds its own vectors already in the index (cosine
-    1.0 with themselves), drops everything, and appends nothing —
-    content-level idempotency with no sink transactions, exactly the
-    digest-anti-join contract of ``incremental_corpus_ingest`` lifted to
-    vector space. (Contrast the DAILY pipeline, whose dynamic slice
-    overwrite must NOT self-dedup a re-run — append-only streaming wants
-    the opposite, and gets it for free.)
+    a REPLAYED batch finds its own vectors already in the index and
+    appends nothing — content-level idempotency with no sink
+    transactions, exactly the digest-anti-join contract of
+    ``incremental_corpus_ingest`` lifted to vector space. That covers
+    BOTH replay shapes: same content under fresh ids matches its
+    original at cosine 1.0, and the same content under the SAME ids
+    matches itself — the search runs with ``exclude_self=False``, so the
+    self-match's cosine-1.0 row is kept for the anti-join instead of
+    being filtered as it is in query-time search (the default would
+    silently re-append every same-id replay whose nearest OTHER
+    neighbor sits under the threshold; same-id redelivery is
+    pytest-gated in tests/test_streaming.py). (Contrast the DAILY
+    pipeline, whose dynamic slice overwrite must NOT self-dedup a
+    re-run — append-only streaming wants the opposite.)
 
     At 100 TB: per batch, one broadcast-centroid argmax over the batch +
     a probe scan of n_probe/n_cells of the index partitions; the
@@ -305,10 +315,25 @@ def incremental_embedding_ingest(
         fresh = keep_first_by_digest(
             bdf.where(F.col(vec_col).isNotNull()), F.col(vec_col), id_col=id_col
         )
+        # within-batch SEMANTIC dedup (the daily pipeline's round-12 pass):
+        # two ~1.0-cosine vectors arriving in the SAME micro-batch would
+        # both survive the index anti-join (neither is stored yet) — SRP-
+        # bucket the batch against itself and keep the lowest id per pair
+        wpairs = similarity.bucketed_cosine_pairs(
+            fresh, id_col=id_col, vec_col=vec_col, min_cos=dup_cosine
+        )
+        fresh = fresh.join(
+            wpairs.select(F.col("id_b").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
         if store.exists(f"{name}_centroids") and store.exists(name):
             nn = similarity.ivf_index_search(
                 store, fresh, name=name, k=1, n_probe=n_probe,
                 id_col=id_col, vec_col=vec_col,
+                # keep self-matches: a same-id replayed vector's only
+                # cosine-1.0 evidence of already being present is ITSELF
+                exclude_self=False,
             )
             dups = (
                 nn.filter(F.col("cos_sim") >= dup_cosine)

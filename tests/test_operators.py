@@ -953,6 +953,43 @@ def test_ivf_index_roundtrip_matches_in_flight(spark, tmp_path):
     assert sorted(map(tuple, at_rest)) == sorted(map(tuple, in_flight))
 
 
+def test_ivf_index_append_validates_meta_sidecar(spark, tmp_path):
+    """ivf_index_build writes a <name>_meta sidecar (round_digits,
+    carry_cols) and ivf_index_append refuses a mismatched append — a
+    different rounding would assign borderline vectors to different
+    cells than the certified append==build contract, a different carry
+    layout writes a mismatched partition tree (round-11 ADVICE; the
+    ivfpq_index_append n_subspaces discipline applied to IVF)."""
+    from aave_etl_spark.io.table_store import TableStore
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 13) % 7), float((i * 5) % 11), 1.0], "2024-01-01")
+            for i in range(32)
+        ],
+        "vec_id long, embedding array<double>, day string",
+    ).withColumn("day", F.to_date("day"))
+    store = TableStore(spark, str(tmp_path))
+    similarity.ivf_index_build(store, emb, n_cells=8, carry_cols=("day",))
+    meta = store.read("ivf_index_meta").first()
+    assert meta.round_digits == 6 and meta.carry_cols == "day"
+
+    batch = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0], "2024-01-02")],
+        "vec_id long, embedding array<double>, day string",
+    ).withColumn("day", F.to_date("day"))
+    with pytest.raises(ValueError, match="round_digits"):
+        similarity.ivf_index_append(
+            store, batch, round_digits=4, carry_cols=("day",)
+        )
+    with pytest.raises(ValueError, match="carry_cols"):
+        similarity.ivf_index_append(store, batch.drop("day"))
+    before = store.read("ivf_index").count()
+    assert before == 32  # neither mismatched append landed rows
+    similarity.ivf_index_append(store, batch, carry_cols=("day",))
+    assert store.read("ivf_index").count() == 33
+
+
 def test_ivf_index_search_scans_only_probed_cells(spark, tmp_path):
     import re as _re
 

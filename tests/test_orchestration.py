@@ -339,10 +339,12 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
         " is an eight the nine of ten and eleven is a twelve"
     )
     # docs 14/15: near-dups OF EACH OTHER within day 2's batch (unrelated
-    # to day-1 content) — the pipeline dedups near-dups only ACROSS the
-    # corpus, so BOTH survive; a re-run of the day must keep them both
-    # (the round-10 ADVICE bug: stale same-day band rows under the same
-    # ids borrowed batch-side text in the verify and dropped the pair)
+    # to day-1 content) — the round-12 WITHIN-BATCH near-dup pass keeps
+    # the LOWEST id (14) and drops 15 on the FIRST run already; every
+    # re-run must reproduce exactly that set (the round-10 ADVICE bug:
+    # stale same-day band rows under the same ids borrowed batch-side
+    # text in the verify and dropped BOTH — 14 must still never drop
+    # against its own or 15's stale band rows)
     nd_base = (
         "the quick of brown and foxes is a jumper the lazy of dogs and"
         " cats is a sleeper the tiny of mice and birds is a runner"
@@ -388,14 +390,16 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
     assert ("2024-01-02", 13) in clean  # fresh doc survives
     assert ("2024-01-02", 11) not in clean  # exact replica dropped
     assert ("2024-01-02", 12) not in clean  # near-dup variant dropped
-    # within-batch near-dups both survive (dedup is cross-corpus only)
-    assert ("2024-01-02", 14) in clean and ("2024-01-02", 15) in clean
+    # within-batch near-dup pair: the lowest id survives, its same-day
+    # paraphrase is dropped by the batch-banded verify (round 12)
+    assert ("2024-01-02", 14) in clean
+    assert ("2024-01-02", 15) not in clean
     # stats cover both days and only surviving docs; the NULL-lang doc
     # packs and rolls up as its own group (not dropped, not mis-bucketed)
     stats = {(str(r.day), r.lang): r for r in store.read("corpus_stats").collect()}
     assert stats[("2024-01-01", "en")].n_docs == 2
     assert stats[("2024-01-01", None)].n_docs == 1
-    assert stats[("2024-01-02", "en")].n_docs == 3
+    assert stats[("2024-01-02", "en")].n_docs == 2
     packed_null = store.read("corpus_packed", where="lang IS NULL").collect()
     assert [r.doc_id for r in packed_null] == [3]
     # the distribution-aware gate attached a DSIR weight from the stored
@@ -412,8 +416,9 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
     # re-run day 2 TWICE: dynamic overwrite of exactly its slice, same
     # result — state reads AND candidate pairs are scoped to EARLIER days,
     # so the day's docs must not dedup against their own previously-stored
-    # digests/bands (in particular, the in-batch near-dup pair 14/15 must
-    # not drop against its own stale same-day band rows), and the
+    # digests/bands (in particular, in-batch near-dup KEEPER 14 must not
+    # drop against its own — or dropped 15's — stale same-day band rows;
+    # the within-batch pass re-drops 15 deterministically), and the
     # if_absent index append leaves the band-index row count FIXED
     for _ in range(2):
         orch.run_day(
@@ -641,6 +646,10 @@ def test_embeddings_pipeline_dedup_append_and_maintenance(spark, tmp_path):
         (13, new_b, "2024-01-02"),  # survives
         (14, new_b, "2024-01-02"),  # within-batch copy of 13 -> dropped
         (15, None, "2024-01-02"),  # NULL embedding: dropped at landing
+        # within-batch NEAR-dup (2x rescale of 13): different bytes, so the
+        # exact pass keeps it and the prior-day probe can't see it — only
+        # the round-12 SRP-bucketed self-join drops it
+        (16, [x * 2.0 for x in new_b], "2024-01-02"),
     ]
     landing = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, day string"
@@ -750,9 +759,27 @@ def test_corpus_decontamination_gate_bars_eval_overlap(spark, tmp_path):
     assert {r.doc_id for r in store.read("corpus_gated").collect()} == {2}
     assert {r.doc_id for r in store.read("corpus_packed").collect()} == {2}
 
-    # no benchmarks resource: decontamination is disabled — nothing is
-    # barred, and the day never pays a shingle pass for all-zero stats
-    # (the contam table is never even written)
+    # REMOVING the benchmarks resource on an EXISTING store must disable
+    # the gate too: write skips empty frames, so without an explicit drop
+    # the prior run's digest table would survive and corpus_contam would
+    # keep flagging doc 1 against STALE eval digests (round-11 ADVICE —
+    # the eval-shingles asset drops the table, and the stats table whose
+    # stale flagged slice would also survive the skip, when the resource
+    # is absent)
+    assert store.exists("corpus_eval_shingles")
+    orch.run_day(
+        spark, store, graph, "2024-01-01", markets=[],
+        resources={"landing": landing},
+    )
+    assert not store.exists("corpus_eval_shingles")
+    assert not store.exists("corpus_contam")
+    assert {r.doc_id for r in store.read("corpus_gated").collect()} == {1, 2}
+
+    # no benchmarks resource on a FRESH store: decontamination is disabled
+    # — nothing is barred, and the day never pays a shingle pass for
+    # all-zero stats (the contam table is never even written). Runs last:
+    # corpus_mh is a catalog-registered bucketed table, so the same-name
+    # re-run on the FIRST store must precede re-registering it here
     store2 = TableStore(spark, str(tmp_path / "wh2"))
     orch.run_day(
         spark, store2, graph, "2024-01-01", markets=[],
@@ -774,11 +801,21 @@ def test_quantizer_outgrowth_trigger_and_auto_retrain(spark, tmp_path):
         quantizer_outgrown,
     )
 
-    # 40 spread-out 4-d vectors, ids 0..39: ids < EMB_N_CELLS(16) exist
-    # but we rebuild with a tiny quantizer to force outgrowth
+    # 40 spread-out 8-d vectors, ids 0..39: ids < EMB_N_CELLS(16) exist
+    # but we rebuild with a tiny quantizer to force outgrowth. md5-derived
+    # coordinates keep the max pairwise cosine ~0.98 — under the 0.999
+    # within-batch semantic-dedup threshold, so all 40 enter the index
+    # (low-dim modular grids have incidental >=0.999 pairs the round-12
+    # pass would drop)
+    import hashlib
+
+    def _coord(i, k):
+        return float(
+            int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16) % 97
+        )
+
     rows = [
-        (i, [float((i * 13) % 7), float((i * 5) % 11), 1.0, float(i % 3)], "2024-01-01")
-        for i in range(40)
+        (i, [_coord(i, k) for k in range(8)], "2024-01-01") for i in range(40)
     ]
     landing = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, day string"
@@ -790,12 +827,24 @@ def test_quantizer_outgrowth_trigger_and_auto_retrain(spark, tmp_path):
     # 16-cell quantizer over 40 vectors: inside the balance envelope
     outgrown, rec, details = quantizer_outgrown(store, factor=4.0)
     assert not outgrown and details["n_vectors"] == 40
+    # ... and the graph SURFACED that as stored state (round 12): the
+    # health asset row mirrors quantizer_outgrown's tuple
+    h = store.read("emb_index_health").collect()
+    assert len(h) == 1
+    assert not h[0].outgrown and h[0].n_vectors == 40 and h[0].n_cells == 16
 
     # shrink the quantizer to 2 cells: 40 > 4 * 2^2 -> outgrown
     embeddings_maintenance(store, retrain=True, n_cells=2)
     outgrown, rec, details = quantizer_outgrown(store, factor=4.0)
     assert outgrown and details["n_cells"] == 2
     assert rec == 7  # ceil(sqrt(40))
+    # the next daily run refreshes the stored health row: the drift is
+    # visible in the store, with the retrain recommendation attached
+    orch.run_day(
+        spark, store, graph, "2024-01-01", markets=[], resources={"vectors": landing}
+    )
+    h2 = store.read("emb_index_health").collect()[0]
+    assert h2.outgrown and h2.n_cells == 2 and h2.recommended_n_cells == 7
 
     # auto_retrain acts on the trigger at the recommended count
     embeddings_maintenance(store, auto_retrain=True)
@@ -812,6 +861,51 @@ def test_quantizer_outgrowth_trigger_and_auto_retrain(spark, tmp_path):
     assert quantizer_outgrown(empty) == (False, 0, {"reason": "index not built"})
 
 
+def test_auto_retrain_sizes_quantizer_under_sparse_ids(spark, tmp_path):
+    """The retrain quantizer is RANK-based, not id-threshold: with sparse /
+    non-zero-based vec_ids (the pipeline's own +10M planted ids) the old
+    `vec_id < n_cells` selection yields zero centroids — auto_retrain must
+    still produce exactly the recommended count (round-11 ADVICE)."""
+    from aave_etl_spark.plans.embeddings_pipeline import (
+        embeddings_maintenance,
+        quantizer_outgrown,
+    )
+    from aave_etl_spark.io.table_store import TableStore as TS
+    from aave_etl_spark.operators import similarity
+
+    # 40 vectors whose ids ALL sit far above any plausible n_cells
+    rows = [
+        (
+            10_000_000 + i,
+            [float((i * 13) % 7), float((i * 5) % 11), 1.0, float(i % 3)],
+            "2024-01-01",
+        )
+        for i in range(40)
+    ]
+    clean = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, day string"
+    ).withColumn("day", F.to_date("day"))
+    store = TS(spark, str(tmp_path / "wh"))
+    store.write(clean, "emb_clean", partition_cols=["day"])
+    # a 2-cell trained quantizer: 40 > 4 * 2^2 -> outgrown
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell_id long, centroid array<double>",
+    )
+    similarity.ivf_index_build(
+        store, clean, name="emb_ivf", n_cells=2, centroids=cents,
+        carry_cols=("day",),
+    )
+    outgrown, rec, _ = quantizer_outgrown(store, factor=4.0)
+    assert outgrown and rec == 7  # ceil(sqrt(40))
+
+    embeddings_maintenance(store, auto_retrain=True)
+    assert store.read("emb_ivf_centroids").count() == 7
+    assert store.read("emb_ivf").count() == 40
+    outgrown, _, _ = quantizer_outgrown(store, factor=4.0)
+    assert not outgrown
+
+
 def test_corpus_shards_manifest_reproducible_and_complete(spark, tmp_path):
     """The training-shard manifest covers every packed doc exactly once,
     positions are dense per shard, and a re-run over the same corpus is
@@ -819,17 +913,18 @@ def test_corpus_shards_manifest_reproducible_and_complete(spark, tmp_path):
     alone, never from engine partitioning or file layout)."""
     from aave_etl_spark.plans.corpus_pipeline import SHARD_N, corpus_pipeline_graph
 
-    docs = [
-        (
-            i,
-            "en",
-            f"the number {i} of alpha and beta is a gamma the delta of"
-            f" epsilon and zeta is an eta the theta of iota and kappa"
-            f" is a lambda",
-            "2024-01-01",
+    # per-doc disjoint vocabulary (the maintenance test's pattern): every
+    # 3-gram carries a doc-unique token, so the within-batch near-dup
+    # pass never pairs them — 30 docs that differ by ONE word would be
+    # mutual near-dups and collapse to a single keeper
+    def _text(i):
+        w = [f"w{i}{c}" for c in "abcdefgh"]
+        return (
+            f"the {w[0]} of {w[1]} and {w[2]} is {w[3]}"
+            f" a {w[4]} {w[5]} {w[6]} {w[7]}"
         )
-        for i in range(30)
-    ]
+
+    docs = [(i, "en", _text(i), "2024-01-01") for i in range(30)]
     landing = spark.createDataFrame(
         docs, "doc_id long, lang string, text string, day string"
     ).withColumn("day", F.to_date("day"))

@@ -241,3 +241,15 @@ def test_incremental_embedding_ingest_dedups_and_redelivery_noop(spark, tmp_path
     # sink has under OTHER ids) appends nothing
     drain([(20, e[0]), (21, new_a), (22, [x * 0.5 for x in new_b])])
     assert {r.vec_id for r in store.read("emb_ivf").collect()} == {0, 1, 2, 3, 12, 13}
+
+    # SAME-ID redelivery (the at-least-once replay shape: a retried
+    # micro-batch carries the identical rows, ids included) appends
+    # nothing — each replayed vector's self-match IS its cosine-1.0
+    # duplicate evidence, so the search must not exclude it (round-11
+    # ADVICE: with exclude_self the anti-join misses every same-id
+    # replay whose nearest OTHER neighbor is under the threshold, and
+    # append_only duplicates the (vec_id, cell) rows)
+    drain([(12, new_a), (13, new_b), (0, e[0])])
+    idx3 = store.read("emb_ivf")
+    assert idx3.count() == 6
+    assert {r.vec_id for r in idx3.collect()} == {0, 1, 2, 3, 12, 13}
