@@ -416,6 +416,27 @@ def dsir_scores(
     )
 
 
+def dsir_sample_key(
+    w: Column, doc_id: Column, temperature: float = 1.0
+) -> Column:
+    """The deterministic Gumbel-top-k SAMPLE KEY from an (unrounded) DSIR
+    weight: ``round(w/T + Gumbel(md5('dsir:'||id)), 6)`` — the inverse-CDF
+    Gumbel over the md5-uniform u = (h + 0.5)/16^15, so keeping the k
+    largest keys samples without replacement ∝ exp(w/T) reproducibly
+    across engines and partitionings. Shared by the standalone
+    ``dsir_importance_resample`` and the corpus pipeline's state-backed
+    gate resample (plans/corpus_pipeline.py) so both derive bit-identical
+    keys; any SQL twin renders the same expression structure
+    (queries/llm.py ``_DSIR_GUMBEL``)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("dsir"), doc_id.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_HASH_SPACE)
+    gumbel = -F.log(-F.log(u))
+    return F.round(w / F.lit(temperature) + gumbel, 6)
+
+
 def dsir_importance_resample(
     df: DataFrame,
     target_pred: str = "lang = 'en'",
@@ -475,24 +496,19 @@ def dsir_importance_resample(
     raw = doc_buckets.groupBy("_b").agg(F.sum("_c").alias("_cr"))
     ratio = dsir_log_ratio(tgt, raw, m)
     scored = dsir_scores(doc_buckets, ratio, id_col=id_col)
-    # u = (h + 0.5) / 16^15 — the half-shift keeps u strictly inside (0,1)
-    # so neither log blows up, and the expression STRUCTURE mirrors the
-    # oracle's (h + 0.5)/S exactly (h/S + 0.5/S differs in the last ulp)
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit("dsir"), F.col(id_col).cast("string"))), 1, 15),
-        16, 10,
-    ).cast("long")
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(_HASH_SPACE)
-    gumbel = -F.log(-F.log(u))
     # keyed feeds the count aggregate and the final ranked select — both
     # recompute only the cheap scoring join over the CHECKPOINTED bucket
     # table, so no second lineage cut is needed (and the executed plan
-    # stays inspectable for the plan-assert suite)
+    # stays inspectable for the plan-assert suite). The key derivation
+    # (md5-uniform u half-shifted into (0,1), inverse-CDF Gumbel) lives in
+    # dsir_sample_key — shared with the corpus pipeline's gate resample
     keyed = scored.select(
         F.col(id_col),
         "n_grams",
         F.round(F.col("_w"), 6).alias("weight"),
-        F.round(F.col("_w") / F.lit(temperature) + gumbel, 6).alias("sample_key"),
+        dsir_sample_key(
+            F.col("_w"), F.col(id_col), temperature
+        ).alias("sample_key"),
     )
     if approximate:
         # keep_frac=0.0 must keep NOTHING, like the exact form's

@@ -65,7 +65,10 @@ is the thing the at-rest state exists to avoid:
   confident language guess, contamination-flagged docs barred), token
   counts attached, plus each doc's DSIR importance weight against the
   corpus-so-far distribution rolled up from the stored per-day states
-  (no text rescan).
+  (no text rescan). With the optional ``dsir_keep_frac`` resource the
+  weight becomes ACTIONABLE (round 12): a deterministic Gumbel-top-k
+  keep of ceil(frac·N) survivors ∝ exp(weight/T) — importance
+  RESAMPLING against the accumulated distribution, not just scoring.
 - ``corpus_packed``    (DAILY, day-partitioned): greedy first-fit
   packing of the day's gated docs into 256-token budgets per language.
 - ``corpus_stats``     (UNPARTITIONED): per-(day, lang) doc/token/pack
@@ -89,7 +92,7 @@ stage's equi-join on exactly the matched candidate ids.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -117,6 +120,9 @@ from aave_etl_spark.plans.orchestration import (
 DSIR_M = 64
 #: the importance-weighting target slice of the corpus
 DSIR_TARGET = "lang = 'en'"
+#: Gumbel-top-k temperature for the OPTIONAL gate resample (the
+#: ``dsir_keep_frac`` resource) — keep ∝ exp(weight / T)
+DSIR_TEMPERATURE = 1.0
 #: per-(day, shard) heavy-hitter width / rolled-up stop-list length
 STOP_M, STOP_K, STOP_SHARDS = 16, 5, 2
 #: a doc whose shingle-set overlap with the eval set reaches this ratio
@@ -303,7 +309,21 @@ def _corpus_clean(ctx: AssetContext) -> DataFrame:
 
 def _corpus_state(ctx: AssetContext) -> DataFrame:
     """Side-effect asset: fold the day's survivors into the corpus state
-    (digest table, document table, MinHash band index)."""
+    (digest table, document table, MinHash band index).
+
+    DECONTAMINATION STATE DISCIPLINE (deliberate, pytest-pinned in
+    tests/test_orchestration.py): state folds from ``corpus_clean`` —
+    UPSTREAM of the contamination gate — so a benchmark-contaminated doc
+    is barred from gating/packing (it never trains) but its digest,
+    text, and bands DO enter the dedup state. That is the correct
+    trade: future copies and paraphrases of the leaked text then
+    anti-join/band-match against it and are dropped as duplicates at
+    ingest, instead of each re-arriving copy surviving to the contam
+    check forever (and, should the eval set ever be retired, silently
+    entering the corpus). The cost is that leaked-benchmark TEXT
+    persists in ``corpus_docs``; a deployment that must purge it runs
+    ``corpus_maintenance`` after deleting the rows — the band index
+    rebuild reclaims their bands."""
     clean = ctx.upstream(
         "corpus_clean", this_partition_only=True, date_col="day",
         schema=_CLEAN_SCHEMA,
@@ -506,8 +526,11 @@ def _corpus_gated(ctx: AssetContext) -> DataFrame:
         "corpus_doc_buckets", this_partition_only=True, date_col="day",
         schema=_DOCB_SCHEMA,
     ).select("doc_id", F.col("b").alias("_b"), F.col("c").alias("_c"))
+    # the UNROUNDED weight rides along: the optional resample below
+    # derives its Gumbel-top-k key from it (rounding first would compound
+    # into the key — the dsir_scores output-boundary discipline)
     scores = sampling.dsir_scores(doc_buckets, ratio).select(
-        "doc_id", F.round("_w", 6).alias("dsir_weight")
+        "doc_id", F.col("_w").alias("_wraw"), F.round("_w", 6).alias("dsir_weight")
     )
     # benchmark decontamination: a doc the contam asset flagged (shingle
     # overlap with the stored eval digests >= CONTAM_MAX_RATIO) is barred
@@ -516,7 +539,7 @@ def _corpus_gated(ctx: AssetContext) -> DataFrame:
         "corpus_contam", this_partition_only=True, date_col="day",
         schema=_CONTAM_SCHEMA,
     ).filter("flagged").select("doc_id")
-    return (
+    gated = (
         clean.join(q, "doc_id")
         .join(lid.select("doc_id", "lang_guess"), "doc_id")
         .join(scores, "doc_id", "left")
@@ -528,8 +551,40 @@ def _corpus_gated(ctx: AssetContext) -> DataFrame:
             "lang",
             F.size(text_ops.tokens("text")).cast("long").alias("n_tokens"),
             "dsir_weight",
+            "_wraw",
         )
     )
+    # OPTIONAL importance-weighted keep (the ``dsir_keep_frac`` resource,
+    # round 12): Gumbel-top-k over the day's gate survivors — keep the
+    # ceil(frac·N) largest keys, i.e. sample without replacement
+    # ∝ exp(weight/T) against the corpus-so-far distribution the stored
+    # states rolled up. Off (the default) the weight stays informational
+    # and selection semantics are unchanged. The exact rank is a
+    # DAY-BATCH-sized window (the greedy-pack cost class, never
+    # corpus-scale); a corpus-wide resample takes the percentile-threshold
+    # form instead (operators/sampling.py dsir_importance_resample,
+    # approximate=True). Gate survivors always carry a non-NULL weight
+    # (quality >= 0.5 requires >= 5 words -> >= 5 grams -> buckets).
+    # State-vs-scratch key equality is certified in queries/llm.py
+    # ``llm_corpus_dsir_resample``.
+    keep_frac = ctx.resources.get("dsir_keep_frac")
+    if keep_frac is not None:
+        keyed = gated.withColumn(
+            "_sk",
+            sampling.dsir_sample_key(
+                F.col("_wraw"), F.col("doc_id"), DSIR_TEMPERATURE
+            ),
+        )
+        total = F.broadcast(
+            keyed.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        )
+        w = Window.orderBy(F.col("_sk").desc(), F.col("doc_id"))
+        gated = (
+            keyed.crossJoin(total)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= F.ceil(F.lit(float(keep_frac)) * F.col("_n")))
+        )
+    return gated.select("day", "doc_id", "lang", "n_tokens", "dsir_weight")
 
 
 def _corpus_packed(ctx: AssetContext) -> DataFrame:

@@ -42,6 +42,12 @@ artifact that re-trains over the accumulated corpus per batch.
   the whole index — the balance monitor every IVF deployment watches
   (a hot cell is a probe-cost hotspot; sustained skew or drift in the
   day-over-day assignment mix is the re-TRAIN trigger).
+- ``emb_pq_state``   (DAILY, side-effect, round 12): the at-rest IVF-PQ
+  CODE store maintained beside the raw index — first non-empty day
+  trains the deterministic rank-based geometry and builds, later days
+  ``ivfpq_index_append`` under the frozen cells+codebook; the compressed
+  layout (M ints per vector) an at-scale retrieval deployment searches,
+  while the raw IVF table keeps serving the dedup probe's exact cosines.
 - ``emb_index_health`` (UNPARTITIONED, round 12): the quantizer-drift
   trigger as stored state — ``quantizer_outgrown``'s tuple refreshed by
   every run, so the frozen quantizer's linear probe-cost degradation is
@@ -97,6 +103,12 @@ EMB_N_PROBE = 4
 EMB_DUP_COSINE = 0.999
 #: the at-rest index table name (centroids sidecar: emb_ivf_centroids)
 EMB_INDEX = "emb_ivf"
+#: the at-rest IVF-PQ CODE store (sidecars: emb_pq_cells / emb_pq_codebook /
+#: emb_pq_meta) — the compressed at-scale search layout maintained beside
+#: the raw-vector index
+EMB_PQ_INDEX = "emb_pq"
+#: IVF-PQ geometry: coarse cells, residual codes per subspace, subspaces
+EMB_PQ_CELLS, EMB_PQ_CODES, EMB_PQ_M = 8, 8, 4
 #: outgrowth factor: the quantizer is OUTGROWN when N > factor x n_cells²
 #: (shared by the graph's emb_index_health asset, the quantizer_outgrown
 #: predicate, and embeddings_maintenance's auto_retrain default)
@@ -192,6 +204,56 @@ def _emb_state(ctx: AssetContext) -> DataFrame:
             store, clean, name=EMB_INDEX, n_cells=EMB_N_CELLS,
             carry_cols=("day",),
         )
+    return clean
+
+
+def _emb_pq_state(ctx: AssetContext) -> DataFrame:
+    """Side-effect asset: the day's survivors encoded into the at-rest
+    IVF-PQ CODE store — the true 100 TB at-rest layout (M small ints per
+    vector instead of d doubles), maintained incrementally BESIDE the
+    raw-vector index: ``emb_state``'s IVF-flat table is the daily dedup
+    probe's engine (raw vectors for exact cosines), this code table is
+    what an at-scale retrieval deployment actually ships and searches
+    (``ivfpq_index_search``'s ADC path over a partition-pruned scan
+    reading M ints per candidate).
+
+    The first day whose ACCUMULATED clean corpus reaches the
+    ``EMB_PQ_CELLS + EMB_PQ_CODES`` geometry seeds trains the
+    deterministic geometry (rank-based — sparse-id-safe,
+    operators/similarity.py _ivfpq_seeds) and builds over the
+    accumulated survivors; every later day ``ivfpq_index_append``s under
+    the FROZEN stored cells+codebook (one broadcast encode pass over the
+    batch, dynamic (cell, day) slice overwrite, n_subspaces/rounding
+    validated against the ``_meta`` sidecar). The append path is gated
+    on the build's COMPLETION MARKER, not table existence: a corpus too
+    small to seed the codebook would otherwise leave a cells-only
+    half-index (TableStore.write skips the empty codebook frame) that
+    every later append crashes into — incomplete means "retry the build
+    once the corpus is big enough" (pytest-caught in the 4-vector e2e
+    corpus). Day-2 append certified CODE-level equal to a from-scratch
+    encode and searched end-to-end in queries/llm.py
+    (``llm_emb_pq_state``, ``llm_emb_pq_search_atrest``)."""
+    clean = ctx.upstream(
+        "emb_clean", this_partition_only=True, date_col="day",
+        schema=_CLEAN_SCHEMA,
+    )
+    store = ctx.store
+    if clean.isEmpty():
+        # never train PQ geometry on an empty day (the emb_state rule)
+        return clean
+    if store.is_complete(EMB_PQ_INDEX):
+        similarity.ivfpq_index_append(
+            store, clean, name=EMB_PQ_INDEX, n_subspaces=EMB_PQ_M,
+            carry_cols=("day",),
+        )
+    else:
+        acc = store.read("emb_clean", schema=_CLEAN_SCHEMA)
+        if acc.count() >= EMB_PQ_CELLS + EMB_PQ_CODES:
+            similarity.ivfpq_index_build(
+                store, acc, name=EMB_PQ_INDEX, n_cells=EMB_PQ_CELLS,
+                n_codes=EMB_PQ_CODES, n_subspaces=EMB_PQ_M,
+                carry_cols=("day",),
+            )
     return clean
 
 
@@ -402,6 +464,26 @@ def embeddings_maintenance(
             carry_cols=("day",),
         )
         out[EMB_INDEX] = (before, store.read(EMB_INDEX).count())
+    # the PQ code store gets the same reclaim contract: a corrected
+    # re-run whose vectors moved cells leaves a stale (cell, day) code
+    # slice — rebuild the codes from the accumulated survivors under the
+    # FROZEN stored geometry (append==build certified, so assignments and
+    # codes are unchanged for surviving vectors). Retraining PQ geometry
+    # is deliberately NOT wired here: codes are not comparable across
+    # geometries, so a PQ retrain is a full re-encode a deployment
+    # schedules explicitly (build with cells=None/codebook=None).
+    if store.is_complete(EMB_PQ_INDEX) and store.exists("emb_clean"):
+        before_pq = store.read(EMB_PQ_INDEX).count()
+        similarity.ivfpq_index_build(
+            store,
+            store.read("emb_clean"),
+            name=EMB_PQ_INDEX,
+            n_subspaces=EMB_PQ_M,
+            cells=store.read(f"{EMB_PQ_INDEX}_cells"),
+            codebook=store.read(f"{EMB_PQ_INDEX}_codebook"),
+            carry_cols=("day",),
+        )
+        out[EMB_PQ_INDEX] = (before_pq, store.read(EMB_PQ_INDEX).count())
     return out
 
 
@@ -426,6 +508,14 @@ def embeddings_pipeline_graph() -> AssetGraph:
             Asset(
                 name="emb_state",
                 fn=_emb_state,
+                deps=("emb_clean",),
+                group="emb_lake",
+                partitioning=DAILY,
+                write_output=False,
+            ),
+            Asset(
+                name="emb_pq_state",
+                fn=_emb_pq_state,
                 deps=("emb_clean",),
                 group="emb_lake",
                 partitioning=DAILY,

@@ -449,6 +449,10 @@ def llm_srp_bucket_pairs(spark, sf_dir):
 
 @register(
     "llm_binary_payload",
+    export=False,  # driver slot held by its family head (pivot_family):
+    # demoted in round 12 to free the exported slot corpus_state_family
+    # (the time_rollup_family split) takes — the registry holds the line
+    # at exactly 50 exported heads
     oracle="""
     SELECT doc_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
@@ -1554,7 +1558,7 @@ def llm_knn_classify(spark, sf_dir):
 
 @register(
     "llm_bm25_index_search",
-    export=False,  # driver slot held by its family head (time_rollup_family)
+    export=False,  # driver slot held by its family head (corpus_state_family)
     oracle=f"""
     WITH {_BM25_SPARSE_CTES}
     SELECT query_id, candidate_id, bm25_score,
@@ -3619,7 +3623,7 @@ def _corpus_run_store(spark, sf_dir):
 
 @register(
     "llm_corpus_pipeline_run",
-    export=False,  # driver slot held by its family head (time_rollup_family)
+    export=False,  # driver slot held by its family head (corpus_state_family)
     oracle=_CORPUS_RUN_ORACLE,
     doc=(
         "the DAILY training-corpus pipeline run END-TO-END through the"
@@ -3667,13 +3671,10 @@ def llm_corpus_pipeline_run(spark, sf_dir):
 # clean-chain CTEs; the Spark arm reads ONLY the stored per-day states
 # (plus the day-2 batch text it would hold in hand anyway).
 # ---------------------------------------------------------------------------
-@register(
-    "llm_corpus_dsir_state",
-    export=False,  # driver slot held by its family head (time_rollup_family)
-    oracle=f"""
-    WITH RECURSIVE
-    {_CORPUS_CLEAN_CTES},
-    dl AS (SELECT doc_id, day, lang, {_TOKS} AS l FROM cclean),
+# the from-scratch DSIR recomputation over the accumulated clean corpus
+# (buckets, target/raw distributions, Laplace-smoothed log-ratio) — shared
+# by the state cert and the round-12 gate-resample cert
+_CORPUS_DSIR_CTES = f"""dl AS (SELECT doc_id, day, lang, {_TOKS} AS l FROM cclean),
     dgrams AS (
       SELECT doc_id, day, lang,
              unnest(list_concat(
@@ -3699,7 +3700,16 @@ def llm_corpus_pipeline_run(spark, sf_dir):
              ln((coalesce(dtgt.ct, 0) + 1.0) / (dtots.nt + 64.0))
              - ln((draw.cr + 1.0) / (dtots.nr + 64.0)) AS lr
       FROM draw LEFT JOIN dtgt USING (b) CROSS JOIN dtots
-    )
+    )"""
+
+
+@register(
+    "llm_corpus_dsir_state",
+    export=False,  # driver slot held by its family head (corpus_state_family)
+    oracle=f"""
+    WITH RECURSIVE
+    {_CORPUS_CLEAN_CTES},
+    {_CORPUS_DSIR_CTES}
     SELECT db.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
            round(sum(c * lr), 6) AS weight
     FROM db JOIN dratio USING (b)
@@ -3741,6 +3751,88 @@ def llm_corpus_dsir_state(spark, sf_dir):
     )
 
 
+@register(
+    "llm_corpus_dsir_resample",
+    export=False,  # driver slot held by its family head (corpus_state_family)
+    oracle=f"""
+    WITH RECURSIVE
+    {_CORPUS_CLEAN_CTES},
+    {_CORPUS_PACK_CTES},
+    {_CORPUS_DSIR_CTES},
+    rsc AS (
+      SELECT db.doc_id, CAST(sum(c) AS BIGINT) AS n_grams, sum(c * lr) AS w
+      FROM db JOIN dratio USING (b)
+      WHERE db.day = DATE '2024-01-02'
+        AND db.doc_id IN (SELECT doc_id FROM pgated
+                          WHERE day = DATE '2024-01-02')
+      GROUP BY db.doc_id
+    ),
+    rkeyed AS (
+      SELECT doc_id, n_grams, round(w, 6) AS weight,
+             round(w / 1.0 + ({_DSIR_GUMBEL}), 6) AS sample_key
+      FROM rsc
+    )
+    SELECT doc_id, n_grams, weight, sample_key,
+      (row_number() OVER (ORDER BY sample_key DESC, doc_id)
+         <= ceil(0.5 * (SELECT count(*) FROM rkeyed))) AS kept
+    FROM rkeyed
+    """,
+    doc=(
+        "LLM corpus state: the gate's DSIR weight made ACTIONABLE (round"
+        " 12) — importance RESAMPLING of a day's gate survivors against"
+        " the corpus-so-far distribution, computed entirely from STORED"
+        " state (rolled-up per-day bucket counts + the materialized"
+        " per-doc buckets + the stored gated ids) with the deterministic"
+        " Gumbel-top-k keep (ceil(frac*N) largest keys, sampling without"
+        " replacement proportional to exp(weight/T)); certified"
+        " hash-equal to a from-scratch DSIR resample over the accumulated"
+        " corpus — the `dsir_keep_frac` resource wires the same keep into"
+        " _corpus_gated's selection (plans/corpus_pipeline.py,"
+        " pytest-gated in tests/test_orchestration.py)"
+    ),
+)
+def llm_corpus_dsir_resample(spark, sf_dir):
+    from aave_etl_spark.operators import sampling
+    from aave_etl_spark.plans.corpus_pipeline import DSIR_M, DSIR_TEMPERATURE
+
+    store = _corpus_run_store(spark, sf_dir)
+    state = store.read("corpus_dsir_state", where="day <= DATE '2024-01-02'")
+    dist = state.groupBy(F.col("b").alias("_b")).agg(
+        F.sum("n_target").alias("_ct"), F.sum("n_raw").alias("_cr")
+    )
+    ratio = sampling.dsir_log_ratio(
+        dist.select("_b", "_ct"), dist.select("_b", "_cr"), DSIR_M
+    )
+    day2 = store.read(
+        "corpus_doc_buckets", where="day = DATE '2024-01-02'"
+    ).select("doc_id", F.col("b").alias("_b"), F.col("c").alias("_c"))
+    gated = store.read(
+        "corpus_gated", where="day = DATE '2024-01-02'"
+    ).select("doc_id")
+    scored = sampling.dsir_scores(day2, ratio).join(gated, "doc_id", "left_semi")
+    keyed = scored.select(
+        "doc_id",
+        "n_grams",
+        F.round("_w", 6).alias("weight"),
+        sampling.dsir_sample_key(
+            F.col("_w"), F.col("doc_id"), DSIR_TEMPERATURE
+        ).alias("sample_key"),
+    )
+    total = F.broadcast(keyed.agg(F.count(F.lit(1)).cast("double").alias("_n")))
+    w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+    return (
+        keyed.crossJoin(total)
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "n_grams",
+            "weight",
+            "sample_key",
+            (F.col("_rk") <= F.ceil(F.lit(0.5) * F.col("_n"))).alias("kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stop-term state as a pipeline ASSET (plans/corpus_pipeline.py
 # corpus_postings_hh / corpus_stopterms): the per-(day, shard) df heavy-
@@ -3752,7 +3844,7 @@ def llm_corpus_dsir_state(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "llm_corpus_stopterms",
-    export=False,  # driver slot held by its family head (time_rollup_family)
+    export=False,  # driver slot held by its family head (corpus_state_family)
     oracle=f"""
     WITH RECURSIVE
     {_CORPUS_CLEAN_CTES},
@@ -4305,7 +4397,7 @@ def llm_ivfpq_topk(spark, sf_dir):
 
 @register(
     "llm_ivfpq_index_search",
-    export=False,  # driver slot held by its family head (time_rollup_family)
+    export=False,  # driver slot held by its family head (corpus_state_family)
     oracle=_IVFPQ_ORACLE,  # identical output contract to llm_ivfpq_topk
     doc=(
         "LLM similarity: the AT-REST IVF-PQ path — codes persisted"
@@ -4534,6 +4626,9 @@ def _emb_run_store(spark, sf_dir):
             "emb_ivf_centroids",
             "emb_cell_stats",
             "emb_index_health",
+            "emb_pq",
+            "emb_pq_cells",
+            "emb_pq_codebook",
         )
     )
     if not done:
@@ -4756,7 +4851,7 @@ def llm_emb_index_health(spark, sf_dir):
 
 @register(
     "llm_corpus_decontam",
-    export=False,  # driver slot held by its family head (time_rollup_family)
+    export=False,  # driver slot held by its family head (corpus_state_family)
     oracle=f"""
     WITH {_CORPUS_CLEAN_CTES}
     SELECT CAST(day AS VARCHAR) AS day, doc_id, n_shingles, n_overlap,
@@ -4792,53 +4887,14 @@ def llm_corpus_decontam(spark, sf_dir):
     )
 
 
-def _emb_pq_store(spark, sf_dir):
-    """Build-once/read-many for the INCREMENTAL IVF-PQ code store: day 1
-    of the embeddings pipeline's clean survivors builds the PQ index
-    (deterministic first-16-by-id geometry from the day-1 slice), day 2
-    is ivfpq_index_append'ed under the FROZEN stored geometry."""
-    import shutil
-
-    from aave_etl_spark.io.scratch import corpus_key, session_scratch_dir
-    from aave_etl_spark.io.table_store import TableStore
-
-    store = _emb_run_store(spark, sf_dir)
-    root = session_scratch_dir(spark, "aave_etl_spark_emb_pq", corpus_key(sf_dir))
-    pq = TableStore(spark, root)
-    # own chain marker: is_complete('emb_pq') alone would accept a store
-    # where the build landed but the append crashed
-    if not (pq.is_complete("emb_pq_chain") and pq.exists("emb_pq")):
-        pq.clear_complete("emb_pq_chain")
-        shutil.rmtree(root, ignore_errors=True)
-        clean = store.read("emb_clean")
-        similarity.ivfpq_index_build(
-            pq,
-            clean.filter("day = DATE '2024-01-01'"),
-            name="emb_pq",
-            n_cells=8,
-            n_codes=8,
-            n_subspaces=4,
-            carry_cols=("day",),
-        )
-        similarity.ivfpq_index_append(
-            pq,
-            clean.filter("day = DATE '2024-01-02'"),
-            name="emb_pq",
-            n_subspaces=4,
-            carry_cols=("day",),
-        )
-        pq.mark_complete("emb_pq_chain")
-    return pq
-
-
-@register(
-    "llm_emb_pq_state",
-    export=False,  # driver slot held by its family head (pivot_family)
-    oracle=f"""
-    WITH {_EMB_CTES},
-    pqsd AS (
+# the pipeline's IVF-PQ geometry + per-vector codes, re-derived from first
+# principles over the accumulated clean corpus — shared by the code-state
+# cert and the at-rest ADC search cert. Geometry = rank-based first 16 of
+# DAY-1 CLEAN (the slice the graph's emb_pq_state asset trains on): ranks
+# 0..7 are coarse cells, 8..15 seed the residual codebook.
+_EMB_PQ_CTES = f"""pqsd AS (
       SELECT rk, e FROM (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rk, e FROM ed1)
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rk, e FROM ed1c)
       WHERE rk < 16
     ),
     pqc AS (SELECT CAST(rk AS INT) AS cell_id, e AS ce FROM pqsd WHERE rk < 8),
@@ -4878,30 +4934,43 @@ def _emb_pq_store(spark, sf_dir):
                               * (r.r[pqms.m * 16 + j] - cb.cr[pqms.m * 16 + j])
                               for j in range(1, 17) ]), 6) AS d2
       FROM pqres r CROSS JOIN pqcb cb CROSS JOIN pqms
-    )
+    ),
+    pqcodes AS (
+      SELECT day, vec_id, cell_id, m, code
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, code) AS rn
+            FROM pqsdc)
+      WHERE rn = 1
+    )"""
+
+
+@register(
+    "llm_emb_pq_state",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle=f"""
+    WITH {_EMB_CTES},
+    {_EMB_PQ_CTES}
     SELECT CAST(day AS VARCHAR) AS day, vec_id,
            CAST(cell_id AS BIGINT) AS cell_id,
            CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code
-    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                       ORDER BY d2, code) AS rn
-          FROM pqsdc)
-    WHERE rn = 1
+    FROM pqcodes
     """,
     doc=(
-        "LLM ANN state: the INCREMENTALLY-maintained at-rest IVF-PQ code"
-        " store — day 1 of the embeddings pipeline's survivors builds the"
-        " index (M=4 x K=8 residual PQ under the deterministic first-16"
-        " geometry), day 2 ivfpq_index_append's under the FROZEN stored"
-        " cells+codebook (one broadcast encode pass over the batch,"
-        " dynamic (cell, day) slice overwrite, n_subspaces validated"
-        " against the meta sidecar) — certified per-(vector, subspace)"
-        " CODE-level equal to a from-scratch encode of the accumulated"
-        " survivors: the append path never drifts from the build path,"
-        " down to every stored int"
+        "LLM ANN state: the embeddings pipeline's INCREMENTALLY-maintained"
+        " at-rest IVF-PQ code store — a GRAPH asset since round 12"
+        " (plans/embeddings_pipeline.py emb_pq_state): day 1 of the"
+        " pipeline's survivors builds the index (M=4 x K=8 residual PQ"
+        " under the deterministic rank-based first-16 geometry), day 2"
+        " ivfpq_index_append's under the FROZEN stored cells+codebook (one"
+        " broadcast encode pass over the batch, dynamic (cell, day) slice"
+        " overwrite, n_subspaces validated against the meta sidecar) —"
+        " certified per-(vector, subspace) CODE-level equal to a"
+        " from-scratch encode of the accumulated survivors: the append"
+        " path never drifts from the build path, down to every stored int"
     ),
 )
 def llm_emb_pq_state(spark, sf_dir):
-    pq = _emb_pq_store(spark, sf_dir)
+    pq = _emb_run_store(spark, sf_dir)
     return pq.read("emb_pq").select(
         F.col("day").cast("string").alias("day"),
         "vec_id",
@@ -4911,6 +4980,74 @@ def llm_emb_pq_state(spark, sf_dir):
         "day", "vec_id", "cell_id",
         F.col("m").cast("long").alias("m"),
         F.col("code").cast("long").alias("code"),
+    )
+
+
+@register(
+    "llm_emb_pq_search_atrest",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle=f"""
+    WITH {_EMB_CTES},
+    {_EMB_PQ_CTES},
+    pqq AS (SELECT vec_id AS query_id, e AS qe FROM ev WHERE vec_id < 8),
+    pqprobes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.query_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_sum([ (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])
+                                  for i in range(1, 65) ]), 6), c.cell_id) AS rn
+        FROM pqq q CROSS JOIN pqc c) WHERE rn <= 2
+    ),
+    pqqres AS (
+      SELECT p.query_id, p.cell_id,
+             [q.qe[i] - c.ce[i] for i in range(1, 65)] AS qr
+      FROM pqprobes p JOIN pqq q USING (query_id)
+      JOIN pqc c ON c.cell_id = p.cell_id
+    ),
+    pqqtab AS (
+      SELECT qres.query_id, qres.cell_id, pqms.m, cb.code,
+             round(list_sum([ (qres.qr[pqms.m * 16 + j] - cb.cr[pqms.m * 16 + j])
+                              * (qres.qr[pqms.m * 16 + j] - cb.cr[pqms.m * 16 + j])
+                              for j in range(1, 17) ]), 6) AS d2
+      FROM pqqres qres CROSS JOIN pqcb cb CROSS JOIN pqms
+    ),
+    pqpairs AS (
+      SELECT t.query_id, e.vec_id AS candidate_id, e.cell_id,
+             round(sum(t.d2), 6) AS approx_d2
+      FROM pqcodes e
+      JOIN pqqtab t ON t.cell_id = e.cell_id AND t.m = e.m AND t.code = e.code
+      WHERE e.vec_id != t.query_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT query_id, candidate_id, CAST(cell_id AS INT) AS cell_id,
+           approx_d2,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_d2, candidate_id) AS BIGINT)
+             AS rank
+    FROM pqpairs
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d2, candidate_id) <= 3
+    """,
+    doc=(
+        "LLM ANN retrieval over the PIPELINE's compressed index: top-3"
+        " ADC search (ivfpq_index_search — partition-pruned probe scan"
+        " reading M ints per candidate) against the 2-day incrementally-"
+        " maintained at-rest IVF-PQ code store no single build produced,"
+        " certifying that incremental code maintenance leaves the"
+        " asymmetric-distance search semantics identical to a from-scratch"
+        " encode of the accumulated corpus — the at-scale retrieval"
+        " composition the daily graph now ships (round 12)"
+    ),
+)
+def llm_emb_pq_search_atrest(spark, sf_dir):
+    from aave_etl_spark.plans.embeddings_pipeline import EMB_PQ_M, EMB_PQ_INDEX
+
+    pq = _emb_run_store(spark, sf_dir)
+    q = t(spark, sf_dir, "embeddings").filter("vec_id < 8").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.ivfpq_index_search(
+        pq, q, name=EMB_PQ_INDEX, k=3, n_probe=2, n_subspaces=EMB_PQ_M
     )
 
 

@@ -114,6 +114,25 @@ def main() -> int:
     except ValueError:
         sf = None
 
+    # compact inline attribution for the round-stamped artifact: the 10
+    # most expensive parts across every family head, 2dp. The FULL parts
+    # payload cannot ride stdout (the driver keeps a byte-bounded TAIL of
+    # the line — the r7 lesson below), but ~300 bytes of "which parts
+    # dominate" fits, so BENCH_r{NN}.json itself answers the first
+    # attribution question without opening the _full sibling (VERDICT r11
+    # "What's wrong" #3).
+    top_parts = dict(
+        sorted(
+            (
+                (f"{head}.{tag}", round(t, 2))
+                for head, breakdown in parts_out.items()
+                for tag, t in breakdown.items()
+            ),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:10]
+    )
+
     out = {
         "metric": (
             "total wall-clock over all registered queries (noop sink;"
@@ -132,6 +151,9 @@ def main() -> int:
         # single-shot per-part walls inside each family head (attribution
         # only; medians above remain the citable numbers)
         "parts": parts_out,
+        # the 10 most expensive parts, inline (survives the stdout strip
+        # below — full breakdown in parts / the _full sibling)
+        "parts_top": top_parts,
     }
     if failures:
         out["failures"] = failures

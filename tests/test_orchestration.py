@@ -555,6 +555,58 @@ def test_corpus_maintenance_compacts_and_reclaims_stale_bands(spark, tmp_path):
     assert stats_after == stats_before
 
 
+def test_corpus_gated_dsir_resample_keep(spark, tmp_path):
+    """The optional importance-weighted keep (round 12): with the
+    ``dsir_keep_frac`` resource the gate Gumbel-top-k resamples its
+    survivors against the corpus-so-far distribution — exactly
+    ceil(frac*N) docs keep, deterministically (a re-run keeps the same
+    set), and without the resource selection semantics are unchanged."""
+    import math
+
+    from aave_etl_spark.plans.corpus_pipeline import corpus_pipeline_graph
+
+    def text(i):
+        w = [f"w{i}{c}" for c in "abcdefgh"]
+        return (
+            f"the {w[0]} of {w[1]} and {w[2]} is {w[3]}"
+            f" a {w[4]} {w[5]} {w[6]} {w[7]}"
+        )
+
+    landing = spark.createDataFrame(
+        [(i, "en", text(i), "2024-01-01") for i in range(9)],
+        "doc_id long, lang string, text string, day string",
+    ).withColumn("day", F.to_date("day"))
+    graph = corpus_pipeline_graph()
+
+    # baseline: no resource -> every gate survivor keeps
+    base_store = TableStore(spark, str(tmp_path / "wh_base"))
+    orch.run_day(
+        spark, base_store, graph, "2024-01-01", markets=[],
+        resources={"landing": landing},
+    )
+    # same-name catalog tables (corpus_mh is bucketed): re-register under
+    # the resampled store AFTER the baseline store is done with it
+    n_all = base_store.read("corpus_gated").count()
+    assert n_all == 9
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    orch.run_day(
+        spark, store, graph, "2024-01-01", markets=[],
+        resources={"landing": landing, "dsir_keep_frac": 0.5},
+    )
+    kept1 = sorted(r.doc_id for r in store.read("corpus_gated").collect())
+    assert len(kept1) == math.ceil(0.5 * n_all)
+    # downstream consumes the resampled selection
+    assert store.read("corpus_packed").count() == len(kept1)
+    # deterministic: a re-run keeps the identical set
+    orch.run_day(
+        spark, store, graph, "2024-01-01", markets=[],
+        resources={"landing": landing, "dsir_keep_frac": 0.5},
+    )
+    kept2 = sorted(r.doc_id for r in store.read("corpus_gated").collect())
+    assert kept2 == kept1
+
+
 def test_corpus_pipeline_survives_empty_first_day(spark, tmp_path):
     """A day whose batch is empty must not wedge the pipeline: the
     empty-skip in TableStore.write means corpus_docs is never written,
@@ -758,6 +810,38 @@ def test_corpus_decontamination_gate_bars_eval_overlap(spark, tmp_path):
     assert not contam[2].flagged and contam[2].n_overlap == 0
     assert {r.doc_id for r in store.read("corpus_gated").collect()} == {2}
     assert {r.doc_id for r in store.read("corpus_packed").collect()} == {2}
+    # state discipline (pinned): the flagged doc is barred from training
+    # but DOES enter dedup state (corpus_state folds from corpus_clean,
+    # upstream of the gate) ...
+    assert {r.doc_id for r in store.read("corpus_digests").collect()} == {1, 2}
+    assert {r.doc_id for r in store.read("corpus_docs").collect()} == {1, 2}
+    # ... so a future COPY of the leaked text is dropped as a duplicate at
+    # ingest instead of surviving to be contamination-checked forever
+    landing2 = landing.unionByName(
+        spark.createDataFrame(
+            [
+                (10, "en", leak, "2024-01-02"),
+                (
+                    11,
+                    "en",
+                    "the second of days and batches is a test the wholly of"
+                    " new and content is a control doc here",
+                    "2024-01-02",
+                ),
+            ],
+            "doc_id long, lang string, text string, day string",
+        ).withColumn("day", F.to_date("day"))
+    )
+    orch.run_day(
+        spark, store, graph, "2024-01-02", markets=[],
+        resources={"landing": landing2, "benchmarks": bench},
+    )
+    d2 = {
+        r.doc_id
+        for r in store.read("corpus_clean", where="day = DATE '2024-01-02'").collect()
+    }
+    assert 10 not in d2  # the leaked text's copy deduped against state
+    assert 11 in d2
 
     # REMOVING the benchmarks resource on an EXISTING store must disable
     # the gate too: write skips empty frames, so without an explicit drop
@@ -773,7 +857,12 @@ def test_corpus_decontamination_gate_bars_eval_overlap(spark, tmp_path):
     )
     assert not store.exists("corpus_eval_shingles")
     assert not store.exists("corpus_contam")
-    assert {r.doc_id for r in store.read("corpus_gated").collect()} == {1, 2}
+    assert {
+        r.doc_id
+        for r in store.read(
+            "corpus_gated", where="day = DATE '2024-01-01'"
+        ).collect()
+    } == {1, 2}
 
     # no benchmarks resource on a FRESH store: decontamination is disabled
     # — nothing is barred, and the day never pays a shingle pass for
