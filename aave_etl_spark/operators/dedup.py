@@ -377,6 +377,99 @@ def jaccard_verify(
     )
 
 
+def within_batch_near_dup_drops(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Ids to DROP under the within-batch keep-lowest-id near-dup rule —
+    drop(d) holds iff SOME lower-id band-mate of d verifies at exact
+    Jaccard >= ``threshold`` — computed in a storm-safe TWO-PHASE form
+    that returns EXACTLY the all-pairs answer (property-pinned equal to
+    ``lsh_candidate_pairs`` + ``jaccard_verify`` in tests).
+
+    The naive form materializes every band-sharing pair: a day carrying
+    k distinct PARAPHRASES of one viral page (the storm the exact-dedup
+    pass upstream cannot collapse — different bytes) puts all k in the
+    same band buckets and fans out ~k²/2 candidate pairs (measured:
+    5k-paraphrase day 151 s vs 37 s baseline, SCALE.md). But the rule is
+    an EXISTENTIAL — ∃ one verified lower partner — and ∃ is monotone,
+    so candidates can be probed in stages and early-resolved:
+
+    - phase 1 pairs every doc with its buckets' two SMALLEST member ids
+      (two map-side-combinable min aggregates per bucket — bounded state,
+      never a membership collect) and verifies those O(k·bands) pairs. In
+      a paraphrase storm the bucket minimum IS a paraphrase, so every
+      copy resolves here: O(k) verifies, no quadratic term.
+    - phase 2 falls back to ALL lower-mate pairs, but only for docs that
+      had a lower band-mate and did NOT resolve in phase 1 — the join's
+      probe side is the unresolved set, so a resolved storm contributes
+      nothing. Mixed buckets (smallest ids not similar to the rest)
+      degrade gracefully toward the exact all-pairs cost they genuinely
+      need.
+
+    Input is the distinct ``(id, shingle)`` frame (``word_shingles``);
+    output is one ``id_col`` column of ids to anti-join away. Minhash
+    geometry must match the caller's index discipline (8 hashes, 2 rows
+    per band by default)."""
+    banded = band_keys(
+        minhash_signatures(shingles, id_col, num_hashes), id_col, rows_per_band
+    ).localCheckpoint(eager=False)  # feeds the min aggs AND phase 2
+    # the two smallest member ids per bucket, each a bounded min agg
+    # (bounded even under a 10^9-copy storm — never a collect_list of
+    # the bucket membership)
+    m1 = banded.groupBy("band", "band_key").agg(F.min(id_col).alias("_m1"))
+    memb = banded.join(m1, ["band", "band_key"])
+    m2 = (
+        memb.filter(F.col(id_col) > F.col("_m1"))
+        .groupBy("band", "band_key")
+        .agg(F.min(id_col).alias("_m2"))
+    )
+    probes = (
+        memb.join(m2, ["band", "band_key"], "left")
+        .select(
+            F.col(id_col).alias("id_b"),
+            F.explode(F.array("_m1", "_m2")).alias("id_a"),
+        )
+        .filter(F.col("id_a").isNotNull() & (F.col("id_a") < F.col("id_b")))
+        .distinct()
+    )
+    p1_dropped = (
+        jaccard_verify(shingles, probes, id_col, threshold)
+        .select("id_b")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the union AND the anti-join
+    )
+    # docs with SOME lower band-mate (= not the minimum of every bucket
+    # they appear in) that phase 1 did not resolve
+    unresolved = (
+        probes.select("id_b").distinct().join(p1_dropped, "id_b", "left_anti")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = (
+        banded.join(
+            unresolved.select(F.col("id_b").alias(id_col)), id_col, "left_semi"
+        )
+        .select(F.col(id_col).alias("id_b"), "band", "band_key")
+    )
+    p2 = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    p2_dropped = (
+        jaccard_verify(shingles, p2, id_col, threshold).select("id_b").distinct()
+    )
+    return (
+        p1_dropped.unionByName(p2_dropped)
+        .distinct()
+        .select(F.col("id_b").alias(id_col))
+    )
+
+
 def cross_split_contamination(
     shingles: DataFrame,
     membership: DataFrame,

@@ -329,6 +329,83 @@ def bucketed_cosine_pairs(
     )
 
 
+def within_batch_cosine_drops(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    min_cos: float = 0.999,
+) -> DataFrame:
+    """Ids to DROP under the within-batch keep-lowest-id SEMANTIC dedup
+    rule — drop(v) iff SOME lower-id SRP-bucket-mate scores rounded
+    cosine >= ``min_cos`` — in the storm-safe TWO-PHASE existential form
+    (the vector twin of dedup.within_batch_near_dup_drops, property-
+    pinned equal to the naive ``bucketed_cosine_pairs`` + drop-id_b).
+
+    A batch carrying k rescaled/near copies of one vector puts all k in
+    ONE SRP bucket (positive scaling preserves every projection sign),
+    and the naive bucket self-join scores ~k²/2 pairs. The rule is an
+    existential, so: phase 1 scores every vector against its bucket's
+    two smallest ids (bounded min aggregates — in a copy storm the
+    bucket minimum IS a copy, so everything resolves in O(k) dots);
+    phase 2 falls back to all lower-mate pairs only for vectors that had
+    a lower bucket-mate and did not resolve. Scoring is the
+    ``bucketed_cosine_pairs`` path exactly: unit-normalize once, one
+    Arrow-batched dot per pair, round 6 — the answer set is identical."""
+    unit = normalized(df, id_col, vec_col)
+    withb = unit.join(
+        srp_buckets(df, id_col, vec_col, n_planes), id_col
+    ).localCheckpoint(eager=False)  # feeds probes, both score joins, phase 2
+    m1 = withb.groupBy("bucket").agg(F.min(id_col).alias("_m1"))
+    memb = withb.select(id_col, "bucket").join(m1, "bucket")
+    m2 = (
+        memb.filter(F.col(id_col) > F.col("_m1"))
+        .groupBy("bucket")
+        .agg(F.min(id_col).alias("_m2"))
+    )
+    probes = (
+        memb.join(m2, "bucket", "left")
+        .select(
+            F.col(id_col).alias("id_b"),
+            F.explode(F.array("_m1", "_m2")).alias("id_a"),
+        )
+        .filter(F.col("id_a").isNotNull() & (F.col("id_a") < F.col("id_b")))
+        .distinct()
+    )
+
+    def _score(pairs: DataFrame) -> DataFrame:
+        a = withb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        b = withb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        return (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_b",
+                F.round(_batch_dot_udf()(F.col("_va"), F.col("_vb")), 6).alias("_cs"),
+            )
+            .filter(F.col("_cs") >= min_cos)
+            .select("id_b")
+            .distinct()
+        )
+
+    d1 = _score(probes).localCheckpoint(eager=False)
+    unresolved = probes.select("id_b").distinct().join(d1, "id_b", "left_anti")
+    a2 = withb.select(F.col(id_col).alias("id_a"), "bucket")
+    b2 = withb.join(
+        unresolved.select(F.col("id_b").alias(id_col)), id_col, "left_semi"
+    ).select(F.col(id_col).alias("id_b"), "bucket")
+    p2 = (
+        a2.join(b2, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    d2 = _score(p2)
+    return (
+        d1.unionByName(d2).distinct().select(F.col("id_b").alias(id_col))
+    )
+
+
 def _batch_dot_udf():
     """Arrow-batched pairwise dot (np.einsum over the stacked batch) — the
     vectorized pair scorer for the SRP-bucketed path

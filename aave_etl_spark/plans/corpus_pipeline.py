@@ -232,18 +232,18 @@ def _corpus_clean(ctx: AssetContext) -> DataFrame:
     # lower-id batch doc verifies against it, the same rule the DuckDB
     # oracle states as `id IN (SELECT id_b FROM verified)`. Scale shape:
     # a storm of IDENTICAL docs already collapsed in the exact pass
-    # upstream; paraphrase storms fan out in the band-bucket self-join —
-    # a JOIN, so AQE skew-split applies, never a window over the band key
+    # upstream; a storm of k distinct PARAPHRASES resolves in the
+    # two-phase existential form (probe bucket minima first, all-pairs
+    # only for the unresolved remainder — O(k) instead of O(k²) verifies
+    # on a storm, answer identical; dedup.within_batch_near_dup_drops,
+    # SCALE.md row)
     # consumed twice (the within-batch verify here, the cross-corpus
     # verify below reuses it as the batch side): cut the lineage so the
     # batch shingles once per day
     sh_b = dedup.word_shingles(
         batch.select("doc_id", "text"), n=3
     ).localCheckpoint(eager=False)
-    cand_b = dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh_b))
-    wdups = dedup.jaccard_verify(sh_b, cand_b, threshold=0.5).select(
-        F.col("id_b").alias("doc_id")
-    ).distinct()
+    wdups = dedup.within_batch_near_dup_drops(sh_b, threshold=0.5)
     batch = batch.join(wdups, "doc_id", "left_anti")
     store = ctx.store
     # state reads are scoped to STRICTLY EARLIER days (partition-pruned):

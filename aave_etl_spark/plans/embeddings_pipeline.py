@@ -144,20 +144,17 @@ def _emb_clean(ctx: AssetContext) -> DataFrame:
     # skew-safe — a storm of identical vectors collapses map-side)
     batch = dedup.keep_first_by_digest(batch, F.col("embedding"), id_col="vec_id")
     # within-batch SEMANTIC dedup: SRP-bucket the batch against itself
-    # (similarity.bucketed_cosine_pairs — bucket join + one Arrow dot per
-    # pair on pre-normalized vectors) and keep the LOWEST vec_id of every
-    # pair at rounded cosine >= EMB_DUP_COSINE — two ~1.0-cosine same-day
-    # vectors must not BOTH enter the index, the hole the prior-day-scoped
-    # corpus probe cannot close (round 12; the corpus pipeline's
-    # within-batch banding pass in vector space). Rescaled same-day copies
-    # share the bucket deterministically: positive scaling preserves every
-    # projection sign, and cosine is scale-invariant.
-    wpairs = similarity.bucketed_cosine_pairs(batch, min_cos=EMB_DUP_COSINE)
-    batch = batch.join(
-        wpairs.select(F.col("id_b").alias("vec_id")).distinct(),
-        "vec_id",
-        "left_anti",
-    )
+    # and keep the LOWEST vec_id of every pair at rounded cosine >=
+    # EMB_DUP_COSINE — two ~1.0-cosine same-day vectors must not BOTH
+    # enter the index, the hole the prior-day-scoped corpus probe cannot
+    # close (round 12; the corpus pipeline's within-batch banding pass in
+    # vector space). Rescaled same-day copies share the bucket
+    # deterministically: positive scaling preserves every projection
+    # sign, and cosine is scale-invariant. The two-phase existential form
+    # resolves a k-copy storm in O(k) dots instead of the naive bucket
+    # self-join's O(k²) (answer identical — property-pinned)
+    wdups = similarity.within_batch_cosine_drops(batch, min_cos=EMB_DUP_COSINE)
+    batch = batch.join(wdups, "vec_id", "left_anti")
     store = ctx.store
     # both index members must exist: an interrupted first build can leave
     # the centroid sidecar without the assignments table, and a search

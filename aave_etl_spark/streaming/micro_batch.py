@@ -319,14 +319,11 @@ def incremental_embedding_ingest(
         # two ~1.0-cosine vectors arriving in the SAME micro-batch would
         # both survive the index anti-join (neither is stored yet) — SRP-
         # bucket the batch against itself and keep the lowest id per pair
-        wpairs = similarity.bucketed_cosine_pairs(
+        # (two-phase existential form: a k-copy storm costs O(k) dots)
+        wdups = similarity.within_batch_cosine_drops(
             fresh, id_col=id_col, vec_col=vec_col, min_cos=dup_cosine
         )
-        fresh = fresh.join(
-            wpairs.select(F.col("id_b").alias(id_col)).distinct(),
-            id_col,
-            "left_anti",
-        )
+        fresh = fresh.join(wdups, id_col, "left_anti")
         if store.exists(f"{name}_centroids") and store.exists(name):
             nn = similarity.ivf_index_search(
                 store, fresh, name=name, k=1, n_probe=n_probe,

@@ -953,6 +953,94 @@ def test_ivf_index_roundtrip_matches_in_flight(spark, tmp_path):
     assert sorted(map(tuple, at_rest)) == sorted(map(tuple, in_flight))
 
 
+def test_within_batch_near_dup_drops_equals_all_pairs(spark):
+    """The two-phase storm-safe form (probe bucket minima, all-pairs only
+    for the unresolved remainder) must return EXACTLY the naive all-pairs
+    answer: drop(d) iff some lower-id band-mate verifies at Jaccard >=
+    threshold. The corpus covers the shapes that distinguish them —
+    paraphrase clusters (resolve in phase 1), a bucket whose MINIMUM id
+    is NOT similar to the rest (forces phase 2), chains, uniques, and a
+    short no-shingle doc."""
+    from aave_etl_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        within_batch_near_dup_drops,
+        word_shingles,
+    )
+
+    base = (
+        "the quick of brown and foxes is a jumper the lazy of dogs and"
+        " cats is a sleeper the tiny of mice and birds is a runner"
+    )
+    other = (
+        "the alpha of beta and gamma is a delta the epsilon of zeta and"
+        " eta is a theta the iota of kappa and lambda is a sigma"
+    )
+    rows = [(0, other)]  # low id, dissimilar to the storm below
+    # a paraphrase cluster: ids 1..12 share base text + unique trailer
+    rows += [(i, f"{base} tail{i} words") for i in range(1, 13)]
+    # a second cluster whose lowest member is id 20
+    rows += [(20 + j, f"{other} extra{j} appended") for j in range(4)]
+    # uniques and a chain (21-similar-to-22 via shared halves is already
+    # covered by the cluster); a short doc with no 3-shingles
+    rows += [(40, "too short"), (41, "a wholly different standalone text"
+              " with its own nouns and verbs entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(df, n=3)
+
+    naive_pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    naive = {
+        r.id_b
+        for r in jaccard_verify(sh, naive_pairs, threshold=0.5)
+        .select("id_b")
+        .distinct()
+        .collect()
+    }
+    staged = {
+        r.doc_id for r in within_batch_near_dup_drops(sh, threshold=0.5).collect()
+    }
+    assert staged == naive
+    # the cluster collapsed to its lowest member on both paths
+    assert 1 not in naive and {2, 3, 4}.issubset(naive)
+
+
+def test_within_batch_cosine_drops_equals_all_pairs(spark):
+    """The vector twin: the two-phase SRP form must equal the naive
+    bucketed_cosine_pairs drop-id_b rule exactly. Shapes: a rescaled-copy
+    cluster (phase 1 resolves), a bucket whose minimum id is NOT a near
+    copy of the rest (forces phase 2 — a low-id vector sharing the SRP
+    bucket at a sub-threshold angle), and unrelated singletons."""
+    from aave_etl_spark.operators.similarity import (
+        bucketed_cosine_pairs,
+        within_batch_cosine_drops,
+    )
+
+    rows = [(0, [1.0, 0.02, 0.0, 0.01])]  # same orthant as the cluster,
+    # but well under the 0.999 threshold against every member
+    # cluster: positive rescales of one vector — identical SRP signs
+    rows += [(i, [x * float(i) for x in [0.9, 0.1, 0.05, 0.2]]) for i in range(1, 9)]
+    # singletons in other orthants
+    rows += [(20, [-1.0, 0.5, 0.0, 0.3]), (21, [0.0, -1.0, 0.7, -0.2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    naive = {
+        r.id_b
+        for r in bucketed_cosine_pairs(df, min_cos=0.999)
+        .select("id_b")
+        .distinct()
+        .collect()
+    }
+    staged = {
+        r.vec_id for r in within_batch_cosine_drops(df, min_cos=0.999).collect()
+    }
+    assert staged == naive
+    # the cluster collapsed to its lowest member; the sub-threshold
+    # bucket-mate survived on both paths
+    assert 1 not in naive and {2, 3, 4, 5, 6, 7, 8}.issubset(naive)
+    assert 0 not in naive
+
+
 def test_ivf_index_append_validates_meta_sidecar(spark, tmp_path):
     """ivf_index_build writes a <name>_meta sidecar (round_digits,
     carry_cols) and ivf_index_append refuses a mismatched append — a

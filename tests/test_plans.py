@@ -55,6 +55,41 @@ def test_no_cartesian_in_lsh_pair_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_emb_clean_within_batch_pass_no_cartesian(spark, tmp_path):
+    """The embeddings pipeline's round-12 within-batch semantic dedup
+    (SRP-bucketed self-join) and the corpus pipeline's within-batch
+    banding pass must be bucket equi-joins — a same-day dup storm fans
+    out INSIDE buckets (a join AQE can skew-split), never through a
+    CartesianProduct or a window over the hot key."""
+    from pyspark.sql import functions as F
+
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.plans.embeddings_pipeline import _emb_clean
+    from aave_etl_spark.plans.orchestration import AssetContext, PartitionKey
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    vectors = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0], "2024-01-01") for i in range(8)],
+        "vec_id long, embedding array<double>, day string",
+    ).withColumn("day", F.to_date("day"))
+    # emb_landing must exist for the upstream read
+    store.write(
+        vectors.select("vec_id", "embedding", "day"),
+        "emb_landing",
+        partition_cols=["day"],
+    )
+    ctx = AssetContext(
+        spark=spark, store=store, partition=PartitionKey(date="2024-01-01"),
+        resources={"vectors": vectors},
+    )
+    p = _emb_clean(ctx)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    # no index exists yet, so the whole day-1 plan is the within-batch
+    # passes — and neither (exact agg+join, SRP bucket self-join) may
+    # plan a Window over the storm-hot key
+    assert "Window" not in p, p
+
+
 def test_whole_stage_codegen_in_agg_path(spark):
     df = all_queries()["pricing_summary"].builder(spark, SF)
     codegen = df._sc._jvm.PythonSQLUtils.explainString(
