@@ -64,7 +64,9 @@ def main() -> int:
         root = tempfile.mkdtemp(prefix="scale_emb_storm_")
         store = TableStore(spark, root)
         uniq = synth(spark, base, dim, 0, "2024-01-01")
-        seed = synth(spark, 1, dim, 777, "2024-01-01").select(
+        # seed id OUTSIDE the unique batch: the storm cluster's lowest
+        # member is then the lowest PLANTED id, which must survive
+        seed = synth(spark, 1, dim, 999_999, "2024-01-01").select(
             F.col("embedding").alias("_seed")
         )
         # k distinct positive rescales of one vector: different bytes
