@@ -319,6 +319,113 @@ def span_duplicates(
     )
 
 
+def span_dedup_rewrite(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """The REMOVAL half of substring-level span dedup: rewrite every doc
+    with its corpus-duplicated length-``n`` token windows cut, keeping
+    exactly the CANONICAL occurrence of each duplicated span — the
+    lexicographically first (doc, offset) corpus-wide (the "except one"
+    rule of Lee et al. 2022 suffix-array dedup, here over window hashes;
+    :func:`span_duplicates` is the matching detection/measurement pass).
+
+    A token position is removed iff some duplicated window covering it is
+    a NON-canonical occurrence; overlapping cut windows union naturally at
+    the position level. Because the keeper is first-(doc, offset), a span
+    repeated WITHIN one doc is also trimmed to its first occurrence —
+    intra-doc boilerplate loops collapse in the same pass. Output:
+    ``(id, n_tokens, n_removed, text_deduped)`` — text in NORMALIZED
+    token space (lowercased, whitespace-collapsed, remaining tokens
+    space-joined; a fully-duplicated doc rewrites to ``''``), docs
+    shorter than ``n`` tokens pass through untouched.
+
+    Plan shape: the detection pass's exchanges (window-hash groupBys —
+    uniform 128-bit keys, map-side-combinable count/min) plus one
+    position-level explode of the FLAGGED windows (O(flagged x n), never
+    pair fan-out: a span repeated k times contributes k rows), an
+    anti-join on (doc, position), and one per-doc rebuild agg bounded by
+    doc length (collect_list + array_sort over that doc's kept tokens —
+    the same per-group bound as any sentence-level op). The canonical
+    occurrence is computed in two bounded aggregates (min doc per hash,
+    then min offset within that doc) so the rule is stated identically on
+    both engines — no struct-ordering semantics in the compare path.
+    The per-doc rebuild agg is bounded by DOC LENGTH (collect_list of
+    that doc's kept tokens in one task) — giant single docs should pass
+    through :func:`aave_etl_spark.operators.text.chunk_documents` first,
+    the same bound every sentence-level op in this engine carries.
+
+    Composition note: this is a CURATION-STAGE operator (between exact
+    dedup and near-dup gating, before packing); the daily corpus
+    pipeline's certified contract is doc-level, so span rewriting stays
+    an explicit curation step rather than an implicit pipeline default."""
+    toked = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
+    )
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+        ),
+    )
+    # window hashes WITH offsets (0-based), reused by counts, the
+    # canonical-occurrence aggregates, and the flagged filter
+    wins = (
+        toked.filter(F.size("_toks") >= n)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "_h"))
+        .localCheckpoint(eager=False)
+    )
+    dup_h = (
+        wins.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("_h")
+    )
+    fdoc = wins.groupBy("_h").agg(F.min(id_col).alias("_fdoc"))
+    fpos = (
+        wins.join(fdoc, "_h")
+        .filter(F.col(id_col) == F.col("_fdoc"))
+        .groupBy("_h", "_fdoc")
+        .agg(F.min("pos").alias("_fpos"))
+    )
+    flagged = (
+        wins.join(dup_h, "_h")
+        .join(fpos, "_h")
+        .filter(
+            ~((F.col(id_col) == F.col("_fdoc")) & (F.col("pos") == F.col("_fpos")))
+        )
+        .select(F.col(id_col), "pos")
+    )
+    covered = flagged.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("_tp"),
+    ).distinct()
+    tokens = toked.select(
+        F.col(id_col), F.posexplode("_toks").alias("_tp", "_tok")
+    )
+    kept = tokens.join(covered, [id_col, "_tp"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_tp", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("_txt"),
+    )
+    return (
+        toked.select(F.col(id_col), F.size("_toks").alias("_nt"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_nt").cast("long").alias("n_tokens"),
+            (F.col("_nt") - F.coalesce("_nk", F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce("_txt", F.lit("")).alias("text_deduped"),
+        )
+    )
+
+
 def keep_first_per_group(
     df: DataFrame, group_cols: list[str], order_cols: list[Column]
 ) -> DataFrame:

@@ -306,6 +306,12 @@ family(
             ("n_windows", "n_dup_windows", "dup_fraction"),
         ),
         (
+            "span_rw",
+            "llm_span_rewrite",
+            ("doc_id", "text_deduped"),
+            ("n_tokens", "n_removed"),
+        ),
+        (
             "atoken_measures",
             "warehouse_atoken_measures",
             ("market", "chain", "collector", "token", "symbol",
@@ -356,7 +362,10 @@ family(
         " atoken/non-atoken measure-join transforms (classify/quadrant/"
         " paraswap-stack, data_warehouse.py:84-335) + the cross-split"
         " decontamination gate built on that split + substring-level"
-        " duplicated-span fractions (window-hash span dedup) + CCNet-style"
+        " duplicated-span fractions (window-hash span dedup) + the span"
+        " REMOVAL rewrite (Lee et al. 'except one': non-canonical"
+        " duplicated windows cut, docs rebuilt from surviving token"
+        " positions) + CCNet-style"
         " per-language head/middle/tail perplexity buckets"
     ),
 )

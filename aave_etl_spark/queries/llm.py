@@ -278,6 +278,67 @@ def llm_span_dedup(spark, sf_dir):
 
 
 @register(
+    "llm_span_rewrite",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS l FROM documents WHERE doc_id % 4 = 0
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS pos, md5(array_to_string(l[i:i+7], ' ')) AS h
+      FROM d, unnest(range(1, len(l) - 6)) AS r(i)
+      WHERE len(l) >= 8
+    ),
+    dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+    fdoc AS (SELECT h, min(doc_id) AS fdoc FROM w GROUP BY h),
+    fpos AS (
+      SELECT w.h, fdoc.fdoc, min(w.pos) AS fpos
+      FROM w JOIN fdoc ON w.h = fdoc.h AND w.doc_id = fdoc.fdoc
+      GROUP BY w.h, fdoc.fdoc
+    ),
+    flagged AS (
+      SELECT w.doc_id, w.pos
+      FROM w JOIN dup USING (h) JOIN fpos ON w.h = fpos.h
+      WHERE NOT (w.doc_id = fpos.fdoc AND w.pos = fpos.fpos)
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS tp
+      FROM flagged, unnest(range(0, 8)) AS r(j)
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS tp, l[i] AS tok
+      FROM d, unnest(range(1, len(l) + 1)) AS r(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tp, t.tok
+      FROM tok t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp
+    ),
+    reb AS (
+      SELECT doc_id, count(*) AS nk,
+             string_agg(tok, ' ' ORDER BY tp) AS txt
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(l) AS BIGINT) AS n_tokens,
+           CAST(len(l) - coalesce(nk, 0) AS BIGINT) AS n_removed,
+           coalesce(txt, '') AS text_deduped
+    FROM d LEFT JOIN reb USING (doc_id)
+    """,
+    doc=(
+        "LLM dedup: the REMOVAL half of span dedup (Lee et al. 2022 'except"
+        " one') — duplicated 8-token windows cut at every non-canonical"
+        " (doc, offset), docs rewritten from the surviving token positions;"
+        " certified over the deterministic doc_id%4 slice (the full-corpus"
+        " pass is the llm_span_dedup part's measured cost, same exchanges)"
+    ),
+)
+def llm_span_rewrite(spark, sf_dir):
+    return dedup.span_dedup_rewrite(
+        t(spark, sf_dir, "documents").filter("doc_id % 4 = 0"), n=8
+    )
+
+
+@register(
     "llm_simhash",
     oracle=f"""
     WITH tok AS (

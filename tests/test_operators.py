@@ -953,6 +953,35 @@ def test_ivf_index_roundtrip_matches_in_flight(spark, tmp_path):
     assert sorted(map(tuple, at_rest)) == sorted(map(tuple, in_flight))
 
 
+def test_span_dedup_rewrite_semantics(spark):
+    """The removal half of span dedup: every duplicated 8-token window is
+    cut at its non-canonical (doc, offset) occurrences — cross-doc copies
+    keep only the lexicographically-first doc's span, an intra-doc repeat
+    keeps its first offset, short docs pass through, and an entirely-
+    duplicated doc rewrites to ''."""
+    from aave_etl_spark.operators.dedup import span_dedup_rewrite
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    intra = "one1 two2 three3 four4 five5 six6 seven7 eight8"
+    rows = [
+        (1, f"intro one two {span} tail words here"),   # canonical holder
+        (2, f"other stuff {span} closing"),             # cross-doc copy
+        (3, f"{intra} {intra}"),                        # intra-doc repeat
+        (4, "too short text"),                          # < n tokens
+        (5, span),                                      # fully duplicated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_deduped)
+        for r in span_dedup_rewrite(df, n=8).collect()
+    }
+    assert got[1] == (14, 0, f"intro one two {span} tail words here")
+    assert got[2] == (11, 8, "other stuff closing")
+    assert got[3] == (16, 8, intra)
+    assert got[4] == (3, 0, "too short text")
+    assert got[5] == (8, 8, "")
+
+
 def test_within_batch_near_dup_drops_equals_all_pairs(spark):
     """The two-phase storm-safe form (probe bucket minima, all-pairs only
     for the unresolved remainder) must return EXACTLY the naive all-pairs

@@ -55,6 +55,23 @@ def test_no_cartesian_in_lsh_pair_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_span_dedup_rewrite_plan_shape(spark):
+    """The span-rewrite pass must stay in the linear regime: window-hash
+    groupBys + equi-joins + one per-doc rebuild agg — a boilerplate span
+    repeated k times contributes k rows (never k^2 pairs), so the plan may
+    contain no CartesianProduct and no Window over any hot key."""
+    from aave_etl_spark.operators.dedup import span_dedup_rewrite
+
+    df = spark.createDataFrame(
+        [(i, "some repeated boilerplate words appear here again and again plus "
+          f"unique{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    p = span_dedup_rewrite(df, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+
+
 def test_emb_clean_within_batch_pass_no_cartesian(spark, tmp_path):
     """The embeddings pipeline's round-12 within-batch semantic dedup
     (SRP-bucketed self-join) and the corpus pipeline's within-batch
