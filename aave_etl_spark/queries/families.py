@@ -147,25 +147,6 @@ family(
             ("doc_id", "clean_md5"),
             ("n_urls", "n_emails", "n_long_nums"),
         ),
-        ("bm25", "llm_bm25_topk", ("doc_id", "term"), ("tf", "bm25", "rank")),
-        (
-            "bm25_capped",
-            "llm_bm25_capped",
-            ("query_id", "candidate_id"),
-            ("bm25_score", "rank"),
-        ),
-        (
-            "bm25_stopterms",
-            "llm_bm25_stopterms",
-            ("part", "k1", "k2"),
-            ("v1", "v2", "v3"),
-        ),
-        (
-            "stopterms_atrest",
-            "llm_bm25_stopterms_atrest",
-            ("part", "k1", "k2"),
-            ("v1", "v2", "v3"),
-        ),
         (
             "gate",
             "llm_curation_gate",
@@ -245,12 +226,9 @@ family(
         " document reconstruction"
         " (RefinedWeb boilerplate removal, planted cross-doc newsletter"
         " lines) + Gopher-style repetition"
-        " signal + sliding-window context chunking + PII/URL scrubbing +"
-        " per-doc top-3 BM25 terms + max_df stop-term-capped BM25 index"
-        " search (postings-scan predicate pushdown) + DATA-PLANNED stop"
-        " terms (heavy-hitters discovery over per-shard partial dfs"
-        " anti-joined into the probe; in-flight AND at-rest from stored"
-        " m-row HH states)"
+        " signal + sliding-window context chunking + PII/URL scrubbing"
+        " (the BM25 retrieval quartet moved to corpus_state_family in"
+        " round 12's head rebalance)"
         " + the composed per-doc curation gate"
         " (quality x repetition x language x exact-dup keeper) +"
         " per-language quality-percentile top-50% gate + vocabulary"
@@ -601,6 +579,25 @@ family(
             ("query_id", "candidate_id"),
             ("bm25_score", "rank"),
         ),
+        ("bm25", "llm_bm25_topk", ("doc_id", "term"), ("tf", "bm25", "rank")),
+        (
+            "bm25_capped",
+            "llm_bm25_capped",
+            ("query_id", "candidate_id"),
+            ("bm25_score", "rank"),
+        ),
+        (
+            "bm25_stopterms",
+            "llm_bm25_stopterms",
+            ("part", "k1", "k2"),
+            ("v1", "v2", "v3"),
+        ),
+        (
+            "stopterms_atrest",
+            "llm_bm25_stopterms_atrest",
+            ("part", "k1", "k2"),
+            ("v1", "v2", "v3"),
+        ),
     ],
     doc=(
         "corpus/ANN at-rest state family: the DAILY training-corpus"
@@ -621,6 +618,9 @@ family(
         " partitioned by cell_id, M ints per candidate, bitwise equal to"
         " the in-flight form) + the at-rest term-bucketed BM25 inverted"
         " index search (build-once/search-many, no corpus text re-scan)"
+        " + the BM25 retrieval quartet moved from llm_text_stats in round"
+        " 12's head rebalance (top-k term scoring, df-capped probe,"
+        " data-planned stop terms in-flight AND from stored HH states)"
     ),
 )
 
@@ -824,6 +824,12 @@ family(
             ("n_tokens", "pack_id", "pack_offset"),
         ),
         (
+            "span_pack",
+            "llm_span_pack",
+            ("lang", "doc_id"),
+            ("n_tokens", "pack_id", "pack_offset"),
+        ),
+        (
             "shards",
             "llm_epoch_shards",
             ("doc_id", "sort_key"),
@@ -909,7 +915,10 @@ family(
     doc=(
         "§2.8 reshape family: UNPIVOT stack + PIVOT multi-agg + greedy"
         " first-fit sequence packing (grouped-map running-sum-with-reset;"
-        " recursive-CTE oracle) + fixed-budget uniform video frame sampling"
+        " recursive-CTE oracle) + the span-dedup-rewrite -> recount ->"
+        " pack composition (duplicated-window removal feeding the packing"
+        " recurrence as one certified flow)"
+        " + fixed-budget uniform video frame sampling"
         " (metadata-only explode grid) + the S10 incentives 3-level nested"
         " flatten certified against a generate-series oracle + the"
         " deterministic epoch-shuffle shard assignment (seed-keyed md5"

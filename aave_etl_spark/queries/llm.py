@@ -1911,6 +1911,91 @@ def llm_sequence_pack(spark, sf_dir):
 
 
 @register(
+    "llm_span_pack",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, {_TOKS} AS l FROM documents WHERE doc_id % 4 = 0
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS pos, md5(array_to_string(l[i:i+7], ' ')) AS h
+      FROM d, unnest(range(1, len(l) - 6)) AS r(i)
+      WHERE len(l) >= 8
+    ),
+    dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+    fdoc AS (SELECT h, min(doc_id) AS fdoc FROM w GROUP BY h),
+    fpos AS (
+      SELECT w.h, fdoc.fdoc, min(w.pos) AS fpos
+      FROM w JOIN fdoc ON w.h = fdoc.h AND w.doc_id = fdoc.fdoc
+      GROUP BY w.h, fdoc.fdoc
+    ),
+    flagged AS (
+      SELECT w.doc_id, w.pos
+      FROM w JOIN dup USING (h) JOIN fpos ON w.h = fpos.h
+      WHERE NOT (w.doc_id = fpos.fdoc AND w.pos = fpos.fpos)
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS tp
+      FROM flagged, unnest(range(0, 8)) AS r(j)
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS tp
+      FROM d, unnest(range(1, len(l) + 1)) AS r(i)
+    ),
+    reb AS (
+      SELECT t.doc_id, count(*) AS nk
+      FROM tok t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp
+      GROUP BY t.doc_id
+    ),
+    sized AS (
+      SELECT doc.lang, r.doc_id, CAST(r.nk AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY doc.lang ORDER BY r.doc_id) AS rn
+      FROM reb r JOIN documents doc USING (doc_id)
+      WHERE r.nk > 0
+    ),
+    p AS (
+      SELECT lang, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS pack_id,
+             CAST(0 AS BIGINT) AS pack_offset,
+             n_tokens AS cum
+      FROM sized WHERE rn = 1
+      UNION ALL
+      SELECT b.lang, b.doc_id, b.n_tokens, b.rn,
+             CASE WHEN p.cum + b.n_tokens > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.cum + b.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE p.cum END,
+             CASE WHEN p.cum + b.n_tokens > 256 THEN b.n_tokens ELSE p.cum + b.n_tokens END
+      FROM p JOIN sized b ON b.lang = p.lang AND b.rn = p.rn + 1
+    )
+    SELECT lang, doc_id, n_tokens, pack_id, pack_offset FROM p
+    """,
+    doc=(
+        "LLM training prep: span-dedup rewrite COMPOSED with the packing"
+        " tail — duplicated-window removal, per-doc surviving-token"
+        " recount from the rewrite's own (n_tokens - n_removed), docs"
+        " rewritten away entirely dropped, then greedy first-fit packing"
+        " of the deduplicated corpus into 256-token budgets per language;"
+        " certifies the curation-stage op feeding the training-prep"
+        " recurrence as one flow (same doc_id%4 slice as llm_span_rewrite)"
+    ),
+)
+def llm_span_pack(spark, sf_dir):
+    from aave_etl_spark.operators.packing import greedy_pack
+
+    docs = t(spark, sf_dir, "documents").filter("doc_id % 4 = 0")
+    rw = dedup.span_dedup_rewrite(docs, n=8)
+    sized = (
+        rw.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            "doc_id",
+            (F.col("n_tokens") - F.col("n_removed")).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    return greedy_pack(sized, capacity=256)
+
+
+@register(
     "llm_curation_gate",
     export=False,  # driver slot held by its family head (llm_text_stats)
     oracle=f"""
