@@ -418,6 +418,12 @@ family(
             ("CAST(vec_id AS STRING)",),
             ("cell_id",),
         ),
+        (
+            "scan_quintet",
+            "connector_scan_quintet",
+            ("part", "k1", "k2"),
+            ("v1", "v2", "v3", "v4"),
+        ),
     ],
     doc=(
         "§2.5 window-shift family: LEAD pairing + LAG coalesce + ffill ignore"
@@ -437,6 +443,10 @@ family(
         " within-batch replicas drop via the semantic anti-join — the"
         " at-least-once replay idempotence mechanism — and the final index"
         " equals the daily pipeline's assignment oracle)"
+        " + the connector scan quintet (S7 decimal adjust, S16 Compound"
+        " APY, S18 zero-balance drop, S19 existence->NULL,"
+        " treasury-incentives v3/v2 dispatch) moved from json_family in"
+        " round 12's head rebalance"
     ),
 )
 
@@ -646,12 +656,6 @@ family(
              "minted_amount"),
         ),
         (
-            "scan_quintet",
-            "connector_scan_quintet",
-            ("part", "k1", "k2"),
-            ("v1", "v2", "v3", "v4"),
-        ),
-        (
             "scan_decet",
             "connector_scan_decet",
             ("part", "k1", "k2"),
@@ -668,9 +672,7 @@ family(
         "§2.9/§1.3 parse family: get_json_object agg + from_json struct"
         " parse + the MintedToTreasury ABI-decode connector chain (uint256"
         " limb decode, topic address, token join, tx-hash semi-join,"
-        " group-to-day rollup) and the scan quintet (S7 decimal adjust, S16"
-        " Compound APY, S18 zero-balance drop, S19 existence->NULL,"
-        " treasury-incentives v3/v2 dispatch) and the scan decet (ETH->WETH"
+        " group-to-day rollup) and the scan decet (ETH->WETH"
         " patch, transfer group-to-day, accrued-fees product, ms-epoch,"
         " wei/raw/config-decimal shifts, LSD fillna, SM emission math,"
         " pool weights) and the hourly/seed/price scan (S4 usd/wei"
