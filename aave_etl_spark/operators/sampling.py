@@ -437,6 +437,64 @@ def dsir_sample_key(
     return F.round(w / F.lit(temperature) + gumbel, 6)
 
 
+def global_desc_rank(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    rank_col: str = "_rk",
+) -> DataFrame:
+    """EXACT global 1-based rank under (``key_col`` DESC, ``id_col`` ASC)
+    WITHOUT the single-task funnel of a partition-less ``row_number``
+    window (``Window.orderBy`` forces an Exchange SinglePartition — every
+    row through one task, the scale-killer the exact top-k forms in this
+    module used to carry).
+
+    Distributed shape: range-repartition on the total order (so partition
+    i holds strictly higher-ranked rows than partition i+1), rank LOCALLY
+    per partition (the window is partitioned by ``spark_partition_id`` —
+    parallel), then add each partition's broadcast cumulative offset
+    (per-partition counts joined triangularly over <= num-partitions rows
+    — no SinglePartition exchange anywhere, plan-asserted in
+    tests/test_plans.py). The output rank depends only on the TOTAL ORDER
+    (offset + local rank), never on where the sampled range boundaries
+    land, so it is deterministic and equal to the naive global window —
+    property-pinned in tests/test_operators.py. The ordering must be
+    total: ``id_col`` ties-breaks equal keys.
+
+    The range exchange is lineage-cut so the pid attached to a row is
+    computed once and shared by the local ranking and the offset counts."""
+    ordering = [F.col(key_col).desc(), F.col(id_col).asc()]
+    withpid = (
+        df.repartitionByRange(*ordering)
+        .withColumn("_gdr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    wloc = Window.partitionBy("_gdr_pid").orderBy(*ordering)
+    local = withpid.withColumn("_gdr_lrk", F.row_number().over(wloc))
+    sizes = withpid.groupBy("_gdr_pid").agg(
+        F.count(F.lit(1)).alias("_gdr_n")
+    )
+    offsets = (
+        sizes.select(F.col("_gdr_pid").alias("_gdr_pa"))
+        .join(
+            sizes.select(
+                F.col("_gdr_pid").alias("_gdr_pb"), F.col("_gdr_n")
+            ),
+            F.col("_gdr_pb") < F.col("_gdr_pa"),
+            "left",
+        )
+        .groupBy(F.col("_gdr_pa").alias("_gdr_pid"))
+        .agg(F.coalesce(F.sum("_gdr_n"), F.lit(0)).alias("_gdr_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_gdr_pid")
+        .withColumn(
+            rank_col, (F.col("_gdr_off") + F.col("_gdr_lrk")).cast("long")
+        )
+        .drop("_gdr_pid", "_gdr_lrk", "_gdr_off")
+    )
+
+
 def dsir_importance_resample(
     df: DataFrame,
     target_pred: str = "lang = 'en'",
@@ -466,12 +524,14 @@ def dsir_importance_resample(
 
     Scale: gram explode + one m-bounded bucket shuffle; both distributions
     are m-row aggregates broadcast into the scorer. The exact global
-    top-k rank (default) is the certification form — a partition-less
-    window, fine at test scale but a single-task funnel on a real corpus.
-    ``approximate=True`` is the 100 TB path: the cut threshold comes from
+    top-k rank (default) runs in the DISTRIBUTED form
+    (:func:`global_desc_rank` — range-partitioned local ranks + broadcast
+    offsets; answer identical to a partition-less window, no single-task
+    funnel). ``approximate=True`` trades the exact boundary for one fewer
+    shuffle: the cut threshold comes from
     ``percentile_approx(sample_key, 1-keep_frac)`` (one agg pass, bounded
-    sketch state) broadcast into a narrow filter — no global sort, no
-    single-task window, at the cost of epsilon slop around the boundary
+    sketch state) broadcast into a narrow filter — no ranking pass at all,
+    at the cost of epsilon slop around the boundary
     (the same exact→approx swap as top_fraction_by_group; property-tested
     against the exact form in tests/test_operators.py)."""
     pre = df.select(
@@ -535,10 +595,11 @@ def dsir_importance_resample(
             (F.col("sample_key") >= F.col("_thr")).alias("kept"),
         )
     total = F.broadcast(keyed.agg(F.count(F.lit(1)).cast("double").alias("_n")))
-    w = Window.orderBy(F.col("sample_key").desc(), F.col(id_col))
+    # exact global rank in the DISTRIBUTED form (range-partitioned local
+    # ranks + offsets) — no partition-less window, no single-task funnel
     return (
-        keyed.crossJoin(total)
-        .withColumn("_rk", F.row_number().over(w))
+        global_desc_rank(keyed, "sample_key", id_col)
+        .crossJoin(total)
         .select(
             F.col(id_col),
             "n_grams",

@@ -92,7 +92,7 @@ stage's equi-join on exactly the matched candidate ids.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -559,11 +559,14 @@ def _corpus_gated(ctx: AssetContext) -> DataFrame:
     # ceil(frac·N) largest keys, i.e. sample without replacement
     # ∝ exp(weight/T) against the corpus-so-far distribution the stored
     # states rolled up. Off (the default) the weight stays informational
-    # and selection semantics are unchanged. The exact rank is a
-    # DAY-BATCH-sized window (the greedy-pack cost class, never
-    # corpus-scale); a corpus-wide resample takes the percentile-threshold
-    # form instead (operators/sampling.py dsir_importance_resample,
-    # approximate=True). Gate survivors always carry a non-NULL weight
+    # and selection semantics are unchanged. The exact rank runs in the
+    # DISTRIBUTED form (sampling.global_desc_rank — range-partitioned
+    # local ranks + broadcast offsets; no partition-less window, so no
+    # single-task funnel even on a 100 TB day batch); a corpus-wide
+    # resample can instead take the percentile-threshold form
+    # (operators/sampling.py dsir_importance_resample, approximate=True)
+    # to save the ranking shuffle at epsilon boundary slop. Gate survivors
+    # always carry a non-NULL weight
     # (quality >= 0.5 requires >= 5 words -> >= 5 grams -> buckets).
     # State-vs-scratch key equality is certified in queries/llm.py
     # ``llm_corpus_dsir_resample``.
@@ -578,10 +581,9 @@ def _corpus_gated(ctx: AssetContext) -> DataFrame:
         total = F.broadcast(
             keyed.agg(F.count(F.lit(1)).cast("double").alias("_n"))
         )
-        w = Window.orderBy(F.col("_sk").desc(), F.col("doc_id"))
         gated = (
-            keyed.crossJoin(total)
-            .withColumn("_rk", F.row_number().over(w))
+            sampling.global_desc_rank(keyed, "_sk", "doc_id")
+            .crossJoin(total)
             .filter(F.col("_rk") <= F.ceil(F.lit(float(keep_frac)) * F.col("_n")))
         )
     return gated.select("day", "doc_id", "lang", "n_tokens", "dsir_weight")

@@ -953,6 +953,33 @@ def test_ivf_index_roundtrip_matches_in_flight(spark, tmp_path):
     assert sorted(map(tuple, at_rest)) == sorted(map(tuple, in_flight))
 
 
+def test_global_desc_rank_equals_naive_window(spark):
+    """The distributed exact rank (range-partitioned local ranks +
+    broadcast offsets) must equal the partition-less row_number window
+    exactly — including tied keys broken by id — and must assign every
+    rank 1..N exactly once."""
+    from pyspark.sql import Window
+
+    from aave_etl_spark.operators.sampling import global_desc_rank
+
+    # keys with heavy ties (mod 7) so the id tiebreak matters, ids shuffled
+    df = spark.range(0, 500).select(
+        ((F.col("id") * 37) % 501).alias("doc_id"),
+        ((F.col("id") % 7).cast("double") / 10.0).alias("key"),
+    )
+    w = Window.orderBy(F.col("key").desc(), F.col("doc_id"))
+    naive = {
+        r.doc_id: r.rk
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    got = {
+        r.doc_id: r._rk
+        for r in global_desc_rank(df, "key", "doc_id").collect()
+    }
+    assert got == naive
+    assert sorted(got.values()) == list(range(1, 501))
+
+
 def test_span_dedup_rewrite_semantics(spark):
     """The removal half of span dedup: every duplicated 8-token window is
     cut at its non-canonical (doc, offset) occurrences — cross-doc copies

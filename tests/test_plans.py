@@ -55,6 +55,32 @@ def test_no_cartesian_in_lsh_pair_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_global_desc_rank_no_single_partition_exchange(spark):
+    """The distributed exact-rank form must never funnel the ranked frame
+    through one task: the executed plan carries range partitioning for
+    the data path and a broadcast for the offsets — no Exchange
+    SinglePartition anywhere (the partition-less window it replaces was
+    exactly that exchange)."""
+    from pyspark.sql import functions as F
+
+    from aave_etl_spark.operators.sampling import global_desc_rank
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13).cast("double").alias("key")
+    )
+    p = (
+        global_desc_rank(df, "key", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in p, p
+    # the ranking window runs partitioned by the range-exchange pid, in
+    # parallel (the range exchange itself sits behind the lineage cut, so
+    # it is not visible in this executed plan)
+    assert "hashpartitioning(_gdr_pid" in p or "_gdr_pid" in p, p
+
+
 def test_span_dedup_rewrite_plan_shape(spark):
     """The span-rewrite pass must stay in the linear regime: window-hash
     groupBys + equi-joins + one per-doc rebuild agg — a boilerplate span
