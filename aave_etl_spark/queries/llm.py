@@ -3965,10 +3965,9 @@ def llm_corpus_dsir_resample(spark, sf_dir):
         ).alias("sample_key"),
     )
     total = F.broadcast(keyed.agg(F.count(F.lit(1)).cast("double").alias("_n")))
-    w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id"))
     return (
-        keyed.crossJoin(total)
-        .withColumn("_rk", F.row_number().over(w))
+        sampling.global_desc_rank(keyed, "sample_key", "doc_id")
+        .crossJoin(total)
         .select(
             "doc_id",
             "n_grams",
