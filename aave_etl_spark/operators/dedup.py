@@ -360,7 +360,9 @@ def span_dedup_rewrite(
     an explicit curation step rather than an implicit pipeline default."""
     toked = df.select(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
-    )
+    ).localCheckpoint(eager=False)  # feeds wins, the full-position explode,
+    # and the final n_tokens join — without the lineage cut the
+    # normalize+split scan of every doc runs three times (round-12 ADVICE)
     toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),

@@ -743,20 +743,23 @@ def ivf_index_build(
     wrote_cent = store.write(
         cent.select("cell_id", F.col("_ce").alias("centroid")), f"{name}_centroids"
     )
+    wrote_assign = store.write(
+        assign, name, partition_cols=["cell_id", *carry_cols], full_refresh=True
+    )
     # geometry sidecar, the ivfpq_index_build discipline: an append under a
     # different rounding would assign borderline vectors to different cells
     # than the build did, and a different carry layout would write a
     # mismatched partition tree — both silent until a search misses;
-    # ivf_index_append validates against this row
+    # ivf_index_append validates against this row. Written AFTER the
+    # assignments (round-12 ADVICE): an interrupted build must never leave
+    # centroids+meta with no assignments — the append's both-members guard
+    # below plus this ordering make a half-built index loud, not silent.
     store.write(
         df.sparkSession.createDataFrame(
             [(int(round_digits), ",".join(carry_cols))],
             "round_digits int, carry_cols string",
         ),
         f"{name}_meta",
-    )
-    wrote_assign = store.write(
-        assign, name, partition_cols=["cell_id", *carry_cols], full_refresh=True
     )
     # TableStore.write SKIPS empty frames — marking completeness then would
     # stamp a PREVIOUS run's (stale) tables as this corpus's index; only
@@ -816,6 +819,15 @@ def ivf_index_append(
     if "cell_id" not in centroids.columns:
         raise ValueError(
             f"IVF index {name!r} not found in store — run ivf_index_build first"
+        )
+    # both-members guard (round-12 ADVICE, the _emb_clean discipline): an
+    # interrupted build can leave centroids with no assignments table;
+    # appending into that half-state would silently create an "index"
+    # containing only the appended batch
+    if not store.exists(name):
+        raise ValueError(
+            f"IVF index {name!r} has centroids but no assignments table — "
+            "interrupted build; re-run ivf_index_build"
         )
     if store.exists(f"{name}_meta"):
         meta = store.read(f"{name}_meta")

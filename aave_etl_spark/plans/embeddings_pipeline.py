@@ -229,7 +229,17 @@ def _emb_pq_state(ctx: AssetContext) -> DataFrame:
     once the corpus is big enough" (pytest-caught in the 4-vector e2e
     corpus). Day-2 append certified CODE-level equal to a from-scratch
     encode and searched end-to-end in queries/llm.py
-    (``llm_emb_pq_state``, ``llm_emb_pq_search_atrest``)."""
+    (``llm_emb_pq_state``, ``llm_emb_pq_search_atrest``).
+
+    CERTIFIED-GEOMETRY CAVEAT: the cert oracle (queries/llm.py
+    ``_EMB_PQ_CTES``) models the certified fixture, whose day 1 reaches
+    the ``EMB_PQ_CELLS + EMB_PQ_CODES`` seed threshold, so its rank
+    geometry is day-1-clean-derived. A deployment whose day 1 has fewer
+    survivors seeds the geometry from the first qualifying MULTI-day
+    accumulation instead — same rank-based derivation, equally
+    deterministic and append-safe (the frozen-sidecar contract is
+    day-agnostic), but a geometry shape the append==build cert never
+    exercises (round-12 ADVICE; see COVERAGE.md)."""
     clean = ctx.upstream(
         "emb_clean", this_partition_only=True, date_col="day",
         schema=_CLEAN_SCHEMA,
@@ -444,7 +454,12 @@ def embeddings_maintenance(
                 F.col("embedding").alias("centroid"),
             ).localCheckpoint(eager=True)
             got = centroids.count()
-            if got < min(want, before):
+            # undersized means fewer centroids than the REBUILD SOURCE can
+            # seed — min(want, |clean|), not min(want, |old index|): when
+            # emb_clean legitimately shrank below both (rows purged before
+            # a maintenance rebuild), a correctly-sized retrain must not
+            # trip the guard (round-12 ADVICE)
+            if got < min(want, clean.count()):
                 raise RuntimeError(
                     f"embeddings_maintenance: retrain asked for {want} "
                     f"centroids but ranked selection produced {got} — "

@@ -4681,7 +4681,15 @@ _EMB_CTES = f"""ev AS (
       FROM ed2raw GROUP BY e
     ),
     ewb AS (
-      SELECT day, vec_id, e, CAST({_srp_bucket_expr(8)} AS BIGINT) AS bucket
+      -- eu mirrors the ENGINE's float expression structure exactly
+      -- (operators/similarity.py normalized(): each element divided by
+      -- sqrt(dot(e,e)), THEN the pair dot on unit vectors) — not the
+      -- algebraically-equal dot(a,b)/(|a||b|) on raw lists, whose last
+      -- ulp can differ and flip a pair sitting exactly at the rounded
+      -- 0.999 boundary (round-12 ADVICE)
+      SELECT day, vec_id, e,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS eu,
+             CAST({_srp_bucket_expr(8)} AS BIGINT) AS bucket
       FROM (SELECT day, vec_id, e FROM ed1
             UNION ALL SELECT day, vec_id, e FROM ed2w)
     ),
@@ -4690,9 +4698,7 @@ _EMB_CTES = f"""ev AS (
       FROM ewb lo JOIN ewb hi
         ON lo.day = hi.day AND lo.bucket = hi.bucket
        AND lo.vec_id < hi.vec_id
-      WHERE round(list_dot_product(lo.e, hi.e)
-            / (sqrt(list_dot_product(lo.e, lo.e))
-               * sqrt(list_dot_product(hi.e, hi.e))), 6) >= 0.999
+      WHERE round(list_dot_product(lo.eu, hi.eu), 6) >= 0.999
     ),
     ed1c AS (
       SELECT vec_id, e, day FROM ed1

@@ -114,13 +114,11 @@ def main() -> int:
     except ValueError:
         sf = None
 
-    # compact inline attribution for the round-stamped artifact: the 10
-    # most expensive parts across every family head, 2dp. The FULL parts
-    # payload cannot ride stdout (the driver keeps a byte-bounded TAIL of
-    # the line — the r7 lesson below), but ~300 bytes of "which parts
-    # dominate" fits, so BENCH_r{NN}.json itself answers the first
-    # attribution question without opening the _full sibling (VERDICT r11
-    # "What's wrong" #3).
+    # compact attribution summary: the 10 most expensive parts across
+    # every family head, 2dp. Lands in BENCH_LAST/_full/HISTORY only —
+    # r12 proved even these ~300 bytes push the stdout line past the
+    # driver's 2000-byte tail window (50 query medians alone are ~1.8 KB),
+    # so NOTHING beyond the r11-shaped payload may ride stdout.
     top_parts = dict(
         sorted(
             (
@@ -151,8 +149,8 @@ def main() -> int:
         # single-shot per-part walls inside each family head (attribution
         # only; medians above remain the citable numbers)
         "parts": parts_out,
-        # the 10 most expensive parts, inline (survives the stdout strip
-        # below — full breakdown in parts / the _full sibling)
+        # the 10 most expensive parts (file payloads only — stripped from
+        # stdout along with `parts` below)
         "parts_top": top_parts,
     }
     if failures:
@@ -200,7 +198,12 @@ def main() -> int:
         with open(os.path.join(repo_dir, "BENCH_HISTORY.jsonl"), "a") as fh:
             json.dump({"ts": int(time.time()), **out}, fh)
             fh.write("\n")
-        out = {k: v for k, v in out.items() if k != "parts"}
+        # stdout carries NEITHER parts nor parts_top: the r12 artifact lost
+        # its headline because parts_top (~300 bytes) pushed the line past
+        # the driver's 2000-byte tail window — 50 query medians alone are
+        # ~1.8 KB, so there is no inline-attribution headroom at all. The
+        # attribution lives in the three committed files only.
+        out = {k: v for k, v in out.items() if k not in ("parts", "parts_top")}
         out["parts_in"] = full_name
     except OSError:
         pass  # a read-only checkout gets the full line on stdout instead
