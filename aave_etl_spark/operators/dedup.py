@@ -319,8 +319,34 @@ def span_duplicates(
     )
 
 
+def _window_hashes(toked: DataFrame, id_col: str, n: int) -> DataFrame:
+    """``(id, pos, _h)`` — md5 hashes of every length-``n`` token window of
+    a pre-tokenized frame ``(id, _toks)``, with 0-based start offsets.
+    The shared window derivation under :func:`span_dedup_rewrite` and the
+    ``span_index_*`` at-rest state (one expression, so the in-flight rule
+    and the stored canonicals can never hash differently)."""
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+        ),
+    )
+    return (
+        toked.filter(F.size("_toks") >= n)
+        .select(
+            *[F.col(c) for c in toked.columns if c != "_toks"],
+            F.posexplode(grams).alias("pos", "_h"),
+        )
+    )
+
+
 def span_dedup_rewrite(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    prior_spans: DataFrame | None = None,
 ) -> DataFrame:
     """The REMOVAL half of substring-level span dedup: rewrite every doc
     with its corpus-duplicated length-``n`` token windows cut, keeping
@@ -354,29 +380,28 @@ def span_dedup_rewrite(
     through :func:`aave_etl_spark.operators.text.chunk_documents` first,
     the same bound every sentence-level op in this engine carries.
 
+    ``prior_spans`` (optional) extends the rule ACROSS batches: a frame
+    whose ``_h`` column holds window hashes already canonical in the
+    corpus (the :func:`span_index_build` state, one keeper row per hash).
+    Every batch occurrence of a stored hash is cut — the stored keeper
+    (an earlier ingest day) wins, so cross-day boilerplate collapses to
+    its first-ever occurrence; batch-internal duplicates keep following
+    the first-(doc, offset) rule. The join leads with ``_h``, so a state
+    table bucketed on it (the ``span_index_*`` layout) joins
+    exchange-free on the stored side.
+
     Composition note: this is a CURATION-STAGE operator (between exact
-    dedup and near-dup gating, before packing); the daily corpus
-    pipeline's certified contract is doc-level, so span rewriting stays
-    an explicit curation step rather than an implicit pipeline default."""
+    dedup and near-dup gating, before packing); since round 13 the daily
+    corpus pipeline runs it as the final `_corpus_clean` stage against
+    the at-rest ``corpus_spans`` state (plans/corpus_pipeline.py)."""
     toked = df.select(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
     ).localCheckpoint(eager=False)  # feeds wins, the full-position explode,
     # and the final n_tokens join — without the lineage cut the
     # normalize+split scan of every doc runs three times (round-12 ADVICE)
-    toks = F.col("_toks")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
-        ),
-    )
     # window hashes WITH offsets (0-based), reused by counts, the
     # canonical-occurrence aggregates, and the flagged filter
-    wins = (
-        toked.filter(F.size("_toks") >= n)
-        .select(F.col(id_col), F.posexplode(grams).alias("pos", "_h"))
-        .localCheckpoint(eager=False)
-    )
+    wins = _window_hashes(toked, id_col, n).localCheckpoint(eager=False)
     dup_h = (
         wins.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -398,6 +423,14 @@ def span_dedup_rewrite(
         )
         .select(F.col(id_col), "pos")
     )
+    if prior_spans is not None:
+        # a hash already canonical in the CORPUS loses at every batch
+        # occurrence (including the batch's own first) — the stored
+        # keeper wins. Duplicate (doc, pos) rows from the union are fine:
+        # `covered` below is position-distinct
+        flagged = flagged.unionByName(
+            wins.join(prior_spans.select("_h"), "_h").select(F.col(id_col), "pos")
+        )
     covered = flagged.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("_tp"),
@@ -425,6 +458,150 @@ def span_dedup_rewrite(
             (F.col("_nt") - F.coalesce("_nk", F.lit(0))).cast("long").alias("n_removed"),
             F.coalesce("_txt", F.lit("")).alias("text_deduped"),
         )
+    )
+
+
+def _span_canonicals(
+    docs: DataFrame, id_col: str, text_col: str, n: int,
+    carry_cols: tuple[str, ...],
+) -> DataFrame:
+    """One row per DISTINCT window hash: ``(_h, *carry, id, pos)`` of its
+    first occurrence — min (*carry_cols, id, pos) lexicographically.
+    ``carry_cols`` LEAD the canonical order: for a single-slice build
+    they're constant (the order degenerates to span_dedup_rewrite's
+    (doc, offset) rule), and a multi-day maintenance REBUILD over the
+    accumulated docs reproduces the incrementally-built keepers exactly —
+    the first DAY a hash appeared wins, then (doc, offset) within it
+    (stored text keeps only each day's canonical occurrence, so the
+    within-day min is the day's keeper by construction)."""
+    toked = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.split(normalize_text(text_col), " ").alias("_toks"),
+    )
+    key = F.struct(
+        *[F.col(c) for c in carry_cols], F.col(id_col), F.col("pos")
+    )
+    return (
+        _window_hashes(toked, id_col, n)
+        .groupBy("_h")
+        .agg(F.min(key).alias("_k"))
+        .select(
+            "_h",
+            *[
+                F.col("_k").getField(c).alias(c)
+                for c in (*carry_cols, id_col, "pos")
+            ],
+        )
+    )
+
+
+def span_index_build(
+    store,
+    docs: DataFrame,
+    name: str = "corpus_spans",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    n_buckets: int = 32,
+    carry_cols: tuple[str, ...] = (),
+) -> None:
+    """Materialize a corpus's CANONICAL span-window occurrences as an
+    at-rest index, hash-bucketed on the window hash — the state that
+    extends :func:`span_dedup_rewrite` (the removal half of Lee et al.
+    2022 substring dedup) ACROSS ingest days.
+
+    One skinny row per distinct length-``n`` normalized-token window
+    hash in ``docs``: ``(_h, keeper id, keeper offset, *carry_cols)``,
+    keeper = the hash's first (id, pos) occurrence. The dedup ladder's
+    other rungs already keep daily at-rest state (digests, band index,
+    IVF index); this is the span rung's: a later batch passed to
+    ``span_dedup_rewrite(prior_spans=read_bucketed(name))`` cuts every
+    occurrence of a stored hash — cross-day boilerplate (the same
+    header/footer re-crawled every day, Lee et al.'s motivating case)
+    collapses to its first-ever occurrence without ever re-tokenizing
+    history.
+
+    Scale: the state is ~one row per corpus token (hash + keeper ids —
+    the suffix-array cost shape of substring dedup, never corpus TEXT),
+    bucketed on ``_h`` so both the daily match join and the append's
+    anti-join run exchange-free on the stored side. ``carry_cols`` (an
+    ingest ``day``) give re-run scoping and maintenance passes a
+    pruning handle, exactly like the MinHash index."""
+    canon = _span_canonicals(docs, id_col, text_col, n, carry_cols)
+    store.write_bucketed(
+        canon, name, bucket_cols=["_h"], n_buckets=n_buckets, sort_cols=["_h"]
+    )
+    # params sidecar (the minhash_index_build discipline): a drifted n
+    # silently produces never-matching window hashes — match/append
+    # validate against this row and raise instead
+    docs.sparkSession.createDataFrame(
+        [(int(n), int(n_buckets))], "n int, n_buckets int"
+    ).write.mode("overwrite").parquet(store._path(name + "_params"))
+
+
+def _span_params(store, spark, name: str, n: int):
+    """Read the span index's params sidecar; raise on an ``n`` mismatch.
+    Missing sidecar (pre-sidecar store) maps to None — a present-but-
+    unreadable one must surface (the _index_params contract)."""
+    import os
+
+    path = store._path(name + "_params")
+    if not os.path.exists(path):
+        return None
+    built = spark.read.parquet(path).head()
+    if built.n != int(n):
+        raise ValueError(
+            f"span index {name!r} was built with n={built.n}; caller asked"
+            f" for n={n} — window hashes would never match"
+        )
+    return built
+
+
+def span_index_append(
+    store,
+    new_docs: DataFrame,
+    name: str = "corpus_spans",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    carry_cols: tuple[str, ...] = (),
+) -> None:
+    """Append a batch's NEW canonical window occurrences into an existing
+    at-rest span index.
+
+    The batch's per-hash first occurrences are anti-joined on ``_h``
+    against the stored state, so (a) a hash already canonical on an
+    earlier day keeps its stored keeper — prior days win, the same
+    winner ``span_dedup_rewrite(prior_spans=...)`` already enforced when
+    it cut the batch's occurrences — and (b) re-appending the same
+    day's batch adds ZERO rows (backfill re-run idempotence: N re-runs
+    leave the index row count fixed, pytest-gated). A CORRECTED re-run
+    whose texts changed appends the new texts' hashes while the old
+    texts' stale rows remain — harmless for matching (a stale hash can
+    only cut a window equal to previously-stored corpus text) but
+    storage grows under repeated corrections; ``corpus_maintenance``
+    rebuilds the index from the current docs to reclaim, the MinHash
+    index's exact contract.
+
+    The anti-join leads with ``_h``: the bucketed index side satisfies
+    the join's distribution with zero exchange; cost tracks the batch
+    windows plus one bucketed scan of the skinny hash rows — corpus
+    TEXT is never re-read."""
+    spark = new_docs.sparkSession
+    built = _span_params(store, spark, name, n)
+    if built is None:
+        raise ValueError(
+            f"span_index_append: no params sidecar for index {name!r} —"
+            " build it with span_index_build first"
+        )
+    canon = _span_canonicals(new_docs, id_col, text_col, n, carry_cols)
+    fresh = canon.join(
+        store.read_bucketed(name).select("_h"), "_h", "left_anti"
+    )
+    store.write_bucketed(
+        fresh, name, bucket_cols=["_h"], n_buckets=built.n_buckets,
+        sort_cols=["_h"], mode="append",
     )
 
 

@@ -18,14 +18,22 @@ is the thing the at-rest state exists to avoid:
   both survive; round-12), cross-CORPUS exact dedup (anti-join against
   the at-rest digest table), cross-CORPUS near-dup
   (minhash_index_match against the at-rest band index → exact-Jaccard
-  verify against only the MATCHED corpus docs → drop verified dups).
+  verify against only the MATCHED corpus docs → drop verified dups),
+  then SPAN-level dedup (round 13): every 8-token window already
+  canonical in the prior-day corpus (the at-rest ``corpus_spans``
+  state) or duplicated within the batch is cut and the doc rebuilt —
+  cross-day boilerplate collapses to its first-ever occurrence, the
+  Lee et al. 2022 "except one" rule with the keeper AT REST.
   The corpus side of the match reads bucketed on band_key — zero
   exchange, zero re-shingle of history; only the day's batch hashes
   (once — the within-batch and cross-corpus verifies share one batch
-  shingle frame).
+  shingle frame); the span state reads bucketed on the window hash,
+  skinny keeper rows, never corpus text.
 - ``corpus_state``     (DAILY, side-effect): appends the day's
   survivors to ``corpus_digests`` + ``corpus_docs`` (day-partitioned —
-  re-running a day dynamic-overwrites exactly its slice) and
+  re-running a day dynamic-overwrites exactly its slice), their span-
+  window canonical occurrences into ``corpus_spans`` (hash-absent-only,
+  so earlier-day keepers always win and re-runs append zero rows), and
   incrementally appends their bands into the ``corpus_mh`` index
   (built on the first non-empty day; append proven equal to a
   from-scratch rebuild in tests/test_operators.py; ``if_absent``
@@ -131,6 +139,10 @@ CONTAM_MAX_RATIO = 0.2
 #: training-shard emission: loader worker count and the epoch seed
 #: (re-sharding an epoch is a new seed, never a data move)
 SHARD_N, SHARD_SEED = 4, "epoch0"
+#: span-level dedup window length (normalized tokens) — the Lee et al.
+#: 2022 substring-dedup granularity, shared by the in-flight rewrite and
+#: the at-rest corpus_spans canonical-occurrence state
+SPAN_N = 8
 
 
 def _corpus_landing(ctx: AssetContext) -> DataFrame:
@@ -304,6 +316,35 @@ def _corpus_clean(ctx: AssetContext) -> DataFrame:
             "doc_id",
             "left_anti",
         )
+    # SPAN-level dedup (round 13 — the dedup ladder's last rung, now WITH
+    # at-rest state): cut every SPAN_N-token window that is (a) already
+    # canonical in the prior-day corpus — the stored corpus_spans keeper
+    # wins at every batch occurrence, so cross-DAY boilerplate (the same
+    # header/footer re-crawled every day, Lee et al. 2022's motivating
+    # case) collapses to its first-ever occurrence — or (b) duplicated
+    # within the batch, where the first (doc, offset) survives. Docs with
+    # nothing cut pass through BYTE-IDENTICAL; a doc with cuts is rebuilt
+    # from its surviving tokens in normalized token space (the operator's
+    # contract — the digest/shingle/token features downstream are
+    # normalization-invariant, so only the stored text bytes change).
+    # The state read is prior-day-scoped like every other state read (a
+    # re-run must not cut the day's batch against its own prior run) and
+    # bucketed on the window hash, so the match join is exchange-free on
+    # the stored side and NEVER re-reads corpus text.
+    prior_spans = None
+    if store.exists("corpus_spans"):
+        prior_spans = store.read_bucketed("corpus_spans").where(prior)
+    rw = dedup.span_dedup_rewrite(batch, n=SPAN_N, prior_spans=prior_spans)
+    batch = batch.join(
+        rw.select("doc_id", "n_removed", "text_deduped"), "doc_id"
+    ).select(
+        "day",
+        "doc_id",
+        "lang",
+        F.when(F.col("n_removed") > 0, F.col("text_deduped"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
     return batch.select("day", "doc_id", "lang", "text")
 
 
@@ -360,6 +401,21 @@ def _corpus_state(ctx: AssetContext) -> DataFrame:
         )
     else:
         dedup.minhash_index_build(store, clean, "corpus_mh", carry_cols=("day",))
+    # span-window canonical state (round 13): the day's REWRITTEN
+    # survivors' per-hash first occurrences — append is hash-absent-only,
+    # so stored (earlier-day) keepers always win and a byte-identical
+    # re-run appends zero rows (no day predicate needed: unlike bands,
+    # a hash already present from ANY day means the batch occurrence is
+    # non-canonical by rule). Stale rows from corrected backfills are
+    # reclaimed by corpus_maintenance's rebuild, the band-index contract.
+    if store.exists("corpus_spans"):
+        dedup.span_index_append(
+            store, clean, "corpus_spans", n=SPAN_N, carry_cols=("day",)
+        )
+    else:
+        dedup.span_index_build(
+            store, clean, "corpus_spans", n=SPAN_N, carry_cols=("day",)
+        )
     return digests
 
 
@@ -734,6 +790,18 @@ def corpus_maintenance(
             store, store.read("corpus_docs"), "corpus_mh", carry_cols=("day",)
         )
         out["corpus_mh"] = (before, store.read("corpus_mh").count())
+    # the span canonical store gets the same reclaim contract: rebuild
+    # from the current docs. carry_cols lead the canonical order, so the
+    # multi-day rebuild reproduces the incremental keepers exactly
+    # (first day wins — see dedup._span_canonicals) while stale rows
+    # from corrected backfills are dropped
+    if store.exists("corpus_spans") and store.exists("corpus_docs"):
+        before = store.read_bucketed("corpus_spans").count()
+        dedup.span_index_build(
+            store, store.read("corpus_docs"), "corpus_spans", n=SPAN_N,
+            carry_cols=("day",),
+        )
+        out["corpus_spans"] = (before, store.read_bucketed("corpus_spans").count())
     return out
 
 

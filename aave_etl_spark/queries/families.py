@@ -566,6 +566,12 @@ family(
              "CAST(flagged AS DOUBLE)"),
         ),
         (
+            "span_state",
+            "llm_corpus_span_state",
+            ("part", "k1", "k2", "k3"),
+            ("v1",),
+        ),
+        (
             "corpus_stopterms",
             "llm_corpus_stopterms",
             ("value",),

@@ -3452,6 +3452,14 @@ b2 AS (
          text || ' same day paraphrase trailer appended',
          CAST('2024-01-02' AS DATE)
   FROM documents WHERE doc_id % 8 = 1 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 40000000, lang,
+         'crossday opener unique' || CAST(doc_id AS VARCHAR)
+           || ' tokens lead ' || array_to_string(({_TOKS})[1:8], ' ')
+           || ' trail unique' || CAST(doc_id AS VARCHAR) || ' closing words',
+         CAST('2024-01-02' AS DATE)
+  FROM documents
+  WHERE doc_id % 16 = 2 AND text IS NOT NULL AND len({_TOKS}) >= 8
 ),
 c1e AS MATERIALIZED (
   SELECT day, doc_id, lang, text FROM (
@@ -3512,17 +3520,58 @@ wdup AS MATERIALIZED (
 c1 AS MATERIALIZED (
   SELECT * FROM c1e WHERE doc_id NOT IN (SELECT doc_id FROM wdup)
 ),
+s1t AS MATERIALIZED (SELECT day, doc_id, lang, text, {_TOKS} AS l FROM c1),
+s1w AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(l[i:i+7], ' ')) AS h
+  FROM s1t, unnest(range(1, len(l) - 6)) r(i) WHERE len(l) >= 8
+),
+s1dup AS (SELECT h FROM s1w GROUP BY h HAVING count(*) > 1),
+s1fd AS (SELECT h, min(doc_id) AS fdoc FROM s1w GROUP BY h),
+s1fp AS (
+  SELECT w.h, f.fdoc, min(w.pos) AS fpos
+  FROM s1w w JOIN s1fd f ON w.h = f.h AND w.doc_id = f.fdoc
+  GROUP BY w.h, f.fdoc
+),
+s1fl AS (
+  SELECT w.doc_id, w.pos
+  FROM s1w w JOIN s1dup USING (h) JOIN s1fp p ON w.h = p.h
+  WHERE NOT (w.doc_id = p.fdoc AND w.pos = p.fpos)
+),
+s1cov AS (
+  SELECT DISTINCT doc_id, pos + j AS tp FROM s1fl, unnest(range(0, 8)) r(j)
+),
+s1tok AS (
+  SELECT doc_id, i - 1 AS tp, l[i] AS tok
+  FROM s1t, unnest(range(1, len(l) + 1)) r(i)
+),
+s1reb AS (
+  SELECT doc_id, count(*) AS nk, string_agg(tok, ' ' ORDER BY tp) AS txt
+  FROM (SELECT t.doc_id, t.tp, t.tok FROM s1tok t
+        ANTI JOIN s1cov c ON t.doc_id = c.doc_id AND t.tp = c.tp)
+  GROUP BY doc_id
+),
+c1r AS MATERIALIZED (
+  SELECT t.day, t.doc_id, t.lang,
+         CASE WHEN len(l) - coalesce(r.nk, 0) > 0
+              THEN coalesce(r.txt, '') ELSE t.text END AS text
+  FROM s1t t LEFT JOIN s1reb r USING (doc_id)
+),
+sp1 AS MATERIALIZED (
+  SELECT DISTINCT md5(array_to_string(l[i:i+7], ' ')) AS h
+  FROM (SELECT {_TOKS} AS l FROM c1r) t, unnest(range(1, len(l) - 6)) r(i)
+  WHERE len(l) >= 8
+),
 d2n AS MATERIALIZED (
   SELECT * FROM d2w WHERE doc_id NOT IN (SELECT doc_id FROM wdup)
 ),
 d2x AS MATERIALIZED (
   SELECT * FROM d2n
-  WHERE md5({_NORM}) NOT IN (SELECT md5({_NORM}) FROM c1)
+  WHERE md5({_NORM}) NOT IN (SELECT md5({_NORM}) FROM c1r)
 ),
 cnorm AS (
   SELECT 'new' AS side, doc_id, {_TOKS} AS toks FROM d2x
   UNION ALL
-  SELECT 'corpus', doc_id, {_TOKS} FROM c1
+  SELECT 'corpus', doc_id, {_TOKS} FROM c1r
 ),
 csh AS MATERIALIZED (
   SELECT DISTINCT side, doc_id, shingle FROM (
@@ -3568,7 +3617,45 @@ cdup AS MATERIALIZED (
 c2 AS MATERIALIZED (
   SELECT * FROM d2x WHERE doc_id NOT IN (SELECT doc_id FROM cdup)
 ),
-cclean AS MATERIALIZED (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+s2t AS MATERIALIZED (SELECT day, doc_id, lang, text, {_TOKS} AS l FROM c2),
+s2w AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(l[i:i+7], ' ')) AS h
+  FROM s2t, unnest(range(1, len(l) - 6)) r(i) WHERE len(l) >= 8
+),
+s2dup AS (SELECT h FROM s2w GROUP BY h HAVING count(*) > 1),
+s2fd AS (SELECT h, min(doc_id) AS fdoc FROM s2w GROUP BY h),
+s2fp AS (
+  SELECT w.h, f.fdoc, min(w.pos) AS fpos
+  FROM s2w w JOIN s2fd f ON w.h = f.h AND w.doc_id = f.fdoc
+  GROUP BY w.h, f.fdoc
+),
+s2fl AS (
+  SELECT w.doc_id, w.pos
+  FROM s2w w JOIN s2dup USING (h) JOIN s2fp p ON w.h = p.h
+  WHERE NOT (w.doc_id = p.fdoc AND w.pos = p.fpos)
+  UNION
+  SELECT w.doc_id, w.pos FROM s2w w JOIN sp1 USING (h)
+),
+s2cov AS (
+  SELECT DISTINCT doc_id, pos + j AS tp FROM s2fl, unnest(range(0, 8)) r(j)
+),
+s2tok AS (
+  SELECT doc_id, i - 1 AS tp, l[i] AS tok
+  FROM s2t, unnest(range(1, len(l) + 1)) r(i)
+),
+s2reb AS (
+  SELECT doc_id, count(*) AS nk, string_agg(tok, ' ' ORDER BY tp) AS txt
+  FROM (SELECT t.doc_id, t.tp, t.tok FROM s2tok t
+        ANTI JOIN s2cov c ON t.doc_id = c.doc_id AND t.tp = c.tp)
+  GROUP BY doc_id
+),
+c2r AS MATERIALIZED (
+  SELECT t.day, t.doc_id, t.lang,
+         CASE WHEN len(l) - coalesce(r.nk, 0) > 0
+              THEN coalesce(r.txt, '') ELSE t.text END AS text
+  FROM s2t t LEFT JOIN s2reb r USING (doc_id)
+),
+cclean AS MATERIALIZED (SELECT * FROM c1r UNION ALL SELECT * FROM c2r),
 evsh AS MATERIALIZED (
   SELECT DISTINCT md5(shingle) AS sd FROM (
     SELECT unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -3577,13 +3664,20 @@ evsh AS MATERIALIZED (
           WHERE doc_id % 16 = 0 AND text IS NOT NULL)
     WHERE len(toks) >= 3)
 ),
+clsh AS MATERIALIZED (
+  SELECT DISTINCT day, doc_id, shingle FROM (
+    SELECT day, doc_id,
+           unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)]) AS shingle
+    FROM (SELECT day, doc_id, {_TOKS} AS toks FROM cclean)
+    WHERE len(toks) >= 3)
+),
 ccont AS MATERIALIZED (
   SELECT day, doc_id,
          CAST(count(*) AS BIGINT) AS n_shingles,
          CAST(coalesce(sum(CASE WHEN sd IN (SELECT sd FROM evsh)
                                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_overlap
-  FROM (SELECT cl.day, s.doc_id, md5(s.shingle) AS sd
-        FROM csh s JOIN cclean cl USING (doc_id))
+  FROM (SELECT day, doc_id, md5(shingle) AS sd FROM clsh)
   GROUP BY day, doc_id
 ),
 cflag AS MATERIALIZED (
@@ -3746,6 +3840,37 @@ def _corpus_run_store(spark, sf_dir):
                     ).alias("text"),
                 )
             )
+            .unionByName(
+                # CROSS-DAY boilerplate (round 13): one 8-token span lifted
+                # verbatim from a day-1 doc inside otherwise-unique text —
+                # far below doc-level Jaccard, so only the span rung (the
+                # at-rest corpus_spans state) cuts it; keeper = the day-1
+                # occurrence
+                base.filter("doc_id % 16 = 2")
+                .filter(
+                    F.size(F.split(dedup.normalize_text("text"), " ")) >= 8
+                )
+                .select(
+                    (F.col("doc_id") + 40_000_000).alias("doc_id"),
+                    "lang",
+                    F.concat(
+                        F.lit("crossday opener unique"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" tokens lead "),
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                F.split(dedup.normalize_text("text"), " "),
+                                1,
+                                8,
+                            ),
+                        ),
+                        F.lit(" trail unique"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" closing words"),
+                    ).alias("text"),
+                )
+            )
             .withColumn("day", F.to_date(F.lit("2024-01-02")))
         )
         landing = d1.unionByName(d2)
@@ -3805,6 +3930,62 @@ def llm_corpus_pipeline_run(spark, sf_dir):
         "CAST(n_packs AS DOUBLE) AS v3",
     )
     return clean.unionByName(packed).unionByName(stats)
+
+
+@register(
+    "llm_corpus_span_state",
+    export=False,  # driver slot held by its family head (corpus_state_family)
+    oracle=f"""
+    WITH {_CORPUS_CLEAN_CTES},
+    spw AS (
+      SELECT t.day, t.doc_id, i - 1 AS pos,
+             md5(array_to_string(l[i:i+7], ' ')) AS h
+      FROM (SELECT day, doc_id, {_TOKS} AS l FROM cclean) t,
+           unnest(range(1, len(l) - 6)) r(i)
+      WHERE len(l) >= 8
+    ),
+    spcanon AS (
+      SELECT h, day, doc_id, pos FROM (
+        SELECT h, day, doc_id, pos,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY day, doc_id, pos) AS rn
+        FROM spw) WHERE rn = 1
+    )
+    SELECT 'docs' AS part, CAST(day AS VARCHAR) AS k1,
+           CAST(doc_id AS VARCHAR) AS k2, text AS k3,
+           CAST(NULL AS DOUBLE) AS v1
+    FROM cclean
+    UNION ALL
+    SELECT 'spans', h, CAST(day AS VARCHAR), CAST(doc_id AS VARCHAR),
+           CAST(pos AS DOUBLE)
+    FROM spcanon
+    """,
+    doc=(
+        "LLM corpus state: the SPAN rung's at-rest state (round 13) —"
+        " corpus_docs' stored TEXT BYTES after the pipeline's span-level"
+        " rewrite (cross-day boilerplate cut, the stored day-1 keeper"
+        " winning; planted +40M docs lift one 8-token span verbatim from"
+        " day-1 docs inside otherwise-unique text) plus the corpus_spans"
+        " canonical-occurrence table itself, certified equal to a"
+        " from-scratch day-aware first-occurrence derivation over the"
+        " accumulated rewritten corpus — which is exactly the"
+        " incremental append==rebuild contract (dedup.span_index_append"
+        " keeps stored keepers; carry-led ordering makes the maintenance"
+        " rebuild reproduce them)"
+    ),
+)
+def llm_corpus_span_state(spark, sf_dir):
+    store = _corpus_run_store(spark, sf_dir)
+    docs = store.read("corpus_docs").selectExpr(
+        "'docs' AS part", "CAST(day AS STRING) AS k1",
+        "CAST(doc_id AS STRING) AS k2", "text AS k3",
+        "CAST(NULL AS DOUBLE) AS v1",
+    )
+    spans = store.read("corpus_spans").selectExpr(
+        "'spans' AS part", "_h AS k1", "CAST(day AS STRING) AS k2",
+        "CAST(doc_id AS STRING) AS k3", "CAST(pos AS DOUBLE) AS v1",
+    )
+    return docs.unionByName(spans)
 
 
 # ---------------------------------------------------------------------------

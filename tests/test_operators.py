@@ -1009,6 +1009,70 @@ def test_span_dedup_rewrite_semantics(spark):
     assert got[5] == (8, 8, "")
 
 
+def test_span_index_state_cross_batch_rewrite(spark, tmp_path):
+    """The span rung's AT-REST state (round 13): day-1 canonical window
+    occurrences persist via span_index_build; a later batch rewritten
+    with prior_spans cuts EVERY occurrence of a stored hash (the stored
+    day-1 keeper wins — including the batch's own first occurrence),
+    while batch-internal duplicates keep the first-(doc, offset) rule;
+    the append adds only genuinely-new hashes, keeps stored keepers, and
+    re-appending the same batch is a row-count no-op."""
+    from aave_etl_spark.io.table_store import TableStore
+    from aave_etl_spark.operators.dedup import (
+        span_dedup_rewrite,
+        span_index_append,
+        span_index_build,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    d1 = spark.createDataFrame(
+        [(1, f"intro one two {span} tail words here")],
+        "doc_id long, text string",
+    )
+    store = TableStore(spark, str(tmp_path / "wh"))
+    span_index_build(store, d1, "spans", n=8)
+    state = {r._h: (r.doc_id, r.pos) for r in store.read_bucketed("spans").collect()}
+    assert len(state) == 7  # 14 tokens -> 7 windows, all distinct
+    assert all(doc == 1 for doc, _ in state.values())
+
+    intra = "one1 two2 three3 four4 five5 six6 seven7 eight8"
+    d2 = spark.createDataFrame(
+        [
+            # carries the day-1 span mid-doc: its 1 fully-lifted window is
+            # cut even though day 2 has only this single occurrence
+            (10, f"fresh unique opening words {span} and a closing run"),
+            # batch-internal repeat: first offset survives (no state hash)
+            (11, f"{intra} {intra}"),
+        ],
+        "doc_id long, text string",
+    )
+    prior = store.read_bucketed("spans")
+    got = {
+        r.doc_id: (r.n_removed, r.text_deduped)
+        for r in span_dedup_rewrite(d2, n=8, prior_spans=prior).collect()
+    }
+    assert got[10] == (8, "fresh unique opening words and a closing run")
+    assert got[11] == (8, intra)
+
+    # fold day 2's REWRITTEN survivors in: only new hashes append, the
+    # day-1 keepers stay
+    d2r = spark.createDataFrame(
+        [(i, txt) for i, (_, txt) in got.items()], "doc_id long, text string"
+    )
+    span_index_append(store, d2r, "spans", n=8)
+    after = {r._h: (r.doc_id, r.pos) for r in store.read_bucketed("spans").collect()}
+    assert set(state) <= set(after)
+    assert all(after[h] == state[h] for h in state)  # stored keepers win
+    n_after = len(after)
+    assert n_after > len(state)
+    span_index_append(store, d2r, "spans", n=8)  # re-run: no-op
+    assert store.read_bucketed("spans").count() == n_after
+
+    # n drift raises instead of silently never matching
+    with pytest.raises(ValueError, match="n=8"):
+        span_index_append(store, d2r, "spans", n=5)
+
+
 def test_within_batch_near_dup_drops_equals_all_pairs(spark):
     """The two-phase storm-safe form (probe bucket minima, all-pairs only
     for the unresolved remainder) must return EXACTLY the naive all-pairs

@@ -375,6 +375,19 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
             ),
             (14, "en", nd_base, "2024-01-02"),
             (15, "en", nd_base + " extra appended tail words here", "2024-01-02"),
+            # cross-DAY boilerplate (round 13): doc 16 lifts ONE 8-token
+            # span verbatim from day-1 doc 1 inside otherwise-unique text
+            # — far below doc-level Jaccard 0.5, so only the span rung
+            # can catch it: the stored corpus_spans canonical (keeper =
+            # doc 1) must cut exactly those 8 tokens from 16's stored text
+            (
+                16,
+                "en",
+                "the unique of openers and writers is a preamble zq16a"
+                " alpha of beta and gamma is a delta"
+                " zq16b closers and finishers wrap zq16c",
+                "2024-01-02",
+            ),
         ],
         "doc_id long, lang string, text string, day string",
     ).withColumn("day", F.to_date("day"))
@@ -394,12 +407,38 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
     # paraphrase is dropped by the batch-banded verify (round 12)
     assert ("2024-01-02", 14) in clean
     assert ("2024-01-02", 15) not in clean
+    # cross-DAY span dedup (round 13): doc 16 survives doc-level (its
+    # Jaccard vs doc 1 is ~0.14) but its lifted 8-token span is cut from
+    # the STORED text — the day-1 keeper wins via the corpus_spans state
+    assert ("2024-01-02", 16) in clean
+    day2_text = {
+        r.doc_id: r.text
+        for r in store.read("corpus_docs", where="day = DATE '2024-01-02'").collect()
+    }
+    assert day2_text[16] == (
+        "the unique of openers and writers is a preamble zq16a"
+        " zq16b closers and finishers wrap zq16c"
+    )
+    # ... while untouched docs pass through byte-identical
+    assert day2_text[14] == nd_base
+    # the state holds the keeper: every hash the cut window contributed
+    # is canonical at (day 1, doc 1) — spot-check the lifted window's own
+    # hash rows point at doc 1
+    spans_d1 = {
+        (r.doc_id, r.pos)
+        for r in store.read_bucketed("corpus_spans")
+        .where("day = DATE '2024-01-01'")
+        .collect()
+    }
+    assert all(doc in (1, 2, 3) for doc, _ in spans_d1)
+    assert (1, 1) in spans_d1  # "alpha of beta ... delta" at doc 1, offset 1
+    span_rows = store.read_bucketed("corpus_spans").count()
     # stats cover both days and only surviving docs; the NULL-lang doc
     # packs and rolls up as its own group (not dropped, not mis-bucketed)
     stats = {(str(r.day), r.lang): r for r in store.read("corpus_stats").collect()}
     assert stats[("2024-01-01", "en")].n_docs == 2
     assert stats[("2024-01-01", None)].n_docs == 1
-    assert stats[("2024-01-02", "en")].n_docs == 2
+    assert stats[("2024-01-02", "en")].n_docs == 3
     packed_null = store.read("corpus_packed", where="lang IS NULL").collect()
     assert [r.doc_id for r in packed_null] == [3]
     # the distribution-aware gate attached a DSIR weight from the stored
@@ -430,6 +469,18 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
         }
         assert clean2 == clean
         assert store.read("corpus_mh").count() == mh_rows
+        # span state: hash-absent append means re-runs add ZERO rows, and
+        # the re-run's span stage (prior-day-scoped read) reproduces the
+        # same stored text bytes — doc 16's cut doesn't deepen against the
+        # day's own stored state
+        assert store.read_bucketed("corpus_spans").count() == span_rows
+        rerun_text = {
+            r.doc_id: r.text
+            for r in store.read(
+                "corpus_docs", where="day = DATE '2024-01-02'"
+            ).collect()
+        }
+        assert rerun_text == day2_text
     # the backfill case: re-run day 2 with a CORRECTED batch (doc 13's
     # text amended) — the unchanged dedup verdicts hold and the corrected
     # doc replaces its old version instead of being self-dedup'd away
