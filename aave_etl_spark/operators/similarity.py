@@ -1827,21 +1827,43 @@ def _ivfpq_probe_tables(
     )
 
 
-def _ivfpq_rank(pairs: DataFrame, k: int, m_sub: int, round_digits: int) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_d2").asc(), F.col("candidate_id")
-    )
+def _ivfpq_rank(
+    pairs: DataFrame,
+    k: int,
+    m_sub: int,
+    round_digits: int,
+    extra_cols: tuple[str, ...] = (),
+    rank_within_cell: bool = False,
+) -> DataFrame:
+    if rank_within_cell:
+        # per-(query, CELL) shortlists WITH ties (F.rank): the dedup
+        # prefilter's containment guarantee lives here — a stored twin of
+        # the query shares its codes, so its ADC is the cell MINIMUM and
+        # rank() necessarily includes it (row_number could tie-break it
+        # away behind same-code candidates); coarse-code tie groups ride
+        # along and the downstream EXACT verify disposes of them
+        w = Window.partitionBy("query_id", "cell_id").orderBy(
+            F.col("approx_d2").asc()
+        )
+        rk = F.rank()
+    else:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("approx_d2").asc(), F.col("candidate_id")
+        )
+        rk = F.row_number()
     return (
         pairs.filter(F.col("candidate_id") != F.col("query_id"))
         .select(
             "query_id", "candidate_id", "cell_id",
             _adc_score(m_sub, round_digits).alias("approx_d2"),
+            *extra_cols,
         )
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", rk.over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "candidate_id", "cell_id", "approx_d2",
             F.col("rank").cast("long").alias("rank"),
+            *extra_cols,
         )
     )
 
@@ -2104,6 +2126,8 @@ def ivfpq_index_search(
     vec_col: str = "embedding",
     round_digits: int = 6,
     extra_where: str | None = None,
+    carry_cols: tuple[str, ...] = (),
+    rank_within_cell: bool = False,
 ) -> DataFrame:
     """Search a materialized IVF-PQ index (:func:`ivfpq_index_build`):
     produces exactly :func:`ivfpq_topk`'s output — (query_id,
@@ -2115,7 +2139,22 @@ def ivfpq_index_search(
     The probed cell ids are collected to the driver to build the literal
     partition predicate — a bounded set (≤ n_cells), which is exactly
     the static pruning a file listing needs; neither the corpus nor its
-    codes are ever collected."""
+    codes are ever collected.
+
+    ``carry_cols``: index carry columns (slice levels the build/append
+    stored, e.g. the ingest ``day``) appended to the output rows — a
+    downstream EXACT-verify stage uses the candidate's slice to prune
+    its raw-vector fetch to the candidates' partitions instead of the
+    corpus (the PQ-prefiltered dedup probe,
+    plans/embeddings_pipeline.py). Empty by default: output schema
+    unchanged.
+
+    ``rank_within_cell=True`` switches the top-``k`` from a global
+    per-query row_number to per-(query, cell) rank() WITH ties — the
+    dedup-prefilter shortlist form: containment of a stored code-twin is
+    guaranteed (it sits at its cell's ADC minimum), at the cost of up to
+    k x n_probe x tie-group rows per query instead of k. Retrieval
+    searches keep the default global ranking."""
     M = n_subspaces
     cellsdf = store.read(f"{name}_cells")
     cbdf = store.read(f"{name}_codebook")
@@ -2139,22 +2178,29 @@ def ivfpq_index_search(
     )
     if not probe_cells:  # empty query set: nothing to probe, nothing to scan
         id_type = queries.schema[id_col].dataType
-        empty_schema = T.StructType(
-            [
-                T.StructField("query_id", id_type),
-                T.StructField("candidate_id", id_type),
-                T.StructField("cell_id", T.IntegerType()),
-                T.StructField("approx_d2", T.DoubleType()),
-                T.StructField("rank", T.LongType()),
-            ]
-        )
-        return queries.sparkSession.createDataFrame([], empty_schema)
+        fields = [
+            T.StructField("query_id", id_type),
+            T.StructField("candidate_id", id_type),
+            T.StructField("cell_id", T.IntegerType()),
+            T.StructField("approx_d2", T.DoubleType()),
+            T.StructField("rank", T.LongType()),
+        ]
+        if carry_cols:
+            idx_types = {f.name: f.dataType for f in store.read(name).schema.fields}
+            fields += [T.StructField(c, idx_types[c]) for c in carry_cols]
+        return queries.sparkSession.createDataFrame([], T.StructType(fields))
     cells_pred = f"cell_id IN ({', '.join(str(c) for c in probe_cells)})"
     if extra_where is not None:
         # a carry-partitioned index (carry_cols at build/append) prunes on
         # this predicate at the file listing too — e.g. prior-day scoping
         cells_pred = f"({cells_pred}) AND ({extra_where})"
     idx = store.read(name, where=cells_pred).select(
-        "cell_id", F.col(id_col).alias("candidate_id"), F.col("codes").alias("_codes")
+        "cell_id",
+        F.col(id_col).alias("candidate_id"),
+        F.col("codes").alias("_codes"),
+        *carry_cols,
     )
-    return _ivfpq_rank(idx.join(F.broadcast(probed), "cell_id"), k, M, round_digits)
+    return _ivfpq_rank(
+        idx.join(F.broadcast(probed), "cell_id"), k, M, round_digits, carry_cols,
+        rank_within_cell,
+    )

@@ -48,6 +48,12 @@ artifact that re-trains over the accumulated corpus per batch.
   ``ivfpq_index_append`` under the frozen cells+codebook; the compressed
   layout (M ints per vector) an at-scale retrieval deployment searches,
   while the raw IVF table keeps serving the dedup probe's exact cosines.
+  Round 13 adds the UNIT-vector code twin ``emb_pq_unit`` (same asset,
+  same discipline, unit-normalized vectors): with the
+  ``emb_pq_prefilter`` resource, ``emb_clean``'s cross-corpus probe
+  shortlists by ADC over the unit codes and exact-verifies only the
+  shortlist — probe bytes ~M/(4d) of the flat scan, drop set certified
+  EQUAL (see :func:`_emb_pq_prefilter_dups` for the geometry argument).
 - ``emb_index_health`` (UNPARTITIONED, round 12): the quantizer-drift
   trigger as stored state — ``quantizer_outgrown``'s tuple refreshed by
   every run, so the frozen quantizer's linear probe-cost degradation is
@@ -109,6 +115,22 @@ EMB_INDEX = "emb_ivf"
 EMB_PQ_INDEX = "emb_pq"
 #: IVF-PQ geometry: coarse cells, residual codes per subspace, subspaces
 EMB_PQ_CELLS, EMB_PQ_CODES, EMB_PQ_M = 8, 8, 4
+#: the UNIT-vector PQ code twin (round 13): the same IVF-PQ layout built
+#: over unit-NORMALIZED vectors, maintained beside the raw code store by
+#: the same asset. Semantic dedup is a COSINE problem and L2-ADC over raw
+#: vectors is provably the wrong geometry for it: a rescaled replica
+#: (cosine 1.0, different norm) ranks cells and codes by its SCALED
+#: position, so no n_probe/shortlist bound can guarantee its original
+#: surfaces. On unit vectors cos >= t <=> L2² <= 2(1-t), and an exact OR
+#: rescaled copy becomes the IDENTICAL unit vector — it probes its
+#: original's cell first and shares its codes, so the per-cell ADC-min
+#: shortlist provably contains the original. Cost: M more ints/vector at
+#: rest, one extra encode pass/day.
+EMB_PQ_UNIT = "emb_pq_unit"
+#: PQ-prefiltered dedup probe: cells probed in the unit CODE store and
+#: per-(query, cell) ADC-shortlist rank (WITH ties) before the exact
+#: raw-vector verify
+EMB_PQ_NPROBE, EMB_PQ_SHORTLIST = 4, 4
 #: outgrowth factor: the quantizer is OUTGROWN when N > factor x n_cells²
 #: (shared by the graph's emb_index_health asset, the quantizer_outgrown
 #: predicate, and embeddings_maintenance's auto_retrain default)
@@ -134,8 +156,102 @@ def _emb_landing(ctx: AssetContext) -> DataFrame:
     ).select("vec_id", "embedding", "day")
 
 
+def _unit(df: DataFrame) -> DataFrame:
+    """Unit-normalize ``embedding`` keeping the frame's other columns —
+    the similarity.normalized() form (norm bound in its own projection so
+    the interpreted HOF divide stays O(dim) per row), day preserved for
+    the carry partition level."""
+    withn = df.select("*", similarity.norm(F.col("embedding")).alias("_n"))
+    return withn.select(
+        *[c for c in df.columns if c != "embedding"],
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") / F.col("_n")
+        ).alias("embedding"),
+    )
+
+
+def _emb_pq_prefilter_dups(store, batch: DataFrame, day: str) -> DataFrame:
+    """The PQ-PREFILTERED cross-corpus semantic-dedup probe (round 13):
+    shortlist candidates with an ADC search over the maintained
+    UNIT-vector CODE store (``EMB_PQ_UNIT``), then EXACT-verify only the
+    shortlist against raw vectors fetched from the candidates' own day
+    slices.
+
+    The flat probe (``ivf_index_search`` over ``emb_ivf``) scans d
+    doubles per candidate row of every probed cell across ALL history;
+    this composition reads M small ints per candidate from the
+    partition-pruned code scan and touches raw vectors only for the
+    shortlist — probe bytes drop by ~M/(4d) at scale (SCALE.md row),
+    while the DROP DECISION stays EXACT: the verify computes the same
+    rounded cosine expression as the flat probe at the same threshold,
+    so a shortlisted non-dup can never be dropped.
+
+    Why the UNIT store and a per-cell tied shortlist: dedup is a cosine
+    predicate, and L2-ADC over RAW vectors cannot bound its recall — a
+    rescaled replica ranks cells/codes by its scaled position, so the
+    true duplicate can sit outside any global top-k (measured: the raw-
+    code shortlist missed most planted 2x replicas at the certified
+    geometry). On unit vectors an exact or rescaled copy IS its
+    original's unit vector: it probes the original's cell first and
+    shares its codes, so the original sits at the cell's ADC minimum
+    and the rank()-with-ties per-cell shortlist provably contains it —
+    certified DROP-SET-EQUAL to the flat probe in queries/llm.py
+    ``llm_emb_pq_prefilter_dedup``; `llm_emb_dedup_recall` guards the
+    organic near-dup tail. The raw fetch prunes ``emb_clean`` to the
+    DISTINCT candidate days (a bounded driver collect — at most the
+    shortlist size) and equi-joins on the candidate ids — history raw
+    bytes outside the candidates' slices are never read."""
+    short = similarity.ivfpq_index_search(
+        store,
+        _unit(batch),
+        name=EMB_PQ_UNIT,
+        k=EMB_PQ_SHORTLIST,
+        n_probe=EMB_PQ_NPROBE,
+        n_subspaces=EMB_PQ_M,
+        extra_where=f"day < DATE '{day}'",
+        carry_cols=("day",),
+        rank_within_cell=True,
+    )
+    cand = short.select("query_id", "candidate_id", "day").localCheckpoint(
+        eager=False
+    )  # consumed by the day collect AND the verify join
+    days = sorted(
+        str(r.day) for r in cand.select("day").distinct().collect()
+    )
+    empty = batch.sparkSession.createDataFrame(
+        [], StructType([StructField("vec_id", LongType(), True)])
+    )
+    if not days:
+        return empty
+    day_pred = "day IN (" + ", ".join(f"DATE '{d}'" for d in days) + ")"
+    raw = store.read("emb_clean", where=day_pred, schema=_CLEAN_SCHEMA).select(
+        F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("_cv")
+    )
+    qv = batch.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    return (
+        cand.join(raw, "candidate_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            F.round(similarity.cosine(F.col("_qv"), F.col("_cv")), 6).alias("_cs"),
+        )
+        .filter(F.col("_cs") >= EMB_DUP_COSINE)
+        .select(F.col("query_id").alias("vec_id"))
+        .distinct()
+    )
+
+
 def _emb_clean(ctx: AssetContext) -> DataFrame:
-    """Dedup the day's vectors within the batch and against the CORPUS."""
+    """Dedup the day's vectors within the batch and against the CORPUS.
+
+    Cross-corpus probe modes: the default reads the raw-vector IVF index
+    (exact cosines over the probed cells); with the ``emb_pq_prefilter``
+    resource truthy AND the PQ code store complete, the probe instead
+    runs :func:`_emb_pq_prefilter_dups` — ADC shortlist over the code
+    store, exact verify on the shortlist only (the at-scale bytes
+    shape; drop set certified equal on the planted corpus)."""
     batch = ctx.upstream(
         "emb_landing", this_partition_only=True, date_col="day",
         schema=_LANDING_SCHEMA,
@@ -156,11 +272,17 @@ def _emb_clean(ctx: AssetContext) -> DataFrame:
     wdups = similarity.within_batch_cosine_drops(batch, min_cos=EMB_DUP_COSINE)
     batch = batch.join(wdups, "vec_id", "left_anti")
     store = ctx.store
+    if ctx.resources.get("emb_pq_prefilter") and store.is_complete(EMB_PQ_UNIT):
+        # PQ-prefiltered mode (round 13): ADC shortlist over the code
+        # store, exact verify on the shortlist's raw vectors only — the
+        # same prior-day scoping, the same exact threshold decision
+        dups = _emb_pq_prefilter_dups(store, batch, ctx.partition.date)
+        batch = batch.join(dups, "vec_id", "left_anti")
     # both index members must exist: an interrupted first build can leave
     # the centroid sidecar without the assignments table, and a search
     # over the missing table would read back zero-column and crash — the
     # next emb_state run self-heals the pair
-    if store.exists(f"{EMB_INDEX}_centroids") and store.exists(EMB_INDEX):
+    elif store.exists(f"{EMB_INDEX}_centroids") and store.exists(EMB_INDEX):
         # cross-corpus semantic dedup: nearest prior-day neighbor via the
         # at-rest index; the day predicate keeps a re-run from matching
         # the day's own prior slice (backfill discipline)
@@ -248,19 +370,30 @@ def _emb_pq_state(ctx: AssetContext) -> DataFrame:
     if clean.isEmpty():
         # never train PQ geometry on an empty day (the emb_state rule)
         return clean
-    if store.is_complete(EMB_PQ_INDEX):
-        similarity.ivfpq_index_append(
-            store, clean, name=EMB_PQ_INDEX, n_subspaces=EMB_PQ_M,
-            carry_cols=("day",),
-        )
-    else:
-        acc = store.read("emb_clean", schema=_CLEAN_SCHEMA)
-        if acc.count() >= EMB_PQ_CELLS + EMB_PQ_CODES:
-            similarity.ivfpq_index_build(
-                store, acc, name=EMB_PQ_INDEX, n_cells=EMB_PQ_CELLS,
-                n_codes=EMB_PQ_CODES, n_subspaces=EMB_PQ_M,
+    acc = None
+    for name, frame_of in (
+        (EMB_PQ_INDEX, lambda df: df),
+        # the unit twin: same layout, unit-normalized vectors — the
+        # cosine-correct geometry the PQ-prefiltered dedup probe needs
+        # (see EMB_PQ_UNIT). Maintained under the same seed threshold and
+        # completion-marker discipline, day-partitioned the same way.
+        (EMB_PQ_UNIT, _unit),
+    ):
+        if store.is_complete(name):
+            similarity.ivfpq_index_append(
+                store, frame_of(clean), name=name, n_subspaces=EMB_PQ_M,
                 carry_cols=("day",),
             )
+        else:
+            if acc is None:
+                acc = store.read("emb_clean", schema=_CLEAN_SCHEMA)
+                acc_n = acc.count()
+            if acc_n >= EMB_PQ_CELLS + EMB_PQ_CODES:
+                similarity.ivfpq_index_build(
+                    store, frame_of(acc), name=name, n_cells=EMB_PQ_CELLS,
+                    n_codes=EMB_PQ_CODES, n_subspaces=EMB_PQ_M,
+                    carry_cols=("day",),
+                )
     return clean
 
 
@@ -496,6 +629,20 @@ def embeddings_maintenance(
             carry_cols=("day",),
         )
         out[EMB_PQ_INDEX] = (before_pq, store.read(EMB_PQ_INDEX).count())
+    # the unit-vector code twin (the dedup prefilter's store) gets the
+    # same reclaim rebuild under its own frozen geometry
+    if store.is_complete(EMB_PQ_UNIT) and store.exists("emb_clean"):
+        before_u = store.read(EMB_PQ_UNIT).count()
+        similarity.ivfpq_index_build(
+            store,
+            _unit(store.read("emb_clean")),
+            name=EMB_PQ_UNIT,
+            n_subspaces=EMB_PQ_M,
+            cells=store.read(f"{EMB_PQ_UNIT}_cells"),
+            codebook=store.read(f"{EMB_PQ_UNIT}_codebook"),
+            carry_cols=("day",),
+        )
+        out[EMB_PQ_UNIT] = (before_u, store.read(EMB_PQ_UNIT).count())
     return out
 
 

@@ -914,6 +914,12 @@ family(
             ("cell_id", "approx_d2", "rank"),
         ),
         (
+            "emb_pq_prefilter",
+            "llm_emb_pq_prefilter_dedup",
+            ("CAST(vec_id AS STRING)",),
+            (),
+        ),
+        (
             "binary",
             "llm_binary_payload",
             ("CAST(doc_id AS STRING)", "content_md5"),

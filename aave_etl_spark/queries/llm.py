@@ -5432,6 +5432,45 @@ def llm_corpus_shards(spark, sf_dir):
 
 
 @register(
+    "llm_emb_pq_prefilter_dedup",
+    export=False,  # driver slot held by its family head (pivot_family)
+    oracle=f"""
+    WITH {_EMB_CTES}
+    SELECT vec_id FROM edup
+    """,
+    doc=(
+        "LLM embeddings: the PQ-PREFILTERED semantic-dedup probe (round"
+        " 13) — the day-2 batch shortlisted by ADC over the maintained"
+        " emb_pq code store (M ints per candidate, partition-pruned,"
+        " prior-day-scoped), then EXACT-verified against raw vectors"
+        " fetched only from the shortlist candidates' day slices; the"
+        " oracle is the FLAT probe's drop set (the e2e chain's edup CTE),"
+        " so the cert IS the drop-set-equality contract: on the planted"
+        " corpus (exact +10M and 2x-rescaled +20M replicas) the"
+        " compressed-probe composition drops exactly what the raw-vector"
+        " probe drops — probe bytes ~M/(4d) of the flat scan (SCALE.md),"
+        " exactness preserved by the raw verify at the same rounded-"
+        " cosine threshold"
+    ),
+)
+def llm_emb_pq_prefilter_dedup(spark, sf_dir):
+    from aave_etl_spark.plans.embeddings_pipeline import (
+        EMB_DUP_COSINE,
+        _emb_pq_prefilter_dups,
+    )
+
+    store = _emb_run_store(spark, sf_dir)
+    # reconstruct the day-2 probe INPUT exactly as _emb_clean builds it
+    # (exact-vector dedup, then within-batch semantic dedup) — the same
+    # stages the flat-probe oracle chain models as ed2b
+    batch = store.read("emb_landing", where="day = DATE '2024-01-02'")
+    batch = dedup.keep_first_by_digest(batch, F.col("embedding"), id_col="vec_id")
+    wd = similarity.within_batch_cosine_drops(batch, min_cos=EMB_DUP_COSINE)
+    batch = batch.join(wd, "vec_id", "left_anti")
+    return _emb_pq_prefilter_dups(store, batch, "2024-01-02")
+
+
+@register(
     "llm_emb_stream_ingest",
     export=False,  # driver slot held by its family head (window_shift_family)
     oracle=f"""

@@ -929,6 +929,68 @@ def test_corpus_decontamination_gate_bars_eval_overlap(spark, tmp_path):
     assert not store2.exists("corpus_contam")
 
 
+def test_emb_pq_prefilter_mode_matches_flat_probe(spark, tmp_path):
+    """The PQ-prefiltered cross-corpus dedup mode (round 13): with the
+    ``emb_pq_prefilter`` resource, _emb_clean shortlists via ADC over the
+    UNIT-vector code twin and exact-verifies only the shortlist — the
+    day-2 clean slice must be IDENTICAL to the flat raw-probe run's
+    (exact + rescaled replicas dropped, fresh vectors kept), and the
+    unit code store must exist complete beside the raw one."""
+    import hashlib
+
+    from aave_etl_spark.plans.embeddings_pipeline import (
+        EMB_PQ_UNIT,
+        embeddings_pipeline_graph,
+    )
+
+    def _coord(i, k):
+        return float(
+            int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16) % 97
+        )
+
+    d1 = [(i, [_coord(i, k) for k in range(8)], "2024-01-01") for i in range(40)]
+    d2 = [
+        (10_000_100, [_coord(0, k) for k in range(8)], "2024-01-02"),  # exact
+        (
+            20_000_101,
+            [2.0 * _coord(1, k) for k in range(8)],
+            "2024-01-02",
+        ),  # rescaled
+        (102, [_coord(90_102, k) for k in range(8)], "2024-01-02"),  # fresh
+    ]
+    landing = spark.createDataFrame(
+        d1 + d2, "vec_id long, embedding array<double>, day string"
+    ).withColumn("day", F.to_date("day"))
+    graph = embeddings_pipeline_graph()
+
+    def run(res):
+        store = TableStore(spark, str(tmp_path / f"wh_{len(res)}"))
+        for day in ("2024-01-01", "2024-01-02"):
+            orch.run_day(
+                spark, store, graph, day, markets=[],
+                resources={"vectors": landing, **res},
+            )
+        return store
+
+    flat = run({})
+    pq = run({"emb_pq_prefilter": True})
+    assert pq.is_complete(EMB_PQ_UNIT)
+    assert pq.read(EMB_PQ_UNIT).count() > 0
+
+    def d2_ids(store):
+        return {
+            r.vec_id
+            for r in store.read(
+                "emb_clean", where="day = DATE '2024-01-02'"
+            ).collect()
+        }
+
+    assert d2_ids(flat) == {102}  # replicas dropped by the raw probe
+    assert d2_ids(pq) == d2_ids(flat)  # drop-set equality, end-to-end
+    # the raw IVF index (still maintained) holds the same 41 survivors
+    assert pq.read("emb_ivf").count() == flat.read("emb_ivf").count() == 41
+
+
 def test_quantizer_outgrowth_trigger_and_auto_retrain(spark, tmp_path):
     """quantizer_outgrown is the executable drift trigger: with a 2-cell
     quantizer and a corpus past factor x n_cells^2 it fires and
