@@ -53,8 +53,10 @@ def main() -> int:
     start = date(2024, 1, 1)  # a Monday; Sundays are days 7, 14, ...
     for i in range(n_days):
         day = (start + timedelta(days=i)).isoformat()
+        # day 1 starts at id 0 so ids < EMB_N_CELLS seed the deterministic
+        # day-1 quantizer (the scale_emb.py convention)
         landing = synth(
-            spark, batch, dim, 1_000_000 * (i + 1), day
+            spark, batch, dim, 1_000_000 * i, day
         ).localCheckpoint(eager=True)
         t0 = time.perf_counter()
         run_day(spark, store, graph, day, markets=[], resources={"vectors": landing})
