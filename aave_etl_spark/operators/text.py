@@ -703,6 +703,285 @@ def unigram_logprob(
     )
 
 
+def ngram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram + bigram counts of the corpus's normalized token stream —
+    one row per distinct gram, ``(w1, w2, tf)`` with ``w2`` NULL for
+    unigrams: the count state of a stupid-backoff LM (Brants et al.
+    2007, "Large Language Models in Machine Translation" §4 — the
+    smoothing-free scheme built FOR distributed trillion-token corpora:
+    no discounting ties grams together, so count states are purely
+    ADDITIVE and per-day tables merge by summing ``tf``; see
+    :func:`stupid_backoff_score` for the scoring half).
+
+    Plan: ONE tokenize + explode pass — each position's (prev, cur)
+    pair is derived inside the token array by index arithmetic
+    (``F.transform`` + ``F.get``; no per-doc window, no second explode)
+    and unigram/bigram gram structs concat into a single exploded
+    stream — then one map-side-combinable groupBy. Token-frequency skew
+    ("the") concentrates occurrences of ONE gram key into one count
+    row; nothing pair-fans out."""
+    l = tokens(text_col)
+    uni = F.transform(
+        l,
+        lambda x: F.struct(
+            x.alias("w1"), F.lit(None).cast("string").alias("w2")
+        ),
+    )
+    bi = F.filter(
+        F.transform(
+            l, lambda x, i: F.struct(F.get(l, i - 1).alias("w1"), x.alias("w2"))
+        ),
+        lambda s: s["w1"].isNotNull(),
+    )
+    return (
+        df.select(F.explode(F.concat(uni, bi)).alias("g"))
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-doc negative log-likelihood under a stupid-backoff bigram LM
+    (Brants et al. 2007 §4):
+
+        S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})   if the bigram
+                                                         is in ``counts``
+                         = alpha * S(w_i)                otherwise
+        S(w)             = c(w) / N                      in-vocabulary
+                         = alpha / N                     out-of-vocabulary
+
+    (stupid backoff leaves OOV undefined; the deterministic alpha/N
+    uniform floor keeps every score total and engine-portable). A doc's
+    FIRST token scores S(w_1) — no sentence markers. Output:
+    ``(id, n_tokens, avg_neg_logprob)``; zero-token docs are absent
+    (the ``unigram_logprob`` contract). Unlike ``unigram_logprob`` —
+    which scores a corpus against its OWN frequencies — ``counts`` here
+    is a separately-trained reference LM (``ngram_counts`` output, or
+    an at-rest per-day count state rolled up by summing ``tf``), which
+    is the actual CCNet setup: score the incoming batch against a FIXED
+    LM, so unseen-bigram and OOV backoff branches are real.
+
+    Plan: the (prev, cur) stream comes from index arithmetic inside the
+    token array (one explode, no per-doc window); three LEFT equi-joins
+    against the vocab-sized count table (cur-unigram, prev-unigram for
+    the conditional's denominator, bigram) — each stream row matches at
+    most ONE count row, so a hot token skews a shuffle key (AQE skew
+    split handles it) but never fans out; the corpus total folds into
+    one broadcast row (the ``unigram_logprob`` shape). All JVM-side
+    expressions, no UDFs."""
+    uni = counts.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("_w"), F.col("tf").alias("_wtf")
+    )
+    bi = counts.filter(F.col("w2").isNotNull()).select(
+        F.col("w1").alias("_bw1"),
+        F.col("w2").alias("_bw2"),
+        F.col("tf").alias("_btf"),
+    )
+    total = uni.agg(F.sum("_wtf").cast("double").alias("_n"))
+    l = tokens(text_col)
+    stream = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                l,
+                lambda x, i: F.struct(
+                    F.get(l, i - 1).alias("prev"), x.alias("cur")
+                ),
+            )
+        ).alias("t"),
+    ).select(id_col, F.col("t.prev").alias("_prev"), F.col("t.cur").alias("_cur"))
+    joined = (
+        stream.join(uni, stream["_cur"] == uni["_w"], "left")
+        .select(id_col, "_prev", "_cur", "_wtf")
+        .join(
+            uni.select(F.col("_w").alias("_pw"), F.col("_wtf").alias("_ptf")),
+            F.col("_prev") == F.col("_pw"),
+            "left",
+        )
+        .join(
+            bi,
+            (F.col("_prev") == F.col("_bw1")) & (F.col("_cur") == F.col("_bw2")),
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    uni_s = F.when(
+        F.col("_wtf").isNotNull(), F.col("_wtf").cast("double") / F.col("_n")
+    ).otherwise(F.lit(float(alpha)) / F.col("_n"))
+    s = (
+        F.when(F.col("_prev").isNull(), uni_s)
+        .when(
+            F.col("_btf").isNotNull(),
+            F.col("_btf").cast("double") / F.col("_ptf").cast("double"),
+        )
+        .otherwise(F.lit(float(alpha)) * uni_s)
+    )
+    return (
+        joined.select(F.col(id_col), (-F.log(s)).alias("_nll"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("_nll"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
+#: symbol delimiter inside BPE word representations — a control char that
+#: whitespace-normalized tokens can never contain, so plain substring
+#: replace is boundary-exact (no symbol can span a delimiter)
+BPE_SEP = "\x01"
+
+
+def _bpe_word_syms(word) -> Column:
+    """``'abc'`` → ``'\\x01a\\x01b\\x01c\\x01'`` — each initial symbol (one
+    character) delimited on BOTH sides, so merging pair (l, r) is the
+    exact substring replace ``SEP l SEP r SEP → SEP lr SEP`` with
+    left-to-right non-overlap semantics identical on Spark and DuckDB."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.concat(
+        F.lit(BPE_SEP), F.regexp_replace(c, "(.)", "$1" + BPE_SEP)
+    )
+
+
+# Merge-rewrite semantics note: the delimited form makes each merge ONE
+# literal substring replace, whose left-to-right non-overlap semantics are
+# identical on Spark (F.replace) and DuckDB (replace). When left == right
+# (merging a REPEATED symbol) a run of >= 3 copies consumes its shared
+# boundary delimiter, so the leftover singleton of an odd run lands at an
+# alternating-boundary position instead of canonical BPE's strictly-
+# leftmost-first walk — the merged MULTISET is identical, only the
+# leftover's position differs, and only for left == right runs. Accepted
+# as a deterministic engine-portable variant; left != right merges (the
+# overwhelmingly common case on natural text) are exactly canonical.
+
+
+def bpe_learn(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Learn a byte-pair-encoding merge table from the corpus (Sennrich
+    et al. 2016, arXiv:1508.07909): starting from per-character symbols,
+    repeatedly merge the globally most frequent adjacent symbol pair —
+    ties broken (count desc, left asc, right asc) so the table is
+    deterministic and engine-portable. Output: one row per merge,
+    ``(rank, left, right, merged, pair_count)`` in learn order — the
+    artifact a tokenizer ships; apply with :func:`bpe_segment`.
+
+    Scale shape — the part that matters at 100 TB: the corpus is
+    scanned ONCE, collapsing to the ``(word, freq)`` vocabulary table
+    (Heaps-bounded — millions of rows regardless of corpus bytes);
+    every merge round after that is one map-side-combinable pair count
+    plus a narrow string rewrite over the VOCAB table only, so per-round
+    cost is corpus-size-independent. Rounds are inherently sequential
+    (classic BPE is a sequential greedy algorithm); each round's argmax
+    is a one-row bounded collect (the block-height-scalar discipline),
+    and the rewritten vocab is ``localCheckpoint``-ed per round to keep
+    the plan flat (the k-means update discipline). A production 32k-vocab
+    run batches compatible merges per round to cut round count; this
+    operator is the exact top-1 form the batched variant must reproduce.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(_bpe_word_syms("w").alias("sym"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    merges = []
+    for rank in range(1, int(n_merges) + 1):
+        syms = F.filter(F.split("sym", BPE_SEP), lambda x: x != "")
+        pair_counts = (
+            words.select(
+                F.explode(
+                    F.filter(
+                        F.transform(
+                            syms,
+                            lambda x, i: F.struct(
+                                F.get(syms, i - 1).alias("lft"), x.alias("rgt")
+                            ),
+                        ),
+                        lambda s: s["lft"].isNotNull(),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.lft").alias("lft"), F.col("p.rgt").alias("rgt"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pair_counts.orderBy(
+            F.col("c").desc(), F.col("lft"), F.col("rgt")
+        ).first()
+        if best is None:
+            break
+        merges.append((rank, best.lft, best.rgt, best.lft + best.rgt, int(best.c)))
+        words = words.select(
+            F.replace(
+                F.col("sym"),
+                F.lit(BPE_SEP + best.lft + BPE_SEP + best.rgt + BPE_SEP),
+                F.lit(BPE_SEP + best.lft + best.rgt + BPE_SEP),
+            ).alias("sym"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count long",
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment the corpus's vocabulary under a learned BPE merge table:
+    every distinct word rewritten by applying ``merges`` IN RANK ORDER
+    (the BPE inference rule — learn order, not per-word greedy). Output:
+    ``(word, freq, symbols, n_symbols)`` — the segmentation a tokenizer
+    produces, with ``symbols`` the final symbol array.
+
+    The merge table is vocabulary-budget-sized BY CONTRACT (a tokenizer
+    artifact — thousands of rows, never corpus-shaped), so it collects
+    to the driver and compiles into a chain of narrow substring-replace
+    expressions over the vocab table: zero joins, zero shuffles beyond
+    the one word count, corpus bytes touched once."""
+    ranked = sorted(
+        merges.select("rank", "left", "right").collect(), key=lambda r: r.rank
+    )
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    sym = _bpe_word_syms("w")
+    for m in ranked:
+        sym = F.replace(
+            sym,
+            F.lit(BPE_SEP + m.left + BPE_SEP + m.right + BPE_SEP),
+            F.lit(BPE_SEP + m.left + m.right + BPE_SEP),
+        )
+    syms = F.filter(F.split(sym, BPE_SEP), lambda x: x != "")
+    return words.select(
+        F.col("w").alias("word"),
+        F.col("freq").cast("long").alias("freq"),
+        syms.alias("symbols"),
+        F.size(syms).cast("long").alias("n_symbols"),
+    )
+
+
 def c4_line_filter(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -68,6 +68,15 @@ is the thing the at-rest state exists to avoid:
   with ``flagged`` = ratio >= ``CONTAM_MAX_RATIO`` — GPT-3/Pile-style
   n-gram decontamination run AT INGEST; only the batch is ever
   shingled, the digest state broadcasts.
+- ``corpus_lm_state``  (DAILY, day-partitioned): the day's stupid-
+  backoff LM count state (Brants et al. 2007) over the clean slice —
+  unigram + bigram ``(w1, w2, tf)`` rows, ADDITIVE across days, the
+  corpus's rolling reference LM.
+- ``corpus_lm_quality`` (DAILY, day-partitioned): CCNet-style LM
+  quality (Wenzek et al. 2020) of the day's clean slice scored by
+  stupid-backoff NLL against the LM rolled up from STRICTLY PRIOR
+  days, bucketed head/middle/tail per (day, lang); the first ingest
+  day (no reference LM yet) emits zero rows.
 - ``corpus_gated``     (DAILY, day-partitioned): quality_score +
   language_id gate over the day's clean slice (quality >= 0.5 and a
   confident language guess, contamination-flagged docs barred), token
@@ -143,6 +152,11 @@ SHARD_N, SHARD_SEED = 4, "epoch0"
 #: 2022 substring-dedup granularity, shared by the in-flight rewrite and
 #: the at-rest corpus_spans canonical-occurrence state
 SPAN_N = 8
+#: stupid-backoff LM (Brants et al. 2007): backoff multiplier, and the
+#: CCNet head/middle cumulative cut points over each day's per-language
+#: score ranks (literal cuts — never summed at runtime, the IEEE
+#: 0.3 + 0.3 != 0.6 trap perplexity_buckets documents)
+LM_ALPHA, LM_CUT1, LM_CUT2 = 0.4, 0.3, 0.6
 
 
 def _corpus_landing(ctx: AssetContext) -> DataFrame:
@@ -210,6 +224,14 @@ _HH_STATE_SCHEMA = StructType(
 _PACKED_SCHEMA = _schema(
     ("day", DateType), ("lang", StringType), ("doc_id", LongType),
     ("n_tokens", LongType), ("pack_id", LongType), ("pack_offset", LongType),
+)
+_LM_STATE_SCHEMA = _schema(
+    ("day", DateType), ("w1", StringType), ("w2", StringType),
+    ("tf", LongType),
+)
+_LM_QUALITY_SCHEMA = _schema(
+    ("day", DateType), ("doc_id", LongType), ("n_tokens", LongType),
+    ("avg_neg_logprob", DoubleType), ("bucket", StringType),
 )
 _EVAL_SCHEMA = _schema(("shingle_digest", StringType))
 _CONTAM_SCHEMA = StructType(
@@ -548,6 +570,99 @@ def _corpus_contam(ctx: AssetContext) -> DataFrame:
     )
 
 
+def _corpus_lm_state(ctx: AssetContext) -> DataFrame:
+    """The day's stupid-backoff LM count state over the clean slice:
+    ``(day, w1, w2 NULL for unigrams, tf)`` — the corpus's rolling
+    reference LM (Brants et al. 2007), maintained exactly like the DSIR
+    distribution state: counts are ADDITIVE, so the LM "as of" any day
+    is a sum over stored day slices, and a corrected backfill re-run
+    dynamic-overwrites its own day partition with no cross-day repair
+    (no hash-absent subtlety — unlike the span state there is no keeper
+    to preserve). Per-day cost is batch-bound (one tokenize + explode of
+    the DAY's clean text); the rolled-up table the scorer reads grows
+    with DISTINCT grams, which saturates sublinearly (Heaps' law), not
+    with corpus bytes."""
+    clean = ctx.upstream(
+        "corpus_clean", this_partition_only=True, date_col="day",
+        schema=_CLEAN_SCHEMA,
+    )
+    return text_ops.ngram_counts(clean, text_col="text").select(
+        F.lit(ctx.partition.date).cast("date").alias("day"), "w1", "w2", "tf"
+    )
+
+
+def _corpus_lm_quality(ctx: AssetContext) -> DataFrame:
+    """CCNet-style LM quality of the day's clean slice (Wenzek et al.
+    2020 §4.4): each doc scored by stupid-backoff NLL against the
+    REFERENCE LM rolled up from days STRICTLY BEFORE the current one —
+    CCNet scores against a fixed pretrained LM, and the strict-past
+    scope keeps the backoff branches real (a same-day fold would put
+    every batch gram in the LM and no bigram would ever back off) and
+    the day idempotent under re-runs (a day's scores never depend on
+    its own state write). Output: ``(day, doc_id, n_tokens,
+    avg_neg_logprob, bucket)`` with head/middle/tail cut at the
+    LM_CUT1/LM_CUT2 percent-ranks per (day, lang) — CCNet keeps
+    head+middle for pretraining. The FIRST ingest day has no reference
+    LM yet and emits zero rows (no degenerate all-OOV scores against an
+    empty vocabulary): expressed as scores over a NULL corpus total all
+    folding to NULL and filtered, so the guard costs no eager action.
+
+    Scale: scoring is three equi-joins of the day's token stream
+    against the vocab-sized rolled state (operators/text.py
+    stupid_backoff_score plan notes); the bucket window partitions by
+    (day's batch x language) — for a day batch too large to window,
+    swap the percent_rank for the two percentile_approx thresholds
+    exactly as perplexity_buckets(approximate=True) does (same
+    head/middle/tail semantics at epsilon boundary slop).
+
+    Certified (counts state + day-2 scores + buckets vs a from-scratch
+    DuckDB derivation): queries/llm.py ``llm_corpus_lm``."""
+    from pyspark.sql.window import Window
+
+    clean = ctx.upstream(
+        "corpus_clean", this_partition_only=True, date_col="day",
+        schema=_CLEAN_SCHEMA,
+    )
+    state = ctx.store.read(
+        "corpus_lm_state",
+        where=f"day < DATE '{ctx.partition.date}'",
+        schema=_LM_STATE_SCHEMA,
+    )
+    counts = state.groupBy("w1", "w2").agg(F.sum("tf").alias("tf"))
+    # OPTIONAL count cutoff (the ``lm_min_tf`` resource): drop rolled
+    # grams with tf below the threshold — Brants et al. 2007 §4.2's own
+    # remedy for count-state growth (singleton grams dominate an
+    # open-vocabulary web corpus and contribute least to scores).
+    # Stupid backoff degrades GRACEFULLY under pruning by construction:
+    # a pruned bigram backs off to alpha * S(unigram), a pruned unigram
+    # to the alpha/N OOV floor — scores shift only where counts were
+    # thinnest. Off (the default) the certified full-count path runs.
+    min_tf = ctx.resources.get("lm_min_tf")
+    if min_tf is not None:
+        counts = counts.filter(F.col("tf") >= int(min_tf))
+    scored = text_ops.stupid_backoff_score(
+        clean, counts, text_col="text", alpha=LM_ALPHA
+    ).filter(F.col("avg_neg_logprob").isNotNull())
+    withlang = scored.join(clean.select("doc_id", "lang"), "doc_id")
+    # rank on the ROUNDED score (the output value), doc_id tiebreak —
+    # deterministic and engine-portable by construction
+    pr = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
+    )
+    bucket = (
+        F.when(pr < F.lit(LM_CUT1), "head")
+        .when(pr < F.lit(LM_CUT2), "middle")
+        .otherwise("tail")
+    )
+    return withlang.select(
+        F.lit(ctx.partition.date).cast("date").alias("day"),
+        "doc_id",
+        "n_tokens",
+        "avg_neg_logprob",
+        bucket.alias("bucket"),
+    )
+
+
 def _corpus_gated(ctx: AssetContext) -> DataFrame:
     """Quality + language gate over the day's clean slice, with the DSIR
     importance weight of every surviving doc attached — computed against
@@ -879,6 +994,25 @@ def corpus_pipeline_graph() -> AssetGraph:
                 fn=_corpus_contam,
                 deps=("corpus_clean", "corpus_eval_shingles"),
                 group="corpus_lake",
+                partitioning=DAILY,
+                partition_cols=("day",),
+            ),
+            Asset(
+                name="corpus_lm_state",
+                fn=_corpus_lm_state,
+                deps=("corpus_clean",),
+                group="corpus_lake",
+                partitioning=DAILY,
+                partition_cols=("day",),
+            ),
+            Asset(
+                name="corpus_lm_quality",
+                fn=_corpus_lm_quality,
+                # the state dep is lineage only — quality reads STRICTLY
+                # prior days' state, so ordering vs the day's own state
+                # write is immaterial (and what makes re-runs idempotent)
+                deps=("corpus_clean", "corpus_lm_state"),
+                group="corpus_curate",
                 partitioning=DAILY,
                 partition_cols=("day",),
             ),

@@ -178,6 +178,18 @@ family(
             ("n_tokens", "avg_neg_logprob"),
         ),
         (
+            "sbo",
+            "llm_stupid_backoff",
+            ("doc_id",),
+            ("n_tokens", "avg_neg_logprob"),
+        ),
+        (
+            "bpe",
+            "llm_bpe_vocab",
+            ("part", "k1", "k2", "k3", "k4"),
+            ("v1", "v2"),
+        ),
+        (
             "c4_lines",
             "llm_c4_line_filter",
             ("doc_id", "clean_md5"),
@@ -570,6 +582,12 @@ family(
             "llm_corpus_span_state",
             ("part", "k1", "k2", "k3"),
             ("v1",),
+        ),
+        (
+            "lm_state",
+            "llm_corpus_lm",
+            ("part", "k1", "k2", "k3"),
+            ("v1", "v2"),
         ),
         (
             "corpus_stopterms",

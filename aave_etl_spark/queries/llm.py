@@ -2608,6 +2608,146 @@ def llm_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "llm_stupid_backoff",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=f"""
+    WITH tr AS (SELECT {_TOKS} AS l FROM documents WHERE doc_id % 4 = 0),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT unnest(l) AS w FROM tr) GROUP BY w),
+    bi AS (SELECT g.w1 AS w1, g.w2 AS w2, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT unnest(list_transform(l[1:len(l) - 1],
+                        (x, i) -> struct_pack(w1 := x, w2 := l[i + 1]))) AS g
+                 FROM tr WHERE len(l) >= 2)
+           GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM uni),
+    stream AS (
+      SELECT doc_id, l2[i] AS cur, CASE WHEN i > 1 THEN l2[i - 1] END AS prev
+      FROM (SELECT doc_id, {_TOKS} AS l2 FROM documents WHERE doc_id % 4 = 1) t,
+           unnest(range(1, len(l2) + 1)) r(i)
+    ),
+    sc AS (
+      SELECT doc_id,
+             CASE WHEN prev IS NULL THEN
+                    CASE WHEN cu.tf IS NOT NULL
+                         THEN CAST(cu.tf AS DOUBLE) / tot.n
+                         ELSE 0.4 / tot.n END
+                  WHEN bi.tf IS NOT NULL
+                       THEN CAST(bi.tf AS DOUBLE) / CAST(pu.tf AS DOUBLE)
+                  ELSE 0.4 * CASE WHEN cu.tf IS NOT NULL
+                                  THEN CAST(cu.tf AS DOUBLE) / tot.n
+                                  ELSE 0.4 / tot.n END
+             END AS s
+      FROM stream
+      LEFT JOIN uni cu ON stream.cur = cu.w
+      LEFT JOIN uni pu ON stream.prev = pu.w
+      LEFT JOIN bi ON stream.prev = bi.w1 AND stream.cur = bi.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(s)), 6) AS avg_neg_logprob
+    FROM sc GROUP BY doc_id
+    """,
+    doc=(
+        "LLM curation: stupid-backoff bigram LM scoring (Brants et al."
+        " 2007 — the smoothing-free count-ratio LM built for distributed"
+        " trillion-token corpora): an LM trained on one disjoint document"
+        " slice scores another, so the seen-bigram ratio, the"
+        " alpha-backoff to an in-vocab unigram, AND the alpha/N OOV floor"
+        " are all exercised — the reference-LM CCNet setup that"
+        " unigram_logprob's self-scored proxy cannot express"
+    ),
+)
+def llm_stupid_backoff(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    counts = text.ngram_counts(docs.filter("doc_id % 4 = 0"))
+    return text.stupid_backoff_score(docs.filter("doc_id % 4 = 1"), counts)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """The BPE cert oracle, one chained CTE stage per merge round: pair
+    counts over the delimited symbol strings -> deterministic argmax
+    (count desc, left, right) -> literal substring-replace rewrite —
+    the exact operator semantics (operators/text.py bpe_learn), k
+    stages unrolled because classic BPE is sequential by definition."""
+    S = "\x01"
+    stages = []
+    for k in range(1, n_merges + 1):
+        stages.append(
+            f"""p{k} AS (
+      SELECT l[i] AS lft, l[i + 1] AS rgt, sum(freq) AS c
+      FROM (SELECT list_filter(string_split(sym, '{S}'), x -> x <> '') AS l,
+                   freq FROM w{k - 1}) t,
+           unnest(range(1, len(l))) r(i)
+      GROUP BY 1, 2),
+    b{k} AS (SELECT lft, rgt, c FROM p{k} ORDER BY c DESC, lft, rgt LIMIT 1),
+    w{k} AS (SELECT replace(sym, '{S}' || b{k}.lft || '{S}' || b{k}.rgt || '{S}',
+                            '{S}' || b{k}.lft || b{k}.rgt || '{S}') AS sym,
+                    w, freq
+             FROM w{k - 1} CROSS JOIN b{k})"""
+        )
+    merge_rows = "\nUNION ALL ".join(
+        f"SELECT 'merge' AS part, CAST({k} AS VARCHAR) AS k1, lft AS k2,"
+        f" rgt AS k3, lft || rgt AS k4, CAST(c AS DOUBLE) AS v1,"
+        f" CAST(NULL AS DOUBLE) AS v2 FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents WHERE doc_id % 4 = 0)
+      GROUP BY w
+    ),
+    w0 AS (SELECT '{S}' || regexp_replace(w, '(.)', '\\1{S}', 'g') AS sym,
+                  w, freq FROM wf),
+    {','.join(stages)}
+    {merge_rows}
+    UNION ALL
+    SELECT 'word', w,
+           array_to_string(list_filter(string_split(sym, '{S}'), x -> x <> ''), ' '),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(freq AS DOUBLE),
+           CAST(len(list_filter(string_split(sym, '{S}'), x -> x <> '')) AS DOUBLE)
+    FROM w{n_merges}
+    """
+
+
+@register(
+    "llm_bpe_vocab",
+    export=False,  # driver slot held by its family head (queries/families.py)
+    oracle=_bpe_oracle(4),
+    doc=(
+        "LLM tokenization: BPE vocabulary INDUCTION (Sennrich et al."
+        " 2016) — 4 merge rounds learned over a document slice (each"
+        " round certified: the argmax pair under the deterministic"
+        " count-desc/left/right order AND its weighted pair count) plus"
+        " the full vocabulary segmented under the learned table in rank"
+        " order (final symbol sequences byte-for-byte). The corpus"
+        " collapses to the (word, freq) vocab table after ONE scan;"
+        " every round is vocab-sized — the 100 TB shape"
+    ),
+)
+def llm_bpe_vocab(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter("doc_id % 4 = 0")
+    merges = text.bpe_learn(docs, n_merges=4)
+    seg = text.bpe_segment(docs, merges)
+    m = merges.selectExpr(
+        "'merge' AS part", "CAST(rank AS STRING) AS k1", "left AS k2",
+        "right AS k3", "merged AS k4", "CAST(pair_count AS DOUBLE) AS v1",
+        "CAST(NULL AS DOUBLE) AS v2",
+    )
+    wrows = seg.select(
+        F.lit("word").alias("part"),
+        F.col("word").alias("k1"),
+        F.array_join("symbols", " ").alias("k2"),
+        F.lit(None).cast("string").alias("k3"),
+        F.lit(None).cast("string").alias("k4"),
+        F.col("freq").cast("double").alias("v1"),
+        F.col("n_symbols").cast("double").alias("v2"),
+    )
+    return m.unionByName(wrows)
+
+
+@register(
     "llm_c4_line_filter",
     export=False,  # driver slot held by its family head (queries/families.py)
     oracle="""
@@ -3800,6 +3940,8 @@ def _corpus_run_store(spark, sf_dir):
             "corpus_eval_shingles",
             "corpus_contam",
             "corpus_shards",
+            "corpus_lm_state",
+            "corpus_lm_quality",
         )
     )
     if not done:
@@ -3986,6 +4128,105 @@ def llm_corpus_span_state(spark, sf_dir):
         "CAST(doc_id AS STRING) AS k3", "CAST(pos AS DOUBLE) AS v1",
     )
     return docs.unionByName(spans)
+
+
+@register(
+    "llm_corpus_lm",
+    export=False,  # driver slot held by its family head (corpus_state_family)
+    oracle=f"""
+    WITH {_CORPUS_CLEAN_CTES},
+    lml AS (SELECT day, {_TOKS} AS l FROM cclean),
+    lmg AS (
+      SELECT day, unnest(list_concat(
+        list_transform(l, x -> struct_pack(w1 := x, w2 := CAST(NULL AS VARCHAR))),
+        CASE WHEN len(l) >= 2
+             THEN list_transform(l[1:len(l) - 1],
+                                 (x, i) -> struct_pack(w1 := x, w2 := l[i + 1]))
+             ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END
+      )) AS g FROM lml
+    ),
+    lmc AS (
+      SELECT day, g.w1 AS w1, g.w2 AS w2, CAST(count(*) AS BIGINT) AS tf
+      FROM lmg GROUP BY 1, 2, 3
+    ),
+    lmuni AS (SELECT w1, sum(tf) AS tf FROM lmc
+              WHERE day = DATE '2024-01-01' AND w2 IS NULL GROUP BY w1),
+    lmbi AS (SELECT w1, w2, sum(tf) AS tf FROM lmc
+             WHERE day = DATE '2024-01-01' AND w2 IS NOT NULL GROUP BY w1, w2),
+    lmtot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM lmuni),
+    lmstream AS (
+      SELECT day, doc_id, lang, l2[i] AS cur,
+             CASE WHEN i > 1 THEN l2[i - 1] END AS prev
+      FROM (SELECT day, doc_id, lang, {_TOKS} AS l2 FROM cclean
+            WHERE day = DATE '2024-01-02') t,
+           unnest(range(1, len(l2) + 1)) r(i)
+    ),
+    lmsc AS (
+      SELECT day, doc_id, lang,
+             CASE WHEN prev IS NULL THEN
+                    CASE WHEN cu.tf IS NOT NULL
+                         THEN CAST(cu.tf AS DOUBLE) / lmtot.n
+                         ELSE 0.4 / lmtot.n END
+                  WHEN bi.tf IS NOT NULL
+                       THEN CAST(bi.tf AS DOUBLE) / CAST(pu.tf AS DOUBLE)
+                  ELSE 0.4 * CASE WHEN cu.tf IS NOT NULL
+                                  THEN CAST(cu.tf AS DOUBLE) / lmtot.n
+                                  ELSE 0.4 / lmtot.n END
+             END AS s
+      FROM lmstream
+      LEFT JOIN lmuni cu ON lmstream.cur = cu.w1
+      LEFT JOIN lmuni pu ON lmstream.prev = pu.w1
+      LEFT JOIN lmbi bi ON lmstream.prev = bi.w1 AND lmstream.cur = bi.w2
+      CROSS JOIN lmtot
+    ),
+    lmdoc AS (
+      SELECT day, doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(-ln(s)), 6) AS nll
+      FROM lmsc GROUP BY 1, 2, 3
+    ),
+    lmq AS (
+      SELECT day, doc_id, n_tokens, nll,
+             CASE WHEN pr < 0.3 THEN 'head'
+                  WHEN pr < 0.6 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM (SELECT *, percent_rank() OVER (PARTITION BY lang
+                                           ORDER BY nll, doc_id) AS pr
+            FROM lmdoc)
+    )
+    SELECT 'counts' AS part, CAST(day AS VARCHAR) AS k1, w1 AS k2, w2 AS k3,
+           CAST(tf AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM lmc
+    UNION ALL
+    SELECT 'quality', CAST(day AS VARCHAR), CAST(doc_id AS VARCHAR), bucket,
+           CAST(n_tokens AS DOUBLE), nll
+    FROM lmq
+    """,
+    doc=(
+        "LLM corpus state: the ROLLING REFERENCE LM (round 13) — the"
+        " per-day stupid-backoff count state (corpus_lm_state: unigram +"
+        " bigram tf over each day's clean slice, additive across days)"
+        " plus day 2's CCNet-style quality rows (corpus_lm_quality:"
+        " stupid-backoff NLL of every day-2 survivor scored against the"
+        " DAY-1 LM — strictly-prior-day state, so unseen-bigram and OOV"
+        " backoff branches are real — bucketed head/middle/tail at the"
+        " 0.3/0.6 percent-ranks per language), both read back FROM THE"
+        " STORE and certified against a from-scratch DuckDB derivation"
+        " over the accumulated clean corpus (Brants et al. 2007; Wenzek"
+        " et al. 2020)"
+    ),
+)
+def llm_corpus_lm(spark, sf_dir):
+    store = _corpus_run_store(spark, sf_dir)
+    counts = store.read("corpus_lm_state").selectExpr(
+        "'counts' AS part", "CAST(day AS STRING) AS k1", "w1 AS k2",
+        "w2 AS k3", "CAST(tf AS DOUBLE) AS v1", "CAST(NULL AS DOUBLE) AS v2",
+    )
+    qual = store.read("corpus_lm_quality").selectExpr(
+        "'quality' AS part", "CAST(day AS STRING) AS k1",
+        "CAST(doc_id AS STRING) AS k2", "bucket AS k3",
+        "CAST(n_tokens AS DOUBLE) AS v1", "avg_neg_logprob AS v2",
+    )
+    return counts.unionByName(qual)
 
 
 # ---------------------------------------------------------------------------

@@ -940,6 +940,93 @@ def test_unigram_logprob_hand_case(spark):
     assert got[1].avg_neg_logprob == pytest.approx(math.log(2), abs=1e-6)
 
 
+def test_stupid_backoff_hand_case(spark):
+    """Stupid-backoff bigram LM (Brants et al. 2007) scored against a
+    SEPARATELY-trained count state: all three branches — seen bigram,
+    unseen bigram over an in-vocab token, unseen bigram over an OOV
+    token — plus the first-token unigram path, hand-computed."""
+    import math
+
+    from aave_etl_spark.operators import text as text_ops
+
+    train = spark.createDataFrame(
+        [(0, "a b a c"), (4, "a b b")], "doc_id long, text string"
+    )
+    counts = text_ops.ngram_counts(train)
+    got_counts = {
+        (r.w1, r.w2): r.tf for r in counts.collect()
+    }
+    # uni: a=3, b=3, c=1 (N=7); bi: (a,b)=2, (b,a)=1, (a,c)=1, (b,b)=1
+    assert got_counts == {
+        ("a", None): 3, ("b", None): 3, ("c", None): 1,
+        ("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1, ("b", "b"): 1,
+    }
+    score_docs = spark.createDataFrame([(1, "a b z c")], "doc_id long, text string")
+    got = text_ops.stupid_backoff_score(score_docs, counts).collect()
+    assert len(got) == 1 and got[0].n_tokens == 4
+    # 'a' first-token: 3/7; 'b'|a seen bigram: 2/3; 'z'|b unseen bigram,
+    # z OOV: 0.4 * 0.4/7; 'c'|z unseen bigram, c in-vocab: 0.4 * 1/7
+    ss = [3 / 7, 2 / 3, 0.4 * (0.4 / 7), 0.4 * (1 / 7)]
+    expected = round(sum(-math.log(s) for s in ss) / 4, 6)
+    assert got[0].avg_neg_logprob == pytest.approx(expected, abs=1e-6)
+
+
+def test_bpe_learn_and_segment_match_reference(spark):
+    """BPE merge learning (Sennrich et al. 2016) against an in-test
+    reference with the SAME replace-rewrite semantics: the classic
+    low/lower/newest/widest corpus, 4 merges, then segmentation of the
+    vocabulary under the learned table in rank order."""
+    from aave_etl_spark.operators import text as text_ops
+
+    SEP = "\x01"
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+    def ref_learn(word_freqs, k):
+        vocab = {SEP + SEP.join(w) + SEP: f for w, f in word_freqs.items()}
+        merges = []
+        for rank in range(1, k + 1):
+            pc = {}
+            for s, f in vocab.items():
+                syms = [x for x in s.split(SEP) if x]
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] = pc.get((a, b), 0) + f
+            if not pc:
+                break
+            (l, r), c = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, l, r, l + r, c))
+            vocab = {
+                s.replace(SEP + l + SEP + r + SEP, SEP + l + r + SEP): f
+                for s, f in vocab.items()
+            }
+        return merges, vocab
+
+    expected, ref_vocab = ref_learn(freqs, 4)
+    text = " ".join(w for w, f in sorted(freqs.items()) for _ in range(f))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in text_ops.bpe_learn(df, n_merges=4).orderBy("rank").collect()
+    ]
+    assert got == expected
+    # segmentation: every vocab word's final symbol sequence matches the
+    # reference's rewritten representation under the same merge order
+    seg = {
+        r.word: (list(r.symbols), r.freq, r.n_symbols)
+        for r in text_ops.bpe_segment(
+            df, text_ops.bpe_learn(df, n_merges=4)
+        ).collect()
+    }
+    ref_seg = {
+        "".join(x for x in s.split(SEP) if x): [x for x in s.split(SEP) if x]
+        for s in ref_vocab
+    }
+    assert set(seg) == set(freqs)
+    for w, f in freqs.items():
+        assert seg[w] == (ref_seg[w], f, len(ref_seg[w])), w
+
+
 def test_ivf_index_roundtrip_matches_in_flight(spark, tmp_path):
     from aave_etl_spark.io.table_store import TableStore
     from tests.conftest import SF_SMOKE

@@ -451,6 +451,24 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
     assert 0 < len(stop) <= 5
     assert all(r.count_lb <= r.count_ub for r in stop)
     assert {r.rank for r in stop} == set(range(1, len(stop) + 1))
+    # the rolling reference LM (round 13): day 1 has no PRIOR state so it
+    # emits zero quality rows; day 2's clean survivors all score against
+    # the day-1 LM and land in a bucket; the count state is additive per
+    # day — spot-check a hand-counted day-1 unigram (the: 3+3+2)
+    lm_q = store.read("corpus_lm_quality").collect()
+    assert {str(r.day) for r in lm_q} == {"2024-01-02"}
+    assert {r.doc_id for r in lm_q} == {13, 14, 16}
+    assert all(
+        r.avg_neg_logprob is not None and r.bucket in ("head", "middle", "tail")
+        for r in lm_q
+    )
+    the_tf = (
+        store.read("corpus_lm_state")
+        .where("day = DATE '2024-01-01' AND w1 = 'the' AND w2 IS NULL")
+        .collect()
+    )
+    assert [r.tf for r in the_tf] == [8]
+    lm_rows = sorted((r.doc_id, r.avg_neg_logprob, r.bucket) for r in lm_q)
     mh_rows = store.read("corpus_mh").count()
     # re-run day 2 TWICE: dynamic overwrite of exactly its slice, same
     # result — state reads AND candidate pairs are scoped to EARLIER days,
@@ -481,6 +499,15 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
             ).collect()
         }
         assert rerun_text == day2_text
+        # LM quality reads STRICTLY prior days' state, so a re-run day's
+        # scores are untouched by its own state overwrite
+        assert (
+            sorted(
+                (r.doc_id, r.avg_neg_logprob, r.bucket)
+                for r in store.read("corpus_lm_quality").collect()
+            )
+            == lm_rows
+        )
     # the backfill case: re-run day 2 with a CORRECTED batch (doc 13's
     # text amended) — the unchanged dedup verdicts hold and the corrected
     # doc replaces its old version instead of being self-dedup'd away
@@ -504,6 +531,25 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
         for r in store.read("corpus_docs", where="day = DATE '2024-01-02'").collect()
     }
     assert fixed_text[13].endswith("is a fix")  # state holds the correction
+    # the Brants count-cutoff resource (lm_min_tf): re-run day 2 with the
+    # rolled LM pruned to tf >= 2 — the same docs still score (pruned
+    # grams back off per the stupid-backoff rule, they never error) but
+    # thin-count grams now take the backoff path, so scores shift
+    unpruned = {
+        r.doc_id: r.avg_neg_logprob
+        for r in store.read("corpus_lm_quality").collect()
+    }
+    orch.run_day(
+        spark, store, graph, "2024-01-02", markets=[],
+        resources={"landing": landing_fixed, "lm_min_tf": 2},
+    )
+    pruned = {
+        r.doc_id: r.avg_neg_logprob
+        for r in store.read("corpus_lm_quality").collect()
+    }
+    assert set(pruned) == {13, 14, 16}
+    assert all(v is not None for v in pruned.values())
+    assert pruned != unpruned
     # plan pin: the clean asset's within-batch exact dedup is the skew-safe
     # agg+join form — no Window operator anywhere in the asset's plan (a
     # dup-storm day's copies all share ONE digest, the hot window key)
