@@ -76,7 +76,9 @@ is the thing the at-rest state exists to avoid:
   quality (Wenzek et al. 2020) of the day's clean slice scored by
   stupid-backoff NLL against the LM rolled up from STRICTLY PRIOR
   days, bucketed head/middle/tail per (day, lang); the first ingest
-  day (no reference LM yet) emits zero rows.
+  day (no reference LM yet) emits zero rows. Informational by default;
+  with the ``lm_tail_drop`` resource the gate bars tail-bucket docs —
+  the CCNet keep made ACTIONABLE, like ``dsir_keep_frac`` for DSIR.
 - ``corpus_gated``     (DAILY, day-partitioned): quality_score +
   language_id gate over the day's clean slice (quality >= 0.5 and a
   confident language guess, contamination-flagged docs barred), token
@@ -725,6 +727,24 @@ def _corpus_gated(ctx: AssetContext) -> DataFrame:
             "_wraw",
         )
     )
+    # OPTIONAL CCNet keep (the ``lm_tail_drop`` resource, round 13): bar
+    # the day's TAIL-bucket docs — CCNet pretrains on head+middle and
+    # discards the tail (Wenzek et al. 2020 §4.4), and the LM quality
+    # asset computes exactly that bucketing against the rolling reference
+    # LM. The anti-join runs BEFORE the DSIR resample below so a keep
+    # fraction applies to LM-surviving docs. Day 1 (no reference LM yet,
+    # zero quality rows) bars nothing — scoring starts when the LM does.
+    # Off (the default) the bucket stays informational.
+    if ctx.resources.get("lm_tail_drop"):
+        tail = (
+            ctx.upstream(
+                "corpus_lm_quality", this_partition_only=True, date_col="day",
+                schema=_LM_QUALITY_SCHEMA,
+            )
+            .filter("bucket = 'tail'")
+            .select("doc_id")
+        )
+        gated = gated.join(tail, "doc_id", "left_anti")
     # OPTIONAL importance-weighted keep (the ``dsir_keep_frac`` resource,
     # round 12): Gumbel-top-k over the day's gate survivors — keep the
     # ceil(frac·N) largest keys, i.e. sample without replacement
@@ -1024,6 +1044,7 @@ def corpus_pipeline_graph() -> AssetGraph:
                     "corpus_doc_buckets",
                     "corpus_dsir_state",
                     "corpus_contam",
+                    "corpus_lm_quality",
                 ),
                 group="corpus_curate",
                 partitioning=DAILY,

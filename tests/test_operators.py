@@ -971,6 +971,28 @@ def test_stupid_backoff_hand_case(spark):
     assert got[0].avg_neg_logprob == pytest.approx(expected, abs=1e-6)
 
 
+def test_lm_and_bpe_plans_window_free(spark):
+    """Scale pins for the round-13 text operators: the LM scoring path
+    and the BPE segmentation derive (prev, cur) / pair streams by index
+    arithmetic INSIDE the token array — no per-doc Window operator may
+    appear in either plan (a hot doc would funnel into one window
+    task), and no shuffle exists beyond the count/score groupBys."""
+    from aave_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "b c d")], "doc_id long, text string"
+    )
+    counts = text_ops.ngram_counts(df)
+    plan = counts._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    scored = text_ops.stupid_backoff_score(df, counts)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    seg = text_ops.bpe_segment(df, text_ops.bpe_learn(df, n_merges=2))
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan
+
+
 def test_bpe_learn_and_segment_match_reference(spark):
     """BPE merge learning (Sennrich et al. 2016) against an in-test
     reference with the SAME replace-rewrite semantics: the classic

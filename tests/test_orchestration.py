@@ -550,6 +550,39 @@ def test_corpus_pipeline_cross_day_dedup_and_idempotent_rerun(spark, tmp_path):
     assert set(pruned) == {13, 14, 16}
     assert all(v is not None for v in pruned.values())
     assert pruned != unpruned
+    # the CCNet keep (lm_tail_drop): re-run day 2 with tail-bucket docs
+    # barred from the gate — with 3 'en' survivors the 0.3/0.6
+    # percent-rank cuts assign exactly one head/middle/tail each, so
+    # exactly the tail doc vanishes from gating/packing while clean
+    # (dedup) is untouched
+    orch.run_day(
+        spark, store, graph, "2024-01-02", markets=[],
+        resources={"landing": landing_fixed, "lm_tail_drop": True},
+    )
+    tail_ids = {
+        r.doc_id
+        for r in store.read("corpus_lm_quality").collect()
+        if r.bucket == "tail"
+    }
+    assert len(tail_ids) == 1
+    gated_ids = {
+        r.doc_id
+        for r in store.read(
+            "corpus_gated", where="day = DATE '2024-01-02'"
+        ).collect()
+    }
+    assert gated_ids == {13, 14, 16} - tail_ids
+    packed_ids = {
+        r.doc_id
+        for r in store.read(
+            "corpus_packed", where="day = DATE '2024-01-02'"
+        ).collect()
+    }
+    assert packed_ids == gated_ids
+    clean4 = {
+        (str(r.day), r.doc_id) for r in store.read("corpus_clean").collect()
+    }
+    assert clean4 == clean
     # plan pin: the clean asset's within-batch exact dedup is the skew-safe
     # agg+join form — no Window operator anywhere in the asset's plan (a
     # dup-storm day's copies all share ONE digest, the hot window key)
