@@ -159,6 +159,9 @@ SPAN_N = 8
 #: score ranks (literal cuts — never summed at runtime, the IEEE
 #: 0.3 + 0.3 != 0.6 trap perplexity_buckets documents)
 LM_ALPHA, LM_CUT1, LM_CUT2 = 0.4, 0.3, 0.6
+#: BPE merge-table size learned by corpus_maintenance (the tokenizer
+#: artifact stored as ``corpus_bpe_merges``)
+BPE_MERGES = 16
 
 
 def _corpus_landing(ctx: AssetContext) -> DataFrame:
@@ -937,6 +940,26 @@ def corpus_maintenance(
             carry_cols=("day",),
         )
         out["corpus_spans"] = (before, store.read_bucketed("corpus_spans").count())
+    # the TOKENIZER artifact (round 13): learn the BPE merge table over
+    # the accumulated corpus and store it — merges shift as the corpus
+    # grows, and retraining belongs on the maintenance cadence, not the
+    # daily path (the quantizer-retrain discipline applied to text).
+    # bpe_learn scans the docs once, then runs vocab-bound rounds
+    # (SCALE.md); the stored table is the rank-ordered artifact
+    # bpe_segment consumes
+    if store.exists("corpus_docs"):
+        before = (
+            store.read("corpus_bpe_merges").count()
+            if store.exists("corpus_bpe_merges")
+            else 0
+        )
+        merges = text_ops.bpe_learn(
+            store.read("corpus_docs"), n_merges=BPE_MERGES
+        )
+        store.write(merges, "corpus_bpe_merges")
+        out["corpus_bpe_merges"] = (
+            before, store.read("corpus_bpe_merges").count()
+        )
     return out
 
 

@@ -590,6 +590,12 @@ family(
             ("v1", "v2"),
         ),
         (
+            "lm_keep",
+            "llm_corpus_lm_keep",
+            ("CAST(doc_id AS STRING)", "bucket"),
+            ("CAST(kept AS DOUBLE)",),
+        ),
+        (
             "corpus_stopterms",
             "llm_corpus_stopterms",
             ("value",),

@@ -4130,12 +4130,11 @@ def llm_corpus_span_state(spark, sf_dir):
     return docs.unionByName(spans)
 
 
-@register(
-    "llm_corpus_lm",
-    export=False,  # driver slot held by its family head (corpus_state_family)
-    oracle=f"""
-    WITH {_CORPUS_CLEAN_CTES},
-    lml AS (SELECT day, {_TOKS} AS l FROM cclean),
+# the from-scratch LM-quality recomputation over the accumulated clean
+# corpus (per-day gram counts, day-1 reference LM, day-2 stupid-backoff
+# scores, per-lang percent-rank buckets) — shared by the llm_corpus_lm
+# state cert and the llm_corpus_lm_keep tail-drop cert
+_CORPUS_LM_CTES = """lml AS (SELECT day, {toks} AS l FROM cclean),
     lmg AS (
       SELECT day, unnest(list_concat(
         list_transform(l, x -> struct_pack(w1 := x, w2 := CAST(NULL AS VARCHAR))),
@@ -4157,7 +4156,7 @@ def llm_corpus_span_state(spark, sf_dir):
     lmstream AS (
       SELECT day, doc_id, lang, l2[i] AS cur,
              CASE WHEN i > 1 THEN l2[i - 1] END AS prev
-      FROM (SELECT day, doc_id, lang, {_TOKS} AS l2 FROM cclean
+      FROM (SELECT day, doc_id, lang, {toks} AS l2 FROM cclean
             WHERE day = DATE '2024-01-02') t,
            unnest(range(1, len(l2) + 1)) r(i)
     ),
@@ -4192,7 +4191,15 @@ def llm_corpus_span_state(spark, sf_dir):
       FROM (SELECT *, percent_rank() OVER (PARTITION BY lang
                                            ORDER BY nll, doc_id) AS pr
             FROM lmdoc)
-    )
+    )""".format(toks=_TOKS)
+
+
+@register(
+    "llm_corpus_lm",
+    export=False,  # driver slot held by its family head (corpus_state_family)
+    oracle=f"""
+    WITH {_CORPUS_CLEAN_CTES},
+    {_CORPUS_LM_CTES}
     SELECT 'counts' AS part, CAST(day AS VARCHAR) AS k1, w1 AS k2, w2 AS k3,
            CAST(tf AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
     FROM lmc
@@ -4227,6 +4234,44 @@ def llm_corpus_lm(spark, sf_dir):
         "CAST(n_tokens AS DOUBLE) AS v1", "avg_neg_logprob AS v2",
     )
     return counts.unionByName(qual)
+
+
+@register(
+    "llm_corpus_lm_keep",
+    export=False,  # driver slot held by its family head (corpus_state_family)
+    oracle=f"""
+    WITH RECURSIVE
+    {_CORPUS_CLEAN_CTES},
+    {_CORPUS_PACK_CTES},
+    {_CORPUS_LM_CTES}
+    SELECT g.doc_id, q.bucket, (q.bucket <> 'tail') AS kept
+    FROM (SELECT doc_id FROM pgated WHERE day = DATE '2024-01-02') g
+    JOIN lmq q ON g.doc_id = q.doc_id
+    """,
+    doc=(
+        "LLM corpus state: the LM quality bucket made ACTIONABLE (round"
+        " 13) — the CCNet keep (pretrain on head+middle, discard the"
+        " tail) computed entirely from STORED state (the day's gated ids"
+        " + the corpus_lm_quality buckets scored against the"
+        " strictly-prior-day rolling reference LM), certified hash-equal"
+        " to a from-scratch gate + stupid-backoff + percent-rank-bucket"
+        " derivation over the accumulated clean corpus — the"
+        " `lm_tail_drop` resource wires the same anti-join into"
+        " _corpus_gated's selection (plans/corpus_pipeline.py,"
+        " pytest-gated in tests/test_orchestration.py)"
+    ),
+)
+def llm_corpus_lm_keep(spark, sf_dir):
+    store = _corpus_run_store(spark, sf_dir)
+    gated = store.read(
+        "corpus_gated", where="day = DATE '2024-01-02'"
+    ).select("doc_id")
+    buckets = store.read(
+        "corpus_lm_quality", where="day = DATE '2024-01-02'"
+    ).select("doc_id", "bucket")
+    return gated.join(buckets, "doc_id").select(
+        "doc_id", "bucket", (F.col("bucket") != "tail").alias("kept")
+    )
 
 
 # ---------------------------------------------------------------------------

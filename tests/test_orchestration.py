@@ -655,10 +655,19 @@ def test_corpus_maintenance_compacts_and_reclaims_stale_bands(spark, tmp_path):
     assert before == n_stale and after < before
     # from-scratch size: bands for exactly the current 7 docs
     assert after == store.read("corpus_docs").count() * 4
+    # the tokenizer artifact (round 13): maintenance learned and stored
+    # the BPE merge table over the accumulated corpus — rank-complete
+    # and deterministic (re-learning over unchanged docs is identical)
+    from aave_etl_spark.plans.corpus_pipeline import BPE_MERGES
+
+    assert report["corpus_bpe_merges"] == (0, BPE_MERGES)
+    merges = store.read("corpus_bpe_merges").collect()
+    assert sorted(r.rank for r in merges) == list(range(1, BPE_MERGES + 1))
+    assert all(r.merged == r.left + r.right for r in merges)
     # compaction is content-preserving: stats recompute identically and
     # every compacted table still reads
     for name, (fb, fa) in report.items():
-        if name != "corpus_mh":
+        if name not in ("corpus_mh", "corpus_bpe_merges"):
             assert fa <= fb
             assert store.read(name).count() > 0
     # day 3 against the maintained store: match path works off the
