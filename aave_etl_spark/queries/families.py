@@ -938,12 +938,6 @@ family(
             ("cell_id", "approx_d2", "rank"),
         ),
         (
-            "emb_pq_prefilter",
-            "llm_emb_pq_prefilter_dedup",
-            ("CAST(vec_id AS STRING)",),
-            (),
-        ),
-        (
             "binary",
             "llm_binary_payload",
             ("CAST(doc_id AS STRING)", "content_md5"),
@@ -976,6 +970,40 @@ family(
         " + the quantizer-HEALTH asset (the IVF drift trigger as stored"
         " state: outgrown flag + sqrt(N) recommendation refreshed per run,"
         " closed-form oracle)"
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Embedding-quantization family: the int8 round-trip quantizer and the
+# PQ-prefiltered semantic-dedup probe. Split from pivot_family in round 13:
+# the prefilter part alone runs ~12 s at sf0.1 (it recomputes the day-2
+# probe input and the full ADC-shortlist -> exact-verify composition) and
+# pushed pivot_family past the 15 s per-head watch line.
+# ---------------------------------------------------------------------------
+family(
+    "emb_quantize_family",
+    [
+        (
+            "quantize",
+            "llm_embed_quantize",
+            ("CAST(vec_id AS STRING)",),
+            ("qscale", "max_abs_err", "mean_abs_err"),
+        ),
+        (
+            "pq_prefilter",
+            "llm_emb_pq_prefilter_dedup",
+            ("CAST(vec_id AS STRING)",),
+            (),
+        ),
+    ],
+    doc=(
+        "embedding quantization family: symmetric int8 quantization with"
+        " per-vector dequantization scale (round-trip reconstruction"
+        " error gated per vector) + the PQ-PREFILTERED semantic-dedup"
+        " probe (round 13): the day-2 batch shortlisted by ADC over the"
+        " maintained unit-vector PQ code store, exact-verified against"
+        " raw vectors fetched only from shortlist candidates' day slices"
+        " — certified drop-set-EQUAL to the flat raw-vector probe"
     ),
 )
 

@@ -799,6 +799,7 @@ def llm_semantic_dedup(spark, sf_dir):
 
 @register(
     "llm_embed_quantize",
+    export=False,  # driver slot held by its family head (emb_quantize_family)
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     s AS (
