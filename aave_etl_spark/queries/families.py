@@ -84,6 +84,12 @@ family(
     [
         ("fingerprint", "llm_fingerprint", ("doc_id", "fingerprint"), ("group_size",)),
         (
+            "dedup_exact",
+            "llm_dedup_exact",
+            ("digest",),
+            ("keeper_id", "dup_count"),
+        ),
+        (
             "token_stats",
             "llm_token_stats",
             ("doc_id",),
@@ -166,30 +172,6 @@ family(
             ("score", "q_rank", "n_group", "CAST(kept AS DOUBLE)"),
         ),
         (
-            "vocab",
-            "llm_vocab_coverage",
-            ("lang",),
-            ("n_tokens", "vocab_size", "k_cov", "top1_share"),
-        ),
-        (
-            "logprob",
-            "llm_unigram_logprob",
-            ("doc_id",),
-            ("n_tokens", "avg_neg_logprob"),
-        ),
-        (
-            "sbo",
-            "llm_stupid_backoff",
-            ("doc_id",),
-            ("n_tokens", "avg_neg_logprob"),
-        ),
-        (
-            "bpe",
-            "llm_bpe_vocab",
-            ("part", "k1", "k2", "k3", "k4"),
-            ("v1", "v2"),
-        ),
-        (
             "c4_lines",
             "llm_c4_line_filter",
             ("doc_id", "clean_md5"),
@@ -240,11 +222,13 @@ family(
         " lines) + Gopher-style repetition"
         " signal + sliding-window context chunking + PII/URL scrubbing"
         " (the BM25 retrieval quartet moved to corpus_state_family in"
-        " round 12's head rebalance)"
+        " round 12's head rebalance; the LM/tokenizer quartet — unigram"
+        " NLL, stupid backoff, vocab coverage, BPE — to llm_lm_family in"
+        " round 13's) + exact content-digest dedup (hash-groupBy keeper +"
+        " dup count, folded from its round-1 singleton slot)"
         " + the composed per-doc curation gate"
         " (quality x repetition x language x exact-dup keeper) +"
-        " per-language quality-percentile top-50% gate + vocabulary"
-        " coverage curve + unigram-NLL perplexity proxy + C4-style"
+        " per-language quality-percentile top-50% gate + C4-style"
         " line-level cleaning with the kept-lines doc gate + the"
         " END-TO-END curation pipeline (C4 clean -> exact dedup ->"
         " near-dup keeper -> quality/lang gate -> DSIR -> domain mix ->"
@@ -257,6 +241,52 @@ family(
         " (symbol/bullet/ellipsis ratios, alpha-word + stop-word floors,"
         " duplicate-line pair) with every arm exercised via planted"
         " line-level defects"
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Language-model / tokenizer family: the corpus-statistics rungs that model
+# the token stream itself. Split from llm_text_stats in round 13 (its parts
+# sum had grown past the per-head watch line); the freed driver slot is
+# paid for by folding the exact-dedup singleton into llm_text_stats.
+# ---------------------------------------------------------------------------
+family(
+    "llm_lm_family",
+    [
+        (
+            "logprob",
+            "llm_unigram_logprob",
+            ("doc_id",),
+            ("n_tokens", "avg_neg_logprob"),
+        ),
+        (
+            "sbo",
+            "llm_stupid_backoff",
+            ("doc_id",),
+            ("n_tokens", "avg_neg_logprob"),
+        ),
+        (
+            "vocab",
+            "llm_vocab_coverage",
+            ("lang",),
+            ("n_tokens", "vocab_size", "k_cov", "top1_share"),
+        ),
+        (
+            "bpe",
+            "llm_bpe_vocab",
+            ("part", "k1", "k2", "k3", "k4"),
+            ("v1", "v2"),
+        ),
+    ],
+    doc=(
+        "language-model/tokenizer family: the unigram-NLL perplexity"
+        " proxy (self-scored corpus frequencies) + stupid-backoff bigram"
+        " LM scoring against a separately-trained reference LM (Brants"
+        " et al. 2007 — seen-bigram ratio, alpha backoff, alpha/N OOV"
+        " floor) + the vocabulary coverage curve (k_cov tokenizer-sizing"
+        " statistic) + BPE vocabulary INDUCTION (Sennrich et al. 2016 —"
+        " 4 learned merges certified with their weighted pair counts,"
+        " plus the full vocabulary segmented under the learned table)"
     ),
 )
 

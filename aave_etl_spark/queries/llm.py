@@ -23,6 +23,7 @@ _TOKS = f"string_split({_NORM}, ' ')"
 
 @register(
     "llm_dedup_exact",
+    export=False,  # driver slot held by its family head (llm_text_stats)
     oracle=f"""
     SELECT md5({_NORM}) AS digest,
            min(doc_id) AS keeper_id,
@@ -5723,7 +5724,7 @@ def llm_corpus_shards(spark, sf_dir):
     export=False,  # driver slot held by its family head (pivot_family)
     oracle=f"""
     WITH {_EMB_CTES}
-    SELECT vec_id FROM edup
+    SELECT vec_id FROM edup WHERE vec_id % 2 = 0
     """,
     doc=(
         "LLM embeddings: the PQ-PREFILTERED semantic-dedup probe (round"
@@ -5737,7 +5738,11 @@ def llm_corpus_shards(spark, sf_dir):
         " compressed-probe composition drops exactly what the raw-vector"
         " probe drops — probe bytes ~M/(4d) of the flat scan (SCALE.md),"
         " exactness preserved by the raw verify at the same rounded-"
-        " cosine threshold"
+        " cosine threshold. The probe set is the deterministic vec_id%2=0"
+        " half of the day-2 batch on BOTH engines (cross-corpus drops are"
+        " per-vector independent, so the sliced drop set is exactly"
+        " edup ∩ slice — the llm_span_rewrite cost-slice pattern; both"
+        " planted replica classes span both parities)"
     ),
 )
 def llm_emb_pq_prefilter_dedup(spark, sf_dir):
@@ -5754,6 +5759,9 @@ def llm_emb_pq_prefilter_dedup(spark, sf_dir):
     batch = dedup.keep_first_by_digest(batch, F.col("embedding"), id_col="vec_id")
     wd = similarity.within_batch_cosine_drops(batch, min_cos=EMB_DUP_COSINE)
     batch = batch.join(wd, "vec_id", "left_anti")
+    # deterministic half-batch probe slice (cost containment — the
+    # cross-corpus probe is per-vector, so the sliced drop set is exact)
+    batch = batch.filter("vec_id % 2 = 0")
     return _emb_pq_prefilter_dups(store, batch, "2024-01-02")
 
 
