@@ -31,6 +31,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+from aave_etl_spark.localframe import local_df
 
 META_COLS = ("_load_timestamp", "_partition_type", "_partition_key")
 
@@ -823,7 +824,7 @@ class TableStore:
         (K3 404 handling, bigquery_io_manager.py:277-294). ``where`` is a SQL
         predicate; on partition columns it prunes at file-listing time."""
         if not self.exists(name):
-            return self.spark.createDataFrame([], schema or StructType([]))
+            return local_df(self.spark, [], schema or StructType([]))
         df = self.spark.read.parquet(self._path(name))
         if where:
             df = df.filter(where)

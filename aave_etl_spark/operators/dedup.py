@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from aave_etl_spark.localframe import local_df
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -535,7 +536,7 @@ def span_index_build(
     # params sidecar (the minhash_index_build discipline): a drifted n
     # silently produces never-matching window hashes — match/append
     # validate against this row and raise instead
-    docs.sparkSession.createDataFrame(
+    local_df(docs.sparkSession, 
         [(int(n), int(n_buckets))], "n int, n_buckets int"
     ).write.mode("overwrite").parquet(store._path(name + "_params"))
 
@@ -917,7 +918,7 @@ def minhash_index_build(
     # empty/wrong candidates (band keys simply never collide) —
     # minhash_index_match/append validate against this and raise instead
     spark = docs.sparkSession
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(shingle_n), int(num_hashes), int(rows_per_band), int(n_buckets))],
         "shingle_n int, num_hashes int, rows_per_band int, n_buckets int",
     ).write.mode("overwrite").parquet(store._path(name + "_params"))

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+from aave_etl_spark.localframe import local_df
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -755,7 +756,7 @@ def ivf_index_build(
     # centroids+meta with no assignments — the append's both-members guard
     # below plus this ordering make a half-built index loud, not silent.
     store.write(
-        df.sparkSession.createDataFrame(
+        local_df(df.sparkSession, 
             [(int(round_digits), ",".join(carry_cols))],
             "round_digits int, carry_cols string",
         ),
@@ -955,7 +956,7 @@ def ivf_index_search(
                 T.StructField("rank", T.LongType()),
             ]
         )
-        return queries.sparkSession.createDataFrame([], empty_schema)
+        return local_df(queries.sparkSession, [], empty_schema)
     cells_pred = f"cell_id IN ({', '.join(str(c) for c in probe_cells)})"
     if extra_where is not None:
         cells_pred = f"({cells_pred}) AND ({extra_where})"
@@ -2017,7 +2018,7 @@ def ivfpq_index_build(
     )
     spark = candidates.sparkSession
     store.write(
-        spark.createDataFrame(
+        local_df(spark, 
             [(int(M), int(round_digits))], "n_subspaces int, round_digits int"
         ),
         f"{name}_meta",
@@ -2188,7 +2189,7 @@ def ivfpq_index_search(
         if carry_cols:
             idx_types = {f.name: f.dataType for f in store.read(name).schema.fields}
             fields += [T.StructField(c, idx_types[c]) for c in carry_cols]
-        return queries.sparkSession.createDataFrame([], T.StructType(fields))
+        return local_df(queries.sparkSession, [], T.StructType(fields))
     cells_pred = f"cell_id IN ({', '.join(str(c) for c in probe_cells)})"
     if extra_where is not None:
         # a carry-partitioned index (carry_cols at build/append) prunes on

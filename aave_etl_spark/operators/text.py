@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from aave_etl_spark.localframe import local_df
 
 DEFAULT_STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
 
@@ -527,7 +528,7 @@ def bm25_index_build(
     # one-row params sidecar: a probe scored under different (k1, b) than
     # the stored weights would silently disagree with its in-flight twin —
     # bm25_index_search validates and raises instead
-    corpus.sparkSession.createDataFrame(
+    local_df(corpus.sparkSession, 
         [(float(k1), float(b), int(n_buckets))], "k1 double, b double, n_buckets int"
     ).write.mode("overwrite").parquet(store._path(name + "_params"))
 
@@ -935,7 +936,7 @@ def bpe_learn(
             ).alias("sym"),
             "freq",
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         merges,
         "rank int, left string, right string, merged string, pair_count long",
     )

@@ -125,6 +125,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from aave_etl_spark.localframe import local_df
 from aave_etl_spark.operators import dedup, packing, sampling
 from aave_etl_spark.operators import text as text_ops
 from aave_etl_spark.plans.orchestration import (
@@ -518,7 +519,7 @@ def _corpus_eval_shingles(ctx: AssetContext) -> DataFrame:
         # set; "no benchmarks" means NO contamination state, not frozen
         # old state
         ctx.store.drop("corpus_contam")
-        return ctx.spark.createDataFrame([], _EVAL_SCHEMA)
+        return local_df(ctx.spark, [], _EVAL_SCHEMA)
     return (
         dedup.word_shingles(bench.select("doc_id", "text"), n=3)
         .select(F.md5("shingle").alias("shingle_digest"))
@@ -544,7 +545,7 @@ def _corpus_contam(ctx: AssetContext) -> DataFrame:
     # table): decontamination is disabled — return a typed empty instead
     # of paying a per-day shingle pass to compute all-zero stats
     if not ctx.store.exists("corpus_eval_shingles"):
-        return ctx.spark.createDataFrame([], _CONTAM_SCHEMA)
+        return local_df(ctx.spark, [], _CONTAM_SCHEMA)
     clean = ctx.upstream(
         "corpus_clean", this_partition_only=True, date_col="day",
         schema=_CLEAN_SCHEMA,

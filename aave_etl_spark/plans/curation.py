@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from aave_etl_spark.operators import dedup, packing, sampling, text
 from aave_etl_spark.operators.graph import dedup_clusters
+from aave_etl_spark.localframe import local_df
 
 #: the default target language mix (group -> keep rate)
 DEFAULT_MIX = [("en", 0.9), ("fr", 0.5), ("de", 0.5), ("es", 0.5), ("zh", 0.2)]
@@ -184,7 +185,7 @@ def mix_and_pack(
         )
         weights = mix_plan.select("lang", F.col("sample_rate").alias("keep_frac"))
     else:
-        weights = spark.createDataFrame(
+        weights = local_df(spark, 
             mix_weights if mix_weights is not None else DEFAULT_MIX,
             "lang string, keep_frac double",
         )

@@ -90,6 +90,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from aave_etl_spark.localframe import local_df
 from aave_etl_spark.operators import dedup, similarity
 from aave_etl_spark.plans.orchestration import (
     DAILY,
@@ -218,7 +219,7 @@ def _emb_pq_prefilter_dups(store, batch: DataFrame, day: str) -> DataFrame:
     days = sorted(
         str(r.day) for r in cand.select("day").distinct().collect()
     )
-    empty = batch.sparkSession.createDataFrame(
+    empty = local_df(batch.sparkSession, 
         [], StructType([StructField("vec_id", LongType(), True)])
     )
     if not days:
@@ -428,7 +429,7 @@ def _emb_index_health(ctx: AssetContext) -> DataFrame:
     corpus (queries/llm.py ``llm_emb_index_health``)."""
     store = ctx.store
     if not (store.exists(EMB_INDEX) and store.exists(f"{EMB_INDEX}_centroids")):
-        return ctx.spark.createDataFrame([], _HEALTH_SCHEMA)
+        return local_df(ctx.spark, [], _HEALTH_SCHEMA)
     idx = store.read(
         EMB_INDEX,
         schema=_schema(

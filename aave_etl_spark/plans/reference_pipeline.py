@@ -46,6 +46,7 @@ from aave_etl_spark.warehouse.incentives import incentives_by_day as wh_incentiv
 from aave_etl_spark.warehouse.liquidity import liquidity_depth as wh_liquidity_depth
 from aave_etl_spark.warehouse.market import market_config_by_day, market_state_by_day
 from aave_etl_spark.warehouse.prices import token_prices_by_day
+from aave_etl_spark.localframe import local_df
 
 
 # Job selections (define_asset_job group lists, aave_data/__init__.py:286-372):
@@ -91,7 +92,7 @@ def _market_tokens_by_day(ctx: AssetContext) -> DataFrame:
     if height is None or height.block_height is None:
         # no block lookup for this (day, market) -> typed empty, never a
         # garbage block-0 fetch (K3 convention, like the daily assets)
-        return ctx.spark.createDataFrame([], connectors.schemas.MARKET_TOKENS_BY_DAY)
+        return local_df(ctx.spark, [], connectors.schemas.MARKET_TOKENS_BY_DAY)
     return connectors.market_tokens_at_block(
         ctx.spark,
         ctx.resources["transports"]["subgraph_tokens"],
@@ -221,7 +222,7 @@ def _collector_atoken_transfers_by_day(ctx: AssetContext) -> DataFrame:
     hb = _day_blocks(ctx)
     tokens = ctx.upstream("market_tokens_by_day", this_partition_only=True)
     if hb is None:
-        return ctx.spark.createDataFrame([], connectors.schemas.TOKEN_TRANSFERS_BY_DAY)
+        return local_df(ctx.spark, [], connectors.schemas.TOKEN_TRANSFERS_BY_DAY)
     token_col = "reserve" if ctx.partition.market == "ethereum_v1" else "atoken"
     requests = tokens.select(
         F.col(token_col).alias("token"),
@@ -260,7 +261,7 @@ def _v3_accrued_fees_by_day(ctx: AssetContext) -> DataFrame:
     from pyspark.sql import functions as F
 
     if _mcfg(ctx, "version") != 3:  # v3-only (data_lake.py:780)
-        return ctx.spark.createDataFrame([], connectors.schemas.V3_ACCRUED_FEES_BY_DAY)
+        return local_df(ctx.spark, [], connectors.schemas.V3_ACCRUED_FEES_BY_DAY)
     keys = ctx.upstream("market_tokens_by_day", this_partition_only=True).select(
         "market", "reserve", "symbol", "decimals", "atoken", "atoken_symbol",
         "block_height", "block_day",
@@ -272,13 +273,13 @@ def _v3_accrued_fees_by_day(ctx: AssetContext) -> DataFrame:
 
 def _v3_minted_to_treasury_by_day(ctx: AssetContext) -> DataFrame:
     if _mcfg(ctx, "version") != 3:  # v3-only (data_lake.py:1006)
-        return ctx.spark.createDataFrame(
+        return local_df(ctx.spark, 
             [], connectors.schemas.V3_MINTED_TO_TREASURY_BY_DAY
         )
     hb = _day_blocks(ctx)
     tokens = ctx.upstream("market_tokens_by_day", this_partition_only=True)
     if hb is None:
-        return ctx.spark.createDataFrame(
+        return local_df(ctx.spark, 
             [], connectors.schemas.V3_MINTED_TO_TREASURY_BY_DAY
         )
     return connectors.v3_minted_to_treasury_by_day(
@@ -297,7 +298,7 @@ def _v3_minted_to_treasury_by_day(ctx: AssetContext) -> DataFrame:
 def _treasury_accrued_incentives_by_day(ctx: AssetContext) -> DataFrame:
     hb = _day_blocks(ctx)
     if hb is None:
-        return ctx.spark.createDataFrame(
+        return local_df(ctx.spark, 
             [], connectors.schemas.TREASURY_ACCRUED_INCENTIVES_BY_DAY
         )
     return connectors.treasury_accrued_incentives_by_day(
@@ -326,7 +327,7 @@ def _non_atoken_transfers_by_day(ctx: AssetContext) -> DataFrame:
 
     hb = _day_blocks(ctx)
     if hb is None:
-        return ctx.spark.createDataFrame([], connectors.schemas.TOKEN_TRANSFERS_BY_DAY)
+        return local_df(ctx.spark, [], connectors.schemas.TOKEN_TRANSFERS_BY_DAY)
     keys = (
         ctx.resources["config_tokens"]
         .filter(F.col("market") == ctx.partition.market)
@@ -355,7 +356,7 @@ def _non_atoken_balances_by_day(ctx: AssetContext) -> DataFrame:
 
     hb = _day_blocks(ctx)
     if hb is None:
-        return ctx.spark.createDataFrame(
+        return local_df(ctx.spark, 
             [], connectors.schemas.NON_ATOKEN_BALANCES_BY_DAY
         )
     keys = (
@@ -393,7 +394,7 @@ def _paraswap_claimable_fees(ctx: AssetContext) -> DataFrame:
 
 def _market_chain_dim(ctx: AssetContext) -> DataFrame:
     """Tiny (market, chain) dim from config (data_warehouse.py:109-112)."""
-    return ctx.spark.createDataFrame(
+    return local_df(ctx.spark, 
         [(m, c["chain"]) for m, c in ctx.resources["markets"].items()],
         "market string, chain string",
     )
@@ -479,7 +480,7 @@ def _compound_v2_by_day(ctx: AssetContext) -> DataFrame:
 
     hb = _eth_block_scalar(ctx)
     if hb is None:  # no ethereum block for this day -> typed empty (K3)
-        return ctx.spark.createDataFrame([], connectors.schemas.COMPOUND_BY_DAY)
+        return local_df(ctx.spark, [], connectors.schemas.COMPOUND_BY_DAY)
     keys = ctx.resources["compound_v2_tokens"].select(
         F.lit(hb.block_day).alias("block_day"),
         F.lit(hb.block_height).alias("block_height"),
@@ -494,7 +495,7 @@ def _erc20_balances_by_day(ctx: AssetContext) -> DataFrame:
 
     hb = _eth_block_scalar(ctx)
     if hb is None:
-        return ctx.spark.createDataFrame([], connectors.schemas.ERC20_BALANCES_BY_DAY)
+        return local_df(ctx.spark, [], connectors.schemas.ERC20_BALANCES_BY_DAY)
     keys = ctx.resources["grants_wallets"].select(
         F.lit(hb.block_day).alias("block_day"),
         F.lit(hb.block_height).alias("block_height"),
@@ -510,7 +511,7 @@ def _safety_module_token_hodlers_by_day(ctx: AssetContext) -> DataFrame:
 
     hb = _eth_block_scalar(ctx)
     if hb is None:
-        return ctx.spark.createDataFrame([], connectors.schemas.SM_TOKEN_HOLDERS_BY_DAY)
+        return local_df(ctx.spark, [], connectors.schemas.SM_TOKEN_HOLDERS_BY_DAY)
     keys = ctx.resources["sm_tokens"].select(
         F.lit(hb.block_day).alias("block_day"),
         "chain", "safety_module_token", "stk_token_address",
@@ -528,7 +529,7 @@ def _safety_module_rpc(ctx: AssetContext) -> DataFrame:
 
     hb = _eth_block_scalar(ctx)
     if hb is None:
-        return ctx.spark.createDataFrame([], connectors.schemas.SAFETY_MODULE_RPC)
+        return local_df(ctx.spark, [], connectors.schemas.SAFETY_MODULE_RPC)
     keys = ctx.resources["sm_rpc_tokens"].select(
         F.lit(hb.block_day).alias("block_day"),
         # the reference's prev-day end_block + 1 (protocol_data_lake.py:1163)
@@ -577,7 +578,7 @@ def _safety_module_bal_pool_contents(ctx: AssetContext) -> DataFrame:
 
     hb = _eth_block_scalar(ctx)
     if hb is None:
-        return ctx.spark.createDataFrame([], connectors.schemas.SM_BAL_POOL_CONTENTS)
+        return local_df(ctx.spark, [], connectors.schemas.SM_BAL_POOL_CONTENTS)
     keys = (
         ctx.resources["sm_rpc_tokens"]
         .filter(F.col("bal_pool_address").isNotNull())  # :1706
@@ -602,7 +603,7 @@ def _balancer_bpt_data_by_day(ctx: AssetContext) -> DataFrame:
 
     hb = _eth_block_scalar(ctx)
     if hb is None:
-        return ctx.spark.createDataFrame([], connectors.schemas.BALANCER_BPT_BY_DAY)
+        return local_df(ctx.spark, [], connectors.schemas.BALANCER_BPT_BY_DAY)
     keys = ctx.resources["balancer_pools"].select(
         "pool", "symbol", "name", "decimals", "denom", "price_token",
         "price_symbol",
@@ -658,7 +659,7 @@ def _liquidity_depth_lsd(ctx: AssetContext) -> DataFrame:
         "display_names": ctx.upstream("display_names"),
     }
     if any(not df.columns for df in inputs.values()):
-        return ctx.spark.createDataFrame([], "tick string")
+        return local_df(ctx.spark, [], "tick string")
     out = run_datamart(
         ctx.spark, inputs, models={"liquidity_depth_lsd": MODELS["liquidity_depth_lsd"]},
         store=ctx.store,
@@ -690,7 +691,7 @@ def _protocol_data_by_hour(ctx: AssetContext) -> DataFrame:
     ).filter(F.hour("block_hour") == ctx.partition.hour)
     hb = blocks.select("block_hour", "block_height").first()
     if hb is None:
-        return ctx.spark.createDataFrame([], connectors.schemas.PROTOCOL_DATA_BY_HOUR)
+        return local_df(ctx.spark, [], connectors.schemas.PROTOCOL_DATA_BY_HOUR)
     keys = tokens.select(
         "market", "reserve", "symbol", "decimals",
         F.lit(hb.block_height).alias("block_height"),
@@ -800,7 +801,7 @@ def _datamart_hourly(ctx: AssetContext) -> DataFrame:
         # an upstream table was never materialized (empty fetches are
         # skipped by TableStore.write, reference parity) — nothing to run
         # this tick; write_output=False so nothing lands either
-        return ctx.spark.createDataFrame([], "tick string")
+        return local_df(ctx.spark, [], "tick string")
     models = {}
     for k in _DATAMART_HOURLY_MODELS:
         m = MODELS[k]
@@ -825,7 +826,7 @@ def _datamart(ctx: AssetContext) -> DataFrame:
     needed = sorted({src for m in models.values() for src in m.sources})
     inputs = {src: ctx.upstream(src) for src in needed}
     if any(not df.columns for df in inputs.values()):
-        return ctx.spark.createDataFrame([], "tick string")
+        return local_df(ctx.spark, [], "tick string")
     out = run_datamart(ctx.spark, inputs, models=models, store=ctx.store)
     return out["reserve_factor_income_by_day"]
 

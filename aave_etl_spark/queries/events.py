@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 from aave_etl_spark.queries.registry import register, t
 
 from aave_etl_spark.functions.scalars import vested_amount
+from aave_etl_spark.localframe import local_df
 
 
 def _epoch_s(col):
@@ -559,7 +560,7 @@ def stream_sessionize_store(spark, sf_dir):
     # sentinel: one far-future row advances the global watermark past every
     # real session end so drain 2 flushes the still-open tail sessions
     max_ts = ev.agg(F.max("ts")).first()[0]
-    spark.createDataFrame([(-1, max_ts, -1, 0.0)], schema).withColumn(
+    local_df(spark, [(-1, max_ts, -1, 0.0)], schema).withColumn(
         "ts", F.col("ts") + F.expr("INTERVAL 2 DAYS")
     ).write.mode("append").parquet(lake)
     q2 = run_available_now(
@@ -763,7 +764,7 @@ def stream_rollup_store(spark, sf_dir):
     # close the books: a far-future sentinel advances the watermark past
     # every real window end so drain 2 flushes the still-open tail windows
     max_ts = ev.agg(F.max("ts")).first()[0]
-    spark.createDataFrame([(max_ts, "__SENTINEL__", 0.0)], schema).withColumn(
+    local_df(spark, [(max_ts, "__SENTINEL__", 0.0)], schema).withColumn(
         "ts", F.col("ts") + F.expr("INTERVAL 2 DAYS")
     ).write.mode("append").parquet(lake)
     q2 = run_available_now(

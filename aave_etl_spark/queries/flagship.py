@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from aave_etl_spark.queries.registry import register, t
+from aave_etl_spark.localframe import local_df
 
 FLAGSHIP_ORACLE = """
 WITH daily AS (
@@ -116,11 +117,11 @@ def all_financials_shape(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="value",
     )
-    dim = spark.createDataFrame(
+    dim = local_df(spark, 
         [("A", "Accepted"), ("N", "Neutral"), ("R", "Returned")],
-        ["market", "display_name"],
+        "market string, display_name string",
     )
-    classification = spark.createDataFrame(
+    classification = local_df(spark, 
         [
             ("start_balance", "balance"),
             ("end_balance", "balance"),
@@ -128,7 +129,7 @@ def all_financials_shape(spark, sf_dir):
             ("revenue", "income"),
             ("fees", "income"),
         ],
-        ["measure", "measure_type"],
+        "measure string, measure_type string",
     )
     return (
         long.join(F.broadcast(dim), "market", "left")

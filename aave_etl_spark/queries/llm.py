@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from aave_etl_spark.operators import dedup, similarity, text
 from aave_etl_spark.queries.registry import register, t
+from aave_etl_spark.localframe import local_df
 
 # DuckDB needs the 'g' flag to replace-all; Spark's regexp_replace already
 # does. Shared normalizer snippets:
@@ -2383,7 +2384,7 @@ def llm_data_mix(spark, sf_dir):
     from aave_etl_spark.operators.sampling import mix_corpus
 
     docs = t(spark, sf_dir, "documents")
-    weights = spark.createDataFrame(_MIX_WEIGHTS, "lang string, keep_frac double")
+    weights = local_df(spark, _MIX_WEIGHTS, "lang string, keep_frac double")
     kept = mix_corpus(docs, weights, group_col="lang")
     tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     k = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("_n_kept"))

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from aave_etl_spark.queries.registry import register, t
+from aave_etl_spark.localframe import local_df
 
 
 # ---------------------------------------------------------------------------
@@ -718,7 +719,7 @@ def salted_hot_join(spark, sf_dir):
         F.pmod(F.col("l_orderkey"), F.lit(2)).cast("long").alias("hot_key"),
         "l_quantity",
     )
-    dim = spark.createDataFrame([(0, "even"), (1, "odd")], "hot_key long, label string")
+    dim = local_df(spark, [(0, "even"), (1, "odd")], "hot_key long, label string")
     joined = salted_join(li, dim, ["hot_key"], n_salts=8)
     return joined.groupBy("label").agg(
         F.sum("l_quantity").alias("sum_qty"),
@@ -757,7 +758,7 @@ def quantity_tier_range_join(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("double").alias("qty")
     )
-    tiers = spark.createDataFrame(
+    tiers = local_df(spark, 
         [("bronze", 1.0, 10.0), ("silver", 11.0, 25.0),
          ("gold", 26.0, 40.0), ("platinum", 41.0, 50.0)],
         "tier string, lo double, hi double",

@@ -9,6 +9,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
+from aave_etl_spark.localframe import local_df
 from aave_etl_spark.queries.registry import register, t
 
 
@@ -1007,7 +1008,7 @@ def connector_minted_decode(spark, sf_dir):
             return {"items": minted_items}
         return {"items": mint_items}
 
-    tokens = spark.createDataFrame(
+    tokens = local_df(spark, 
         [(res(k), nm, 6, atok(k), "a" + nm, 500 + k) for k, nm in nat],
         "reserve string, symbol string, decimals long, atoken string,"
         "atoken_symbol string, block_height long",
@@ -1145,7 +1146,7 @@ def connector_reserve_units(spark, sf_dir):
     def transport(req):
         return payloads[req["reserve"]]
 
-    keys = spark.createDataFrame(
+    keys = local_df(spark, 
         [("bench", res(k), f"T{k}", (k % 3) * 3 + 6, 100 + k, datetime(2024, 3, 10))
          for k in nat],
         "market string, reserve string, symbol string, decimals long,"
@@ -1235,7 +1236,7 @@ def connector_incentives_flatten(spark, sf_dir):
     def transport(req):
         return payloads[req["block_height"] - 100]
 
-    keys = spark.createDataFrame(
+    keys = local_df(spark, 
         [("bench", 100 + k, datetime(2024, 3, 10)) for k in nat],
         "market string, block_height long, block_day timestamp",
     )
@@ -1334,7 +1335,7 @@ def connector_scan_quintet(spark, sf_dir):
     S = "part string, k1 string, k2 string, v1 double, v2 double, v3 double, v4 double"
 
     # --- S7: balanceOf decimal adjust -------------------------------------
-    bal_keys = spark.createDataFrame(
+    bal_keys = local_df(spark, 
         [("0xCOL", "bench", f"0xT{k:02d}", f"aT{k}", 100 + k, day) for k in nat],
         "collector string, market string, token string, symbol string,"
         "block_height long, block_day timestamp",
@@ -1352,7 +1353,7 @@ def connector_scan_quintet(spark, sf_dir):
     )
 
     # --- S16: Compound APY -------------------------------------------------
-    cmp_keys = spark.createDataFrame(
+    cmp_keys = local_df(spark, 
         [(day, 100 + k, "ethereum", "compound_v2", f"cT{k}", f"0xC{k:02d}",
           f"T{k}", f"0xU{k:02d}", 6) for k in nat],
         "block_day timestamp, block_height long, chain string,"
@@ -1374,7 +1375,7 @@ def connector_scan_quintet(spark, sf_dir):
     )
 
     # --- S18: holders zero-balance drop ------------------------------------
-    hold_keys = spark.createDataFrame(
+    hold_keys = local_df(spark, 
         [(day, "ethereum", f"stk{k}", f"0xS{k:02d}", 100 + k) for k in nat],
         "block_day timestamp, chain string, safety_module_token string,"
         "stk_token_address string, block_height long",
@@ -1393,7 +1394,7 @@ def connector_scan_quintet(spark, sf_dir):
     )
 
     # --- S19: Balancer existence → NULL -------------------------------------
-    bpt_keys = spark.createDataFrame(
+    bpt_keys = local_df(spark, 
         [(f"0xp{k:02d}", f"BPT{k}", f"Pool {k}", 18, "usd", "0xPT", "PT",
           day, 100 + k, "ethereum") for k in nat],
         "pool string, symbol string, name string, decimals long, denom string,"
@@ -1578,7 +1579,7 @@ def connector_scan_decet(spark, sf_dir):
     )
 
     # --- S5/S6: flatten + group-to-day sum ---------------------------------
-    tr_reqs = spark.createDataFrame(
+    tr_reqs = local_df(spark, 
         [(f"0xCOL{k}", f"0xTOK{k}", 1, 999, "bench", day) for k in ks],
         "collector string, token string, start_block long, end_block long,"
         "market string, block_day timestamp",
@@ -1604,7 +1605,7 @@ def connector_scan_decet(spark, sf_dir):
     )
 
     # --- v3 accrued fees: scaled x index -----------------------------------
-    fee_keys = spark.createDataFrame(
+    fee_keys = local_df(spark, 
         [("bench", "0x" + format(k, "040x"), f"T{k}", 6,
           "0x" + format(10**6 + k, "040x"), f"aT{k}", 100 + k, day) for k in ks],
         "market string, reserve string, symbol string, decimals long,"
@@ -1637,7 +1638,7 @@ def connector_scan_decet(spark, sf_dir):
     )
 
     # --- S20 + LSD + non-atoken unit shifts --------------------------------
-    eth_keys = spark.createDataFrame(
+    eth_keys = local_df(spark, 
         [(100 + k, day, "ethereum", "bench", f"0xw{k}", f"0xWG{k}", f"G{k}")
          for k in ks],
         "block_height long, block_day timestamp, chain string, market string,"
@@ -1653,7 +1654,7 @@ def connector_scan_decet(spark, sf_dir):
         "balance AS v1", *NULLS2,
     )
 
-    erc_keys = spark.createDataFrame(
+    erc_keys = local_df(spark, 
         [(day, 100 + k, "ethereum", f"0xe{k}", f"T{k}", f"0xTA{k}") for k in ks],
         "block_day timestamp, block_height long, chain string,"
         "wallet_address string, token string, token_address string",
@@ -1668,7 +1669,7 @@ def connector_scan_decet(spark, sf_dir):
         "balance AS v1", *NULLS2,
     )
 
-    lsd_keys = spark.createDataFrame(
+    lsd_keys = local_df(spark, 
         [(day, 100 + k, "polygon", f"0xL{k}", f"L{k}", 18) for k in ks],
         "block_day timestamp, block_height long, chain string, address string,"
         "symbol string, decimals long",
@@ -1683,7 +1684,7 @@ def connector_scan_decet(spark, sf_dir):
         "total_supply AS v1", *NULLS2,
     )
 
-    nab_keys = spark.createDataFrame(
+    nab_keys = local_df(spark, 
         [(f"0xN{k}", "ethereum", "bench", f"0xT{k}", 6, f"t{k}", 100 + k, day)
          for k in ks],
         "contract_address string, chain string, market string, token string,"
@@ -1700,7 +1701,7 @@ def connector_scan_decet(spark, sf_dir):
     )
 
     # --- safety-module emission math ---------------------------------------
-    sm_keys = spark.createDataFrame(
+    sm_keys = local_df(spark, 
         [(day, 100 + k, f"0xK{k}", f"stk{k}", f"0xU{k}", f"u{k}", f"0xR{k}",
           f"r{k}", 18) for k in ks],
         "block_day timestamp, block_height long, stk_token_address string,"
@@ -1723,7 +1724,7 @@ def connector_scan_decet(spark, sf_dir):
     )
 
     # --- Balancer pool contents ---------------------------------------------
-    pool_keys = spark.createDataFrame(
+    pool_keys = local_df(spark, 
         [(day, 100 + k, "ethereum", f"stk{k}", f"0xBP{k}") for k in ks],
         "block_day timestamp, block_height long, chain string,"
         "safety_module_token string, bal_pool_address string",
@@ -1850,7 +1851,7 @@ def connector_scan_quartet(spark, sf_dir):
     )
 
     # --- S11: distinct >0 category prefilter --------------------------------
-    pdd = spark.createDataFrame(
+    pdd = local_df(spark, 
         [(datetime(2024, 3, 10), 777, "bench", k % 3) for k in range(9)],
         "block_day timestamp, block_height long, market string,"
         "reserve_emode_category long",
@@ -1977,7 +1978,7 @@ def warehouse_incentives_apr(spark, sf_dir):
                 0.0 if k % 5 == 0 else float((k + 2) * 2**20),  # zero feed arm
                 6,
             ))
-    raw = spark.createDataFrame(
+    raw = local_df(spark, 
         raw_rows,
         "block_day timestamp, block_height long, market string,"
         "underlying_asset string, token_address string, token_type string,"
@@ -1986,13 +1987,13 @@ def warehouse_incentives_apr(spark, sf_dir):
         "emission_end_timestamp long, reward_price_feed double,"
         "price_feed_decimals long",
     ).coalesce(1)
-    protocol = spark.createDataFrame(
+    protocol = local_df(spark, 
         [(day, 777, "bench", res(k), float((k + 3) * 4), 1.0, 2.0)
          for k in ks if k % 3 != 1],
         "block_day timestamp, block_height long, market string, reserve string,"
         "atoken_supply double, stable_debt double, variable_debt double",
     ).coalesce(1)
-    prices = spark.createDataFrame(
+    prices = local_df(spark, 
         [(day, 777, "bench", res(k), f"T{k}", (k + 1) * 0.25)
          for k in ks if k % 4 != 3],
         "block_day timestamp, block_height long, market string, reserve string,"
@@ -2100,7 +2101,7 @@ def warehouse_transforms_trio(spark, sf_dir):
     # m0/m3 ethereum rank 1 identical price (distinct dedups), m4 ethereum
     # rank 1 different price (second surviving row), m1 ethereum rank 2
     # (dropped), m2 polygon rank 1
-    ranks = spark.createDataFrame(
+    ranks = local_df(spark, 
         [("m0", "ethereum", 1), ("m1", "ethereum", 2), ("m2", "polygon", 1),
          ("m3", "ethereum", 1), ("m4", "ethereum", 1)],
         "market string, chain string, price_rank long",
@@ -2110,7 +2111,7 @@ def warehouse_transforms_trio(spark, sf_dir):
         for m, bump in (("m0", 0.0), ("m1", 1.0), ("m2", 2.0), ("m3", 0.0),
                         ("m4", 0.5)):
             price_rows.append((res(k), f"T{k}", m, 777, day, (k + 1) * 0.25 + bump))
-    prices = spark.createDataFrame(
+    prices = local_df(spark, 
         price_rows,
         "reserve string, symbol string, market string, block_height long,"
         "block_day timestamp, usd_price double",
@@ -2127,7 +2128,7 @@ def warehouse_transforms_trio(spark, sf_dir):
                                ("m2", "polygon", 2000)):
             blk_rows.append((day, day, base + k, base + 999 + k, chain, m))
     blocks = blocks_by_day(
-        spark.createDataFrame(
+        local_df(spark, 
             blk_rows,
             "block_day timestamp, block_time timestamp, block_height long,"
             "end_block long, chain string, market string",
@@ -2139,21 +2140,21 @@ def warehouse_transforms_trio(spark, sf_dir):
     )
 
     # --- balance groups: union arms + last-match-wins -----------------------
-    tokens = spark.createDataFrame(
+    tokens = local_df(spark, 
         [("m0" if k >= 2 else "ethereum_v1", f"0xa{k}", f"aT{k}", f"0xr{k}", f"T{k}")
          for k in ks],
         "market string, atoken string, atoken_symbol string, reserve string,"
         "symbol string",
     ).coalesce(1)
-    nam = spark.createDataFrame(
+    nam = local_df(spark, 
         [(f"m0", f"0xn{k}", f"N{k}") for k in ks if k < 3],
         "market string, token string, symbol string",
     ).coalesce(1)
-    eth = spark.createDataFrame(
+    eth = local_df(spark, 
         [("m0", "0xgas", "GAS")],
         "market string, wrapped_gas_token string, gas_token string",
     )
-    mc = spark.createDataFrame(
+    mc = local_df(spark, 
         [("m0", "ethereum"), ("ethereum_v1", "ethereum")],
         "market string, chain string",
     )
@@ -2241,7 +2242,7 @@ def warehouse_market_state_config(spark, sf_dir):
     def res(k: int) -> str:
         return "0x" + format(k, "040x")
 
-    pdd = spark.createDataFrame(
+    pdd = local_df(spark, 
         [(day, 777, "bench", res(k), f"T{k}", 6,
           (8000 + k) / 1e4, (8250 + k) / 1e4, (10500 + k) / 1e4, (1000 + k) / 1e4,
           True, True, False, True, False,
@@ -2269,7 +2270,7 @@ def warehouse_market_state_config(spark, sf_dir):
     ).coalesce(1)
     # eMode table carries ONLY category 1 — category 2 rows exercise the
     # missing-category NULL arm, category 0 the never-joined arm
-    emode = spark.createDataFrame(
+    emode = local_df(spark, 
         [(day, 777, "bench", 1, 0.93, 0.95, 1.01, "0xFEED", "Stablecoins")],
         "block_day timestamp, block_height long, market string,"
         "reserve_emode_category long, emode_ltv double,"
@@ -2417,7 +2418,7 @@ def connector_scan_hourly(spark, sf_dir):
               "CAST(NULL AS DOUBLE) AS v4")
 
     # --- S4 usd-base: multiplier = 1/BASE_CURRENCY_UNIT = 1e-8 -------------
-    px_keys = spark.createDataFrame(
+    px_keys = local_df(spark, 
         [("0x" + format(400 + k, "040x"), f"T{k}", "bench", 100 + k, day)
          for k in nat],
         "reserve string, symbol string, market string, block_height long,"
@@ -2436,7 +2437,7 @@ def connector_scan_hourly(spark, sf_dir):
     )
 
     # --- S4 wei-base + ethereum_v1 WETH overwrite ---------------------------
-    wei_keys = spark.createDataFrame(
+    wei_keys = local_df(spark, 
         [(connectors.WETH if k == 0 else "0x" + format(600 + k, "040x"),
           f"W{k}", "ethereum_v1", 200 + k, day) for k in range(5)],
         "reserve string, symbol string, market string, block_height long,"
@@ -2495,7 +2496,7 @@ def connector_scan_hourly(spark, sf_dir):
     )
 
     # --- S22: hourly Compound — v2 (even k) vs v3 (odd k) -------------------
-    hcmp_keys = spark.createDataFrame(
+    hcmp_keys = local_df(spark, 
         [(datetime(2024, 3, 10, 6), 19001800, "ethereum",
           "compound_v2" if k % 2 == 0 else "compound_v3",
           f"cT{k}", f"0xcb{k}", f"T{k}", f"0xub{k}", 8, 6) for k in ks],
@@ -2530,7 +2531,7 @@ def connector_scan_hourly(spark, sf_dir):
     def hpd_transport(req):
         return hpd_payloads[req["reserve"]]
 
-    hpd_keys = spark.createDataFrame(
+    hpd_keys = local_df(spark, 
         [("bench", res(k), f"T{k}", (k % 3) * 3 + 6, 100 + k,
           datetime(2024, 3, 10, k)) for k in ks],
         "market string, reserve string, symbol string, decimals long,"

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from aave_etl_spark.localframe import local_df
+
 
 class Transport(Protocol):
     """One request → one decoded payload (dict/list/str). Implementations:
@@ -73,7 +75,7 @@ def retrying(
 
 def empty_frame(spark: SparkSession, schema: StructType) -> DataFrame:
     """Typed empty output for missing prerequisites (data_lake.py:235-236)."""
-    return spark.createDataFrame([], schema)
+    return local_df(spark, [], schema)
 
 
 def driver_fetch(
@@ -93,7 +95,7 @@ def driver_fetch(
     rows = to_rows(payload)
     if not rows:
         return empty_frame(spark, schema)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def fanout_fetch(

@@ -30,14 +30,20 @@ def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "32")
 
-    from aave_etl_spark.queries import exported_queries
+    from aave_etl_spark.queries.registry import all_queries
     from aave_etl_spark.session import get_spark
 
     spark = get_spark(app_name="aave_etl_spark_profile")
     spark.sparkContext.setLogLevel("ERROR")
     tracker = spark.sparkContext.statusTracker()
 
-    queries = exported_queries()
+    # full registry so family PARTS (export=False) can be profiled alongside
+    # their heads; with no argv, profile the exported surface only
+    queries = all_queries()
+    if not sys.argv[1:]:
+        from aave_etl_spark.queries import exported_queries
+
+        queries = exported_queries()
     names = sys.argv[1:] or list(queries)
 
     # warm-up: JVM + any session-scoped scratch stores the builders share
