@@ -122,17 +122,25 @@ def minhash_signatures(
     """Long-form minhash signature: (id, h, minhash) for h in [0, num_hashes).
 
     h_i(s) = md5(i || ':' || s); the signature element is the min digest.
-    One shuffle: groupBy (id, h) with map-side partial min."""
-    hashed = shingles.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        F.col("shingle"),
-    ).select(
-        id_col,
-        "h",
-        F.md5(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle"))).alias("hv"),
+    One shuffle: groupBy(id) with num_hashes wide map-side partial mins —
+    the shuffle carries one row per id (num_hashes narrow columns) instead
+    of the exploded num_hashes rows per (id, h) group, and the long form is
+    rebuilt AFTER the exchange with posexplode. Value-identical to the
+    exploded groupBy(id, h) form (same md5(i:shingle) per element)."""
+    wide = shingles.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+            ).alias(f"_mh{i}")
+            for i in range(num_hashes)
+        ]
     )
-    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
+    return wide.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)])).alias(
+            "h", "minhash"
+        ),
+    )
 
 
 def band_keys(
@@ -208,6 +216,9 @@ def jaccard_pairs(
             .select("shingle")
         )
         shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
+    # consumed three times (sizes, both join sides): cut the lineage so
+    # the upstream tokenize+shingle subtree runs once, not three times
+    shingles = shingles.localCheckpoint(eager=False)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -294,7 +305,9 @@ def span_duplicates(
             F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
         ),
     )
-    wins = toked.select(F.col(id_col), F.explode(grams).alias("_h"))
+    wins = toked.select(F.col(id_col), F.explode(grams).alias("_h")).localCheckpoint(
+        eager=False
+    )  # consumed twice (corpus counts + the per-doc join)
     counts = wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
     per_doc = (
         wins.join(counts, "_h")

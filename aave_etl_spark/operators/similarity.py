@@ -26,7 +26,12 @@ from aave_etl_spark.localframe import local_df
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ a_i * b_i in double, left-to-right index order (deterministic)."""
+    """Σ a_i * b_i in double, left-to-right index order (deterministic).
+
+    The interpreted HOF form — REQUIRED inside lambda contexts (Catalyst
+    rejects Python UDFs under higher-order functions); top-level
+    projections should prefer :func:`dot_arrow`, the value-identical
+    Arrow-vectorized twin."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -34,12 +39,57 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized `dot` (guide §4.2): the interpreted form pays one
+    lambda-interpreter eval per element; `_pair_dot_udf` computes the same
+    per-dimension left-to-right float64 accumulation in numpy —
+    value-identical (same IEEE op order), including the NULL on a null
+    operand or a length mismatch (zip_with's null padding poisons the
+    sum). NOT usable inside HOF lambdas — use `dot` there."""
+    return _pair_dot_udf()(a, b)
+
+
+def _pair_dot_udf():
+    """Vectorized exact-order pair dot: per-DIMENSION column accumulation
+    replicates `aggregate`'s left-to-right order bitwise (einsum — see
+    `_batch_dot_udf` — does NOT: it may reassociate the sum)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        out = np.zeros(n, dtype=np.float64)
+        la = np.fromiter(
+            ((-1 if e is None else len(e)) for e in a), dtype=np.int64, count=n
+        )
+        lb = np.fromiter(
+            ((-1 if e is None else len(e)) for e in b), dtype=np.int64, count=n
+        )
+        ok = (la >= 0) & (la == lb)
+        for L in np.unique(la[ok]):
+            pos = np.nonzero(ok & (la == L))[0]
+            if L:
+                A = np.stack([np.asarray(a.iat[int(p)], np.float64) for p in pos])
+                B = np.stack([np.asarray(b.iat[int(p)], np.float64) for p in pos])
+                acc = np.zeros(len(pos), dtype=np.float64)
+                for i in range(L):
+                    acc = acc + A[:, i] * B[:, i]
+                out[pos] = acc
+        res = pd.Series(out)
+        res[~pd.Series(ok)] = None
+        return res
+
+    return pair_dot
+
+
 def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+    # every call site is a top-level projection (audited), so the
+    # vectorized dot applies; sqrt/divide stay JVM-side — identical floats
+    return F.sqrt(dot_arrow(a, a))
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return dot_arrow(a, b) / (norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -193,6 +243,89 @@ def rrf_fuse(
 _SRP_MAX_DIM = 256
 
 
+def _length_groups(col: pd.Series):
+    """Yield (positions, float64 matrix) for each distinct vector length in
+    an Arrow batch — np.stack needs uniform rows, and a batch may in
+    principle mix dims. Positions preserve input order; None rows are
+    yielded as (positions, None)."""
+    n = len(col)
+    lens = np.fromiter(
+        ((-1 if e is None else len(e)) for e in col), dtype=np.int64, count=n
+    )
+    for L in np.unique(lens):
+        pos = np.nonzero(lens == L)[0]
+        if L < 0:
+            yield pos, None
+            continue
+        if L == 0:
+            yield pos, np.zeros((len(pos), 0), dtype=np.float64)
+            continue
+        yield pos, np.stack(
+            [np.asarray(col.iat[int(p)], dtype=np.float64) for p in pos]
+        )
+
+
+def _unit_rows_udf():
+    """Arrow-vectorized unit-normalize (guide §4.2): the interpreted HOF
+    form (`transform(v, x -> x / norm(v))`) pays a per-element interpreted
+    lambda eval — ~1 s per 150k elements — while this computes the same
+    floats in numpy. Bitwise-identical by construction: the norm
+    accumulates per-DIMENSION left-to-right over float64 columns, exactly
+    `dot()`'s aggregate order, and the per-element divide is one IEEE op
+    either way."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def unit_rows(col: pd.Series) -> pd.Series:
+        out = np.empty(len(col), dtype=object)
+        for pos, X in _length_groups(col):
+            if X is None:
+                continue  # transform over a null array is null
+            acc = np.zeros(X.shape[0], dtype=np.float64)
+            for i in range(X.shape[1]):
+                acc = acc + X[:, i] * X[:, i]
+            n = np.sqrt(acc)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                U = X / n[:, None]
+            for j, p in enumerate(pos):
+                out[p] = U[j]
+        return pd.Series(out)
+
+    return unit_rows
+
+
+def _srp_bucket_udf(n_planes: int):
+    """Arrow-vectorized SRP bucket id (guide §4.2): same md5-parity sign
+    matrix, same per-dimension left-to-right float64 accumulation as the
+    interpreted `zip_with`/`aggregate` form — identical proj floats, hence
+    identical sign decisions and bucket ids — at numpy speed instead of
+    n_planes × dim interpreted lambda evals per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.array([_srp_signs(p) for p in range(n_planes)], dtype=np.float64)
+
+    @pandas_udf("long")
+    def srp_bucket(col: pd.Series) -> pd.Series:
+        out = np.zeros(len(col), dtype=np.int64)
+        for pos, X in _length_groups(col):
+            if X is None:
+                raise ValueError("srp_buckets: null vector")
+            if X.shape[1] > _SRP_MAX_DIM:
+                raise ValueError(
+                    f"srp_buckets: vector dim exceeds {_SRP_MAX_DIM}"
+                )
+            bucket = np.zeros(X.shape[0], dtype=np.int64)
+            for p in range(n_planes):
+                acc = np.zeros(X.shape[0], dtype=np.float64)
+                for i in range(X.shape[1]):
+                    acc = acc + X[:, i] * S[p, i]
+                bucket += np.where(acc > 0, np.int64(1) << p, 0)
+            out[pos] = bucket
+        return pd.Series(out)
+
+    return srp_bucket
+
+
 def _srp_signs(plane: int, max_dim: int = _SRP_MAX_DIM) -> list[float]:
     """Deterministic ±1 hyperplane: sign_p(i) = parity of the integer formed
     by the first 15 hex chars of md5('p:i') — the same derivation the DuckDB
@@ -217,25 +350,19 @@ def srp_buckets(
     """Sign-random-projection bucket id per vector: (id, bucket long).
 
     bucket bit p = [Σ_i sign_p(i) * v_i > 0] with sign_p(i) = ±1 from
-    md5(p:i) parity (precomputed literal matrix, `_srp_signs`). Vectors in
+    md5(p:i) parity (precomputed matrix, `_srp_signs`). Vectors in
     the same bucket are near-duplicates / close neighbors with high
     probability; candidate generation is then a self-join on `bucket`
-    (bounded buckets, no cross join)."""
-    v = F.col(vec_col)
-    guard = F.when(
-        F.size(v) <= _SRP_MAX_DIM, F.lit(True)
-    ).otherwise(F.raise_error(F.lit(f"srp_buckets: vector dim exceeds {_SRP_MAX_DIM}")))
-    sig = None
-    for p in range(n_planes):
-        signs = F.array(*[F.lit(s) for s in _srp_signs(p)])
-        proj = F.aggregate(
-            F.zip_with(v, F.slice(signs, 1, F.size(v)), lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        term = F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return df.where(guard).select(F.col(id_col), sig.cast("long").alias("bucket"))
+    (bounded buckets, no cross join).
+
+    Arrow-vectorized (guide §4.2): `_srp_bucket_udf` computes the same
+    projections (same sign matrix, same float64 accumulation order — the
+    bucket ids are value-identical to the former interpreted
+    `zip_with`/`aggregate` form, A/B-checked on all SFs) in numpy instead
+    of n_planes × dim interpreted lambda evals per row."""
+    return df.select(
+        F.col(id_col), _srp_bucket_udf(n_planes)(F.col(vec_col)).alias("bucket")
+    )
 
 
 def random_projection(
@@ -256,30 +383,13 @@ def random_projection(
     shuffle-free; output (id, rproj[r], orig_norm, proj_norm). By the JL
     lemma E[proj_norm²] = orig_norm², so norm_ratio concentrates around 1
     (property-tested)."""
-    import math
-
     v = F.col(vec_col)
-    guard = F.when(F.size(v) <= _SRP_MAX_DIM, F.lit(True)).otherwise(
-        F.raise_error(F.lit(f"random_projection: vector dim exceeds {_SRP_MAX_DIM}"))
-    )
-    scale = F.lit(math.sqrt(float(r)))
-    projs = []
-    for p in range(r):
-        signs = F.array(*[F.lit(s) for s in _srp_signs(p)])
-        proj = (
-            F.aggregate(
-                F.zip_with(
-                    v, F.slice(signs, 1, F.size(v)), lambda x, s: x.cast("double") * s
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / scale
-        )
-        projs.append(proj)
-    withp = df.where(guard).select(
-        F.col(id_col), v, F.array(*projs).alias("rproj")
-    )
+    # Arrow-vectorized (guide §4.2), same shape as srp_buckets: identical
+    # sign matrix, per-dimension left-to-right float64 accumulation, one
+    # IEEE divide by sqrt(r) per plane — value-identical to the former
+    # r × dim interpreted-lambda form. proj_norm's fold over the r=16
+    # projections stays interpreted (r evals/row — negligible).
+    withp = df.select(F.col(id_col), v, _rproj_udf(r)(v).alias("rproj"))
     return withp.select(
         F.col(id_col),
         "rproj",
@@ -288,6 +398,40 @@ def random_projection(
             F.aggregate(F.col("rproj"), F.lit(0.0), lambda acc, x: acc + x * x)
         ).alias("proj_norm"),
     )
+
+
+def _rproj_udf(r: int):
+    """Vectorized JL projection rows: out[p] = (Σ_i v_i * sign_p(i)) / sqrt(r)
+    with `_srp_signs` planes — same accumulation order as the interpreted
+    `aggregate(zip_with(...))` form, so floats match bitwise."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.array([_srp_signs(p) for p in range(r)], dtype=np.float64)
+    scale = math.sqrt(float(r))
+
+    @pandas_udf("array<double>")
+    def rproj(col: pd.Series) -> pd.Series:
+        out = np.empty(len(col), dtype=object)
+        for pos, X in _length_groups(col):
+            if X is None:
+                raise ValueError("random_projection: null vector")
+            if X.shape[1] > _SRP_MAX_DIM:
+                raise ValueError(
+                    f"random_projection: vector dim exceeds {_SRP_MAX_DIM}"
+                )
+            P = np.empty((X.shape[0], r), dtype=np.float64)
+            for p in range(r):
+                acc = np.zeros(X.shape[0], dtype=np.float64)
+                for i in range(X.shape[1]):
+                    acc = acc + X[:, i] * S[p, i]
+                P[:, p] = acc / scale
+            for j, q in enumerate(pos):
+                out[q] = P[j]
+        return pd.Series(out)
+
+    return rproj
 
 
 def bucketed_cosine_pairs(
@@ -429,17 +573,13 @@ def normalized(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
     recomputations per pair (the norms would otherwise be re-evaluated
     inside interpreted HOF lambdas for every pair).
 
-    The norm is bound to its own projection BEFORE the per-element divide:
-    HOF lambdas are interpreted, so an inlined norm subtree would re-run the
-    full dot+sqrt for EVERY element — O(dim²) per row. CollapseProject keeps
-    the non-cheap alias materialized (verified: one `aggregate(` in the
-    optimized plan), making this O(dim) per row."""
-    withn = df.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")
-    )
-    return withn.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_n")).alias(vec_col),
+    Arrow-vectorized (guide §4.2): `_unit_rows_udf` computes the identical
+    floats (per-dimension left-to-right norm accumulation = `dot()`'s
+    aggregate order; one IEEE divide per element) in numpy — the former
+    interpreted HOF divide cost ~1 s per 150k elements of pure
+    expression-interpreter overhead."""
+    return df.select(
+        F.col(id_col), _unit_rows_udf()(F.col(vec_col)).alias(vec_col)
     )
 
 
@@ -476,46 +616,90 @@ def _centroid_frame(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(cell_id, _ce, _cen): the coarse quantizer — deterministic first-n
+    """(cell_id, _ce): the coarse quantizer — deterministic first-n
     vectors by id, or a trained (cell_id, centroid) table from kmeans_fit.
-    Centroid norms are computed ONCE here, not per corpus row per cell."""
+    Consumed by `_collect_centroids` (bounded driver collect), which
+    derives the centroid norms once, in exact `dot()` order."""
     if centroids is None:
         return candidates.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).alias("cell_id"),
             F.col(vec_col).alias("_ce"),
-            norm(F.col(vec_col)).alias("_cen"),
         )
-    return centroids.select(
-        F.col("cell_id"),
-        F.col("centroid").alias("_ce"),
-        norm(F.col("centroid")).alias("_cen"),
+    return centroids.select(F.col("cell_id"), F.col("centroid").alias("_ce"))
+
+
+def _round_half_up_py(x: float, digits: int) -> float:
+    """Spark `round(double, d)` semantics in Python: HALF_UP over the
+    double's SHORTEST decimal representation (Scala BigDecimal(double)
+    goes through Double.toString — `repr` is Python's equivalent
+    shortest round-trip form). NaN/±inf pass through like Spark."""
+    import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if _math.isnan(x) or _math.isinf(x):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP)
     )
 
 
-def _centroid_array(cent: DataFrame) -> DataFrame:
-    """One broadcast row: all centroids as a deterministic-order array."""
-    return cent.agg(
-        F.sort_array(F.collect_list(F.struct("cell_id", "_ce", "_cen"))).alias("_cents")
-    )
+def _collect_centroids(cent: DataFrame):
+    """Driver-collect the bounded centroid table (cell_id, _ce) — the same
+    bounded-collect discipline as the probed-cell-id collects (≤ n_cells
+    rows) — and precompute the float64 matrix plus exact-order norms
+    (per-dimension left-to-right, `dot()`'s accumulation)."""
+    rows = sorted(cent.select("cell_id", "_ce").collect(), key=lambda r: r.cell_id)
+    ids = [int(r.cell_id) for r in rows]
+    C = np.stack([np.asarray(r._ce, dtype=np.float64) for r in rows])
+    cen = np.zeros(len(rows), dtype=np.float64)
+    for i in range(C.shape[1]):
+        cen = cen + C[:, i] * C[:, i]
+    return ids, C, np.sqrt(cen)
 
 
-def _cell_sims(vec: Column, vec_norm: Column, round_digits: int) -> Column:
-    """Per-row array of struct(sim, -cell_id) against the broadcast `_cents`
-    column. Lexicographic max/sort-desc = highest rounded cosine, then
-    smallest cell_id — the same tie-break as an ORDER BY sim DESC, cell_id
-    ASC window, but evaluated per-row with no shuffle. ``vec_norm`` must
-    arrive as a column computed BELOW the broadcast join (one dot+sqrt per
-    row); referencing norm(vec) here would re-run it per cell inside the
-    interpreted lambda."""
-    return F.transform(
-        F.col("_cents"),
-        lambda s: F.struct(
-            F.round(dot(vec, s["_ce"]) / (vec_norm * s["_cen"]), round_digits).alias(
-                "sim"
-            ),
-            (-s["cell_id"]).alias("neg_id"),
-        ),
-    )
+def _cell_rank_udf(ids, C, cen, round_digits: int, top: int):
+    """Arrow-vectorized nearest-cells (guide §4.2): per row, the `top`
+    cell ids ordered by (rounded cosine DESC, cell_id ASC) — exactly
+    `array_max`/`sort_array` over `_cell_sims` structs. Dots accumulate
+    per-dimension left-to-right (bitwise `dot()` order), the row norm is
+    `norm()`'s order, the divide is `dot / (vn * cen)` in one IEEE op
+    each, and rounding is `_round_half_up_py` = Spark `round`. NaN sims
+    order LARGEST (Spark's double ordering)."""
+    from pyspark.sql.functions import pandas_udf
+
+    idarr = np.asarray(ids, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def cell_ranks(col: pd.Series) -> pd.Series:
+        out = np.empty(len(col), dtype=object)
+        for pos, X in _length_groups(col):
+            if X is None:
+                continue  # null vector -> null sims -> null ranks
+            nrow = X.shape[0]
+            D = np.zeros((nrow, len(idarr)), dtype=np.float64)
+            vn = np.zeros(nrow, dtype=np.float64)
+            for i in range(X.shape[1]):
+                D += np.outer(X[:, i], C[:, i])
+                vn = vn + X[:, i] * X[:, i]
+            vn = np.sqrt(vn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = D / (vn[:, None] * cen[None, :])
+            for j, p in enumerate(pos):
+                sims = [_round_half_up_py(v, round_digits) for v in S[j]]
+                # ascending (nan_first, -sim, id) == sim DESC (NaN largest,
+                # Spark's double ordering), then cell_id ASC
+                order = sorted(
+                    range(len(sims)),
+                    key=lambda c: (
+                        0 if sims[c] != sims[c] else 1,
+                        -sims[c] if sims[c] == sims[c] else 0.0,
+                        idarr[c],
+                    ),
+                )
+                out[p] = [int(idarr[c]) for c in order[:top]]
+        return pd.Series(out)
+
+    return cell_ranks
 
 
 def ivf_topk(
@@ -555,35 +739,24 @@ def ivf_topk(
     (~n_probe/n_cells).
     """
     cent = _centroid_frame(candidates, centroids, n_cells, id_col, vec_col)
-    cent_arr = _centroid_array(cent)
-
-    c = candidates.select(
-        F.col(id_col).alias("candidate_id"),
-        F.col(vec_col).alias("_cv"),
-        norm(F.col(vec_col)).alias("_cvn"),
-    )
-    assign = (
-        c.crossJoin(F.broadcast(cent_arr))
-        .withColumn("_best", F.array_max(_cell_sims(F.col("_cv"), F.col("_cvn"), round_digits)))
-        .select("candidate_id", (-F.col("_best.neg_id")).alias("cell_id"), "_cv")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_qvn"),
+    # bounded driver collect (≤ n_cells rows — the probed-cell-id collect
+    # discipline); assignment/probe selection then run Arrow-vectorized
+    # per row with NO broadcast cross join, value-identical to the former
+    # array_max/sort_array over `_cell_sims` (guide §4.2)
+    ids, Cm, cen = _collect_centroids(cent)
+    rank1 = _cell_rank_udf(ids, Cm, cen, round_digits, 1)
+    rankp = _cell_rank_udf(ids, Cm, cen, round_digits, n_probe)
+    assign = candidates.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
+    ).select(
+        "candidate_id",
+        F.element_at(rank1(F.col("_cv")), 1).alias("cell_id"),
+        "_cv",
     )
     probes = (
-        q.crossJoin(F.broadcast(cent_arr))
-        .withColumn(
-            "_top",
-            F.slice(
-                F.sort_array(_cell_sims(F.col("_qv"), F.col("_qvn"), round_digits), asc=False),
-                1,
-                n_probe,
-            ),
-        )
-        .select("query_id", "_qv", F.explode("_top").alias("_p"))
-        .select("query_id", (-F.col("_p.neg_id")).alias("cell_id"), "_qv")
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .select("query_id", "_qv", F.explode(rankp(F.col("_qv"))).alias("cell_id"))
+        .select("query_id", "cell_id", "_qv")
     )
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("candidate_id")
@@ -715,24 +888,17 @@ def ivf_index_build(
         # frame before the overwrite below deletes the files it lazily
         # reads, or the write fails mid-job with FILE_NOT_EXIST
         cent = cent.localCheckpoint(eager=True)
-    cent_arr = _centroid_array(cent)
-    c = df.select(
+    # bounded driver collect + Arrow-vectorized per-row assignment — the
+    # ivf_topk form, value-identical to the broadcast argmax (guide §4.2)
+    ids, Cm, cen = _collect_centroids(cent)
+    rank1 = _cell_rank_udf(ids, Cm, cen, round_digits, 1)
+    assign = df.select(
+        F.col(id_col), F.col(vec_col), *[F.col(cc) for cc in carry_cols]
+    ).select(
+        F.element_at(rank1(F.col(vec_col)), 1).alias("cell_id"),
         F.col(id_col),
         F.col(vec_col),
         *[F.col(cc) for cc in carry_cols],
-        norm(F.col(vec_col)).alias("_cvn"),
-    )
-    assign = (
-        c.crossJoin(F.broadcast(cent_arr))
-        .withColumn(
-            "_best", F.array_max(_cell_sims(F.col(vec_col), F.col("_cvn"), round_digits))
-        )
-        .select(
-            (-F.col("_best.neg_id")).alias("cell_id"),
-            F.col(id_col),
-            F.col(vec_col),
-            *[F.col(cc) for cc in carry_cols],
-        )
     )
     # completion-marker protocol: clear FIRST, mark LAST (atomic rename).
     # Any interruption — first build OR a rebuild over an existing store —
@@ -846,24 +1012,17 @@ def ivf_index_append(
                     "the build"
                 )
     cent = _centroid_frame(new_vecs, centroids, 0, id_col, vec_col)
-    cent_arr = _centroid_array(cent)
-    c = new_vecs.select(
+    # bounded driver collect + Arrow-vectorized per-row assignment — the
+    # ivf_topk form, value-identical to the broadcast argmax (guide §4.2)
+    ids, Cm, cen = _collect_centroids(cent)
+    rank1 = _cell_rank_udf(ids, Cm, cen, round_digits, 1)
+    assign = new_vecs.select(
+        F.col(id_col), F.col(vec_col), *[F.col(cc) for cc in carry_cols]
+    ).select(
+        F.element_at(rank1(F.col(vec_col)), 1).alias("cell_id"),
         F.col(id_col),
         F.col(vec_col),
         *[F.col(cc) for cc in carry_cols],
-        norm(F.col(vec_col)).alias("_cvn"),
-    )
-    assign = (
-        c.crossJoin(F.broadcast(cent_arr))
-        .withColumn(
-            "_best", F.array_max(_cell_sims(F.col(vec_col), F.col("_cvn"), round_digits))
-        )
-        .select(
-            (-F.col("_best.neg_id")).alias("cell_id"),
-            F.col(id_col),
-            F.col(vec_col),
-            *[F.col(cc) for cc in carry_cols],
-        )
     )
     if carry_cols:
         # dynamic overwrite of the touched (cell, slice) partitions only
@@ -916,29 +1075,15 @@ def ivf_index_search(
         raise ValueError(
             f"IVF index {name!r} not found in store — run ivf_index_build first"
         )
-    centf = centroids.select(
-        "cell_id",
-        F.col("centroid").alias("_ce"),
-        norm(F.col("centroid")).alias("_cen"),
-    )
-    cent_arr = _centroid_array(centf)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_qvn"),
-    )
+    centf = centroids.select("cell_id", F.col("centroid").alias("_ce"))
+    # bounded driver collect + Arrow-vectorized probe selection — the
+    # ivf_topk form, value-identical to sort_array over `_cell_sims`
+    ids, Cm, cen = _collect_centroids(centf)
+    rankp = _cell_rank_udf(ids, Cm, cen, round_digits, n_probe)
     probes = (
-        q.crossJoin(F.broadcast(cent_arr))
-        .withColumn(
-            "_top",
-            F.slice(
-                F.sort_array(_cell_sims(F.col("_qv"), F.col("_qvn"), round_digits), asc=False),
-                1,
-                n_probe,
-            ),
-        )
-        .select("query_id", "_qv", F.explode("_top").alias("_p"))
-        .select("query_id", (-F.col("_p.neg_id")).alias("cell_id"), "_qv")
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .select("query_id", "_qv", F.explode(rankp(F.col("_qv"))).alias("cell_id"))
+        .select("query_id", "cell_id", "_qv")
         # consumed twice (driver collect of probe cells + the scan join):
         # cut the lineage so query scoring against the centroids runs once
         .localCheckpoint(eager=False)
@@ -1032,16 +1177,12 @@ def semantic_dedup(
     Measured hostile 10× (every replica identical, SCALE.md): uncapped
     ~30 s → 17 s at the default cap on the same corpus."""
     cent = _centroid_frame(df, centroids, n_cells, id_col, vec_col)
-    cent_arr = _centroid_array(cent)
-    c = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("_cv"),
-        norm(F.col(vec_col)).alias("_cvn"),
-    )
-    assign = (
-        c.crossJoin(F.broadcast(cent_arr))
-        .withColumn("_best", F.array_max(_cell_sims(F.col("_cv"), F.col("_cvn"), round_digits)))
-        .select(F.col(id_col), (-F.col("_best.neg_id")).alias("cell_id"))
+    # bounded driver collect + Arrow-vectorized per-row assignment — the
+    # ivf_topk form, value-identical to the broadcast argmax (guide §4.2)
+    ids, Cm, cen = _collect_centroids(cent)
+    rank1 = _cell_rank_udf(ids, Cm, cen, round_digits, 1)
+    assign = df.select(F.col(id_col), F.col(vec_col).alias("_cv")).select(
+        F.col(id_col), F.element_at(rank1(F.col("_cv")), 1).alias("cell_id")
     )
     unit = normalized(df, id_col, vec_col)
     # assignment + normalization feed sizes AND both sides of the

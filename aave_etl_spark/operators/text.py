@@ -780,6 +780,10 @@ def stupid_backoff_score(
     split handles it) but never fans out; the corpus total folds into
     one broadcast row (the ``unigram_logprob`` shape). All JVM-side
     expressions, no UDFs."""
+    # the count table feeds three join sides (cur-unigram, prev-unigram,
+    # bigram) plus the corpus total: cut the lineage so a derived counts
+    # frame (ngram_counts, state rollup) computes once, not four times
+    counts = counts.localCheckpoint(eager=False)
     uni = counts.filter(F.col("w2").isNull()).select(
         F.col("w1").alias("_w"), F.col("tf").alias("_wtf")
     )

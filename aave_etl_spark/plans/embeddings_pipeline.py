@@ -159,15 +159,12 @@ def _emb_landing(ctx: AssetContext) -> DataFrame:
 
 def _unit(df: DataFrame) -> DataFrame:
     """Unit-normalize ``embedding`` keeping the frame's other columns —
-    the similarity.normalized() form (norm bound in its own projection so
-    the interpreted HOF divide stays O(dim) per row), day preserved for
-    the carry partition level."""
-    withn = df.select("*", similarity.norm(F.col("embedding")).alias("_n"))
-    return withn.select(
+    the similarity.normalized() form (same Arrow-vectorized unit UDF,
+    bitwise-identical floats to the interpreted HOF divide), day
+    preserved for the carry partition level."""
+    return df.select(
         *[c for c in df.columns if c != "embedding"],
-        F.transform(
-            F.col("embedding"), lambda x: x.cast("double") / F.col("_n")
-        ).alias("embedding"),
+        similarity._unit_rows_udf()(F.col("embedding")).alias("embedding"),
     )
 
 
@@ -202,6 +199,11 @@ def _emb_pq_prefilter_dups(store, batch: DataFrame, day: str) -> DataFrame:
     DISTINCT candidate days (a bounded driver collect — at most the
     shortlist size) and equi-joins on the candidate ids — history raw
     bytes outside the candidates' slices are never read."""
+    # the probe batch is consumed by the ADC search (whose probe-cell
+    # collect is a separate driver action) AND the exact-verify join —
+    # lineage-cut it so the caller's prep chain (digest dedup,
+    # within-batch semantic dedup, anti-joins) runs once, not per action
+    batch = batch.localCheckpoint(eager=False)
     short = similarity.ivfpq_index_search(
         store,
         _unit(batch),
