@@ -153,20 +153,23 @@ def test_flagship_broadcasts_dims_and_single_shuffle_agg(spark):
 
 
 def test_ivf_topk_broadcasts_centroids(spark):
-    """IVF-flat ANN: the coarse quantizer must broadcast (both to assign
-    the corpus and to pick probe cells) — the corpus scan itself must not
-    shuffle for assignment; the only exchange is the cell-id join +
+    """IVF-flat ANN: the coarse quantizer is a bounded driver-collected
+    matrix ranked per row by the Arrow cell-rank UDF — NO broadcast cross
+    join against a folded centroid row remains, and the corpus scan must
+    not shuffle for assignment; the only exchange is the cell-id join +
     per-query window."""
     p = plan(spark, "llm_ivf_topk")
-    # corpus x centroid-array and queries x centroid-array are broadcast
-    # cross joins against ONE folded row
-    assert p.count("BroadcastNestedLoopJoin") >= 2
+    # cell assignment / probe selection are per-row Arrow evals, not
+    # broadcast nested-loop joins against a collected centroid array
+    assert "ArrowEvalPython" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p  # vectorized, never row-at-a-time
     # the cell-id join broadcasts the (tiny) probe side
     assert "BroadcastHashJoin" in p
     # no cartesian product ever materializes corpus x corpus
     assert "CartesianProduct" not in p
-    # cell assignment is a per-row array argmax: the ONLY window node (and
-    # the only hash-partition exchange feeding one) is the final per-query
+    # cell assignment is a per-row rank: the ONLY window node (and the
+    # only hash-partition exchange feeding one) is the final per-query
     # top-k — no Exchange between the corpus scan and its cell assignment
     assert len(re.findall(r"\bWindow\b(?!GroupLimit)", p)) == 1
     assert "hashpartitioning(candidate_id" not in p
@@ -282,11 +285,13 @@ def test_semantic_dedup_plan(spark):
 
 def test_span_dedup_plan(spark):
     """Span dedup: explode + two bounded-key exchanges (window-hash count,
-    doc re-agg) — no pair join at all."""
+    doc re-agg) — no pair join at all. The exploded window-hash frame is
+    lineage-cut (localCheckpoint) because two consumers read it, so the
+    explode itself sits behind a checkpointed RDD scan in the final plan."""
     p = plan(spark, "llm_span_dedup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "Generate explode" in p
+    assert "Scan ExistingRDD" in p  # the checkpointed explode output
 
 
 def test_quality_topfrac_approximate_is_broadcast_no_window(spark):
