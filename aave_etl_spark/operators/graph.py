@@ -75,29 +75,46 @@ def connected_components(
 
     labels = vertices.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
     labels = labels.localCheckpoint(eager=True)
+    comp_t = labels.schema["comp"].dataType
     for _ in range(max_iter):
-        # 1. neighbor-min: node b receives a's label; keep the min of own+received
+        # 1. neighbor-min: node b receives a's label; keep the min of
+        # own+received. The node's OLD label rides the union as `_old`
+        # (exactly one labels row per node, so max(_old) recovers it) —
+        # this folds what used to be a third per-round join (labels back
+        # onto the jumped frame just to compute the changed flag) into the
+        # same groupBy exchange: one fewer shuffle per iteration, values
+        # identical (guide §2.4)
         msgs = sym.join(
             labels.select(F.col("node").alias("a"), "comp"), "a"
-        ).select(F.col("b").alias("node"), "comp")
+        ).select(
+            F.col("b").alias("node"), "comp", F.lit(None).cast(comp_t).alias("_old")
+        )
         stepped = (
-            labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+            labels.select("node", "comp", F.col("comp").alias("_old"))
+            .unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"), F.max("_old").alias("_old"))
+            # a message-only node (edge endpoint outside the vertex set)
+            # has no labels row, hence null _old — the former inner join
+            # dropped such rows; keep that contract
+            .filter(F.col("_old").isNotNull())
         )
         # 2. pointer jumping: comp := comp's own comp (labels are node ids,
         # so the label table resolves them; left+coalesce keeps the row if
-        # a label somehow isn't a vertex — cannot happen, but cheap safety)
-        jumped = stepped.join(
-            stepped.select(F.col("node").alias("comp"), F.col("comp").alias("_c2")),
-            "comp",
-            "left",
-        ).select("node", F.coalesce("_c2", F.col("comp")).alias("comp"))
-        # fold the changed flag INTO the jump pass: carry old labels through
-        # the same lineage so the eager checkpoint materializes comp AND
-        # _chg in one job; convergence is then a limit-1 scan of cached
-        # blocks, not a second join pass over the vertex set per iteration
+        # a label somehow isn't a vertex — cannot happen, but cheap safety);
+        # the changed flag materializes in the same eager checkpoint job,
+        # so convergence is a limit-1 scan of cached blocks
         jumped = (
-            jumped.join(labels.select("node", F.col("comp").alias("_old")), "node")
-            .select("node", "comp", (F.col("comp") != F.col("_old")).alias("_chg"))
+            stepped.join(
+                stepped.select(F.col("node").alias("comp"), F.col("comp").alias("_c2")),
+                "comp",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("_c2", F.col("comp")).alias("comp"),
+                (F.coalesce("_c2", F.col("comp")) != F.col("_old")).alias("_chg"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = jumped.filter("_chg").limit(1).count()

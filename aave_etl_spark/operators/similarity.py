@@ -123,7 +123,11 @@ def cosine_topk(
         F.col(vec_col).alias("_cv"),
         norm(F.col(vec_col)).alias("_cn"),
     )
-    cos = dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    # Arrow pair dot (guide §4.2): the pair projection is the |c|×|q| hot
+    # loop — `dot_arrow` is the value-identical vectorized twin of the
+    # interpreted HOF `dot` (same per-dimension left-to-right float64
+    # accumulation), usable here because this is a top-level projection
+    cos = dot_arrow(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     scored = (
@@ -746,17 +750,22 @@ def ivf_topk(
     ids, Cm, cen = _collect_centroids(cent)
     rank1 = _cell_rank_udf(ids, Cm, cen, round_digits, 1)
     rankp = _cell_rank_udf(ids, Cm, cen, round_digits, n_probe)
+    # norms bind in each side's OWN projection (the cosine_topk
+    # discipline): the pair projection then pays ONE Arrow pair dot
+    # instead of cosine()'s three UDF evals per pair — identical floats
+    # (same expression tree per value, norms computed per row pre-join)
     assign = candidates.select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
     ).select(
         "candidate_id",
         F.element_at(rank1(F.col("_cv")), 1).alias("cell_id"),
         "_cv",
+        norm(F.col("_cv")).alias("_cn"),
     )
     probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
         .select("query_id", "_qv", F.explode(rankp(F.col("_qv"))).alias("cell_id"))
-        .select("query_id", "cell_id", "_qv")
+        .select("query_id", "cell_id", "_qv", norm(F.col("_qv")).alias("_qn"))
     )
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("candidate_id")
@@ -767,7 +776,11 @@ def ivf_topk(
         .select(
             "query_id",
             "candidate_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cos_sim"),
+            F.round(
+                dot_arrow(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
@@ -1083,7 +1096,11 @@ def ivf_index_search(
     probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
         .select("query_id", "_qv", F.explode(rankp(F.col("_qv"))).alias("cell_id"))
-        .select("query_id", "cell_id", "_qv")
+        # query norm bound pre-join and pre-checkpoint (the cosine_topk
+        # discipline): the pair projection below then pays ONE Arrow pair
+        # dot instead of cosine()'s three UDF evals per pair — identical
+        # floats (same expression tree per value)
+        .select("query_id", "cell_id", "_qv", norm(F.col("_qv")).alias("_qn"))
         # consumed twice (driver collect of probe cells + the scan join):
         # cut the lineage so query scoring against the centroids runs once
         .localCheckpoint(eager=False)
@@ -1106,8 +1123,10 @@ def ivf_index_search(
     if extra_where is not None:
         cells_pred = f"({cells_pred}) AND ({extra_where})"
     idx = store.read(name, where=cells_pred).select(
-        "cell_id", F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
-    )
+        "cell_id",
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("_cv"),
+    ).select("cell_id", "candidate_id", "_cv", norm(F.col("_cv")).alias("_cn"))
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("candidate_id")
     )
@@ -1119,7 +1138,11 @@ def ivf_index_search(
         .select(
             "query_id",
             "candidate_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cos_sim"),
+            F.round(
+                dot_arrow(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
@@ -1430,9 +1453,18 @@ def margin_topk(
     re-runs the query-side lineage — callers who know their cardinality
     (a literal probe set, a pre-counted frame) should pass
     ``broadcast_queries=True``/``False`` to skip it."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    # norms bind in each side's OWN projection (the cosine_topk
+    # discipline): the pair scan below pays ONE Arrow pair dot instead of
+    # cosine()'s three UDF evals per pair — identical floats
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
     c = candidates.select(
-        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     if broadcast_queries is None:
         # LIMIT-bounded probe over the id projection only (column pruning
@@ -1449,7 +1481,11 @@ def margin_topk(
         .select(
             "query_id",
             "candidate_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cos_sim"),
+            F.round(
+                dot_arrow(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ).alias("cos_sim"),
         )
         .localCheckpoint(eager=False)  # three consumers, one corpus scan
     )
@@ -1548,6 +1584,57 @@ def pq_topk(
         )
     # one broadcast row, sorted so element position k+1 <=> code k
     cbrow = cb.agg(F.sort_array(F.collect_list(F.struct("code", "cvec"))).alias("_cbs"))
+
+    # Arrow-vectorized encode/ADC (guide §4.2) over the driver-collected
+    # codebook (bounded: n_codes rows) — value-identical to the interpreted
+    # HOF chain below, which stays as the EMPTY-codebook fallback
+    code_ids, CB = _geom_rows(cbrow)
+    if CB is not None:
+        enc_udf = _pq_direct_codes_udf(code_ids, CB, M, round_digits)
+        tab_udf = _pq_direct_tab_udf(code_ids, CB, M, round_digits)
+        guard = _pq_dim_guard
+        enc = (
+            candidates.select(
+                F.col(id_col).alias("candidate_id"),
+                F.col(vec_col).cast("array<double>").alias("_cv"),
+            )
+            .where(guard(F.col("_cv"), M, "pq_topk"))
+            .select("candidate_id", enc_udf(F.col("_cv")).alias("_codes"))
+        )
+        qtab = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("_qv"),
+            )
+            .where(guard(F.col("_qv"), M, "pq_topk"))
+            .select("query_id", tab_udf(F.col("_qv")).alias("_tab"))
+        )
+        score = F.round(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(M)),
+                F.lit(0.0),
+                lambda acc, m: acc
+                + F.element_at(
+                    F.element_at(F.col("_tab"), m),
+                    F.element_at(F.col("_codes"), m) + 1,
+                ),
+            ),
+            round_digits,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("approx_d2").asc(), F.col("candidate_id")
+        )
+        return (
+            enc.crossJoin(F.broadcast(qtab))
+            .filter(F.col("candidate_id") != F.col("query_id"))
+            .select("query_id", "candidate_id", score.alias("approx_d2"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "candidate_id", "approx_d2",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
 
     def sub_d2(vec, cvec, m, s):
         # squared L2 over subspace m (1-based positions m*s+1 .. (m+1)*s)
@@ -1782,6 +1869,216 @@ def _struct_row(df: DataFrame, key: str, alias: str) -> DataFrame:
     return df.agg(F.sort_array(F.collect_list(F.struct(key, "cvec"))).alias(alias))
 
 
+def _geom_rows(row_df: DataFrame):
+    """Driver-collect a one-row geometry frame (`_struct_row` output) into
+    (int64 ids ASC, float64 matrix) — the `_collect_centroids` bounded-
+    collect discipline extended to the L2/PQ kernels (geometry-sized:
+    ≤ n_cells/n_codes rows, never corpus data). Returns (None, None) for
+    an EMPTY geometry — callers keep the interpreted HOF path for that
+    degenerate shape (its null-propagating struct-min semantics)."""
+    structs = row_df.collect()[0][0]
+    if not structs:
+        return None, None
+    ids = np.array([int(s[0]) for s in structs], dtype=np.int64)
+    C = np.stack([np.asarray(s[1], dtype=np.float64) for s in structs])
+    return ids, C
+
+
+def _l2_accum(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """rows × centroids squared L2 accumulated per-DIMENSION left-to-right
+    in float64 — bitwise `_l2sq`'s aggregate order per (row, centroid)."""
+    D = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(X.shape[1]):
+        d = X[:, i][:, None] - C[None, :, i]
+        D = D + d * d
+    return D
+
+
+def _l2_order(d2_rounded: list, ids: np.ndarray) -> list:
+    """Positions ordered like Spark's struct (d2 ASC, id ASC) min/sort —
+    NaN d2 orders greatest (Spark's double ordering)."""
+    return sorted(
+        range(len(d2_rounded)),
+        key=lambda c: (
+            1 if d2_rounded[c] != d2_rounded[c] else 0,
+            d2_rounded[c] if d2_rounded[c] == d2_rounded[c] else 0.0,
+            int(ids[c]),
+        ),
+    )
+
+
+def _sub_d2_tables(R: np.ndarray, CB: np.ndarray, m_sub: int) -> list:
+    """Per-subspace rows × codes squared L2 — `_pq_sub_d2`'s left-to-right
+    accumulation over the subspace's dimensions (full-d codebook rows are
+    sliced at positions m*s..(m+1)*s-1, exactly the interpreted form)."""
+    s = R.shape[1] // m_sub
+    tabs = []
+    for m in range(m_sub):
+        D = np.zeros((R.shape[0], CB.shape[0]), dtype=np.float64)
+        for j in range(m * s, (m + 1) * s):
+            d = R[:, j][:, None] - CB[None, :, j]
+            D = D + d * d
+        tabs.append(D)
+    return tabs
+
+
+def _l2_cell_rank_udf(ids, C, round_digits: int, top: int):
+    """Arrow-vectorized nearest cells by SQUARED L2 (guide §4.2): per row
+    the `top` cell ids ordered by (rounded d2 ASC, cell_id ASC) — exactly
+    the interpreted struct `array_min`/`array_sort` over `_cells`, at
+    numpy speed instead of n_cells × dim interpreted lambda evals per row.
+    Accumulation is `_l2sq`'s per-dimension left-to-right order, rounding
+    is `_round_half_up_py` (= Spark `round`), ties and NaN order exactly
+    like the struct comparison — ids are value-identical. A vector whose
+    dim differs from the geometry's raises loudly (the interpreted form's
+    null-padded d2 cannot occur under the build/append dim discipline)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def l2_ranks(col: pd.Series) -> pd.Series:
+        out = np.empty(len(col), dtype=object)
+        for pos, X in _length_groups(col):
+            if X is None:
+                continue  # null vector -> null ranks
+            if X.shape[1] != C.shape[1]:
+                raise ValueError(
+                    f"ivfpq: vector dim {X.shape[1]} != geometry dim {C.shape[1]}"
+                )
+            D = _l2_accum(X, C)
+            for j, p in enumerate(pos):
+                d2 = [_round_half_up_py(v, round_digits) for v in D[j]]
+                order = _l2_order(d2, ids)
+                out[p] = [int(ids[c]) for c in order[:top]]
+        return pd.Series(out)
+
+    return l2_ranks
+
+
+def _pq_encode_udf(cell_ids, C, code_ids, CB, m_sub: int, round_digits: int):
+    """Arrow-vectorized IVF-PQ encode (guide §4.2): nearest cell (rounded
+    L2, id ties), residual vs that cell's centroid, per-subspace nearest
+    code — `_ivfpq_encode`'s interpreted chain in numpy, value-identical
+    (same accumulation order, `_round_half_up_py` rounding, same tie/NaN
+    ordering; the residual uses the argmin's own centroid row, which under
+    the dense 0-based id contract IS `element_at(_cells, cell+1)`)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("cell_id int, codes array<int>")
+    def pq_encode(col: pd.Series) -> pd.DataFrame:
+        n = len(col)
+        cells = np.empty(n, dtype=object)
+        codes = np.empty(n, dtype=object)
+        for pos, X in _length_groups(col):
+            if X is None:
+                continue  # null vector -> null fields (guard raised upstream)
+            if X.shape[1] != C.shape[1] or X.shape[1] != CB.shape[1]:
+                raise ValueError(
+                    f"ivfpq: vector dim {X.shape[1]} != geometry dim"
+                    f" {C.shape[1]}/{CB.shape[1]}"
+                )
+            D = _l2_accum(X, C)
+            cpos = np.empty(X.shape[0], dtype=np.int64)
+            for j in range(X.shape[0]):
+                d2 = [_round_half_up_py(v, round_digits) for v in D[j]]
+                cpos[j] = _l2_order(d2, cell_ids)[0]
+            R = X - C[cpos]
+            tabs = _sub_d2_tables(R, CB, m_sub)
+            for j, p in enumerate(pos):
+                cells[p] = int(cell_ids[cpos[j]])
+                cd = []
+                for m in range(m_sub):
+                    dm = [_round_half_up_py(v, round_digits) for v in tabs[m][j]]
+                    cd.append(int(code_ids[_l2_order(dm, code_ids)[0]]))
+                codes[p] = cd
+        return pd.DataFrame({"cell_id": pd.Series(cells), "codes": pd.Series(codes)})
+
+    return pq_encode
+
+
+def _adc_res_tab_udf(cell_ids, C, code_ids, CB, m_sub: int, round_digits: int):
+    """Arrow-vectorized per-(query, cell) residual ADC table (guide §4.2):
+    (vec, cell_id) → rounded M×K d2 table — `_cell_residual` + `_adc_table`
+    in numpy, value-identical (same accumulation order and rounding)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<array<double>>")
+    def adc_res_tab(qv: pd.Series, cell: pd.Series) -> pd.Series:
+        out = np.empty(len(qv), dtype=object)
+        cellv = cell.to_numpy()
+        for pos, X in _length_groups(qv):
+            if X is None:
+                continue
+            if X.shape[1] != C.shape[1] or X.shape[1] != CB.shape[1]:
+                raise ValueError(
+                    f"ivfpq: vector dim {X.shape[1]} != geometry dim"
+                    f" {C.shape[1]}/{CB.shape[1]}"
+                )
+            cp = np.searchsorted(cell_ids, cellv[pos].astype(np.int64))
+            R = X - C[cp]
+            tabs = _sub_d2_tables(R, CB, m_sub)
+            for j, p in enumerate(pos):
+                out[p] = [
+                    [_round_half_up_py(v, round_digits) for v in tabs[m][j]]
+                    for m in range(m_sub)
+                ]
+        return pd.Series(out)
+
+    return adc_res_tab
+
+
+def _pq_direct_codes_udf(code_ids, CB, m_sub: int, round_digits: int):
+    """Arrow-vectorized PLAIN-PQ encode (no coarse cells — `pq_topk`'s
+    form): vec → per-subspace nearest code vs the full-d codebook."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def pq_codes(col: pd.Series) -> pd.Series:
+        out = np.empty(len(col), dtype=object)
+        for pos, X in _length_groups(col):
+            if X is None:
+                continue
+            if X.shape[1] != CB.shape[1]:
+                raise ValueError(
+                    f"pq: vector dim {X.shape[1]} != codebook dim {CB.shape[1]}"
+                )
+            tabs = _sub_d2_tables(X, CB, m_sub)
+            for j, p in enumerate(pos):
+                cd = []
+                for m in range(m_sub):
+                    dm = [_round_half_up_py(v, round_digits) for v in tabs[m][j]]
+                    cd.append(int(code_ids[_l2_order(dm, code_ids)[0]]))
+                out[p] = cd
+        return pd.Series(out)
+
+    return pq_codes
+
+
+def _pq_direct_tab_udf(code_ids, CB, m_sub: int, round_digits: int):
+    """Arrow-vectorized PLAIN-PQ query ADC table (`pq_topk`'s form):
+    vec → rounded M×K d2 table vs the full-d codebook."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<array<double>>")
+    def pq_tab(col: pd.Series) -> pd.Series:
+        out = np.empty(len(col), dtype=object)
+        for pos, X in _length_groups(col):
+            if X is None:
+                continue
+            if X.shape[1] != CB.shape[1]:
+                raise ValueError(
+                    f"pq: vector dim {X.shape[1]} != codebook dim {CB.shape[1]}"
+                )
+            tabs = _sub_d2_tables(X, CB, m_sub)
+            for j, p in enumerate(pos):
+                out[p] = [
+                    [_round_half_up_py(v, round_digits) for v in tabs[m][j]]
+                    for m in range(m_sub)
+                ]
+        return pd.Series(out)
+
+    return pq_tab
+
+
 def _trained_geometry(df: DataFrame, key: str) -> DataFrame:
     """Normalize a TRAINED geometry frame — (key, centroid|cvec), e.g.
     :func:`kmeans_fit` output — to the dense-0-based (key, cvec) contract
@@ -1890,11 +2187,28 @@ def _ivfpq_encode(
 ) -> DataFrame:
     """One map-only corpus pass: (candidate_id, cell_id, _codes).
 
-    cell_id is materialized in its OWN projection before the residual
-    references it: nearest-cell is an interpreted HOF (no CSE under
-    CodegenFallback), so inlining it twice would double the dominant
-    O(n_cells·d) per-row cost (the word_shingles materialize-in-own-
-    projection discipline)."""
+    Arrow-vectorized (guide §4.2): the geometry is a bounded driver
+    collect (`_geom_rows`) and the nearest-cell + residual + codes chain
+    runs in numpy (`_pq_encode_udf`) — value-identical to the interpreted
+    HOF form, which is kept below as the EMPTY-geometry fallback (its
+    null-propagating struct-min semantics for the degenerate shape)."""
+    cell_ids, C = _geom_rows(cells_row)
+    code_ids, CB = _geom_rows(cb_row)
+    if C is not None and CB is not None:
+        enc = _pq_encode_udf(cell_ids, C, code_ids, CB, m_sub, round_digits)
+        return (
+            candidates.select(
+                F.col(id_col).alias("candidate_id"),
+                F.col(vec_col).cast("array<double>").alias("_cv"),
+            )
+            .where(_pq_dim_guard(F.col("_cv"), m_sub, "ivfpq"))
+            .select("candidate_id", enc(F.col("_cv")).alias("_e"))
+            .select(
+                "candidate_id",
+                F.col("_e.cell_id").alias("cell_id"),
+                F.col("_e.codes").alias("_codes"),
+            )
+        )
     return (
         candidates.select(
             F.col(id_col).alias("candidate_id"),
@@ -1930,7 +2244,28 @@ def _ivfpq_probe_tables(
     round_digits: int,
 ) -> DataFrame:
     """(query_id, cell_id, _tab): the n_probe nearest cells per query and
-    the per-(query, cell) residual ADC table."""
+    the per-(query, cell) residual ADC table.
+
+    Arrow-vectorized (guide §4.2): probe-cell ranking and the residual
+    ADC tables run in numpy over the driver-collected geometry
+    (`_l2_cell_rank_udf` + `_adc_res_tab_udf`), value-identical to the
+    interpreted HOF form kept below as the EMPTY-geometry fallback."""
+    cell_ids, C = _geom_rows(cells_row)
+    code_ids, CB = _geom_rows(cb_row)
+    if C is not None and CB is not None:
+        rankp = _l2_cell_rank_udf(cell_ids, C, round_digits, n_probe)
+        tab = _adc_res_tab_udf(cell_ids, C, code_ids, CB, m_sub, round_digits)
+        return (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("_qv"),
+            )
+            .where(_pq_dim_guard(F.col("_qv"), m_sub, "ivfpq"))
+            .select("query_id", "_qv", F.explode(rankp(F.col("_qv"))).alias("cell_id"))
+            .select(
+                "query_id", "cell_id", tab(F.col("_qv"), F.col("cell_id")).alias("_tab")
+            )
+        )
     return (
         queries.select(
             F.col(id_col).alias("query_id"),

@@ -333,7 +333,11 @@ def _corpus_clean(ctx: AssetContext) -> DataFrame:
         # The batch side reuses sh_b (shingled once above): it carries the
         # within-batch-dropped ids too, but the verify equi-joins on the
         # PAIRS' ids and pairs come from the surviving batch only
-        sh = sh_b.unionByName(dedup.word_shingles(corpus_docs, n=3))
+        # the union feeds jaccard_verify's three consumers (sizes + both
+        # join sides): cut so the matched-corpus shingling runs once
+        sh = sh_b.unionByName(
+            dedup.word_shingles(corpus_docs, n=3)
+        ).localCheckpoint(eager=False)
         dups = dedup.jaccard_verify(
             sh,
             pairs.selectExpr("new_id AS id_a", "corpus_id AS id_b"),

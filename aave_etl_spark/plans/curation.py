@@ -109,7 +109,9 @@ def curate_core(
     # key by definition here (see dedup.keep_first_by_digest).
     ex = maybe_ckpt(dedup.keep_first_by_digest(c4k, F.md5("ct")))
     # 3. near-dup keeper: LSH candidates -> exact-Jaccard verify -> CC
-    sh = dedup.word_shingles(ex, text_col="ct", n=3)
+    # consumed 4x (signature chain + verify's sizes/a/b sides): cut so
+    # tokenize+shingle runs once (guide §5)
+    sh = maybe_ckpt(dedup.word_shingles(ex, text_col="ct", n=3))
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
     dups = dedup.jaccard_verify(sh, cand, threshold=0.5)

@@ -1212,7 +1212,11 @@ def llm_rsq_atrest(spark, sf_dir):
     ),
 )
 def llm_lsh_verified_dups(spark, sf_dir):
-    sh = dedup.word_shingles(t(spark, sf_dir, "documents"), n=3)
+    # consumed 4x (signature chain + verify's sizes/a/b sides): cut the
+    # lineage so tokenize+shingle runs once, not four times (guide §5)
+    sh = dedup.word_shingles(t(spark, sf_dir, "documents"), n=3).localCheckpoint(
+        eager=False
+    )
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
     return dedup.jaccard_verify(sh, cand, threshold=0.5)
@@ -1321,7 +1325,9 @@ def llm_dedup_cluster(spark, sf_dir):
     from aave_etl_spark.operators.graph import dedup_clusters
 
     docs = t(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, n=3)
+    # consumed 4x (signature chain + verify's sizes/a/b sides): cut the
+    # lineage so tokenize+shingle runs once, not four times (guide §5)
+    sh = dedup.word_shingles(docs, n=3).localCheckpoint(eager=False)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
     dups = dedup.jaccard_verify(sh, cand, threshold=0.5)
