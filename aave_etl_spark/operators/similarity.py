@@ -454,12 +454,16 @@ def bucketed_cosine_pairs(
     (dot + two norms) the naive cosine would re-evaluate per pair. At 100 TB
     the pair count inside popular buckets dominates; one dot/pair is the
     floor."""
-    buckets = srp_buckets(df, id_col, vec_col, n_planes)
-    unit = normalized(df, id_col, vec_col)
-    # the bucketed unit-vector table feeds BOTH sides of the self-join:
-    # cut the lineage so normalization + bucketing run once, not twice
-    # (at warehouse scale this is the table you'd persist)
-    withb = unit.join(buckets, id_col).localCheckpoint(eager=False)
+    # unit vector and SRP bucket in ONE projection over ONE scan (both are
+    # per-row functions of the raw vector — the former normalized ⋈ buckets
+    # equi-join was two scans plus an exchange for the same rows); the
+    # bucketed unit-vector table feeds BOTH sides of the self-join, so cut
+    # the lineage (at warehouse scale this is the table you'd persist)
+    withb = df.select(
+        F.col(id_col),
+        _unit_rows_udf()(F.col(vec_col)).alias(vec_col),
+        _srp_bucket_udf(n_planes)(F.col(vec_col)).alias("bucket"),
+    ).localCheckpoint(eager=False)
     a = withb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
     )
@@ -500,56 +504,75 @@ def within_batch_cosine_drops(
     phase 2 falls back to all lower-mate pairs only for vectors that had
     a lower bucket-mate and did not resolve. Scoring is the
     ``bucketed_cosine_pairs`` path exactly: unit-normalize once, one
-    Arrow-batched dot per pair, round 6 — the answer set is identical."""
-    unit = normalized(df, id_col, vec_col)
-    withb = unit.join(
-        srp_buckets(df, id_col, vec_col, n_planes), id_col
-    ).localCheckpoint(eager=False)  # feeds probes, both score joins, phase 2
-    m1 = withb.groupBy("bucket").agg(F.min(id_col).alias("_m1"))
-    memb = withb.select(id_col, "bucket").join(m1, "bucket")
+    Arrow-batched dot per pair, round 6 — the answer set is identical.
+
+    Dataflow (round 13): the bucket-minimum aggregates carry the minima's
+    unit VECTORS via ``min_by`` (still bounded, partial-aggregatable
+    state — one vector per bucket, never a membership collect), so
+    phase 1 scores each row against ``_m1v``/``_m2v`` in place — no probe
+    pair-frame, no joins back onto the batch by id; and a vector appears
+    in exactly ONE bucket (the SRP bucket id is a total function of the
+    vector), so pairs are unique by construction and the former
+    intermediate ``.distinct()``s were pure exchanges — only the final
+    drop-set distinct survives. Same answer, ~5 fewer shuffles."""
+    # unit vector and SRP bucket in ONE projection over ONE scan (the
+    # bucketed_cosine_pairs form) — feeds the min aggs, phase 1, phase 2
+    withb = df.select(
+        F.col(id_col),
+        _unit_rows_udf()(F.col(vec_col)).alias(vec_col),
+        _srp_bucket_udf(n_planes)(F.col(vec_col)).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    vec = F.col(vec_col)
+    m1 = withb.groupBy("bucket").agg(
+        F.min(id_col).alias("_m1"), F.min_by(vec, F.col(id_col)).alias("_m1v")
+    )
+    memb = withb.join(m1, "bucket")
     m2 = (
         memb.filter(F.col(id_col) > F.col("_m1"))
         .groupBy("bucket")
-        .agg(F.min(id_col).alias("_m2"))
+        .agg(F.min(id_col).alias("_m2"), F.min_by(vec, F.col(id_col)).alias("_m2v"))
     )
-    probes = (
-        memb.join(m2, "bucket", "left")
-        .select(
-            F.col(id_col).alias("id_b"),
-            F.explode(F.array("_m1", "_m2")).alias("id_a"),
-        )
-        .filter(F.col("id_a").isNotNull() & (F.col("id_a") < F.col("id_b")))
-        .distinct()
-    )
-
-    def _score(pairs: DataFrame) -> DataFrame:
-        a = withb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-        b = withb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-        return (
-            pairs.join(a, "id_a")
-            .join(b, "id_b")
-            .select(
-                "id_b",
-                F.round(_batch_dot_udf()(F.col("_va"), F.col("_vb")), 6).alias("_cs"),
+    probed = memb.join(m2, "bucket", "left")
+    # the pair scores are bucketed_cosine_pairs' expression exactly: one
+    # Arrow-batched dot on pre-normalized vectors, round 6. _m2v coalesces
+    # to _m1v so the UDF never sees a null partner (ArrowEval computes the
+    # projection unconditionally); the _m2 null/ordering conditions below
+    # exclude those rows from the decision
+    cs1 = F.round(_batch_dot_udf()(vec, F.col("_m1v")), 6)
+    cs2 = F.round(_batch_dot_udf()(vec, F.coalesce("_m2v", "_m1v")), 6)
+    d1 = (
+        probed.filter(
+            ((F.col(id_col) > F.col("_m1")) & (cs1 >= min_cos))
+            | (
+                F.col("_m2").isNotNull()
+                & (F.col(id_col) > F.col("_m2"))
+                & (cs2 >= min_cos)
             )
-            .filter(F.col("_cs") >= min_cos)
-            .select("id_b")
-            .distinct()
         )
-
-    d1 = _score(probes).localCheckpoint(eager=False)
-    unresolved = probes.select("id_b").distinct().join(d1, "id_b", "left_anti")
-    a2 = withb.select(F.col(id_col).alias("id_a"), "bucket")
+        .select(F.col(id_col).alias("id_b"))
+        .localCheckpoint(eager=False)  # feeds the union AND the anti-join
+    )
+    # vectors with SOME lower bucket-mate (= not their bucket's minimum)
+    # that phase 1 did not resolve
+    unresolved = (
+        probed.filter(F.col(id_col) > F.col("_m1"))
+        .select(F.col(id_col).alias("id_b"))
+        .join(d1, "id_b", "left_anti")
+    )
+    a2 = withb.select(F.col(id_col).alias("id_a"), vec.alias("_va"), "bucket")
     b2 = withb.join(
         unresolved.select(F.col("id_b").alias(id_col)), id_col, "left_semi"
-    ).select(F.col(id_col).alias("id_b"), "bucket")
-    p2 = (
+    ).select(F.col(id_col).alias("id_b"), vec.alias("_vb"), "bucket")
+    d2 = (
         a2.join(b2, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .select(
+            "id_b",
+            F.round(_batch_dot_udf()(F.col("_va"), F.col("_vb")), 6).alias("_cs"),
+        )
+        .filter(F.col("_cs") >= min_cos)
+        .select("id_b")
     )
-    d2 = _score(p2)
     return (
         d1.unionByName(d2).distinct().select(F.col("id_b").alias(id_col))
     )
@@ -1204,14 +1227,16 @@ def semantic_dedup(
     # ivf_topk form, value-identical to the broadcast argmax (guide §4.2)
     ids, Cm, cen = _collect_centroids(cent)
     rank1 = _cell_rank_udf(ids, Cm, cen, round_digits, 1)
-    assign = df.select(F.col(id_col), F.col(vec_col).alias("_cv")).select(
-        F.col(id_col), F.element_at(rank1(F.col("_cv")), 1).alias("cell_id")
-    )
-    unit = normalized(df, id_col, vec_col)
-    # assignment + normalization feed sizes AND both sides of the
-    # self-join: cut the lineage FIRST so the corpus pass runs once (same
+    # assignment + unit vector in ONE projection over ONE scan (both are
+    # per-row functions of the raw vector — the former normalized ⋈ assign
+    # equi-join was two scans plus an exchange for the same rows); feeds
+    # sizes AND both sides of the self-join, so cut the lineage (same
     # discipline as bucketed_cosine_pairs)
-    base = unit.join(assign, id_col).localCheckpoint(eager=False)
+    base = df.select(
+        F.col(id_col),
+        _unit_rows_udf()(F.col(vec_col)).alias(vec_col),
+        F.element_at(rank1(F.col(vec_col)), 1).alias("cell_id"),
+    ).localCheckpoint(eager=False)
     # sub-bucket oversized cells BEFORE the pair join: parts = ceil(n/cap),
     # sub = md5(id) hex prefix mod parts (engine-portable — the oracle
     # mirrors CAST('0x'||substring(md5(id),1,15) AS BIGINT) % parts)
