@@ -2150,6 +2150,32 @@ def test_ivfpq_topk_probe_pruning_and_recall(spark):
     assert all(sorted(v) == [1, 2, 3] for v in ranks.values())
 
 
+def test_ivfpq_arrow_encode_tie_breaks_to_lowest_cell_and_code(spark):
+    """The Arrow-vectorized encode (round 13) must keep the interpreted
+    struct-min tie semantics: equal rounded distances break to the LOWEST
+    cell/code id. Duplicate centroid seeds force exact d2 ties for every
+    vector, so any comparator drift (e.g. numpy argmax-style last-wins)
+    would surface as a non-zero cell/code."""
+    from aave_etl_spark.operators import similarity as sim
+
+    dim = 8
+    # seeds 0 and 1 are IDENTICAL -> both coarse centroids equal; seeds
+    # 2 and 3 identical -> both residual codebook entries equal
+    base = [1.0] * dim
+    rows = (
+        [(0, base), (1, base), (2, [2.0] * dim), (3, [2.0] * dim)]
+        + [(10 + j, [1.0 + 0.1 * j] * dim) for j in range(4)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.ivfpq_topk(
+        df, df.filter("vec_id = 10"), k=3, n_cells=2, n_probe=2,
+        n_subspaces=4, n_codes=2,
+    ).collect()
+    # every candidate ties between the two identical cells -> all land in
+    # cell 0; ADC scores tie between the two identical codes the same way
+    assert out and all(r.cell_id == 0 for r in out), out
+
+
 def test_pq_topk_sparse_nonzero_ids_and_dim_guard(spark):
     """Review regression: codebook/cell seeding must re-code densely (ids
     that are sparse or don't start at 0 previously broke the
