@@ -850,7 +850,7 @@ def simhash_near_dup_pairs(
         raise ValueError(f"bits must be a multiple of bands and <= 63, got {bits}/{bands}")
     width = bits // bands
     mask = (1 << width) - 1
-    sig = simhash(df, id_col, text_col, bits=bits).localCheckpoint(eager=False)
+    sig = simhash(df, id_col, text_col, bits=bits)
     banded = sig.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
@@ -861,23 +861,30 @@ def simhash_near_dup_pairs(
         # shiftright's python builder takes a literal count; the SQL form
         # accepts the per-row band expression
         F.expr(f"shiftright(simhash, band * {width}) & {mask}").alias("band_bits"),
+        "simhash",
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_bits")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_bits")
-    cand = (
+    # the SIGNATURES ride the band join (8 bytes/row — the within-batch
+    # min_by discipline), so the popcount verify runs in place: no
+    # candidate-distinct before the verify and no pair of joins back onto
+    # the signature table afterward (2 fewer exchanges). hamming is a
+    # function of the pair, so deduping the multi-band hits AFTER the
+    # popcount filter yields the identical pair set — over strictly fewer
+    # rows (only pairs inside the radius reach the distinct)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band", "band_bits",
+        F.col("simhash").alias("_sa"),
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band", "band_bits",
+        F.col("simhash").alias("_sb"),
+    )
+    return (
         a.join(b, ["band", "band_bits"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
         .withColumn("hamming", F.bit_count(F.expr("_sa ^ _sb")).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
