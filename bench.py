@@ -132,10 +132,7 @@ def main() -> int:
     )
 
     out = {
-        "metric": (
-            "total wall-clock over all registered queries (noop sink;"
-            f" per-query median of {n_runs} round-robin passes)"
-        ),
+        "metric": f"total query wall (noop sink; median of {n_runs})",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
@@ -198,16 +195,34 @@ def main() -> int:
         with open(os.path.join(repo_dir, "BENCH_HISTORY.jsonl"), "a") as fh:
             json.dump({"ts": int(time.time()), **out}, fh)
             fh.write("\n")
-        # stdout carries NEITHER parts nor parts_top: the r12 artifact lost
-        # its headline because parts_top (~300 bytes) pushed the line past
-        # the driver's 2000-byte tail window — 50 query medians alone are
-        # ~1.8 KB, so there is no inline-attribution headroom at all. The
-        # attribution lives in the three committed files only.
-        out = {k: v for k, v in out.items() if k not in ("parts", "parts_top")}
-        out["parts_in"] = full_name
+        # stdout carries ONLY the contract keys (metric/value/unit/
+        # queries/sf + failures): the r12 artifact lost its headline
+        # because parts_top (~300 bytes) pushed the line past the driver's
+        # 2000-byte tail window, and round 13 found the r12-shaped line
+        # had crept to 2,253 bytes again once two new heads joined the
+        # queries dict — 50 query medians are ~1.75 KB even with compact
+        # separators, so there is NO headroom for extras at all. runs /
+        # spread / parts / parts_top live in the three committed files
+        # only; the line is asserted under the window with margin.
+        out = {
+            k: v
+            for k, v in out.items()
+            if k in ("metric", "value", "unit", "queries", "sf", "failures")
+        }
     except OSError:
-        pass  # a read-only checkout gets the full line on stdout instead
-    print(json.dumps(out))
+        # a read-only checkout still prints only the contract keys
+        out = {
+            k: v
+            for k, v in out.items()
+            if k in ("metric", "value", "unit", "queries", "sf", "failures")
+        }
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= 1900, (
+        f"bench stdout line is {len(line)} bytes — over the driver's"
+        " 2000-byte tail window (minus margin); trim keys before the"
+        " round loses its headline like r7/r12"
+    )
+    print(line)
     return 1 if failures else 0
 
 
