@@ -35,6 +35,20 @@ from aave_etl_spark.localframe import local_df
 
 META_COLS = ("_load_timestamp", "_partition_type", "_partition_key")
 
+# Table-schema memo: every bare spark.read.parquet(dir) launches one
+# footer-inference driver job (~30-40 ms) — across the at-rest families
+# that is dozens of jobs per bench pass for schemas that cannot change
+# between a table's write and its reads (the catalog._SCHEMA_CACHE
+# discipline applied to the store). Keyed by table path; EVERY mutating
+# method invalidates its table's entry (write/merge/compact/restore/
+# drop), so a rewritten table is always re-inferred. Metadata only —
+# never row data — and per-process, so nothing survives across runs.
+_SCHEMA_MEMO: dict[str, StructType] = {}
+
+
+def _schema_memo_invalidate(path: str) -> None:
+    _SCHEMA_MEMO.pop(path, None)
+
 
 def morton_zkey(
     cols: list[str], mins: list[float], maxs: list[float], bits: int = 16
@@ -251,6 +265,7 @@ class TableStore:
         Size the filter with ``bloom_ndv`` (expected distinct values per
         row group — overestimating costs bytes, underestimating costs
         false positives)."""
+        _schema_memo_invalidate(self._path(name))
         if df.isEmpty():
             return False
         drop_after: list[str] = []
@@ -368,6 +383,7 @@ class TableStore:
         src = os.path.join(self.root, f"{name}.__snapshots", snapshot_id)
         if not os.path.isdir(src):
             raise ValueError(f"no snapshot {snapshot_id!r} for table {name!r}")
+        _schema_memo_invalidate(self._path(name))
         import shutil
 
         if self.exists(name):
@@ -436,6 +452,8 @@ class TableStore:
         write() skips empty frames and a leftover directory would either
         resurrect the deleted rows or be an unreadable husk)."""
         from pyspark.sql.window import Window
+
+        _schema_memo_invalidate(self._path(name))
 
         if sequence_col:
             w = Window.partitionBy(*key_cols).orderBy(F.col(sequence_col).desc())
@@ -544,6 +562,7 @@ class TableStore:
         both merge branches). Returns False — the merge left no table."""
         import shutil
 
+        _schema_memo_invalidate(self._path(name))
         shutil.rmtree(self._path(name), ignore_errors=True)
         return False
 
@@ -681,6 +700,7 @@ class TableStore:
         co-location survives incremental ingest (Spark validates the
         bucket spec against the catalog and refuses a mismatch). The
         caller must pass the ORIGINAL ``n_buckets``/``sort_cols``."""
+        _schema_memo_invalidate(self._path(name))
         writer = (
             df.write.format("parquet")
             .mode(mode)
@@ -751,6 +771,7 @@ class TableStore:
         import math
         import shutil
 
+        _schema_memo_invalidate(self._path(name))
         if zorder_by and sort_cols:
             raise ValueError("pass sort_cols OR zorder_by, not both")
 
@@ -825,7 +846,13 @@ class TableStore:
         predicate; on partition columns it prunes at file-listing time."""
         if not self.exists(name):
             return local_df(self.spark, [], schema or StructType([]))
-        df = self.spark.read.parquet(self._path(name))
+        path = self._path(name)
+        known = _SCHEMA_MEMO.get(path)
+        if known is not None:
+            df = self.spark.read.schema(known).parquet(path)
+        else:
+            df = self.spark.read.parquet(path)
+            _SCHEMA_MEMO[path] = df.schema
         if where:
             df = df.filter(where)
         if not keep_meta:

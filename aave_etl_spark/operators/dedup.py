@@ -41,9 +41,13 @@ def exact_duplicates(
 
     Returns one row per distinct content: (digest, keeper_id = min id,
     dup_count). Spark plan: project + single hash aggregate — one shuffle on
-    the 128-bit digest, no skew (digests are uniform)."""
+    the 128-bit digest, no skew (digests are uniform). Scan fan-out is
+    value-safe: min(id)/count keyed by the digest shuffle are exact."""
+    from aave_etl_spark.operators.skew import fan_out_scan
+
     return (
-        df.select(F.md5(normalize_text(text_col)).alias("digest"), F.col(id_col))
+        fan_out_scan(df, id_col)
+        .select(F.md5(normalize_text(text_col)).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(
             F.min(id_col).alias("keeper_id"),
@@ -104,8 +108,14 @@ def word_shingles(
     inlined into the lambda each element_at would re-run the split —
     O(tokens²) per doc, minutes on one long document. Binding it to a
     column makes the lambda O(1) per element (CollapseProject keeps
-    multi-referenced non-cheap aliases materialized)."""
-    toked = df.select(
+    multi-referenced non-cheap aliases materialized).
+
+    Scan fan-out (guide §2.5): every consumer re-keys through an exact
+    shuffle (min(md5) minhash aggs, shingle counts, semi-joins), so
+    parallelizing the single-row-group scan moves no value."""
+    from aave_etl_spark.operators.skew import fan_out_scan
+
+    toked = fan_out_scan(df, id_col).select(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
     ).filter(F.size("_toks") >= n)
     toks = F.col("_toks")
@@ -252,10 +262,14 @@ def simhash(
 
     Token hash = first 16 hex chars of md5 → 64-bit space; bit b of the
     signature is the sign of Σ_tokens (±1). Pure explode + conditional-sum —
-    two shuffles ((id, token-row) explode is narrow; groupBy id)."""
+    two shuffles ((id, token-row) explode is narrow; groupBy id).
+    Scan fan-out is value-safe: the bit sums are exact ints keyed by
+    their own groupBy(id) shuffle (guide §2.5)."""
+    from aave_etl_spark.operators.skew import fan_out_scan
+
     toks = F.split(normalize_text(text_col), " ")
     tok = (
-        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        fan_out_scan(df, id_col).select(F.col(id_col), F.explode(toks).alias("token"))
         .withColumn("th", F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long"))
     )
     bit_sums = tok.groupBy(id_col).agg(
@@ -294,8 +308,11 @@ def span_duplicates(
     groupBy on doc id after the count join. Cost is O(total tokens) rows
     through each exchange; a span repeated k times contributes k rows,
     never k² pairs — unlike shingle-blocking joins this cannot blow up on
-    boilerplate."""
-    toked = df.select(
+    boilerplate. Scan fan-out is value-safe: both downstream aggregations
+    (window-hash counts, per-doc int sums) key exact shuffles."""
+    from aave_etl_spark.operators.skew import fan_out_scan
+
+    toked = fan_out_scan(df, id_col).select(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
     ).filter(F.size("_toks") >= n)
     toks = F.col("_toks")
@@ -408,7 +425,9 @@ def span_dedup_rewrite(
     dedup and near-dup gating, before packing); since round 13 the daily
     corpus pipeline runs it as the final `_corpus_clean` stage against
     the at-rest ``corpus_spans`` state (plans/corpus_pipeline.py)."""
-    toked = df.select(
+    from aave_etl_spark.operators.skew import fan_out_scan
+
+    toked = fan_out_scan(df, id_col).select(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
     ).localCheckpoint(eager=False)  # feeds wins, the full-position explode,
     # and the final n_tokens join — without the lineage cut the
@@ -850,7 +869,11 @@ def simhash_near_dup_pairs(
         raise ValueError(f"bits must be a multiple of bands and <= 63, got {bits}/{bands}")
     width = bits // bands
     mask = (1 << width) - 1
-    sig = simhash(df, id_col, text_col, bits=bits)
+    # the band self-join below embeds the signature computation (tokenize
+    # → explode → groupBy) on BOTH sides — cut the lineage so it provably
+    # runs once per invocation rather than relying on exchange reuse /
+    # AQE to dedup the identical aggregate (r13 ADVICE)
+    sig = simhash(df, id_col, text_col, bits=bits).localCheckpoint(eager=False)
     banded = sig.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
@@ -1150,7 +1173,11 @@ def line_dedup_global(
     ordered rebuild together (collect_list skips the dropped lines) — the
     corpus is exploded once. The id-spine join reads only the pruned id
     column. Nothing is corpus×corpus; the only global state is the
-    line-hash key space itself."""
+    line-hash key space itself. Scan fan-out is value-safe: firsts is an
+    exact min(struct), the rebuild collect_list is array_sort-ed."""
+    from aave_etl_spark.operators.skew import fan_out_scan
+
+    df = fan_out_scan(df, id_col)
     lines = (
         df.select(
             F.col(id_col),

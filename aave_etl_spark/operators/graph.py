@@ -19,11 +19,13 @@ Beyond"). Each iteration:
    the bound is what makes the operator safe on adversarial graphs
    (long chains of pairwise-similar documents).
 
-Every iteration ends in `localCheckpoint(eager=True)` — without it the
-lineage doubles per iteration and Catalyst plan compilation, not the data,
-becomes the bottleneck. On a real cluster swap localCheckpoint for
-`checkpoint()` on reliable storage if executor loss during the loop must
-be survivable.
+Every round ends in a `localCheckpoint` — without it the lineage doubles
+per iteration and Catalyst plan compilation, not the data, becomes the
+bottleneck. Rounds are batched between convergence checks (lazy cuts
+mid-batch, one eager cut + one changed-count per batch) so the driver
+round-trips scale with batches, not rounds. On a real cluster swap
+localCheckpoint for `checkpoint()` on reliable storage if executor loss
+during the loop must be survivable.
 
 Labels are node ids and the propagated min is the component's global min
 id, so the final label doubles as the canonical "keeper" pick — no second
@@ -44,6 +46,7 @@ def connected_components(
     dst: str = "id_b",
     id_col: str = "node",
     max_iter: int = 25,
+    rounds_per_check: int = 2,
 ) -> DataFrame:
     """Connected components of the undirected graph in ``edges``.
 
@@ -58,7 +61,20 @@ def connected_components(
     iterations — with pointer jumping that means diameter > ~2^max_iter,
     i.e. something is structurally wrong with the input, and a silent
     partial answer would mislabel components.
+
+    ``rounds_per_check`` batches propagation rounds between convergence
+    checks: only the LAST round of a batch ends in the eager checkpoint +
+    changed-count driver round-trip; mid-batch rounds cut lineage lazily
+    (materialized once inside the batch-end job — the next round consumes
+    the frame in three branches). One round is a deterministic function f
+    of the labels, and f(x) = x exactly at the fixpoint, so checking only
+    the final round's changed flag detects the same convergence; a round
+    executed past convergence is idempotent. Halves the driver
+    actions/checkpoint jobs per round — at small scale these dominate the
+    iteration (guide §5: the driver should do almost no work per round).
     """
+    if rounds_per_check < 1:
+        raise ValueError("rounds_per_check must be >= 1")
     # checkpoint the edge table BEFORE symmetrizing: the union references it
     # twice, and edges often arrive at the end of an expensive pipeline
     # (LSH -> verify) that must not run once per branch
@@ -76,7 +92,8 @@ def connected_components(
     labels = vertices.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
     labels = labels.localCheckpoint(eager=True)
     comp_t = labels.schema["comp"].dataType
-    for _ in range(max_iter):
+
+    def one_round(labels: DataFrame) -> DataFrame:
         # 1. neighbor-min: node b receives a's label; keep the min of
         # own+received. The node's OLD label rides the union as `_old`
         # (exactly one labels row per node, so max(_old) recovers it) —
@@ -101,24 +118,31 @@ def connected_components(
         )
         # 2. pointer jumping: comp := comp's own comp (labels are node ids,
         # so the label table resolves them; left+coalesce keeps the row if
-        # a label somehow isn't a vertex — cannot happen, but cheap safety);
-        # the changed flag materializes in the same eager checkpoint job,
-        # so convergence is a limit-1 scan of cached blocks
-        jumped = (
-            stepped.join(
-                stepped.select(F.col("node").alias("comp"), F.col("comp").alias("_c2")),
-                "comp",
-                "left",
-            )
-            .select(
-                "node",
-                F.coalesce("_c2", F.col("comp")).alias("comp"),
-                (F.coalesce("_c2", F.col("comp")) != F.col("_old")).alias("_chg"),
-            )
-            .localCheckpoint(eager=True)
+        # a label somehow isn't a vertex — cannot happen, but cheap safety)
+        return stepped.join(
+            stepped.select(F.col("node").alias("comp"), F.col("comp").alias("_c2")),
+            "comp",
+            "left",
+        ).select(
+            "node",
+            F.coalesce("_c2", F.col("comp")).alias("comp"),
+            (F.coalesce("_c2", F.col("comp")) != F.col("_old")).alias("_chg"),
         )
+
+    done = 0
+    while done < max_iter:
+        batch = min(rounds_per_check, max_iter - done)
+        jumped = labels  # placate the linter; reassigned below
+        for j in range(batch):
+            # mid-batch rounds cut lineage LAZILY (no driver job: the RDD
+            # caches when the batch-end eager job first computes it, and
+            # the next round's three consumers share that one pass); only
+            # the batch-END round pays the eager materialization, and the
+            # changed flag then reads cached blocks via a limit-1 scan
+            jumped = one_round(labels).localCheckpoint(eager=(j == batch - 1))
+            labels = jumped.select("node", "comp")
+        done += batch
         changed = jumped.filter("_chg").limit(1).count()
-        labels = jumped.select("node", "comp")
         if changed == 0:
             return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")

@@ -45,7 +45,19 @@ def dot_arrow(a: Column, b: Column) -> Column:
     per-dimension left-to-right float64 accumulation in numpy —
     value-identical (same IEEE op order), including the NULL on a null
     operand or a length mismatch (zip_with's null padding poisons the
-    sum). NOT usable inside HOF lambdas — use `dot` there."""
+    sum). NOT usable inside HOF lambdas — use `dot` there.
+
+    BOUNDARY CONTRACT (r13 ADVICE): embedding arrays must be
+    ELEMENT-null-free. A null ELEMENT inside an array crosses Arrow as
+    NaN, so this form yields NaN where the interpreted `dot` null-poisons
+    to NULL — and NaN sorts greatest under a desc similarity window.
+    Every ingest path in this repo builds dense float arrays (parquet
+    list<float>/list<double> with non-null items; the fixtures and every
+    store writer preserve that), so the forms agree on all reachable
+    inputs; a per-row element-None scan here would put a Python loop back
+    in the hot kernel to defend against a shape the pipeline never
+    produces. Enforce element-null-free arrays upstream if a new source
+    can violate it."""
     return _pair_dot_udf()(a, b)
 
 
@@ -82,6 +94,54 @@ def _pair_dot_udf():
     return pair_dot
 
 
+def _pair_cos_udf():
+    """Fused pair cosine in ONE Arrow stage: cos = Σa_ib_i /
+    (sqrt(Σa_i²)·sqrt(Σb_i²)), every accumulation per-dimension
+    left-to-right float64 (the `dot`/`norm` op order) and the
+    sqrt/multiply/divide single IEEE ops — bitwise the JVM expression
+    `dot_arrow(a,b) / (norm(a) * norm(b))`. NULL on a null operand or a
+    length mismatch, like `dot_arrow`. One UDF stage instead of three
+    (two per-row norm evals + the pair dot): at small scale the Arrow
+    boundary's fixed cost per stage dominates (the r13 regression on
+    llm_cosine_topk), and inside the kernel the pair-stack conversion
+    dominates the two extra accumulations."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        out = np.zeros(n, dtype=np.float64)
+        la = np.fromiter(
+            ((-1 if e is None else len(e)) for e in a), dtype=np.int64, count=n
+        )
+        lb = np.fromiter(
+            ((-1 if e is None else len(e)) for e in b), dtype=np.int64, count=n
+        )
+        ok = (la >= 0) & (la == lb)
+        for L in np.unique(la[ok]):
+            pos = np.nonzero(ok & (la == L))[0]
+            if L:
+                A = np.stack([np.asarray(a.iat[int(p)], np.float64) for p in pos])
+                B = np.stack([np.asarray(b.iat[int(p)], np.float64) for p in pos])
+                ab = np.zeros(len(pos), dtype=np.float64)
+                aa = np.zeros(len(pos), dtype=np.float64)
+                bb = np.zeros(len(pos), dtype=np.float64)
+                for i in range(L):
+                    ab = ab + A[:, i] * B[:, i]
+                    aa = aa + A[:, i] * A[:, i]
+                    bb = bb + B[:, i] * B[:, i]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out[pos] = ab / (np.sqrt(aa) * np.sqrt(bb))
+            else:
+                # zero-length arrays: 0.0 / (0.0 * 0.0) = NaN, like the JVM
+                out[pos] = np.nan
+        res = pd.Series(out)
+        res[~pd.Series(ok)] = None
+        return res
+
+    return pair_cos
+
+
 def norm(a: Column) -> Column:
     # every call site is a top-level projection (audited), so the
     # vectorized dot applies; sqrt/divide stay JVM-side — identical floats
@@ -107,27 +167,22 @@ def cosine_topk(
     with no shuffle until the final per-query top-k (a window over
     query_id, tiny cardinality). Ties broken by candidate id for
     determinism."""
-    # norms bind in each side's OWN projection: HOF aggregates are
-    # interpreted (no CSE), so cosine() inline would re-run both norms per
-    # PAIR — 3 corpus-x-queries aggregate evaluations instead of one dot
-    # per pair plus one norm per row (measured 10.9 s -> ~3 s on the
-    # dedup-recall head at sf0.1); same expression tree per value, so
-    # results are bit-identical
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_qn"),
     )
     c = candidates.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("_cv"),
-        norm(F.col(vec_col)).alias("_cn"),
     )
-    # Arrow pair dot (guide §4.2): the pair projection is the |c|×|q| hot
-    # loop — `dot_arrow` is the value-identical vectorized twin of the
-    # interpreted HOF `dot` (same per-dimension left-to-right float64
-    # accumulation), usable here because this is a top-level projection
-    cos = dot_arrow(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    # ONE fused Arrow stage for the |c|×|q| pair projection (guide §4.2):
+    # `_pair_cos_udf` computes dot and both norms per pair in numpy with
+    # the exact `dot`/`norm`/divide IEEE op order — bit-identical to the
+    # former dot_arrow + per-row-norm form, but 1 ArrowEvalPython stage
+    # instead of 3 (the per-stage fixed cost caused r13's only
+    # regression); the two extra accumulations ride the pair stack the
+    # kernel builds anyway (VERDICT r13 #5)
+    cos = _pair_cos_udf()(F.col("_qv"), F.col("_cv"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     scored = (
@@ -773,22 +828,16 @@ def ivf_topk(
     ids, Cm, cen = _collect_centroids(cent)
     rank1 = _cell_rank_udf(ids, Cm, cen, round_digits, 1)
     rankp = _cell_rank_udf(ids, Cm, cen, round_digits, n_probe)
-    # norms bind in each side's OWN projection (the cosine_topk
-    # discipline): the pair projection then pays ONE Arrow pair dot
-    # instead of cosine()'s three UDF evals per pair — identical floats
-    # (same expression tree per value, norms computed per row pre-join)
     assign = candidates.select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cv")
     ).select(
         "candidate_id",
         F.element_at(rank1(F.col("_cv")), 1).alias("cell_id"),
         "_cv",
-        norm(F.col("_cv")).alias("_cn"),
     )
     probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
         .select("query_id", "_qv", F.explode(rankp(F.col("_qv"))).alias("cell_id"))
-        .select("query_id", "cell_id", "_qv", norm(F.col("_qv")).alias("_qn"))
     )
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("candidate_id")
@@ -799,10 +848,11 @@ def ivf_topk(
         .select(
             "query_id",
             "candidate_id",
+            # ONE fused Arrow stage per probed pair (`_pair_cos_udf`):
+            # bitwise the former dot_arrow/(qn*cn) with per-row norms,
+            # minus two ArrowEvalPython boundaries (guide §4.2)
             F.round(
-                dot_arrow(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn")),
-                round_digits,
+                _pair_cos_udf()(F.col("_qv"), F.col("_cv")), round_digits
             ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(rank_w))
@@ -1119,11 +1169,6 @@ def ivf_index_search(
     probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
         .select("query_id", "_qv", F.explode(rankp(F.col("_qv"))).alias("cell_id"))
-        # query norm bound pre-join and pre-checkpoint (the cosine_topk
-        # discipline): the pair projection below then pays ONE Arrow pair
-        # dot instead of cosine()'s three UDF evals per pair — identical
-        # floats (same expression tree per value)
-        .select("query_id", "cell_id", "_qv", norm(F.col("_qv")).alias("_qn"))
         # consumed twice (driver collect of probe cells + the scan join):
         # cut the lineage so query scoring against the centroids runs once
         .localCheckpoint(eager=False)
@@ -1149,7 +1194,7 @@ def ivf_index_search(
         "cell_id",
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("_cv"),
-    ).select("cell_id", "candidate_id", "_cv", norm(F.col("_cv")).alias("_cn"))
+    )
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("candidate_id")
     )
@@ -1161,10 +1206,11 @@ def ivf_index_search(
         .select(
             "query_id",
             "candidate_id",
+            # ONE fused Arrow stage per probed pair (`_pair_cos_udf`):
+            # bitwise the former dot_arrow/(qn*cn) with per-row norms,
+            # minus two ArrowEvalPython boundaries (guide §4.2)
             F.round(
-                dot_arrow(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn")),
-                round_digits,
+                _pair_cos_udf()(F.col("_qv"), F.col("_cv")), round_digits
             ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(rank_w))
@@ -1478,18 +1524,13 @@ def margin_topk(
     re-runs the query-side lineage — callers who know their cardinality
     (a literal probe set, a pre-counted frame) should pass
     ``broadcast_queries=True``/``False`` to skip it."""
-    # norms bind in each side's OWN projection (the cosine_topk
-    # discipline): the pair scan below pays ONE Arrow pair dot instead of
-    # cosine()'s three UDF evals per pair — identical floats
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_qn"),
     )
     c = candidates.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("_cv"),
-        norm(F.col(vec_col)).alias("_cn"),
     )
     if broadcast_queries is None:
         # LIMIT-bounded probe over the id projection only (column pruning
@@ -1506,10 +1547,11 @@ def margin_topk(
         .select(
             "query_id",
             "candidate_id",
+            # ONE fused Arrow stage per pair (`_pair_cos_udf`): bitwise
+            # the former dot_arrow/(qn*cn) with per-row norms, minus two
+            # ArrowEvalPython boundaries (guide §4.2)
             F.round(
-                dot_arrow(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn")),
-                round_digits,
+                _pair_cos_udf()(F.col("_qv"), F.col("_cv")), round_digits
             ).alias("cos_sim"),
         )
         .localCheckpoint(eager=False)  # three consumers, one corpus scan
@@ -1902,11 +1944,29 @@ def _geom_rows(row_df: DataFrame):
     an EMPTY geometry — callers keep the interpreted HOF path for that
     degenerate shape (its null-propagating struct-min semantics)."""
     structs = row_df.collect()[0][0]
+    return _parse_geom_structs(structs)
+
+
+def _parse_geom_structs(structs):
     if not structs:
         return None, None
     ids = np.array([int(s[0]) for s in structs], dtype=np.int64)
     C = np.stack([np.asarray(s[1], dtype=np.float64) for s in structs])
     return ids, C
+
+
+def _geom_pair(cells_row: DataFrame, cb_row: DataFrame):
+    """Driver-collect BOTH one-row geometry frames in ONE Spark job (the
+    1×1 crossJoin of two single-row aggregates). The encode and probe
+    stages used to run `_geom_rows` independently — four driver jobs per
+    ivfpq_topk call, each re-running the seed scan feeding the geometry
+    (r13 ADVICE) — where one suffices: collect once here and pass the
+    parsed pair into `_ivfpq_encode` / `_ivfpq_probe_tables` via their
+    ``geom=`` parameter. Still bounded: ≤ n_cells + n_codes rows, never
+    corpus data. An empty side parses to (None, None) so callers keep the
+    interpreted fallback for that degenerate shape."""
+    row = cells_row.crossJoin(cb_row).collect()[0]
+    return _parse_geom_structs(row[0]), _parse_geom_structs(row[1])
 
 
 def _l2_accum(X: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -2209,16 +2269,19 @@ def _ivfpq_encode(
     id_col: str,
     vec_col: str,
     round_digits: int,
+    geom=None,
 ) -> DataFrame:
     """One map-only corpus pass: (candidate_id, cell_id, _codes).
 
     Arrow-vectorized (guide §4.2): the geometry is a bounded driver
-    collect (`_geom_rows`) and the nearest-cell + residual + codes chain
-    runs in numpy (`_pq_encode_udf`) — value-identical to the interpreted
-    HOF form, which is kept below as the EMPTY-geometry fallback (its
+    collect (`_geom_rows`, or the caller's shared `_geom_pair` result via
+    ``geom=``) and the nearest-cell + residual + codes chain runs in
+    numpy (`_pq_encode_udf`) — value-identical to the interpreted HOF
+    form, which is kept below as the EMPTY-geometry fallback (its
     null-propagating struct-min semantics for the degenerate shape)."""
-    cell_ids, C = _geom_rows(cells_row)
-    code_ids, CB = _geom_rows(cb_row)
+    if geom is None:
+        geom = (_geom_rows(cells_row), _geom_rows(cb_row))
+    (cell_ids, C), (code_ids, CB) = geom
     if C is not None and CB is not None:
         enc = _pq_encode_udf(cell_ids, C, code_ids, CB, m_sub, round_digits)
         return (
@@ -2267,16 +2330,19 @@ def _ivfpq_probe_tables(
     id_col: str,
     vec_col: str,
     round_digits: int,
+    geom=None,
 ) -> DataFrame:
     """(query_id, cell_id, _tab): the n_probe nearest cells per query and
     the per-(query, cell) residual ADC table.
 
     Arrow-vectorized (guide §4.2): probe-cell ranking and the residual
     ADC tables run in numpy over the driver-collected geometry
-    (`_l2_cell_rank_udf` + `_adc_res_tab_udf`), value-identical to the
+    (`_l2_cell_rank_udf` + `_adc_res_tab_udf`, or the caller's shared
+    `_geom_pair` result via ``geom=``), value-identical to the
     interpreted HOF form kept below as the EMPTY-geometry fallback."""
-    cell_ids, C = _geom_rows(cells_row)
-    code_ids, CB = _geom_rows(cb_row)
+    if geom is None:
+        geom = (_geom_rows(cells_row), _geom_rows(cb_row))
+    (cell_ids, C), (code_ids, CB) = geom
     if C is not None and CB is not None:
         rankp = _l2_cell_rank_udf(cell_ids, C, round_digits, n_probe)
         tab = _adc_res_tab_udf(cell_ids, C, code_ids, CB, m_sub, round_digits)
@@ -2388,7 +2454,12 @@ def _ivfpq_geometry(
         raise ValueError("pass both cells= and codebook=, or neither")
     if cells is not None:
         return _trained_geometry(cells, "cell_id"), _trained_geometry(codebook, "code")
-    seeds = _ivfpq_seeds(candidates, n_cells, n_codes, id_col, vec_col)
+    # both the cells slice and the residual codebook consume the seed
+    # scan (orderBy+limit over the candidates); a lazy cut makes the one
+    # `_geom_pair` collect materialize it once instead of per subtree
+    seeds = _ivfpq_seeds(candidates, n_cells, n_codes, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     det_cells = seeds.filter(F.col("_rk") < n_cells).select(
         F.col("_rk").alias("cell_id"), "cvec"
     )
@@ -2446,9 +2517,14 @@ def ivfpq_topk(
     )
     cells_row = _struct_row(cells, "cell_id", "_cells")
     cb_row = _struct_row(cb, "code", "_cbs")
-    enc = _ivfpq_encode(candidates, cells_row, cb_row, M, id_col, vec_col, round_digits)
+    # ONE bounded geometry collect shared by encode and probe (was four
+    # `_geom_rows` jobs, each re-running the seed scan — r13 ADVICE)
+    geom = _geom_pair(cells_row, cb_row)
+    enc = _ivfpq_encode(
+        candidates, cells_row, cb_row, M, id_col, vec_col, round_digits, geom=geom
+    )
     probed = _ivfpq_probe_tables(
-        queries, cells_row, cb_row, n_probe, M, id_col, vec_col, round_digits
+        queries, cells_row, cb_row, n_probe, M, id_col, vec_col, round_digits, geom=geom
     )
     return _ivfpq_rank(enc.join(F.broadcast(probed), "cell_id"), k, M, round_digits)
 
@@ -2504,7 +2580,10 @@ def ivfpq_index_build(
         cb = cb.localCheckpoint(eager=True)
     cells_row = _struct_row(cells, "cell_id", "_cells")
     cb_row = _struct_row(cb, "code", "_cbs")
-    enc = _ivfpq_encode(candidates, cells_row, cb_row, M, id_col, vec_col, round_digits)
+    enc = _ivfpq_encode(
+        candidates, cells_row, cb_row, M, id_col, vec_col, round_digits,
+        geom=_geom_pair(cells_row, cb_row),
+    )
     if carry_cols:
         enc = enc.join(
             candidates.select(F.col(id_col).alias("candidate_id"), *carry_cols),
@@ -2589,7 +2668,8 @@ def ivfpq_index_append(
         cbdf.select("code", F.col("centroid").alias("cvec")), "code", "_cbs"
     )
     enc = _ivfpq_encode(
-        new_vecs, cells_row, cb_row, n_subspaces, id_col, vec_col, round_digits
+        new_vecs, cells_row, cb_row, n_subspaces, id_col, vec_col, round_digits,
+        geom=_geom_pair(cells_row, cb_row),
     )
     if carry_cols:
         enc = enc.join(
@@ -2671,7 +2751,8 @@ def ivfpq_index_search(
         cbdf.select("code", F.col("centroid").alias("cvec")), "code", "_cbs"
     )
     probed = _ivfpq_probe_tables(
-        queries, cells_row, cb_row, n_probe, M, id_col, vec_col, round_digits
+        queries, cells_row, cb_row, n_probe, M, id_col, vec_col, round_digits,
+        geom=_geom_pair(cells_row, cb_row),
     # consumed twice (driver collect of probe cells + the scan join):
     # cut the lineage so query scoring against the centroids runs once
     ).localCheckpoint(eager=False)

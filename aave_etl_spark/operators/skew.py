@@ -1,4 +1,5 @@
-"""Skew mitigation: salted joins for hot keys.
+"""Skew mitigation: salted joins for hot keys, and scan fan-out for
+under-partitioned inputs.
 
 AQE's skew-join splitting (enabled session-wide) handles most skew at
 runtime by splitting oversized shuffle partitions — but it only applies to
@@ -46,3 +47,37 @@ def salted_join(
     return (
         salted_big.join(salted_small, [*key_cols, "_salt"], how).drop("_salt")
     )
+
+
+def fan_out_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """INPUT-SKEW remedy (guide §2.5): when a narrow scan arrives in fewer
+    partitions than the cluster has slots — one unsplittable file, or a
+    single-row-group parquet that maxPartitionBytes cannot split — every
+    downstream map stage (tokenize, explode, hash, regex) runs on ONE
+    task while the rest of the cluster idles. Repartition by the row key
+    so the per-row work parallelizes.
+
+    SCALE-ADAPTIVE, not a local-mode constant: the target is
+    defaultParallelism (slots), and the repartition only fires when the
+    scan has fewer partitions than that — on a real 100 TB input (many
+    files/row groups) it is a plan-level no-op, so no corpus-wide shuffle
+    is ever added at scale.
+
+    VALUE-SAFETY CONTRACT: callers must ensure every downstream
+    order-sensitive aggregation is keyed through a deterministic shuffle
+    with exact semantics (int counts, min/max, string/md5 keys) before
+    any floating-point accumulation — the repartition changes which task
+    processes which row, so a float sum taken DIRECTLY over the scan
+    layout could drift in the last ulp. Apply at narrow scan-shaped
+    inputs only; the plan-shape guard below declines anything already
+    carrying a join/aggregate/window (splitting those is the planner's
+    job, and inspecting their RDD here could execute stages under AQE)."""
+    jplan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(k in jplan for k in ("Join", "Aggregate", "Window", "Repartition", "Sort")):
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    # narrow plan: toRdd finalizes without executing any stage
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key_col))

@@ -298,10 +298,15 @@ def bm25_postings(
     the term key) → corpus scalars (N, avgdl) via a 1-row aggregate
     broadcast-crossjoined, never collected to the driver. Weights round to
     6dp so downstream ranks are engine-reproducible. At rest this is the
-    inverted index a retrieval system materializes once per corpus."""
-    from aave_etl_spark.operators.dedup import normalize_text
+    inverted index a retrieval system materializes once per corpus.
 
-    tok = df.select(
+    Scan fan-out (guide §2.5) is value-safe: tf/dl/df are exact ints
+    keyed by their own shuffles, and the scalar avg runs over the dl
+    frame whose partitioning comes from the tf shuffle, not the scan."""
+    from aave_etl_spark.operators.dedup import normalize_text
+    from aave_etl_spark.operators.skew import fan_out_scan
+
+    tok = fan_out_scan(df, id_col).select(
         F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("term")
     )
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -496,6 +501,12 @@ def _bm25_probe(
     )
 
 
+# params-sidecar validation memo: path -> (k1, b) as built. A guard-row
+# cache (2 floats), never query data; entries die with the process and
+# are invalidated by bm25_index_build on rewrite.
+_BM25_PARAMS_SEEN: dict[str, tuple[float, float]] = {}
+
+
 def bm25_index_build(
     store,
     corpus: DataFrame,
@@ -528,9 +539,11 @@ def bm25_index_build(
     # one-row params sidecar: a probe scored under different (k1, b) than
     # the stored weights would silently disagree with its in-flight twin —
     # bm25_index_search validates and raises instead
-    local_df(corpus.sparkSession, 
+    local_df(corpus.sparkSession,
         [(float(k1), float(b), int(n_buckets))], "k1 double, b double, n_buckets int"
     ).write.mode("overwrite").parquet(store._path(name + "_params"))
+    # a rebuild at the same path must re-validate, not serve the old pair
+    _BM25_PARAMS_SEEN.pop(store._path(name + "_params"), None)
 
 
 def bm25_index_search(
@@ -569,11 +582,20 @@ def bm25_index_search(
             f"bm25_index_search: no params sidecar for index {name!r} —"
             " build it with bm25_index_build first"
         )
-    built = spark.read.parquet(path).head()
-    if (float(k1), float(b)) != (built.k1, built.b):
+    # the sidecar is immutable once built (completion-marker discipline;
+    # bm25_index_build invalidates this entry on rewrite), so validate it
+    # with ONE driver job per index per session instead of one per search
+    # call — a per-process memo of a 2-float guard row, not of any query
+    # result (five at-rest consumers each paid a head() job otherwise)
+    built_pair = _BM25_PARAMS_SEEN.get(path)
+    if built_pair is None:
+        built = spark.read.parquet(path).head()
+        built_pair = (built.k1, built.b)
+        _BM25_PARAMS_SEEN[path] = built_pair
+    if (float(k1), float(b)) != built_pair:
         raise ValueError(
             f"bm25 index params {(k1, b)} != build params"
-            f" {(built.k1, built.b)} (k1, b) — stored weights were scored"
+            f" {built_pair} (k1, b) — stored weights were scored"
             " under the build's parameters"
         )
     postings = store.read_bucketed(name)
@@ -616,9 +638,22 @@ def bm25_topk(
     window (WindowGroupLimit caps each map partition at k before the
     exchange). Scores round to 6dp so ranks are engine-reproducible."""
     scored = bm25_postings(df, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    return bm25_topk_from_postings(scored, id_col=id_col, k=k)
+
+
+def bm25_topk_from_postings(
+    postings: DataFrame, id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """:func:`bm25_topk`'s ranking tail over an EXISTING postings table —
+    in-flight (`bm25_postings`) or read back from the at-rest inverted
+    index (`bm25_index_build` stores the postings verbatim, weights
+    included, so ranking the stored table is value-identical to the
+    in-flight rebuild while skipping the tokenize→tf→df→weight corpus
+    pass; the store-prefix sharing the round-13 verdict prescribed for
+    the BM25 trio)."""
     w = Window.partitionBy(id_col).orderBy(F.col("bm25").desc(), F.col("term"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        postings.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "bm25", "rank")
     )

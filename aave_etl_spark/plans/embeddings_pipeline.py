@@ -227,29 +227,25 @@ def _emb_pq_prefilter_dups(store, batch: DataFrame, day: str) -> DataFrame:
     if not days:
         return empty
     day_pred = "day IN (" + ", ".join(f"DATE '{d}'" for d in days) + ")"
-    # norms bind in each side's OWN projection (the cosine_topk
-    # discipline): the verify pair projection pays ONE Arrow pair dot
-    # instead of cosine()'s three UDF evals per pair — identical floats
-    # (same expression tree per value, norms computed per row pre-join)
     raw = store.read("emb_clean", where=day_pred, schema=_CLEAN_SCHEMA).select(
         F.col("vec_id").alias("candidate_id"),
         F.col("embedding").alias("_cv"),
-        similarity.norm(F.col("embedding")).alias("_cn"),
     )
     qv = batch.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("_qv"),
-        similarity.norm(F.col("embedding")).alias("_qn"),
     )
     return (
         cand.join(raw, "candidate_id")
         .join(qv, "query_id")
         .select(
             "query_id",
+            # ONE fused Arrow stage per shortlisted pair
+            # (`similarity._pair_cos_udf`): bitwise the former
+            # dot_arrow/(qn*cn) with per-row norms, minus two
+            # ArrowEvalPython boundaries (guide §4.2)
             F.round(
-                similarity.dot_arrow(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn")),
-                6,
+                similarity._pair_cos_udf()(F.col("_qv"), F.col("_cv")), 6
             ).alias("_cs"),
         )
         .filter(F.col("_cs") >= EMB_DUP_COSINE)

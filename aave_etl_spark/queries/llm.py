@@ -1467,7 +1467,14 @@ def llm_scrub_pii(spark, sf_dir):
     ),
 )
 def llm_bm25_topk(spark, sf_dir):
-    return text.bm25_topk(t(spark, sf_dir, "documents"), k=3)
+    # rank over the session's at-rest postings store (shared with the
+    # index-search / capped / stop-term consumers) instead of re-running
+    # the tokenize→tf→df→weight corpus pass per call: the stored table IS
+    # bm25_postings' output (weights included, 6dp-rounded), so the ranks
+    # are value-identical by construction — the bm25-trio store-prefix
+    # sharing the r13 verdict prescribed (guide §5/§6)
+    store, tbl, _docs = _bm25_index_store(spark, sf_dir)
+    return text.bm25_topk_from_postings(store.read_bucketed(tbl), k=3)
 
 
 # The sparse-retrieval arm's CTE chain, shared verbatim by the in-flight
@@ -1574,10 +1581,16 @@ _RRF_FUSE_TAIL = """fused AS (
     ),
 )
 def llm_hybrid_rrf(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
     dense = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
-    sparse = text.bm25_retrieve(docs, docs.filter(F.col("doc_id") < 8), k=10)
+    # the sparse arm probes the session's shared at-rest postings store
+    # (scores identical to the in-flight bm25_retrieve by construction —
+    # the stored weights ARE bm25_postings' output, certified by the
+    # common oracle) instead of re-running the tokenize→tf→df→weight
+    # corpus pass inside this head: the rrf/rrf_atrest store-prefix
+    # sharing the r13 verdict prescribed (guide §5/§6). The two parts
+    # stay distinct in their DENSE arms (exact cosine vs at-rest IVF-PQ).
+    sparse = _bm25_index_arm(spark, sf_dir, k=10)
     return similarity.rrf_fuse(dense, sparse, k=5)
 
 

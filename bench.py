@@ -217,12 +217,17 @@ def main() -> int:
             if k in ("metric", "value", "unit", "queries", "sf", "failures")
         }
     line = json.dumps(out, separators=(",", ":"))
-    assert len(line) <= 1900, (
-        f"bench stdout line is {len(line)} bytes — over the driver's"
-        " 2000-byte tail window (minus margin); trim keys before the"
-        " round loses its headline like r7/r12"
-    )
-    print(line)
+    # print FIRST (a slightly-over line may still parse inside the
+    # driver's 2000-byte tail window), THEN fail loudly: a bare assert
+    # would both vanish under python -O and kill the run before anything
+    # printed — the exact failure mode the guard exists to prevent
+    print(line, flush=True)
+    if len(line) > 1900:
+        raise RuntimeError(
+            f"bench stdout line is {len(line)} bytes — over the driver's"
+            " 2000-byte tail window (minus margin); trim keys before the"
+            " round loses its headline like r7/r12"
+        )
     return 1 if failures else 0
 
 

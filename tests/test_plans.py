@@ -218,11 +218,28 @@ def test_stratified_sample_window_group_limit(spark):
 
 def test_bm25_scalars_broadcast_not_collected(spark):
     # corpus scalars (N, avgdl) join in via broadcast; the vocabulary df
-    # join must not be a cartesian
-    p = plan(spark, "llm_bm25_topk")
+    # join must not be a cartesian. Pinned on the OPERATOR (the in-flight
+    # postings build): the llm_bm25_topk query ranks the shared at-rest
+    # postings store since r14, so the in-flight shape lives here.
+    from aave_etl_spark.operators.text import bm25_topk
+
+    df = bm25_topk(
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text"), k=3
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
     assert "WindowGroupLimit" in p  # per-doc top-k capped before exchange
+
+
+def test_bm25_topk_query_ranks_stored_postings(spark):
+    # the r14 store-prefix sharing (VERDICT r13 #1): llm_bm25_topk must
+    # scan the bucketed at-rest postings (no tokenize/explode corpus
+    # pass, no scalar broadcast rebuild) and keep the pre-exchange top-k cap
+    p = plan(spark, "llm_bm25_topk")
+    assert "SelectedBucketsCount" in p  # bucketed store scan
+    assert "Generate explode" not in p  # no re-tokenize of the corpus
+    assert "WindowGroupLimit" in p
 
 
 def test_scrub_pii_is_shuffle_free(spark):
