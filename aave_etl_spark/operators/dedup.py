@@ -41,13 +41,11 @@ def exact_duplicates(
 
     Returns one row per distinct content: (digest, keeper_id = min id,
     dup_count). Spark plan: project + single hash aggregate — one shuffle on
-    the 128-bit digest, no skew (digests are uniform). Scan fan-out is
-    value-safe: min(id)/count keyed by the digest shuffle are exact."""
-    from aave_etl_spark.operators.skew import fan_out_scan
-
+    the 128-bit digest, no skew (digests are uniform). Deliberately NOT
+    fanned out (skew.fan_out_scan): one md5 per doc is too little work to
+    buy back the repartition — measured 0.36 s -> 0.62 s with it."""
     return (
-        fan_out_scan(df, id_col)
-        .select(F.md5(normalize_text(text_col)).alias("digest"), F.col(id_col))
+        df.select(F.md5(normalize_text(text_col)).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(
             F.min(id_col).alias("keeper_id"),

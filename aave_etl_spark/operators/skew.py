@@ -77,7 +77,21 @@ def fan_out_scan(df: DataFrame, key_col: str) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    # narrow plan: toRdd finalizes without executing any stage
-    if df.rdd.getNumPartitions() >= target:
+    # the partition probe compiles the plan to an RDD (safe for a narrow
+    # plan — nothing executes), but that costs tens of ms per builder
+    # call; the decision is a pure function of the scanned FILES under a
+    # fixed session conf, so memoize it per file set (metadata only,
+    # dies with the process)
+    files = tuple(sorted(df.inputFiles()))
+    fan = _FAN_DECISION.get(files) if files else None
+    if fan is None:
+        fan = df.rdd.getNumPartitions() < target
+        if files:
+            _FAN_DECISION[files] = fan
+    if not fan:
         return df
     return df.repartition(target, F.col(key_col))
+
+
+# (file set) -> whether the scan needs fanning out; see fan_out_scan
+_FAN_DECISION: dict[tuple, bool] = {}

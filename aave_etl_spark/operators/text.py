@@ -721,7 +721,16 @@ def unigram_logprob(
     Plan: (token) count (one shuffle) + the corpus total folded into ONE
     broadcast row; per-doc scoring is an equi-join of the token stream
     against the frequency table followed by a per-doc avg — every token
-    present in the corpus has frequency >= 1, so the log never sees zero."""
+    present in the corpus has frequency >= 1, so the log never sees zero.
+
+    Scan fan-out is value-safe HERE because it repartitions by the GROUP
+    key: each doc's token stream stays whole in one partition, so the
+    per-doc float avg accumulates in array order exactly as before (one
+    partial per doc; the frequency joins broadcast and preserve row
+    order), and the token counts are exact ints."""
+    from aave_etl_spark.operators.skew import fan_out_scan
+
+    df = fan_out_scan(df, id_col)
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     total = freq.agg(F.sum("tf").cast("double").alias("_total"))
@@ -759,7 +768,11 @@ def ngram_counts(
     and unigram/bigram gram structs concat into a single exploded
     stream — then one map-side-combinable groupBy. Token-frequency skew
     ("the") concentrates occurrences of ONE gram key into one count
-    row; nothing pair-fans out."""
+    row; nothing pair-fans out. Scan fan-out is value-safe: the gram
+    counts are exact ints keyed by their own shuffle."""
+    from aave_etl_spark.operators.skew import fan_out_scan
+
+    df = fan_out_scan(df, id_col)
     l = tokens(text_col)
     uni = F.transform(
         l,
@@ -814,7 +827,12 @@ def stupid_backoff_score(
     most ONE count row, so a hot token skews a shuffle key (AQE skew
     split handles it) but never fans out; the corpus total folds into
     one broadcast row (the ``unigram_logprob`` shape). All JVM-side
-    expressions, no UDFs."""
+    expressions, no UDFs. Scan fan-out keyed by the doc id is value-safe
+    for the same reason as ``unigram_logprob``: each doc's stream stays
+    whole in one partition, so its float avg keeps the array order."""
+    from aave_etl_spark.operators.skew import fan_out_scan
+
+    df = fan_out_scan(df, id_col)
     # the count table feeds three join sides (cur-unigram, prev-unigram,
     # bigram) plus the corpus total: cut the lineage so a derived counts
     # frame (ngram_counts, state rollup) computes once, not four times
